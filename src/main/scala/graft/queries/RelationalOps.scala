@@ -1,0 +1,352 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.GraphBfs
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY §2 operator inventory, demonstrated as standalone queries over
+  * the driver-provided TPC-H-ish testdata (SURVEY §7.5). Each query has a
+  * DuckDB oracle in [[oracles]] with identical column names/types.
+  *
+  * Numeric policy for oracle hash-parity: aggregates over doubles are
+  * computed in exact decimal arithmetic and only the final result is cast
+  * back to double, so Spark and DuckDB round identically regardless of
+  * accumulation order. Counts are always cast to BIGINT on the SQL side
+  * (DuckDB count → HUGEINT otherwise).
+  */
+object RelationalOps {
+
+  /** Exact decimal sum of a double column, returned as double. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O-1: full scan + prefix filter (reference: list datasets by pk prefix,
+    // backend/datasets/list.py:9-24). StartsWith pushes to the parquet scan.
+    "q01_scan_prefix" -> ((s, d) => {
+      Tables.load(s, d, "documents")
+        .filter(col("source").startsWith("src1"))
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    }),
+
+    // O-2: point get by key (backend/datasets/get.py:42-44).
+    "q02_point_lookup" -> ((s, d) => {
+      Tables.load(s, d, "customer").filter(col("c_custkey") === 42L)
+    }),
+
+    // O-3: secondary-index equality lookup (title GSI,
+    // backend/datasets/get.py:54-81) — predicate pushdown replaces the GSI.
+    "q03_eq_lookup" -> ((s, d) => {
+      Tables.load(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }),
+
+    // O-4 / O-8: early-exit existence check (duplicate-title guard
+    // backend/datasets/create.py:32-34; any-failure check
+    // backend/validation_summary/task.py:33-39). LocalLimit gives early exit.
+    "q04_exists_guard" -> ((s, d) => {
+      val orders = Tables.load(s, d, "orders")
+      val exists = !orders.filter(col("o_totalprice") > 400000.0).limit(1).isEmpty
+      s.range(1).select(lit(exists).as("exists_over_400k"))
+    }),
+
+    // O-5: range-prefix count (DATA items of a version,
+    // backend/content_iterator/task.py:54-59).
+    "q05_prefix_count" -> ((s, d) => {
+      Tables.load(s, d, "lineitem")
+        .filter(col("l_orderkey") <= 100L)
+        .agg(count(lit(1)).as("n_items"))
+    }),
+
+    // O-6: ordered range query → manifest build
+    // (backend/import_dataset/task.py:93-98), numeric item_index order.
+    "q06_ordered_manifest" -> ((s, d) => {
+      Tables.load(s, d, "lineitem")
+        .filter(col("l_orderkey") === 42L)
+        .select(col("l_linenumber"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+        .orderBy(col("l_linenumber"))
+    }),
+
+    // O-7: GSI query with equality range condition (all FAILED rows of a
+    // version, backend/import_status/get.py:120-126).
+    "q07_outcome_filter" -> ((s, d) => {
+      Tables.load(s, d, "orders")
+        .filter(col("o_orderstatus") === "F" && col("o_custkey") < 50L)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    }),
+
+    // O-25: boolean ALL-pass aggregate per group
+    // (backend/validation_summary/task.py:32-43).
+    "q08_allpass_summary" -> ((s, d) => {
+      Tables.load(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(bool_and(col("o_orderstatus") === "F").as("all_finished"),
+             count(lit(1)).as("n_orders"))
+    }),
+
+    // O-24: same-asset consistency rule — url referenced twice must carry
+    // the same multihash (USAGE.md:76-79) ⇒ groupBy + countDistinct.
+    "q09_consistency_rule" -> ((s, d) => {
+      Tables.load(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"))
+        .filter(col("n_suppliers") > 1L)
+    }),
+
+    // O-28: deterministic index assignment via row_number
+    // (backend/check_stac_metadata/utils.py:84-97 METADATA/DATA_ITEM_INDEX#i).
+    "q10_enumerate" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"))
+      Tables.load(s, d, "lineitem")
+        .filter(col("l_orderkey") < 100L)
+        .select(col("l_orderkey"), col("l_linenumber"),
+                (row_number().over(w) - 1).cast("long").as("item_index"))
+    }),
+
+    // O-23 + O-26: three-source status merge with outcome CASE logic and
+    // failure-list aggregation (backend/import_status/get.py:57-137).
+    "q11_status_merge" -> ((s, d) => {
+      val orders = Tables.load(s, d, "orders").filter(col("o_orderkey") < 500L)
+      val failures = Tables.load(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_fail"),
+             concat_ws(",", array_sort(collect_list(col("l_partkey").cast("string"))))
+               .as("fail_list"))
+      val customers = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      orders
+        .join(failures, orders("o_orderkey") === failures("l_orderkey"), "left")
+        .join(broadcast(customers), orders("o_custkey") === customers("c_custkey"), "left")
+        .select(
+          col("o_orderkey"),
+          when(col("o_orderstatus") === "O", "Pending")
+            .when(coalesce(col("n_fail"), lit(0L)) > 0L, "Failed")
+            .otherwise("Passed").as("validation"),
+          coalesce(col("n_fail"), lit(0L)).as("n_fail"),
+          coalesce(col("fail_list"), lit("")).as("fail_list"),
+          coalesce(col("c_mktsegment"), lit("")).as("segment"))
+    }),
+
+    // O-29/O-30: pk/sk compose + decompose round trip
+    // (backend/datasets_model.py:49,63-66; validation_results_model.py:92).
+    "q12_key_compose" -> ((s, d) => {
+      Tables.load(s, d, "orders")
+        .filter(col("o_orderkey") < 200L)
+        .select(
+          concat(lit("DATASET#"), col("o_orderkey").cast("string")).as("pk"),
+          concat_ws("#", lit("CHECK"), lit("checksum"), lit("URL"),
+                    concat(lit("s3://b/"), col("o_orderkey").cast("string"))).as("sk"))
+        .withColumn("id_back", element_at(split(col("pk"), "#"), 2))
+        .withColumn("check_back", element_at(split(col("sk"), "#"), 2))
+    }),
+
+    // O-15/O-31/O-32: URL scheme/dirname/basename/bucket/key functions and
+    // relative-href resolution (backend/check_stac_metadata/utils.py:43-48,
+    // task.py:21-23; import_dataset/task.py:104,187-188).
+    "q13_url_funcs" -> ((s, d) => {
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          concat(lit("s3://bucket-"), col("source"), lit("/"), col("lang"),
+                 lit("/doc_"), col("doc_id").cast("string"), lit(".json")).as("url"),
+          concat(lit("item_"), col("doc_id").cast("string"), lit(".json")).as("rel_href"))
+        .withColumn("dirname", regexp_replace(col("url"), "/[^/]*$", ""))
+        .withColumn("basename", element_at(split(col("url"), "/"), -1))
+        .withColumn("bucket", regexp_extract(col("url"), "^s3://([^/]+)/(.*)$", 1))
+        .withColumn("key", regexp_extract(col("url"), "^s3://([^/]+)/(.*)$", 2))
+        .withColumn("resolved",
+          when(col("rel_href").startsWith("s3://"), col("rel_href"))
+            .otherwise(concat(col("dirname"), lit("/"), col("rel_href"))))
+    }),
+
+    // O-17/O-37: multihash build + parse + digest comparison
+    // (backend/check_files_checksums/utils.py:83-106; hex header parse at 98).
+    "q14_multihash" -> ((s, d) => {
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          concat(lit("1220"), sha2(col("text"), 256)).as("multihash"),
+          sha2(col("text"), 256).as("actual_digest"))
+        .withColumn("fn_code", conv(substring(col("multihash"), 1, 2), 16, 10).cast("long"))
+        .withColumn("digest_len", conv(substring(col("multihash"), 3, 2), 16, 10).cast("long"))
+        .withColumn("expected_digest", substring(col("multihash"), 5, 1000000))
+        .withColumn("checksum_ok", col("expected_digest") === col("actual_digest"))
+    }),
+
+    // O-12/O-33: import-manifest CSV row construction
+    // (backend/import_dataset/task.py:87-107): bucket,params-JSON with the
+    // {title}-{id}/{version}/{basename} target layout.
+    "q15_manifest_csv" -> ((s, d) => {
+      Tables.load(s, d, "lineitem")
+        .filter(col("l_orderkey") < 50L)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          concat(
+            lit("staging,"),
+            lit("""{"targetBucketName":"storage","originalKey":"data/part_"""),
+            col("l_partkey").cast("string"),
+            lit(""".bin","newKey":"ds-"""),
+            col("l_orderkey").cast("string"), lit("/v1/part_"),
+            col("l_partkey").cast("string"),
+            lit(""".bin"}""")).as("manifest_row"))
+    }),
+
+    // O-14/O-22: recursive graph traversal with cycle guard — BFS over a
+    // node graph N#nation → C#customer → O#order, from root N#3
+    // (backend/check_stac_metadata/utils.py:99-130).
+    "q16_graph_bfs" -> ((s, d) => {
+      val customer = Tables.load(s, d, "customer")
+      val orders = Tables.load(s, d, "orders")
+      val e1 = customer.select(
+        concat(lit("N#"), col("c_nationkey").cast("string")).as("src"),
+        concat(lit("C#"), col("c_custkey").cast("string")).as("dst"))
+      val e2 = orders.select(
+        concat(lit("C#"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("O#"), col("o_orderkey").cast("string")).as("dst"))
+      val edges = e1.union(e2)
+      GraphBfs.reachableFrom(s, edges, "N#3", maxDepth = 5)
+        .select(col("node"), col("depth"))
+    }),
+
+    // O-21-shaped manifest↔content equi-join + revenue agg (decimal-exact):
+    // the classic pricing-summary shape over the lake's biggest table.
+    "q17_revenue_agg" -> ((s, d) => {
+      Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+               (lit(java.math.BigDecimal.ONE).cast(DecimalType(18, 2)) -
+                col("l_discount").cast(DecimalType(18, 2)))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q01_scan_prefix" ->
+      "SELECT doc_id, source, lang, n_chars FROM documents WHERE source LIKE 'src1%'",
+
+    "q02_point_lookup" ->
+      "SELECT * FROM customer WHERE c_custkey = 42",
+
+    "q03_eq_lookup" ->
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'",
+
+    "q04_exists_guard" ->
+      "SELECT (count(*) > 0) AS exists_over_400k FROM orders WHERE o_totalprice > 400000.0",
+
+    "q05_prefix_count" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_items FROM lineitem WHERE l_orderkey <= 100",
+
+    "q06_ordered_manifest" ->
+      """SELECT l_linenumber, l_partkey, l_suppkey, l_quantity FROM lineitem
+         WHERE l_orderkey = 42 ORDER BY l_linenumber""",
+
+    "q07_outcome_filter" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+         WHERE o_orderstatus = 'F' AND o_custkey < 50""",
+
+    "q08_allpass_summary" ->
+      """SELECT o_custkey, bool_and(o_orderstatus = 'F') AS all_finished,
+                CAST(count(*) AS BIGINT) AS n_orders
+         FROM orders GROUP BY o_custkey""",
+
+    "q09_consistency_rule" ->
+      """SELECT l_partkey, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+         FROM lineitem GROUP BY l_partkey HAVING count(DISTINCT l_suppkey) > 1""",
+
+    "q10_enumerate" ->
+      """SELECT l_orderkey, l_linenumber,
+                CAST(row_number() OVER (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_partkey) - 1 AS BIGINT) AS item_index
+         FROM lineitem WHERE l_orderkey < 100""",
+
+    "q11_status_merge" ->
+      """SELECT o.o_orderkey,
+                CASE WHEN o.o_orderstatus = 'O' THEN 'Pending'
+                     WHEN coalesce(f.n_fail, 0) > 0 THEN 'Failed'
+                     ELSE 'Passed' END AS validation,
+                CAST(coalesce(f.n_fail, 0) AS BIGINT) AS n_fail,
+                coalesce(f.fail_list, '') AS fail_list,
+                coalesce(c.c_mktsegment, '') AS segment
+         FROM (SELECT * FROM orders WHERE o_orderkey < 500) o
+         LEFT JOIN (SELECT l_orderkey, count(*) AS n_fail,
+                           string_agg(CAST(l_partkey AS VARCHAR), ','
+                                      ORDER BY CAST(l_partkey AS VARCHAR)) AS fail_list
+                    FROM lineitem WHERE l_returnflag = 'R'
+                    GROUP BY l_orderkey) f
+           ON o.o_orderkey = f.l_orderkey
+         LEFT JOIN customer c ON o.o_custkey = c.c_custkey""",
+
+    "q12_key_compose" ->
+      """SELECT 'DATASET#' || CAST(o_orderkey AS VARCHAR) AS pk,
+                'CHECK#checksum#URL#s3://b/' || CAST(o_orderkey AS VARCHAR) AS sk,
+                split_part('DATASET#' || CAST(o_orderkey AS VARCHAR), '#', 2) AS id_back,
+                'checksum' AS check_back
+         FROM orders WHERE o_orderkey < 200""",
+
+    "q13_url_funcs" ->
+      """WITH u AS (
+           SELECT doc_id,
+                  's3://bucket-' || source || '/' || lang || '/doc_'
+                    || CAST(doc_id AS VARCHAR) || '.json' AS url,
+                  'item_' || CAST(doc_id AS VARCHAR) || '.json' AS rel_href
+           FROM documents)
+         SELECT doc_id, url, rel_href,
+                regexp_replace(url, '/[^/]*$', '') AS dirname,
+                list_extract(string_split(url, '/'), len(string_split(url, '/'))) AS basename,
+                regexp_extract(url, '^s3://([^/]+)/(.*)$', 1) AS bucket,
+                regexp_extract(url, '^s3://([^/]+)/(.*)$', 2) AS key,
+                CASE WHEN rel_href LIKE 's3://%' THEN rel_href
+                     ELSE regexp_replace(url, '/[^/]*$', '') || '/' || rel_href
+                END AS resolved
+         FROM u""",
+
+    "q14_multihash" ->
+      """SELECT doc_id,
+                '1220' || sha256(text) AS multihash,
+                sha256(text) AS actual_digest,
+                CAST(18 AS BIGINT) AS fn_code,
+                CAST(32 AS BIGINT) AS digest_len,
+                sha256(text) AS expected_digest,
+                true AS checksum_ok
+         FROM documents""",
+
+    "q15_manifest_csv" ->
+      """SELECT l_orderkey, l_linenumber,
+                'staging,{"targetBucketName":"storage","originalKey":"data/part_'
+                || CAST(l_partkey AS VARCHAR) || '.bin","newKey":"ds-'
+                || CAST(l_orderkey AS VARCHAR) || '/v1/part_'
+                || CAST(l_partkey AS VARCHAR) || '.bin"}' AS manifest_row
+         FROM lineitem WHERE l_orderkey < 50""",
+
+    "q16_graph_bfs" ->
+      """WITH RECURSIVE edges AS (
+           SELECT 'N#' || CAST(c_nationkey AS VARCHAR) AS src,
+                  'C#' || CAST(c_custkey AS VARCHAR) AS dst FROM customer
+           UNION ALL
+           SELECT 'C#' || CAST(o_custkey AS VARCHAR),
+                  'O#' || CAST(o_orderkey AS VARCHAR) FROM orders
+         ), bfs AS (
+           SELECT 'N#3' AS node, 0 AS depth
+           UNION ALL
+           SELECT e.dst, b.depth + 1 FROM bfs b JOIN edges e ON e.src = b.node
+           WHERE b.depth < 5
+         )
+         SELECT node, CAST(min(depth) AS BIGINT) AS depth FROM bfs GROUP BY node""",
+
+    "q17_revenue_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                     AS DOUBLE) AS sum_disc_price,
+                CAST(count(*) AS BIGINT) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+  )
+}
