@@ -29,10 +29,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.RelationalOps.queries
+    graft.queries.RelationalOps.queries ++
+      graft.queries.TextOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    graft.queries.RelationalOps.oracles
+    graft.queries.RelationalOps.oracles ++
+      graft.queries.TextOps.oracles
 }

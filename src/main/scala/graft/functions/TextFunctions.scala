@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data pipeline:
+  * tokenization, shingling, quality metrics, language-ID scoring,
+  * fingerprinting. All built from codegen'd builtins (no Scala UDFs) so
+  * they stay inside whole-stage codegen and are exactly reproducible in
+  * the DuckDB oracle.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Distinct word n-gram shingles (the MinHash/Jaccard unit).
+    * transform(sequence(1, count-n+1), i -> concat_ws(' ', t[i],…,t[i+n-1])) */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(ts) - (n - 1), lit(0))),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + k)): _*)))
+  }
+
+  /** Distinct character n-gram shingles. */
+  def charShingles(text: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
+        i => substr(text, i, lit(n))))
+
+  /** 16-bit token hash from the md5 hex prefix — shared by SimHash and
+    * the LSH band keys; reproducible in any engine with md5. */
+  def hash16(token: Column): Column =
+    conv(substring(md5(token), 1, 4), 16, 10).cast("long")
+
+  /** Jaccard similarity of two pre-distinct shingle arrays (single
+    * double division → bit-identical across engines). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = (size(a) + size(b)).cast("double") - size(array_intersect(a, b))
+    inter / union
+  }
+
+  /** Exact 64-bit-safe polynomial rolling hash (base 31, mod 1e9+7) over
+    * the document's characters — the document fingerprint. */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(text)), i => ascii(substr(text, i, lit(1))).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31L + x) % 1000000007L)
+
+  /** Ratio of tokens found in `words` to all tokens. */
+  def listRatio(text: Column, words: Seq[String]): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, lit(0.0)).otherwise(
+      size(filter(ts, t => t.isin(words: _*))).cast("double") /
+        size(ts).cast("double"))
+  }
+}

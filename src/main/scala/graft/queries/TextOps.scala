@@ -1,0 +1,238 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text-analysis + deduplication operators over the
+  * `documents` table: token stats, quality scoring, language-ID
+  * heuristic, fingerprints, exact/MinHash-LSH/SimHash/n-gram dedup.
+  * Every query has a value-exact DuckDB oracle.
+  */
+object TextOps {
+
+  /** Marker dictionaries for the language-ID heuristic. The corpus is
+    * synthetic (shared vocabulary), so the dictionaries are demo-scale;
+    * production swaps in real per-language stopword lists — the operator
+    * shape (per-language token-hit score + deterministic argmax) is the
+    * real content. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("table", "scan", "merge"),
+    "en" -> Seq("the", "a", "fast"),
+    "es" -> Seq("data", "row", "line"),
+    "fr" -> Seq("query", "filter", "join"),
+    "zh" -> Seq("hash", "vector", "stream"))
+
+  private val stopwords = Seq("the", "a", "row", "data")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace tokenization, per-doc stats.
+    "q18_token_stats" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val ts = tokens(col("text"))
+      docs.select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_actual"),
+        size(array_distinct(ts)).cast("long").as("n_distinct_tokens"),
+        (aggregate(transform(ts, t => length(t).cast("long")), lit(0L), _ + _)
+          .cast("double") / size(ts).cast("double")).as("avg_token_len"))
+    }),
+
+    // Quality scoring: stopword ratio, length saturation, uniqueness.
+    "q19_quality_score" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val ts = tokens(col("text"))
+      docs.select(
+        col("doc_id"),
+        listRatio(col("text"), stopwords).as("stopword_ratio"),
+        least(size(ts).cast("double") / 100.0, lit(1.0)).as("len_score"),
+        (size(array_distinct(ts)).cast("double") / size(ts).cast("double"))
+          .as("uniq_ratio"))
+        .withColumn("quality",
+          col("stopword_ratio") * 0.4 + col("len_score") * 0.3 + col("uniq_ratio") * 0.3)
+    }),
+
+    // Language-ID heuristic: per-language marker-hit scores + argmax.
+    "q20_langid" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val ts = tokens(col("text"))
+      val scored = docs.select(
+        (Seq(col("doc_id"), col("lang").as("actual_lang")) ++
+          langMarkers.map { case (l, ws) =>
+            size(filter(ts, t => t.isin(ws: _*))).cast("long").as(s"s_$l")
+          }): _*)
+      val langs = langMarkers.map(_._1)
+      val pred = langs.foldRight(lit(langs.last)) { case (l, rest) =>
+        val ge = langs.filter(_ != l)
+          .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+        when(ge, lit(l)).otherwise(rest)
+      }
+      scored.withColumn("predicted", pred)
+        .withColumn("is_match", col("predicted") === col("actual_lang"))
+    }),
+
+    // Document fingerprinting: md5 + exact polynomial rolling hash.
+    "q21_fingerprint" -> ((s, d) => {
+      Tables.load(s, d, "documents").select(
+        col("doc_id"),
+        md5(col("text")).as("md5_fp"),
+        rollingFingerprint(col("text")).as("rolling_fp"))
+    }),
+
+    // SimHash (16-bit, oracle-checkable; same construction widens to 64).
+    "q22_simhash" -> ((s, d) =>
+      Dedup.simhash16(Tables.load(s, d, "documents"), "doc_id", "text")),
+
+    // Exact dedup: content-hash groups with canonical id.
+    "q23_dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.load(s, d, "documents"), "doc_id", "text")),
+
+    // MinHash-LSH near-dup pairs (word 3-grams, k=8, 2 bands of 4),
+    // verified with exact Jaccard ≥ 0.5.
+    "q24_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLsh(Tables.load(s, d, "documents"), "doc_id", "text")),
+
+    // All-pairs char-3-gram Jaccard on a bounded block (test-scale path).
+    "q25_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(
+        Tables.load(s, d, "documents").filter(col("doc_id") < 100L),
+        "doc_id", "text", charN = 3, threshold = 0.3))
+  )
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  private val toksSql =
+    """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+
+  def oracles: Map[String, String] = Map(
+    "q18_token_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(length(text) AS BIGINT) AS n_chars_actual,
+                 CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+                 CAST(list_sum(list_transform(toks, x -> CAST(len(x) AS BIGINT))) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) AS avg_token_len
+          FROM t""",
+
+    "q19_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          r AS (SELECT doc_id,
+                 CASE WHEN len(toks) = 0 THEN 0.0
+                      ELSE CAST(len(list_filter(toks,
+                             x -> x IN ('the','a','row','data'))) AS DOUBLE)
+                           / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+                 least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS len_score,
+                 CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) AS uniq_ratio
+                FROM t)
+          SELECT doc_id, stopword_ratio, len_score, uniq_ratio,
+                 stopword_ratio * 0.4 + len_score * 0.3 + uniq_ratio * 0.3 AS quality
+          FROM r""",
+
+    "q20_langid" -> {
+      val scoreCols = langMarkers.map { case (l, ws) =>
+        val inList = ws.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(toks, x -> x IN ($inList))) AS BIGINT) AS s_$l"
+      }.mkString(",\n                 ")
+      val langs = langMarkers.map(_._1)
+      val predCase = langs.init.map { l =>
+        val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString("\n                      ")
+      s"""WITH t AS (SELECT doc_id, lang AS actual_lang, $toksSql AS toks
+                     FROM documents),
+          sc AS (SELECT doc_id, actual_lang,
+                 $scoreCols
+                 FROM t)
+          SELECT doc_id, actual_lang, s_de, s_en, s_es, s_fr, s_zh,
+                 CASE $predCase
+                      ELSE '${langs.last}' END AS predicted,
+                 (CASE $predCase
+                      ELSE '${langs.last}' END) = actual_lang AS is_match
+          FROM sc"""
+    },
+
+    "q21_fingerprint" ->
+      """SELECT doc_id, md5(text) AS md5_fp,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(text) + 1),
+                                   i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+                  (a, b) -> (a * 31 + b) % 1000000007) AS rolling_fp
+         FROM documents""",
+
+    "q22_simhash" -> {
+      val bitSums = (0 until 16).map(b =>
+        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(",\n                 ")
+      val fuse = (0 until 16).map(b =>
+        s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+          h AS (SELECT doc_id,
+                       CAST('0x' || substr(md5(token), 1, 4) AS BIGINT) AS h
+                FROM tok),
+          s AS (SELECT doc_id,
+                 $bitSums
+                FROM h GROUP BY doc_id)
+          SELECT doc_id, CAST($fuse AS BIGINT) AS simhash FROM s"""
+    },
+
+    "q23_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS canonical_id,
+                CAST(count(*) AS BIGINT) AS n_copies
+         FROM documents GROUP BY md5(text)""",
+
+    "q24_minhash_lsh" -> {
+      val sigCols = (0 until 8).map(j =>
+        s"min(md5('$j|' || shingle)) AS h$j").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+          sh0 AS (SELECT doc_id,
+                         unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                                i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1]
+                                     || ' ' || w[CAST(i AS INTEGER) + 2])) AS shingle
+                  FROM toks),
+          sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+          sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS band_key FROM sig
+            UNION ALL
+            SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS band_key FROM sig),
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id),
+          cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+          inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+                    FROM cand c
+                    JOIN sh x ON x.doc_id = c.id_a
+                    JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+                    GROUP BY c.id_a, c.id_b)
+          SELECT CAST(i.id_a AS BIGINT) AS id_a, CAST(i.id_b AS BIGINT) AS id_b,
+                 CAST(i.n_inter AS DOUBLE)
+                   / CAST(ca.n_sh + cb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+          FROM inter i
+          JOIN cnt ca ON ca.doc_id = i.id_a
+          JOIN cnt cb ON cb.doc_id = i.id_b
+          WHERE CAST(i.n_inter AS DOUBLE)
+                  / CAST(ca.n_sh + cb.n_sh - i.n_inter AS DOUBLE) >= 0.5"""
+    },
+
+    "q25_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+          sh AS (SELECT doc_id,
+                        list_distinct(list_transform(
+                          range(1, greatest(length(text) - 2, 0) + 1),
+                          i -> substr(text, CAST(i AS INTEGER), 3))) AS s
+                 FROM d),
+          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / (CAST(len(a.s) + len(b.s) AS DOUBLE)
+                            - len(list_intersect(a.s, b.s))) AS jaccard
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.3"""
+  )
+}
