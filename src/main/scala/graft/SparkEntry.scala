@@ -30,11 +30,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalOps.queries ++
-      graft.queries.TextOps.queries
+      graft.queries.TextOps.queries ++
+      graft.queries.VectorOps.queries ++
+      graft.queries.EventOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.RelationalOps.oracles ++
-      graft.queries.TextOps.oracles
+      graft.queries.TextOps.oracles ++
+      graft.queries.VectorOps.oracles ++
+      graft.queries.EventOps.oracles
 }

@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-stream operators over the `events` table: tumbling-window
+  * aggregation, gap-based sessionization, and the backward as-of join.
+  * These are the batch forms of the Structured-Streaming operators; the
+  * same DataFrame transforms run under `readStream`/`foreachBatch`
+  * unchanged. Timestamps surface as epoch microseconds (BIGINT) to stay
+  * engine-neutral (the source column is nanos parquet, see
+  * [[graft.Tables]]).
+  */
+object EventOps {
+
+  private val gapUs = 30L * 60 * 1000 * 1000 // 30-minute session gap
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling hourly window per event type: count + exact-decimal sum.
+    "q29_window_agg" -> ((s, d) => {
+      Tables.load(s, d, "events")
+        .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+    }),
+
+    // Gap-based sessionization (30 min): per-session row with bounds.
+    "q30_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, d, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(cum))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+             min(col("ts_us")).as("start_us"),
+             max(col("ts_us")).as("end_us"))
+    }),
+
+    // Backward as-of join: each purchase picks the latest signup of the
+    // same user at or before its timestamp (null if none).
+    "q31_asof_join" -> ((s, d) => {
+      val events = Tables.load(s, d, "events")
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      // dedup right side per (user, ts): keep max event_id (deterministic)
+      val signups = events.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("signup_event_id"))
+        .withColumn("signup_ts_us", unix_micros(col("ts")))
+      AsOfJoin.backward(purchases, signups,
+          keys = Seq("user_id"), tsCol = "ts",
+          rightPayload = Seq("signup_event_id", "signup_ts_us"))
+        .select(col("event_id"), col("user_id"),
+                unix_micros(col("ts")).as("purchase_ts_us"),
+                col("value"), col("signup_event_id"), col("signup_ts_us"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q29_window_agg" ->
+      """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,
+                event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+
+    "q30_sessionize" ->
+      s"""WITH e AS (SELECT event_id, user_id,
+                            epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+                     FROM events),
+          l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id) AS prev_us FROM e),
+          f AS (SELECT *, CASE WHEN prev_us IS NULL
+                                 OR ts_us - prev_us > $gapUs
+                               THEN 1 ELSE 0 END AS new_s FROM l),
+          c AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id FROM f)
+          SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 min(ts_us) AS start_us, max(ts_us) AS end_us
+          FROM c GROUP BY user_id, session_id""",
+
+    "q31_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                    FROM events WHERE event_type = 'purchase'),
+          s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                       CAST(max(event_id) AS BIGINT) AS signup_event_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS signup_ts_us
+                FROM events WHERE event_type = 'signup'
+                GROUP BY user_id, CAST(ts AS TIMESTAMP))
+          SELECT p.event_id, p.user_id,
+                 epoch_us(p.ts) AS purchase_ts_us, p.value,
+                 s.signup_event_id, s.signup_ts_us
+          FROM p ASOF LEFT JOIN s
+            ON p.user_id = s.user_id AND p.ts >= s.ts"""
+  )
+}

@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search operators over the `embeddings` table
+  * (`vec_id BIGINT, embedding ARRAY<FLOAT>, label INT`). Cosine
+  * arithmetic is a sequential left fold in both engines (see
+  * [[graft.functions.VectorFunctions]]) so doubles match bitwise.
+  */
+object VectorOps {
+
+  /** DuckDB fragment: sequential-fold dot product of `a`·`b`. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(
+          list_prepend(0.0, list_transform(range(1, len($a) + 1),
+            i -> CAST($a[CAST(i AS INTEGER)] AS DOUBLE)
+                 * CAST($b[CAST(i AS INTEGER)] AS DOUBLE))),
+          (x, y) -> x + y)"""
+
+  private def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force exact cosine top-k: 5 query vectors vs the whole corpus.
+    "q26_cosine_topk" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      Similarity.topK(e.filter(col("id") < 5L), e, k = 10)
+    }),
+
+    // k-NN majority-vote classification: test = vec_id < 50, train = rest.
+    "q27_knn_classify" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"), col("label"))
+      Similarity.knnClassify(
+        e.filter(col("id") < 50L), e.filter(col("id") >= 50L), k = 5)
+    }),
+
+    // Random-hyperplane LSH bucket assignment (map-only ANN scale path).
+    "q28_ann_buckets" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      Similarity.hyperplaneBuckets(e, nPlanes = 4, dim = 64)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q26_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                     FROM embeddings WHERE vec_id < 5),
+          c AS (SELECT vec_id, embedding AS c_emb FROM embeddings),
+          sims AS (SELECT q.query_id, c.vec_id,
+                          ${cosineSql("q.q_emb", "c.c_emb")} AS sim
+                   FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+          ranked AS (SELECT query_id, vec_id, sim,
+                            CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+                     FROM sims)
+          SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 10""",
+
+    "q27_knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                     FROM embeddings WHERE vec_id < 50),
+          c AS (SELECT vec_id, embedding AS c_emb, label
+                FROM embeddings WHERE vec_id >= 50),
+          sims AS (SELECT q.query_id, c.vec_id, c.label,
+                          ${cosineSql("q.q_emb", "c.c_emb")} AS sim
+                   FROM c CROSS JOIN q),
+          ranked AS (SELECT query_id, vec_id, label,
+                            row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, vec_id) AS rank
+                     FROM sims),
+          votes AS (SELECT query_id, label, count(*) AS votes
+                    FROM ranked WHERE rank <= 5 GROUP BY query_id, label),
+          top AS (SELECT query_id, label, votes,
+                         row_number() OVER (PARTITION BY query_id
+                              ORDER BY votes DESC, label) AS rn
+                  FROM votes)
+          SELECT query_id AS id, label AS predicted_label,
+                 CAST(votes AS BIGINT) AS votes
+          FROM top WHERE rn = 1""",
+
+    "q28_ann_buckets" -> {
+      val planeSql = (j: Int) =>
+        s"""list_transform(range(1, 65),
+              i -> (CAST('0x' || substr(md5('${j}_' || CAST(i AS VARCHAR)), 1, 4)
+                         AS BIGINT) - 32768) / 32768.0)"""
+      val bits = (0 until 4).map { j =>
+        s"""CASE WHEN (SELECT ${dotSql("e.embedding", "p")}
+                       FROM (SELECT ${planeSql(j)} AS p)) >= 0.0
+                 THEN ${1L << j} ELSE 0 END"""
+      }.mkString(" + ")
+      s"""SELECT vec_id, CAST($bits AS BIGINT) AS bucket
+          FROM embeddings e"""
+    }
+  )
+}
