@@ -1,0 +1,73 @@
+package graft.gdl
+
+import java.sql.Timestamp
+import java.time.Instant
+import org.apache.spark.sql.SparkSession
+import scala.util.Random
+
+/** Dataset catalog CRUD ≙ the reference's datasets Lambda endpoints
+  * (/root/reference/backend/datasets/{create,get,list,update,delete}.py).
+  *
+  * The DynamoDB table + title GSI collapse to one small parquet table;
+  * point lookups and title lookups are pushdown filters (SURVEY O-1..O-4,
+  * O-11, O-13). Errors mirror the reference's HTTP messages.
+  */
+class DatasetService(spark: SparkSession, store: TableStore,
+                     rng: Random = new Random()) {
+  import spark.implicits._
+
+  private val Table = "datasets"
+
+  private def all(): Seq[DatasetRow] =
+    store.read(Table).map(_.as[DatasetRow].collect().toSeq).getOrElse(Seq.empty)
+
+  def list(): Seq[DatasetRow] = all().sortBy(_.id)
+
+  def get(id: String): Either[String, DatasetRow] =
+    all().find(_.id == id)
+      .toRight(s"dataset '$id' does not exist") // get.py:46-51
+
+  def getByTitle(title: String): Either[String, DatasetRow] =
+    all().find(_.title == title)
+      .toRight(s"dataset '$title' does not exist")
+
+  def create(title: String, now: Instant): Either[String, DatasetRow] = {
+    if (!Ulid.validTitle(title))
+      Left(s"title '$title' does not match '${Ulid.TitlePattern}'") // create.py:11-21
+    else if (all().exists(_.title == title))
+      Left(s"dataset '$title' already exists") // create.py:32-36
+    else {
+      val ts = Timestamp.from(now)
+      val row = DatasetRow(Ulid.generate(now, rng), title, ts, ts)
+      store.append(Table, Seq(row).toDS().toDF())
+      Right(row)
+    }
+  }
+
+  def update(id: String, newTitle: String, now: Instant): Either[String, DatasetRow] =
+    if (!Ulid.validTitle(newTitle))
+      Left(s"title '$newTitle' does not match '${Ulid.TitlePattern}'")
+    else if (all().exists(d => d.title == newTitle && d.id != id))
+      Left(s"dataset '$newTitle' already exists") // update.py:29-33
+    else get(id).map { row =>
+      val updated = row.copy(title = newTitle, updated_at = Timestamp.from(now))
+      store.overwrite(Table,
+        (all().filterNot(_.id == id) :+ updated).toDS().toDF())
+      updated
+    }
+
+  /** Delete; guarded by "no stored versions" ≙ the S3 prefix emptiness
+    * check MaxKeys=1 (delete.py:37-45, O-11) against the manifest table. */
+  def delete(id: String): Either[String, Unit] =
+    get(id).flatMap { row =>
+      val hasVersions = store.read("processing_assets").exists { df =>
+        !df.filter(df("dataset_id") === id).limit(1).isEmpty
+      }
+      if (hasVersions)
+        Left(s"dataset '$id' has existing versions") // delete.py:41-45
+      else {
+        store.overwrite(Table, all().filterNot(_.id == id).toDS().toDF())
+        Right(())
+      }
+    }
+}

@@ -1,0 +1,98 @@
+package graft.gdl
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Versioned import into the storage layout
+  * `{title}-{dataset_id}/{version_id}/{basename}` ≙ the reference's
+  * S3 Batch Operations copy fleet
+  * (/root/reference/backend/import_dataset/task.py:86-146; key layout at
+  * 104; separator DATASET_KEY_SEPARATOR = "-").
+  *
+  * The CSV-manifest → S3 Batch → per-object Lambda chain becomes a
+  * `mapPartitions` copy over the manifest rows: each task streams its
+  * files directly (1 MiB buffers), so the copy fan-out scales with
+  * executors exactly like the reference's S3 Batch fleet. Metadata files
+  * get their `assets.*.href` / `links[].href` rewritten to basenames in
+  * flight (import_metadata_file/task.py:30-42,69-71, O-34). Per-file
+  * outcomes are returned as rows — the analogue of the S3 Batch report
+  * CSV (task.py:133-139) — with the reference's PermanentFailure coding.
+  */
+/** Per-file copy outcome ≙ one row of the S3 Batch report CSV. */
+final case class CopyResult(
+    dataset_id: String, version_id: String, url: String,
+    new_key: String, result_code: String, result_string: String)
+
+class Importer(spark: SparkSession, storageRoot: String) extends Serializable {
+
+  private def basename(url: String): String =
+    url.substring(url.lastIndexOf('/') + 1)
+
+  /** Rewrite hrefs to basenames ≙ change_href_to_basename. */
+  def rewriteMetadata(json: String): String = {
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(json)
+    root.get("assets") match {
+      case obj: ObjectNode =>
+        obj.fields().forEachRemaining { e =>
+          e.getValue match {
+            case a: ObjectNode if a.has("href") =>
+              a.put("href", basename(a.get("href").asText)): Unit
+            case _ =>
+          }
+        }
+      case _ =>
+    }
+    root.get("links") match {
+      case arr: ArrayNode =>
+        arr.forEach {
+          case l: ObjectNode if l.has("href") =>
+            l.put("href", basename(l.get("href").asText)): Unit
+          case _ =>
+        }
+      case _ =>
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  /** Copy all manifest rows of one asset type for a version. Returns the
+    * per-file report (order-insensitive, like the reference's copy jobs). */
+  def importAssets(assets: Dataset[ProcessingAssetRow], reader: UrlReader,
+                   titlePrefix: String, assetType: String): Dataset[CopyResult] = {
+    import assets.sparkSession.implicits._
+    val root = storageRoot
+    val rewrite = assetType == "METADATA"
+    val self = this
+    assets.filter(_.asset_type == assetType).mapPartitions { it =>
+      val conf = new Configuration()
+      it.map { a =>
+        val newKey = s"$titlePrefix/${a.version_id}/${basename(a.url)}"
+        try {
+          val target = new Path(s"$root/$newKey")
+          val fs = target.getFileSystem(conf)
+          val out = fs.create(target, true)
+          val in = reader.open(a.url)
+          try {
+            if (rewrite) {
+              val rewritten = self.rewriteMetadata(
+                new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+              out.write(rewritten.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            } else {
+              val buf = new Array[Byte](1 << 20)
+              var n = in.read(buf)
+              while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+            }
+          } finally { in.close(); out.close() }
+          CopyResult(a.dataset_id, a.version_id, a.url, newKey, "Succeeded", "")
+        } catch {
+          case e: Exception =>
+            CopyResult(a.dataset_id, a.version_id, a.url, newKey,
+              "PermanentFailure", s"Exception: ${e.getMessage}")
+        }
+      }
+    }
+  }
+}

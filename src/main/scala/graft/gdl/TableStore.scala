@@ -1,0 +1,80 @@
+package graft.gdl
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet-backed table store with atomic, generation-versioned commits —
+  * the engine's replacement for the reference's three DynamoDB tables
+  * (infrastructure/storage_stack.py:62-95) in an offline build without a
+  * table format like Delta/Iceberg.
+  *
+  * Layout per table: `root/<table>/g<seq>-<full|delta>/part-*.parquet`.
+  * Readers union the newest `full` generation with every later `delta`.
+  * A commit writes to a `_tmp-` dir first and renames it into place —
+  * rename is atomic on HDFS/local fs, which gives single-writer
+  * atomicity (the reference's count-then-insert title check is likewise
+  * unserialized, backend/datasets/create.py:32-39).
+  *
+  * Scale: appends (the hot path — validation/asset rows) are pure file
+  * additions, no read-modify-write; only the small catalog table pays
+  * the full-rewrite `overwrite` path. Readers prune by listing, not by
+  * reading a manifest table. At 100 TB the per-table dir becomes a
+  * partitioned layout (`dataset_id=` subdirs) with the same commit
+  * protocol per partition.
+  */
+class TableStore(spark: SparkSession, root: String) {
+
+  private def fs(p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tableDir(table: String) = new Path(root, table)
+
+  private def generations(table: String): Seq[(Long, String, Path)] = {
+    val dir = tableDir(table)
+    val f = fs(dir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("g"))
+      .flatMap { s =>
+        s.getPath.getName.stripPrefix("g").split("-", 2) match {
+          case Array(seq, kind) if seq.forall(_.isDigit) =>
+            Some((seq.toLong, kind, s.getPath))
+          case _ => None
+        }
+      }
+      .sortBy(_._1)
+  }
+
+  /** Current table contents, or None if never written. */
+  def read(table: String): Option[DataFrame] = {
+    val gens = generations(table)
+    if (gens.isEmpty) None
+    else {
+      val lastFull = gens.lastIndexWhere(_._2 == "full")
+      val live = if (lastFull >= 0) gens.drop(lastFull) else gens
+      Some(live.map(g => spark.read.parquet(g._3.toString)).reduce(_ unionByName _))
+    }
+  }
+
+  def isEmptyTable(table: String): Boolean = read(table).forall(_.isEmpty)
+
+  /** Append rows as a new delta generation (no read-modify-write). */
+  def append(table: String, df: DataFrame): Unit = commit(table, df, "delta")
+
+  /** Replace table contents (new full generation supersedes the past). */
+  def overwrite(table: String, df: DataFrame): Unit = commit(table, df, "full")
+
+  private def commit(table: String, df: DataFrame, kind: String): Unit = {
+    val dir = tableDir(table)
+    val f = fs(dir)
+    f.mkdirs(dir)
+    val next = generations(table).lastOption.map(_._1 + 1).getOrElse(0L)
+    val tmp = new Path(dir, f"_tmp-g$next%07d-$kind")
+    val dest = new Path(dir, f"g$next%07d-$kind")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (!f.rename(tmp, dest))
+      throw new IllegalStateException(s"atomic commit failed: $tmp -> $dest")
+    if (kind == "full") // GC superseded generations
+      generations(table).filter(_._1 < next).foreach(g => f.delete(g._3, true))
+  }
+}

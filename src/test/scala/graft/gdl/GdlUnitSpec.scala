@@ -1,0 +1,190 @@
+package graft.gdl
+
+import java.security.MessageDigest
+import java.time.Instant
+import graft.TestSpark
+import graft.gdl.expr.{StacValidator, StrictJson}
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+object TestFixtures {
+  def sha256Hex(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("SHA-256").digest(bytes).map("%02x".format(_)).mkString
+  def sha512Hex(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("SHA-512").digest(bytes).map("%02x".format(_)).mkString
+  /** ≙ tests/stac_generators.py:12-23: "12" + "20" + sha256 hex. */
+  def multihash256(bytes: Array[Byte]): String = "1220" + sha256Hex(bytes)
+  def multihash512(bytes: Array[Byte]): String = "1340" + sha512Hex(bytes)
+}
+
+class StrictJsonSpec extends AnyFunSuite {
+  test("clean document parses with no duplicates") {
+    val out = StrictJson.parse("""{"a": 1, "b": {"c": [1, 2]}}""")
+    assert(out.parseError.isEmpty && out.duplicateKeys.isEmpty)
+    assert(out.node.get.get("a").asLong() == 1L)
+  }
+
+  test("duplicate keys recorded, first value wins") {
+    val out = StrictJson.parse("""{"k": 1, "k": 2, "k": 3, "other": {"k": 9, "k": 8}}""")
+    assert(out.parseError.isEmpty)
+    assert(out.duplicateKeys == Seq("k", "k", "k")) // every repeat, per object
+    assert(out.node.get.get("k").asLong() == 1L)    // first wins
+    assert(out.node.get.get("other").get("k").asLong() == 9L)
+  }
+
+  test("malformed json reports parse error") {
+    assert(StrictJson.parse("""{"a": """).parseError.isDefined)
+    assert(StrictJson.parse("""{"a": 1} trailing""").parseError.isDefined)
+  }
+}
+
+class StacValidatorSpec extends AnyFunSuite {
+  private def parse(s: String) = StrictJson.parse(s).node.get
+
+  private val catalog =
+    """{"type":"Catalog","stac_version":"1.0.0-rc.3","id":"c1",
+        "description":"d","links":[]}"""
+  private val collection =
+    """{"type":"Collection","stac_version":"1.0.0-rc.3","id":"c2",
+        "description":"d","license":"MIT",
+        "extent":{"spatial":{"bbox":[[-180,-90,180,90]]},
+                  "temporal":{"interval":[["2000-01-01T00:00:00Z",null]]}},
+        "links":[]}"""
+  private val item =
+    """{"type":"Feature","stac_version":"1.0.0-rc.3","id":"i1",
+        "geometry":null,"properties":{"datetime":"2000-01-01T00:00:00Z"},
+        "assets":{"a":{"href":"s3://b/f.bin","file:checksum":"1220ab"}},
+        "links":[]}"""
+
+  test("minimal fixtures validate") {
+    assert(StacValidator.validate(parse(catalog), "Catalog").isEmpty)
+    assert(StacValidator.validate(parse(collection), "Collection").isEmpty)
+    assert(StacValidator.validate(parse(item), "Feature").isEmpty)
+  }
+
+  test("missing required property fails with jsonschema-style message") {
+    val noLicense = parse(collection.replace(""""license":"MIT",""", ""))
+    assert(StacValidator.validate(noLicense, "Collection")
+      .contains("'license' is a required property"))
+    val noChecksum = parse(item.replace(""","file:checksum":"1220ab"""", ""))
+    assert(StacValidator.validate(noChecksum, "Feature")
+      .contains("'file:checksum' is a required property"))
+  }
+
+  test("unknown type fails") {
+    assert(StacValidator.validate(parse(catalog), "Nope").isDefined)
+  }
+}
+
+class UlidSpec extends AnyFunSuite {
+  test("human-readable format matches the reference shape") {
+    val id = Ulid.generate(Instant.parse("2021-02-01T13:38:40.776Z"), new Random(1))
+    assert(id.startsWith("2021-02-01T13-38-40-776Z_"))
+    assert(id.split("_")(1).length == 16)
+  }
+  test("title charset rule") {
+    assert(Ulid.validTitle("Auckland_2020-b"))
+    assert(!Ulid.validTitle("bad title!"))
+  }
+}
+
+class ChecksumSpec extends AnyFunSuite {
+  import TestFixtures._
+  private val bytes = Array.tabulate[Byte](2500)(_.toByte) // > 2 chunks
+  private val reader = new InMemoryUrlReader(Map("s3://b/f" -> bytes))
+
+  test("sha256 pass") {
+    val r = ChecksumValidator.validateOne(reader, "d", "v", "s3://b/f", multihash256(bytes))
+    assert(r.result == Result.Passed && r.check == Check.Checksum)
+  }
+  test("sha512 pass") {
+    val r = ChecksumValidator.validateOne(reader, "d", "v", "s3://b/f", multihash512(bytes))
+    assert(r.result == Result.Passed)
+  }
+  test("mismatch fails with reference message shape") {
+    val wrong = "1220" + "0" * 64
+    val r = ChecksumValidator.validateOne(reader, "d", "v", "s3://b/f", wrong)
+    assert(r.result == Result.Failed)
+    assert(r.details("message") ==
+      s"Checksum mismatch: expected ${"0" * 64}, got ${sha256Hex(bytes)}")
+  }
+  test("missing object is a staging-access failure") {
+    val r = ChecksumValidator.validateOne(reader, "d", "v", "s3://b/missing", "1220ab")
+    assert(r.check == Check.StagingAccess && r.result == Result.Failed)
+  }
+  test("unknown fn code fails instead of crashing") {
+    val r = ChecksumValidator.validateOne(reader, "d", "v", "s3://b/f", "ff20ab")
+    assert(r.result == Result.Failed)
+  }
+}
+
+class TableStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("append/overwrite/read with generations and GC") {
+    val root = java.nio.file.Files.createTempDirectory("store").toString
+    val store = new TableStore(spark, root)
+    assert(store.read("t").isEmpty)
+    store.append("t", Seq(1, 2).toDF("x"))
+    store.append("t", Seq(3).toDF("x"))
+    assert(store.read("t").get.as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    store.overwrite("t", Seq(9).toDF("x"))
+    assert(store.read("t").get.as[Int].collect().toSeq == Seq(9))
+    store.append("t", Seq(10).toDF("x"))
+    assert(store.read("t").get.as[Int].collect().sorted.toSeq == Seq(9, 10))
+  }
+}
+
+class DatasetServiceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshService() = {
+    val root = java.nio.file.Files.createTempDirectory("cat").toString
+    (new DatasetService(spark, new TableStore(spark, root), new Random(7)),
+     new TableStore(spark, root))
+  }
+  private val t0 = Instant.parse("2021-02-01T13:38:40.776Z")
+
+  test("create/get/list/update/delete round trip") {
+    val (svc, _) = freshService()
+    val created = svc.create("Auckland_2020", t0).toOption.get
+    assert(svc.get(created.id).toOption.get.title == "Auckland_2020")
+    assert(svc.getByTitle("Auckland_2020").isRight)
+    assert(svc.list().map(_.title) == Seq("Auckland_2020"))
+    val updated = svc.update(created.id, "Auckland_2021", t0.plusSeconds(60)).toOption.get
+    assert(updated.title == "Auckland_2021")
+    assert(updated.created_at != updated.updated_at)
+    assert(svc.delete(created.id).isRight)
+    assert(svc.list().isEmpty)
+  }
+
+  test("duplicate title and bad charset rejected") {
+    val (svc, _) = freshService()
+    assert(svc.create("T1", t0).isRight)
+    assert(svc.create("T1", t0).isLeft)      // create.py:32-36
+    assert(svc.create("bad title", t0).isLeft) // create.py:11-21
+  }
+
+  test("delete guarded by existing versions") {
+    val (svc, store) = freshService()
+    import spark.implicits._
+    val d = svc.create("T2", t0).toOption.get
+    store.append("processing_assets",
+      Seq(ProcessingAssetRow(d.id, "v1", "DATA", 0L, "s3://b/f", Some("1220ab")))
+        .toDS().toDF())
+    assert(svc.delete(d.id).isLeft) // delete.py:37-45
+  }
+}
+
+class ImporterSpec extends AnyFunSuite {
+  test("metadata href rewrite to basenames") {
+    val imp = new Importer(TestSpark.spark, "/tmp/unused")
+    val in = """{"assets":{"a":{"href":"s3://b/dir/f.tif","file:checksum":"x"}},
+                 "links":[{"href":"s3://b/dir/cat.json","rel":"root"}]}"""
+    val out = imp.rewriteMetadata(in)
+    assert(out.contains(""""href":"f.tif""""))
+    assert(out.contains(""""href":"cat.json""""))
+    assert(!out.contains("s3://b/dir"))
+  }
+}

@@ -1,0 +1,149 @@
+package graft.gdl
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.Instant
+import graft.TestSpark
+import graft.gdl.TestFixtures._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** End-to-end pipeline specs ≙ the reference's deployed flagship test
+  * (/root/reference/tests/test_processing_stack.py:81-262): a 3-file STAC
+  * graph (catalog → collection → item) + 2 assets is imported and the
+  * terminal import-status JSON is asserted — here against local temp
+  * dirs instead of AWS, with the same fixture shape (FIXTURES.md §2).
+  */
+class PipelineE2ESpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val asset1 = Array.tabulate[Byte](20)(i => (i * 7).toByte)
+  private val asset2 = Array.tabulate[Byte](20)(i => (i * 13 + 1).toByte)
+
+  private def stacGraph(asset1Mh: String = multihash256(asset1)): Map[String, Array[Byte]] = Map(
+    "s3://staging/data/catalog.json" ->
+      s"""{"type":"Catalog","stac_version":"1.0.0-rc.3","id":"cat1",
+           "description":"root catalog",
+           "links":[{"href":"collection.json","rel":"child"},
+                    {"href":"catalog.json","rel":"root"},
+                    {"href":"catalog.json","rel":"self"}]}"""
+        .getBytes(UTF_8),
+    "s3://staging/data/collection.json" ->
+      s"""{"type":"Collection","stac_version":"1.0.0-rc.3","id":"col1",
+           "description":"collection","license":"MIT",
+           "extent":{"spatial":{"bbox":[[-180,-90,180,90]]},
+                     "temporal":{"interval":[["2000-01-01T00:00:00Z",null]]}},
+           "assets":{"a2":{"href":"asset2.bin",
+                           "file:checksum":"${multihash256(asset2)}"}},
+           "links":[{"href":"item.json","rel":"child"},
+                    {"href":"catalog.json","rel":"root"},
+                    {"href":"collection.json","rel":"self"}]}"""
+        .getBytes(UTF_8),
+    "s3://staging/data/item.json" ->
+      s"""{"type":"Feature","stac_version":"1.0.0-rc.3","id":"item1",
+           "geometry":null,"properties":{"datetime":"2000-01-01T00:00:00Z"},
+           "assets":{"a1":{"href":"asset1.bin","file:checksum":"$asset1Mh"}},
+           "links":[{"href":"catalog.json","rel":"root"},
+                    {"href":"item.json","rel":"self"}]}"""
+        .getBytes(UTF_8),
+    "s3://staging/data/asset1.bin" -> asset1,
+    "s3://staging/data/asset2.bin" -> asset2)
+
+  private def freshPipeline(docs: Map[String, Array[Byte]]) = {
+    val tables = java.nio.file.Files.createTempDirectory("gdl-tables").toString
+    val storage = java.nio.file.Files.createTempDirectory("gdl-storage").toString
+    val pipeline = new ImportPipeline(spark, new TableStore(spark, tables),
+      new InMemoryUrlReader(docs), storage, new Random(42))
+    (pipeline, new ImportStatus(spark, new TableStore(spark, tables)), storage)
+  }
+  private val t0 = Instant.parse("2024-05-01T10:00:00.000Z")
+
+  test("happy path: crawl, checksum, import, Passed/Complete status") {
+    val (pipeline, status, storage) = freshPipeline(stacGraph())
+    val ds = pipeline.datasets.create("NZ_Imagery", t0).toOption.get
+    val execId = pipeline.run(ds.id, "s3://staging/data/catalog.json",
+      t0.plusSeconds(60)).toOption.get
+
+    val report = status.get(execId).toOption.get
+    assert(report.stepFunction == "Succeeded")
+    assert(report.validation.status == "Passed")
+    assert(report.validation.errors.isEmpty)
+    assert(report.metadataUpload.status == "Complete")
+    assert(report.assetUpload.status == "Complete")
+
+    // storage layout {title}-{id}/{version}/{basename} (import_dataset/task.py:104)
+    val versionDirs = new java.io.File(s"$storage/NZ_Imagery-${ds.id}").listFiles()
+    assert(versionDirs != null && versionDirs.length == 1)
+    val files = versionDirs.head.listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet // drop Hadoop-local .crc sidecars
+    assert(files == Set("catalog.json", "collection.json", "item.json",
+                        "asset1.bin", "asset2.bin"))
+    // imported metadata has hrefs rewritten to basenames (O-34)
+    val imported = new String(java.nio.file.Files.readAllBytes(
+      versionDirs.head.toPath.resolve("collection.json")), UTF_8)
+    assert(imported.contains(""""href":"item.json""""))
+    assert(!imported.contains("s3://"))
+  }
+
+  test("checksum mismatch: Failed validation, uploads Skipped") {
+    val badMh = "1220" + "0" * 64
+    val (pipeline, status, _) = freshPipeline(stacGraph(asset1Mh = badMh))
+    val ds = pipeline.datasets.create("Bad_Checksum", t0).toOption.get
+    val execId = pipeline.run(ds.id, "s3://staging/data/catalog.json",
+      t0.plusSeconds(60)).toOption.get
+
+    val report = status.get(execId).toOption.get
+    assert(report.validation.status == "Failed")
+    val err = report.validation.errors.find(_.check == Check.Checksum).get
+    assert(err.url == "s3://staging/data/asset1.bin")
+    assert(err.details("message").startsWith(
+      s"Checksum mismatch: expected ${"0" * 64}, got "))
+    assert(report.metadataUpload.status == "Skipped")
+    assert(report.assetUpload.status == "Skipped")
+  }
+
+  test("non-s3 url: recorded failure, uploads Skipped") {
+    val (pipeline, status, _) = freshPipeline(stacGraph())
+    val ds = pipeline.datasets.create("Non_S3", t0).toOption.get
+    val execId = pipeline.run(ds.id, "http://example.com/catalog.json",
+      t0.plusSeconds(60)).toOption.get
+    val report = status.get(execId).toOption.get
+    assert(report.validation.status == "Failed")
+    assert(report.validation.errors.head.check == Check.NonS3Url)
+    assert(report.assetUpload.status == "Skipped")
+  }
+
+  test("schema failure aborts traversal without asset rows") {
+    val docs = stacGraph() + ("s3://staging/data/collection.json" ->
+      """{"type":"Collection","stac_version":"1.0.0-rc.3","id":"col1",
+          "description":"no license","links":[]}""".getBytes(UTF_8))
+    val (pipeline, status, _) = freshPipeline(docs)
+    val ds = pipeline.datasets.create("Bad_Schema", t0).toOption.get
+    val execId = pipeline.run(ds.id, "s3://staging/data/catalog.json",
+      t0.plusSeconds(60)).toOption.get
+    val report = status.get(execId).toOption.get
+    assert(report.validation.status == "Failed")
+    assert(report.validation.errors.exists(e =>
+      e.check == Check.JsonSchema &&
+        e.details("message") == "'license' is a required property"))
+  }
+
+  test("duplicate JSON key recorded but traversal continues (first wins)") {
+    val docs = stacGraph() + ("s3://staging/data/item.json" ->
+      s"""{"type":"Feature","stac_version":"1.0.0-rc.3","id":"item1",
+           "id":"item1-dup",
+           "geometry":null,"properties":{"datetime":"2000-01-01T00:00:00Z"},
+           "assets":{"a1":{"href":"asset1.bin",
+                           "file:checksum":"${multihash256(asset1)}"}},
+           "links":[]}""".getBytes(UTF_8))
+    val (pipeline, status, _) = freshPipeline(docs)
+    val ds = pipeline.datasets.create("Dup_Key", t0).toOption.get
+    val execId = pipeline.run(ds.id, "s3://staging/data/catalog.json",
+      t0.plusSeconds(60)).toOption.get
+    val report = status.get(execId).toOption.get
+    // dup recorded as a failure ⇒ validation Failed, but all docs crawled
+    assert(report.validation.status == "Failed")
+    val dup = report.validation.errors.find(_.check == Check.DuplicateObjectKey).get
+    assert(dup.details("message") ==
+      "Found duplicate object name “id” in “s3://staging/data/item.json”")
+  }
+}
