@@ -32,7 +32,8 @@ object SparkEntry {
     graft.queries.RelationalOps.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.VectorOps.queries ++
-      graft.queries.EventOps.queries
+      graft.queries.EventOps.queries ++
+      graft.queries.JsonOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -40,5 +41,6 @@ object SparkEntry {
     graft.queries.RelationalOps.oracles ++
       graft.queries.TextOps.oracles ++
       graft.queries.VectorOps.oracles ++
-      graft.queries.EventOps.oracles
+      graft.queries.EventOps.oracles ++
+      graft.queries.JsonOps.oracles
 }

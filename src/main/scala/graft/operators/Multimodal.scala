@@ -1,0 +1,57 @@
+package graft.operators
+
+import java.security.MessageDigest
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for training-data pipelines: media
+  * (image/audio/video) travels as an opaque `binary` column next to
+  * typed metadata; decode / feature-extraction runs as a partition-wise
+  * batch transform.
+  *
+  * The Spark-side machinery — schema handling, `mapPartitions` batch
+  * shape, typed output — is real and tested. The decoder itself is a
+  * STUB (this container carries no image/audio codecs): a deterministic
+  * function of the bytes standing in where libjpeg/ffmpeg would be. The
+  * stub's field derivations are chosen so a SQL oracle can verify the
+  * plumbing end-to-end.
+  *
+  * Scale notes: one decode task per input partition, no shuffle; media
+  * blobs stream through the iterator (never collected); with a real
+  * codec only the body of [[decodeStub]] changes — schema and plan shape
+  * stay identical. Size partitions by bytes
+  * (`spark.sql.files.maxPartitionBytes`) so a task's blobs fit memory.
+  */
+object Multimodal {
+
+  /** Decoded-media metadata (what a real decoder would emit). */
+  final case class DecodedMedia(
+      id: Long, format: String, width: Int, height: Int,
+      n_bytes: Long, content_sha256: String)
+
+  /** STUB decoder ≙ image header parse. Deterministic in the bytes:
+    * width = n_bytes mod 640, height = first byte & 0x7f (0 if empty). */
+  def decodeStub(id: Long, bytes: Array[Byte]): DecodedMedia = {
+    val sha = MessageDigest.getInstance("SHA-256")
+      .digest(bytes).map("%02x".format(_)).mkString
+    DecodedMedia(id, "fake", bytes.length % 640,
+      if (bytes.isEmpty) 0 else bytes(0) & 0x7f, bytes.length.toLong, sha)
+  }
+
+  /** Partition-wise decode: (id, media binary) → typed metadata rows.
+    * The iterator-in/iterator-out batch shape is where a vectorized
+    * decoder or model-inference call slots in. */
+  def decode(spark: SparkSession, media: DataFrame,
+             idCol: String, binCol: String): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+  }
+
+  /** Attach a media binary column derived from text (the testdata has no
+    * real media; utf-8 bytes stand in for an encoded frame). */
+  def withFakeMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"),
+                encode(col(textCol), "UTF-8").as("media"))
+}
