@@ -17,15 +17,20 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
-  /** Distinct word n-gram shingles (the MinHash/Jaccard unit).
-    * transform(sequence(1, count-n+1), i -> concat_ws(' ', t[i],…,t[i+n-1])) */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
+  /** Distinct word n-gram shingles from a PRE-MATERIALIZED token array.
+    * Pass an attribute column (stage `tokens(text)` with a select first):
+    * a raw `tokens(text)` expression here would be re-evaluated for every
+    * `element_at` in the lambda — O(tokens²) per document. */
+  def wordShinglesFromTokens(toks: Column, n: Int): Column =
     array_distinct(
       transform(
-        sequence(lit(1), greatest(size(ts) - (n - 1), lit(0))),
-        i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + k)): _*)))
-  }
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+
+  /** Distinct word n-gram shingles (convenience; prefer staging tokens —
+    * see [[wordShinglesFromTokens]]). */
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesFromTokens(tokens(text), n)
 
   /** Distinct character n-gram shingles. */
   def charShingles(text: Column, n: Int): Column =
@@ -48,12 +53,14 @@ object TextFunctions {
   }
 
   /** Exact 64-bit-safe polynomial rolling hash (base 31, mod 1e9+7) over
-    * the document's characters — the document fingerprint. */
-  def rollingFingerprint(text: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(text)), i => ascii(substr(text, i, lit(1))).cast("long")),
-      lit(0L),
-      (acc, x) => (acc * 31L + x) % 1000000007L)
+    * the document's bytes — the document fingerprint. Backed by the
+    * native codegen'd [[RollingHash]] expression (O(n) per document; the
+    * equivalent higher-order-function fold is O(n²)). */
+  def rollingFingerprint(text: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    GraftExpressionBridge.column(
+      RollingHash(GraftExpressionBridge.expression(text), 31L, 1000000007L))
+  }
 
   /** Ratio of tokens found in `words` to all tokens. */
   def listRatio(text: Column, words: Seq[String]): Column = {

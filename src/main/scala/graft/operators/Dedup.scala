@@ -28,10 +28,13 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"),
            count(lit(1)).as("n_copies"))
 
-  /** Per-doc distinct word-n-gram shingle rows: (id, shingle). */
+  /** Per-doc distinct word-n-gram shingle rows: (id, shingle). Tokens
+    * are staged through a projection so the split runs once per doc,
+    * not once per shingle slot. */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-                explode(wordShingles(col(textCol), n)).as("shingle"))
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"),
+              explode(wordShinglesFromTokens(col("_toks"), n)).as("shingle"))
 
   /** MinHash signature: k md5-derived min-hashes over the shingle set.
     * Hash j of a shingle is md5("<j>|<shingle>") — a string min is as
@@ -58,9 +61,16 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, k: Int = 8, bands: Int = 2,
                  threshold: Double = 0.5): DataFrame = {
+    // shingle rows feed three consumers (signatures + both sides of the
+    // Jaccard verify) — persist so tokenize/shingle runs once, not thrice
     val sh = shingleRows(docs, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sig feeds both band branches and both sides of the candidate
+    // self-join — without the persist it would be recomputed 4×
     val sig = minhashSignatures(sh, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandDf = lshBands(sig, bands, k / bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bandDf.select(col("band"), col("band_key"), col("doc_id").as("id_a"))
     val b = bandDf.select(col("band"), col("band_key"), col("doc_id").as("id_b"))
     val cand = a.join(b, Seq("band", "band_key"))
@@ -75,10 +85,12 @@ object Dedup {
   def verifyJaccard(cand: DataFrame, shingles: DataFrame,
                     threshold: Double): DataFrame = {
     val counts = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // composite-key equi-join (id_b, shingle): the hash join emits only
+    // actual intersections — joining on id alone and post-filtering the
+    // shingle equality would materialize |cand| × |sh_a| × |sh_b| rows
     val inter = cand
-      .join(shingles.select(col("doc_id").as("id_a"), col("shingle").as("sh_a")), Seq("id_a"))
-      .join(shingles.select(col("doc_id").as("id_b"), col("shingle").as("sh_b")), Seq("id_b"))
-      .filter(col("sh_a") === col("sh_b"))
+      .join(shingles.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(shingles.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
@@ -115,11 +127,16 @@ object Dedup {
                         charN: Int, threshold: Double): DataFrame = {
     val withSh = docs.select(col(idCol).as("doc_id"),
                              charShingles(col(textCol), charN).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = withSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = withSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      // intersect computed once per pair (the helper would do it twice)
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .select(col("id_a"), col("id_b"),
-              jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        (col("n_inter").cast("double") /
+         ((size(col("sh_a")) + size(col("sh_b"))).cast("double") - col("n_inter")))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

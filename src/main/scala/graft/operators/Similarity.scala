@@ -27,14 +27,19 @@ object Similarity {
     * `queries`/`corpus`: (id, embedding). Output:
     * (query_id, vec_id, sim, rank) with rank 1..k, self-matches excluded. */
   def topK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("id").as("query_id"), col("embedding").as("q_emb"))
-    val c = corpus.select(col("id").as("vec_id"), col("embedding").as("c_emb"))
+    // norms are precomputed per row (not per pair): the pair loop then
+    // does ONE dot product instead of three — same doubles, third the work
+    val q = queries.select(col("id").as("query_id"), col("embedding").as("q_emb"),
+                           norm(col("embedding")).as("q_norm"))
+    val c = corpus.select(col("id").as("vec_id"), col("embedding").as("c_emb"),
+                          norm(col("embedding")).as("c_norm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-              cosine(col("q_emb"), col("c_emb")).as("sim"))
+              (dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+                .as("sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
@@ -70,17 +75,20 @@ object Similarity {
               nPlanes: Int, dim: Int): DataFrame = {
     val qb = hyperplaneBuckets(queries, nPlanes, dim)
       .withColumnRenamed("vec_id", "query_id")
-      .join(queries.select(col("id").as("query_id"), col("embedding").as("q_emb")),
+      .join(queries.select(col("id").as("query_id"), col("embedding").as("q_emb"),
+                           norm(col("embedding")).as("q_norm")),
             Seq("query_id"))
     val cb = hyperplaneBuckets(corpus, nPlanes, dim)
-      .join(corpus.select(col("id").as("vec_id"), col("embedding").as("c_emb")),
+      .join(corpus.select(col("id").as("vec_id"), col("embedding").as("c_emb"),
+                          norm(col("embedding")).as("c_norm")),
             Seq("vec_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("bucket"),
-              cosine(col("q_emb"), col("c_emb")).as("sim"))
+              (dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+                .as("sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }

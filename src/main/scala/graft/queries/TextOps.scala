@@ -31,26 +31,31 @@ object TextOps {
     // Token counting: whitespace tokenization, per-doc stats.
     "q18_token_stats" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
-      val ts = tokens(col("text"))
-      docs.select(
-        col("doc_id"),
-        tokenCount(col("text")).as("n_tokens"),
-        length(col("text")).cast("long").as("n_chars_actual"),
-        size(array_distinct(ts)).cast("long").as("n_distinct_tokens"),
-        (aggregate(transform(ts, t => length(t).cast("long")), lit(0L), _ + _)
-          .cast("double") / size(ts).cast("double")).as("avg_token_len"))
+      val ts = col("_toks") // staged: split once per doc, not per use
+      docs.select(col("doc_id"), length(col("text")).cast("long")
+                    .as("n_chars_actual"), tokens(col("text")).as("_toks"))
+        .select(
+          col("doc_id"),
+          size(ts).cast("long").as("n_tokens"),
+          col("n_chars_actual"),
+          size(array_distinct(ts)).cast("long").as("n_distinct_tokens"),
+          (aggregate(transform(ts, t => length(t).cast("long")), lit(0L), _ + _)
+            .cast("double") / size(ts).cast("double")).as("avg_token_len"))
     }),
 
     // Quality scoring: stopword ratio, length saturation, uniqueness.
     "q19_quality_score" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
-      val ts = tokens(col("text"))
-      docs.select(
-        col("doc_id"),
-        listRatio(col("text"), stopwords).as("stopword_ratio"),
-        least(size(ts).cast("double") / 100.0, lit(1.0)).as("len_score"),
-        (size(array_distinct(ts)).cast("double") / size(ts).cast("double"))
-          .as("uniq_ratio"))
+      val ts = col("_toks")
+      docs.select(col("doc_id"), tokens(col("text")).as("_toks"))
+        .select(
+          col("doc_id"),
+          when(size(ts) === 0, lit(0.0)).otherwise(
+            size(filter(ts, t => t.isin(stopwords: _*))).cast("double") /
+              size(ts).cast("double")).as("stopword_ratio"),
+          least(size(ts).cast("double") / 100.0, lit(1.0)).as("len_score"),
+          (size(array_distinct(ts)).cast("double") / size(ts).cast("double"))
+            .as("uniq_ratio"))
         .withColumn("quality",
           col("stopword_ratio") * 0.4 + col("len_score") * 0.3 + col("uniq_ratio") * 0.3)
     }),
@@ -58,12 +63,15 @@ object TextOps {
     // Language-ID heuristic: per-language marker-hit scores + argmax.
     "q20_langid" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
-      val ts = tokens(col("text"))
-      val scored = docs.select(
-        (Seq(col("doc_id"), col("lang").as("actual_lang")) ++
-          langMarkers.map { case (l, ws) =>
-            size(filter(ts, t => t.isin(ws: _*))).cast("long").as(s"s_$l")
-          }): _*)
+      val ts = col("_toks")
+      val scored = docs
+        .select(col("doc_id"), col("lang").as("actual_lang"),
+                tokens(col("text")).as("_toks"))
+        .select(
+          (Seq(col("doc_id"), col("actual_lang")) ++
+            langMarkers.map { case (l, ws) =>
+              size(filter(ts, t => t.isin(ws: _*))).cast("long").as(s"s_$l")
+            }): _*)
       val langs = langMarkers.map(_._1)
       val pred = langs.foldRight(lit(langs.last)) { case (l, rest) =>
         val ge = langs.filter(_ != l)
