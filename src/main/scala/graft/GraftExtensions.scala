@@ -1,0 +1,46 @@
+package graft
+
+import graft.functions.RollingHash
+import graft.gdl.expr.JsonDuplicateKeys
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions entry point registering the engine's custom
+  * Catalyst expressions as SQL functions, so a plain
+  * `spark.sql("SELECT rolling_hash(text, 31, 1000000007) ...")` works in
+  * any session built with
+  * `.withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val functions: Seq[FunctionDescription] = Seq(
+    (new FunctionIdentifier("json_duplicate_keys"),
+      new ExpressionInfo(classOf[JsonDuplicateKeys].getName, "json_duplicate_keys"),
+      (exprs: Seq[Expression]) => JsonDuplicateKeys(exprs.head)),
+    (new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => RollingHash(c, 31L, 1000000007L)
+        case Seq(c, Literal(base: Long, _), Literal(mod: Long, _)) =>
+          RollingHash(c, base, mod)
+        case Seq(c, Literal(base: Int, _), Literal(mod: Int, _)) =>
+          RollingHash(c, base.toLong, mod.toLong)
+        case other => throw new IllegalArgumentException(
+          s"rolling_hash(str[, base, mod]) — got ${other.size} args")
+      }))
+
+  /** Register into an already-built session (tests, REPLs). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}

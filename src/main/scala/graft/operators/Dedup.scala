@@ -121,6 +121,30 @@ object Dedup {
       .select(col("doc_id"), fused.as("simhash"))
   }
 
+  /** Embedding-cosine near-duplicate pairs, LSH-bucketed: candidates
+    * come from an equi-join on the hyperplane bucket (map-only
+    * assignment, no cross product), then exact cosine filters. Same
+    * trade as MinHash-LSH: recall < 1 for pairs whose signs straddle a
+    * plane, ~4^-planes reduction in compared pairs.
+    * Input: (id, embedding). Output: (id_a, id_b, bucket, sim). */
+  def embeddingNearDup(vecs: DataFrame, threshold: Double,
+                       nPlanes: Int, dim: Int): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val withBucket = vecs.select(
+      col("id"), col("embedding"),
+      hyperplaneBucket(col("embedding"), nPlanes, dim).as("bucket"),
+      norm(col("embedding")).as("nrm"))
+    val a = withBucket.select(col("bucket"), col("id").as("id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = withBucket.select(col("bucket"), col("id").as("id_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("bucket"),
+        (dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** All-pairs n-gram Jaccard within caller-restricted blocks —
     * verification-scale only (the LSH path is the 100 TB route). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,

@@ -46,6 +46,28 @@ object EventOps {
              max(col("ts_us")).as("end_us"))
     }),
 
+    // Skew-resistant two-phase salted aggregation: 5 hot event-type keys
+    // split across 16 salt buckets for the partial, merged in a tiny
+    // second shuffle — results identical to the plain groupBy.
+    "q36_salted_agg" -> ((s, d) => {
+      graft.operators.Salted.aggregate(
+          Tables.load(s, d, "events"), "event_type", "value")
+        .select(col("event_type"), col("n_rows").cast("long").as("n_rows"),
+                col("sum_value"))
+    }),
+
+    // O-36: ISO-8601 UTC datetime formatting ≙ the reference's as_dict
+    // serialization (backend/clock.py:1-5, datasets_model.py:57-61).
+    "q37_iso_datetime" -> ((s, d) => {
+      Tables.load(s, d, "orders")
+        .filter(col("o_orderkey") < 500L)
+        // parquet NTZ timestamp → session-UTC instant for epoch math
+        .withColumn("_ts", col("o_orderdate").cast("timestamp"))
+        .select(col("o_orderkey"),
+          date_format(col("_ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSZ").as("iso"),
+          unix_micros(col("_ts")).as("epoch_us"))
+    }),
+
     // Backward as-of join: each purchase picks the latest signup of the
     // same user at or before its timestamp (null if none).
     "q31_asof_join" -> ((s, d) => {
@@ -90,6 +112,17 @@ object EventOps {
                  CAST(count(*) AS BIGINT) AS n_events,
                  min(ts_us) AS start_us, max(ts_us) AS end_us
           FROM c GROUP BY user_id, session_id""",
+
+    "q36_salted_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type""",
+
+    "q37_iso_datetime" ->
+      """SELECT o_orderkey,
+                strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f') || '+0000' AS iso,
+                epoch_us(o_orderdate) AS epoch_us
+         FROM orders WHERE o_orderkey < 500""",
 
     "q31_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value

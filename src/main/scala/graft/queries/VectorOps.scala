@@ -44,6 +44,15 @@ object VectorOps {
       val e = Tables.load(s, d, "embeddings")
         .select(col("vec_id").as("id"), col("embedding"))
       Similarity.hyperplaneBuckets(e, nPlanes = 4, dim = 64)
+    }),
+
+    // Embedding-cosine near-dup pairs, LSH-bucketed (the dedup scale
+    // path: bucket equi-join candidates, exact-cosine verify).
+    "q35_embedding_neardup" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      graft.operators.Dedup.embeddingNearDup(e, threshold = 0.3,
+        nPlanes = 2, dim = 64)
     })
   )
 
@@ -95,6 +104,27 @@ object VectorOps {
       }.mkString(" + ")
       s"""SELECT vec_id, CAST($bits AS BIGINT) AS bucket
           FROM embeddings e"""
+    },
+
+    "q35_embedding_neardup" -> {
+      val planeSql = (j: Int) =>
+        s"""list_transform(range(1, 65),
+              i -> (CAST('0x' || substr(md5('${j}_' || CAST(i AS VARCHAR)), 1, 4)
+                         AS BIGINT) - 32768) / 32768.0)"""
+      val bits = (0 until 2).map { j =>
+        s"""CASE WHEN (SELECT ${dotSql("e.embedding", "p")}
+                       FROM (SELECT ${planeSql(j)} AS p)) >= 0.0
+                 THEN ${1L << j} ELSE 0 END"""
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT vec_id AS id, embedding,
+                            CAST($bits AS BIGINT) AS bucket,
+                            sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
+                     FROM embeddings e),
+          p AS (SELECT a.id AS id_a, b2.id AS id_b, a.bucket,
+                       (${dotSql("a.embedding", "b2.embedding")})
+                         / (a.nrm * b2.nrm) AS sim
+                FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id)
+          SELECT id_a, id_b, bucket, sim FROM p WHERE sim >= 0.3"""
     }
   )
 }

@@ -1,0 +1,24 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The injected SQL functions must be callable from SQL text. Uses the
+  * shared session via registerAll (extension-builder application needs a
+  * fresh session, which would tear down the shared SparkContext). */
+class GraftExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("rolling_hash and json_duplicate_keys are SQL-callable") {
+    GraftExtensions.registerAll(spark)
+    val row = spark.sql(
+      """SELECT rolling_hash('abc') AS rh,
+                rolling_hash('abc', 31, 1000000007) AS rh2,
+                json_duplicate_keys('{"a":1,"a":2,"b":3}') AS dups,
+                json_duplicate_keys('not json') AS bad""").head()
+    val expected = ((97L * 31 + 98) * 31 + 99) % 1000000007L // "abc" bytes
+    assert(row.getLong(0) == expected)
+    assert(row.getLong(1) == expected)
+    assert(row.getSeq[String](2) == Seq("a"))
+    assert(row.getSeq[String](3) == Seq("__PARSE_ERROR__"))
+  }
+}
