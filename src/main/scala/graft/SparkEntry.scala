@@ -36,11 +36,18 @@ object SparkEntry {
       graft.queries.JsonOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted keys → weaker rows-only check. */
+    * the same parquet tables. Omitted keys → weaker rows-only check.
+    *
+    * Every oracle is wrapped in `ORDER BY ALL NULLS FIRST` and Verify
+    * sorts its parquet dumps the same way, so the compare holds whether
+    * or not the harness normalizes row order. */
   def oracleSql: Map[String, String] =
-    graft.queries.RelationalOps.oracles ++
+    (graft.queries.RelationalOps.oracles ++
       graft.queries.TextOps.oracles ++
       graft.queries.VectorOps.oracles ++
       graft.queries.EventOps.oracles ++
-      graft.queries.JsonOps.oracles
+      graft.queries.JsonOps.oracles)
+      .map { case (k, sql) =>
+        k -> s"SELECT * FROM ($sql) AS graft_q ORDER BY ALL NULLS FIRST"
+      }
 }

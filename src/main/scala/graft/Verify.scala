@@ -16,9 +16,14 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // deterministic row order matching the oracles' ORDER BY ALL
+        // NULLS FIRST (left-to-right over the output columns; Spark's
+        // default asc = nulls first, same as the oracle's modifier)
+        df.orderBy(df.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -67,23 +67,33 @@ class ImportPipeline(spark: SparkSession, store: TableStore,
     // [1] STAC crawl (O-14/O-16/O-18/O-19/O-28)
     val crawl = new StacCrawler(reader).run(dataset.id, versionId, metadataUrl)
     if (crawl.validations.nonEmpty)
-      store.append("validation_results", crawl.validations.toDS().toDF())
+      store.append("validation_results", crawl.validations.toDS().toDF(),
+        partitionBy = Seq("dataset_id"))
     if (!crawl.aborted) {
       val rows = crawl.metadata ++ crawl.assets
-      if (rows.nonEmpty) store.append("processing_assets", rows.toDS().toDF())
+      if (rows.nonEmpty) store.append("processing_assets", rows.toDS().toDF(),
+        partitionBy = Seq("dataset_id"))
     }
 
-    // [2]/[3] checksum fan-out over DATA rows (O-21/O-17/O-10); partition
-    // count mirrors the reference's 10,000-item iteration window (O-27)
+    // [2]/[3] checksum fan-out over DATA rows (O-21/O-17/O-10), read BACK
+    // from the processing_assets table — like the reference's
+    // content_iterator querying DynamoDB (O-5/O-6) — so the stage scales
+    // with the manifest table, not with driver memory. Partition count
+    // mirrors the reference's 10,000-item iteration window (O-27).
     if (!crawl.aborted && crawl.assets.nonEmpty) {
-      val assets = crawl.assets.toDS()
-        .repartition(math.max(1, math.ceil(crawl.assets.size / 10000.0).toInt))
+      val manifest = store.read("processing_assets").get
+        .filter($"dataset_id" === dataset.id && $"version_id" === versionId &&
+                $"asset_type" === "DATA") // column predicates → parquet pushdown
+        .as[ProcessingAssetRow]
+      val nData = crawl.assets.size // known from the crawl (≙ O-5 count)
+      val assets = manifest.repartition(math.max(1, math.ceil(nData / 10000.0).toInt))
       val checksumRows = ChecksumValidator.validate(spark, assets, reader)
-      store.append("validation_results", checksumRows.toDF())
+      store.append("validation_results", checksumRows.toDF(),
+        partitionBy = Seq("dataset_id"))
 
       // O-24 consistency rule (USAGE.md:76-79): same URL must carry one
       // multihash across all references — engine extension
-      val inconsistent = crawl.assets.toDS()
+      val inconsistent = manifest
         .groupBy($"url")
         .agg(countDistinct($"multihash").as("n"))
         .filter($"n" > 1)
@@ -109,7 +119,10 @@ class ImportPipeline(spark: SparkSession, store: TableStore,
     if (success && !crawl.aborted) {
       val importer = new Importer(spark, storageRoot)
       val titlePrefix = s"${dataset.title}-${dataset.id}"
-      val manifest = (crawl.metadata ++ crawl.assets).toDS()
+      // copy manifest from the table (O-6), not driver memory
+      val manifest = store.read("processing_assets").get
+        .filter($"dataset_id" === dataset.id && $"version_id" === versionId)
+        .as[ProcessingAssetRow]
       def statusOf(assetType: String): String = {
         val results = importer.importAssets(manifest, reader, titlePrefix, assetType)
           .collect()

@@ -58,20 +58,29 @@ class TableStore(spark: SparkSession, root: String) {
 
   def isEmptyTable(table: String): Boolean = read(table).forall(_.isEmpty)
 
-  /** Append rows as a new delta generation (no read-modify-write). */
-  def append(table: String, df: DataFrame): Unit = commit(table, df, "delta")
+  /** Append rows as a new delta generation (no read-modify-write).
+    * `partitionBy` lays the generation out as `col=value/` subdirs so
+    * reads with equality predicates on those columns prune whole
+    * directories — the 100 TB layout for processing_assets /
+    * validation_results is `partitionBy("dataset_id")` (SURVEY §7.4 #7). */
+  def append(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
+    commit(table, df, "delta", partitionBy)
 
   /** Replace table contents (new full generation supersedes the past). */
-  def overwrite(table: String, df: DataFrame): Unit = commit(table, df, "full")
+  def overwrite(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
+    commit(table, df, "full", partitionBy)
 
-  private def commit(table: String, df: DataFrame, kind: String): Unit = {
+  private def commit(table: String, df: DataFrame, kind: String,
+                     partitionBy: Seq[String] = Nil): Unit = {
     val dir = tableDir(table)
     val f = fs(dir)
     f.mkdirs(dir)
     val next = generations(table).lastOption.map(_._1 + 1).getOrElse(0L)
     val tmp = new Path(dir, f"_tmp-g$next%07d-$kind")
     val dest = new Path(dir, f"g$next%07d-$kind")
-    df.write.mode("overwrite").parquet(tmp.toString)
+    val writer = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(tmp.toString)
     if (!f.rename(tmp, dest))
       throw new IllegalStateException(s"atomic commit failed: $tmp -> $dest")
     if (kind == "full") // GC superseded generations

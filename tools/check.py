@@ -83,8 +83,11 @@ def main(sf_dir, out_dir):
             continue
         ga, wa = rows_key(got), rows_key(want)
         exact, near = cmp_rows(ga, wa)
+        raw_got = [tuple(norm(v) for v in r) for r in got]
+        raw_want = [tuple(norm(v) for v in r) for r in want]
+        order_ok = "+order" if raw_got == raw_want else "UNSORTED-DIFF"
         if exact:
-            results[name] = f"OK ({len(ga)} rows)"
+            results[name] = f"OK ({len(ga)} rows, {order_ok})"
         elif near:
             results[name] = f"NEAR (float-only diff, {len(ga)} rows)"
         else:
