@@ -68,6 +68,61 @@ object Similarity {
     corpus.select(col("id").as("vec_id"),
                   hyperplaneBucket(col("embedding"), nPlanes, dim).as("bucket"))
 
+  /** IVF cell assignment with externally supplied coarse centroids
+    * (production IVF ships trained centroids as data; k-means training
+    * is offline). Each corpus vector goes to its highest-cosine
+    * centroid — a broadcast of the tiny centroid set against one corpus
+    * scan, no shuffle. Ties break toward the smaller centroid id.
+    * `corpus`: (id, embedding); `centroids`: (cid, embedding). */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = centroids.select(col("cid"), col("embedding").as("cent_emb"),
+                             norm(col("embedding")).as("cent_norm"))
+    val v = corpus.select(col("id"), col("embedding"),
+                          norm(col("embedding")).as("v_norm"))
+    val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("cid"))
+    v.crossJoin(broadcast(c))
+      .select(col("id"), col("cid"),
+        (dot(col("embedding"), col("cent_emb")) / (col("v_norm") * col("cent_norm")))
+          .as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("cid"))
+  }
+
+  /** IVF ANN top-k: each query probes its `nprobe` nearest cells and
+    * searches only the corpus vectors assigned there — the coarse-
+    * quantizer pruning that makes 100 TB ANN tractable (candidates
+    * shrink ~|cells|/nprobe-fold; recall < 1 for vectors whose true
+    * neighbors live in unprobed cells). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+              nprobe: Int, k: Int): DataFrame = {
+    val assignment = ivfAssign(corpus, centroids)
+    val c = centroids.select(col("cid"), col("embedding").as("cent_emb"),
+                             norm(col("embedding")).as("cent_norm"))
+    val q = queries.select(col("id").as("query_id"), col("embedding").as("q_emb"),
+                           norm(col("embedding")).as("q_norm"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_sim").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(c))
+      .select(col("query_id"), col("q_emb"), col("q_norm"), col("cid"),
+        (dot(col("q_emb"), col("cent_emb")) / (col("q_norm") * col("cent_norm")))
+          .as("cent_sim"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("q_norm"), col("cid"))
+    val cand = corpus.select(col("id").as("vec_id"), col("embedding").as("c_emb"),
+                             norm(col("embedding")).as("c_norm"))
+      .join(assignment.withColumnRenamed("id", "vec_id"), Seq("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    cand.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cid"),
+        (dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** ANN top-k restricted to same-bucket candidates: equi-join on the
     * bucket key replaces the cross product. Output like [[topK]] plus
     * the bucket; recall < 1 by construction. */

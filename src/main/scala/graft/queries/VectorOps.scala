@@ -46,6 +46,29 @@ object VectorOps {
       Similarity.hyperplaneBuckets(e, nPlanes = 4, dim = 64)
     }),
 
+    // IVF cell assignment: coarse centroids = embeddings of vec_id < 8
+    // (stand-in for offline-trained centroids), one broadcast pass.
+    "q38_ivf_assign" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      val centroids = Tables.load(s, d, "embeddings")
+        .filter(col("vec_id") < 8L)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      Similarity.ivfAssign(e, centroids)
+    }),
+
+    // IVF ANN: probe the 2 nearest of 8 cells per query, search only
+    // those cells' members.
+    "q39_ivf_topk" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      val centroids = Tables.load(s, d, "embeddings")
+        .filter(col("vec_id") < 8L)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      Similarity.ivfTopK(e.filter(col("id") < 5L), e, centroids,
+        nprobe = 2, k = 5)
+    }),
+
     // Embedding-cosine near-dup pairs, LSH-bucketed (the dedup scale
     // path: bucket equi-join candidates, exact-cosine verify).
     "q35_embedding_neardup" -> ((s, d) => {
@@ -105,6 +128,58 @@ object VectorOps {
       s"""SELECT vec_id, CAST($bits AS BIGINT) AS bucket
           FROM embeddings e"""
     },
+
+    "q38_ivf_assign" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cent_emb,
+                               sqrt(${dotSql("e.embedding", "e.embedding")}) AS cent_norm
+                        FROM embeddings e WHERE vec_id < 8),
+          v AS (SELECT vec_id AS id, embedding,
+                       sqrt(${dotSql("e.embedding", "e.embedding")}) AS v_norm
+                FROM embeddings e),
+          sims AS (SELECT v.id, c.cid,
+                          (${dotSql("v.embedding", "c.cent_emb")})
+                            / (v.v_norm * c.cent_norm) AS sim
+                   FROM v CROSS JOIN cent c),
+          r AS (SELECT id, cid,
+                       row_number() OVER (PARTITION BY id
+                            ORDER BY sim DESC, cid) AS rn
+                FROM sims)
+          SELECT id, cid FROM r WHERE rn = 1""",
+
+    "q39_ivf_topk" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cent_emb,
+                               sqrt(${dotSql("e.embedding", "e.embedding")}) AS cent_norm
+                        FROM embeddings e WHERE vec_id < 8),
+          v AS (SELECT vec_id AS id, embedding,
+                       sqrt(${dotSql("e.embedding", "e.embedding")}) AS v_norm
+                FROM embeddings e),
+          asn AS (SELECT id, cid FROM (
+                    SELECT v.id, c.cid,
+                           row_number() OVER (PARTITION BY v.id ORDER BY
+                             (${dotSql("v.embedding", "c.cent_emb")})
+                               / (v.v_norm * c.cent_norm) DESC, c.cid) AS rn
+                    FROM v CROSS JOIN cent c) WHERE rn = 1),
+          q AS (SELECT id AS query_id, embedding AS q_emb, v_norm AS q_norm
+                FROM v WHERE id < 5),
+          probes AS (SELECT query_id, q_emb, q_norm, cid FROM (
+                       SELECT q.query_id, q.q_emb, q.q_norm, c.cid,
+                              row_number() OVER (PARTITION BY q.query_id ORDER BY
+                                (${dotSql("q.q_emb", "c.cent_emb")})
+                                  / (q.q_norm * c.cent_norm) DESC, c.cid) AS rn
+                       FROM q CROSS JOIN cent c) WHERE rn <= 2),
+          cand AS (SELECT v.id AS vec_id, v.embedding AS c_emb,
+                          v.v_norm AS c_norm, a.cid
+                   FROM v JOIN asn a ON a.id = v.id),
+          scored AS (SELECT p.query_id, cd.vec_id, cd.cid,
+                            (${dotSql("p.q_emb", "cd.c_emb")})
+                              / (p.q_norm * cd.c_norm) AS sim
+                     FROM cand cd JOIN probes p ON p.cid = cd.cid
+                     WHERE cd.vec_id <> p.query_id)
+          SELECT query_id, vec_id, cid, sim,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+          FROM scored
+          QUALIFY rank <= 5""",
 
     "q35_embedding_neardup" -> {
       val planeSql = (j: Int) =>

@@ -42,4 +42,48 @@ object EventStream {
   /** Read a directory of parquet event files as a stream. */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** ts travels as epoch microseconds — java.sql.Timestamp.getTime is
+    * millisecond-truncated and would diverge from the batch µs math. */
+  final case class SessionEvent(event_id: Long, ts_us: Long, user_id: Long)
+  final case class SessionState(sessionId: Long, lastTsUs: Long, nEvents: Long,
+                                startUs: Long)
+  final case class SessionUpdate(user_id: Long, session_id: Long,
+                                 n_events: Long, start_us: Long, end_us: Long)
+
+  /** Stateful gap-based sessionization via `flatMapGroupsWithState` —
+    * the custom-state streaming form of `q30_sessionize`. Each user's
+    * state carries (current session id, last event time); a gap >
+    * `gapUs` rolls the session. Emits the running per-session row on
+    * every update (Update mode downstream dedupes on the key).
+    *
+    * State is O(1) per user (four longs); at 100 TB the state store
+    * shards by the group key like any keyed state. Timeout handling
+    * (closing idle sessions) would use GroupStateTimeout.EventTimeTimeout
+    * + a watermark; kept processing-time-less here for determinism.
+    */
+  def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent],
+                 gapUs: Long): org.apache.spark.sql.Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          // within a micro-batch events may arrive unordered; sort the
+          // batch (cross-batch order is the file-source's responsibility)
+          val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
+          sorted.foreach { e =>
+            val tsUs = e.ts_us
+            st = if (st.lastTsUs == Long.MinValue || tsUs - st.lastTsUs > gapUs) {
+              if (st.nEvents > 0)
+                out += SessionUpdate(userId, st.sessionId, st.nEvents, st.startUs, st.lastTsUs)
+              SessionState(st.sessionId + 1, tsUs, 1L, tsUs)
+            } else SessionState(st.sessionId, tsUs, st.nEvents + 1, st.startUs)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }
