@@ -210,6 +210,38 @@ object RelationalOps {
         .select(col("node"), col("depth"))
     }),
 
+    // Hierarchical rollup (region → nation subtotals + grand total) —
+    // one of the analytic shapes the reference lacks and Spark gives the
+    // engine for free (SURVEY §2.4 "absent" list, made first-class here).
+    "q40_rollup" -> ((s, d) => {
+      val customer = Tables.load(s, d, "customer")
+      val nation = Tables.load(s, d, "nation")
+      val region = Tables.load(s, d, "region")
+      customer
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+             dsum(col("c_acctbal")).as("sum_acctbal"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+                coalesce(col("n_name"), lit("ALL")).as("nation"),
+                col("n_customers"), col("sum_acctbal"))
+    }),
+
+    // Top-k per group via window rank: 3 highest-value orders per
+    // customer segment (the top-k pattern §2.5 notes the reference lacks).
+    "q41_topk_per_group" -> ((s, d) => {
+      val orders = Tables.load(s, d, "orders")
+      val customer = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders.join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+    }),
+
     // O-21-shaped manifest↔content equi-join + revenue agg (decimal-exact):
     // the classic pricing-summary shape over the lake's biggest table.
     "q17_revenue_agg" -> ((s, d) => {
@@ -338,6 +370,23 @@ object RelationalOps {
            WHERE b.depth < 5
          )
          SELECT node, CAST(min(depth) AS BIGINT) AS depth FROM bfs GROUP BY node""",
+
+    "q40_rollup" ->
+      """SELECT coalesce(r.r_name, 'ALL') AS region,
+                coalesce(n.n_name, 'ALL') AS nation,
+                CAST(count(*) AS BIGINT) AS n_customers,
+                CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+         FROM customer c
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         GROUP BY ROLLUP (r.r_name, n.n_name)""",
+
+    "q41_topk_per_group" ->
+      """SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                CAST(row_number() OVER (PARTITION BY c.c_mktsegment
+                     ORDER BY o.o_totalprice DESC, o.o_orderkey) AS BIGINT) AS rank
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         QUALIFY rank <= 3""",
 
     "q17_revenue_agg" ->
       """SELECT l_returnflag, l_linestatus,

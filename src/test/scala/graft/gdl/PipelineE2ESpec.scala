@@ -84,6 +84,24 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(!imported.contains("s3://"))
   }
 
+  test("two versions of one dataset coexist under partitioned tables") {
+    val (pipeline, status, storage) = freshPipeline(stacGraph())
+    val ds = pipeline.datasets.create("Two_Versions", t0).toOption.get
+    val exec1 = pipeline.run(ds.id, "s3://staging/data/catalog.json",
+      t0.plusSeconds(60)).toOption.get
+    val exec2 = pipeline.run(ds.id, "s3://staging/data/catalog.json",
+      t0.plusSeconds(120)).toOption.get
+    assert(exec1 != exec2)
+    Seq(exec1, exec2).foreach { e =>
+      val r = status.get(e).toOption.get
+      assert(r.validation.status == "Passed" && r.assetUpload.status == "Complete")
+    }
+    val versionDirs = new java.io.File(s"$storage/Two_Versions-${ds.id}").listFiles()
+    assert(versionDirs.length == 2) // immutable, versioned layout
+    // delete is still guarded (stored versions exist)
+    assert(pipeline.datasets.delete(ds.id).isLeft)
+  }
+
   test("checksum mismatch: Failed validation, uploads Skipped") {
     val badMh = "1220" + "0" * 64
     val (pipeline, status, _) = freshPipeline(stacGraph(asset1Mh = badMh))
