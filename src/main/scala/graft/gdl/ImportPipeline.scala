@@ -124,9 +124,18 @@ class ImportPipeline(spark: SparkSession, store: TableStore,
         .filter($"dataset_id" === dataset.id && $"version_id" === versionId)
         .as[ProcessingAssetRow]
       def statusOf(assetType: String): String = {
+        // persist so the copy side-effects run exactly once: the report
+        // append and the status check both read the cached results
         val results = importer.importAssets(manifest, reader, titlePrefix, assetType)
-          .collect()
-        if (results.forall(_.result_code == "Succeeded")) "Complete" else "Failed"
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // per-file report ≙ the S3 Batch report CSVs
+          // (import_dataset/task.py:133-139)
+          store.append("import_reports", results.toDF(),
+            partitionBy = Seq("dataset_id"))
+          val allOk = results.filter(r => r.result_code != "Succeeded").isEmpty
+          if (allOk) "Complete" else "Failed"
+        } finally { results.unpersist(); () }
       }
       (Some(true), statusOf("METADATA"), statusOf("DATA"))
     } else (Some(success), "Pending", "Pending")

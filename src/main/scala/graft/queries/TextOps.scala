@@ -107,7 +107,37 @@ object TextOps {
     "q25_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(
         Tables.load(s, d, "documents").filter(col("doc_id") < 100L),
-        "doc_id", "text", charN = 3, threshold = 0.3))
+        "doc_id", "text", charN = 3, threshold = 0.3)),
+
+    // Fuzzy string matching: near-identical part names by edit distance
+    // within a blocked pair space (blocking = same first word).
+    "q42_fuzzy_match" -> ((s, d) => {
+      val parts = Tables.load(s, d, "part")
+        .filter(col("p_partkey") < 200L)
+        .select(col("p_partkey"), col("p_name"),
+                element_at(split(col("p_name"), " "), 1).as("blk"))
+      val a = parts.select(col("blk"), col("p_partkey").as("key_a"),
+                           col("p_name").as("name_a"))
+      val b = parts.select(col("blk"), col("p_partkey").as("key_b"),
+                           col("p_name").as("name_b"))
+      a.join(b, Seq("blk"))
+        .filter(col("key_a") < col("key_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("dist") <= 3L)
+        .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"), col("dist"))
+    }),
+
+    // BPE-ish regex token counting next to whitespace tokens (the
+    // pre-tokenizer split LLM pipelines use: letter runs / digit runs /
+    // punctuation runs).
+    "q43_bpe_tokens" -> ((s, d) => {
+      Tables.load(s, d, "documents").select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+          .as("bpe_tokens"))
+    })
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -228,6 +258,23 @@ object TextOps {
           WHERE CAST(i.n_inter AS DOUBLE)
                   / CAST(ca.n_sh + cb.n_sh - i.n_inter AS DOUBLE) >= 0.5"""
     },
+
+    "q42_fuzzy_match" ->
+      """WITH p AS (SELECT p_partkey, p_name,
+                           string_split(p_name, ' ')[1] AS blk
+                    FROM part WHERE p_partkey < 200)
+         SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+                a.p_name AS name_a, b.p_name AS name_b,
+                CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+         FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+         WHERE levenshtein(a.p_name, b.p_name) <= 3""",
+
+    "q43_bpe_tokens" ->
+      """SELECT doc_id,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                     AS BIGINT) AS bpe_tokens
+         FROM documents""",
 
     "q25_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
