@@ -16,11 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Sequential-fold dot product, elements promoted float→double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), _ + _)
+  /** Sequential-fold dot product, elements promoted float→double.
+    * Backed by the native codegen'd [[DotProductFold]] expression —
+    * value-identical to the `aggregate(zip_with(...))` fold but without
+    * per-row lambda/array overhead. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge._
+    column(DotProductFold(expression(a), expression(b)))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -31,11 +34,21 @@ object VectorFunctions {
 
   /** Deterministic pseudo-random hyperplane `j` for `dim` dimensions:
     * weight_i = (hex16(md5("<j>_<i>")) − 32768) / 32768 ∈ [−1, 1).
-    * Reproducible in any engine with md5 — no RNG state to ship. */
+    * Reproducible in any engine with md5 — no RNG state to ship. The
+    * weights are constants, so they're computed once driver-side and
+    * shipped as an array literal instead of re-deriving dim×rows md5s
+    * per scan (the values are identical either way). */
   def hyperplane(j: Int, dim: Int): Column =
-    transform(sequence(lit(1), lit(dim)),
-      i => (conv(substring(md5(concat(lit(s"${j}_"), i.cast("string"))), 1, 4), 16, 10)
-              .cast("double") - 32768.0) / 32768.0)
+    typedLit(hyperplaneWeights(j, dim))
+
+  private[graft] def hyperplaneWeights(j: Int, dim: Int): Seq[Double] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (1 to dim).map { i =>
+      val hex = digest.digest(s"${j}_$i".getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16).toDouble - 32768.0) / 32768.0
+    }
+  }
 
   /** Random-hyperplane LSH bucket id from `nPlanes` sign bits. */
   def hyperplaneBucket(v: Column, nPlanes: Int, dim: Int): Column =
