@@ -102,6 +102,44 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over near-dup pairs → duplicate clusters with
+    * the min-id member as the canonical document (what a dedup pipeline
+    * actually drops rows by). Iterative min-label propagation: each
+    * round every node takes the min label among itself and its
+    * neighbors; converges in ≤ graph-diameter rounds (dup clusters are
+    * tiny — pairs/triples — so 2-3 rounds in practice). Per-round cost
+    * is one equi-join + one aggregate, both shuffle-keyed on the node
+    * id; labels are persisted and the loop stops when no label changes.
+    *
+    * Input: (id_a, id_b) pairs. Output: (doc_id, cluster_id) for every
+    * node that appears in some pair. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      iter += 1
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).limit(1).isEmpty
+      labels.unpersist(false)
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** 16-bit SimHash fingerprint per document: for each bit position the
     * sign of Σ_tokens (2·bit(hash16(token)) − 1). Kept at 16 bits so the
     * oracle SQL stays writable; the production variant would widen the

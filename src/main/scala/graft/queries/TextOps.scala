@@ -127,6 +127,27 @@ object TextOps {
         .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"), col("dist"))
     }),
 
+    // Duplicate-cluster canonicalization: MinHash-LSH pairs → connected
+    // components → (doc, cluster) with the min id as canonical.
+    "q44_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.minhashLsh(Tables.load(s, d, "documents"), "doc_id", "text")
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(pairs)
+    }),
+
+    // Deterministic stratified sampling for training mixes: md5-bucketed
+    // per-doc hash against a per-language quota (en 50 %, others 25 %) —
+    // replayable under retry, no RNG state.
+    "q45_stratified_sample" -> ((s, d) => {
+      Tables.load(s, d, "documents")
+        .withColumn("bucket",
+          conv(substring(md5(concat(lit("s|"), col("doc_id").cast("string"))), 1, 4),
+               16, 10).cast("long") % 100)
+        .filter(col("bucket") <
+          when(col("lang") === "en", 50L).otherwise(25L))
+        .select(col("doc_id"), col("lang"), col("bucket"))
+    }),
+
     // BPE-ish regex token counting next to whitespace tokens (the
     // pre-tokenizer split LLM pipelines use: letter runs / digit runs /
     // punctuation runs).
@@ -144,6 +165,43 @@ object TextOps {
 
   private val toksSql =
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+
+  /** The full MinHash-LSH pair pipeline in SQL — q24's oracle, reused as
+    * the edge source for q44's connected-components oracle. */
+  private lazy val minhashPairsSql: String = {
+    val sigCols = (0 until 8).map(j =>
+      s"min(md5('$j|' || shingle)) AS h$j").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+        sh0 AS (SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                              i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1]
+                                   || ' ' || w[CAST(i AS INTEGER) + 2])) AS shingle
+                FROM toks),
+        sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+        sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS band_key FROM sig
+          UNION ALL
+          SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS band_key FROM sig),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+        cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+                  FROM cand c
+                  JOIN sh x ON x.doc_id = c.id_a
+                  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+                  GROUP BY c.id_a, c.id_b)
+        SELECT CAST(i.id_a AS BIGINT) AS id_a, CAST(i.id_b AS BIGINT) AS id_b,
+               CAST(i.n_inter AS DOUBLE)
+                 / CAST(ca.n_sh + cb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN cnt ca ON ca.doc_id = i.id_a
+        JOIN cnt cb ON cb.doc_id = i.id_b
+        WHERE CAST(i.n_inter AS DOUBLE)
+                / CAST(ca.n_sh + cb.n_sh - i.n_inter AS DOUBLE) >= 0.5"""
+  }
 
   def oracles: Map[String, String] = Map(
     "q18_token_stats" ->
@@ -224,40 +282,30 @@ object TextOps {
                 CAST(count(*) AS BIGINT) AS n_copies
          FROM documents GROUP BY md5(text)""",
 
-    "q24_minhash_lsh" -> {
-      val sigCols = (0 until 8).map(j =>
-        s"min(md5('$j|' || shingle)) AS h$j").mkString(", ")
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
-          sh0 AS (SELECT doc_id,
-                         unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
-                                i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1]
-                                     || ' ' || w[CAST(i AS INTEGER) + 2])) AS shingle
-                  FROM toks),
-          sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
-          sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
-          bands AS (
-            SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS band_key FROM sig
-            UNION ALL
-            SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS band_key FROM sig),
-          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                   FROM bands a JOIN bands b
-                     ON a.band = b.band AND a.band_key = b.band_key
-                    AND a.doc_id < b.doc_id),
-          cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-          inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
-                    FROM cand c
-                    JOIN sh x ON x.doc_id = c.id_a
-                    JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
-                    GROUP BY c.id_a, c.id_b)
-          SELECT CAST(i.id_a AS BIGINT) AS id_a, CAST(i.id_b AS BIGINT) AS id_b,
-                 CAST(i.n_inter AS DOUBLE)
-                   / CAST(ca.n_sh + cb.n_sh - i.n_inter AS DOUBLE) AS jaccard
-          FROM inter i
-          JOIN cnt ca ON ca.doc_id = i.id_a
-          JOIN cnt cb ON cb.doc_id = i.id_b
-          WHERE CAST(i.n_inter AS DOUBLE)
-                  / CAST(ca.n_sh + cb.n_sh - i.n_inter AS DOUBLE) >= 0.5"""
-    },
+    "q24_minhash_lsh" -> minhashPairsSql,
+
+    "q44_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION ALL
+                    SELECT id_b AS src, id_a AS dst FROM pairs),
+          nodes AS (SELECT DISTINCT src AS id FROM edges),
+          reach AS (
+            SELECT id AS src, id AS dst FROM nodes
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+          )
+          SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
+          FROM reach GROUP BY src""",
+
+    "q45_stratified_sample" ->
+      """WITH h AS (SELECT doc_id, lang,
+                          CAST('0x' || substr(md5('s|' || CAST(doc_id AS VARCHAR)), 1, 4)
+                               AS BIGINT) % 100 AS bucket
+                    FROM documents)
+         SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket
+         FROM h
+         WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 25 END""",
 
     "q42_fuzzy_match" ->
       """WITH p AS (SELECT p_partkey, p_name,
