@@ -242,6 +242,17 @@ object RelationalOps {
         .filter(col("rank") <= 3)
     }),
 
+    // HLL++ approximate distinct (the sketch path for 100 TB cardinality
+    // estimation — one pass, fixed memory, vs q09's exact shuffle).
+    // No oracle: sketch estimates are engine-specific, so the driver
+    // records the weaker rows-only check for this one by design.
+    "q46_approx_distinct" -> ((s, d) => {
+      Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+             countDistinct(col("l_partkey")).as("exact_parts"))
+    }),
+
     // O-21-shaped manifest↔content equi-join + revenue agg (decimal-exact):
     // the classic pricing-summary shape over the lake's biggest table.
     "q17_revenue_agg" -> ((s, d) => {
