@@ -70,6 +70,12 @@ class TableStore(spark: SparkSession, root: String) {
   def overwrite(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
     commit(table, df, "full", partitionBy)
 
+  /** Compaction: fold the current generations into one full generation
+    * (same contents, one pass) — run periodically so reads stop paying
+    * per-delta file listings; superseded generations are GC'd. */
+  def compact(table: String, partitionBy: Seq[String] = Nil): Unit =
+    read(table).foreach(df => overwrite(table, df, partitionBy))
+
   private def commit(table: String, df: DataFrame, kind: String,
                      partitionBy: Seq[String] = Nil): Unit = {
     val dir = tableDir(table)

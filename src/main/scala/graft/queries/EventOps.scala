@@ -68,6 +68,25 @@ object EventOps {
           unix_micros(col("_ts")).as("epoch_us"))
     }),
 
+    // Band range join: (purchase, error) event pairs of the same user
+    // within ±5 minutes, via tolerance-bucketed equi-join (no per-key
+    // cross product).
+    "q47_range_join" -> ((s, d) => {
+      val events = Tables.load(s, d, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+                col("ts_us").as("purchase_us"))
+      val errors = events.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"),
+                col("ts_us").as("error_us"))
+      graft.operators.RangeJoin.byTolerance(purchases, errors,
+          keys = Seq("user_id"), leftTs = "purchase_us", rightTs = "error_us",
+          tolerance = 5L * 60 * 1000 * 1000)
+        .select(col("user_id"), col("purchase_id"), col("error_id"),
+                col("purchase_us"), col("error_us"))
+    }),
+
     // Backward as-of join: each purchase picks the latest signup of the
     // same user at or before its timestamp (null if none).
     "q31_asof_join" -> ((s, d) => {
@@ -123,6 +142,17 @@ object EventOps {
                 strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f') || '+0000' AS iso,
                 epoch_us(o_orderdate) AS epoch_us
          FROM orders WHERE o_orderkey < 500""",
+
+    "q47_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+                    FROM events)
+         SELECT p.user_id, p.event_id AS purchase_id, x.event_id AS error_id,
+                p.ts_us AS purchase_us, x.ts_us AS error_us
+         FROM e p JOIN e x
+           ON p.user_id = x.user_id
+          AND p.event_type = 'purchase' AND x.event_type = 'error'
+          AND abs(p.ts_us - x.ts_us) <= 300000000""",
 
     "q31_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value

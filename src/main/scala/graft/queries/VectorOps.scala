@@ -46,6 +46,15 @@ object VectorOps {
       Similarity.hyperplaneBuckets(e, nPlanes = 4, dim = 64)
     }),
 
+    // LSH-bucketed ANN top-k: same-bucket candidates only (the approximate
+    // search path over q28's bucket assignment).
+    "q48_ann_topk" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      Similarity.annTopK(e.filter(col("id") < 5L), e, k = 5,
+        nPlanes = 2, dim = 64)
+    }),
+
     // IVF cell assignment: coarse centroids = embeddings of vec_id < 8
     // (stand-in for offline-trained centroids), one broadcast pass.
     "q38_ivf_assign" -> ((s, d) => {
@@ -127,6 +136,35 @@ object VectorOps {
       }.mkString(" + ")
       s"""SELECT vec_id, CAST($bits AS BIGINT) AS bucket
           FROM embeddings e"""
+    },
+
+    "q48_ann_topk" -> {
+      val planeSql = (j: Int) =>
+        s"""list_transform(range(1, 65),
+              i -> (CAST('0x' || substr(md5('${j}_' || CAST(i AS VARCHAR)), 1, 4)
+                         AS BIGINT) - 32768) / 32768.0)"""
+      val bits = (0 until 2).map { j =>
+        s"""CASE WHEN (SELECT ${dotSql("e.embedding", "p")}
+                       FROM (SELECT ${planeSql(j)} AS p)) >= 0.0
+                 THEN ${1L << j} ELSE 0 END"""
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT vec_id, embedding,
+                            CAST($bits AS BIGINT) AS bucket,
+                            sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
+                     FROM embeddings e),
+          q AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_norm,
+                       bucket
+                FROM b WHERE vec_id < 5),
+          scored AS (SELECT q.query_id, c.vec_id, c.bucket,
+                            (${dotSql("q.q_emb", "c.embedding")})
+                              / (q.q_norm * c.nrm) AS sim
+                     FROM b c JOIN q ON q.bucket = c.bucket
+                     WHERE c.vec_id <> q.query_id)
+          SELECT query_id, vec_id, bucket, sim,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+          FROM scored
+          QUALIFY rank <= 5"""
     },
 
     "q38_ivf_assign" ->

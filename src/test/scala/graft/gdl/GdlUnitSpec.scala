@@ -133,6 +133,10 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.read("t").get.as[Int].collect().toSeq == Seq(9))
     store.append("t", Seq(10).toDF("x"))
     assert(store.read("t").get.as[Int].collect().sorted.toSeq == Seq(9, 10))
+    store.compact("t")
+    assert(store.read("t").get.as[Int].collect().sorted.toSeq == Seq(9, 10))
+    store.append("t", Seq(11).toDF("x"))
+    assert(store.read("t").get.as[Int].collect().sorted.toSeq == Seq(9, 10, 11))
   }
 }
 
