@@ -13,17 +13,17 @@ import org.apache.spark.sql.SparkSession
   *    Skipped ("failed validation implies uploads will never happen",
   *    get.py:79-85).
   */
+final case class ValidationError(
+    check: String, result: String, url: String, details: Map[String, String])
+final case class StatusSection(status: String, errors: Seq[ValidationError])
+final case class Report(
+    stepFunction: String,
+    validation: StatusSection,
+    metadataUpload: StatusSection,
+    assetUpload: StatusSection)
+
 class ImportStatus(spark: SparkSession, store: TableStore) {
   import spark.implicits._
-
-  final case class ValidationError(
-      check: String, result: String, url: String, details: Map[String, String])
-  final case class StatusSection(status: String, errors: Seq[ValidationError])
-  final case class Report(
-      stepFunction: String,
-      validation: StatusSection,
-      metadataUpload: StatusSection,
-      assetUpload: StatusSection)
 
   def get(executionId: String): Either[String, Report] = {
     val exec = store.read("import_executions")

@@ -21,13 +21,13 @@ import scala.collection.mutable
   * asset rows (utils.py:78-82: errors are swallowed after recording and
   * the save loop is skipped).
   */
-class StacCrawler(reader: UrlReader) {
+final case class CrawlOutput(
+    metadata: Seq[ProcessingAssetRow],
+    assets: Seq[ProcessingAssetRow],
+    validations: Seq[ValidationRow],
+    aborted: Boolean)
 
-  final case class CrawlOutput(
-      metadata: Seq[ProcessingAssetRow],
-      assets: Seq[ProcessingAssetRow],
-      validations: Seq[ValidationRow],
-      aborted: Boolean)
+class StacCrawler(reader: UrlReader) {
 
   private class Abort extends RuntimeException
 

@@ -16,6 +16,8 @@ import org.apache.spark.sql.SparkSession
   * Request validation is plain Scala over the parsed body (the reference
   * uses inline JSON Schema); errors use the same message/status shapes.
   */
+final case class Response(statusCode: Int, body: String)
+
 class Api(spark: SparkSession, store: TableStore, reader: UrlReader,
           storageRoot: String, now: () => Instant = () => Instant.now()) {
 
@@ -23,8 +25,6 @@ class Api(spark: SparkSession, store: TableStore, reader: UrlReader,
   private val pipeline = new ImportPipeline(spark, store, reader, storageRoot)
   private val status = new ImportStatus(spark, store)
   private def datasets = pipeline.datasets
-
-  final case class Response(statusCode: Int, body: String)
 
   private def err(code: Int, message: String): Response =
     Response(code, s"""{"message": "${message.replace("\"", "\\\"")}"}""")
@@ -117,7 +117,7 @@ class Api(spark: SparkSession, store: TableStore, reader: UrlReader,
         status.get(arn) match {
           case Left(e) => err(404, e)
           case Right(r) =>
-            def section(s: status.StatusSection): JsonNode = {
+            def section(s: StatusSection): JsonNode = {
               val o = nodes.objectNode()
               o.put("status", s.status)
               val errs = nodes.arrayNode()
