@@ -242,6 +242,18 @@ object RelationalOps {
         .filter(col("rank") <= 3)
     }),
 
+    // The flagship analytics shape (same as SparkEntry.entry): fact table
+    // joined through two dimensions with a broadcast, decimal-exact agg.
+    "q49_segment_revenue" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      val orders = Tables.load(s, d, "orders")
+      val customer = Tables.load(s, d, "customer")
+      li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+    }),
+
     // HLL++ approximate distinct (the sketch path for 100 TB cardinality
     // estimation — one pass, fixed memory, vs q09's exact shuffle).
     // No oracle: sketch estimates are engine-specific, so the driver
@@ -381,6 +393,15 @@ object RelationalOps {
            WHERE b.depth < 5
          )
          SELECT node, CAST(min(depth) AS BIGINT) AS depth FROM bfs GROUP BY node""",
+
+    "q49_segment_revenue" ->
+      """SELECT c.c_mktsegment, l.l_returnflag,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY c.c_mktsegment, l.l_returnflag""",
 
     "q40_rollup" ->
       """SELECT coalesce(r.r_name, 'ALL') AS region,
