@@ -51,6 +51,46 @@ object EventStream {
   final case class SessionUpdate(user_id: Long, session_id: Long,
                                  n_events: Long, start_us: Long, end_us: Long)
 
+  /** Event-time variant of [[sessionize]]: sessions also CLOSE when the
+    * watermark passes their last event + gap, via EventTimeTimeout — the
+    * production shape where an idle user's final session must flush
+    * without waiting for their next event. Input rows need `ts`
+    * (timestamp, watermarked by the caller) alongside `ts_us`.
+    */
+  def sessionizeEventTime(events: org.apache.spark.sql.Dataset[TimedSessionEvent],
+                          gapUs: Long): org.apache.spark.sql.Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[TimedSessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(
+              SessionUpdate(userId, st.sessionId, st.nEvents, st.startUs, st.lastTsUs))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
+            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
+            sorted.foreach { e =>
+              st = if (st.lastTsUs == Long.MinValue || e.ts_us - st.lastTsUs > gapUs) {
+                if (st.nEvents > 0)
+                  out += SessionUpdate(userId, st.sessionId, st.nEvents, st.startUs, st.lastTsUs)
+                SessionState(st.sessionId + 1, e.ts_us, 1L, e.ts_us)
+              } else SessionState(st.sessionId, e.ts_us, st.nEvents + 1, st.startUs)
+            }
+            state.update(st)
+            // close the open session once the watermark passes last + gap
+            state.setTimeoutTimestamp((st.lastTsUs + gapUs) / 1000L + 1L)
+            out.iterator
+          }
+      }
+  }
+
+  final case class TimedSessionEvent(event_id: Long, ts: java.sql.Timestamp,
+                                     ts_us: Long, user_id: Long)
+
   /** Stateful gap-based sessionization via `flatMapGroupsWithState` —
     * the custom-state streaming form of `q30_sessionize`. Each user's
     * state carries (current session id, last event time); a gap >
