@@ -81,15 +81,28 @@ class TableStore(spark: SparkSession, root: String) {
     val dir = tableDir(table)
     val f = fs(dir)
     f.mkdirs(dir)
-    val next = generations(table).lastOption.map(_._1 + 1).getOrElse(0L)
-    val tmp = new Path(dir, f"_tmp-g$next%07d-$kind")
-    val dest = new Path(dir, f"g$next%07d-$kind")
+    // tmp dir is writer-unique (a shared name would let two concurrent
+    // writers clobber each other's files mid-write); the generation slot
+    // is claimed by the atomic rename, retried under a fresh number if
+    // another writer took it first — optimistic concurrency, like any
+    // log-structured table format's commit protocol
+    val tmp = new Path(dir, s"_tmp-${java.util.UUID.randomUUID().toString}")
     val writer = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(tmp.toString)
-    if (!f.rename(tmp, dest))
-      throw new IllegalStateException(s"atomic commit failed: $tmp -> $dest")
+    var attempts = 0
+    var committed = -1L
+    while (committed < 0) {
+      attempts += 1
+      val next = generations(table).lastOption.map(_._1 + 1).getOrElse(0L)
+      val dest = new Path(dir, f"g$next%07d-$kind")
+      if (f.rename(tmp, dest)) committed = next
+      else if (attempts >= 20) {
+        f.delete(tmp, true)
+        throw new IllegalStateException(s"atomic commit failed after $attempts tries: $dest")
+      }
+    }
     if (kind == "full") // GC superseded generations
-      generations(table).filter(_._1 < next).foreach(g => f.delete(g._3, true))
+      generations(table).filter(_._1 < committed).foreach(g => f.delete(g._3, true))
   }
 }

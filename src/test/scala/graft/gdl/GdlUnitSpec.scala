@@ -138,6 +138,33 @@ class TableStoreSpec extends AnyFunSuite {
     store.append("t", Seq(11).toDF("x"))
     assert(store.read("t").get.as[Int].collect().sorted.toSeq == Seq(9, 10, 11))
   }
+
+  test("concurrent appends from two writers never lose rows") {
+    val root = java.nio.file.Files.createTempDirectory("store-conc").toString
+    // two TableStore instances over the same dir ≙ two writer processes
+    val a = new TableStore(spark, root)
+    val b = new TableStore(spark, root)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    // generation-name races surface as rename failures (atomic commit);
+    // retry like any optimistic-concurrency writer would
+    def appendWithRetry(s: TableStore, v: Int): Unit = {
+      var done = false
+      while (!done) {
+        try { s.append("t", Seq(v).toDF("x")); done = true }
+        catch { case _: IllegalStateException => () }
+      }
+    }
+    val fs = (1 to 6).map { i =>
+      Future { appendWithRetry(if (i % 2 == 0) a else b, i) }
+    }
+    Await.result(Future.sequence(fs), 120.seconds)
+    pool.shutdown()
+    assert(a.read("t").get.as[Int].collect().sorted.toSeq == (1 to 6))
+  }
 }
 
 class DatasetServiceSpec extends AnyFunSuite {
