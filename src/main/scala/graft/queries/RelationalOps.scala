@@ -242,6 +242,49 @@ object RelationalOps {
         .filter(col("rank") <= 3)
     }),
 
+    // User-facing semi/anti joins (SURVEY §2.3 notes the reference only
+    // has internal anti-join shapes; the engine exposes them properly):
+    // customers WITH urgent orders, minus those with any 'F' order.
+    "q51_semi_anti_join" -> ((s, d) => {
+      val customer = Tables.load(s, d, "customer")
+      val orders = Tables.load(s, d, "orders")
+      val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val finished = orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+      customer
+        .join(urgent, customer("c_custkey") === urgent("o_custkey"), "left_semi")
+        .join(finished, customer("c_custkey") === finished("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }),
+
+    // Set operations (absent in the reference, first-class here):
+    // suppliers' nations INTERSECT customers' nations, minus EUROPE's.
+    "q52_set_ops" -> ((s, d) => {
+      val supplierNations = Tables.load(s, d, "supplier")
+        .select(col("s_nationkey").as("nationkey")).distinct()
+      val customerNations = Tables.load(s, d, "customer")
+        .select(col("c_nationkey").as("nationkey")).distinct()
+      val nation = Tables.load(s, d, "nation")
+      val europe = nation.filter(col("n_regionkey") === 3)
+        .select(col("n_nationkey").as("nationkey"))
+      supplierNations.intersect(customerNations)
+        .except(europe)
+        .join(nation, col("nationkey") === nation("n_nationkey"))
+        .select(col("nationkey"), col("n_name"))
+    }),
+
+    // Binary-column hashing (O-10/O-17 over real BINARY, not strings):
+    // the media/asset bytes path. sha2-512 also works Spark-side but the
+    // oracle engine lacks it, so only the provable columns are emitted.
+    "q53_binary_hash" -> ((s, d) => {
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+        .select(col("doc_id"),
+          octet_length(col("blob")).cast("long").as("n_bytes"),
+          sha2(col("blob"), 256).as("sha256_hex"))
+    }),
+
     // The flagship analytics shape (same as SparkEntry.entry): fact table
     // joined through two dimensions with a broadcast, decimal-exact agg.
     "q49_segment_revenue" -> ((s, d) => {
@@ -393,6 +436,32 @@ object RelationalOps {
            WHERE b.depth < 5
          )
          SELECT node, CAST(min(depth) AS BIGINT) AS depth FROM bfs GROUP BY node""",
+
+    "q51_semi_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority = '1-URGENT')
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderstatus = 'F')""",
+
+    "q52_set_ops" ->
+      """WITH sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier),
+          cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+          eu AS (SELECT n_nationkey AS nationkey FROM nation WHERE n_regionkey = 3),
+          keep AS (SELECT nationkey FROM sn
+                   INTERSECT SELECT nationkey FROM cn
+                   EXCEPT SELECT nationkey FROM eu)
+          SELECT k.nationkey, n.n_name
+          FROM keep k JOIN nation n ON n.n_nationkey = k.nationkey""",
+
+    "q53_binary_hash" ->
+      """SELECT doc_id,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                sha256(text) AS sha256_hex
+         FROM documents""",
 
     "q49_segment_revenue" ->
       """SELECT c.c_mktsegment, l.l_returnflag,
