@@ -49,16 +49,15 @@ class ImportPipeline(spark: SparkSession, store: TableStore,
           (Some(false), "Pending", "Pending")
         }
 
-      store.overwrite("import_executions",
-        store.read("import_executions").get.as[ImportExecutionRow]
-          .collect().toSeq
-          .map(r => if (r.execution_id == executionId)
-            r.copy(sfn_status = "Succeeded",
-                   validation_success = validationSuccess,
-                   metadata_upload_status = metaStatus,
-                   asset_upload_status = assetStatus)
-          else r)
-          .toDS().toDF())
+      // completion is an O(1) status-delta append — readers resolve
+      // last-wins on state_seq (the full-collect-and-rewrite alternative
+      // costs O(all executions ever) per run and collects to the driver)
+      store.append("import_executions", Seq(exec.copy(
+        state_seq = 1L,
+        sfn_status = "Succeeded",
+        validation_success = validationSuccess,
+        metadata_upload_status = metaStatus,
+        asset_upload_status = assetStatus)).toDS().toDF())
       executionId
     }
 

@@ -1,6 +1,7 @@
 package graft.gdl
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, desc}
 
 /** Import-status report ≙ GET /import-status
   * (/root/reference/backend/import_status/get.py:39-107).
@@ -26,8 +27,13 @@ class ImportStatus(spark: SparkSession, store: TableStore) {
   import spark.implicits._
 
   def get(executionId: String): Either[String, Report] = {
+    // column predicate (not a typed closure) so the lookup prunes at the
+    // parquet scan; the newest status-delta row wins (see model.scala)
     val exec = store.read("import_executions")
-      .map(_.as[ImportExecutionRow].filter(_.execution_id == executionId).collect())
+      .map(_.filter(col("execution_id") === executionId)
+        .orderBy(desc("state_seq"), desc("started_at"))
+        .limit(1)
+        .as[ImportExecutionRow].collect())
       .getOrElse(Array.empty)
       .headOption
       .toRight(s"execution '$executionId' does not exist")
@@ -60,11 +66,26 @@ class ImportStatus(spark: SparkSession, store: TableStore) {
         assetStatus = "Skipped"
       }
 
+      // per-section upload failures from the copy report ≙ the per-job
+      // S3 Batch FailureReasons the reference surfaces
+      // (backend/import_status/get.py:140-155); message = the copy
+      // fleet's result_string, like the report CSV rows
+      def uploadErrors(assetType: String): Seq[ValidationError] =
+        store.read("import_reports").map { df =>
+          df.filter(col("dataset_id") === e.dataset_id &&
+                    col("version_id") === e.version_id &&
+                    col("asset_type") === assetType &&
+                    col("result_code") =!= "Succeeded")
+            .as[CopyResult].collect().toSeq.sortBy(_.url)
+            .map(r => ValidationError("copy", r.result_code, r.url,
+              Map("message" -> r.result_string, "new_key" -> r.new_key)))
+        }.getOrElse(Seq.empty)
+
       Report(
         stepFunction = e.sfn_status,
         validation = StatusSection(validationOutcome, errors),
-        metadataUpload = StatusSection(metaStatus, Seq.empty),
-        assetUpload = StatusSection(assetStatus, Seq.empty))
+        metadataUpload = StatusSection(metaStatus, uploadErrors("METADATA")),
+        assetUpload = StatusSection(assetStatus, uploadErrors("DATA")))
     }
   }
 }

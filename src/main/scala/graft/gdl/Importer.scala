@@ -21,9 +21,12 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * outcomes are returned as rows — the analogue of the S3 Batch report
   * CSV (task.py:133-139) — with the reference's PermanentFailure coding.
   */
-/** Per-file copy outcome ≙ one row of the S3 Batch report CSV. */
+/** Per-file copy outcome ≙ one row of the S3 Batch report CSV.
+  * `asset_type` identifies which upload job (METADATA/DATA) the row
+  * belongs to, so ImportStatus can surface failures per section like the
+  * reference's per-job FailureReasons (import_status/get.py:140-155). */
 final case class CopyResult(
-    dataset_id: String, version_id: String, url: String,
+    dataset_id: String, version_id: String, asset_type: String, url: String,
     new_key: String, result_code: String, result_string: String)
 
 class Importer(spark: SparkSession, storageRoot: String) extends Serializable {
@@ -86,10 +89,11 @@ class Importer(spark: SparkSession, storageRoot: String) extends Serializable {
               while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
             }
           } finally { in.close(); out.close() }
-          CopyResult(a.dataset_id, a.version_id, a.url, newKey, "Succeeded", "")
+          CopyResult(a.dataset_id, a.version_id, a.asset_type, a.url, newKey,
+            "Succeeded", "")
         } catch {
           case e: Exception =>
-            CopyResult(a.dataset_id, a.version_id, a.url, newKey,
+            CopyResult(a.dataset_id, a.version_id, a.asset_type, a.url, newKey,
               "PermanentFailure", s"Exception: ${e.getMessage}")
         }
       }

@@ -32,7 +32,9 @@ class StacCrawler(reader: UrlReader) {
   private class Abort extends RuntimeException
 
   def run(datasetId: String, versionId: String, metadataUrl: String): CrawlOutput = {
-    val traversed = mutable.ArrayBuffer.empty[String]
+    // LinkedHashSet: O(1) membership (the cycle guard runs once per link)
+    // while preserving discovery order, unlike the reference's O(n) list
+    val traversed = mutable.LinkedHashSet.empty[String]
     val metadataUrls = mutable.ArrayBuffer.empty[String]
     val assets = mutable.ArrayBuffer.empty[(String, String)] // (url, multihash)
     val validations = mutable.ArrayBuffer.empty[ValidationRow]
@@ -98,7 +100,7 @@ class StacCrawler(reader: UrlReader) {
         var i = 0
         while (i < links.size()) {
           val next = resolve(links.get(i).get("href").asText, url)
-          if (!traversed.contains(next)) validate(next)
+          if (!traversed(next)) validate(next)
           i += 1
         }
       }

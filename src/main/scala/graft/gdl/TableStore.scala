@@ -2,6 +2,7 @@ package graft.gdl
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, desc, row_number}
 
 /** Parquet-backed table store with atomic, generation-versioned commits —
   * the engine's replacement for the reference's three DynamoDB tables
@@ -21,8 +22,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reading a manifest table. At 100 TB the per-table dir becomes a
   * partitioned layout (`dataset_id=` subdirs) with the same commit
   * protocol per partition.
+  *
+  * Retention: superseded generations are NOT deleted at commit time —
+  * a concurrent reader (or a retained lazy DataFrame re-evaluated across
+  * several actions) may still hold their file paths. They are GC'd only
+  * once older than `gcGraceMs` (checked on later commits or an explicit
+  * [[gc]]), the same grace-period discipline Delta/Iceberg use for
+  * vacuum. Delta count per table is bounded: an append that leaves more
+  * than `autoCompactDeltas` deltas since the last full generation folds
+  * them into a new full generation, so read-time file listings stay O(1)
+  * amortized no matter how many appends a table sees.
+  *
+  * @param autoCompactDeltas compact when an append leaves more than this
+  *                          many deltas since the last full generation
+  * @param gcGraceMs minimum age before a superseded generation is deleted
   */
-class TableStore(spark: SparkSession, root: String) {
+class TableStore(spark: SparkSession, root: String,
+                 autoCompactDeltas: Int = 64,
+                 gcGraceMs: Long = 10L * 60 * 1000) {
 
   private def fs(p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -58,23 +75,60 @@ class TableStore(spark: SparkSession, root: String) {
 
   def isEmptyTable(table: String): Boolean = read(table).forall(_.isEmpty)
 
+  /** Last-wins resolution for tables maintained as status-delta appends
+    * (e.g. `import_executions`): the row with the highest `seqCol` per
+    * key. One window shuffle keyed on the key columns — point lookups
+    * should instead filter on the key FIRST (parquet pushdown) and take
+    * `ORDER BY seqCol DESC LIMIT 1`, as ImportStatus.get does. */
+  def readLatestBy(table: String, keyCols: Seq[String],
+                   seqCol: String): Option[DataFrame] =
+    read(table).map { df =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*).orderBy(desc(seqCol))
+      df.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+    }
+
   /** Append rows as a new delta generation (no read-modify-write).
     * `partitionBy` lays the generation out as `col=value/` subdirs so
     * reads with equality predicates on those columns prune whole
     * directories — the 100 TB layout for processing_assets /
     * validation_results is `partitionBy("dataset_id")` (SURVEY §7.4 #7). */
-  def append(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
+  def append(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     commit(table, df, "delta", partitionBy)
+    // bound read-time listings: fold long delta chains into a new full gen
+    val gens = generations(table)
+    val lastFull = gens.lastIndexWhere(_._2 == "full")
+    if (gens.size - 1 - lastFull > autoCompactDeltas) compact(table, partitionBy)
+  }
 
   /** Replace table contents (new full generation supersedes the past). */
   def overwrite(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
     commit(table, df, "full", partitionBy)
 
   /** Compaction: fold the current generations into one full generation
-    * (same contents, one pass) — run periodically so reads stop paying
-    * per-delta file listings; superseded generations are GC'd. */
+    * (same contents, one pass) — runs automatically once a table
+    * accumulates `autoCompactDeltas` deltas; superseded generations are
+    * deleted lazily by [[gc]] after the grace period. */
   def compact(table: String, partitionBy: Seq[String] = Nil): Unit =
     read(table).foreach(df => overwrite(table, df, partitionBy))
+
+  /** Delete superseded generations (those older than the newest full
+    * generation) that are past the grace period. Safe to run any time:
+    * a generation younger than `gcGraceMs` is never touched, so lazy
+    * DataFrames created before the supersession keep resolving. */
+  def gc(table: String): Unit = {
+    val gens = generations(table)
+    val lastFull = gens.lastIndexWhere(_._2 == "full")
+    if (lastFull > 0) {
+      val dir = tableDir(table)
+      val f = fs(dir)
+      val cutoff = System.currentTimeMillis() - gcGraceMs
+      gens.take(lastFull)
+        .filter(g => f.getFileStatus(g._3).getModificationTime < cutoff)
+        .foreach(g => f.delete(g._3, true))
+    }
+  }
 
   private def commit(table: String, df: DataFrame, kind: String,
                      partitionBy: Seq[String] = Nil): Unit = {
@@ -102,7 +156,8 @@ class TableStore(spark: SparkSession, root: String) {
         throw new IllegalStateException(s"atomic commit failed after $attempts tries: $dest")
       }
     }
-    if (kind == "full") // GC superseded generations
-      generations(table).filter(_._1 < committed).foreach(g => f.delete(g._3, true))
+    // superseded generations are GC'd lazily (grace period) — deleting
+    // them here would break concurrent readers holding their file paths
+    if (kind == "full") gc(table)
   }
 }

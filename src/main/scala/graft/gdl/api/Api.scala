@@ -26,13 +26,23 @@ class Api(spark: SparkSession, store: TableStore, reader: UrlReader,
   private val status = new ImportStatus(spark, store)
   private def datasets = pipeline.datasets
 
-  private def err(code: Int, message: String): Response =
-    Response(code, s"""{"message": "${message.replace("\"", "\\\"")}"}""")
+  // Jackson-built bodies: user-echoed text (titles, parse errors) may
+  // contain backslashes/newlines/quotes — string interpolation would
+  // produce malformed JSON for those
+  private def err(code: Int, message: String): Response = {
+    val o = nodes.objectNode()
+    o.put("message", message)
+    Response(code, o.toString)
+  }
 
-  private def datasetJson(d: DatasetRow): String =
-    s"""{"id": "${d.id}", "title": "${d.title}",
-       | "created_at": "${d.created_at.toInstant}",
-       | "updated_at": "${d.updated_at.toInstant}"}""".stripMargin
+  private def datasetJson(d: DatasetRow): String = {
+    val o = nodes.objectNode()
+    o.put("id", d.id)
+    o.put("title", d.title)
+    o.put("created_at", d.created_at.toInstant.toString)
+    o.put("updated_at", d.updated_at.toInstant.toString)
+    o.toString
+  }
 
   /** Datasets endpoint ≙ backend/datasets/entrypoint.py. */
   def datasetsEndpoint(httpMethod: String, bodyJson: String): Response = {

@@ -36,6 +36,14 @@ object StacValidator {
       .orElse(requireString(n, "id"))
       .orElse(requireString(n, "description"))
       .orElse(requireLinks(n))
+      // assets are optional on Catalog/Collection, but when present the
+      // crawler harvests them (utils.py:119-124 walks assets of every doc
+      // type), so href/file:checksum must validate for ALL types — a
+      // malformed catalog asset must surface as a JSON-schema failure
+      // row, not a crawler crash
+      .orElse(if (n.has("assets"))
+        requireObject(n, "assets").orElse(validateAssets(n))
+      else None)
 
   private def validateItem(n: JsonNode): Option[String] =
     requireString(n, "type")

@@ -35,7 +35,14 @@ final case class ValidationRow(
     details: Map[String, String])
 
 /** `import_executions` ≙ the Step Function execution record consumed by
-  * backend/import_status/get.py:57-94. */
+  * backend/import_status/get.py:57-94.
+  *
+  * Status changes are DELTA APPENDS, not rewrites: each update appends a
+  * new row with a higher `state_seq` and readers resolve last-wins per
+  * `execution_id` (ImportStatus filters + `ORDER BY state_seq DESC LIMIT
+  * 1`; bulk reads use [[TableStore.readLatestBy]]). Completing a run is
+  * therefore O(1) regardless of how many executions exist — the
+  * full-collect-and-overwrite alternative is O(history) per run. */
 final case class ImportExecutionRow(
     execution_id: String,
     dataset_id: String,
@@ -45,7 +52,8 @@ final case class ImportExecutionRow(
     sfn_status: String,                  // Running | Succeeded | Failed
     validation_success: Option[Boolean], // None until summary ran
     metadata_upload_status: String,      // Pending | Complete | Failed | Skipped
-    asset_upload_status: String)
+    asset_upload_status: String,
+    state_seq: Long = 0L)                // delta sequence; highest wins
 
 /** Check-name vocabulary ≙ backend/check.py:4-10. Note the reference
   * maps DUPLICATE_OBJECT_KEY to the literal "duplicate asset name". */

@@ -108,8 +108,10 @@ object Dedup {
     * round every node takes the min label among itself and its
     * neighbors; converges in ≤ graph-diameter rounds (dup clusters are
     * tiny — pairs/triples — so 2-3 rounds in practice). Per-round cost
-    * is one equi-join + one aggregate, both shuffle-keyed on the node
-    * id; labels are persisted and the loop stops when no label changes.
+    * is ONE equi-join + one aggregate, both shuffle-keyed on the node
+    * id, and ONE action: the old label travels alongside the new one so
+    * convergence is a count over the already-materialized round output —
+    * no separate compare-join job per round.
     *
     * Input: (id_a, id_b) pairs. Output: (doc_id, cluster_id) for every
     * node that appears in some pair. */
@@ -117,9 +119,10 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
+    var persisted = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = persisted
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -128,14 +131,17 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val next = labels.withColumnRenamed("label", "old")
+        .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          least(col("old"), coalesce(col("nbr_label"), col("old"))).as("label"),
+          col("old"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).limit(1).isEmpty
-      labels.unpersist(false)
-      labels = next
+      // one job: materializes the persist AND answers convergence
+      converged = next.filter(col("label") =!= col("old")).count() == 0
+      persisted.unpersist(false)
+      persisted = next
+      labels = next.select(col("id"), col("label")) // drop `old` for the next rename
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }

@@ -44,7 +44,7 @@ class ApiSpec extends AnyFunSuite {
     val created = api.datasetsEndpoint("POST", """{"title": "Auckland_2020"}""")
     assert(created.statusCode == 201 && created.body.contains("Auckland_2020"))
     assert(api.datasetsEndpoint("POST", """{"title": "Auckland_2020"}""").statusCode == 409)
-    val id = "\"id\": \"([^\"]+)\"".r.findFirstMatchIn(created.body).get.group(1)
+    val id = "\"id\":\\s*\"([^\"]+)\"".r.findFirstMatchIn(created.body).get.group(1)
     assert(api.datasetsEndpoint("GET", s"""{"id": "$id"}""").statusCode == 200)
     assert(api.datasetsEndpoint("GET", """{"id": "nope"}""").statusCode == 404)
     assert(api.datasetsEndpoint("GET", """{"title": "Auckland_2020"}""").statusCode == 200)
@@ -59,14 +59,14 @@ class ApiSpec extends AnyFunSuite {
   test("version creation + import status round trip") {
     val api = freshApi()
     val created = api.datasetsEndpoint("POST", """{"title": "V_Test"}""")
-    val id = "\"id\": \"([^\"]+)\"".r.findFirstMatchIn(created.body).get.group(1)
+    val id = "\"id\":\\s*\"([^\"]+)\"".r.findFirstMatchIn(created.body).get.group(1)
 
     assert(api.datasetVersionsEndpoint("POST", """{"id": "nope",
       "metadata-url": "s3://staging/cat.json"}""").statusCode == 404)
     val ver = api.datasetVersionsEndpoint("POST",
       s"""{"id": "$id", "metadata-url": "s3://staging/cat.json"}""")
     assert(ver.statusCode == 201)
-    val arn = "\"execution_arn\": \"([^\"]+)\"".r.findFirstMatchIn(ver.body).get.group(1)
+    val arn = "\"execution_arn\":\\s*\"([^\"]+)\"".r.findFirstMatchIn(ver.body).get.group(1)
 
     val st = api.importStatusEndpoint("GET", s"""{"execution_arn": "$arn"}""")
     assert(st.statusCode == 200)

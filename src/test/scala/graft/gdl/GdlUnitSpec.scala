@@ -139,6 +139,49 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.read("t").get.as[Int].collect().sorted.toSeq == Seq(9, 10, 11))
   }
 
+  test("readLatestBy resolves the highest seq per key (status-delta reads)") {
+    val root = java.nio.file.Files.createTempDirectory("store-latest").toString
+    val store = new TableStore(spark, root)
+    store.append("t", Seq(("e1", 0L, "Running"), ("e2", 0L, "Running")).toDF("id", "seq", "st"))
+    store.append("t", Seq(("e1", 1L, "Succeeded")).toDF("id", "seq", "st"))
+    val latest = store.readLatestBy("t", Seq("id"), "seq").get
+      .select("id", "st").as[(String, String)].collect().sorted.toSeq
+    assert(latest == Seq(("e1", "Succeeded"), ("e2", "Running")))
+  }
+
+  private def genDirs(root: String, table: String): Seq[String] = {
+    val d = new java.io.File(root, table)
+    Option(d.listFiles()).fold(Seq.empty[String])(
+      _.map(_.getName).filter(_.startsWith("g")).sorted.toSeq)
+  }
+
+  test("auto-compaction bounds delta count without changing contents") {
+    val root = java.nio.file.Files.createTempDirectory("store-ac").toString
+    val store = new TableStore(spark, root, autoCompactDeltas = 3, gcGraceMs = 0L)
+    (1 to 10).foreach(i => store.append("t", Seq(i).toDF("x")))
+    assert(store.read("t").get.as[Int].collect().sorted.toSeq == (1 to 10))
+    // listings stay bounded: at most one full gen + autoCompactDeltas deltas
+    assert(genDirs(root, "t").size <= 4)
+    assert(genDirs(root, "t").exists(_.endsWith("-full")))
+  }
+
+  test("superseded generations survive the GC grace period for live readers") {
+    val root = java.nio.file.Files.createTempDirectory("store-grace").toString
+    val store = new TableStore(spark, root) // default grace: 10 min
+    store.append("t", Seq(1, 2).toDF("x"))
+    val before = store.read("t").get // lazy plan holding g0's files
+    store.overwrite("t", Seq(9).toDF("x"))
+    // overwrite supersedes g0 but must NOT delete it inside the grace
+    // period — the retained reader still resolves
+    assert(before.as[Int].collect().sorted.toSeq == Seq(1, 2))
+    assert(store.read("t").get.as[Int].collect().toSeq == Seq(9))
+    // with the grace elapsed (simulated by grace=0) gc drops superseded gens
+    val eager = new TableStore(spark, root, gcGraceMs = 0L)
+    eager.gc("t")
+    assert(genDirs(root, "t").size == 1)
+    assert(eager.read("t").get.as[Int].collect().toSeq == Seq(9))
+  }
+
   test("concurrent appends from two writers never lose rows") {
     val root = java.nio.file.Files.createTempDirectory("store-conc").toString
     // two TableStore instances over the same dir ≙ two writer processes

@@ -145,6 +145,67 @@ class PipelineE2ESpec extends AnyFunSuite {
         e.details("message") == "'license' is a required property"))
   }
 
+  test("copy failure surfaces per-file errors in the asset-upload section") {
+    // validation reads asset1.bin once (checksum passes); the import
+    // copy re-opens it and the injected fault fires ≙ an S3 Batch task
+    // failing after validation succeeded — the exact scenario the
+    // reference reports via per-job FailureReasons (import_status/
+    // get.py:140-155)
+    val tables = java.nio.file.Files.createTempDirectory("gdl-tables").toString
+    val storage = java.nio.file.Files.createTempDirectory("gdl-storage").toString
+    PipelineE2ESpec.opensOfAsset1.set(0)
+    val flaky = new FlakyAsset1Reader(stacGraph())
+    val pipeline = new ImportPipeline(spark, new TableStore(spark, tables),
+      flaky, storage, new Random(42))
+    val status = new ImportStatus(spark, new TableStore(spark, tables))
+
+    val ds = pipeline.datasets.create("Copy_Fail", t0).toOption.get
+    val execId = pipeline.run(ds.id, "s3://staging/data/catalog.json",
+      t0.plusSeconds(60)).toOption.get
+    val report = status.get(execId).toOption.get
+    assert(report.validation.status == "Passed")
+    assert(report.metadataUpload.status == "Complete")
+    assert(report.metadataUpload.errors.isEmpty)
+    assert(report.assetUpload.status == "Failed")
+    val err = report.assetUpload.errors match {
+      case Seq(only) => only
+      case other => fail(s"expected exactly one upload error, got $other")
+    }
+    assert(err.url == "s3://staging/data/asset1.bin")
+    assert(err.result == "PermanentFailure")
+    assert(err.details("message") == "Exception: injected copy failure")
+    assert(err.details("new_key").endsWith("/asset1.bin"))
+  }
+
+  test("status updates are O(1) delta appends, not history rewrites") {
+    def executionGens(tables: String): Seq[String] = {
+      val d = new java.io.File(tables, "import_executions")
+      Option(d.listFiles()).fold(Seq.empty[String])(
+        _.map(_.getName).filter(_.startsWith("g")).sorted.toSeq)
+    }
+    val tables = java.nio.file.Files.createTempDirectory("gdl-tables").toString
+    val storage = java.nio.file.Files.createTempDirectory("gdl-storage").toString
+    val store = new TableStore(spark, tables)
+    val pipeline = new ImportPipeline(spark, store,
+      new InMemoryUrlReader(stacGraph()), storage, new Random(42))
+    val ds = pipeline.datasets.create("Delta_Cost", t0).toOption.get
+
+    pipeline.run(ds.id, "s3://staging/data/catalog.json", t0.plusSeconds(60))
+    val afterFirst = executionGens(tables).size
+    pipeline.run(ds.id, "s3://staging/data/catalog.json", t0.plusSeconds(120))
+    val afterSecond = executionGens(tables).size
+    // per-run commit cost is constant (start + completion deltas) and
+    // independent of how many executions already exist
+    assert(afterFirst == 2 && afterSecond == 4)
+    assert(executionGens(tables).forall(_.endsWith("-delta")))
+    // last-wins resolution sees exactly one (terminal) row per execution
+    val latest = store.readLatestBy("import_executions",
+      Seq("execution_id"), "state_seq").get
+    assert(latest.count() == 2)
+    import org.apache.spark.sql.functions.col
+    assert(latest.filter(col("sfn_status") === "Succeeded").count() == 2)
+  }
+
   test("duplicate JSON key recorded but traversal continues (first wins)") {
     val docs = stacGraph() + ("s3://staging/data/item.json" ->
       s"""{"type":"Feature","stac_version":"1.0.0-rc.3","id":"item1",
@@ -163,5 +224,24 @@ class PipelineE2ESpec extends AnyFunSuite {
     val dup = report.validation.errors.find(_.check == Check.DuplicateObjectKey).get
     assert(dup.details("message") ==
       "Found duplicate object name “id” in “s3://staging/data/item.json”")
+  }
+}
+
+object PipelineE2ESpec {
+  /** JVM-wide open counter: local-mode tasks deserialize their own copy
+    * of the reader, but all share this class-level counter. */
+  val opensOfAsset1 = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+/** Fault-injecting reader: the first open of asset1.bin (the checksum
+  * read) succeeds, any re-open (the import copy) fails — top-level class
+  * so serializing it does not drag the spec instance along. */
+private class FlakyAsset1Reader(docs: Map[String, Array[Byte]])
+    extends InMemoryUrlReader(docs) {
+  override def open(url: String): java.io.InputStream = {
+    if (url.endsWith("asset1.bin") &&
+        PipelineE2ESpec.opensOfAsset1.incrementAndGet() > 1)
+      throw new java.io.IOException("injected copy failure")
+    super.open(url)
   }
 }
