@@ -125,21 +125,38 @@ object Similarity {
 
   /** ANN top-k restricted to same-bucket candidates: equi-join on the
     * bucket key replaces the cross product. Output like [[topK]] plus
-    * the bucket; recall < 1 by construction. */
+    * the candidate's bucket; recall < 1 by construction.
+    *
+    * `probeHamming1 = true` turns on multiprobe: each query also probes
+    * every bucket at Hamming distance 1 from its own (one hyperplane
+    * sign flipped — the buckets where borderline near-neighbors land).
+    * The probe list is a query-side explode (queries are the broadcast
+    * side, so it multiplies the tiny side by nPlanes+1, never the
+    * corpus scan); candidates stay an equi-join on the bucket key. The
+    * standard recall/cost dial: nPlanes+1 of 2^nPlanes buckets probed
+    * instead of 1, so more planes + multiprobe beats fewer planes at
+    * the SAME candidate count with materially higher recall (measured
+    * by q55 vs q50). */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nPlanes: Int, dim: Int): DataFrame = {
+              nPlanes: Int, dim: Int,
+              probeHamming1: Boolean = false): DataFrame = {
     val qb = hyperplaneBuckets(queries, nPlanes, dim)
       .withColumnRenamed("vec_id", "query_id")
       .join(queries.select(col("id").as("query_id"), col("embedding").as("q_emb"),
                            norm(col("embedding")).as("q_norm")),
             Seq("query_id"))
+    val probes =
+      if (!probeHamming1) qb.withColumn("probe", col("bucket"))
+      else qb.withColumn("probe", explode(array(
+        col("bucket") +:
+          (0 until nPlanes).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)))
     val cb = hyperplaneBuckets(corpus, nPlanes, dim)
       .join(corpus.select(col("id").as("vec_id"), col("embedding").as("c_emb"),
                           norm(col("embedding")).as("c_norm")),
             Seq("vec_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    cb.join(broadcast(qb), Seq("bucket"))
+    cb.join(broadcast(probes.drop("bucket")), col("bucket") === col("probe"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("bucket"),
               (dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))

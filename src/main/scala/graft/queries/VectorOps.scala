@@ -73,6 +73,26 @@ object VectorOps {
                 (col("n_hits").cast("double") / 5.0).as("recall_at_5"))
     }),
 
+    // Multiprobe ANN quality: recall@5 with 4 planes + Hamming-1 probes
+    // (5/16 of buckets probed ≈ q50's 1/4 candidate fraction, so the
+    // recall gain over q50 comes from probing the RIGHT buckets, not
+    // from scanning more of the corpus).
+    "q55_ann_multiprobe" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") < 5L)
+      val exact = Similarity.topK(q, e, k = 5)
+        .select(col("query_id"), col("vec_id"))
+      val ann = Similarity.annTopK(q, e, k = 5, nPlanes = 4, dim = 64,
+          probeHamming1 = true)
+        .select(col("query_id"), col("vec_id"))
+      exact.join(ann, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+                (col("n_hits").cast("double") / 5.0).as("recall_at_5"))
+    }),
+
     // IVF cell assignment: coarse centroids = embeddings of vec_id < 8
     // (stand-in for offline-trained centroids), one broadcast pass.
     "q38_ivf_assign" -> ((s, d) => {
@@ -214,6 +234,47 @@ object VectorOps {
                              (${dotSql("q.q_emb", "c.embedding")})
                                / (q.q_norm * c.nrm) DESC, c.vec_id) AS rank
                     FROM v c JOIN q ON q.bucket = c.bucket
+                    WHERE c.vec_id <> q.query_id) WHERE rank <= 5)
+          SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits,
+                 CAST(count(*) AS DOUBLE) / 5.0 AS recall_at_5
+          FROM exact e JOIN ann a
+            ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+          GROUP BY e.query_id"""
+    },
+
+    "q55_ann_multiprobe" -> {
+      val planeSql = (j: Int) =>
+        s"""list_transform(range(1, 65),
+              i -> (CAST('0x' || substr(md5('${j}_' || CAST(i AS VARCHAR)), 1, 4)
+                         AS BIGINT) - 32768) / 32768.0)"""
+      val bits = (0 until 4).map { j =>
+        s"""CASE WHEN (SELECT ${dotSql("e.embedding", "p")}
+                       FROM (SELECT ${planeSql(j)} AS p)) >= 0.0
+                 THEN ${1L << j} ELSE 0 END"""
+      }.mkString(" + ")
+      val probeList = ("q.bucket" +:
+        (0 until 4).map(j => s"xor(q.bucket, CAST(${1L << j} AS BIGINT))"))
+        .mkString(", ")
+      s"""WITH v AS (SELECT vec_id, embedding,
+                            CAST($bits AS BIGINT) AS bucket,
+                            sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
+                     FROM embeddings e),
+          q AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_norm,
+                       bucket FROM v WHERE vec_id < 5),
+          exact AS (SELECT query_id, vec_id FROM (
+                      SELECT q.query_id, c.vec_id,
+                             row_number() OVER (PARTITION BY q.query_id ORDER BY
+                               (${dotSql("q.q_emb", "c.embedding")})
+                                 / (q.q_norm * c.nrm) DESC, c.vec_id) AS rank
+                      FROM v c CROSS JOIN q
+                      WHERE c.vec_id <> q.query_id) WHERE rank <= 5),
+          ann AS (SELECT query_id, vec_id FROM (
+                    SELECT q.query_id, c.vec_id,
+                           row_number() OVER (PARTITION BY q.query_id ORDER BY
+                             (${dotSql("q.q_emb", "c.embedding")})
+                               / (q.q_norm * c.nrm) DESC, c.vec_id) AS rank
+                    FROM v c JOIN q
+                      ON c.bucket IN ($probeList)
                     WHERE c.vec_id <> q.query_id) WHERE rank <= 5)
           SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits,
                  CAST(count(*) AS DOUBLE) / 5.0 AS recall_at_5
