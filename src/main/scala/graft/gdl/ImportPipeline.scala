@@ -66,12 +66,10 @@ class ImportPipeline(spark: SparkSession, store: TableStore,
     // [1] STAC crawl (O-14/O-16/O-18/O-19/O-28)
     val crawl = new StacCrawler(reader).run(dataset.id, versionId, metadataUrl)
     if (crawl.validations.nonEmpty)
-      store.append("validation_results", crawl.validations.toDS().toDF(),
-        partitionBy = Seq("dataset_id"))
+      store.append("validation_results", crawl.validations.toDS().toDF())
     if (!crawl.aborted) {
       val rows = crawl.metadata ++ crawl.assets
-      if (rows.nonEmpty) store.append("processing_assets", rows.toDS().toDF(),
-        partitionBy = Seq("dataset_id"))
+      if (rows.nonEmpty) store.append("processing_assets", rows.toDS().toDF())
     }
 
     // [2]/[3] checksum fan-out over DATA rows (O-21/O-17/O-10), read BACK
@@ -87,8 +85,7 @@ class ImportPipeline(spark: SparkSession, store: TableStore,
       val nData = crawl.assets.size // known from the crawl (≙ O-5 count)
       val assets = manifest.repartition(math.max(1, math.ceil(nData / 10000.0).toInt))
       val checksumRows = ChecksumValidator.validate(spark, assets, reader)
-      store.append("validation_results", checksumRows.toDF(),
-        partitionBy = Seq("dataset_id"))
+      store.append("validation_results", checksumRows.toDF())
 
       // O-24 consistency rule (USAGE.md:76-79): same URL must carry one
       // multihash across all references — engine extension
@@ -130,8 +127,7 @@ class ImportPipeline(spark: SparkSession, store: TableStore,
         try {
           // per-file report ≙ the S3 Batch report CSVs
           // (import_dataset/task.py:133-139)
-          store.append("import_reports", results.toDF(),
-            partitionBy = Seq("dataset_id"))
+          store.append("import_reports", results.toDF())
           val allOk = results.filter(r => r.result_code != "Succeeded").isEmpty
           if (allOk) "Complete" else "Failed"
         } finally { results.unpersist(); () }

@@ -33,13 +33,33 @@ import org.apache.spark.sql.functions.{col, desc, row_number}
   * them into a new full generation, so read-time file listings stay O(1)
   * amortized no matter how many appends a table sees.
   *
+  * Compaction concurrency: compact() snapshots the live generations,
+  * writes them as one full generation, and claims EXACTLY the next
+  * sequence slot after the snapshot via the atomic rename. If any other
+  * writer committed in between, the expected slot is taken (or the
+  * re-listed next slot has moved past it), the staged full generation is
+  * discarded and compaction retries with a fresh snapshot — so a delta
+  * committed concurrently can never land BELOW the full generation that
+  * didn't include it (which would hide it from read() and let gc delete
+  * it). This is the same optimistic detect-conflict-and-retry protocol
+  * log-structured table formats use for RewriteFiles vs Append commits.
+  *
   * @param autoCompactDeltas compact when an append leaves more than this
   *                          many deltas since the last full generation
   * @param gcGraceMs minimum age before a superseded generation is deleted
+  * @param partitioning per-table directory layout (`col=value/` subdirs),
+  *                     applied on EVERY write to that table — appends,
+  *                     overwrites and compactions — so the layout is a
+  *                     property of the table, not of whichever append
+  *                     happened to trigger a compaction
   */
 class TableStore(spark: SparkSession, root: String,
                  autoCompactDeltas: Int = 64,
-                 gcGraceMs: Long = 10L * 60 * 1000) {
+                 gcGraceMs: Long = 10L * 60 * 1000,
+                 partitioning: Map[String, Seq[String]] = TableStore.defaultPartitioning) {
+
+  private def layout(table: String): Seq[String] =
+    partitioning.getOrElse(table, Nil)
 
   private def fs(p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -62,15 +82,24 @@ class TableStore(spark: SparkSession, root: String,
       .sortBy(_._1)
   }
 
+  /** The live generations: the newest full one plus every later delta. */
+  private def liveGenerations(table: String): Seq[(Long, String, Path)] = {
+    val gens = generations(table)
+    val lastFull = gens.lastIndexWhere(_._2 == "full")
+    if (lastFull >= 0) gens.drop(lastFull) else gens
+  }
+
+  private def readGenerations(gens: Seq[(Long, String, Path)]): DataFrame =
+    gens.map(g => spark.read.parquet(g._3.toString))
+      // schema evolution: a generation written before a column existed
+      // reads as null for that column (old and new generations stay
+      // jointly readable; consumers of evolved columns coalesce defaults)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+
   /** Current table contents, or None if never written. */
   def read(table: String): Option[DataFrame] = {
-    val gens = generations(table)
-    if (gens.isEmpty) None
-    else {
-      val lastFull = gens.lastIndexWhere(_._2 == "full")
-      val live = if (lastFull >= 0) gens.drop(lastFull) else gens
-      Some(live.map(g => spark.read.parquet(g._3.toString)).reduce(_ unionByName _))
-    }
+    val gens = liveGenerations(table)
+    if (gens.isEmpty) None else Some(readGenerations(gens))
   }
 
   def isEmptyTable(table: String): Boolean = read(table).forall(_.isEmpty)
@@ -89,29 +118,61 @@ class TableStore(spark: SparkSession, root: String,
         .filter(col("_rn") === 1).drop("_rn")
     }
 
-  /** Append rows as a new delta generation (no read-modify-write).
-    * `partitionBy` lays the generation out as `col=value/` subdirs so
-    * reads with equality predicates on those columns prune whole
-    * directories — the 100 TB layout for processing_assets /
-    * validation_results is `partitionBy("dataset_id")` (SURVEY §7.4 #7). */
-  def append(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
-    commit(table, df, "delta", partitionBy)
-    // bound read-time listings: fold long delta chains into a new full gen
+  /** Append rows as a new delta generation (no read-modify-write). The
+    * table's configured `partitioning` lays the generation out as
+    * `col=value/` subdirs so reads with equality predicates on those
+    * columns prune whole directories — the 100 TB layout for
+    * processing_assets / validation_results is `dataset_id`
+    * (SURVEY §7.4 #7). */
+  def append(table: String, df: DataFrame): Unit = {
+    commit(table, df, "delta", expectedSeq = None)
+    // bound read-time listings: fold long delta chains into a new full
+    // gen. Best-effort: the append itself has already committed, so a
+    // compaction hiccup (e.g. a concurrent writer's gc) must not turn a
+    // successful append into a failure — the next append retries anyway.
     val gens = generations(table)
     val lastFull = gens.lastIndexWhere(_._2 == "full")
-    if (gens.size - 1 - lastFull > autoCompactDeltas) compact(table, partitionBy)
+    if (gens.size - 1 - lastFull > autoCompactDeltas)
+      try compact(table) catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Replace table contents (new full generation supersedes the past). */
-  def overwrite(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
-    commit(table, df, "full", partitionBy)
+  def overwrite(table: String, df: DataFrame): Unit = {
+    commit(table, df, "full", expectedSeq = None)
+    ()
+  }
 
   /** Compaction: fold the current generations into one full generation
     * (same contents, one pass) — runs automatically once a table
     * accumulates `autoCompactDeltas` deltas; superseded generations are
-    * deleted lazily by [[gc]] after the grace period. */
-  def compact(table: String, partitionBy: Seq[String] = Nil): Unit =
-    read(table).foreach(df => overwrite(table, df, partitionBy))
+    * deleted lazily by [[gc]] after the grace period.
+    *
+    * Concurrency-safe: the full generation must claim EXACTLY the slot
+    * after the snapshot's newest generation. If a concurrent writer
+    * committed a delta in between, the claim fails, the staged full
+    * generation is discarded, and compaction retries on a fresh snapshot
+    * (bounded; compaction is best-effort — a skipped attempt is retried
+    * by a later append). Without the expected-slot check, that delta
+    * would sort BELOW the new full generation, be hidden from read()
+    * and eventually deleted by gc — a lost write. */
+  def compact(table: String): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done && attempts < 5) {
+      attempts += 1
+      val gens = liveGenerations(table)
+      if (gens.isEmpty) done = true
+      else done =
+        try commit(table, readGenerations(gens), "full",
+          expectedSeq = Some(gens.last._1 + 1))
+        catch {
+          // a concurrent compactor's gc can delete a snapshot file
+          // between our listing and the staging write — stale snapshot,
+          // retry on a fresh one
+          case scala.util.control.NonFatal(_) => false
+        }
+    }
+  }
 
   /** Delete superseded generations (those older than the newest full
     * generation) that are past the grace period. Safe to run any time:
@@ -124,14 +185,25 @@ class TableStore(spark: SparkSession, root: String,
       val dir = tableDir(table)
       val f = fs(dir)
       val cutoff = System.currentTimeMillis() - gcGraceMs
-      gens.take(lastFull)
-        .filter(g => f.getFileStatus(g._3).getModificationTime < cutoff)
-        .foreach(g => f.delete(g._3, true))
+      gens.take(lastFull).foreach { g =>
+        // a concurrent gc/compact may delete a generation between our
+        // listing and this stat — already-gone is success, not failure
+        try {
+          if (f.getFileStatus(g._3).getModificationTime < cutoff)
+            f.delete(g._3, true)
+        } catch { case _: java.io.FileNotFoundException => () }
+      }
     }
   }
 
+  /** Stage `df` to a tmp dir, then claim a generation slot by atomic
+    * rename. With `expectedSeq` set (compaction), ONLY that slot is
+    * acceptable: returns false — staged data discarded, nothing
+    * committed — if another writer claimed it first. Without it
+    * (append/overwrite), retries under fresh slot numbers until the
+    * rename wins. */
   private def commit(table: String, df: DataFrame, kind: String,
-                     partitionBy: Seq[String] = Nil): Unit = {
+                     expectedSeq: Option[Long]): Boolean = {
     val dir = tableDir(table)
     val f = fs(dir)
     f.mkdirs(dir)
@@ -141,6 +213,7 @@ class TableStore(spark: SparkSession, root: String,
     // another writer took it first — optimistic concurrency, like any
     // log-structured table format's commit protocol
     val tmp = new Path(dir, s"_tmp-${java.util.UUID.randomUUID().toString}")
+    val partitionBy = layout(table)
     val writer = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(tmp.toString)
@@ -149,6 +222,12 @@ class TableStore(spark: SparkSession, root: String,
     while (committed < 0) {
       attempts += 1
       val next = generations(table).lastOption.map(_._1 + 1).getOrElse(0L)
+      if (expectedSeq.exists(_ != next)) {
+        // someone committed past our snapshot — this staged full gen
+        // no longer contains the table; abandon it
+        f.delete(tmp, true)
+        return false
+      }
       val dest = new Path(dir, f"g$next%07d-$kind")
       if (f.rename(tmp, dest)) committed = next
       else if (attempts >= 20) {
@@ -159,5 +238,15 @@ class TableStore(spark: SparkSession, root: String,
     // superseded generations are GC'd lazily (grace period) — deleting
     // them here would break concurrent readers holding their file paths
     if (kind == "full") gc(table)
+    true
   }
+}
+
+object TableStore {
+  /** The tables whose 100 TB layout partitions by dataset — a property
+    * of the table so every writer (and compaction) preserves it. */
+  val defaultPartitioning: Map[String, Seq[String]] = Map(
+    "processing_assets" -> Seq("dataset_id"),
+    "validation_results" -> Seq("dataset_id"),
+    "import_reports" -> Seq("dataset_id"))
 }

@@ -30,8 +30,7 @@ object StreamingValidation {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val rows = ChecksumValidator.validate(spark, batch.as[ProcessingAssetRow], reader)
-        store.append("validation_results", rows.toDF(),
-          partitionBy = Seq("dataset_id"))
+        store.append("validation_results", rows.toDF())
       }
       .start()
   }

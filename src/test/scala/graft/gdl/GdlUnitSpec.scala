@@ -208,6 +208,63 @@ class TableStoreSpec extends AnyFunSuite {
     pool.shutdown()
     assert(a.read("t").get.as[Int].collect().sorted.toSeq == (1 to 6))
   }
+
+  test("appends racing auto-compaction never lose rows") {
+    // the lost-write hazard: compact() snapshots, then commits a full
+    // generation — a delta landing in between must NOT end up below the
+    // full gen (hidden from read, deleted by gc). The expected-slot
+    // claim makes such a compaction abort and retry instead.
+    val root = java.nio.file.Files.createTempDirectory("store-accomp").toString
+    val writer = new TableStore(spark, root, autoCompactDeltas = 2, gcGraceMs = 0L)
+    val compactor = new TableStore(spark, root, autoCompactDeltas = 2, gcGraceMs = 0L)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val appends = Future {
+      (1 to 12).foreach { i =>
+        var done = false
+        while (!done) {
+          try { writer.append("t", Seq(i).toDF("x")); done = true }
+          catch { case _: IllegalStateException => () }
+        }
+      }
+    }
+    val compactions = Future { (1 to 8).foreach(_ => compactor.compact("t")) }
+    Await.result(Future.sequence(Seq(appends, compactions)), 180.seconds)
+    pool.shutdown()
+    assert(writer.read("t").get.as[Int].collect().sorted.toSeq == (1 to 12))
+  }
+
+  test("generations written before a column existed stay readable") {
+    val root = java.nio.file.Files.createTempDirectory("store-evolve").toString
+    val store = new TableStore(spark, root)
+    store.append("t", Seq(("a", 1)).toDF("id", "x"))
+    store.append("t", Seq(("b", 2, "new")).toDF("id", "x", "extra"))
+    val rows = store.read("t").get.select("id", "extra")
+      .as[(String, Option[String])].collect().sortBy(_._1).toSeq
+    assert(rows == Seq(("a", None), ("b", Some("new"))))
+  }
+
+  test("table partitioning is preserved across append, compact and overwrite") {
+    val root = java.nio.file.Files.createTempDirectory("store-layout").toString
+    val store = new TableStore(spark, root, autoCompactDeltas = 2, gcGraceMs = 0L,
+      partitioning = Map("t" -> Seq("k")))
+    def partitionedDirs(): Seq[String] = genDirs(root, "t").filter { g =>
+      val d = new java.io.File(new java.io.File(root, "t"), g)
+      Option(d.listFiles()).exists(_.exists(_.getName.startsWith("k=")))
+    }
+    (1 to 6).foreach(i => store.append("t", Seq((i % 2, i)).toDF("k", "x")))
+    // every surviving generation — including compaction's full gens,
+    // whichever append triggered them — carries the k=… layout
+    assert(genDirs(root, "t") == partitionedDirs())
+    store.compact("t")
+    store.overwrite("t", Seq((0, 99)).toDF("k", "x"))
+    assert(genDirs(root, "t") == partitionedDirs())
+    assert(store.read("t").get.select("k", "x")
+      .as[(Int, Int)].collect().toSeq == Seq((0, 99)))
+  }
 }
 
 class DatasetServiceSpec extends AnyFunSuite {
