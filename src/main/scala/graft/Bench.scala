@@ -25,8 +25,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm up: JVM, codegen, file-system metadata
-    Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+    // warm up: JVM, codegen, file-system metadata AND the page cache —
+    // count() reads only parquet footers, so a cold-cache run would bill
+    // each table's first full-column read to whichever query touches it
+    // first (observed 2.6× total inflation). The noop write pulls every
+    // column's bytes through the OS cache once, up front.
+    Tables.names.foreach(n =>
+      Tables.load(spark, sfDir, n).write.format("noop").mode("overwrite").save())
 
     // a crashing query must NOT look like a fast success: it reports -1
     // and lands in the "failed" list

@@ -285,6 +285,38 @@ object RelationalOps {
           sha2(col("blob"), 256).as("sha256_hex"))
     }),
 
+    // O-17/O-10 verification stage end-to-end over real BINARY content,
+    // emitting the engine's result vocabulary (check_files_checksums/
+    // utils.py:83-106): every 50th doc's stored multihash is deliberately
+    // tampered, every 97th carries an unsupported fn code — the column
+    // form of ChecksumValidator.validateOne for table-resident blobs
+    // (the mapPartitions form remains for streamed IO), message shapes
+    // matching exactly ("Checksum mismatch: expected …, got …").
+    "q54_multihash_verify" -> ((s, d) => {
+      val stored = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          encode(col("text"), "UTF-8").as("blob"))
+        .withColumn("multihash",
+          when(col("doc_id") % 97 === 0,
+               concat(lit("ff20"), sha2(col("blob"), 256)))
+            .when(col("doc_id") % 50 === 0,
+               concat(lit("1220"), sha2(concat(col("text"), lit("~tampered")), 256)))
+            .otherwise(concat(lit("1220"), sha2(col("blob"), 256))))
+      stored
+        .withColumn("fn_code", substring(col("multihash"), 1, 2))
+        .withColumn("actual", sha2(col("blob"), 256))
+        .withColumn("expected", substring(col("multihash"), 5, 1000000))
+        .select(col("doc_id"), col("multihash"),
+          when(col("fn_code") =!= "12", lit("Failed"))
+            .when(col("expected") === col("actual"), lit("Passed"))
+            .otherwise(lit("Failed")).as("result"),
+          when(col("fn_code") =!= "12",
+               concat(lit("Unsupported multihash function code 0x"), col("fn_code")))
+            .when(col("expected") === col("actual"), lit(""))
+            .otherwise(concat(lit("Checksum mismatch: expected "), col("expected"),
+                              lit(", got "), col("actual"))).as("message"))
+    }),
+
     // The flagship analytics shape (same as SparkEntry.entry): fact table
     // joined through two dimensions with a broadcast, decimal-exact agg.
     "q49_segment_revenue" -> ((s, d) => {
@@ -462,6 +494,30 @@ object RelationalOps {
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                 sha256(text) AS sha256_hex
          FROM documents""",
+
+    "q54_multihash_verify" ->
+      """WITH stored AS (
+           SELECT doc_id, text,
+                  CASE WHEN doc_id % 97 = 0 THEN 'ff20' || sha256(text)
+                       WHEN doc_id % 50 = 0 THEN '1220' || sha256(text || '~tampered')
+                       ELSE '1220' || sha256(text) END AS multihash
+           FROM documents),
+         v AS (
+           SELECT doc_id, multihash,
+                  substr(multihash, 1, 2) AS fn_code,
+                  sha256(text) AS actual,
+                  substr(multihash, 5) AS expected
+           FROM stored)
+         SELECT doc_id, multihash,
+                CASE WHEN fn_code <> '12' THEN 'Failed'
+                     WHEN expected = actual THEN 'Passed'
+                     ELSE 'Failed' END AS result,
+                CASE WHEN fn_code <> '12'
+                       THEN 'Unsupported multihash function code 0x' || fn_code
+                     WHEN expected = actual THEN ''
+                     ELSE 'Checksum mismatch: expected ' || expected || ', got ' || actual
+                END AS message
+         FROM v""",
 
     "q49_segment_revenue" ->
       """SELECT c.c_mktsegment, l.l_returnflag,

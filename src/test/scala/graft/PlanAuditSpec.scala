@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The audit tool must agree with a hand-read plan — it reports the
+  * properties (pushdown, pruning, codegen, broadcast) the 100 TB design
+  * arguments rest on, so a wrong audit is worse than none. */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Audits run with AQE off: pre-execution adaptive plans carry no
+    * codegen nodes yet, which is exactly the false negative the audit
+    * is built to avoid. */
+  private def audited(name: String): PlanReport = {
+    val key = "spark.sql.adaptive.enabled"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try PlanAudit.audit(SparkEntry.queries(name)(spark, TestSpark.sfDir))
+    finally spark.conf.set(key, old)
+  }
+
+  test("q01 prefix filter reaches the parquet reader, scan is column-pruned") {
+    val r = audited("q01_scan_prefix")
+    assert(r.scans.nonEmpty)
+    val scan = r.scans.head
+    assert(scan.source.contains("documents"))
+    assert(scan.pushedFilters.contains("StringStartsWith(source,src1)"),
+      s"prefix filter not pushed: ${scan.pushedFilters}")
+    // 4 projected columns — not the whole documents schema
+    assert(scan.readColumns.toSet == Set("doc_id", "source", "lang", "n_chars"))
+  }
+
+  test("q17 aggregation is whole-stage codegen'd over a pruned scan") {
+    val r = audited("q17_revenue_agg")
+    assert(r.wholeStageCodegen, "expected WholeStageCodegen spans in q17")
+    val scan = r.scans.find(_.source.contains("lineitem")).get
+    assert(scan.readColumns.toSet ==
+      Set("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"),
+      s"scan not pruned to the 5 needed columns: ${scan.readColumns}")
+  }
+
+  test("q41 dimension join broadcasts") {
+    val r = audited("q41_topk_per_group")
+    assert(r.broadcastJoins >= 1, "expected a broadcast hash join in q41")
+  }
+
+  test("audit descends through the AQE wrapper") {
+    // with AQE ON the executed plan is AdaptiveSparkPlanExec; scans must
+    // still be found underneath it
+    val r = PlanAudit.audit(SparkEntry.queries("q01_scan_prefix")(spark, TestSpark.sfDir))
+    assert(r.scans.exists(_.source.contains("documents")))
+  }
+}
