@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, WholeStageCodegenExec}
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
 
 /** One parquet scan's scale-relevant properties: which columns it
@@ -55,11 +55,12 @@ object PlanAudit {
                        n.isInstanceOf[BroadcastNestedLoopJoinExec]))
   }
 
-  /** Pre-order traversal that descends through the AQE wrapper (its
-    * current plan is a field, not a child, so TreeNode collect misses
-    * everything under it). */
-  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+  /** Pre-order traversal that descends through the AQE wrapper and
+    * materialized query stages (their current plan is a field, not a
+    * child, so TreeNode collect misses everything under them). */
+  def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+    case q: QueryStageExec => q +: flatten(q.plan)
     case other => other +: other.children.flatMap(flatten)
   }
 

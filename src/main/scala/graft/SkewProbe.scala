@@ -22,6 +22,9 @@ object SkewProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    org.apache.log4j.LogManager
+      .getLogger("org.apache.spark.sql.execution.adaptive")
+      .setLevel(org.apache.log4j.Level.DEBUG)
     import spark.implicits._
 
     // 90% of left rows share key 0; md5 payload defeats compression;
@@ -34,8 +37,14 @@ object SkewProbe {
       md5(col("id").cast("string")).as("rpayload"))
       .repartition(8, col("id") % 8)
 
-    val joined = left.join(right, "k")
-    val out = joined.groupBy(col("k")).agg(count(lit(1)).as("n"))
+    // IMPORTANT: nothing downstream may require hash-partitioning on the
+    // join key (a groupBy("k") after the join blocks OptimizeSkewedJoin —
+    // splitting a skewed partition would violate the agg's required
+    // distribution, so AQE skips the split)
+    val out = left.join(right, "k")
+    // collect, not a noop write: the write would execute a SEPARATE
+    // QueryExecution, leaving out.queryExecution's adaptive plan
+    // unexecuted and the skew split invisible to the node walk below
     out.collect()
 
     def deep(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
