@@ -45,16 +45,43 @@ class DatasetService(spark: SparkSession, store: TableStore,
   }
 
   def update(id: String, newTitle: String, now: Instant): Either[String, DatasetRow] =
-    if (!Ulid.validTitle(newTitle))
-      Left(s"title '$newTitle' does not match '${Ulid.TitlePattern}'")
-    else if (all().exists(d => d.title == newTitle && d.id != id))
-      Left(s"dataset '$newTitle' already exists") // update.py:29-33
-    else get(id).map { row =>
-      val updated = row.copy(title = newTitle, updated_at = Timestamp.from(now))
-      store.overwrite(Table,
-        (all().filterNot(_.id == id) :+ updated).toDS().toDF())
-      updated
+    updateAttributes(id, Map("title" -> newTitle), now)
+
+  /** Generic attribute update ≙ update.py:52-55
+    * (`update_dataset_attributes`: every model attribute present in the
+    * request body except `id` is copied onto the row — the PATCH body
+    * schema requires id+title but does not forbid extra attributes).
+    * Unknown keys are ignored, like `setattr` against a fixed-attribute
+    * model; timestamps parse as ISO-8601 instants. `updated_at` is
+    * bumped to `now` unless the body sets it explicitly. */
+  def updateAttributes(id: String, attrs: Map[String, String],
+                       now: Instant): Either[String, DatasetRow] = {
+    def parseTs(name: String, s: String): Either[String, Timestamp] =
+      try Right(Timestamp.from(Instant.parse(s)))
+      catch { case _: Exception => Left(s"$name '$s' is not an ISO-8601 instant") }
+
+    attrs.get("title") match {
+      case Some(t) if !Ulid.validTitle(t) =>
+        Left(s"title '$t' does not match '${Ulid.TitlePattern}'")
+      case Some(t) if all().exists(d => d.title == t && d.id != id) =>
+        Left(s"dataset '$t' already exists") // update.py:29-33
+      case _ =>
+        get(id).flatMap { row =>
+          val titled = attrs.get("title").fold(row)(t => row.copy(title = t))
+          for {
+            created <- attrs.get("created_at")
+              .fold[Either[String, Timestamp]](Right(titled.created_at))(parseTs("created_at", _))
+            updated <- attrs.get("updated_at")
+              .fold[Either[String, Timestamp]](Right(Timestamp.from(now)))(parseTs("updated_at", _))
+          } yield {
+            val next = titled.copy(created_at = created, updated_at = updated)
+            store.overwrite(Table,
+              (all().filterNot(_.id == id) :+ next).toDS().toDF())
+            next
+          }
+        }
     }
+  }
 
   /** Delete; guarded by "no stored versions" ≙ the S3 prefix emptiness
     * check MaxKeys=1 (delete.py:37-45, O-11) against the manifest table. */

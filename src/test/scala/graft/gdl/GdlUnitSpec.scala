@@ -290,6 +290,31 @@ class DatasetServiceSpec extends AnyFunSuite {
     assert(svc.list().isEmpty)
   }
 
+  test("generic attribute update copies any model attribute except id") {
+    val (svc, _) = freshService()
+    val d = svc.create("T0", t0).toOption.get
+    // title + explicit timestamps in one PATCH body (update.py:52-55)
+    val r = svc.updateAttributes(d.id, Map(
+      "title" -> "T0_renamed",
+      "created_at" -> "2020-01-01T00:00:00Z",
+      "updated_at" -> "2020-06-01T00:00:00Z",
+      "id" -> "evil", "unknown_attr" -> "ignored"), t0.plusSeconds(60)).toOption.get
+    assert(r.id == d.id) // id never updatable
+    assert(r.title == "T0_renamed")
+    assert(r.created_at.toInstant == Instant.parse("2020-01-01T00:00:00Z"))
+    assert(r.updated_at.toInstant == Instant.parse("2020-06-01T00:00:00Z"))
+    assert(svc.get(d.id).toOption.get == r) // persisted, not just returned
+
+    // without explicit updated_at the PATCH bumps it to `now`
+    val r2 = svc.updateAttributes(d.id, Map.empty, t0.plusSeconds(120)).toOption.get
+    assert(r2.updated_at.toInstant == t0.plusSeconds(120))
+    assert(r2.created_at == r.created_at)
+
+    // malformed timestamp is a validation error, nothing persisted
+    assert(svc.updateAttributes(d.id, Map("created_at" -> "yesterday"), t0).isLeft)
+    assert(svc.get(d.id).toOption.get == r2)
+  }
+
   test("duplicate title and bad charset rejected") {
     val (svc, _) = freshService()
     assert(svc.create("T1", t0).isRight)
