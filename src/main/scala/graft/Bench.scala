@@ -33,15 +33,26 @@ object Bench {
     Tables.names.foreach(n =>
       Tables.load(spark, sfDir, n).write.format("noop").mode("overwrite").save())
 
+    // optional focus list (args) for local profiling; repeat count via
+    // SPARK_GRAFT_REPEAT (default 2) — min-of-N damps the ±50% machine
+    // noise documented in NOTES.md without hiding real regressions
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt.max(1)
+    val selected =
+      if (args.nonEmpty) SparkEntry.queries.filter(q => args.contains(q._1))
+      else SparkEntry.queries
+
     // a crashing query must NOT look like a fast success: it reports -1
     // and lands in the "failed" list
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case _: Throwable => failed += name; false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      }
+      if (times.contains(-1.0)) { failed += name; name -> -1.0 }
+      else name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -333,11 +333,19 @@ object RelationalOps {
     // estimation — one pass, fixed memory, vs q09's exact shuffle).
     // No oracle: sketch estimates are engine-specific, so the driver
     // records the weaker rows-only check for this one by design.
+    // Sketch + exact side-by-side WITHOUT the Expand that mixing a
+    // distinct agg with a non-distinct agg forces (2× agg input): dedupe
+    // (flag, partkey) first — map-side combinable — then count and
+    // sketch the distinct rows. HLL is duplicate-insensitive, so the
+    // approx result is bit-identical to sketching the raw column; one
+    // pass over the table either way, but no row doubling.
     "q46_approx_distinct" -> ((s, d) => {
       Tables.load(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_partkey"))
+        .distinct()
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-             countDistinct(col("l_partkey")).as("exact_parts"))
+             count(lit(1)).as("exact_parts"))
     }),
 
     // O-21-shaped manifest↔content equi-join + revenue agg (decimal-exact):
