@@ -5,6 +5,7 @@ import graft.functions.TextFunctions._
 import graft.operators.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Training-data text-analysis + deduplication operators over the
   * `documents` table: token stats, quality scoring, language-ID
@@ -158,8 +159,74 @@ object TextOps {
         size(regexp_extract_all(col("text"),
           lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
           .as("bpe_tokens"))
+    }),
+
+    // PII scrubbing — the redaction pass every training-data pipeline
+    // runs before tokenization. The corpus is synthetic, so
+    // deterministic PII (email / IPv4 / phone) is injected per-doc from
+    // doc_id, then counted and redacted; the redacted text is emitted as
+    // md5 so the oracle compares content-exact without shipping it.
+    // Patterns stay in the RE2-compatible subset (no backrefs,
+    // no lookaround) so Java and DuckDB agree.
+    "q56_pii_redact" -> ((s, d) => {
+      val aug = Tables.load(s, d, "documents").select(
+        col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"),
+          lit(" call 021-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+      aug.select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(PiiEmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(PiiIpRe)).cast("long").as("n_ips"),
+        regexp_count(col("text"), lit(PiiPhoneRe)).cast("long").as("n_phones"),
+        md5(regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), PiiEmailRe, "[EMAIL]"),
+            PiiIpRe, "[IP]"),
+          PiiPhoneRe, "[PHONE]")).as("redacted_md5"))
+    }),
+
+    // Corpus curation capstone: the selection pass of a training-data
+    // pipeline as ONE declarative plan — exact-dedup to the canonical
+    // copy (min doc_id per content hash), quality-gate (q19's score),
+    // minimum length, then per-source corpus stats. Quality sums go
+    // through DECIMAL(18,6) so the aggregate is accumulation-order-free
+    // (decimal addition is exact; double addition is not).
+    "q57_corpus_curation" -> ((s, d) => {
+      val ts = col("_toks")
+      // text_hash projected BEFORE the window: the dedup shuffle moves a
+      // 32-char hash per row, never the document body (100 TB shape)
+      val scored = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), md5(col("text")).as("text_hash"),
+                tokens(col("text")).as("_toks"))
+        .select(
+          col("doc_id"), col("source"), col("text_hash"),
+          size(ts).cast("long").as("n_tokens"),
+          when(size(ts) === 0, lit(0.0)).otherwise(
+            (size(filter(ts, t => t.isin(stopwords: _*))).cast("double") /
+              size(ts).cast("double")) * 0.4 +
+            least(size(ts).cast("double") / 100.0, lit(1.0)) * 0.3 +
+            (size(array_distinct(ts)).cast("double") / size(ts).cast("double")) * 0.3
+          ).as("quality"))
+      val canonical = org.apache.spark.sql.expressions.Window.partitionBy(col("text_hash"))
+      scored
+        .withColumn("canonical_id", min(col("doc_id")).over(canonical))
+        .filter(col("doc_id") === col("canonical_id") &&
+                col("quality") >= 0.35 && col("n_tokens") >= 20L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+             sum(col("n_tokens")).as("total_tokens"),
+             sum(col("quality").cast(DecimalType(18, 6))).cast("double")
+               .as("total_quality"))
     })
   )
+
+  // RE2-compatible PII patterns shared by q56 and its oracle
+  private val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PiiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PiiPhoneRe = "\\b0\\d{2}-\\d{3}-\\d{3,4}\\b"
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -336,6 +403,55 @@ object TextOps {
                          / (CAST(len(a.s) + len(b.s) AS DOUBLE)
                             - len(list_intersect(a.s, b.s))) AS jaccard
                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-          SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.3"""
+          SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.3""",
+
+    "q56_pii_redact" -> {
+      // DuckDB regexp_replace needs the 'g' flag (Spark replaces all by
+      // default); both engines use leftmost non-overlapping matching.
+      // DuckDB single-quoted literals don't process backslashes, so the
+      // shared pattern values embed verbatim.
+      val email = PiiEmailRe
+      val ip = PiiIpRe
+      val phone = PiiPhoneRe
+      s"""WITH aug AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                        || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                        || ' call 021-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     AS text
+            FROM documents)
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+                 CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+                 CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
+                 md5(regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text, '$email', '[EMAIL]', 'g'),
+                         '$ip', '[IP]', 'g'),
+                       '$phone', '[PHONE]', 'g')) AS redacted_md5
+          FROM aug"""
+    },
+
+    "q57_corpus_curation" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+          sc AS (SELECT doc_id, source, text,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                     (CAST(len(list_filter(toks, x -> x IN ('the','a','row','data'))) AS DOUBLE)
+                        / CAST(len(toks) AS DOUBLE)) * 0.4
+                     + least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.3
+                     + (CAST(len(list_distinct(toks)) AS DOUBLE)
+                        / CAST(len(toks) AS DOUBLE)) * 0.3
+                   END AS quality
+                 FROM t),
+          canon AS (SELECT sc.*, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+                    FROM sc)
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS n_kept,
+                 CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                 CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS total_quality
+          FROM canon
+          WHERE doc_id = canonical_id AND quality >= 0.35 AND n_tokens >= 20
+          GROUP BY source"""
   )
 }
