@@ -1,8 +1,12 @@
 package graft.operators
 
+import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.PlanApi
 
 /** Backward as-of join: each left row picks the latest right row with
   * `right.ts <= left.ts` within the same key group (the time-series /
@@ -56,5 +60,42 @@ object AsOfJoin {
     carried.filter(col("_tag") === 1)
       .select((keys :+ tsCol).map(col) ++ leftOnly.map(col) ++
         rightPayload.map(c => col(s"_c_$c").as(c)): _*)
+  }
+
+  /** Same semantics as [[backward]], executed by the custom
+    * whole-operator plan ([[graft.plans.AsOfJoinPlan]] →
+    * [[graft.plans.AsOfJoinExec]]): each side is shuffled with only its
+    * own columns and a single streaming merge replaces the union +
+    * window carry-forward. Output: all left columns, then
+    * `rightPayload` (null where no right row precedes).
+    *
+    * The right child is re-aliased to fresh attribute ids, so both
+    * sides may derive from the same source table (self-join safe). The
+    * planner strategy is registered idempotently on the session, so
+    * callers need no session-level setup. */
+  def backwardPlanned(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      tsCol: String, rightPayload: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+
+    val lPlan = left.queryExecution.analyzed
+    val rAnalyzed = right.queryExecution.analyzed
+    // fresh exprIds on the right: both sides may share lineage (e.g. two
+    // filters of one table), which would otherwise duplicate ids in output
+    val rPlan: LogicalPlan =
+      Project(rAnalyzed.output.map(a => Alias(a, a.name)()), rAnalyzed)
+
+    def attr(p: LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column '$n' not in [${p.output.map(_.name).mkString(", ")}]"))
+
+    PlanApi.ofRows(spark, AsOfJoinPlan(
+      lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+      attr(lPlan, tsCol), attr(rPlan, tsCol),
+      rightPayload.map(attr(rPlan, _))))
   }
 }

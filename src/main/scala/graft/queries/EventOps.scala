@@ -104,6 +104,25 @@ object EventOps {
         .select(col("event_id"), col("user_id"),
                 unix_micros(col("ts")).as("purchase_ts_us"),
                 col("value"), col("signup_event_id"), col("signup_ts_us"))
+    }),
+
+    // Same as-of semantics through the custom whole-operator plan
+    // (AsOfJoinPlan → AsOfJoinExec via planner strategy) — q31 and q58
+    // share one oracle, so the two implementations are pinned equal.
+    "q58_asof_planned" -> ((s, d) => {
+      val events = Tables.load(s, d, "events")
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val signups = events.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("signup_event_id"))
+        .withColumn("signup_ts_us", unix_micros(col("ts")))
+      AsOfJoin.backwardPlanned(purchases, signups,
+          keys = Seq("user_id"), tsCol = "ts",
+          rightPayload = Seq("signup_event_id", "signup_ts_us"))
+        .select(col("event_id"), col("user_id"),
+                unix_micros(col("ts")).as("purchase_ts_us"),
+                col("value"), col("signup_event_id"), col("signup_ts_us"))
     })
   )
 
@@ -155,6 +174,20 @@ object EventOps {
           AND abs(p.ts_us - x.ts_us) <= 300000000""",
 
     "q31_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                    FROM events WHERE event_type = 'purchase'),
+          s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                       CAST(max(event_id) AS BIGINT) AS signup_event_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS signup_ts_us
+                FROM events WHERE event_type = 'signup'
+                GROUP BY user_id, CAST(ts AS TIMESTAMP))
+          SELECT p.event_id, p.user_id,
+                 epoch_us(p.ts) AS purchase_ts_us, p.value,
+                 s.signup_event_id, s.signup_ts_us
+          FROM p ASOF LEFT JOIN s
+            ON p.user_id = s.user_id AND p.ts >= s.ts""",
+
+    "q58_asof_planned" ->
       """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
                     FROM events WHERE event_type = 'purchase'),
           s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
