@@ -123,6 +123,16 @@ object VectorOps {
         .select(col("vec_id").as("id"), col("embedding"))
       graft.operators.Dedup.embeddingNearDup(e, threshold = 0.3,
         nPlanes = 2, dim = 64)
+    }),
+
+    // IVF coarse-quantizer training: 2 Lloyd's rounds, k=8,
+    // deterministic init + tie-free quantized centroid means, so the
+    // whole training run is value-checkable against the unrolled SQL
+    // oracle.
+    "q59_kmeans_train" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      graft.operators.KMeans.train(e, k = 8, iters = 2)
     })
   )
 
@@ -354,6 +364,47 @@ object VectorOps {
                          / (a.nrm * b2.nrm) AS sim
                 FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id)
           SELECT id_a, id_b, bucket, sim FROM p WHERE sim >= 0.3"""
+    },
+
+    "q59_kmeans_train" -> {
+      // Two unrolled Lloyd's rounds over the 64-dim embeddings. Distance
+      // is the same sequential left-fold as the Spark side; per-dim
+      // means sum floor(x*1e12) as exact BIGINTs (order-free, and floor
+      // has no rounding ties, unlike a DECIMAL cast) and divide as
+      // doubles, so centroids match bit-for-bit.
+      def sq(a: String, b: String) =
+        s"""list_reduce(
+              list_prepend(0.0, list_transform(range(1, len($a) + 1),
+                i -> ($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)])
+                     * ($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)]))),
+              (x, y) -> x + y)"""
+      def round(n: Int, prev: String) =
+        s"""a$n AS (SELECT id, emb, cid FROM (
+                 SELECT v.id, v.emb, c.cid,
+                        row_number() OVER (PARTITION BY v.id
+                          ORDER BY ${sq("v.emb", "c.cent")}, c.cid) AS rn
+                 FROM corpus v CROSS JOIN $prev c) WHERE rn = 1),
+            m$n AS (SELECT cid, t.d AS pos,
+                           CAST(sum(CAST(floor(emb[CAST(t.d AS INTEGER)] * 1e12)
+                                         AS BIGINT)) AS DOUBLE)
+                             / 1e12 / CAST(count(*) AS DOUBLE) AS m
+                    FROM a$n, unnest(range(1, 65)) AS t(d)
+                    GROUP BY cid, t.d),
+            cn$n AS (SELECT cid, list(m ORDER BY pos) AS cent
+                     FROM m$n GROUP BY cid),
+            c$n AS (SELECT p.cid, coalesce(cn$n.cent, p.cent) AS cent
+                    FROM $prev p LEFT JOIN cn$n USING (cid))"""
+      s"""WITH corpus AS (SELECT vec_id AS id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                  FROM embeddings),
+          c0 AS (SELECT id AS cid, emb AS cent FROM corpus WHERE id < 8),
+          ${round(1, "c0")},
+          ${round(2, "c1")}
+          SELECT c2.cid,
+                 coalesce(cnt.n_members, 0) AS n_members,
+                 c2.cent AS centroid
+          FROM c2 LEFT JOIN (SELECT cid, CAST(count(*) AS BIGINT) AS n_members
+                             FROM a2 GROUP BY cid) cnt USING (cid)"""
     }
   )
 }
