@@ -79,6 +79,9 @@ object AsOfJoin {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.AsOfJoinKeyPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.AsOfJoinKeyPushdown
 
     val lPlan = left.queryExecution.analyzed
     val rAnalyzed = right.queryExecution.analyzed

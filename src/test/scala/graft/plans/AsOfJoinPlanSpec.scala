@@ -69,6 +69,43 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
                       "c" -> null)) // key 2 has no right rows at all
   }
 
+  test("key predicates push through the custom node into both parquet scans") {
+    val sf = graft.TestSpark.sfDir
+    val events = graft.Tables.load(spark, sf, "events")
+    val l = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val r = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("value"))
+    val joined = AsOfJoin.backwardPlanned(l, r, Seq("user_id"), "ts", Seq("value"))
+      .filter(col("user_id") < 50L)
+
+    val audit = PlanAudit.audit(joined)
+    assert(audit.scans.nonEmpty)
+    // the key filter must reach EVERY events scan — Catalyst alone
+    // cannot push through an unknown binary node, AsOfJoinKeyPushdown can
+    audit.scans.foreach { s =>
+      assert(s.pushedFilters.contains("LessThan(user_id,50)"),
+        s"key filter not pushed into scan ${s.source}: ${s.pushedFilters}")
+    }
+
+    // and the rewrite is semantics-preserving
+    val expected = AsOfJoin.backwardPlanned(
+      l.filter(col("user_id") < 50L), r.filter(col("user_id") < 50L),
+      Seq("user_id"), "ts", Seq("value")).collect().map(_.toSeq).toSet
+    assert(joined.collect().map(_.toSeq).toSet == expected)
+  }
+
+  test("non-key predicates stay above the join") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 5.0), (1L, 20L, 9.0)).toDF("k", "t", "v")
+    val r = Seq((1L, 10L, "r10"), (1L, 15L, "r15")).toDF("k", "t", "p")
+    // filtering on the carried payload must NOT drop right rows early:
+    // "b" still matches r15 even though r10 is filtered from the OUTPUT
+    val out = AsOfJoin.backwardPlanned(l, r, Seq("k"), "t", Seq("p"))
+      .filter(col("p") === "r15")
+    assert(out.collect().map(_.getDouble(2)).toSeq == Seq(9.0))
+  }
+
   test("self-joining two derivations of one table resolves (fresh right ids)") {
     import spark.implicits._
     val base = Seq((1L, 1L, "x", 1.0), (1L, 2L, "y", 2.0), (1L, 3L, "x", 3.0))
