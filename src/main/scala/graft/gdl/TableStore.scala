@@ -102,6 +102,22 @@ class TableStore(spark: SparkSession, root: String,
     if (gens.isEmpty) None else Some(readGenerations(gens))
   }
 
+  /** Time travel: the table as of generation `seq` (inclusive) — the
+    * newest full generation at or before `seq` plus every later delta
+    * up to it. Generations still on disk resolve exactly (a superseded
+    * one survives at least `gcGraceMs`, longer if gc never runs);
+    * gc'd history raises like any vacuumed table format. */
+  def readAt(table: String, seq: Long): Option[DataFrame] = {
+    val gens = generations(table).filter(_._1 <= seq)
+    val lastFull = gens.lastIndexWhere(_._2 == "full")
+    val live = if (lastFull >= 0) gens.drop(lastFull) else gens
+    if (live.isEmpty) None else Some(readGenerations(live))
+  }
+
+  /** Committed generations, oldest first: (seq, "full" | "delta"). */
+  def history(table: String): Seq[(Long, String)] =
+    generations(table).map(g => (g._1, g._2))
+
   def isEmptyTable(table: String): Boolean = read(table).forall(_.isEmpty)
 
   /** Last-wins resolution for tables maintained as status-delta appends

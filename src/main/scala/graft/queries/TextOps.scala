@@ -220,6 +220,27 @@ object TextOps {
              sum(col("n_tokens")).as("total_tokens"),
              sum(col("quality").cast(DecimalType(18, 6))).cast("double")
                .as("total_quality"))
+    }),
+
+    // Sequence packing — the pre-training step that concatenates
+    // documents into fixed-size token bins. Deterministic "concat in
+    // doc_id order, bin by starting offset" policy: a document lands in
+    // the bin where its first token falls (floor(start/2048)), computed
+    // as a running-sum window per source — one shuffle on source, no
+    // driver loop, same window in the oracle. Emits per-bin stats.
+    "q60_sequence_packing" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                     org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("bin", floor((col("cum") - col("n_tokens")) / 2048L))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tokens")).as("bin_tokens"),
+             (sum(col("n_tokens")).cast("double") / 2048.0).as("fill_ratio"))
     })
   )
 
@@ -452,6 +473,22 @@ object TextOps {
                  CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS total_quality
           FROM canon
           WHERE doc_id = canonical_id AND quality >= 0.35 AND n_tokens >= 20
-          GROUP BY source"""
+          GROUP BY source""",
+
+    "q60_sequence_packing" ->
+      s"""WITH t AS (SELECT doc_id, source,
+                            CAST(len($toksSql) AS BIGINT) AS n_tokens
+                     FROM documents),
+          c AS (SELECT doc_id, source, n_tokens,
+                       sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM t)
+          SELECT source,
+                 CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS bin,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+                 CAST(sum(n_tokens) AS DOUBLE) / 2048.0 AS fill_ratio
+          FROM c
+          GROUP BY source, floor((cum - n_tokens) / 2048)"""
   )
 }

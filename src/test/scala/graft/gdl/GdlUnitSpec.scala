@@ -139,6 +139,28 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.read("t").get.as[Int].collect().sorted.toSeq == Seq(9, 10, 11))
   }
 
+  test("readAt time-travels to any retained generation; history lists them") {
+    val root = java.nio.file.Files.createTempDirectory("store-tt").toString
+    val store = new TableStore(spark, root) // default grace keeps history
+    store.append("t", Seq(1).toDF("x"))     // g0-delta
+    store.append("t", Seq(2).toDF("x"))     // g1-delta
+    store.overwrite("t", Seq(9).toDF("x"))  // g2-full
+    store.append("t", Seq(10).toDF("x"))    // g3-delta
+    assert(store.history("t") ==
+      Seq((0L, "delta"), (1L, "delta"), (2L, "full"), (3L, "delta")))
+    assert(store.readAt("t", 0).get.as[Int].collect().toSeq == Seq(1))
+    assert(store.readAt("t", 1).get.as[Int].collect().sorted.toSeq == Seq(1, 2))
+    assert(store.readAt("t", 2).get.as[Int].collect().toSeq == Seq(9))
+    assert(store.readAt("t", 3).get.as[Int].collect().sorted.toSeq == Seq(9, 10))
+    // as-of a future seq = current contents; before the first = None
+    assert(store.readAt("t", 99).get.as[Int].collect().sorted.toSeq == Seq(9, 10))
+    assert(store.readAt("t", -1).isEmpty)
+    // compaction doesn't disturb pre-compaction reads while retained
+    store.compact("t")                      // g4-full
+    assert(store.readAt("t", 1).get.as[Int].collect().sorted.toSeq == Seq(1, 2))
+    assert(store.read("t").get.as[Int].collect().sorted.toSeq == Seq(9, 10))
+  }
+
   test("readLatestBy resolves the highest seq per key (status-delta reads)") {
     val root = java.nio.file.Files.createTempDirectory("store-latest").toString
     val store = new TableStore(spark, root)
