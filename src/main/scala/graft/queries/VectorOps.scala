@@ -133,6 +133,17 @@ object VectorOps {
       val e = Tables.load(s, d, "embeddings")
         .select(col("vec_id").as("id"), col("embedding"))
       graft.operators.KMeans.train(e, k = 8, iters = 2)
+    }),
+
+    // End-to-end trained ANN: q59's centroids replace q39's stand-ins —
+    // train, index, search in one plan, value-exact throughout.
+    "q61_ivf_trained_topk" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      val trained = graft.operators.KMeans.train(e, k = 8, iters = 2)
+        .select(col("cid"), col("centroid").as("embedding"))
+      Similarity.ivfTopK(e.filter(col("id") < 5L), e, trained,
+        nprobe = 2, k = 5)
     })
   )
 
@@ -366,45 +377,87 @@ object VectorOps {
           SELECT id_a, id_b, bucket, sim FROM p WHERE sim >= 0.3"""
     },
 
-    "q59_kmeans_train" -> {
-      // Two unrolled Lloyd's rounds over the 64-dim embeddings. Distance
-      // is the same sequential left-fold as the Spark side; per-dim
-      // means sum floor(x*1e12) as exact BIGINTs (order-free, and floor
-      // has no rounding ties, unlike a DECIMAL cast) and divide as
-      // doubles, so centroids match bit-for-bit.
-      def sq(a: String, b: String) =
-        s"""list_reduce(
-              list_prepend(0.0, list_transform(range(1, len($a) + 1),
-                i -> ($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)])
-                     * ($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)]))),
-              (x, y) -> x + y)"""
-      def round(n: Int, prev: String) =
-        s"""a$n AS (SELECT id, emb, cid FROM (
-                 SELECT v.id, v.emb, c.cid,
-                        row_number() OVER (PARTITION BY v.id
-                          ORDER BY ${sq("v.emb", "c.cent")}, c.cid) AS rn
-                 FROM corpus v CROSS JOIN $prev c) WHERE rn = 1),
-            m$n AS (SELECT cid, t.d AS pos,
-                           CAST(sum(CAST(floor(emb[CAST(t.d AS INTEGER)] * 1e12)
-                                         AS BIGINT)) AS DOUBLE)
-                             / 1e12 / CAST(count(*) AS DOUBLE) AS m
-                    FROM a$n, unnest(range(1, 65)) AS t(d)
-                    GROUP BY cid, t.d),
-            cn$n AS (SELECT cid, list(m ORDER BY pos) AS cent
-                     FROM m$n GROUP BY cid),
-            c$n AS (SELECT p.cid, coalesce(cn$n.cent, p.cent) AS cent
-                    FROM $prev p LEFT JOIN cn$n USING (cid))"""
-      s"""WITH corpus AS (SELECT vec_id AS id,
-                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-                  FROM embeddings),
-          c0 AS (SELECT id AS cid, emb AS cent FROM corpus WHERE id < 8),
-          ${round(1, "c0")},
-          ${round(2, "c1")}
+    "q59_kmeans_train" ->
+      s"""WITH $kmeansCtesSql
           SELECT c2.cid,
                  coalesce(cnt.n_members, 0) AS n_members,
                  c2.cent AS centroid
           FROM c2 LEFT JOIN (SELECT cid, CAST(count(*) AS BIGINT) AS n_members
-                             FROM a2 GROUP BY cid) cnt USING (cid)"""
-    }
+                             FROM a2 GROUP BY cid) cnt USING (cid)""",
+
+    // q39's IVF search with the q59-trained centroids in place of the
+    // stand-ins — training, index build and search as ONE oracled plan.
+    "q61_ivf_trained_topk" ->
+      s"""WITH $kmeansCtesSql,
+          cent AS (SELECT cid, cent AS cent_emb,
+                          sqrt(${dotSql("c2.cent", "c2.cent")}) AS cent_norm
+                   FROM c2),
+          v AS (SELECT id, emb AS embedding,
+                       sqrt(${dotSql("corpus.emb", "corpus.emb")}) AS v_norm
+                FROM corpus),
+          asn AS (SELECT id, cid FROM (
+                    SELECT v.id, c.cid,
+                           row_number() OVER (PARTITION BY v.id ORDER BY
+                             (${dotSql("v.embedding", "c.cent_emb")})
+                               / (v.v_norm * c.cent_norm) DESC, c.cid) AS rn
+                    FROM v CROSS JOIN cent c) WHERE rn = 1),
+          q AS (SELECT id AS query_id, embedding AS q_emb, v_norm AS q_norm
+                FROM v WHERE id < 5),
+          probes AS (SELECT query_id, q_emb, q_norm, cid FROM (
+                       SELECT q.query_id, q.q_emb, q.q_norm, c.cid,
+                              row_number() OVER (PARTITION BY q.query_id ORDER BY
+                                (${dotSql("q.q_emb", "c.cent_emb")})
+                                  / (q.q_norm * c.cent_norm) DESC, c.cid) AS rn
+                       FROM q CROSS JOIN cent c) WHERE rn <= 2),
+          cand AS (SELECT v.id AS vec_id, v.embedding AS c_emb,
+                          v.v_norm AS c_norm, a.cid
+                   FROM v JOIN asn a ON a.id = v.id),
+          scored AS (SELECT p.query_id, cd.vec_id, cd.cid,
+                            (${dotSql("p.q_emb", "cd.c_emb")})
+                              / (p.q_norm * cd.c_norm) AS sim
+                     FROM cand cd JOIN probes p ON p.cid = cd.cid
+                     WHERE cd.vec_id <> p.query_id)
+          SELECT query_id, vec_id, cid, sim,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+          FROM scored
+          QUALIFY rank <= 5"""
   )
+
+  /** Shared CTE prefix: two unrolled Lloyd's rounds over the 64-dim
+    * embeddings (`corpus`, init `c0`, rounds → `a1/c1`, `a2/c2`).
+    * Distance is the same sequential left-fold as the Spark side;
+    * per-dim means sum floor(x*1e12) as exact BIGINTs (order-free, and
+    * floor has no rounding ties, unlike a DECIMAL cast — NOTES.md) and
+    * divide as doubles, so centroids match bit-for-bit. */
+  private lazy val kmeansCtesSql: String = {
+    def sq(a: String, b: String) =
+      s"""list_reduce(
+            list_prepend(0.0, list_transform(range(1, len($a) + 1),
+              i -> ($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)])
+                   * ($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)]))),
+            (x, y) -> x + y)"""
+    def round(n: Int, prev: String) =
+      s"""a$n AS (SELECT id, emb, cid FROM (
+               SELECT v.id, v.emb, c.cid,
+                      row_number() OVER (PARTITION BY v.id
+                        ORDER BY ${sq("v.emb", "c.cent")}, c.cid) AS rn
+               FROM corpus v CROSS JOIN $prev c) WHERE rn = 1),
+          m$n AS (SELECT cid, t.d AS pos,
+                         CAST(sum(CAST(floor(emb[CAST(t.d AS INTEGER)] * 1e12)
+                                       AS BIGINT)) AS DOUBLE)
+                           / 1e12 / CAST(count(*) AS DOUBLE) AS m
+                  FROM a$n, unnest(range(1, 65)) AS t(d)
+                  GROUP BY cid, t.d),
+          cn$n AS (SELECT cid, list(m ORDER BY pos) AS cent
+                   FROM m$n GROUP BY cid),
+          c$n AS (SELECT p.cid, coalesce(cn$n.cent, p.cent) AS cent
+                  FROM $prev p LEFT JOIN cn$n USING (cid))"""
+    s"""corpus AS (SELECT vec_id AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                FROM embeddings),
+        c0 AS (SELECT id AS cid, emb AS cent FROM corpus WHERE id < 8),
+        ${round(1, "c0")},
+        ${round(2, "c1")}"""
+  }
 }
