@@ -54,4 +54,30 @@ object Multimodal {
   def withFakeMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("id"),
                 encode(col(textCol), "UTF-8").as("media"))
+
+  /** Frame sampling: treat the binary as a container of fixed-size
+    * frames and emit every `everyN`-th frame with its hash and size —
+    * the batch shape of video frame-sampling, where a real demuxer
+    * (ffmpeg) replaces the fixed-stride slicer. Map-only: explode over
+    * a computed frame-index sequence, byte-slice per frame, no shuffle;
+    * blobs never leave their partition. */
+  def frameSample(media: DataFrame, idCol: String, binCol: String,
+                  frameBytes: Int, everyN: Int): DataFrame = {
+    val nFrames =
+      ceil(length(col(binCol)).cast("double") / frameBytes).cast("long")
+    media
+      .select(col(idCol), col(binCol), nFrames.as("n_frames"))
+      .select(col(idCol), col(binCol),
+        explode(when(col("n_frames") > 0,
+            sequence(lit(0L), col("n_frames") - 1))
+          .otherwise(array().cast("array<bigint>"))).as("frame_idx"))
+      .filter(col("frame_idx") % everyN === 0)
+      .select(col(idCol), col("frame_idx"),
+        sha2(col(binCol).substr(
+          (col("frame_idx") * frameBytes + 1).cast("int"),
+          lit(frameBytes)), 256).as("frame_sha256"),
+        length(col(binCol).substr(
+          (col("frame_idx") * frameBytes + 1).cast("int"),
+          lit(frameBytes))).cast("long").as("n_frame_bytes"))
+  }
 }

@@ -46,6 +46,14 @@ object JsonOps {
         .select(col("id"), col("format"), col("width").cast("long").as("width"),
                 col("height").cast("long").as("height"), col("n_bytes"),
                 col("content_sha256"))
+    }),
+
+    // Video-shaped frame sampling over the binary column: 64-byte
+    // frames, every 2nd sampled, hashed — map-only, blobs stay put.
+    "q62_frame_sample" -> ((s, d) => {
+      val media = Multimodal.withFakeMedia(
+        Tables.load(s, d, "documents"), "doc_id", "text")
+      Multimodal.frameSample(media, "id", "media", frameBytes = 64, everyN = 2)
     })
   )
 
@@ -67,6 +75,21 @@ object JsonOps {
                 CAST(ascii(substr(text, 1, 1)) & 127 AS BIGINT) AS height,
                 CAST(strlen(text) AS BIGINT) AS n_bytes,
                 sha256(text) AS content_sha256
-         FROM documents"""
+         FROM documents""",
+
+    // Spark slices the true BINARY column; DuckDB v1.0 has no blob
+    // substr/sha256, so the oracle slices the string — equivalent
+    // because the corpus is verified all-ASCII (length == octet_length
+    // for every row at every SF), making char offsets byte offsets.
+    "q62_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS id, text,
+                           CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_frames
+                    FROM documents),
+          f AS (SELECT id, t.i AS frame_idx,
+                       substr(text, CAST(t.i * 64 + 1 AS BIGINT), 64) AS frame
+                FROM m, unnest(range(0, m.n_frames)) AS t(i))
+          SELECT id, frame_idx, sha256(frame) AS frame_sha256,
+                 CAST(strlen(frame) AS BIGINT) AS n_frame_bytes
+          FROM f WHERE frame_idx % 2 = 0"""
   )
 }
