@@ -44,6 +44,23 @@ object TextFunctions {
   def hash16(token: Column): Column =
     conv(substring(md5(token), 1, 4), 16, 10).cast("long")
 
+  /** Per-token hash array — stage this through a select before feeding
+    * [[simhash16FromHashes]] (16 bit-sums reference it; staging keeps
+    * the md5s computed once per token, the NOTES.md O(n²) trap). */
+  def tokenHashes(text: Column): Column = transform(tokens(text), t => hash16(t))
+
+  /** Map-only per-row SimHash over a PRE-MATERIALIZED hash array —
+    * value-identical to [[graft.operators.Dedup.simhash16]]'s
+    * explode+groupBy form (same hash16, same ±1 bit sums, integer adds
+    * are order-free), but with no aggregation, so it composes with
+    * streaming state operators without adding a stateful stage. */
+  def simhash16FromHashes(hs: Column): Column =
+    (0 until 16).map { b =>
+      val bitSum = aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Jaccard similarity of two pre-distinct shingle arrays (single
     * double division → bit-identical across engines). */
   def jaccard(a: Column, b: Column): Column = {

@@ -40,4 +40,24 @@ object StreamingDedup {
   def exactByContentUnbounded(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("text_hash", md5(col(textCol)))
       .dropDuplicates("text_hash")
+
+  /** Near-dup streaming suppression keyed on the 16-bit SimHash: docs
+    * whose token multisets agree (whitespace/formatting variants — the
+    * near-dups exact hashing misses) collapse to one fingerprint and
+    * dedupe like [[exactByContent]]. The fingerprint is computed
+    * map-only per row ([[graft.functions.TextFunctions
+    * .simhash16FromHashes]]) — an explode+groupBy SimHash would add a
+    * second stateful stage before the dedup state, which streaming
+    * forbids in append mode. Same bounded-state watermark semantics;
+    * 16 bits is the oracle-checkable demo width, production widens the
+    * identical construction to 64. */
+  def nearBySimhash(docs: DataFrame, textCol: String, tsCol: String,
+                    delay: String): DataFrame =
+    docs
+      .withColumn("_hs", graft.functions.TextFunctions.tokenHashes(col(textCol)))
+      .withColumn("simhash",
+        graft.functions.TextFunctions.simhash16FromHashes(col("_hs")))
+      .drop("_hs")
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("simhash")
 }

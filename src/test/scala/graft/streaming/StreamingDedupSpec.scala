@@ -51,6 +51,33 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("per-row simhash equals the batch explode+groupBy form on real docs") {
+    val docs = graft.Tables.load(spark, graft.TestSpark.sfDir, "documents")
+    val perRow = docs
+      .withColumn("_hs", graft.functions.TextFunctions.tokenHashes(col("text")))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.simhash16FromHashes(col("_hs")).as("simhash"))
+    val batch = graft.operators.Dedup.simhash16(docs, "doc_id", "text")
+    assert(perRow.exceptAll(batch).isEmpty && batch.exceptAll(perRow).isEmpty)
+  }
+
+  test("near-dup streaming dedup collapses whitespace variants exact dedup misses") {
+    val dir = Files.createTempDirectory("sdedup-near").toString
+    writeBatch(dir, "b0", Seq(
+      (1L, ts(0), "alpha beta gamma"),
+      (2L, ts(1), "alpha  beta   gamma"), // same tokens, different bytes
+      (3L, ts(1), "something else entirely")))
+    val in = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamingDedup.nearBySimhash(in, "text", "ts", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_near").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("sdedup_near").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(out == Set(1L, 3L), s"whitespace variant not collapsed: $out")
+    } finally q.stop()
+  }
+
   test("a duplicate beyond the watermark window is emitted again (bounded state)") {
     val dir = Files.createTempDirectory("sdedup2").toString
     val in = spark.readStream.schema(schema)
