@@ -116,23 +116,36 @@ object Dedup {
     * Input: (id_a, id_b) pairs. Output: (doc_id, cluster_id) for every
     * node that appears in some pair. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // persist the pair source BEFORE the two-orientation union: the
+    // union's branches are separate subtrees to Spark, so an unpersisted
+    // `pairs` (often a whole LSH pipeline) would be computed twice when
+    // `edges` first materializes (measured 2× on q44)
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var persisted = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the init materialization doubles as a size probe: when the label
+    // table fits in a broadcast (node count ≪ corpus — the normal LSH
+    // outcome), hint both per-round joins broadcast so a round is one
+    // map-side job instead of shuffle+sort stages; past the limit the
+    // rounds fall back to shuffle joins (the 100 TB path)
+    val nNodes = persisted.count()
+    val hinted: DataFrame => DataFrame =
+      if (nNodes <= broadcastNodeLimit) broadcast(_) else identity
     var labels = persisted
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       iter += 1
       val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .join(hinted(labels.select(col("id").as("dst"), col("label"))), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nbr_label"))
       val next = labels.withColumnRenamed("label", "old")
-        .join(neighborMin, Seq("id"), "left")
+        .join(hinted(neighborMin), Seq("id"), "left")
         .select(col("id"),
           least(col("old"), coalesce(col("nbr_label"), col("old"))).as("label"),
           col("old"))
@@ -145,6 +158,11 @@ object Dedup {
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
+
+  /** Above this node count the per-round label joins stop broadcasting
+    * and fall back to shuffle joins (a broadcast of the label table
+    * must fit executor memory; 1M (id,label) longs ≈ 16 MB). */
+  private val broadcastNodeLimit = 1000000L
 
   /** 16-bit SimHash fingerprint per document: for each bit position the
     * sign of Σ_tokens (2·bit(hash16(token)) − 1). Kept at 16 bits so the
