@@ -105,13 +105,23 @@ class TableStore(spark: SparkSession, root: String,
   /** Time travel: the table as of generation `seq` (inclusive) — the
     * newest full generation at or before `seq` plus every later delta
     * up to it. Generations still on disk resolve exactly (a superseded
-    * one survives at least `gcGraceMs`, longer if gc never runs);
-    * gc'd history raises like any vacuumed table format. */
+    * one survives at least `gcGraceMs`, longer if gc never runs).
+    * Returns None only when the table was never written; asking for a
+    * point in history whose generations were all gc'd (or that predates
+    * the first commit) throws [[TableStore.VacuumedHistoryException]] —
+    * vacuumed history must not be mistaken for an absent table. */
   def readAt(table: String, seq: Long): Option[DataFrame] = {
-    val gens = generations(table).filter(_._1 <= seq)
+    val all = generations(table)
+    val gens = all.filter(_._1 <= seq)
     val lastFull = gens.lastIndexWhere(_._2 == "full")
     val live = if (lastFull >= 0) gens.drop(lastFull) else gens
-    if (live.isEmpty) None else Some(readGenerations(live))
+    if (live.nonEmpty) Some(readGenerations(live))
+    else if (all.nonEmpty)
+      throw new TableStore.VacuumedHistoryException(
+        s"table '$table' has no surviving generation at or before seq=$seq " +
+        s"(earliest on disk: g${all.head._1}); history was gc'd or the seq " +
+        "predates the first commit")
+    else None
   }
 
   /** Committed generations, oldest first: (seq, "full" | "delta"). */
@@ -259,6 +269,11 @@ class TableStore(spark: SparkSession, root: String,
 }
 
 object TableStore {
+  /** Thrown by [[TableStore.readAt]] when the requested point in history
+    * existed but no generation at or below it survives gc — the
+    * time-travel analogue of querying a vacuumed Delta/Iceberg version. */
+  class VacuumedHistoryException(msg: String) extends IllegalStateException(msg)
+
   /** The tables whose 100 TB layout partitions by dataset — a property
     * of the table so every writer (and compaction) preserves it. */
   val defaultPartitioning: Map[String, Seq[String]] = Map(

@@ -90,8 +90,11 @@ object AsOfJoin {
     val rPlan: LogicalPlan =
       Project(rAnalyzed.output.map(a => Alias(a, a.name)()), rAnalyzed)
 
+    // resolve names with the session's resolver so case sensitivity
+    // matches df.select (case-insensitive unless spark.sql.caseSensitive)
+    val resolver = spark.sessionState.conf.resolver
     def attr(p: LogicalPlan, n: String) =
-      p.output.find(_.name == n).getOrElse(
+      p.output.find(a => resolver(a.name, n)).getOrElse(
         throw new IllegalArgumentException(
           s"column '$n' not in [${p.output.map(_.name).mkString(", ")}]"))
 

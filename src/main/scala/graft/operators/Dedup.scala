@@ -77,7 +77,14 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    verifyJaccard(cand, sh, threshold)
+    // materialize the (small) verified-pairs result, then drop the
+    // pipeline caches — without this a long-lived session leaks the
+    // shingle/signature/band blocks of every near-dup call it ever ran
+    val out = verifyJaccard(cand, sh, threshold).localCheckpoint(eager = true)
+    sh.unpersist(blocking = false)
+    sig.unpersist(blocking = false)
+    bandDf.unpersist(blocking = false)
+    out
   }
 
   /** Exact Jaccard for candidate pairs from shingle rows (shuffle joins
@@ -156,7 +163,16 @@ object Dedup {
       persisted = next
       labels = next.select(col("id"), col("label")) // drop `old` for the next rename
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    // the label table is tiny (one row per node in some dup pair);
+    // checkpoint it eagerly so every intermediate cache — including the
+    // whole LSH pipeline behind `pairs` — can be dropped immediately
+    // instead of leaking for the life of the session
+    val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .localCheckpoint(eager = true)
+    persisted.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    p.unpersist(blocking = false)
+    out
   }
 
   /** Above this node count the per-round label joins stop broadcasting
@@ -216,7 +232,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = withSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = withSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+    val out = a.crossJoin(b).filter(col("id_a") < col("id_b"))
       // intersect computed once per pair (the helper would do it twice)
       .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .select(col("id_a"), col("id_b"),
@@ -224,5 +240,8 @@ object Dedup {
          ((size(col("sh_a")) + size(col("sh_b"))).cast("double") - col("n_inter")))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .localCheckpoint(eager = true) // then drop the shingle cache
+    withSh.unpersist(blocking = false)
+    out
   }
 }

@@ -128,11 +128,17 @@ object VectorOps {
     // IVF coarse-quantizer training: 2 Lloyd's rounds, k=8,
     // deterministic init + tie-free quantized centroid means, so the
     // whole training run is value-checkable against the unrolled SQL
-    // oracle.
+    // oracle. Centroids are emitted exploded to (cid, pos, cval) rows —
+    // scalar columns only, so any engine's result comparison can sort /
+    // hash them (array cells are unhashable in pandas-based harnesses).
     "q59_kmeans_train" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
         .select(col("vec_id").as("id"), col("embedding"))
       graft.operators.KMeans.train(e, k = 8, iters = 2)
+        .select(col("cid"), col("n_members"),
+                posexplode(col("centroid")).as(Seq("pos", "cval")))
+        .select(col("cid"), col("n_members"),
+                (col("pos") + 1).cast("long").as("pos"), col("cval"))
     }),
 
     // End-to-end trained ANN: q59's centroids replace q39's stand-ins —
@@ -381,9 +387,11 @@ object VectorOps {
       s"""WITH $kmeansCtesSql
           SELECT c2.cid,
                  coalesce(cnt.n_members, 0) AS n_members,
-                 c2.cent AS centroid
+                 CAST(t.d AS BIGINT) AS pos,
+                 c2.cent[CAST(t.d AS INTEGER)] AS cval
           FROM c2 LEFT JOIN (SELECT cid, CAST(count(*) AS BIGINT) AS n_members
-                             FROM a2 GROUP BY cid) cnt USING (cid)""",
+                             FROM a2 GROUP BY cid) cnt USING (cid),
+               unnest(range(1, 65)) AS t(d)""",
 
     // q39's IVF search with the q59-trained centroids in place of the
     // stand-ins — training, index build and search as ONE oracled plan.

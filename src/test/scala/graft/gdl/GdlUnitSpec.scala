@@ -152,9 +152,12 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.readAt("t", 1).get.as[Int].collect().sorted.toSeq == Seq(1, 2))
     assert(store.readAt("t", 2).get.as[Int].collect().toSeq == Seq(9))
     assert(store.readAt("t", 3).get.as[Int].collect().sorted.toSeq == Seq(9, 10))
-    // as-of a future seq = current contents; before the first = None
+    // as-of a future seq = current contents; a seq with no surviving
+    // generation (predates the first commit / gc'd) throws — it must not
+    // be mistaken for an absent table; never-written tables are None
     assert(store.readAt("t", 99).get.as[Int].collect().sorted.toSeq == Seq(9, 10))
-    assert(store.readAt("t", -1).isEmpty)
+    intercept[TableStore.VacuumedHistoryException](store.readAt("t", -1))
+    assert(store.readAt("never_written", 0).isEmpty)
     // compaction doesn't disturb pre-compaction reads while retained
     store.compact("t")                      // g4-full
     assert(store.readAt("t", 1).get.as[Int].collect().sorted.toSeq == Seq(1, 2))
