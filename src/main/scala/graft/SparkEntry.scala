@@ -33,7 +33,8 @@ object SparkEntry {
       graft.queries.TextOps.queries ++
       graft.queries.VectorOps.queries ++
       graft.queries.EventOps.queries ++
-      graft.queries.JsonOps.queries
+      graft.queries.JsonOps.queries ++
+      graft.queries.CurationOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check.
@@ -46,7 +47,8 @@ object SparkEntry {
       graft.queries.TextOps.oracles ++
       graft.queries.VectorOps.oracles ++
       graft.queries.EventOps.oracles ++
-      graft.queries.JsonOps.oracles)
+      graft.queries.JsonOps.oracles ++
+      graft.queries.CurationOps.oracles)
       .map { case (k, sql) =>
         k -> s"SELECT * FROM ($sql) AS graft_q ORDER BY ALL NULLS FIRST"
       }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the train/test-overlap check every
+  * training-data pipeline runs before a corpus ships: find training
+  * documents that share enough word-n-gram shingles with a held-out
+  * benchmark document to contaminate evaluation.
+  *
+  * Scale design (100 TB train corpus vs a tiny benchmark set):
+  *  - the benchmark side (docs AND its shingle rows) is broadcast — the
+  *    train corpus is scanned once, never shuffled on document identity;
+  *  - candidates come from the shingle equi-join (only train docs that
+  *    actually share a shingle reach the aggregate), and the per-pair
+  *    intersection count is map-side combinable;
+  *  - overlap = |shared shingles| / |benchmark shingles| is exact
+  *    integer counting + one double division, so the whole check is
+  *    value-reproducible in any engine.
+  */
+object Decontaminate {
+
+  /** Per-pair overlap: (train_id, bench_id, n_shared, overlap) for every
+    * train/bench pair sharing ≥ 1 shingle and overlap ≥ `minOverlap`. */
+  def overlapPairs(train: DataFrame, bench: DataFrame, idCol: String,
+                   textCol: String, shingleN: Int,
+                   minOverlap: Double): DataFrame = {
+    val tsh = Dedup.shingleRows(train, idCol, textCol, shingleN)
+      .select(col("doc_id").as("train_id"), col("shingle"))
+    val bsh = Dedup.shingleRows(bench, idCol, textCol, shingleN)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    val bCounts = bsh.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_bench_sh"))
+    // shingleRows is per-doc distinct, so the join row count per pair IS
+    // the intersection size
+    tsh.join(broadcast(bsh), Seq("shingle"))
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(bCounts), Seq("bench_id"))
+      .select(col("train_id"), col("bench_id"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_bench_sh").cast("double"))
+          .as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
+  /** Per-benchmark-doc contamination report: how many train docs share
+    * any shingle, the worst overlap, and how many cross the
+    * `contaminatedAt` line. Benchmark docs with no overlapping train doc
+    * report 0 candidates. Output: (bench_id, n_bench_sh, n_candidates,
+    * max_overlap, n_contaminated). */
+  def report(train: DataFrame, bench: DataFrame, idCol: String,
+             textCol: String, shingleN: Int,
+             contaminatedAt: Double): DataFrame = {
+    val pairs = overlapPairs(train, bench, idCol, textCol, shingleN,
+      minOverlap = 0.0)
+    val perBench = pairs.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+           max(col("overlap")).as("max_overlap"),
+           sum(when(col("overlap") >= contaminatedAt, 1L).otherwise(0L))
+             .as("n_contaminated"))
+    val bCounts = Dedup.shingleRows(bench, idCol, textCol, shingleN)
+      .groupBy(col("doc_id").as("bench_id"))
+      .agg(count(lit(1)).as("n_bench_sh"))
+    bCounts.join(perBench, Seq("bench_id"), "left")
+      .select(col("bench_id"), col("n_bench_sh"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("max_overlap"), lit(0.0)).as("max_overlap"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+  }
+}

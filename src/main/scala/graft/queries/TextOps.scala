@@ -5,7 +5,6 @@ import graft.functions.TextFunctions._
 import graft.operators.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Training-data text-analysis + deduplication operators over the
   * `documents` table: token stats, quality scoring, language-ID
@@ -191,9 +190,11 @@ object TextOps {
     // Corpus curation capstone: the selection pass of a training-data
     // pipeline as ONE declarative plan — exact-dedup to the canonical
     // copy (min doc_id per content hash), quality-gate (q19's score),
-    // minimum length, then per-source corpus stats. Quality sums go
-    // through DECIMAL(18,6) so the aggregate is accumulation-order-free
-    // (decimal addition is exact; double addition is not).
+    // minimum length, then per-source corpus stats. Quality sums
+    // quantize with floor(q·1e6) and add as longs — order-free AND
+    // tie-free (a DECIMAL cast rounds, and engines disagree HALF_UP vs
+    // half-even exactly on the boundary values; floor has no boundary —
+    // the k-means centroid lesson, NOTES.md).
     "q57_corpus_curation" -> ((s, d) => {
       val ts = col("_toks")
       // text_hash projected BEFORE the window: the dedup shuffle moves a
@@ -218,7 +219,7 @@ object TextOps {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"),
              sum(col("n_tokens")).as("total_tokens"),
-             sum(col("quality").cast(DecimalType(18, 6))).cast("double")
+             (sum(floor(col("quality") * 1e6).cast("long")).cast("double") / 1e6)
                .as("total_quality"))
     }),
 
@@ -470,7 +471,8 @@ object TextOps {
           SELECT source,
                  CAST(count(*) AS BIGINT) AS n_kept,
                  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-                 CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS total_quality
+                 CAST(sum(CAST(floor(quality * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+                   AS total_quality
           FROM canon
           WHERE doc_id = canonical_id AND quality >= 0.35 AND n_tokens >= 20
           GROUP BY source""",

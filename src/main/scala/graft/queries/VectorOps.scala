@@ -150,6 +150,14 @@ object VectorOps {
         .select(col("cid"), col("centroid").as("embedding"))
       Similarity.ivfTopK(e.filter(col("id") < 5L), e, trained,
         nprobe = 2, k = 5)
+    }),
+
+    // Scalar-quantized (int8) top-k: 4× smaller scan, integer-exact
+    // scoring (see Similarity.sq8TopK).
+    "q65_sq8_topk" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      Similarity.sq8TopK(e.filter(col("id") < 5L), e, k = 5)
     })
   )
 
@@ -429,6 +437,37 @@ object VectorOps {
                  CAST(row_number() OVER (PARTITION BY query_id
                       ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
           FROM scored
+          QUALIFY rank <= 5""",
+
+    // int8 symmetric scalar quantization: one corpus-wide scale from an
+    // order-free max, floor(x·scale + 0.5) clamp ±127, exact integer
+    // dot products — no float accumulation anywhere in the ranking.
+    "q65_sq8_topk" ->
+      s"""WITH s AS (SELECT 127.0 / max(list_reduce(
+                       list_prepend(0.0, list_transform(embedding,
+                         x -> abs(CAST(x AS DOUBLE)))),
+                       (a, b) -> greatest(a, b))) AS scale
+                     FROM embeddings),
+          v AS (SELECT vec_id,
+                       list_transform(embedding,
+                         x -> CAST(least(greatest(floor(CAST(x AS DOUBLE)
+                                * s.scale + 0.5), -127.0), 127.0)
+                              AS BIGINT)) AS q8
+                FROM embeddings CROSS JOIN s),
+          q AS (SELECT vec_id AS query_id, q8 AS p8 FROM v WHERE vec_id < 5),
+          sc AS (SELECT q.query_id, c.vec_id,
+                        list_reduce(
+                          list_prepend(CAST(0 AS BIGINT),
+                            list_transform(range(1, len(c.q8) + 1),
+                              i -> q.p8[CAST(i AS INTEGER)] * c.q8[CAST(i AS INTEGER)])),
+                          (a, b) -> a + b) AS qdot
+                 FROM v c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+          SELECT query_id, vec_id, qdot,
+                 CAST(qdot AS DOUBLE)
+                   / ((SELECT scale FROM s) * (SELECT scale FROM s)) AS dot_hat,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY qdot DESC, vec_id) AS BIGINT) AS rank
+          FROM sc
           QUALIFY rank <= 5"""
   )
 

@@ -38,4 +38,15 @@ class ShardedExportSpec extends AnyFunSuite {
     val sizes = back.groupBy("shard").count().collect().map(_.getLong(1))
     assert(sizes.max <= 2 * sizes.min, sizes.mkString(","))
   }
+
+  test("every shard directory exists even when some shards are empty") {
+    import spark.implicits._
+    // 3 distinct keys into 16 shards: most shards get zero rows, but a
+    // shard->worker mapping must still find every shard=s/ path
+    val out = java.nio.file.Files.createTempDirectory("shards-sparse").toString
+    ShardedExport.write(Seq(1L, 2L, 3L).toDF("k"), "k", 16, out)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(dirs.map(_.getName).toSet == (0 until 16).map(s => s"shard=$s").toSet)
+  }
 }
