@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.functions.VectorFunctions.dot
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) with asymmetric-distance (ADC) search —
+  * the third leg of the quantized-ANN family next to IVF (`Similarity
+  * .ivfTopK`) and int8 SQ (`Similarity.sq8TopK`): the embedding is
+  * split into `m` subspaces, each subspace gets its own tiny k-means
+  * codebook, and a vector is stored as `m` small code ids (64-dim
+  * float32 → 4 bytes at m=4/k≤256 — a 64× compression).
+  *
+  * Search never reconstructs vectors: per query, the dot product of the
+  * query's sub-vector with EVERY codebook centroid is a lookup table of
+  * m·k entries (tiny — computed once, broadcast), and a candidate's
+  * approximate score is the sum of its m table entries.
+  *
+  * Scale design (100 TB):
+  *  - training touches only the codebooks (m tiny k-means runs — the
+  *    same exact [[KMeans]] used for IVF);
+  *  - encoding is a broadcast of m·k centroids against one corpus scan;
+  *  - scoring joins the code table to the broadcast LUT and sums m
+  *    integers per candidate — no float vector math on the corpus side
+  *    at all.
+  *
+  * Value-exactness: centroids come from KMeans' quantized means (exact);
+  * LUT entries are quantized to the 1e-12 grid via floor and summed AS
+  * LONGS, so the per-candidate score is independent of Spark's aggregate
+  * accumulation order (double sums are not) and bitwise reproducible in
+  * any engine. `adc_hat` = adc_q/1e12 recovers the double scale.
+  */
+object Pq {
+
+  /** Train per-subspace codebooks: (m, cid, centroid). `corpus`:
+    * (id, embedding) with dim = m·subDim. */
+  def train(corpus: DataFrame, m: Int, subDim: Int, k: Int,
+            iters: Int): DataFrame =
+    (0 until m).map { j =>
+      KMeans.train(
+        corpus.select(col("id"),
+          slice(col("embedding"), j * subDim + 1, subDim).as("embedding")),
+        k, iters)
+        .select(lit(j).as("m"), col("cid"), col("centroid"))
+    }.reduce(_ unionByName _)
+
+  /** Encode every corpus vector as m code ids: (id, m, cid). Ties in
+    * the per-subspace argmin break toward the smaller cid (same rule as
+    * KMeans assignment). */
+  def encode(corpus: DataFrame, codebooks: DataFrame, m: Int,
+             subDim: Int): DataFrame =
+    (0 until m).map { j =>
+      val sub = corpus.select(col("id"),
+        transform(slice(col("embedding"), j * subDim + 1, subDim),
+          _.cast("double")).as("emb"))
+      val cents = codebooks.filter(col("m") === j)
+        .select(col("cid"), col("centroid").as("cent"))
+      val d = aggregate(
+        zip_with(col("emb"), col("cent"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), _ + _)
+      val w = Window.partitionBy(col("id")).orderBy(col("dist"), col("cid"))
+      sub.crossJoin(broadcast(cents))
+        .select(col("id"), col("cid"), d.as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id"), lit(j).as("m"), col("cid"))
+    }.reduce(_ unionByName _)
+
+  /** ADC top-k: approximate dot(query, candidate) = Σ_m LUT[m][code_m].
+    * Output: (query_id, vec_id, adc_q, adc_hat, rank ≤ k). */
+  def adcTopK(queries: DataFrame, corpus: DataFrame, codebooks: DataFrame,
+              m: Int, subDim: Int, k: Int): DataFrame = {
+    val codes = encode(corpus, codebooks, m, subDim)
+    val lut = (0 until m).map { j =>
+      queries.select(col("id").as("query_id"),
+        transform(slice(col("embedding"), j * subDim + 1, subDim),
+          _.cast("double")).as("qsub"))
+        .crossJoin(broadcast(codebooks.filter(col("m") === j)
+          .select(col("cid"), col("centroid"))))
+        .select(col("query_id"), lit(j).as("m"), col("cid"),
+          floor(dot(col("qsub"), col("centroid")) * 1e12).cast("long").as("qd"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_q").desc, col("vec_id"))
+    codes.join(broadcast(lut), Seq("m", "cid"))
+      .filter(col("id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("qd")).as("adc_q")) // exact long sum: order-free
+      .select(col("query_id"), col("id").as("vec_id"), col("adc_q"),
+        (col("adc_q").cast("double") / 1e12).as("adc_hat"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}

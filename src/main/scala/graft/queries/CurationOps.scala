@@ -38,7 +38,73 @@ object CurationOps {
     // spans (the C4-style repetition-removal signal).
     "q66_boilerplate" -> ((s, d) =>
       Boilerplate.spanCoverage(Tables.load(s, d, "documents"),
-        "doc_id", "text", n = 3, minDf = 5L))
+        "doc_id", "text", n = 3, minDf = 5L)),
+
+    // Tokenizer-vocabulary induction stats: the top-30 tokens by corpus
+    // frequency with the cumulative coverage curve (what fraction of all
+    // token occurrences a vocab of that size captures). The corpus-sized
+    // work is ONE map-side-combinable count; the rank window runs on the
+    // aggregated vocab table (inherently small — that is the point of a
+    // vocabulary), never the corpus. Counts stay longs, so the coverage
+    // fraction is one exact division.
+    "q67_vocab_coverage" -> ((s, d) => {
+      val tok = Tables.load(s, d, "documents")
+        .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n_occurrences"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_occurrences").desc, col("token"))
+      val total = tok.agg(sum(col("n_occurrences")).as("total_occ"))
+      tok.crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("cum_occurrences",
+          sum(col("n_occurrences")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                          org.apache.spark.sql.expressions.Window.currentRow)))
+        .filter(col("rank") <= 30L)
+        .select(col("rank"), col("token"), col("n_occurrences"),
+          (col("cum_occurrences").cast("double") / col("total_occ").cast("double"))
+            .as("cum_coverage"))
+    }),
+
+    // Training-mix assembly under a token budget: 30% of corpus tokens,
+    // split across sources by weight (even-numbered sources get 2×), and
+    // filled per source in deterministic md5-hash order until the
+    // source's budget is exhausted. Everything is integer arithmetic +
+    // per-source windows (shuffle keyed on source — scales out), so the
+    // mix is replayable bit-for-bit under retry.
+    "q68_token_budget_mix" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          md5(concat(lit("mix|"), col("doc_id").cast("string"))).as("h"),
+          when(regexp_extract(col("source"), "(\\d+)$", 1).cast("long") % 2 === 0,
+            lit(2L)).otherwise(lit(1L)).as("weight"))
+      // per-source budget = (30% of all tokens) · weighted-token share;
+      // floor keeps it integer-exact in any engine
+      val perSrcStats = docs.groupBy(col("source"), col("weight"))
+        .agg(sum(col("n_tokens")).as("src_tokens"))
+      val totals = perSrcStats.agg(
+        sum(col("src_tokens")).as("total_tokens"),
+        sum(col("src_tokens") * col("weight")).as("wt_tokens"))
+      val perSrc = perSrcStats.crossJoin(broadcast(totals))
+        .select(col("source"),
+          floor(col("total_tokens").cast("double") * 0.3 *
+            (col("src_tokens") * col("weight")).cast("double") /
+            col("wt_tokens").cast("double")).as("src_budget"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                     org.apache.spark.sql.expressions.Window.currentRow)
+      docs.join(broadcast(perSrc), Seq("source"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= col("src_budget"))
+        .groupBy(col("source"), col("src_budget"))
+        .agg(count(lit(1)).as("n_docs_kept"),
+             sum(col("n_tokens")).as("tokens_kept"))
+        .select(col("source"), col("n_docs_kept"), col("tokens_kept"),
+                col("src_budget"))
+    })
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -114,6 +180,50 @@ object CurationOps {
                    AS rank
           FROM top"""
     },
+
+    "q67_vocab_coverage" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),
+          cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+                  FROM tok GROUP BY token),
+          tot AS (SELECT CAST(sum(n_occurrences) AS BIGINT) AS total_occ FROM cnt),
+          r AS (SELECT token, n_occurrences,
+                       CAST(row_number() OVER (ORDER BY n_occurrences DESC, token)
+                            AS BIGINT) AS rank,
+                       CAST(sum(n_occurrences) OVER (ORDER BY n_occurrences DESC, token
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                FROM cnt)
+          SELECT rank, token, n_occurrences,
+                 CAST(cum AS DOUBLE) / CAST((SELECT total_occ FROM tot) AS DOUBLE)
+                   AS cum_coverage
+          FROM r WHERE rank <= 30""",
+
+    "q68_token_budget_mix" ->
+      s"""WITH d AS (SELECT doc_id, source,
+                            CAST(len($toksSql) AS BIGINT) AS n_tokens,
+                            md5('mix|' || CAST(doc_id AS VARCHAR)) AS h,
+                            CASE WHEN CAST(regexp_extract(source, '(\\d+)$$', 1)
+                                           AS BIGINT) % 2 = 0
+                                 THEN 2 ELSE 1 END AS weight
+                     FROM documents),
+          ps AS (SELECT source, weight, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+                 FROM d GROUP BY source, weight),
+          tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+                         CAST(sum(src_tokens * weight) AS BIGINT) AS wt_tokens
+                  FROM ps),
+          pb AS (SELECT source,
+                        CAST(floor(CAST(total_tokens AS DOUBLE) * 0.3
+                               * CAST(src_tokens * weight AS DOUBLE)
+                               / CAST(wt_tokens AS DOUBLE)) AS BIGINT) AS src_budget
+                 FROM ps CROSS JOIN tot),
+          c AS (SELECT d.source, d.n_tokens, pb.src_budget,
+                       sum(d.n_tokens) OVER (PARTITION BY d.source
+                            ORDER BY d.h, d.doc_id ROWS UNBOUNDED PRECEDING)
+                         AS cum_tokens
+                FROM d JOIN pb USING (source))
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+                 CAST(sum(n_tokens) AS BIGINT) AS tokens_kept, src_budget
+          FROM c WHERE cum_tokens <= src_budget
+          GROUP BY source, src_budget""",
 
     "q66_boilerplate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

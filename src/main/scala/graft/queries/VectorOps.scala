@@ -158,6 +158,17 @@ object VectorOps {
       val e = Tables.load(s, d, "embeddings")
         .select(col("vec_id").as("id"), col("embedding"))
       Similarity.sq8TopK(e.filter(col("id") < 5L), e, k = 5)
+    }),
+
+    // Product-quantization ADC search: 4 subspaces × 16 dims, k=4
+    // codebooks (1 Lloyd's round each — unrolled in the oracle), LUT
+    // scores quantized to longs so the per-candidate sum is order-free.
+    "q69_pq_adc_topk" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      val cb = graft.operators.Pq.train(e, m = 4, subDim = 16, k = 4, iters = 1)
+      graft.operators.Pq.adcTopK(e.filter(col("id") < 5L), e, cb,
+        m = 4, subDim = 16, k = 5)
     })
   )
 
@@ -468,8 +479,77 @@ object VectorOps {
                  CAST(row_number() OVER (PARTITION BY query_id
                       ORDER BY qdot DESC, vec_id) AS BIGINT) AS rank
           FROM sc
+          QUALIFY rank <= 5""",
+
+    // PQ-ADC: per-subspace 1-round k-means codebooks (the q59 CTE
+    // pattern at 16 dims / k=4, one block per subspace), nearest-code
+    // encoding, and LUT scores floor-quantized to BIGINTs so the
+    // per-candidate sum is accumulation-order-free.
+    "q69_pq_adc_topk" -> {
+      val ctes = (0 until 4).map(pqCtesSql).mkString(",\n          ")
+      val codesU = (0 until 4).map(j => s"SELECT * FROM codes$j")
+        .mkString(" UNION ALL ")
+      val lutU = (0 until 4).map(j => s"SELECT * FROM lut$j")
+        .mkString(" UNION ALL ")
+      s"""WITH $ctes,
+          codes AS ($codesU),
+          lut AS ($lutU),
+          sc AS (SELECT l.query_id, c.id AS vec_id,
+                        CAST(sum(l.qd) AS BIGINT) AS adc_q
+                 FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.cid
+                 WHERE c.id <> l.query_id
+                 GROUP BY l.query_id, c.id)
+          SELECT query_id, vec_id, adc_q,
+                 CAST(adc_q AS DOUBLE) / 1e12 AS adc_hat,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY adc_q DESC, vec_id) AS BIGINT) AS rank
+          FROM sc
           QUALIFY rank <= 5"""
+    }
   )
+
+  /** One subspace's CTE block for the PQ oracle: slice dims
+    * [j·16+1, j·16+16], 1 unrolled Lloyd's round at k=4 (same
+    * quantized-mean discipline as the q59 k-means CTEs), nearest-code
+    * assignment, and the query-side LUT with floor(dot·1e12) entries. */
+  private def pqCtesSql(j: Int): String = {
+    val lo = j * 16 + 1
+    val hi = j * 16 + 16
+    def sq(a: String, b: String) =
+      s"""list_reduce(
+            list_prepend(0.0, list_transform(range(1, len($a) + 1),
+              i -> ($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)])
+                   * ($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)]))),
+            (x, y) -> x + y)"""
+    s"""corpus$j AS (SELECT vec_id AS id,
+                  list_transform(embedding[$lo:$hi], x -> CAST(x AS DOUBLE)) AS emb
+                FROM embeddings),
+        c0$j AS (SELECT id AS cid, emb AS cent FROM corpus$j WHERE id < 4),
+        a1$j AS (SELECT id, emb, cid FROM (
+               SELECT v.id, v.emb, c.cid,
+                      row_number() OVER (PARTITION BY v.id
+                        ORDER BY ${sq("v.emb", "c.cent")}, c.cid) AS rn
+               FROM corpus$j v CROSS JOIN c0$j c) WHERE rn = 1),
+        m1$j AS (SELECT cid, t.d AS pos,
+                       CAST(sum(CAST(floor(emb[CAST(t.d AS INTEGER)] * 1e12)
+                                     AS BIGINT)) AS DOUBLE)
+                         / 1e12 / CAST(count(*) AS DOUBLE) AS mm
+                FROM a1$j, unnest(range(1, 17)) AS t(d)
+                GROUP BY cid, t.d),
+        cn1$j AS (SELECT cid, list(mm ORDER BY pos) AS cent
+                  FROM m1$j GROUP BY cid),
+        c1$j AS (SELECT p.cid, coalesce(cn1$j.cent, p.cent) AS cent
+                 FROM c0$j p LEFT JOIN cn1$j USING (cid)),
+        codes$j AS (SELECT id, $j AS m, cid FROM (
+               SELECT v.id, c.cid,
+                      row_number() OVER (PARTITION BY v.id
+                        ORDER BY ${sq("v.emb", "c.cent")}, c.cid) AS rn
+               FROM corpus$j v CROSS JOIN c1$j c) WHERE rn = 1),
+        lut$j AS (SELECT q.id AS query_id, $j AS m, c.cid,
+                       CAST(floor((${dotSql("q.emb", "c.cent")}) * 1e12)
+                            AS BIGINT) AS qd
+                FROM corpus$j q CROSS JOIN c1$j c WHERE q.id < 5)"""
+  }
 
   /** Shared CTE prefix: two unrolled Lloyd's rounds over the 64-dim
     * embeddings (`corpus`, init `c0`, rounds → `a1/c1`, `a2/c2`).
