@@ -82,10 +82,16 @@ class TableStore(spark: SparkSession, root: String,
       .sortBy(_._1)
   }
 
+  /** "full" (overwrite) and "comp" (compaction) generations both contain
+    * the whole table at their seq; "comp" additionally promises it
+    * changed NO data — the distinction incremental readers need. */
+  private def isFullKind(kind: String): Boolean =
+    kind == "full" || kind == "comp"
+
   /** The live generations: the newest full one plus every later delta. */
   private def liveGenerations(table: String): Seq[(Long, String, Path)] = {
     val gens = generations(table)
-    val lastFull = gens.lastIndexWhere(_._2 == "full")
+    val lastFull = gens.lastIndexWhere(g => isFullKind(g._2))
     if (lastFull >= 0) gens.drop(lastFull) else gens
   }
 
@@ -113,7 +119,7 @@ class TableStore(spark: SparkSession, root: String,
   def readAt(table: String, seq: Long): Option[DataFrame] = {
     val all = generations(table)
     val gens = all.filter(_._1 <= seq)
-    val lastFull = gens.lastIndexWhere(_._2 == "full")
+    val lastFull = gens.lastIndexWhere(g => isFullKind(g._2))
     val live = if (lastFull >= 0) gens.drop(lastFull) else gens
     if (live.nonEmpty) Some(readGenerations(live))
     else if (all.nonEmpty)
@@ -124,9 +130,47 @@ class TableStore(spark: SparkSession, root: String,
     else None
   }
 
-  /** Committed generations, oldest first: (seq, "full" | "delta"). */
+  /** Committed generations, oldest first:
+    * (seq, "full" | "delta" | "comp"). */
   def history(table: String): Seq[(Long, String)] =
     generations(table).map(g => (g._1, g._2))
+
+  /** Incremental change feed (CDC-lite): the rows appended after
+    * generation `sinceSeq`, for consumers that checkpoint a seq and poll
+    * — the lake-side contract a downstream index/stream builder needs.
+    *
+    * Semantics:
+    *  - returns None only if the table was never written;
+    *  - compaction generations ("comp") carry no data change and are
+    *    skipped — a reader's checkpoint survives compaction;
+    *  - an overwrite ("full") after `sinceSeq` means the delta stream
+    *    cannot express what happened → [[TableStore.FullRefreshRequiredException]];
+    *  - generation seqs are dense, so a GAP in the surviving listing
+    *    above `sinceSeq` means gc deleted history the reader never saw →
+    *    [[TableStore.VacuumedHistoryException]] (never a silent miss).
+    *
+    * Scale: reads ONLY the delta generations in range — cost is
+    * O(new data), independent of table size. */
+  def readChangesSince(table: String, sinceSeq: Long): Option[DataFrame] = {
+    val all = generations(table)
+    if (all.isEmpty) return None
+    val later = all.filter(_._1 > sinceSeq)
+    val maxSeq = all.last._1
+    val expected = (maxSeq - math.max(sinceSeq, -1L)).max(0L)
+    if (later.size < expected)
+      throw new TableStore.VacuumedHistoryException(
+        s"table '$table': generations after seq=$sinceSeq were gc'd " +
+        s"(surviving: ${later.map(_._1).mkString(",")}, head seq should be " +
+        s"${sinceSeq + 1}); the incremental reader must re-bootstrap")
+    if (later.exists(_._2 == "full"))
+      throw new TableStore.FullRefreshRequiredException(
+        s"table '$table' was overwritten at " +
+        s"g${later.find(_._2 == "full").get._1} (> seq=$sinceSeq); " +
+        "changes since then are not expressible as appends")
+    val deltas = later.filter(_._2 == "delta")
+    if (deltas.nonEmpty) Some(readGenerations(deltas))
+    else read(table).map(_.limit(0)) // no changes: empty, schema preserved
+  }
 
   def isEmptyTable(table: String): Boolean = read(table).forall(_.isEmpty)
 
@@ -157,7 +201,7 @@ class TableStore(spark: SparkSession, root: String,
     // compaction hiccup (e.g. a concurrent writer's gc) must not turn a
     // successful append into a failure — the next append retries anyway.
     val gens = generations(table)
-    val lastFull = gens.lastIndexWhere(_._2 == "full")
+    val lastFull = gens.lastIndexWhere(g => isFullKind(g._2))
     if (gens.size - 1 - lastFull > autoCompactDeltas)
       try compact(table) catch { case scala.util.control.NonFatal(_) => () }
   }
@@ -189,7 +233,9 @@ class TableStore(spark: SparkSession, root: String,
       val gens = liveGenerations(table)
       if (gens.isEmpty) done = true
       else done =
-        try commit(table, readGenerations(gens), "full",
+        // kind "comp": contains the whole table but changed no data, so
+        // incremental readers (readChangesSince) skip it
+        try commit(table, readGenerations(gens), "comp",
           expectedSeq = Some(gens.last._1 + 1))
         catch {
           // a concurrent compactor's gc can delete a snapshot file
@@ -206,7 +252,7 @@ class TableStore(spark: SparkSession, root: String,
     * DataFrames created before the supersession keep resolving. */
   def gc(table: String): Unit = {
     val gens = generations(table)
-    val lastFull = gens.lastIndexWhere(_._2 == "full")
+    val lastFull = gens.lastIndexWhere(g => isFullKind(g._2))
     if (lastFull > 0) {
       val dir = tableDir(table)
       val f = fs(dir)
@@ -263,7 +309,7 @@ class TableStore(spark: SparkSession, root: String,
     }
     // superseded generations are GC'd lazily (grace period) — deleting
     // them here would break concurrent readers holding their file paths
-    if (kind == "full") gc(table)
+    if (isFullKind(kind)) gc(table)
     true
   }
 }
@@ -273,6 +319,11 @@ object TableStore {
     * existed but no generation at or below it survives gc — the
     * time-travel analogue of querying a vacuumed Delta/Iceberg version. */
   class VacuumedHistoryException(msg: String) extends IllegalStateException(msg)
+
+  /** Thrown by [[TableStore.readChangesSince]] when an overwrite landed
+    * after the reader's checkpoint — the change stream cannot express a
+    * table replacement, so the consumer must re-bootstrap from read(). */
+  class FullRefreshRequiredException(msg: String) extends IllegalStateException(msg)
 
   /** The tables whose 100 TB layout partitions by dataset — a property
     * of the table so every writer (and compaction) preserves it. */

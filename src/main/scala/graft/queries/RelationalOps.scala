@@ -228,6 +228,21 @@ object RelationalOps {
                 col("n_customers"), col("sum_acctbal"))
     }),
 
+    // Full cube (all 2^k grouping sets) with grouping_id disambiguating
+    // the ALL rows — completes the multi-dimensional aggregate family
+    // next to q40's rollup. One shuffle; Spark expands grouping sets
+    // map-side.
+    "q70_cube" -> ((s, d) => {
+      Tables.load(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"),
+             dsum(col("l_quantity")).as("sum_qty"),
+             grouping_id().as("gid"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+                col("n_items"), col("sum_qty"), col("gid"))
+    }),
+
     // Top-k per group via window rank: 3 highest-value orders per
     // customer segment (the top-k pattern §2.5 notes the reference lacks).
     "q41_topk_per_group" -> ((s, d) => {
@@ -545,6 +560,16 @@ object RelationalOps {
          JOIN nation n ON c.c_nationkey = n.n_nationkey
          JOIN region r ON n.n_regionkey = r.r_regionkey
          GROUP BY ROLLUP (r.r_name, n.n_name)""",
+
+    "q70_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                coalesce(l_linestatus, 'ALL') AS linestatus,
+                CAST(count(*) AS BIGINT) AS n_items,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                     AS BIGINT) AS gid
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)""",
 
     "q41_topk_per_group" ->
       """SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,

@@ -43,6 +43,36 @@ object EventStream {
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
+  /** Watermarked stream-stream interval join — the impression↔click
+    * attribution shape: each left event pairs with right events of the
+    * same user whose timestamp falls in [left.ts, left.ts + maxDelay].
+    *
+    * Both sides carry a watermark and the join condition bounds the
+    * event-time distance in BOTH directions, so Spark derives state
+    * watermarks for each side and evicts buffered rows once they can no
+    * longer match — state is O(arrival rate × (watermark + maxDelay))
+    * per side, independent of stream length. Without the time bound the
+    * join would buffer both streams forever; that shape is rejected by
+    * design here.
+    *
+    * Inputs use [[eventSchema]]; output: (user_id, l_event_id,
+    * r_event_id, l_ts, r_ts, r_value). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   watermark: String, maxDelay: String): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("event_id").as("l_event_id"), col("ts").as("l_ts"),
+              col("user_id"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("event_id").as("r_event_id"), col("ts").as("r_ts"),
+              col("user_id").as("r_user"), col("value").as("r_value"))
+    l.join(r, expr(
+        s"""user_id = r_user AND
+            r_ts >= l_ts AND
+            r_ts <= l_ts + interval $maxDelay"""))
+      .select(col("user_id"), col("l_event_id"), col("r_event_id"),
+              col("l_ts"), col("r_ts"), col("r_value"))
+  }
+
   /** ts travels as epoch microseconds — java.sql.Timestamp.getTime is
     * millisecond-truncated and would diverge from the batch µs math. */
   final case class SessionEvent(event_id: Long, ts_us: Long, user_id: Long)

@@ -187,7 +187,41 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.read("t").get.as[Int].collect().sorted.toSeq == (1 to 10))
     // listings stay bounded: at most one full gen + autoCompactDeltas deltas
     assert(genDirs(root, "t").size <= 4)
-    assert(genDirs(root, "t").exists(_.endsWith("-full")))
+    // compaction commits kind "comp" (whole table, no data change)
+    assert(genDirs(root, "t").exists(_.endsWith("-comp")))
+  }
+
+  test("readChangesSince streams appends, skips compaction, rejects overwrite") {
+    val root = java.nio.file.Files.createTempDirectory("store-cdc").toString
+    val store = new TableStore(spark, root, autoCompactDeltas = 100)
+    assert(store.readChangesSince("t", -1L).isEmpty) // never written
+    store.append("t", Seq(1).toDF("x"))              // g0
+    store.append("t", Seq(2).toDF("x"))              // g1
+    assert(store.readChangesSince("t", -1L).get.as[Int].collect().sorted.toSeq
+      == Seq(1, 2))
+    assert(store.readChangesSince("t", 0L).get.as[Int].collect().toSeq == Seq(2))
+    assert(store.readChangesSince("t", 1L).get.isEmpty) // checkpoint current
+    store.compact("t")                               // g2-comp: no data change
+    assert(store.readChangesSince("t", 1L).get.isEmpty) // checkpoint survives
+    store.append("t", Seq(3).toDF("x"))              // g3
+    assert(store.readChangesSince("t", 1L).get.as[Int].collect().toSeq == Seq(3))
+    store.overwrite("t", Seq(9).toDF("x"))           // g4-full: replacement
+    intercept[TableStore.FullRefreshRequiredException](
+      store.readChangesSince("t", 3L))
+  }
+
+  test("readChangesSince raises on gc'd history instead of silently missing rows") {
+    val root = java.nio.file.Files.createTempDirectory("store-cdc-gc").toString
+    val store = new TableStore(spark, root, autoCompactDeltas = 100, gcGraceMs = 0L)
+    store.append("t", Seq(1).toDF("x"))              // g0
+    store.append("t", Seq(2).toDF("x"))              // g1
+    store.compact("t")                               // g2-comp; gc eats g0,g1
+    // a reader checkpointed before the gc'd deltas must NOT read an
+    // empty feed and believe it is caught up
+    intercept[TableStore.VacuumedHistoryException](
+      store.readChangesSince("t", -1L))
+    // a reader already past them is unaffected
+    assert(store.readChangesSince("t", 1L).get.isEmpty)
   }
 
   test("superseded generations survive the GC grace period for live readers") {
