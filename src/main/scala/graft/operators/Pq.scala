@@ -34,16 +34,54 @@ import org.apache.spark.sql.functions._
 object Pq {
 
   /** Train per-subspace codebooks: (m, cid, centroid). `corpus`:
-    * (id, embedding) with dim = m·subDim. */
+    * (id, embedding) with dim = m·subDim.
+    *
+    * All m subspaces train TOGETHER: the corpus explodes once to
+    * (m, id, subvector) rows and each Lloyd's round is one broadcast
+    * assignment + one grouped mean over the composite (m, cid) key —
+    * one corpus pass per iteration total, not per subspace. The math
+    * per subspace is identical to running [[KMeans.train]] on the
+    * slice (same init, same fold, same quantized means, same
+    * tie-breaks), which the per-subspace oracle CTEs pin. */
   def train(corpus: DataFrame, m: Int, subDim: Int, k: Int,
-            iters: Int): DataFrame =
-    (0 until m).map { j =>
-      KMeans.train(
-        corpus.select(col("id"),
-          slice(col("embedding"), j * subDim + 1, subDim).as("embedding")),
-        k, iters)
-        .select(lit(j).as("m"), col("cid"), col("centroid"))
-    }.reduce(_ unionByName _)
+            iters: Int): DataFrame = {
+    val v = corpus.select(col("id"),
+        explode(transform(sequence(lit(0), lit(m - 1)), j =>
+          struct(j.as("m"),
+            transform(slice(col("embedding"), j * subDim + 1, lit(subDim)),
+              _.cast("double")).as("emb")))).as("s"))
+      .select(col("s.m").as("m"), col("id"), col("s.emb").as("emb"))
+      .localCheckpoint() // m·|corpus| sub-rows feed every round once
+    var cents = v.filter(col("id") < k)
+      .select(col("m"), col("id").as("cid"), col("emb").as("cent"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val dist = aggregate(
+        zip_with(col("emb"), col("cent"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), _ + _)
+      val w = Window.partitionBy(col("m"), col("id"))
+        .orderBy(col("dist"), col("cid"))
+      val assigned = v.join(broadcast(cents), Seq("m"))
+        .select(col("m"), col("id"), col("emb"), col("cid"), dist.as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("m"), col("id"), col("emb"), col("cid"))
+      val means = assigned
+        .select(col("m"), col("cid"), posexplode(col("emb")).as(Seq("pos", "x")))
+        .groupBy(col("m"), col("cid"), col("pos"))
+        .agg((sum(floor(col("x") * 1e12).cast("long")).cast("double")
+                / 1e12 / count(lit(1)).cast("double")).as("mean"))
+        .groupBy(col("m"), col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mean")))),
+          e => e.getField("mean")).as("cent_new"))
+      cents = cents.join(means, Seq("m", "cid"), "left")
+        .select(col("m"), col("cid"),
+          coalesce(col("cent_new"), col("cent")).as("cent"))
+        .localCheckpoint() // m·k·subDim doubles — trivially small
+    }
+    cents.select(col("m"), col("cid"), col("cent").as("centroid"))
+  }
 
   /** Encode every corpus vector as m code ids: (id, m, cid). Ties in
     * the per-subspace argmin break toward the smaller cid (same rule as
