@@ -105,12 +105,11 @@ object Pq {
         .select(col("id"), lit(j).as("m"), col("cid"))
     }.reduce(_ unionByName _)
 
-  /** ADC top-k: approximate dot(query, candidate) = Σ_m LUT[m][code_m].
-    * Output: (query_id, vec_id, adc_q, adc_hat, rank ≤ k). */
-  def adcTopK(queries: DataFrame, corpus: DataFrame, codebooks: DataFrame,
-              m: Int, subDim: Int, k: Int): DataFrame = {
-    val codes = encode(corpus, codebooks, m, subDim)
-    val lut = (0 until m).map { j =>
+  /** Per-query lookup table: (query_id, m, cid, qd) where qd =
+    * floor(dot(q_sub_m, centroid_{m,cid})·1e12) as an exact long. */
+  private def lut(queries: DataFrame, codebooks: DataFrame, m: Int,
+                  subDim: Int): DataFrame =
+    (0 until m).map { j =>
       queries.select(col("id").as("query_id"),
         transform(slice(col("embedding"), j * subDim + 1, subDim),
           _.cast("double")).as("qsub"))
@@ -119,13 +118,62 @@ object Pq {
         .select(col("query_id"), lit(j).as("m"), col("cid"),
           floor(dot(col("qsub"), col("centroid")) * 1e12).cast("long").as("qd"))
     }.reduce(_ unionByName _)
+
+  /** ADC top-k: approximate dot(query, candidate) = Σ_m LUT[m][code_m].
+    * Output: (query_id, vec_id, adc_q, adc_hat, rank ≤ k). */
+  def adcTopK(queries: DataFrame, corpus: DataFrame, codebooks: DataFrame,
+              m: Int, subDim: Int, k: Int): DataFrame = {
+    val codes = encode(corpus, codebooks, m, subDim)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_q").desc, col("vec_id"))
-    codes.join(broadcast(lut), Seq("m", "cid"))
+    codes.join(broadcast(lut(queries, codebooks, m, subDim)), Seq("m", "cid"))
       .filter(col("id") =!= col("query_id"))
       .groupBy(col("query_id"), col("id"))
       .agg(sum(col("qd")).as("adc_q")) // exact long sum: order-free
       .select(col("query_id"), col("id").as("vec_id"), col("adc_q"),
+        (col("adc_q").cast("double") / 1e12).as("adc_hat"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** The composed 100 TB search shape: IVF coarse cells prune the
+    * candidate set (nprobe/|cells| of the corpus per query), PQ-ADC
+    * scores only the survivors — the corpus side touches nothing but
+    * its cell assignment and m code ids. `coarse`: (cid, embedding)
+    * full-dimension coarse centroids (cosine assignment, as
+    * [[Similarity.ivfAssign]]). Output: (query_id, vec_id, cell,
+    * adc_q, adc_hat, rank ≤ k). */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, coarse: DataFrame,
+                codebooks: DataFrame, nprobe: Int, m: Int, subDim: Int,
+                k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.norm
+    val assignment = Similarity.ivfAssign(corpus, coarse)
+      .select(col("id").as("vec_id"), col("cid").as("cell"))
+    val c = coarse.select(col("cid").as("cell"),
+      col("embedding").as("cent_emb"), norm(col("embedding")).as("cent_norm"))
+    val q = queries.select(col("id").as("query_id"),
+      col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_sim").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(c))
+      .select(col("query_id"), col("cell"),
+        (dot(col("q_emb"), col("cent_emb")) / (col("q_norm") * col("cent_norm")))
+          .as("cent_sim"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    val codes = encode(corpus, codebooks, m, subDim)
+      .withColumnRenamed("id", "vec_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_q").desc, col("vec_id"))
+    assignment.join(broadcast(probes), Seq("cell"))
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(lut(queries, codebooks, m, subDim)),
+            Seq("query_id", "m", "cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"), col("cell"))
+      .agg(sum(col("qd")).as("adc_q"))
+      .select(col("query_id"), col("vec_id"), col("cell"), col("adc_q"),
         (col("adc_q").cast("double") / 1e12).as("adc_hat"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

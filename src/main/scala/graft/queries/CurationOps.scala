@@ -67,6 +67,37 @@ object CurationOps {
             .as("cum_coverage"))
     }),
 
+    // In-domain bigram-LM scoring — the CCNet-style "perplexity filter"
+    // surrogate: train bigram/head counts on the corpus itself, score
+    // each doc by its mean log P(w2|w1). Counts are map-side-combinable
+    // group-bys; each log is quantized to a long on the 1e-9 grid
+    // (libm ulp discipline) so the per-doc sum is order-free; the mean
+    // divides exact longs at the end. Docs scoring far below the corpus
+    // mean are the odd-domain/garbage candidates a curation pass drops.
+    "q71_bigram_lm" -> ((s, d) => {
+      val ts = col("_toks")
+      val bg = Tables.load(s, d, "documents")
+        .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(1), greatest(size(ts) - 1, lit(0))),
+            i => struct(element_at(ts, i).as("w1"),
+                        element_at(ts, i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      bg.join(broadcast(c12), Seq("w1", "w2"))
+        .join(broadcast(c1), Seq("w1"))
+        .select(col("doc_id"),
+          floor(log(col("c12").cast("double") / col("c1").cast("double")) * 1e9)
+            .cast("long").as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("sum_lp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("sum_lp").cast("double") / 1e9 /
+            col("n_bigrams").cast("double")).as("avg_logp"))
+    }),
+
     // Training-mix assembly under a token budget: 30% of corpus tokens,
     // split across sources by weight (even-numbered sources get 2×), and
     // filled per source in deterministic md5-hash order until the
@@ -196,6 +227,26 @@ object CurationOps {
                  CAST(cum AS DOUBLE) / CAST((SELECT total_occ FROM tot) AS DOUBLE)
                    AS cum_coverage
           FROM r WHERE rank <= 30""",
+
+    "q71_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          bg AS (SELECT doc_id,
+                        toks[CAST(t2.i AS INTEGER)] AS w1,
+                        toks[CAST(t2.i AS INTEGER) + 1] AS w2
+                 FROM t, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS t2(i)),
+          c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                  FROM bg GROUP BY w1, w2),
+          c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+                 FROM bg GROUP BY w1),
+          lp AS (SELECT bg.doc_id,
+                        CAST(floor(ln(CAST(c12.c12 AS DOUBLE)
+                                      / CAST(c1.c1 AS DOUBLE)) * 1e9)
+                             AS BIGINT) AS lp
+                 FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1))
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(sum(lp) AS DOUBLE) / 1e9 / CAST(count(*) AS DOUBLE)
+                   AS avg_logp
+          FROM lp GROUP BY doc_id""",
 
     "q68_token_budget_mix" ->
       s"""WITH d AS (SELECT doc_id, source,

@@ -243,6 +243,21 @@ object RelationalOps {
                 col("n_items"), col("sum_qty"), col("gid"))
     }),
 
+    // Exact grouped quantiles (p25/median/p75): Spark's sort-based exact
+    // `percentile`, not the t-digest approximation — at dyadic quantile
+    // fractions over integer-valued inputs the linear interpolation is
+    // exact in IEEE doubles, so any engine agrees bitwise. (Arbitrary
+    // doubles at arbitrary fractions would NOT be cross-engine safe:
+    // a + (b-a)·f and a·(1-f) + b·f round differently.)
+    "q72_group_median" -> ((s, d) => {
+      Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+             expr("percentile(l_quantity, 0.25)").as("p25_qty"),
+             expr("percentile(l_quantity, 0.5)").as("median_qty"),
+             expr("percentile(l_quantity, 0.75)").as("p75_qty"))
+    }),
+
     // Top-k per group via window rank: 3 highest-value orders per
     // customer segment (the top-k pattern §2.5 notes the reference lacks).
     "q41_topk_per_group" -> ((s, d) => {
@@ -570,6 +585,15 @@ object RelationalOps {
                      AS BIGINT) AS gid
          FROM lineitem
          GROUP BY CUBE (l_returnflag, l_linestatus)""",
+
+    "q72_group_median" ->
+      """SELECT l_returnflag,
+                CAST(count(*) AS BIGINT) AS n_items,
+                quantile_cont(l_quantity, 0.25) AS p25_qty,
+                quantile_cont(l_quantity, 0.5) AS median_qty,
+                quantile_cont(l_quantity, 0.75) AS p75_qty
+         FROM lineitem
+         GROUP BY l_returnflag""",
 
     "q41_topk_per_group" ->
       """SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,

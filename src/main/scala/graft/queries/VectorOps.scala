@@ -169,6 +169,21 @@ object VectorOps {
       val cb = graft.operators.Pq.train(e, m = 4, subDim = 16, k = 4, iters = 1)
       graft.operators.Pq.adcTopK(e.filter(col("id") < 5L), e, cb,
         m = 4, subDim = 16, k = 5)
+    }),
+
+    // The composed scale path: IVF cells prune (q39's stand-in coarse
+    // centroids, nprobe=2 of 8), PQ-ADC scores the survivors — one
+    // oracled plan for the "IVF prunes, PQ scores" design SCALE.md
+    // argues for.
+    "q73_ivf_pq_topk" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      val coarse = Tables.load(s, d, "embeddings")
+        .filter(col("vec_id") < 8L)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val cb = graft.operators.Pq.train(e, m = 4, subDim = 16, k = 4, iters = 1)
+      graft.operators.Pq.ivfPqTopK(e.filter(col("id") < 5L), e, coarse, cb,
+        nprobe = 2, m = 4, subDim = 16, k = 5)
     })
   )
 
@@ -500,6 +515,55 @@ object VectorOps {
                  WHERE c.id <> l.query_id
                  GROUP BY l.query_id, c.id)
           SELECT query_id, vec_id, adc_q,
+                 CAST(adc_q AS DOUBLE) / 1e12 AS adc_hat,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY adc_q DESC, vec_id) AS BIGINT) AS rank
+          FROM sc
+          QUALIFY rank <= 5"""
+    },
+
+    // IVF pruning (q39's cosine assignment/probing over the stand-in
+    // coarse centroids) composed with the q69 PQ codes/LUT.
+    "q73_ivf_pq_topk" -> {
+      val ctes = (0 until 4).map(pqCtesSql).mkString(",\n          ")
+      val codesU = (0 until 4).map(j => s"SELECT * FROM codes$j")
+        .mkString(" UNION ALL ")
+      val lutU = (0 until 4).map(j => s"SELECT * FROM lut$j")
+        .mkString(" UNION ALL ")
+      s"""WITH $ctes,
+          codes AS ($codesU),
+          lut AS ($lutU),
+          cent AS (SELECT vec_id AS ccid, embedding AS cent_emb,
+                          sqrt(${dotSql("e.embedding", "e.embedding")}) AS cent_norm
+                   FROM embeddings e WHERE vec_id < 8),
+          v AS (SELECT vec_id AS id, embedding,
+                       sqrt(${dotSql("e.embedding", "e.embedding")}) AS v_norm
+                FROM embeddings e),
+          asn AS (SELECT id, ccid FROM (
+                    SELECT v.id, c.ccid,
+                           row_number() OVER (PARTITION BY v.id ORDER BY
+                             (${dotSql("v.embedding", "c.cent_emb")})
+                               / (v.v_norm * c.cent_norm) DESC, c.ccid) AS rn
+                    FROM v CROSS JOIN cent c) WHERE rn = 1),
+          q AS (SELECT id AS query_id, embedding AS q_emb, v_norm AS q_norm
+                FROM v WHERE id < 5),
+          probes AS (SELECT query_id, ccid FROM (
+                       SELECT q.query_id, c.ccid,
+                              row_number() OVER (PARTITION BY q.query_id ORDER BY
+                                (${dotSql("q.q_emb", "c.cent_emb")})
+                                  / (q.q_norm * c.cent_norm) DESC, c.ccid) AS rn
+                       FROM q CROSS JOIN cent c) WHERE rn <= 2),
+          cand AS (SELECT a.id AS vec_id, a.ccid, p.query_id
+                   FROM asn a JOIN probes p USING (ccid)),
+          sc AS (SELECT cd.query_id, cd.vec_id, cd.ccid AS cell,
+                        CAST(sum(l.qd) AS BIGINT) AS adc_q
+                 FROM cand cd
+                 JOIN codes k2 ON k2.id = cd.vec_id
+                 JOIN lut l ON l.query_id = cd.query_id
+                           AND l.m = k2.m AND l.cid = k2.cid
+                 WHERE cd.vec_id <> cd.query_id
+                 GROUP BY cd.query_id, cd.vec_id, cd.ccid)
+          SELECT query_id, vec_id, cell, adc_q,
                  CAST(adc_q AS DOUBLE) / 1e12 AS adc_hat,
                  CAST(row_number() OVER (PARTITION BY query_id
                       ORDER BY adc_q DESC, vec_id) AS BIGINT) AS rank
