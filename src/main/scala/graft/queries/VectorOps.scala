@@ -171,6 +171,29 @@ object VectorOps {
         m = 4, subDim = 16, k = 5)
     }),
 
+    // PQ quality, measured not guessed (the q50/q55 discipline applied
+    // to the quantized path): recall@5 of ADC ranking vs the exact
+    // cosine top-5 per query. At these oracle-tractable codebook sizes
+    // (k=4 per 16-dim subspace — every extra code/round multiplies the
+    // unrolled SQL) recall is deliberately coarse (~0.2-0.4); the
+    // production knob is k=256 codebooks + an exact re-rank of the ADC
+    // page, which this measurement exists to size.
+    "q74_pq_recall" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") < 5L)
+      val exact = Similarity.topK(q, e, k = 5)
+        .select(col("query_id"), col("vec_id"))
+      val cb = graft.operators.Pq.train(e, m = 4, subDim = 16, k = 4, iters = 1)
+      val ann = graft.operators.Pq.adcTopK(q, e, cb, m = 4, subDim = 16, k = 5)
+        .select(col("query_id"), col("vec_id"))
+      exact.join(ann, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+                (col("n_hits").cast("double") / 5.0).as("recall_at_5"))
+    }),
+
     // The composed scale path: IVF cells prune (q39's stand-in coarse
     // centroids, nprobe=2 of 8), PQ-ADC scores the survivors — one
     // oracled plan for the "IVF prunes, PQ scores" design SCALE.md
@@ -520,6 +543,42 @@ object VectorOps {
                       ORDER BY adc_q DESC, vec_id) AS BIGINT) AS rank
           FROM sc
           QUALIFY rank <= 5"""
+    },
+
+    // exact cosine top-5 (q26's CTE shape) vs the q69 ADC top-5.
+    "q74_pq_recall" -> {
+      val ctes = (0 until 4).map(pqCtesSql).mkString(",\n          ")
+      val codesU = (0 until 4).map(j => s"SELECT * FROM codes$j")
+        .mkString(" UNION ALL ")
+      val lutU = (0 until 4).map(j => s"SELECT * FROM lut$j")
+        .mkString(" UNION ALL ")
+      s"""WITH $ctes,
+          codes AS ($codesU),
+          lut AS ($lutU),
+          v AS (SELECT vec_id, embedding,
+                       sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
+                FROM embeddings e),
+          q AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_norm
+                FROM v WHERE vec_id < 5),
+          exact AS (SELECT query_id, vec_id FROM (
+                      SELECT q.query_id, c.vec_id,
+                             row_number() OVER (PARTITION BY q.query_id ORDER BY
+                               (${dotSql("q.q_emb", "c.embedding")})
+                                 / (q.q_norm * c.nrm) DESC, c.vec_id) AS rank
+                      FROM v c CROSS JOIN q
+                      WHERE c.vec_id <> q.query_id) WHERE rank <= 5),
+          adc AS (SELECT query_id, vec_id FROM (
+                    SELECT l.query_id, c.id AS vec_id,
+                           row_number() OVER (PARTITION BY l.query_id
+                                ORDER BY sum(l.qd) DESC, c.id) AS rank
+                    FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.cid
+                    WHERE c.id <> l.query_id
+                    GROUP BY l.query_id, c.id) WHERE rank <= 5)
+          SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits,
+                 CAST(count(*) AS DOUBLE) / 5.0 AS recall_at_5
+          FROM exact e JOIN adc a
+            ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+          GROUP BY e.query_id"""
     },
 
     // IVF pruning (q39's cosine assignment/probing over the stand-in
