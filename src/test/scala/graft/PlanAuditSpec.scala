@@ -50,4 +50,34 @@ class PlanAuditSpec extends AnyFunSuite {
     val r = PlanAudit.audit(SparkEntry.queries("q01_scan_prefix")(spark, TestSpark.sfDir))
     assert(r.scans.exists(_.source.contains("documents")))
   }
+
+  // Round-4 scale shapes, pinned so they can't silently rot: the
+  // broadcast structure IS the 100 TB design argument for these ops.
+
+  test("q63 decontamination broadcasts the benchmark side, prunes scans") {
+    val r = audited("q63_decontaminate")
+    assert(r.broadcastJoins >= 2,
+      s"bench shingles + counts should broadcast: ${r.broadcastJoins}")
+    assert(r.scans.forall(_.readColumns.toSet == Set("doc_id", "text")),
+      s"scans must prune to (doc_id, text): ${r.scans.map(_.readColumns)}")
+  }
+
+  test("q64 bm25 broadcasts the one-row stats and stays codegen'd") {
+    val r = audited("q64_bm25")
+    assert(r.broadcastJoins >= 1, "corpus stats row should broadcast")
+    assert(r.wholeStageCodegen)
+  }
+
+  test("q65 sq8 pushes the query-side filter and broadcasts scale + queries") {
+    val r = audited("q65_sq8_topk")
+    assert(r.broadcastJoins >= 2, "scale row and query set should broadcast")
+    assert(r.scans.exists(_.pushedFilters.contains("LessThan(vec_id,5)")),
+      s"query-side vec_id<5 not pushed: ${r.scans.map(_.pushedFilters)}")
+  }
+
+  test("q68 token-budget mix broadcasts the per-source budgets") {
+    val r = audited("q68_token_budget_mix")
+    assert(r.broadcastJoins >= 2,
+      "totals row and per-source budget table should broadcast")
+  }
 }
