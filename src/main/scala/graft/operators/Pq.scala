@@ -107,8 +107,8 @@ object Pq {
 
   /** Per-query lookup table: (query_id, m, cid, qd) where qd =
     * floor(dot(q_sub_m, centroid_{m,cid})·1e12) as an exact long. */
-  private def lut(queries: DataFrame, codebooks: DataFrame, m: Int,
-                  subDim: Int): DataFrame =
+  private[operators] def lut(queries: DataFrame, codebooks: DataFrame, m: Int,
+                             subDim: Int): DataFrame =
     (0 until m).map { j =>
       queries.select(col("id").as("query_id"),
         transform(slice(col("embedding"), j * subDim + 1, subDim),

@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.{Tables, TestSpark}
+import graft.gdl.TableStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persistent IVF+PQ index: search from storage must equal the
+  * computed composed plan, and incremental refresh must equal a full
+  * rebuild — the contracts that make it an index, not a cache. */
+class VectorIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def corpus: DataFrame =
+    Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+
+  private def coarse: DataFrame =
+    Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .filter(col("vec_id") < 8L)
+      .select(col("vec_id").as("cid"), col("embedding"))
+
+  private def freshIndex() = {
+    val root = java.nio.file.Files.createTempDirectory("vecidx").toString
+    new VectorIndex(new TableStore(spark, root), "ann",
+      m = 4, subDim = 16, codebookK = 4, trainIters = 1)
+  }
+
+  private def asSet(df: DataFrame) =
+    df.select("query_id", "vec_id", "cell", "adc_q", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3), r.getLong(4))).toSet
+
+  test("search from the stored index equals the computed composed plan") {
+    val idx = freshIndex()
+    idx.build(corpus, coarse)
+    val q = corpus.filter(col("id") < 5L)
+    val stored = idx.search(q, nprobe = 2, k = 5)
+    val computed = Pq.ivfPqTopK(q, corpus, coarse,
+      Pq.train(corpus, 4, 16, 4, 1), nprobe = 2, m = 4, subDim = 16, k = 5)
+    assert(asSet(stored) == asSet(computed))
+  }
+
+  test("incremental refresh equals a full rebuild over the grown corpus") {
+    // build on the first half, refresh with the second; quantizers are
+    // frozen at build time, so rebuild must use the SAME training corpus
+    val half = corpus.filter(col("id") % 2 === 0)
+    val rest = corpus.filter(col("id") % 2 =!= 0)
+    val q = corpus.filter(col("id") < 5L)
+
+    val grown = freshIndex()
+    grown.build(half, coarse)
+    grown.refresh(rest)
+
+    val cbHalf = Pq.train(half, 4, 16, 4, 1)
+    // rebuild = same frozen quantizers, full corpus encoded at once
+    val all = corpus
+    val expected = {
+      val assignment = Similarity.ivfAssign(all, coarse)
+        .select(col("id").as("vec_id"), col("cid").as("cell"))
+      val codes = Pq.encode(all, cbHalf, 4, 16).withColumnRenamed("id", "vec_id")
+      (assignment, codes)
+    }
+    val got = grown.search(q, nprobe = 2, k = 5)
+    // independent expectation: score the expected assignment/codes inline
+    val lut = Pq.lut(q, cbHalf, 4, 16)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc_q").desc, col("vec_id"))
+    val probes = {
+      import graft.functions.VectorFunctions.{dot, norm}
+      val c = coarse.select(col("cid").as("cell"),
+        col("embedding").as("cent_emb"), norm(col("embedding")).as("cent_norm"))
+      val qq = q.select(col("id").as("query_id"),
+        col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
+      val pw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cent_sim").desc, col("cell"))
+      qq.crossJoin(broadcast(c))
+        .select(col("query_id"), col("cell"),
+          (dot(col("q_emb"), col("cent_emb")) / (col("q_norm") * col("cent_norm")))
+            .as("cent_sim"))
+        .withColumn("rn", row_number().over(pw))
+        .filter(col("rn") <= 2)
+        .select(col("query_id"), col("cell"))
+    }
+    val want = expected._1.join(broadcast(probes), Seq("cell"))
+      .join(expected._2, Seq("vec_id"))
+      .join(broadcast(lut), Seq("query_id", "m", "cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"), col("cell"))
+      .agg(sum(col("qd")).as("adc_q"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+    assert(asSet(got) ==
+      want.select("query_id", "vec_id", "cell", "adc_q", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                             r.getLong(3), r.getLong(4))).toSet)
+  }
+
+  test("refresh before build fails loudly") {
+    val idx = freshIndex()
+    intercept[IllegalStateException](idx.refresh(corpus))
+  }
+}
