@@ -149,11 +149,19 @@ class TableStore(spark: SparkSession, root: String,
     *    above `sinceSeq` means gc deleted history the reader never saw →
     *    [[TableStore.VacuumedHistoryException]] (never a silent miss).
     *
+    * `untilSeq` bounds the read to generations ≤ it (inclusive): a
+    * poller snapshots `history(table).last` FIRST and reads up to that
+    * snapshot, so rows committed concurrently are neither skipped nor
+    * double-consumed — they belong to the next poll.
+    *
     * Scale: reads ONLY the delta generations in range — cost is
     * O(new data), independent of table size. */
-  def readChangesSince(table: String, sinceSeq: Long): Option[DataFrame] = {
-    val all = generations(table)
-    if (all.isEmpty) return None
+  def readChangesSince(table: String, sinceSeq: Long,
+                       untilSeq: Long = Long.MaxValue): Option[DataFrame] = {
+    val all0 = generations(table)
+    if (all0.isEmpty) return None
+    val all = all0.filter(_._1 <= untilSeq)
+    if (all.isEmpty) return read(table).map(_.limit(0))
     val later = all.filter(_._1 > sinceSeq)
     val maxSeq = all.last._1
     val expected = (maxSeq - math.max(sinceSeq, -1L)).max(0L)

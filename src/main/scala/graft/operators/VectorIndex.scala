@@ -63,6 +63,24 @@ final class VectorIndex(store: TableStore, name: String,
         .withColumnRenamed("id", "vec_id"))
   }
 
+  /** One step of the incremental-index loop: consume the `sourceTable`
+    * change feed past `sinceSeq` (vectors as (id, embedding) rows),
+    * index whatever is new, and return the seq to checkpoint for the
+    * next poll. The snapshot-first discipline makes the step exactly-
+    * once under concurrent appends: rows committed after the snapshot
+    * are left for the next poll, never skipped or double-indexed.
+    * Propagates the feed's typed failures (an overwritten source needs
+    * a rebuild; vacuumed history needs a re-bootstrap). */
+  def refreshFrom(sourceTable: String, sinceSeq: Long): Long = {
+    val snap = store.history(sourceTable).lastOption.map(_._1)
+      .getOrElse(return sinceSeq) // source never written: nothing to do
+    if (snap <= sinceSeq) return sinceSeq
+    store.readChangesSince(sourceTable, sinceSeq, untilSeq = snap)
+      .filter(!_.isEmpty)
+      .foreach(df => refresh(df.select(col("id"), col("embedding"))))
+    snap
+  }
+
   /** IVF→ADC search from the stored tables: probes the `nprobe` nearest
     * coarse cells per query, scores ONLY those cells' members via the
     * broadcast lookup table — the corpus-sized inputs touched are the

@@ -101,4 +101,39 @@ class VectorIndexSpec extends AnyFunSuite {
     val idx = freshIndex()
     intercept[IllegalStateException](idx.refresh(corpus))
   }
+
+  test("change-feed polling indexes each appended batch exactly once") {
+    val root = java.nio.file.Files.createTempDirectory("vecidx-feed").toString
+    val store = new TableStore(spark, root)
+    val idx = new VectorIndex(store, "ann",
+      m = 4, subDim = 16, codebookK = 4, trainIters = 1)
+    val half = corpus.filter(col("id") % 2 === 0)
+    val rest = corpus.filter(col("id") % 2 =!= 0)
+    idx.build(half, coarse)
+
+    // the source table receives the remaining vectors in two appends
+    val (restA, restB) = (rest.filter(col("id") % 4 === 1),
+                          rest.filter(col("id") % 4 === 3))
+    store.append("embeddings_src", restA)
+    var ckpt = idx.refreshFrom("embeddings_src", -1L)
+    store.append("embeddings_src", restB)
+    ckpt = idx.refreshFrom("embeddings_src", ckpt)
+    // an idle poll moves nothing and appends nothing
+    val gensBefore = store.history("ann_assign").size
+    ckpt = idx.refreshFrom("embeddings_src", ckpt)
+    assert(store.history("ann_assign").size == gensBefore)
+
+    // every corpus vector is indexed exactly once
+    val assigned = store.read("ann_assign").get
+    assert(assigned.count() == corpus.count())
+    assert(assigned.select("vec_id").distinct().count() == corpus.count())
+
+    // and the grown index searches identically to one-shot indexing
+    val oneShot = freshIndex()
+    oneShot.build(half, coarse)
+    oneShot.refresh(rest)
+    val q = corpus.filter(col("id") < 5L)
+    assert(asSet(idx.search(q, nprobe = 2, k = 5)) ==
+           asSet(oneShot.search(q, nprobe = 2, k = 5)))
+  }
 }
