@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output straight through to this process's stdout/stderr:
+// sbt's default logger re-emits it as "[info] ..." lines, which breaks any
+// consumer parsing Bench's single JSON line (observed: the harness records
+// parsed=null when the line arrives prefixed).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -199,6 +199,31 @@ object Dedup {
       .select(col("doc_id"), fused.as("simhash"))
   }
 
+  /** SimHash near-dup pairs within Hamming distance ≤ 1, by multiprobe:
+    * each doc probes its own fingerprint plus every 1-bit flip (17 keys
+    * at 16 bits), candidates come from the probe↔identity equi-join —
+    * the Hamming-ball analogue of the ANN multiprobe (Similarity.annTopK
+    * probeHamming1). A pair at distance d ≤ 1 collides on EXACTLY one
+    * probe key (identity for d=0, the flipped bit for d=1), so the join
+    * emits each pair once; no n² pair space anywhere. The probe explode
+    * multiplies the (doc, fingerprint) table by nBits+1 — at 64
+    * production bits that is 65 small rows per doc, still corpus-scan
+    * dominated. Output: (id_a, id_b, hamming ≤ 1). */
+  def simhashNearDup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // the fingerprint aggregation feeds both join sides: materialize once
+    val sh = simhash16(docs, idCol, textCol).localCheckpoint(true)
+    val probes = sh.select(col("doc_id").as("id_a"), col("simhash").as("h_a"),
+      explode(array(
+        (0 until 16).map(j => col("simhash").bitwiseXOR(lit(1L << j))) :+
+          col("simhash"): _*)).as("probe"))
+    val idn = sh.select(col("doc_id").as("id_b"), col("simhash").as("h_b"),
+      col("simhash").as("probe"))
+    probes.join(idn, Seq("probe"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed: candidates
     * come from an equi-join on the hyperplane bucket (map-only
     * assignment, no cross product), then exact cosine filters. Same

@@ -94,6 +94,12 @@ object TextOps {
     "q22_simhash" -> ((s, d) =>
       Dedup.simhash16(Tables.load(s, d, "documents"), "doc_id", "text")),
 
+    // SimHash near-dup pairs at Hamming ≤ 1 via multiprobe (each doc
+    // probes its fingerprint + all 1-bit flips; pairs collide on exactly
+    // one key — no pair space).
+    "q75_simhash_neardup" -> ((s, d) =>
+      Dedup.simhashNearDup(Tables.load(s, d, "documents"), "doc_id", "text")),
+
     // Exact dedup: content-hash groups with canonical id.
     "q23_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.load(s, d, "documents"), "doc_id", "text")),
@@ -255,6 +261,24 @@ object TextOps {
   private val toksSql =
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
+  /** q22's SimHash in SQL — reused as the fingerprint source for q75's
+    * Hamming-1 multiprobe pairing. */
+  private lazy val simhashSql: String = {
+    val bitSums = (0 until 16).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n                 ")
+    val fuse = (0 until 16).map(b =>
+      s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+        h AS (SELECT doc_id,
+                     CAST('0x' || substr(md5(token), 1, 4) AS BIGINT) AS h
+              FROM tok),
+        s AS (SELECT doc_id,
+               $bitSums
+              FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST($fuse AS BIGINT) AS simhash FROM s"""
+  }
+
   /** The full MinHash-LSH pair pipeline in SQL — q24's oracle, reused as
     * the edge source for q44's connected-components oracle. */
   private lazy val minhashPairsSql: String = {
@@ -350,21 +374,21 @@ object TextOps {
                   (a, b) -> (a * 31 + b) % 1000000007) AS rolling_fp
          FROM documents""",
 
-    "q22_simhash" -> {
-      val bitSums = (0 until 16).map(b =>
-        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
-        .mkString(",\n                 ")
-      val fuse = (0 until 16).map(b =>
-        s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
-      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
-          h AS (SELECT doc_id,
-                       CAST('0x' || substr(md5(token), 1, 4) AS BIGINT) AS h
-                FROM tok),
-          s AS (SELECT doc_id,
-                 $bitSums
-                FROM h GROUP BY doc_id)
-          SELECT doc_id, CAST($fuse AS BIGINT) AS simhash FROM s"""
-    },
+    "q22_simhash" -> simhashSql,
+
+    "q75_simhash_neardup" ->
+      s"""WITH fp AS ($simhashSql),
+          pr AS (SELECT doc_id AS id_a, simhash AS h_a,
+                        CASE WHEN t.j = 16 THEN simhash
+                             ELSE xor(simhash, CAST(1 AS BIGINT) << t.j)
+                        END AS probe
+                 FROM fp, unnest(range(0, 17)) AS t(j)),
+          idn AS (SELECT doc_id AS id_b, simhash AS h_b, simhash AS probe
+                  FROM fp)
+          SELECT id_a, id_b,
+                 CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+          FROM pr JOIN idn USING (probe)
+          WHERE id_a < id_b""",
 
     "q23_dedup_exact" ->
       """SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS canonical_id,

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for Dedup.simhashNearDup: the Hamming-1 multiprobe
+  * join must reproduce the brute-force all-pairs answer exactly, and
+  * each qualifying pair must surface exactly once (the "collides on
+  * exactly one probe key" argument).
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fixture = Seq(
+    (1L, "alpha beta gamma delta epsilon"),
+    (2L, "alpha beta gamma delta epsilon"),      // exact copy of 1
+    (3L, "alpha beta gamma delta zeta"),         // near copy of 1
+    (4L, "one two three four five six"),
+    (5L, "one two three four five seven"),       // near copy of 4
+    (6L, "completely different words here now"),
+    (7L, "unrelated content again entirely else")
+  ).toDF("doc_id", "text")
+
+  test("multiprobe pairs equal the brute-force Hamming<=1 cross join") {
+    val docs = fixture
+    val got = Dedup.simhashNearDup(docs, "doc_id", "text")
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)]
+      .collect().toSet
+
+    val fp = Dedup.simhash16(docs, "doc_id", "text")
+    val a = fp.select(col("doc_id").as("id_a"), col("simhash").as("h_a"))
+    val b = fp.select(col("doc_id").as("id_b"), col("simhash").as("h_b"))
+    val expected = a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 1)
+      .as[(Long, Long, Long)].collect().toSet
+
+    assert(got == expected)
+    // the fixture must actually exercise the operator: at least the
+    // exact-copy pair (1,2) at distance 0 has to be present
+    assert(got.exists { case (x, y, h) => x == 1L && y == 2L && h == 0L })
+  }
+
+  test("each pair is emitted exactly once (one colliding probe key)") {
+    val rows = Dedup.simhashNearDup(fixture, "doc_id", "text")
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    assert(rows == 0L)
+  }
+}
