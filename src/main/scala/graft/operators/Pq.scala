@@ -136,6 +136,37 @@ object Pq {
       .filter(col("rank") <= k)
   }
 
+  /** Exact re-rank of the ADC page — the production recall fix that
+    * q74's measurement exists to size: ADC ranks a `shortlist` of
+    * candidates per query (cheap, code-table only), then ONLY those
+    * `shortlist`·|queries| rows rejoin the corpus for the true cosine,
+    * and the final top-k is exact over the page. The corpus-side cost
+    * stays one code-table scan plus an equi-join that touches
+    * `shortlist` embeddings per query — at 100 TB the full-precision
+    * vectors are read for a few dozen rows per query, never scanned.
+    * Recall@k is then bounded only by whether the true top-k made the
+    * ADC page (measured in q77), not by quantization ranking noise.
+    * Output: (query_id, vec_id, sim, rank ≤ k), sim = exact cosine. */
+  def adcRerank(queries: DataFrame, corpus: DataFrame, codebooks: DataFrame,
+                m: Int, subDim: Int, shortlist: Int, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.norm
+    val page = adcTopK(queries, corpus, codebooks, m, subDim, shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val q = queries.select(col("id").as("query_id"),
+      col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
+    val c = corpus.select(col("id").as("vec_id"),
+      col("embedding").as("c_emb"), norm(col("embedding")).as("c_norm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    page.join(c, Seq("vec_id")) // only the page's embeddings are read
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+          .as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** The composed 100 TB search shape: IVF coarse cells prune the
     * candidate set (nprobe/|cells| of the corpus per query), PQ-ADC
     * scores only the survivors — the corpus side touches nothing but

@@ -98,6 +98,46 @@ object CurationOps {
             col("n_bigrams").cast("double")).as("avg_logp"))
     }),
 
+    // Held-out bigram-LM scoring — q71 with the train/score leakage
+    // removed: counts come ONLY from the 90% train split (doc_id % 10
+    // <> 0), the 10% held-out docs are scored, and unseen bigrams get
+    // add-one smoothing over the train vocabulary, lp = ln((c12+1) /
+    // (c1+V)) — defined even for unseen head words (ln(1/V)). Same
+    // long-quantized order-free sum discipline as q71; n_oov counts
+    // the bigrams the train split never saw (the signal q71's
+    // in-domain form structurally cannot produce).
+    "q78_bigram_heldout" -> ((s, d) => {
+      val ts = col("_toks")
+      val bg = Tables.load(s, d, "documents")
+        .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(1), greatest(size(ts) - 1, lit(0))),
+            i => struct(element_at(ts, i).as("w1"),
+                        element_at(ts, i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val train = bg.filter(col("doc_id") % 10 =!= 0)
+      val held = bg.filter(col("doc_id") % 10 === 0)
+      val c12 = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val c1 = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val vocab = train.agg(count_distinct(col("w2")).as("v"))
+      held.join(broadcast(c12), Seq("w1", "w2"), "left")
+        .join(broadcast(c1), Seq("w1"), "left")
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          coalesce(col("c12"), lit(0L)).as("c12"),
+          floor(log((coalesce(col("c12"), lit(0L)) + 1L).cast("double") /
+                    (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))
+            * 1e9).cast("long").as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+             sum(when(col("c12") === 0L, 1L).otherwise(0L)).as("n_oov"),
+             sum(col("lp")).as("sum_lp"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+          (col("sum_lp").cast("double") / 1e9 /
+            col("n_bigrams").cast("double")).as("avg_logp"))
+    }),
+
     // Training-mix assembly under a token budget: 30% of corpus tokens,
     // split across sources by weight (even-numbered sources get 2×), and
     // filled per source in deterministic md5-hash order until the
@@ -244,6 +284,35 @@ object CurationOps {
                              AS BIGINT) AS lp
                  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1))
           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(sum(lp) AS DOUBLE) / 1e9 / CAST(count(*) AS DOUBLE)
+                   AS avg_logp
+          FROM lp GROUP BY doc_id""",
+
+    "q78_bigram_heldout" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          bg AS (SELECT doc_id,
+                        toks[CAST(t2.i AS INTEGER)] AS w1,
+                        toks[CAST(t2.i AS INTEGER) + 1] AS w2
+                 FROM t, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS t2(i)),
+          tr AS (SELECT * FROM bg WHERE doc_id % 10 <> 0),
+          held AS (SELECT * FROM bg WHERE doc_id % 10 = 0),
+          c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                  FROM tr GROUP BY w1, w2),
+          c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+                 FROM tr GROUP BY w1),
+          voc AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM tr),
+          lp AS (SELECT held.doc_id,
+                        coalesce(c12.c12, 0) AS c12,
+                        CAST(floor(ln(CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE)
+                                      / CAST(coalesce(c1.c1, 0) + voc.v AS DOUBLE))
+                                   * 1e9) AS BIGINT) AS lp
+                 FROM held
+                 LEFT JOIN c12 USING (w1, w2)
+                 LEFT JOIN c1 USING (w1)
+                 CROSS JOIN voc)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(sum(CASE WHEN c12 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov,
                  CAST(sum(lp) AS DOUBLE) / 1e9 / CAST(count(*) AS DOUBLE)
                    AS avg_logp
           FROM lp GROUP BY doc_id""",

@@ -194,6 +194,39 @@ object VectorOps {
                 (col("n_hits").cast("double") / 5.0).as("recall_at_5"))
     }),
 
+    // Exact re-rank of the ADC page: ADC shortlists 20 candidates per
+    // query from the code table alone, the true cosine is computed for
+    // ONLY those rows, and the final top-5 is exact over the page —
+    // the production fix for q74's quantization-noise recall.
+    "q76_pq_rerank" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      val cb = graft.operators.Pq.train(e, m = 4, subDim = 16, k = 4, iters = 1)
+      graft.operators.Pq.adcRerank(e.filter(col("id") < 5L), e, cb,
+        m = 4, subDim = 16, shortlist = 20, k = 5)
+    }),
+
+    // Recall after the re-rank (q74's measurement re-run on q76's
+    // output): with a 20-wide ADC page the only misses are true
+    // neighbors the page never contained, so this isolates the
+    // shortlist-width knob from quantization ranking noise.
+    "q77_pq_rerank_recall" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") < 5L)
+      val exact = Similarity.topK(q, e, k = 5)
+        .select(col("query_id"), col("vec_id"))
+      val cb = graft.operators.Pq.train(e, m = 4, subDim = 16, k = 4, iters = 1)
+      val rr = graft.operators.Pq.adcRerank(q, e, cb,
+          m = 4, subDim = 16, shortlist = 20, k = 5)
+        .select(col("query_id"), col("vec_id"))
+      exact.join(rr, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+                (col("n_hits").cast("double") / 5.0).as("recall_at_5"))
+    }),
+
     // The composed scale path: IVF cells prune (q39's stand-in coarse
     // centroids, nprobe=2 of 8), PQ-ADC scores the survivors — one
     // oracled plan for the "IVF prunes, PQ scores" design SCALE.md
@@ -581,6 +614,37 @@ object VectorOps {
           GROUP BY e.query_id"""
     },
 
+    // q69's ADC ranking widened to a 20-candidate page, then the true
+    // cosine (q26's fold) over ONLY the page, exact top-5.
+    "q76_pq_rerank" ->
+      s"""WITH $pqPagePrefixSql
+          SELECT query_id, vec_id, sim,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+          FROM rers
+          QUALIFY rank <= 5""",
+
+    // recall@5 of the re-ranked page vs the exact top-5.
+    "q77_pq_rerank_recall" ->
+      s"""WITH $pqPagePrefixSql,
+          rr AS (SELECT query_id, vec_id FROM (
+                   SELECT query_id, vec_id,
+                          row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, vec_id) AS rank
+                   FROM rers) WHERE rank <= 5),
+          exact AS (SELECT query_id, vec_id FROM (
+                      SELECT q.query_id, c.vec_id,
+                             row_number() OVER (PARTITION BY q.query_id ORDER BY
+                               (${dotSql("q.q_emb", "c.embedding")})
+                                 / (q.q_norm * c.nrm) DESC, c.vec_id) AS rank
+                      FROM v c CROSS JOIN q
+                      WHERE c.vec_id <> q.query_id) WHERE rank <= 5)
+          SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits,
+                 CAST(count(*) AS DOUBLE) / 5.0 AS recall_at_5
+          FROM exact e JOIN rr a
+            ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+          GROUP BY e.query_id""",
+
     // IVF pruning (q39's cosine assignment/probing over the stand-in
     // coarse centroids) composed with the q69 PQ codes/LUT.
     "q73_ivf_pq_topk" -> {
@@ -630,6 +694,39 @@ object VectorOps {
           QUALIFY rank <= 5"""
     }
   )
+
+  /** Shared CTE prefix for the rerank oracles (q76/q77): the q69 PQ
+    * codes/LUT blocks, the ADC page at width 20, and `rers` — the true
+    * cosine over only the page rows. Also defines `v`/`q` (corpus and
+    * query vectors with norms) for reuse by q77's exact arm. */
+  private lazy val pqPagePrefixSql: String = {
+    val ctes = (0 until 4).map(pqCtesSql).mkString(",\n          ")
+    val codesU = (0 until 4).map(j => s"SELECT * FROM codes$j")
+      .mkString(" UNION ALL ")
+    val lutU = (0 until 4).map(j => s"SELECT * FROM lut$j")
+      .mkString(" UNION ALL ")
+    s"""$ctes,
+        codes AS ($codesU),
+        lut AS ($lutU),
+        page AS (SELECT query_id, vec_id FROM (
+                   SELECT l.query_id, c.id AS vec_id,
+                          row_number() OVER (PARTITION BY l.query_id
+                               ORDER BY sum(l.qd) DESC, c.id) AS rank
+                   FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.cid
+                   WHERE c.id <> l.query_id
+                   GROUP BY l.query_id, c.id) WHERE rank <= 20),
+        v AS (SELECT vec_id, embedding,
+                     sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
+              FROM embeddings e),
+        q AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_norm
+              FROM v WHERE vec_id < 5),
+        rers AS (SELECT p.query_id, p.vec_id,
+                        (${dotSql("q.q_emb", "c.embedding")})
+                          / (q.q_norm * c.nrm) AS sim
+                 FROM page p
+                 JOIN v c ON c.vec_id = p.vec_id
+                 JOIN q ON q.query_id = p.query_id)"""
+  }
 
   /** One subspace's CTE block for the PQ oracle: slice dims
     * [j·16+1, j·16+16], 1 unrolled Lloyd's round at k=4 (same
