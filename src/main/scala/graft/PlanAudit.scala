@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, WholeStageCodegenExec}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
 
 /** One parquet scan's scale-relevant properties: which columns it
   * actually reads (column pruning) and which predicates reached the
@@ -19,12 +19,16 @@ final case class ScanAudit(source: String, readColumns: Seq[String],
   * `PushedFilters` line entirely). */
 final case class PlanReport(scans: Seq[ScanAudit],
                             wholeStageCodegen: Boolean,
-                            broadcastJoins: Int) {
+                            broadcastJoins: Int,
+                            shuffleJoins: Int,
+                            cartesianProducts: Int) {
   def render: String = {
     val scanLines = scans.map(s =>
       s"  scan ${s.source}: read=[${s.readColumns.mkString(",")}] pushed=${s.pushedFilters}")
-    (s"-- audit: codegen=$wholeStageCodegen broadcastJoins=$broadcastJoins" +:
-      scanLines).mkString("\n")
+    val head = s"-- audit: codegen=$wholeStageCodegen" +
+      s" broadcastJoins=$broadcastJoins shuffleJoins=$shuffleJoins" +
+      s" cartesian=$cartesianProducts"
+    (head +: scanLines).mkString("\n")
   }
 }
 
@@ -52,7 +56,10 @@ object PlanAudit {
       scans,
       nodes.exists(_.isInstanceOf[WholeStageCodegenExec]),
       nodes.count(n => n.isInstanceOf[BroadcastHashJoinExec] ||
-                       n.isInstanceOf[BroadcastNestedLoopJoinExec]))
+                       n.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      nodes.count(n => n.isInstanceOf[SortMergeJoinExec] ||
+                       n.isInstanceOf[ShuffledHashJoinExec]),
+      nodes.count(_.isInstanceOf[CartesianProductExec]))
   }
 
   /** Pre-order traversal that descends through the AQE wrapper and

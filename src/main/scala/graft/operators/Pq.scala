@@ -43,14 +43,19 @@ object Pq {
     * per subspace is identical to running [[KMeans.train]] on the
     * slice (same init, same fold, same quantized means, same
     * tie-breaks), which the per-subspace oracle CTEs pin. */
-  def train(corpus: DataFrame, m: Int, subDim: Int, k: Int,
-            iters: Int): DataFrame = {
-    val v = corpus.select(col("id"),
+  /** (id, embedding) → (m, id, emb) sub-vector rows, all m subspaces in
+    * one explode — the shape every PQ stage joins its codebooks to. */
+  private def subvecs(df: DataFrame, m: Int, subDim: Int): DataFrame =
+    df.select(col("id"),
         explode(transform(sequence(lit(0), lit(m - 1)), j =>
           struct(j.as("m"),
             transform(slice(col("embedding"), j * subDim + 1, lit(subDim)),
               _.cast("double")).as("emb")))).as("s"))
       .select(col("s.m").as("m"), col("id"), col("s.emb").as("emb"))
+
+  def train(corpus: DataFrame, m: Int, subDim: Int, k: Int,
+            iters: Int): DataFrame = {
+    val v = subvecs(corpus, m, subDim)
       .localCheckpoint() // m·|corpus| sub-rows feed every round once
     var cents = v.filter(col("id") < k)
       .select(col("m"), col("id").as("cid"), col("emb").as("cent"))
@@ -85,39 +90,36 @@ object Pq {
 
   /** Encode every corpus vector as m code ids: (id, m, cid). Ties in
     * the per-subspace argmin break toward the smaller cid (same rule as
-    * KMeans assignment). */
+    * KMeans assignment). All m subspaces encode in ONE job: sub-vector
+    * rows equi-join the broadcast codebooks on the subspace id and one
+    * window over (m, id) takes the argmin — not m unioned branches. */
   def encode(corpus: DataFrame, codebooks: DataFrame, m: Int,
-             subDim: Int): DataFrame =
-    (0 until m).map { j =>
-      val sub = corpus.select(col("id"),
-        transform(slice(col("embedding"), j * subDim + 1, subDim),
-          _.cast("double")).as("emb"))
-      val cents = codebooks.filter(col("m") === j)
-        .select(col("cid"), col("centroid").as("cent"))
-      val d = aggregate(
-        zip_with(col("emb"), col("cent"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), _ + _)
-      val w = Window.partitionBy(col("id")).orderBy(col("dist"), col("cid"))
-      sub.crossJoin(broadcast(cents))
-        .select(col("id"), col("cid"), d.as("dist"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("id"), lit(j).as("m"), col("cid"))
-    }.reduce(_ unionByName _)
+             subDim: Int): DataFrame = {
+    val cents = codebooks.select(col("m"), col("cid"),
+      col("centroid").as("cent"))
+    val d = aggregate(
+      zip_with(col("emb"), col("cent"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), _ + _)
+    val w = Window.partitionBy(col("m"), col("id"))
+      .orderBy(col("dist"), col("cid"))
+    subvecs(corpus, m, subDim).join(broadcast(cents), Seq("m"))
+      .select(col("m"), col("id"), col("cid"), d.as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("m"), col("cid"))
+  }
 
   /** Per-query lookup table: (query_id, m, cid, qd) where qd =
-    * floor(dot(q_sub_m, centroid_{m,cid})·1e12) as an exact long. */
+    * floor(dot(q_sub_m, centroid_{m,cid})·1e12) as an exact long.
+    * Same one-job composite-key shape as [[encode]]. */
   private[operators] def lut(queries: DataFrame, codebooks: DataFrame, m: Int,
                              subDim: Int): DataFrame =
-    (0 until m).map { j =>
-      queries.select(col("id").as("query_id"),
-        transform(slice(col("embedding"), j * subDim + 1, subDim),
-          _.cast("double")).as("qsub"))
-        .crossJoin(broadcast(codebooks.filter(col("m") === j)
-          .select(col("cid"), col("centroid"))))
-        .select(col("query_id"), lit(j).as("m"), col("cid"),
-          floor(dot(col("qsub"), col("centroid")) * 1e12).cast("long").as("qd"))
-    }.reduce(_ unionByName _)
+    subvecs(queries, m, subDim)
+      .withColumnRenamed("id", "query_id")
+      .join(broadcast(codebooks.select(col("m"), col("cid"), col("centroid"))),
+        Seq("m"))
+      .select(col("query_id"), col("m"), col("cid"),
+        floor(dot(col("emb"), col("centroid")) * 1e12).cast("long").as("qd"))
 
   /** ADC top-k: approximate dot(query, candidate) = Σ_m LUT[m][code_m].
     * Output: (query_id, vec_id, adc_q, adc_hat, rank ≤ k). */

@@ -80,4 +80,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(r.broadcastJoins >= 2,
       "totals row and per-source budget table should broadcast")
   }
+
+  // Late round-4 shapes: the near-dup multiprobe and the PQ re-rank
+  // live or die on "equi-join candidates, never a pair space".
+
+  test("q75 simhash near-dup pairs via equi-join — zero cartesian products") {
+    val r = audited("q75_simhash_neardup")
+    assert(r.cartesianProducts == 0,
+      "probe pairing must be an equi-join, not a cross product")
+    assert(r.shuffleJoins + r.broadcastJoins >= 1,
+      "expected the probe<->identity join in the plan")
+    assert(r.scans.forall(_.readColumns.toSet == Set("doc_id", "text")),
+      s"fingerprint scans must prune to (doc_id, text): ${r.scans.map(_.readColumns)}")
+  }
+
+  test("q76 PQ re-rank: page joins corpus by key, queries broadcast, no cartesian") {
+    val r = audited("q76_pq_rerank")
+    assert(r.cartesianProducts == 0,
+      "re-rank must touch only the page rows via equi-join")
+    assert(r.broadcastJoins >= 2,
+      s"codebooks/LUT and the query side should broadcast: ${r.broadcastJoins}")
+  }
+
+  test("q78 held-out bigram-LM broadcasts the model tables over one corpus scan") {
+    val r = audited("q78_bigram_heldout")
+    assert(r.broadcastJoins >= 3,
+      s"c12, c1 and vocab-size tables should broadcast: ${r.broadcastJoins}")
+    assert(r.cartesianProducts == 0)
+  }
 }
