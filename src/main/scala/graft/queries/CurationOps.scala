@@ -98,6 +98,35 @@ object CurationOps {
             col("n_bigrams").cast("double")).as("avg_logp"))
     }),
 
+    // Intra-document repetition (the Gopher-rule family's duplicate
+    // n-gram fraction): per doc, the share of 2-gram occurrences that
+    // are repeats (1 − distinct/total) and the share claimed by the
+    // single most frequent 2-gram. Two map-side-combinable group-bys —
+    // (doc, bigram) then doc — all integer until the final divisions.
+    // High dup_frac ⇒ boilerplate/generated text a curation pass drops.
+    "q79_repetition" -> ((s, d) => {
+      val ts = col("_toks")
+      val bg = Tables.load(s, d, "documents")
+        .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(1), greatest(size(ts) - 1, lit(0))),
+            i => struct(element_at(ts, i).as("w1"),
+                        element_at(ts, i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_2grams"),
+             count(lit(1)).as("n_distinct"),
+             max(col("c")).as("top_count"))
+        .select(col("doc_id"), col("n_2grams"), col("n_distinct"),
+          (lit(1.0) - col("n_distinct").cast("double") /
+            col("n_2grams").cast("double")).as("dup_frac"),
+          (col("top_count").cast("double") /
+            col("n_2grams").cast("double")).as("top_frac"))
+    }),
+
     // Held-out bigram-LM scoring — q71 with the train/score leakage
     // removed: counts come ONLY from the 90% train split (doc_id % 10
     // <> 0), the 10% held-out docs are scored, and unseen bigrams get
@@ -287,6 +316,22 @@ object CurationOps {
                  CAST(sum(lp) AS DOUBLE) / 1e9 / CAST(count(*) AS DOUBLE)
                    AS avg_logp
           FROM lp GROUP BY doc_id""",
+
+    "q79_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          bg AS (SELECT doc_id,
+                        toks[CAST(t2.i AS INTEGER)] AS w1,
+                        toks[CAST(t2.i AS INTEGER) + 1] AS w2
+                 FROM t, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS t2(i)),
+          pc AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS c
+                 FROM bg GROUP BY doc_id, w1, w2)
+          SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS n_2grams,
+                 CAST(count(*) AS BIGINT) AS n_distinct,
+                 1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+                   AS dup_frac,
+                 CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_frac
+          FROM pc GROUP BY doc_id""",
 
     "q78_bigram_heldout" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

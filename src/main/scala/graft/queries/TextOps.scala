@@ -166,6 +166,16 @@ object TextOps {
           .as("bpe_tokens"))
     }),
 
+    // BPE vocabulary induction: learn the first 3 merge rules the way a
+    // tokenizer trainer does — corpus-weighted adjacent-pair counts over
+    // the word vocabulary, merge the winner, repeat. The corpus is
+    // touched once (word counts); every round runs on the vocab-sized
+    // symbol table. Merge application is exact leftmost-non-overlapping
+    // BPE computed positionally (windows + equi-joins, no floats).
+    "q80_bpe_train" -> ((s, d) =>
+      graft.operators.Bpe.trainMerges(
+        Tables.load(s, d, "documents"), "text", nMerges = 3)),
+
     // PII scrubbing — the redaction pass every training-data pipeline
     // runs before tokenization. The corpus is synthetic, so
     // deterministic PII (email / IPv4 / phone) is injected per-doc from
@@ -260,6 +270,44 @@ object TextOps {
 
   private val toksSql =
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+
+  /** One BPE training round in SQL: adjacency counts over syms{r-1},
+    * the winning pair (ties on (a, b) ascending), greedy leftmost
+    * non-overlapping merge selection, and the re-numbered syms{r}.
+    * Mirrors Bpe.trainMerges round-for-round. */
+  private def bpeRoundSql(r: Int): String = {
+    val p = r - 1
+    s"""nx$r AS (SELECT word, wc, pos, sym,
+                        lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+                 FROM syms$p),
+        best$r AS (SELECT sym AS a, nxt AS b, CAST(sum(wc) AS BIGINT) AS cnt
+                   FROM nx$r WHERE nxt IS NOT NULL
+                   GROUP BY sym, nxt
+                   ORDER BY cnt DESC, a, b LIMIT 1),
+        cand$r AS (SELECT n.word, n.pos,
+                          row_number() OVER (PARTITION BY n.word
+                                             ORDER BY n.pos) AS rn
+                   FROM nx$r n, best$r b
+                   WHERE n.sym = b.a AND n.nxt = b.b),
+        sel$r AS (SELECT word, pos FROM (
+                    SELECT word, pos,
+                           row_number() OVER (PARTITION BY word, pos - rn
+                                              ORDER BY pos) AS rr
+                    FROM cand$r) WHERE (rr - 1) % 2 = 0),
+        syms$r AS (SELECT word, wc,
+                          row_number() OVER (PARTITION BY word
+                                             ORDER BY pos) AS pos,
+                          sym
+                   FROM (SELECT n.word, n.wc, n.pos,
+                                CASE WHEN s.pos IS NOT NULL THEN n.sym || n.nxt
+                                     ELSE n.sym END AS sym
+                         FROM nx$r n
+                         LEFT JOIN sel$r s
+                           ON s.word = n.word AND s.pos = n.pos
+                         LEFT JOIN sel$r sp
+                           ON sp.word = n.word AND sp.pos = n.pos - 1
+                         WHERE sp.pos IS NULL))"""
+  }
 
   /** q22's SimHash in SQL — reused as the fingerprint source for q75's
     * Hamming-1 multiprobe pairing. */
@@ -436,6 +484,21 @@ object TextOps {
                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
                      AS BIGINT) AS bpe_tokens
          FROM documents""",
+
+    "q80_bpe_train" -> {
+      val rounds = (1 to 3).map(bpeRoundSql).mkString(",\n          ")
+      val out = (1 to 3).map(r =>
+        s"""SELECT CAST($r AS BIGINT) AS round, a AS sym_a, b AS sym_b,
+                   cnt AS pair_count FROM best$r""").mkString(" UNION ALL ")
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+          w AS (SELECT word, CAST(count(*) AS BIGINT) AS wc
+                FROM (SELECT unnest(toks) AS word FROM t) GROUP BY word),
+          syms0 AS (SELECT word, wc, t2.i AS pos,
+                           word[CAST(t2.i AS INTEGER):CAST(t2.i AS INTEGER)] AS sym
+                    FROM w, unnest(range(1, len(word) + 1)) AS t2(i)),
+          $rounds
+          $out"""
+    },
 
     "q25_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
