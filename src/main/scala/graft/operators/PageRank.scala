@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Damped PageRank over a directed edge table — the third iterative
+  * graph operator next to [[GraphBfs]] (reachability) and
+  * [[Dedup.connectedComponents]] (min-label clusters).
+  *
+  * Scale design (100 TB): each round is ONE equi-join of the edge
+  * table to the node-sized rank table plus one map-side-combinable
+  * sum, both shuffle-keyed on node id; the node count travels as a
+  * broadcast 1-row aggregate, never a driver-side scalar. Rank tables
+  * are checkpointed per round so lineage stays flat.
+  *
+  * Determinism (the KMeans/PQ discipline): a per-edge contribution
+  * rank/outdeg is one IEEE division — bitwise reproducible — and is
+  * floor-quantized to the 1e-12 long grid BEFORE the order-free
+  * integer sum, so results match any engine bit-for-bit. The teleport
+  * term is computed as (1.0 - damping)/n rather than a pre-folded
+  * literal: 1.0-0.85 and the literal 0.15 are DIFFERENT doubles, and
+  * the oracle must compute it the same way (NOTES.md float lessons).
+  * Dangling nodes (outdeg 0) contribute nothing — the simplified
+  * formulation; ranks then sum to < 1, which comparisons tolerate
+  * because both engines drop the same mass. */
+object PageRank {
+
+  /** `edges`: (src, dst) rows, duplicates allowed (deduped here).
+    * Returns (id, rank) for every node after `iters` rounds. */
+  def run(edges: DataFrame, damping: Double, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRow = nodes.agg(count(lit(1)).cast("double").as("n"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    var ranks = nodes.crossJoin(broadcast(nRow))
+      .select(col("id"), (lit(1.0) / col("n")).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("id"),
+          floor(col("rank") / col("outdeg").cast("double") * 1e12)
+            .cast("long").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(nRow))
+        .select(col("id"),
+          ((lit(1.0) - lit(damping)) / col("n") +
+            lit(damping) * (coalesce(col("s"), lit(0L)).cast("double") / 1e12))
+            .as("rank"))
+        .localCheckpoint() // node-sized; flattens per-round lineage
+    }
+    val out = ranks
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+}

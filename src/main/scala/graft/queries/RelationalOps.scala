@@ -210,6 +210,25 @@ object RelationalOps {
         .select(col("node"), col("depth"))
     }),
 
+    // Damped PageRank (2 rounds) over the undirected customer↔supplier
+    // co-purchase graph — the iterative-importance member of the graph
+    // family (BFS = reachability, CC = clusters). Supplier ids offset
+    // by 10M so the two key spaces stay disjoint; per-edge
+    // contributions quantize to the 1e-12 long grid before the
+    // order-free sum (the KMeans discipline), so ranks are value-exact
+    // cross-engine.
+    "q81_pagerank" -> ((s, d) => {
+      val orders = Tables.load(s, d, "orders")
+      val li = Tables.load(s, d, "lineitem")
+      val cs = orders.join(li, orders("o_orderkey") === li("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+                (col("l_suppkey") + 10000000L).as("dst"))
+        .distinct()
+      val undirected = cs.union(cs.select(col("dst").as("src"),
+                                          col("src").as("dst")))
+      graft.operators.PageRank.run(undirected, damping = 0.85, iters = 2)
+    }),
+
     // Hierarchical rollup (region → nation subtotals + grand total) —
     // one of the analytic shapes the reference lacks and Spark gives the
     // engine for free (SURVEY §2.4 "absent" list, made first-class here).
@@ -506,6 +525,38 @@ object RelationalOps {
            WHERE b.depth < 5
          )
          SELECT node, CAST(min(depth) AS BIGINT) AS depth FROM bfs GROUP BY node""",
+
+    "q81_pagerank" -> {
+      def round(r: Int, prev: String) =
+        s"""c$r AS (SELECT e.dst AS id,
+                           CAST(sum(CAST(floor($prev.rank
+                                  / CAST(od.outdeg AS DOUBLE) * 1e12)
+                                AS BIGINT)) AS BIGINT) AS s
+                    FROM e
+                    JOIN $prev ON $prev.id = e.src
+                    JOIN od ON od.id = e.src
+                    GROUP BY e.dst),
+            r$r AS (SELECT nodes.id,
+                           (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                             + CAST(0.85 AS DOUBLE)
+                               * (CAST(coalesce(c$r.s, 0) AS DOUBLE) / 1e12)
+                             AS rank
+                    FROM nodes LEFT JOIN c$r USING (id) CROSS JOIN nn)"""
+      s"""WITH e0 AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                             CAST(l_suppkey + 10000000 AS BIGINT) AS dst
+                      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          e AS (SELECT src, dst FROM e0
+                UNION SELECT dst, src FROM e0),
+          nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+          nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+          od AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS outdeg
+                 FROM e GROUP BY src),
+          r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS rank
+                 FROM nodes CROSS JOIN nn),
+          ${round(1, "r0")},
+          ${round(2, "r1")}
+          SELECT id, rank FROM r2"""
+    },
 
     "q51_semi_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment
