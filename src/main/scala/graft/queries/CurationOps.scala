@@ -167,6 +167,27 @@ object CurationOps {
             col("n_bigrams").cast("double")).as("avg_logp"))
     }),
 
+    // Deterministic negative sampling for contrastive pairs: each query
+    // doc draws k=5 pseudo-random negatives ranked by md5(query|doc) —
+    // replayable bit-for-bit under retry, no RNG state (the q45
+    // discipline applied to pair construction). Same broadcast-queries
+    // one-corpus-scan shape as the brute-force kNN baseline (q26).
+    "q84_negative_sampling" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select(col("doc_id"))
+      val qs = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("query_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("h"), col("doc_id"))
+      docs.crossJoin(broadcast(qs))
+        .filter(col("doc_id") =!= col("query_id"))
+        .withColumn("h", md5(concat(col("query_id").cast("string"),
+          lit("|"), col("doc_id").cast("string"))))
+        .withColumn("neg_rank", row_number().over(w).cast("long"))
+        .filter(col("neg_rank") <= 5L)
+        .select(col("query_id"), col("neg_rank"),
+          col("doc_id").as("neg_doc_id"), col("h"))
+    }),
+
     // Training-mix assembly under a token budget: 30% of corpus tokens,
     // split across sources by weight (even-numbered sources get 2×), and
     // filled per source in deterministic md5-hash order until the
@@ -316,6 +337,21 @@ object CurationOps {
                  CAST(sum(lp) AS DOUBLE) / 1e9 / CAST(count(*) AS DOUBLE)
                    AS avg_logp
           FROM lp GROUP BY doc_id""",
+
+    "q84_negative_sampling" ->
+      """WITH q AS (SELECT doc_id AS query_id FROM documents
+                    WHERE doc_id % 100 = 0),
+          c AS (SELECT q.query_id, d.doc_id,
+                       md5(CAST(q.query_id AS VARCHAR) || '|'
+                           || CAST(d.doc_id AS VARCHAR)) AS h
+                FROM documents d CROSS JOIN q
+                WHERE d.doc_id <> q.query_id),
+          r AS (SELECT query_id, doc_id, h,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY h, doc_id) AS BIGINT) AS neg_rank
+                FROM c)
+          SELECT query_id, neg_rank, doc_id AS neg_doc_id, h
+          FROM r WHERE neg_rank <= 5""",
 
     "q79_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

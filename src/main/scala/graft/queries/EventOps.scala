@@ -107,6 +107,64 @@ object EventOps {
     }),
 
     // Same as-of semantics through the custom whole-operator plan
+    // Ordered funnel view → click → purchase: each step's timestamp is
+    // the user's earliest qualifying event STRICTLY AFTER the previous
+    // step. Three per-user aggregates chained by equi-join — every
+    // stage shuffles on user_id only, so the whole funnel is three
+    // map-side-combinable min-aggs at any scale.
+    "q82_funnel" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val users = ev.select(col("user_id")).distinct()
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1_us"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, Seq("user_id"))
+        .filter(col("ts_us") > col("t1_us"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2_us"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, Seq("user_id"))
+        .filter(col("ts_us") > col("t2_us"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3_us"))
+      users
+        .join(t1, Seq("user_id"), "left")
+        .join(t2, Seq("user_id"), "left")
+        .join(t3, Seq("user_id"), "left")
+        .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"),
+          when(col("t3_us").isNotNull, 3L)
+            .when(col("t2_us").isNotNull, 2L)
+            .when(col("t1_us").isNotNull, 1L)
+            .otherwise(0L).as("steps"))
+    }),
+
+    // Cohort retention matrix: users cohorted by first-signup week,
+    // activity bucketed by week offset. Weeks are integer epoch-week
+    // indexes ((ts_us − 2024-01-01) div 7d) — pure long division, no
+    // engine calendar semantics in the value-checked path.
+    "q83_cohort_retention" -> ((s, d) => {
+      val base = 1704067200000000L // 2024-01-01T00:00:00Z
+      val weekUs = 7L * 86400 * 1000 * 1000
+      val ev = Tables.load(s, d, "events")
+        .withColumn("week_idx",
+          expr(s"(unix_micros(ts) - ${base}L) div ${weekUs}L"))
+      val cohorts = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(min(col("week_idx")).as("cohort_week"))
+      val sizes = cohorts.groupBy(col("cohort_week"))
+        .agg(count_distinct(col("user_id")).as("n_cohort"))
+      val active = ev.join(cohorts, Seq("user_id"))
+        .filter(col("week_idx") >= col("cohort_week"))
+        .select(col("user_id"), col("cohort_week"),
+          (col("week_idx") - col("cohort_week")).as("week_offset"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count_distinct(col("user_id")).as("n_active"))
+      active.join(broadcast(sizes), Seq("cohort_week"))
+        .select(col("cohort_week"), col("week_offset"),
+          col("n_active"), col("n_cohort"),
+          (col("n_active").cast("double") / col("n_cohort").cast("double"))
+            .as("retention"))
+    }),
+
     // (AsOfJoinPlan → AsOfJoinExec via planner strategy) — q31 and q58
     // share one oracle, so the two implementations are pinned equal.
     "q58_asof_planned" -> ((s, d) => {
@@ -127,6 +185,52 @@ object EventOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q82_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+                           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+                    FROM events),
+         users AS (SELECT DISTINCT user_id FROM e),
+         t1 AS (SELECT user_id, min(ts_us) AS t1_us FROM e
+                WHERE event_type = 'view' GROUP BY user_id),
+         t2 AS (SELECT e.user_id, min(ts_us) AS t2_us
+                FROM e JOIN t1 USING (user_id)
+                WHERE event_type = 'click' AND ts_us > t1_us
+                GROUP BY e.user_id),
+         t3 AS (SELECT e.user_id, min(ts_us) AS t3_us
+                FROM e JOIN t2 USING (user_id)
+                WHERE event_type = 'purchase' AND ts_us > t2_us
+                GROUP BY e.user_id)
+         SELECT user_id, t1_us, t2_us, t3_us,
+                CAST(CASE WHEN t3_us IS NOT NULL THEN 3
+                          WHEN t2_us IS NOT NULL THEN 2
+                          WHEN t1_us IS NOT NULL THEN 1
+                          ELSE 0 END AS BIGINT) AS steps
+         FROM users
+         LEFT JOIN t1 USING (user_id)
+         LEFT JOIN t2 USING (user_id)
+         LEFT JOIN t3 USING (user_id)""",
+
+    "q83_cohort_retention" ->
+      """WITH e AS (SELECT user_id, event_type,
+                           (epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000)
+                             // 604800000000 AS week_idx
+                    FROM events),
+         cohorts AS (SELECT user_id, min(week_idx) AS cohort_week FROM e
+                     WHERE event_type = 'signup' GROUP BY user_id),
+         sizes AS (SELECT cohort_week,
+                          CAST(count(DISTINCT user_id) AS BIGINT) AS n_cohort
+                   FROM cohorts GROUP BY cohort_week),
+         active AS (SELECT c.cohort_week,
+                           e.week_idx - c.cohort_week AS week_offset,
+                           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+                    FROM e JOIN cohorts c USING (user_id)
+                    WHERE e.week_idx >= c.cohort_week
+                    GROUP BY c.cohort_week, e.week_idx - c.cohort_week)
+         SELECT a.cohort_week, a.week_offset, a.n_active, s.n_cohort,
+                CAST(a.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE)
+                  AS retention
+         FROM active a JOIN sizes s USING (cohort_week)""",
+
     "q29_window_agg" ->
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,
                 event_type,

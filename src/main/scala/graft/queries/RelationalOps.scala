@@ -229,6 +229,27 @@ object RelationalOps {
       graft.operators.PageRank.run(undirected, damping = 0.85, iters = 2)
     }),
 
+    // Triangle enumeration over the co-ordered-parts graph — the
+    // edge-iterator algorithm with id-orientation (u < v < w), so each
+    // triangle materializes exactly once from two equi-joins on the
+    // oriented edge list. The id ordering stands in for the
+    // degree-ordering a production run would use to bound the join
+    // fan-out on skewed graphs.
+    "q85_triangles" -> ((s, d) => {
+      val lp = Tables.load(s, d, "lineitem")
+        .filter(col("l_orderkey") < 300L)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = lp.as("x").join(lp.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("u"), col("y.pk").as("v"))
+        .distinct()
+      e.as("ab").join(e.as("bc"), col("ab.v") === col("bc.u"))
+        .join(e.as("ac"),
+          col("ac.u") === col("ab.u") && col("ac.v") === col("bc.v"))
+        .select(col("ab.u").as("a"), col("ab.v").as("b"), col("bc.v").as("c"))
+    }),
+
     // Hierarchical rollup (region → nation subtotals + grand total) —
     // one of the analytic shapes the reference lacks and Spark gives the
     // engine for free (SURVEY §2.4 "absent" list, made first-class here).
@@ -525,6 +546,16 @@ object RelationalOps {
            WHERE b.depth < 5
          )
          SELECT node, CAST(min(depth) AS BIGINT) AS depth FROM bfs GROUP BY node""",
+
+    "q85_triangles" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem WHERE l_orderkey < 300),
+          e AS (SELECT DISTINCT x.pk AS u, y.pk AS v
+                FROM lp x JOIN lp y ON x.ok = y.ok AND x.pk < y.pk)
+          SELECT ab.u AS a, ab.v AS b, bc.v AS c
+          FROM e ab
+          JOIN e bc ON ab.v = bc.u
+          JOIN e ac ON ac.u = ab.u AND ac.v = bc.v""",
 
     "q81_pagerank" -> {
       def round(r: Int, prev: String) =
