@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.RollingHash
+import graft.functions.{RollingHash, ZOrder2}
 import graft.gdl.expr.JsonDuplicateKeys
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -39,6 +39,14 @@ object GraftExtensions {
           RollingHash(c, base.toLong, mod.toLong)
         case other => throw new IllegalArgumentException(
           s"rolling_hash(str[, base, mod]) — got ${other.size} args")
+      }),
+    (new FunctionIdentifier("z_order"),
+      new ExpressionInfo(classOf[ZOrder2].getName, "z_order"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(x, y) => ZOrder2(x, y, 16)
+        case Seq(x, y, Literal(bits: Int, _)) => ZOrder2(x, y, bits)
+        case other => throw new IllegalArgumentException(
+          s"z_order(x, y[, bits]) — got ${other.size} args")
       }))
 
   /** Register into an already-built session (tests, REPLs). */

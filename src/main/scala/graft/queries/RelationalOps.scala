@@ -250,6 +250,21 @@ object RelationalOps {
         .select(col("ab.u").as("a"), col("ab.v").as("b"), col("bc.v").as("c"))
     }),
 
+    // Z-order (Morton) layout key over (partkey, suppkey) — the
+    // 2-D-clustering lake-layout primitive: range-partition + sort by
+    // this value and min/max file statistics prune BOTH dimensions.
+    // Computed by the native codegen'd ZOrder2 expression (bit loop
+    // fused into the projection; also SQL-registered as z_order()).
+    "q86_zorder" -> ((s, d) =>
+      Tables.load(s, d, "lineitem")
+        .filter(col("l_orderkey") < 2000L)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey") % 65536L).as("x"),
+          (col("l_suppkey") % 65536L).as("y"),
+          graft.functions.ZOrder2.zorder(
+            col("l_partkey") % 65536L, col("l_suppkey") % 65536L)
+            .as("zvalue"))),
+
     // Hierarchical rollup (region → nation subtotals + grand total) —
     // one of the analytic shapes the reference lacks and Spark gives the
     // engine for free (SURVEY §2.4 "absent" list, made first-class here).
@@ -546,6 +561,18 @@ object RelationalOps {
            WHERE b.depth < 5
          )
          SELECT node, CAST(min(depth) AS BIGINT) AS depth FROM bfs GROUP BY node""",
+
+    "q86_zorder" -> {
+      val terms = (0 until 16).flatMap(i => Seq(
+        s"(((x >> $i) & 1) << ${2 * i})",
+        s"(((y >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+      s"""WITH b AS (SELECT l_orderkey, l_linenumber,
+                            l_partkey % 65536 AS x, l_suppkey % 65536 AS y
+                     FROM lineitem WHERE l_orderkey < 2000)
+          SELECT l_orderkey, l_linenumber, x, y,
+                 CAST($terms AS BIGINT) AS zvalue
+          FROM b"""
+    },
 
     "q85_triangles" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
