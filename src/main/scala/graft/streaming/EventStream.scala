@@ -121,6 +121,57 @@ object EventStream {
   final case class TimedSessionEvent(event_id: Long, ts: java.sql.Timestamp,
                                      ts_us: Long, user_id: Long)
 
+  final case class FunnelEvent(event_id: Long, ts_us: Long, user_id: Long,
+                               event_type: String)
+  final case class FunnelState(t1Us: Long, t2Us: Long, t3Us: Long)
+  final case class FunnelUpdate(user_id: Long, t1_us: Option[Long],
+                                t2_us: Option[Long], t3_us: Option[Long],
+                                steps: Long)
+
+  /** Stateful streaming form of `q82_funnel` (view → click → purchase,
+    * each step strictly after the previous): per-user state is three
+    * longs; each micro-batch folds its events in (ts, id) order and
+    * emits the user's funnel snapshot when a step advances. Under
+    * in-order delivery the greedy first-qualifying event equals the
+    * batch min-after semantics, so the last snapshot per user matches
+    * `q82` exactly (pinned by FunnelStreamSpec). Cross-batch order is
+    * the source's responsibility, as with [[sessionize]]; state never
+    * grows past 3 longs per user, independent of stream length. */
+  def funnel(events: org.apache.spark.sql.Dataset[FunnelEvent]):
+      org.apache.spark.sql.Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val unset = Long.MinValue
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(unset, unset, unset))
+          val before = st
+          it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            e.event_type match {
+              case "view" if st.t1Us == unset =>
+                st = st.copy(t1Us = e.ts_us)
+              case "click" if st.t1Us != unset && st.t2Us == unset &&
+                  e.ts_us > st.t1Us =>
+                st = st.copy(t2Us = e.ts_us)
+              case "purchase" if st.t2Us != unset && st.t3Us == unset &&
+                  e.ts_us > st.t2Us =>
+                st = st.copy(t3Us = e.ts_us)
+              case _ =>
+            }
+          }
+          if (st == before) Iterator.empty
+          else {
+            state.update(st)
+            val steps = Seq(st.t1Us, st.t2Us, st.t3Us).count(_ != unset).toLong
+            Iterator.single(FunnelUpdate(userId,
+              Option(st.t1Us).filter(_ != unset),
+              Option(st.t2Us).filter(_ != unset),
+              Option(st.t3Us).filter(_ != unset), steps))
+          }
+      }
+  }
+
   /** Stateful gap-based sessionization via `flatMapGroupsWithState` —
     * the custom-state streaming form of `q30_sessionize`. Each user's
     * state carries (current session id, last event time); a gap >
