@@ -224,6 +224,10 @@ object RelationalOps {
         .select(col("o_custkey").as("src"),
                 (col("l_suppkey") + 10000000L).as("dst"))
         .distinct()
+        // the two-orientation union's branches are separate subtrees to
+        // Spark — checkpoint the joined pairs or the orders⋈lineitem
+        // join runs twice (the q44/connectedComponents lesson)
+        .localCheckpoint()
       val undirected = cs.union(cs.select(col("dst").as("src"),
                                           col("src").as("dst")))
       graft.operators.PageRank.run(undirected, damping = 0.85, iters = 2)
