@@ -331,6 +331,23 @@ object RelationalOps {
         .filter(col("rank") <= 3)
     }),
 
+    // q41's per-group top-3 as a BOUNDED AGGREGATE (operators.TopK):
+    // partial buffers carry ≤ k rows per key into the shuffle instead
+    // of every row through a window sort. Shares q41's oracle, so the
+    // two plans are pinned value-equal.
+    "q87_topk_agg" -> ((s, d) => {
+      val orders = Tables.load(s, d, "orders")
+      val customer = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val joined = orders
+        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+      graft.operators.TopK.perKeyDesc(joined,
+          key = "c_mktsegment", ord = "o_totalprice", tie = "o_orderkey", k = 3)
+        .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"),
+          col("rank"))
+    }),
+
     // User-facing semi/anti joins (SURVEY §2.3 notes the reference only
     // has internal anti-join shapes; the engine exposes them properly):
     // customers WITH urgent orders, minus those with any 'F' order.
@@ -709,6 +726,14 @@ object RelationalOps {
          GROUP BY l_returnflag""",
 
     "q41_topk_per_group" ->
+      """SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                CAST(row_number() OVER (PARTITION BY c.c_mktsegment
+                     ORDER BY o.o_totalprice DESC, o.o_orderkey) AS BIGINT) AS rank
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         QUALIFY rank <= 3""",
+
+    // the aggregate form must produce exactly the window form's rows
+    "q87_topk_agg" ->
       """SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
                 CAST(row_number() OVER (PARTITION BY c.c_mktsegment
                      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS BIGINT) AS rank
