@@ -188,6 +188,51 @@ object CurationOps {
           col("doc_id").as("neg_doc_id"), col("h"))
     }),
 
+    // T5-style span corruption: tokens partition into fixed 3-token
+    // blocks; a block is masked iff a hash of (doc, block) selects it
+    // (deterministic, replayable — no RNG), giving ~20% corruption with
+    // no overlap by construction. The masked input keeps one
+    // <extra_id_K> sentinel per span (K = span order) and the target
+    // pairs each sentinel with its hidden tokens — the exact
+    // denoising-objective data layout. Map-only until the per-doc
+    // ordered reassembly (one groupBy on doc_id).
+    "q89_span_corruption" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("blk"))
+      val tok = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextFunctions.tokens(col("text")))
+            .as(Seq("p0", "token")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("token"),
+          (col("p0") / 3).cast("long").as("blk"))
+        .withColumn("sel",
+          conv(substring(md5(concat(col("doc_id").cast("string"), lit("|"),
+            col("blk").cast("string"))), 1, 4), 16, 10).cast("long") % 5 === 0)
+      val selBlocks = tok.filter(col("sel"))
+        .groupBy(col("doc_id"), col("blk"))
+        .agg(min(col("pos")).as("blk_start"))
+        .withColumn("k", (row_number().over(w) - 1).cast("long"))
+      val pieces = tok.join(selBlocks, Seq("doc_id", "blk"), "left")
+        .select(col("doc_id"), col("pos"), col("token"), col("blk"),
+          col("k"), col("blk_start"),
+          when(col("k").isNull, col("token"))
+            .when(col("pos") === col("blk_start"),
+              concat(lit("<extra_id_"), col("k"), lit(">")))
+            .otherwise(lit(null)).as("in_piece"))
+      val joined = (c: org.apache.spark.sql.Column) =>
+        array_join(transform(array_sort(c), x => x.getField("piece")), " ")
+      pieces.groupBy(col("doc_id"))
+        .agg(
+          joined(collect_list(when(col("in_piece").isNotNull,
+            struct(col("pos"), col("in_piece").as("piece"))))).as("masked_input"),
+          joined(collect_list(when(col("k").isNotNull,
+            struct(col("pos"),
+              when(col("pos") === col("blk_start"),
+                concat(lit("<extra_id_"), col("k"), lit("> "), col("token")))
+                .otherwise(col("token")).as("piece"))))).as("target"),
+          count_distinct(when(col("k").isNotNull, col("blk"))).as("n_spans"))
+    }),
+
     // Training-mix assembly under a token budget: 30% of corpus tokens,
     // split across sources by weight (even-numbered sources get 2×), and
     // filled per source in deterministic md5-hash order until the
@@ -337,6 +382,42 @@ object CurationOps {
                  CAST(sum(lp) AS DOUBLE) / 1e9 / CAST(count(*) AS DOUBLE)
                    AS avg_logp
           FROM lp GROUP BY doc_id""",
+
+    "q89_span_corruption" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          tok AS (SELECT doc_id, CAST(t2.i AS BIGINT) AS pos,
+                         toks[CAST(t2.i AS INTEGER)] AS token,
+                         CAST((t2.i - 1) // 3 AS BIGINT) AS blk
+                  FROM t, unnest(range(1, len(toks) + 1)) AS t2(i)),
+          tok2 AS (SELECT *,
+                          (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                               || '|' || CAST(blk AS VARCHAR)), 1, 4)
+                             AS BIGINT) % 5 = 0) AS sel
+                   FROM tok),
+          sb AS (SELECT doc_id, blk, min(pos) AS blk_start,
+                        CAST(row_number() OVER (PARTITION BY doc_id
+                             ORDER BY blk) - 1 AS BIGINT) AS k
+                 FROM tok2 WHERE sel GROUP BY doc_id, blk),
+          p AS (SELECT t.doc_id, t.pos, t.token, t.blk, s.k, s.blk_start,
+                       CASE WHEN s.k IS NULL THEN t.token
+                            WHEN t.pos = s.blk_start
+                              THEN '<extra_id_' || CAST(s.k AS VARCHAR) || '>'
+                            ELSE NULL END AS in_piece
+                FROM tok2 t LEFT JOIN sb s
+                  ON s.doc_id = t.doc_id AND s.blk = t.blk)
+          SELECT doc_id,
+                 coalesce(string_agg(in_piece, ' ' ORDER BY pos)
+                   FILTER (WHERE in_piece IS NOT NULL), '') AS masked_input,
+                 coalesce(string_agg(
+                   CASE WHEN k IS NOT NULL THEN
+                     CASE WHEN pos = blk_start
+                       THEN '<extra_id_' || CAST(k AS VARCHAR) || '> ' || token
+                       ELSE token END
+                   END, ' ' ORDER BY pos)
+                   FILTER (WHERE k IS NOT NULL), '') AS target,
+                 CAST(count(DISTINCT CASE WHEN k IS NOT NULL THEN blk END)
+                      AS BIGINT) AS n_spans
+          FROM p GROUP BY doc_id""",
 
     "q84_negative_sampling" ->
       """WITH q AS (SELECT doc_id AS query_id FROM documents

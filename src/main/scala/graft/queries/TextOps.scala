@@ -176,6 +176,29 @@ object TextOps {
       graft.operators.Bpe.trainMerges(
         Tables.load(s, d, "documents"), "text", nMerges = 3)),
 
+    // Overlapping-window document chunking (the RAG / context-window
+    // prep op): token windows of 32 with stride 24 (8-token overlap),
+    // one row per chunk with its position and text. Map-only — the
+    // explode multiplies each doc by ceil(n/stride) chunk rows, no
+    // shuffle anywhere.
+    "q88_chunking" -> ((s, d) => {
+      val ts = col("_toks")
+      val (size32, stride) = (32, 24)
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"), ts.as("_t"), size(ts).as("n_tokens"),
+          explode(sequence(lit(1), greatest(size(ts), lit(1)), lit(stride)))
+            .as("start"))
+        .select(col("doc_id"), col("n_tokens"),
+          ((col("start") - 1) / stride).cast("long").as("chunk_idx"),
+          col("start").cast("long").as("start"),
+          least(lit(size32), col("n_tokens") - col("start") + 1).cast("long")
+            .as("chunk_len"),
+          array_join(slice(col("_t"), col("start"), lit(size32)), " ")
+            .as("chunk_text"))
+    }),
+
     // PII scrubbing — the redaction pass every training-data pipeline
     // runs before tokenization. The corpus is synthetic, so
     // deterministic PII (email / IPv4 / phone) is injected per-doc from
@@ -484,6 +507,20 @@ object TextOps {
                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
                      AS BIGINT) AS bpe_tokens
          FROM documents""",
+
+    "q88_chunking" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          c AS (SELECT doc_id, toks,
+                       CAST(len(toks) AS BIGINT) AS n_tokens,
+                       unnest(range(1, greatest(len(toks), 1) + 1, 24)) AS start
+                FROM t)
+          SELECT doc_id, n_tokens,
+                 CAST((start - 1) // 24 AS BIGINT) AS chunk_idx,
+                 CAST(start AS BIGINT) AS start,
+                 CAST(least(32, n_tokens - start + 1) AS BIGINT) AS chunk_len,
+                 array_to_string(toks[CAST(start AS INTEGER):CAST(start + 31 AS INTEGER)], ' ')
+                   AS chunk_text
+          FROM c""",
 
     "q80_bpe_train" -> {
       val rounds = (1 to 3).map(bpeRoundSql).mkString(",\n          ")
