@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Boilerplate-span detection — the repetition-removal pass (C4-style
@@ -60,6 +61,60 @@ object Boilerplate {
         (coalesce(col("n_covered"), lit(0L)).cast("double") /
           col("n_tokens").cast("double")).as("coverage"))
       .localCheckpoint(eager = true) // per-doc sized; then drop the span cache
+    spans.unpersist(blocking = false)
+    out
+  }
+
+  /** Maximal cross-document duplicated spans — the concrete output an
+    * exact substring-dedup pass strips (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", 2022, re-expressed
+    * over token n-grams): every maximal run of token positions covered
+    * by n-grams appearing in ≥ `minDf` distinct documents, as
+    * (doc_id, span_start, span_end) extents a rewrite can cut.
+    *
+    * Scale design (100 TB):
+    *  - positional n-grams are the same map-only explode as
+    *    [[spanCoverage]];
+    *  - at minDf=2 the duplicated-shingle set is corpus-sized (unlike
+    *    the ≥5 boilerplate tail), so membership is a plain shuffle
+    *    equi-join on the shingle, NOT a broadcast;
+    *  - span merging is a per-document window (lag + running count of
+    *    run breaks — gaps-and-islands), shuffled/sorted on doc_id only:
+    *    two positions join one span iff they are ≤ n apart, i.e. their
+    *    n-token extents overlap or touch.
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+               n: Int, minDf: Long): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+    val spans = base
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), greatest(size(col("_toks")) - (n - 1), lit(0))),
+          i => struct(i.as("pos"),
+            concat_ws(" ", (0 until n).map(k => element_at(col("_toks"), i + k)): _*)
+              .as("sh")))).as("sp"))
+      .select(col("doc_id"), col("sp.pos").as("pos"), col("sp.sh").as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = spans.select(col("doc_id"), col("sh")).distinct()
+      .groupBy(col("sh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDf)
+      .select(col("sh"))
+    val hits = spans.join(dup, Seq("sh"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val out = hits
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= n, 0L).otherwise(1L))
+      .withColumn("grp", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (n - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_tokens"),
+        col("n_grams"))
+      .localCheckpoint(eager = true) // span-list sized; then drop the cache
     spans.unpersist(blocking = false)
     out
   }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Bm25, Boilerplate, Decontaminate}
+import graft.operators.{Bm25, Boilerplate, Decontaminate, Dsir, LogReg, TopK}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -231,6 +231,53 @@ object CurationOps {
                 concat(lit("<extra_id_"), col("k"), lit("> "), col("token")))
                 .otherwise(col("token")).as("piece"))))).as("target"),
           count_distinct(when(col("k").isNotNull, col("blk"))).as("n_spans"))
+    }),
+
+    // DSIR-style importance weighting: sources src0-src3 stand in for
+    // the curated target domain; every doc scores its hashed-unigram
+    // importance log-ratio against the raw corpus and keep ⇔ ratio > 0.
+    "q90_dsir_weights" -> ((s, d) =>
+      Dsir.importance(Tables.load(s, d, "documents"), "doc_id", "text",
+        isTarget = col("source").isin("src0", "src1", "src2", "src3"))),
+
+    // Per-domain document cap (the Common-Crawl "no source dominates"
+    // rule): keep 10 docs per source in deterministic md5 order, ranked
+    // by the bounded TopK AGGREGATE — no corpus-wide window; the
+    // shuffle carries ≤ k rows per source per mapper (q87's plan shape
+    // applied to curation).
+    "q91_domain_cap" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(col("source"),
+          (-conv(substring(md5(concat(lit("cap|"), col("doc_id").cast("string"))),
+            1, 8), 16, 10).cast("long").cast("double")).as("nord"),
+          col("doc_id"))
+      TopK.perKeyDesc(docs, "source", "nord", "doc_id", k = 10)
+        .select(col("source"), col("doc_id"), col("rank"))
+    }),
+
+    // Maximal cross-doc duplicated spans (token 3-grams in ≥ 2 docs,
+    // gaps-and-islands merge) — the extents an exact substring-dedup
+    // rewrite strips.
+    "q92_dup_spans" -> ((s, d) =>
+      Boilerplate.dupSpans(Tables.load(s, d, "documents"),
+        "doc_id", "text", n = 3, minDf = 2L)),
+
+    // Distributed quality-classifier training: logistic regression
+    // (is-English from 4 layout features), 2 unrolled full-batch GD
+    // rounds, each ONE map-side-combinable aggregate; gradients are
+    // order-free long sums, the sigmoid is 1e-9-quantized.
+    "q93_logreg_quality" -> ((s, d) => {
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      val feats = Tables.load(s, d, "documents")
+        .select(col("text"), col("lang"), col("n_chars"), toks.as("_toks"))
+        .select(
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+          lit(1.0).as("x0"),
+          (size(col("_toks")).cast("double") / 100.0).as("x1"),
+          (size(array_distinct(col("_toks"))).cast("double") /
+            size(col("_toks")).cast("double")).as("x2"),
+          (col("n_chars").cast("double") / 1000.0).as("x3"))
+      LogReg.train(feats, dim = 4, lr = 0.5, rounds = 2)
     }),
 
     // Training-mix assembly under a token budget: 30% of corpus tokens,
@@ -532,6 +579,126 @@ object CurationOps {
                    / CAST(b.n_tokens AS DOUBLE) AS coverage
           FROM base b
           LEFT JOIN ns USING (doc_id)
-          LEFT JOIN cov USING (doc_id)"""
+          LEFT JOIN cov USING (doc_id)""",
+
+    // token bucket = the base-31 polynomial fingerprint mod 1024
+    // (mirrors TextFunctions.rollingFingerprint % buckets)
+    "q90_dsir_weights" ->
+      s"""WITH tk AS (SELECT doc_id,
+                 CASE WHEN source IN ('src0','src1','src2','src3')
+                      THEN 1 ELSE 0 END AS is_t,
+                 unnest($toksSql) AS tok
+          FROM documents),
+          tb AS (SELECT doc_id, is_t,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, length(tok) + 1),
+                     i -> CAST(ascii(substr(tok, CAST(i AS INTEGER), 1)) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 1000000007) % 1024 AS b
+          FROM tk),
+          m AS (SELECT b, CAST(count(*) AS BIGINT) AS c_r,
+                       CAST(sum(is_t) AS BIGINT) AS c_t
+                FROM tb GROUP BY b),
+          tot AS (SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
+                         CAST(sum(c_t) AS BIGINT) AS n_t FROM m),
+          lr AS (SELECT doc_id,
+                   CAST(floor(ln(CAST(c_t + 1 AS DOUBLE)
+                                 / CAST(n_t + 1024 AS DOUBLE)) * 1e9) AS BIGINT)
+                 - CAST(floor(ln(CAST(c_r + 1 AS DOUBLE)
+                                 / CAST(n_r + 1024 AS DOUBLE)) * 1e9) AS BIGINT) AS lr
+                 FROM tb JOIN m USING (b) CROSS JOIN tot)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(lr) AS DOUBLE) / 1e9 / CAST(count(*) AS DOUBLE)
+                   AS avg_logratio,
+                 sum(lr) > 0 AS keep
+          FROM lr GROUP BY doc_id""",
+
+    "q91_domain_cap" ->
+      """WITH d AS (SELECT source, doc_id,
+                 CAST('0x' || substr(md5('cap|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) AS hv
+          FROM documents),
+          r AS (SELECT source, doc_id,
+                 CAST(row_number() OVER (PARTITION BY source ORDER BY hv, doc_id)
+                      AS BIGINT) AS rank
+                FROM d)
+          SELECT source, doc_id, rank FROM r WHERE rank <= 10""",
+
+    "q92_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          sp AS (SELECT doc_id, CAST(t2.i AS BIGINT) AS pos,
+                        toks[CAST(t2.i AS INTEGER)] || ' '
+                          || toks[CAST(t2.i AS INTEGER) + 1] || ' '
+                          || toks[CAST(t2.i AS INTEGER) + 2] AS sh
+                 FROM t, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS t2(i)),
+          dup AS (SELECT sh FROM (
+                    SELECT sh, count(DISTINCT doc_id) AS nd FROM sp GROUP BY sh)
+                  WHERE nd >= 2),
+          h AS (SELECT doc_id, pos FROM sp JOIN dup USING (sh)),
+          g AS (SELECT doc_id, pos,
+                       CASE WHEN pos - lag(pos) OVER
+                              (PARTITION BY doc_id ORDER BY pos) <= 3
+                            THEN 0 ELSE 1 END AS brk
+                FROM h),
+          i AS (SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS grp
+                FROM g)
+          SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                 CAST(max(pos) + 2 AS BIGINT) AS span_end,
+                 CAST(max(pos) + 2 - min(pos) + 1 AS BIGINT) AS span_tokens,
+                 CAST(count(*) AS BIGINT) AS n_grams
+          FROM i GROUP BY doc_id, grp""",
+
+    "q93_logreg_quality" -> {
+      // unrolled 2-round full-batch GD; every expression mirrors the
+      // LogReg.train plan shape exactly (sigmoid 1e-9-quantized, per-row
+      // gradient terms floor-quantized to 1e-12 longs, driver-double
+      // update replayed as `w - 0.5*(g/1e12/n)`)
+      def z(ws: Seq[String]) =
+        ws.zipWithIndex.map { case (w, j) => s"$w * x$j" }.mkString(" + ")
+      def p(ws: Seq[String]) =
+        s"""CAST(CAST(floor(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+           + exp(-(${z(ws)}))) * 1e9) AS BIGINT) AS DOUBLE) / 1e9"""
+      def grads(ws: Seq[String]) = (0 until 4).map(j =>
+        s"""sum(CAST(floor((${p(ws)} - y) * x$j * 1e12) AS BIGINT)) AS g$j""")
+        .mkString(",\n                 ")
+      val w0 = Seq.fill(4)("CAST(0 AS DOUBLE)")
+      val w1 = (0 until 4).map(j => s"w1_$j")
+      val upd1 = (0 until 4).map(j =>
+        s"""CAST(0 AS DOUBLE) - CAST(0.5 AS DOUBLE)
+            * (CAST(g$j AS DOUBLE) / 1e12 / CAST(n AS DOUBLE)) AS w1_$j""")
+        .mkString(",\n                 ")
+      val upd2 = (0 until 4).map(j =>
+        s"""w1.w1_$j - CAST(0.5 AS DOUBLE)
+            * (CAST(g2.g$j AS DOUBLE) / 1e12 / CAST(w1.n AS DOUBLE)) AS w2_$j""")
+        .mkString(",\n                 ")
+      val out = ((0 until 4).map(j =>
+        s"""SELECT CAST(1 AS BIGINT) AS round, CAST($j AS BIGINT) AS j,
+            w1_$j AS w FROM w1""") ++
+        (0 until 4).map(j =>
+          s"""SELECT CAST(2 AS BIGINT) AS round, CAST($j AS BIGINT) AS j,
+              w2_$j AS w FROM w2""")).mkString("\n          UNION ALL ")
+      s"""WITH f AS (SELECT
+                 CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y,
+                 CAST(1 AS DOUBLE) AS x0,
+                 CAST(len(toks) AS DOUBLE) / 100.0 AS x1,
+                 CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) AS x2,
+                 CAST(n_chars AS DOUBLE) / 1000.0 AS x3
+               FROM (SELECT $toksSql AS toks, lang, n_chars FROM documents)),
+          g1 AS (SELECT count(*) AS n,
+                 ${grads(w0)}
+                 FROM f),
+          w1 AS (SELECT n,
+                 $upd1
+                 FROM g1),
+          g2 AS (SELECT
+                 ${grads(w1)}
+                 FROM f CROSS JOIN w1),
+          w2 AS (SELECT
+                 $upd2
+                 FROM g2 CROSS JOIN w1)
+          $out"""
+    }
   )
 }

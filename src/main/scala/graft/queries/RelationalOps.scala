@@ -467,6 +467,67 @@ object RelationalOps {
                 col("l_discount").cast(DecimalType(18, 2)))))
             .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
+    }),
+
+    // Equi-depth (equal-frequency) 8-bin histogram of l_quantity — the
+    // optimizer/layout statistic a lake keeps per column. The corpus
+    // pass is ONE map-side-combinable value-count aggregate; the bin
+    // assignment `(cum_before·8) div total` is integer-exact and runs
+    // on the value table (50 distinct quantities), so the unpartitioned
+    // window orders 50 rows, never the corpus — the q67 vocabulary
+    // discipline applied to numeric stats.
+    "q94_equidepth_hist" -> ((s, d) => {
+      val vc = Tables.load(s, d, "lineitem")
+        .groupBy(col("l_quantity").cast("long").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val tot = vc.agg(sum(col("c")).as("t"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      vc.crossJoin(broadcast(tot))
+        .withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
+        .withColumn("bin", expr("(cb * 8) div t"))
+        .groupBy(col("bin"))
+        .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+          sum(col("c")).as("n_rows"))
+    }),
+
+    // Common-neighbor link prediction (neighborhood Jaccard) over the
+    // January-1995 customer–part co-purchase graph. The month slice
+    // keeps per-part degree bounded as the corpus grows (parts scale
+    // with the data), so the pair space from the self-join on part is
+    // O(edges·deg), never n²; degrees join back from the month-sliced
+    // active-customer table. Top-20 by TakeOrdered (per-partition
+    // heaps), no global sort.
+    "q95_common_neighbors" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val ord = Tables.load(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-02-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+        // three consumers (degrees + both pair-join sides): materialize
+        // once (the q81 two-branch lesson)
+        .localCheckpoint()
+      val cdeg = edges.groupBy(col("c")).agg(count(lit(1)).as("deg"))
+      val pairs = edges.select(col("p"), col("c").as("cust_a"))
+        .join(edges.select(col("p"), col("c").as("cust_b")), Seq("p"))
+        .filter(col("cust_a") < col("cust_b"))
+        .groupBy(col("cust_a"), col("cust_b"))
+        .agg(count(lit(1)).as("shared"))
+      pairs
+        .join(broadcast(cdeg.select(col("c").as("cust_a"), col("deg").as("deg_a"))),
+          Seq("cust_a"))
+        .join(broadcast(cdeg.select(col("c").as("cust_b"), col("deg").as("deg_b"))),
+          Seq("cust_b"))
+        .select(col("cust_a"), col("cust_b"), col("shared"),
+          (col("shared").cast("double") /
+            (col("deg_a") + col("deg_b") - col("shared")).cast("double"))
+            .as("jaccard"))
+        .orderBy(col("jaccard").desc, col("cust_a"), col("cust_b"))
+        .limit(20)
     })
   )
 
@@ -748,6 +809,39 @@ object RelationalOps {
                          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
                      AS DOUBLE) AS sum_disc_price,
                 CAST(count(*) AS BIGINT) AS count_order
-         FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "q94_equidepth_hist" ->
+      """WITH vc AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+                            CAST(count(*) AS BIGINT) AS c
+                     FROM lineitem GROUP BY 1),
+          tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM vc),
+          b AS (SELECT v, c,
+                       CAST(coalesce(sum(c) OVER (ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                            AS BIGINT) AS cb
+                FROM vc)
+          SELECT (cb * 8) // t AS bin,
+                 CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi,
+                 CAST(sum(c) AS BIGINT) AS n_rows
+          FROM b CROSS JOIN tot GROUP BY 1""",
+
+    "q95_common_neighbors" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                      AND o_orderdate < TIMESTAMP '1995-02-01'),
+          cd AS (SELECT c, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY c),
+          pr AS (SELECT a.c AS cust_a, b.c AS cust_b,
+                        CAST(count(*) AS BIGINT) AS shared
+                 FROM e a JOIN e b ON a.p = b.p AND a.c < b.c
+                 GROUP BY 1, 2)
+          SELECT cust_a, cust_b, shared,
+                 CAST(shared AS DOUBLE)
+                   / CAST(da.deg + db.deg - shared AS DOUBLE) AS jaccard
+          FROM pr
+          JOIN cd da ON da.c = pr.cust_a
+          JOIN cd db ON db.c = pr.cust_b
+          ORDER BY jaccard DESC, cust_a, cust_b LIMIT 20"""
   )
 }

@@ -207,4 +207,35 @@ object EventStream {
           out.iterator
       }
   }
+
+  final case class CapEvent(event_id: Long, ts_us: Long, user_id: Long)
+  final case class CapKept(user_id: Long, event_id: Long, ts_us: Long, seq: Long)
+
+  /** Streaming per-key rate cap — the online form of the per-domain
+    * document cap (q91): each key passes through only its first
+    * `maxPerKey` events, so downstream state and sinks see a bounded
+    * per-key volume no matter how hot a key gets. State is ONE long per
+    * key (the kept count) — bounded by key cardinality, not traffic,
+    * with no watermark needed. Within a micro-batch events process in
+    * event-time order (per-group sort, the sessionize discipline);
+    * across batches the cap is arrival-order — an online rate
+    * limiter's semantics. A single-batch replay therefore equals the
+    * batch `row_number ≤ k` form, which StreamingRateLimitSpec pins.
+    */
+  def rateLimit(events: org.apache.spark.sql.Dataset[CapEvent],
+                maxPerKey: Long): org.apache.spark.sql.Dataset[CapKept] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[CapEvent], state: GroupState[Long]) =>
+          val seen = state.getOption.getOrElse(0L)
+          val room = math.max(maxPerKey - seen, 0L).toInt
+          val kept = it.toSeq.sortBy(e => (e.ts_us, e.event_id)).take(room)
+            .zipWithIndex.map { case (e, i) =>
+              CapKept(userId, e.event_id, e.ts_us, seen + i + 1) }
+          state.update(seen + kept.size)
+          kept.iterator
+      }
+  }
 }
