@@ -181,6 +181,35 @@ object EventOps {
         .select(col("event_id"), col("user_id"),
                 unix_micros(col("ts")).as("purchase_ts_us"),
                 col("value"), col("signup_event_id"), col("signup_ts_us"))
+    }),
+
+    // Exact heavy hitters via per-partition Misra-Gries summaries + an
+    // exact verify pass over the candidate union — no full-key shuffle;
+    // output is provably every key above the n/k line.
+    "q97_heavy_hitters" -> ((s, d) =>
+      graft.operators.HeavyHitters.exact(
+        Tables.load(s, d, "events"), "event_type", k = 8)),
+
+    // Per-type z-score anomaly ranking: moment sums over the exact
+    // 2-decimal long grid (order-free), one broadcast of 5 stat rows
+    // back against the stream, top-50 by |z| via TakeOrdered.
+    "q98_value_anomaly" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+      val stats = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("vc")).as("sv"),
+          sum(col("vc") * col("vc")).as("svv"))
+        .select(col("event_type"),
+          (col("sv").cast("double") / 100.0 / col("n").cast("double")).as("mean"),
+          sqrt((col("svv").cast("double") / 10000.0 / col("n").cast("double")) -
+            (col("sv").cast("double") / 100.0 / col("n").cast("double")) *
+            (col("sv").cast("double") / 100.0 / col("n").cast("double"))).as("std"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          ((col("vc").cast("double") / 100.0 - col("mean")) / col("std")).as("z"))
+        .orderBy(abs(col("z")).desc, col("event_id"))
+        .limit(50)
     })
   )
 
@@ -303,6 +332,33 @@ object EventOps {
                  epoch_us(p.ts) AS purchase_ts_us, p.value,
                  s.signup_event_id, s.signup_ts_us
           FROM p ASOF LEFT JOIN s
-            ON p.user_id = s.user_id AND p.ts >= s.ts"""
+            ON p.user_id = s.user_id AND p.ts >= s.ts""",
+
+    "q97_heavy_hitters" ->
+      """WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+          c AS (SELECT CAST(event_type AS VARCHAR) AS key,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1)
+          SELECT key, cnt, n FROM c CROSS JOIN tot WHERE cnt * 8 > n""",
+
+    "q98_value_anomaly" ->
+      """WITH ev AS (SELECT event_id, event_type, value,
+                            CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+                     FROM events),
+          st AS (SELECT event_type,
+                        CAST(sum(vc) AS DOUBLE) / 100.0
+                          / CAST(count(*) AS DOUBLE) AS mean,
+                        sqrt((CAST(sum(vc * vc) AS DOUBLE) / 10000.0
+                                / CAST(count(*) AS DOUBLE))
+                             - (CAST(sum(vc) AS DOUBLE) / 100.0
+                                  / CAST(count(*) AS DOUBLE))
+                               * (CAST(sum(vc) AS DOUBLE) / 100.0
+                                    / CAST(count(*) AS DOUBLE))) AS std
+                 FROM ev GROUP BY event_type)
+          SELECT event_id, ev.event_type, value,
+                 (CAST(vc AS DOUBLE) / 100.0 - mean) / std AS z
+          FROM ev JOIN st USING (event_type)
+          ORDER BY abs((CAST(vc AS DOUBLE) / 100.0 - mean) / std) DESC, event_id
+          LIMIT 50"""
   )
 }

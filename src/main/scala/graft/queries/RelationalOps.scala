@@ -528,6 +528,23 @@ object RelationalOps {
             .as("jaccard"))
         .orderBy(col("jaccard").desc, col("cust_a"), col("cust_b"))
         .limit(20)
+    }),
+
+    // Synchronous label propagation (2 unrolled rounds) on the q81
+    // customer↔supplier co-purchase graph — community detection with
+    // deterministic (count desc, label asc) adoption, value-exact
+    // cross-engine because every step is integer counting.
+    "q99_label_prop" -> ((s, d) => {
+      val orders = Tables.load(s, d, "orders")
+      val li = Tables.load(s, d, "lineitem")
+      val cs = orders.join(li, orders("o_orderkey") === li("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+                (col("l_suppkey") + 10000000L).as("dst"))
+        .distinct()
+        .localCheckpoint() // two-orientation union: one materialization
+      val undirected = cs.union(cs.select(col("dst").as("src"),
+                                          col("src").as("dst")))
+      graft.operators.LabelProp.run(undirected, iters = 2)
     })
   )
 
@@ -842,6 +859,33 @@ object RelationalOps {
           FROM pr
           JOIN cd da ON da.c = pr.cust_a
           JOIN cd db ON db.c = pr.cust_b
-          ORDER BY jaccard DESC, cust_a, cust_b LIMIT 20"""
+          ORDER BY jaccard DESC, cust_a, cust_b LIMIT 20""",
+
+    "q99_label_prop" ->
+      """WITH cs AS (SELECT DISTINCT o_custkey AS src,
+                            l_suppkey + 10000000 AS dst
+                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          e AS (SELECT src, dst FROM cs
+                UNION ALL SELECT dst AS src, src AS dst FROM cs),
+          l0 AS (SELECT node, node AS label FROM (
+                   SELECT DISTINCT src AS node FROM e)),
+          c1 AS (SELECT e.src AS node, l0.label,
+                        CAST(count(*) AS BIGINT) AS cnt
+                 FROM e JOIN l0 ON l0.node = e.dst GROUP BY 1, 2),
+          l1 AS (SELECT node, label FROM (
+                   SELECT node, label,
+                          row_number() OVER (PARTITION BY node
+                            ORDER BY cnt DESC, label) AS rn
+                   FROM c1) WHERE rn = 1),
+          c2 AS (SELECT e.src AS node, l1.label,
+                        CAST(count(*) AS BIGINT) AS cnt
+                 FROM e JOIN l1 ON l1.node = e.dst GROUP BY 1, 2),
+          l2 AS (SELECT node, label FROM (
+                   SELECT node, label,
+                          row_number() OVER (PARTITION BY node
+                            ORDER BY cnt DESC, label) AS rn
+                   FROM c2) WHERE rn = 1)
+          SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+          FROM l2"""
   )
 }

@@ -281,7 +281,16 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"),
              sum(col("n_tokens")).as("bin_tokens"),
              (sum(col("n_tokens")).cast("double") / 2048.0).as("fill_ratio"))
-    })
+    }),
+
+    // Sparse all-pairs tf-idf cosine through an inverted index: word
+    // 3-gram terms, df ∈ [2,10] pruning (hubs explode the postings
+    // self-join and idf down-weights them anyway), quantized idf /
+    // dot / norm sums so pairs are value-exact.
+    "q96_sparse_cosine" -> ((s, d) =>
+      graft.operators.SparseSim.allPairsCosine(
+        Tables.load(s, d, "documents"), "doc_id", "text",
+        n = 3, minDf = 2L, maxDf = 10L, threshold = 0.3))
   )
 
   // RE2-compatible PII patterns shared by q56 and its oracle
@@ -616,5 +625,46 @@ object TextOps {
                  CAST(sum(n_tokens) AS DOUBLE) / 2048.0 AS fill_ratio
           FROM c
           GROUP BY source, floor((cum - n_tokens) / 2048)"""
+  ) ++ sparseCosineOracle
+
+  private def sparseCosineOracle: Map[String, String] = Map(
+    "q96_sparse_cosine" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                 FROM (SELECT doc_id,
+                              toks[CAST(t2.i AS INTEGER)] || ' '
+                                || toks[CAST(t2.i AS INTEGER) + 1] || ' '
+                                || toks[CAST(t2.i AS INTEGER) + 2] AS term
+                       FROM t, unnest(range(1, greatest(len(toks) - 2, 0) + 1))
+                         AS t2(i))
+                 GROUP BY doc_id, term),
+          dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                  FROM tf GROUP BY term HAVING count(*) BETWEEN 2 AND 10),
+          nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+          w AS (SELECT doc_id, term, w FROM (
+                  SELECT doc_id, term,
+                       CAST(tf AS DOUBLE)
+                         * (CAST(CAST(floor(ln(CAST(n_docs AS DOUBLE)
+                              / CAST(df AS DOUBLE)) * 1e9) AS BIGINT) AS DOUBLE)
+                            / 1e9) AS w
+                  FROM tf JOIN dfq USING (term) CROSS JOIN nd)
+                WHERE w > CAST(0 AS DOUBLE)),
+          nrm AS (SELECT doc_id,
+                         sqrt(CAST(sum(CAST(floor(w * w * 1e9) AS BIGINT))
+                              AS DOUBLE) / 1e9) AS nr
+                  FROM w GROUP BY doc_id),
+          pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        CAST(count(*) AS BIGINT) AS n_shared,
+                        CAST(sum(CAST(floor(a.w * b.w * 1e9) AS BIGINT))
+                             AS BIGINT) AS dot
+                 FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+          SELECT doc_a, doc_b, n_shared,
+                 (CAST(dot AS DOUBLE) / 1e9) / (na.nr * nb.nr) AS cosine
+          FROM pr
+          JOIN nrm na ON na.doc_id = pr.doc_a
+          JOIN nrm nb ON nb.doc_id = pr.doc_b
+          WHERE (CAST(dot AS DOUBLE) / 1e9) / (na.nr * nb.nr)
+                  >= CAST(0.3 AS DOUBLE)"""
   )
 }
