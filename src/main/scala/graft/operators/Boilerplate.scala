@@ -118,4 +118,57 @@ object Boilerplate {
     spans.unpersist(blocking = false)
     out
   }
+
+  /** The rewrite [[dupSpans]] plans: strip every cross-document
+    * duplicated span (C4-style "remove text repeated across pages"),
+    * reassembling each document from its surviving tokens. Returns
+    * (doc_id, clean_text, n_tokens, n_removed).
+    *
+    * Scale: covered positions are the dup-hit explode (≤ n small rows
+    * per hit) deduped on (doc, position); the anti-join and the ordered
+    * reassembly both shuffle on doc_id only. The reassembly is the q89
+    * collect-sort-join idiom — per-doc arrays, bounded by doc length.
+    */
+  def stripDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int, minDf: Long): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+    val spans = base
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), greatest(size(col("_toks")) - (n - 1), lit(0))),
+          i => struct(i.as("pos"),
+            concat_ws(" ", (0 until n).map(k => element_at(col("_toks"), i + k)): _*)
+              .as("sh")))).as("sp"))
+      .select(col("doc_id"), col("sp.pos").as("pos"), col("sp.sh").as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = spans.select(col("doc_id"), col("sh")).distinct()
+      .groupBy(col("sh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDf)
+      .select(col("sh"))
+    val covered = spans.join(dup, Seq("sh"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .distinct()
+    val toks = base
+      .select(col("doc_id"), size(col("_toks")).cast("long").as("n_tokens"),
+        posexplode(col("_toks")).as(Seq("p0", "token")))
+      .select(col("doc_id"), col("n_tokens"), (col("p0") + 1).as("p"), col("token"))
+    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("token")))),
+          x => x.getField("token")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    // left join back so a FULLY duplicated doc still reports (empty text)
+    val out = base
+      .select(col("doc_id"), size(col("_toks")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      .localCheckpoint(eager = true) // per-doc sized; then drop the cache
+    spans.unpersist(blocking = false)
+    out
+  }
 }

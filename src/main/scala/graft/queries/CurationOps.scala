@@ -262,6 +262,12 @@ object CurationOps {
       Boilerplate.dupSpans(Tables.load(s, d, "documents"),
         "doc_id", "text", n = 3, minDf = 2L)),
 
+    // ...and the rewrite itself: documents reassembled from the tokens
+    // outside every duplicated span, with removal accounting.
+    "q100_dup_strip" -> ((s, d) =>
+      Boilerplate.stripDupSpans(Tables.load(s, d, "documents"),
+        "doc_id", "text", n = 3, minDf = 2L)),
+
     // Distributed quality-classifier training: logistic regression
     // (is-English from 4 layout features), 2 unrolled full-batch GD
     // rounds, each ONE map-side-combinable aggregate; gradients are
@@ -648,6 +654,32 @@ object CurationOps {
                  CAST(max(pos) + 2 - min(pos) + 1 AS BIGINT) AS span_tokens,
                  CAST(count(*) AS BIGINT) AS n_grams
           FROM i GROUP BY doc_id, grp""",
+
+    "q100_dup_strip" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          sp AS (SELECT doc_id, CAST(t2.i AS BIGINT) AS pos,
+                        toks[CAST(t2.i AS INTEGER)] || ' '
+                          || toks[CAST(t2.i AS INTEGER) + 1] || ' '
+                          || toks[CAST(t2.i AS INTEGER) + 2] AS sh
+                 FROM t, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS t2(i)),
+          dup AS (SELECT sh FROM (
+                    SELECT sh, count(DISTINCT doc_id) AS nd FROM sp GROUP BY sh)
+                  WHERE nd >= 2),
+          cov AS (SELECT DISTINCT doc_id, pos + t3.o AS p
+                  FROM sp JOIN dup USING (sh), unnest(range(0, 3)) AS t3(o)),
+          tok AS (SELECT doc_id, CAST(t2.i AS BIGINT) AS p,
+                         toks[CAST(t2.i AS INTEGER)] AS token
+                  FROM t, unnest(range(1, len(toks) + 1)) AS t2(i)),
+          kept AS (SELECT tok.doc_id,
+                          string_agg(token, ' ' ORDER BY p) AS clean_text,
+                          CAST(count(*) AS BIGINT) AS n_kept
+                   FROM tok ANTI JOIN cov USING (doc_id, p)
+                   GROUP BY tok.doc_id),
+          base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+          SELECT b.doc_id, coalesce(k.clean_text, '') AS clean_text,
+                 b.n_tokens,
+                 b.n_tokens - coalesce(k.n_kept, 0) AS n_removed
+          FROM base b LEFT JOIN kept k USING (doc_id)""",
 
     "q93_logreg_quality" -> {
       // unrolled 2-round full-batch GD; every expression mirrors the

@@ -210,6 +210,42 @@ object EventOps {
           ((col("vc").cast("double") / 100.0 - col("mean")) / col("std")).as("z"))
         .orderBy(abs(col("z")).desc, col("event_id"))
         .limit(50)
+    }),
+
+    // Changelog → SCD-2 dimension view: each user's event-type stream
+    // collapses consecutive repeats (gaps-and-islands) into validity
+    // intervals [valid_from, valid_to) with an open current row — the
+    // slowly-changing-dimension build every warehouse needs from a CDC
+    // feed. All windows partition on user_id; epoch-micros longs keep
+    // calendar semantics out of the value-checked path.
+    "q101_scd2_intervals" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val wi = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("grp"))
+      val ev = Tables.load(s, d, "events")
+        .filter(col("user_id") < 100L)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      ev.withColumn("chg",
+          when(col("event_type") === lag(col("event_type"), 1).over(w), 0L)
+            .otherwise(1L))
+        .withColumn("grp", sum(col("chg")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+        .groupBy(col("user_id"), col("grp"), col("event_type"))
+        .agg(min(col("ts_us")).as("valid_from_us"),
+          count(lit(1)).as("n_events"))
+        .withColumn("valid_to_us",
+          // grp is strictly increasing along each user's timeline, so
+          // ordering the interval chain by it is tie-proof even when
+          // adjacent islands share a timestamp
+          lead(col("valid_from_us"), 1).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id")).orderBy(col("grp"))))
+        .select(col("user_id"), col("event_type"),
+          col("valid_from_us"), col("valid_to_us"), col("n_events"),
+          col("valid_to_us").isNull.as("is_current"))
     })
   )
 
@@ -359,6 +395,33 @@ object EventOps {
                  (CAST(vc AS DOUBLE) / 100.0 - mean) / std AS z
           FROM ev JOIN st USING (event_type)
           ORDER BY abs((CAST(vc AS DOUBLE) / 100.0 - mean) / std) DESC, event_id
-          LIMIT 50"""
+          LIMIT 50""",
+
+    "q101_scd2_intervals" ->
+      """WITH ev AS (SELECT user_id, event_id,
+                            epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                            event_type
+                     FROM events WHERE user_id < 100),
+          c AS (SELECT *,
+                       CASE WHEN event_type = lag(event_type) OVER w
+                            THEN 0 ELSE 1 END AS chg
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+          g AS (SELECT *,
+                       sum(chg) OVER (PARTITION BY user_id
+                         ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+                         AS grp
+                FROM c),
+          isl AS (SELECT user_id, grp, event_type,
+                         CAST(min(ts_us) AS BIGINT) AS valid_from_us,
+                         CAST(count(*) AS BIGINT) AS n_events
+                  FROM g GROUP BY user_id, grp, event_type),
+          iv AS (SELECT user_id, event_type, valid_from_us, n_events,
+                        lead(valid_from_us) OVER (PARTITION BY user_id
+                          ORDER BY grp) AS valid_to_us
+                 FROM isl)
+          SELECT user_id, event_type, valid_from_us, valid_to_us, n_events,
+                 valid_to_us IS NULL AS is_current
+          FROM iv"""
   )
 }

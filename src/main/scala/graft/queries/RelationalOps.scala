@@ -545,6 +545,79 @@ object RelationalOps {
       val undirected = cs.union(cs.select(col("dst").as("src"),
                                           col("src").as("dst")))
       graft.operators.LabelProp.run(undirected, iters = 2)
+    }),
+
+    // Table profiling (ANALYZE-style column statistics): one scan
+    // computes n / nulls / exact distinct / min / max for each numeric
+    // column, then `stack` unpivots the single stats row — the
+    // statistics pass a lake runs to feed its optimizer and layout
+    // decisions. Exact countDistinct is deliberate (the approximate
+    // form is q46); the Expand it forces is one pass over the scan.
+    "q102_table_profile" -> ((s, d) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.flatMap(c => Seq(
+        count(lit(1)).as(s"n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        count_distinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("double").as(s"mn_$c"),
+        max(col(c)).cast("double").as(s"mx_$c")))
+      val stackExpr = cols.map(c =>
+        s"'$c', n_$c, nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+      Tables.load(s, d, "lineitem")
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${cols.size}, $stackExpr) AS " +
+          "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)")
+    }),
+
+    // Constraint audit (data-contract checking): range rules, not-null
+    // rules and referential integrity, each one aggregate or anti-join,
+    // reported as (check_name, n_violations) — zero rows still report,
+    // so a green audit is explicit.
+    "q103_constraint_audit" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      val ord = Tables.load(s, d, "orders")
+      val cust = Tables.load(s, d, "customer")
+      def check(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_violations"))
+          .select(lit(name).as("check_name"), col("n_violations"))
+      check("lineitem_quantity_range",
+          li.filter(col("l_quantity") < 1.0 || col("l_quantity") > 50.0))
+        .unionByName(check("lineitem_discount_range",
+          li.filter(col("l_discount") < 0.0 || col("l_discount") > 0.1)))
+        .unionByName(check("orders_orderdate_not_null",
+          ord.filter(col("o_orderdate").isNull)))
+        .unionByName(check("orders_custkey_fk",
+          ord.join(cust, ord("o_custkey") === cust("c_custkey"), "left_anti")))
+        .unionByName(check("lineitem_orderkey_fk",
+          li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti")))
+    }),
+
+    // Keyed table reconciliation (CDC diff): full-outer join on the key
+    // comparing payload columns, emitting only differing rows as
+    // (key, only_left | only_right | changed) — the anti-entropy pass
+    // that validates a replicated 100 TB table. The "right" side here
+    // is a deterministic perturbation of orders (drop every 1000th key,
+    // bump totalprice on every 997th) so the expected diff is exact.
+    "q104_table_diff" -> ((s, d) => {
+      val a = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      val b = a.filter(col("o_orderkey") % 1000L =!= 0L)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 997L === 0L, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      val l = a.select(a.columns.map(c => col(c).as(s"l_$c")): _*)
+      val r = b.select(b.columns.map(c => col(c).as(s"r_$c")): _*)
+      l.join(r, col("l_o_orderkey") === col("r_o_orderkey"), "full_outer")
+        .select(
+          coalesce(col("l_o_orderkey"), col("r_o_orderkey")).as("o_orderkey"),
+          when(col("r_o_orderkey").isNull, "only_left")
+            .when(col("l_o_orderkey").isNull, "only_right")
+            .when(col("l_o_totalprice") =!= col("r_o_totalprice") ||
+              col("l_o_custkey") =!= col("r_o_custkey") ||
+              col("l_o_orderstatus") =!= col("r_o_orderstatus"), "changed")
+            .otherwise("same").as("diff_kind"))
+        .filter(col("diff_kind") =!= "same")
     })
   )
 
@@ -886,6 +959,54 @@ object RelationalOps {
                             ORDER BY cnt DESC, label) AS rn
                    FROM c2) WHERE rn = 1)
           SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
-          FROM l2"""
+          FROM l2""",
+
+    "q102_table_profile" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(c =>
+        s"""SELECT '$c' AS column_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_nulls,
+                   CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+                   CAST(min($c) AS DOUBLE) AS min_value,
+                   CAST(max($c) AS DOUBLE) AS max_value
+            FROM lineitem""").mkString("\n          UNION ALL "),
+
+    "q103_constraint_audit" ->
+      """SELECT 'lineitem_quantity_range' AS check_name,
+                CAST(count(*) AS BIGINT) AS n_violations
+         FROM lineitem WHERE l_quantity < 1.0 OR l_quantity > 50.0
+         UNION ALL
+         SELECT 'lineitem_discount_range', CAST(count(*) AS BIGINT)
+         FROM lineitem WHERE l_discount < 0.0 OR l_discount > 0.1
+         UNION ALL
+         SELECT 'orders_orderdate_not_null', CAST(count(*) AS BIGINT)
+         FROM orders WHERE o_orderdate IS NULL
+         UNION ALL
+         SELECT 'orders_custkey_fk', CAST(count(*) AS BIGINT)
+         FROM orders ANTI JOIN customer ON o_custkey = c_custkey
+         UNION ALL
+         SELECT 'lineitem_orderkey_fk', CAST(count(*) AS BIGINT)
+         FROM lineitem ANTI JOIN orders ON l_orderkey = o_orderkey""",
+
+    "q104_table_diff" ->
+      """WITH a AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+                    FROM orders),
+          b AS (SELECT o_orderkey, o_custkey,
+                       CASE WHEN o_orderkey % 997 = 0
+                            THEN o_totalprice + 1.0
+                            ELSE o_totalprice END AS o_totalprice,
+                       o_orderstatus
+                FROM a WHERE o_orderkey % 1000 <> 0),
+          j AS (SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                       CASE WHEN b.o_orderkey IS NULL THEN 'only_left'
+                            WHEN a.o_orderkey IS NULL THEN 'only_right'
+                            WHEN a.o_totalprice <> b.o_totalprice
+                              OR a.o_custkey <> b.o_custkey
+                              OR a.o_orderstatus <> b.o_orderstatus
+                              THEN 'changed'
+                            ELSE 'same' END AS diff_kind
+                FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+          SELECT o_orderkey, diff_kind FROM j WHERE diff_kind <> 'same'"""
   )
 }

@@ -57,6 +57,23 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(m == Map("a" -> (3L, 6L), "b" -> (2L, 14L), "c" -> (1L, 5L)))
   }
 
+  test("schema evolution: pre-evolution generations read as null for new columns") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("store-evo").toString
+    val store = new TableStore(spark, root, autoCompactDeltas = 100)
+    store.append("ev", Seq(("a", 1L)).toDF("k", "v"))
+    // evolved writer adds a column; old generation must stay readable
+    store.append("ev", Seq(("b", 2L, "en")).toDF("k", "v", "lang"))
+    val rows = store.read("ev").get
+      .select(col("k"), col("v"), col("lang"))
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.getString(2))))
+      .toSet
+    assert(rows == Set(("a", 1L, None), ("b", 2L, Some("en"))))
+    // the change feed sees the evolved schema too
+    val delta = store.readChangesSince("ev", 0L).get
+    assert(delta.columns.toSeq == Seq("k", "v", "lang"))
+  }
+
   test("a concurrent append between snapshot and poll lands in the NEXT poll") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("store-iagg2").toString

@@ -77,6 +77,38 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(Set(10L, 11L, 12L).map(labels) == Set(3L))
   }
 
+  test("heavy hitters: property — output equals exact groupBy filter on random data") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 50 + rnd.nextInt(200)
+      val alpha = 1 + rnd.nextInt(12)
+      val k = 2 + rnd.nextInt(8)
+      // zipf-ish skew: key id = floor(sqrt(uniform)) over a small alphabet
+      val rows = Seq.fill(n)(s"k${math.sqrt(rnd.nextInt(alpha * alpha)).toInt}")
+      val df = rows.toDF("x").repartition(1 + rnd.nextInt(6))
+      val got = HeavyHitters.exact(df, "x", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expected = rows.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * k > n }.toMap
+      assert(got == expected, s"trial $trial (n=$n k=$k alpha=$alpha)")
+    }
+  }
+
+  test("dup-span strip removes exactly the covered tokens, keeps order") {
+    // "a b c d e f" vs "a b c z d e f": doc1 is fully covered
+    // ([1,6] span); doc2 keeps only the bridging "z" at position 4
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c z d e f"),
+      (3L, "p q r s")).toDF("doc_id", "text")
+    val out = Boilerplate.stripDupSpans(docs, "doc_id", "text", n = 3, minDf = 2L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ("", 6L, 6L))
+    assert(out(2L) == ("z", 7L, 6L))
+    assert(out(3L) == ("p q r s", 4L, 0L)) // untouched doc passes through
+  }
+
   test("label prop: deterministic tie-break adopts the smallest label") {
     // node 5 sees labels 1 and 2 once each → adopts 1
     val edges = Seq((5L, 1L), (5L, 2L), (1L, 5L), (2L, 5L)).toDF("src", "dst")
