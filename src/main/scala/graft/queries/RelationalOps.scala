@@ -592,6 +592,61 @@ object RelationalOps {
           li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti")))
     }),
 
+    // Grid-bucketed spatial join (the geospatial lake's which-items-
+    // touch-this-window join): deterministic integer bboxes derived
+    // from part/supplier keys, cell-key candidates, exact closed-
+    // interval verify, reference-point dedup (no distinct pass). The
+    // oracle verifies with the direct θ-join — the grid is execution
+    // strategy, not semantics.
+    "q105_spatial_join" -> ((s, d) => {
+      val a = Tables.load(s, d, "part").select(
+        col("p_partkey").as("a_id"),
+        (col("p_partkey") * 37L % 1000L).as("ax0"),
+        (col("p_partkey") * 37L % 1000L + 1L + col("p_partkey") % 7L).as("ax1"),
+        (col("p_partkey") * 61L % 1000L).as("ay0"),
+        (col("p_partkey") * 61L % 1000L + 1L + col("p_partkey") % 5L).as("ay1"))
+      val b = Tables.load(s, d, "supplier").select(
+        col("s_suppkey").as("b_id"),
+        (col("s_suppkey") * 97L % 1000L).as("bx0"),
+        (col("s_suppkey") * 97L % 1000L + 4L + col("s_suppkey") % 13L).as("bx1"),
+        (col("s_suppkey") * 41L % 1000L).as("by0"),
+        (col("s_suppkey") * 41L % 1000L + 4L + col("s_suppkey") % 11L).as("by1"))
+      graft.operators.SpatialJoin.bboxIntersect(a, b, cell = 16L)
+    }),
+
+    // Spatial density binning: deterministic customer points bucketed
+    // to 50-unit grid cells — one map-side-combinable aggregate, the
+    // heatmap/tile-statistics primitive.
+    "q106_spatial_density" -> ((s, d) =>
+      Tables.load(s, d, "customer")
+        .groupBy(expr("(c_custkey * 13 % 1000) div 50").as("cx"),
+          expr("(c_custkey * 29 % 1000) div 50").as("cy"))
+        .agg(count(lit(1)).as("n_points"))),
+
+    // Spatial k-NN: 3 nearest customer points per supplier query point,
+    // exact integer squared distances — broadcast query points, one
+    // corpus scan, ranks windowed per query point (partition size =
+    // corpus per query, keyed on query_id — scales out with queries).
+    "q107_spatial_knn" -> ((s, d) => {
+      val pts = Tables.load(s, d, "customer").select(
+        col("c_custkey").as("cust_id"),
+        (col("c_custkey") * 13L % 1000L).as("px"),
+        (col("c_custkey") * 29L % 1000L).as("py"))
+      val qs = Tables.load(s, d, "supplier").select(
+        col("s_suppkey").as("query_id"),
+        (col("s_suppkey") * 97L % 1000L).as("qx"),
+        (col("s_suppkey") * 41L % 1000L).as("qy"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("d2"), col("cust_id"))
+      pts.crossJoin(broadcast(qs))
+        .select(col("query_id"), col("cust_id"),
+          ((col("px") - col("qx")) * (col("px") - col("qx")) +
+            (col("py") - col("qy")) * (col("py") - col("qy"))).as("d2"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3L)
+        .select(col("query_id"), col("rank"), col("cust_id"), col("d2"))
+    }),
+
     // Keyed table reconciliation (CDC diff): full-outer join on the key
     // comparing payload columns, emitting only differing rows as
     // (key, only_left | only_right | changed) — the anti-entropy pass
@@ -1007,6 +1062,49 @@ object RelationalOps {
                               THEN 'changed'
                             ELSE 'same' END AS diff_kind
                 FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
-          SELECT o_orderkey, diff_kind FROM j WHERE diff_kind <> 'same'"""
+          SELECT o_orderkey, diff_kind FROM j WHERE diff_kind <> 'same'""",
+
+    "q105_spatial_join" ->
+      """WITH a AS (SELECT p_partkey AS a_id,
+                           p_partkey * 37 % 1000 AS ax0,
+                           p_partkey * 37 % 1000 + 1 + p_partkey % 7 AS ax1,
+                           p_partkey * 61 % 1000 AS ay0,
+                           p_partkey * 61 % 1000 + 1 + p_partkey % 5 AS ay1
+                    FROM part),
+          b AS (SELECT s_suppkey AS b_id,
+                       s_suppkey * 97 % 1000 AS bx0,
+                       s_suppkey * 97 % 1000 + 4 + s_suppkey % 13 AS bx1,
+                       s_suppkey * 41 % 1000 AS by0,
+                       s_suppkey * 41 % 1000 + 4 + s_suppkey % 11 AS by1
+                FROM supplier)
+          SELECT a_id, b_id,
+                 CAST((least(ax1, bx1) - greatest(ax0, bx0) + 1)
+                      * (least(ay1, by1) - greatest(ay0, by0) + 1) AS BIGINT)
+                   AS overlap_area
+          FROM a JOIN b ON ax0 <= bx1 AND bx0 <= ax1
+                       AND ay0 <= by1 AND by0 <= ay1""",
+
+    "q106_spatial_density" ->
+      """SELECT c_custkey * 13 % 1000 // 50 AS cx,
+                c_custkey * 29 % 1000 // 50 AS cy,
+                CAST(count(*) AS BIGINT) AS n_points
+         FROM customer GROUP BY 1, 2""",
+
+    "q107_spatial_knn" ->
+      """WITH p AS (SELECT c_custkey AS cust_id,
+                           c_custkey * 13 % 1000 AS px,
+                           c_custkey * 29 % 1000 AS py FROM customer),
+          q AS (SELECT s_suppkey AS query_id,
+                       s_suppkey * 97 % 1000 AS qx,
+                       s_suppkey * 41 % 1000 AS qy FROM supplier),
+          dd AS (SELECT query_id, cust_id,
+                        (px - qx) * (px - qx) + (py - qy) * (py - qy) AS d2
+                 FROM p CROSS JOIN q),
+          r AS (SELECT query_id, cust_id, d2,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY d2, cust_id) AS BIGINT) AS rank
+                FROM dd)
+          SELECT query_id, rank, cust_id, CAST(d2 AS BIGINT) AS d2
+          FROM r WHERE rank <= 3"""
   )
 }

@@ -109,6 +109,39 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out(3L) == ("p q r s", 4L, 0L)) // untouched doc passes through
   }
 
+  test("spatial join: pair spanning many shared cells reports once, exact area") {
+    // both boxes cover cells (0,0)..(2,0) at cell=16 → 3 shared cells,
+    // but the pair must emit exactly once; overlap [5,40]×[3,8] closed
+    // lattice = 36 × 6
+    val a = Seq((1L, 0L, 40L, 0L, 8L)).toDF("a_id", "ax0", "ax1", "ay0", "ay1")
+    val b = Seq((9L, 5L, 45L, 3L, 10L)).toDF("b_id", "bx0", "bx1", "by0", "by1")
+    val out = SpatialJoin.bboxIntersect(a, b, cell = 16L).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(2) == 36L * 6L)
+  }
+
+  test("spatial join: property — grid join equals the direct theta join") {
+    val rnd = new scala.util.Random(7)
+    def boxes(n: Int, p: String) = (1 to n).map { i =>
+      val x0 = rnd.nextInt(200).toLong; val y0 = rnd.nextInt(200).toLong
+      (i.toLong, x0, x0 + rnd.nextInt(30).toLong, y0, y0 + rnd.nextInt(30).toLong)
+    }.toDF(s"${p}_id", s"${p}x0", s"${p}x1", s"${p}y0", s"${p}y1")
+    val a = boxes(60, "a"); val b = boxes(40, "b")
+    for (cell <- Seq(8L, 16L, 64L)) {
+      val grid = SpatialJoin.bboxIntersect(a, b, cell)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val direct = a.join(b,
+          col("ax0") <= col("bx1") && col("bx0") <= col("ax1") &&
+          col("ay0") <= col("by1") && col("by0") <= col("ay1"))
+        .select(col("a_id"), col("b_id"),
+          ((least(col("ax1"), col("bx1")) - greatest(col("ax0"), col("bx0")) + 1L) *
+            (least(col("ay1"), col("by1")) - greatest(col("ay0"), col("by0")) + 1L)))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(grid.sorted == direct.sorted, s"cell=$cell")
+      assert(grid.size == grid.distinct.size, s"duplicates at cell=$cell")
+    }
+  }
+
   test("label prop: deterministic tie-break adopts the smallest label") {
     // node 5 sees labels 1 and 2 once each → adopts 1
     val edges = Seq((5L, 1L), (5L, 2L), (1L, 5L), (2L, 5L)).toDF("src", "dst")
