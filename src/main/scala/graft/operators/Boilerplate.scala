@@ -145,10 +145,12 @@ object Boilerplate {
       .groupBy(col("sh")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDf)
       .select(col("sh"))
+    // NOT deduped: anti-join semantics ignore duplicate right rows, so
+    // the distinct the coverage COUNT needs (spanCoverage) would be a
+    // pure extra shuffle here
     val covered = spans.join(dup, Seq("sh"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
-      .distinct()
     val toks = base
       .select(col("doc_id"), size(col("_toks")).cast("long").as("n_tokens"),
         posexplode(col("_toks")).as(Seq("p0", "token")))

@@ -46,6 +46,22 @@ object EventOps {
              max(col("ts_us")).as("end_us"))
     }),
 
+    // The BUILT-IN gap sessionization (Catalyst SessionWindow, the same
+    // operator Structured Streaming uses for streaming sessions) next
+    // to q30's window-composed form. Boundary semantics differ by
+    // design: session_window merges on window OVERLAP (diff < gap), so
+    // an exactly-gap-apart event starts a NEW session — the oracle's
+    // island break is `>= gap` where q30's is `> gap`.
+    "q108_session_window" -> ((s, d) =>
+      Tables.load(s, d, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("start_us"),
+          unix_micros(col("sw.end")).as("end_us"),
+          col("n_events"))),
+
     // Skew-resistant two-phase salted aggregation: 5 hot event-type keys
     // split across 16 salt buckets for the partial, merged in a tiny
     // second shuffle — results identical to the plain groupBy.
@@ -422,6 +438,24 @@ object EventOps {
                  FROM isl)
           SELECT user_id, event_type, valid_from_us, valid_to_us, n_events,
                  valid_to_us IS NULL AS is_current
-          FROM iv"""
+          FROM iv""",
+
+    "q108_session_window" ->
+      """WITH e AS (SELECT event_id, user_id,
+                           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+                    FROM events),
+          l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id) AS prev_us FROM e),
+          f AS (SELECT *, CASE WHEN prev_us IS NULL
+                                 OR ts_us - prev_us >= 1800000000
+                               THEN 1 ELSE 0 END AS new_s FROM l),
+          g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+          SELECT user_id,
+                 CAST(min(ts_us) AS BIGINT) AS start_us,
+                 CAST(max(ts_us) + 1800000000 AS BIGINT) AS end_us,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM g GROUP BY user_id, sid"""
   )
 }
