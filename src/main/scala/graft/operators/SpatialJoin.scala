@@ -52,4 +52,80 @@ object SpatialJoin {
           (least(col("ay1"), col("by1")) - greatest(col("ay0"), col("by0")) + 1L))
           .as("overlap_area"))
   }
+
+  private def d2(px: Column, py: Column, qx: Column, qy: Column): Column =
+    (px - qx) * (px - qx) + (py - qy) * (py - qy)
+
+  /** Exact k-NN, brute-force pair space but BOUNDED shuffle: queries
+    * broadcast against one corpus scan, then per-query top-k via the
+    * [[TopK]] aggregate instead of a window. The window form shuffles
+    * and sorts every (point × query) pair; this shuffles at most
+    * k · mappers rows per query — at |P|=15k, |Q|=1k that is 15M pair
+    * rows reduced map-side to 96k, and the plan is a partial/final
+    * ObjectHashAggregate with no global sort.
+    *
+    * Compute is still O(|P|·|Q|); [[knnGrid]] is the scale path that
+    * prunes the pair space itself.
+    *
+    * @param pts (id, px, py) integer points
+    * @param qs  (query_id, qx, qy) integer query points — broadcast side
+    * @return (query_id, rank 1..k, id, d2), d2 ascending, ties on id
+    */
+  def knn(pts: DataFrame, qs: DataFrame, k: Int): DataFrame =
+    topKAsc(pts.crossJoin(broadcast(qs))
+      .select(col("query_id"), col("id"),
+        d2(col("px"), col("py"), col("qx"), col("qy")).as("d2")), k)
+
+  /** Per-query exact top-k by d2 ascending (id breaks ties) from a
+    * (query_id, id, d2) candidate set, as a bounded codegen aggregate
+    * over (d2, id) packed into one long: d2 in the high bits so packed
+    * order IS (d2 asc, id asc). Exact iff 0 ≤ id < 2³³ and
+    * 0 ≤ d2 < 2³⁰ — integer-grid coordinates up to ~23k per axis. */
+  private def topKAsc(cand: DataFrame, k: Int): DataFrame =
+    cand.groupBy(col("query_id"))
+      .agg(TopK.minKPacked(k)(
+        shiftleft(col("d2"), 33) + col("id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "pk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("pk").bitwiseAND((1L << 33) - 1L).as("id"),
+        shiftright(col("pk"), 33).as("d2"))
+
+  /** Exact grid-probed k-NN — the 100 TB plan. Points bucket once into
+    * `cell`-sized grid cells; each query probes only its 3×3 cell
+    * neighborhood (an equi-join on the cell key, candidates =
+    * O(local density), never |P|·|Q|). The probe is exact for a query
+    * when it yields k hits and the kth distance is strictly inside the
+    * probe's guarantee radius: any point outside the 3×3 block differs
+    * by ≥ cell+1 on some axis, so d2 ≥ (cell+1)². The (typically empty)
+    * remainder of queries falls back to the brute [[knn]] — a union of
+    * a cheap bulk path and an exact rescue path, the standard
+    * filter-and-refine spatial idiom.
+    *
+    * Strict `<` in the guarantee: an unprobed point can tie the kth
+    * candidate at exactly (cell+1)² and win on the id tie-break, so
+    * equality is not resolvable from the probe alone.
+    */
+  def knnGrid(pts: DataFrame, qs: DataFrame, k: Int, cell: Long): DataFrame = {
+    val pc = pts.select(col("id"), col("px"), col("py"),
+      (col("px") / cell).cast("long").as("cx"),
+      (col("py") / cell).cast("long").as("cy"))
+    val probe = qs
+      .withColumn("cx", explode(sequence((col("qx") / cell).cast("long") - 1L,
+        (col("qx") / cell).cast("long") + 1L)))
+      .withColumn("cy", explode(sequence((col("qy") / cell).cast("long") - 1L,
+        (col("qy") / cell).cast("long") + 1L)))
+    val cand = probe.join(pc, Seq("cx", "cy"))
+      .select(col("query_id"), col("id"),
+        d2(col("px"), col("py"), col("qx"), col("qy")).as("d2"))
+    val guarantee = (cell + 1L) * (cell + 1L)
+    val topped = topKAsc(cand, k)
+      .withColumn("resolved",
+        max(when(col("rank") === k && col("d2") < guarantee, true))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("query_id")))
+    val resolvedRows = topped.filter(col("resolved")).drop("resolved")
+    val unresolved = qs.join(
+      topped.filter(col("resolved")).select(col("query_id")).distinct(),
+      Seq("query_id"), "left_anti")
+    resolvedRows.unionByName(knn(pts, unresolved, k))
+  }
 }

@@ -23,10 +23,22 @@ object TopK {
   case class Entry(ord: Double, tie: Long)
 
   private class TopKAgg(k: Int) extends Aggregator[Entry, Seq[Entry], Seq[Entry]] {
+    // buffer invariant: always sorted by (-ord, tie), size ≤ k — so the
+    // per-row hot path is one comparison against the cutoff (the last
+    // element) and almost every row is rejected without allocating
+    private def better(a: Entry, b: Entry): Boolean =
+      a.ord > b.ord || (a.ord == b.ord && a.tie < b.tie)
+    private def insert(s: Seq[Entry], a: Entry): Seq[Entry] = {
+      val (hi, lo) = s.span(better(_, a))
+      (hi :+ a) ++ lo
+    }
     private def trim(s: Seq[Entry]): Seq[Entry] =
       s.sortBy(e => (-e.ord, e.tie)).take(k)
     override def zero: Seq[Entry] = Nil
-    override def reduce(b: Seq[Entry], a: Entry): Seq[Entry] = trim(b :+ a)
+    override def reduce(b: Seq[Entry], a: Entry): Seq[Entry] =
+      if (b.size < k) insert(b, a)
+      else if (better(a, b.last)) insert(b.dropRight(1), a)
+      else b
     override def merge(a: Seq[Entry], b: Seq[Entry]): Seq[Entry] = trim(a ++ b)
     override def finish(b: Seq[Entry]): Seq[Entry] = b
     override def bufferEncoder: Encoder[Seq[Entry]] =
@@ -40,6 +52,19 @@ object TopK {
   def topK(k: Int): (Column, Column) => Column = {
     val u = udaf(new TopKAgg(k), Encoders.product[Entry])
     (ord: Column, tie: Column) => u(ord, tie)
+  }
+
+  /** Codegen-native bounded min-k over PACKED longs (see
+    * [[graft.functions.MinKLongs]]): returns the k smallest values of
+    * `packed` per group as a sorted array<long>. The caller packs
+    * (ordering, tie) into one long and owns the field widths — exact
+    * iff both fields fit their bits. Prefer this over [[topK]] on hot
+    * paths: the update is pure expressions inside whole-stage codegen,
+    * no per-row object encoding. */
+  def minKPacked(k: Int)(packed: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge._
+    column(graft.functions.MinKLongs(expression(packed), k)
+      .toAggregateExpression())
   }
 
   /** df grouped by `key`, keeping the top `k` rows by `ord` desc (ties:

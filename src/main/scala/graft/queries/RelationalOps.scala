@@ -625,27 +625,22 @@ object RelationalOps {
 
     // Spatial k-NN: 3 nearest customer points per supplier query point,
     // exact integer squared distances — broadcast query points, one
-    // corpus scan, ranks windowed per query point (partition size =
-    // corpus per query, keyed on query_id — scales out with queries).
-    "q107_spatial_knn" -> ((s, d) => {
-      val pts = Tables.load(s, d, "customer").select(
-        col("c_custkey").as("cust_id"),
-        (col("c_custkey") * 13L % 1000L).as("px"),
-        (col("c_custkey") * 29L % 1000L).as("py"))
-      val qs = Tables.load(s, d, "supplier").select(
-        col("s_suppkey").as("query_id"),
-        (col("s_suppkey") * 97L % 1000L).as("qx"),
-        (col("s_suppkey") * 41L % 1000L).as("qy"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id")).orderBy(col("d2"), col("cust_id"))
-      pts.crossJoin(broadcast(qs))
-        .select(col("query_id"), col("cust_id"),
-          ((col("px") - col("qx")) * (col("px") - col("qx")) +
-            (col("py") - col("qy")) * (col("py") - col("qy"))).as("d2"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3L)
-        .select(col("query_id"), col("rank"), col("cust_id"), col("d2"))
-    }),
+    // corpus scan, per-query top-k via the bounded TopK AGGREGATE (the
+    // window form shuffled and sorted all |P|·|Q| pairs; this reduces
+    // them map-side to ≤ k·mappers rows per query).
+    "q107_spatial_knn" -> ((s, d) =>
+      graft.operators.SpatialJoin.knn(
+          spatialPoints(s, d), spatialQueries(s, d), k = 3)
+        .withColumnRenamed("id", "cust_id")),
+
+    // Same k-NN through the grid-probed exact plan (3×3 cell equi-join
+    // candidates + guarantee-radius check + brute rescue for the
+    // remainder) — the pair space is O(local density), never |P|·|Q|.
+    // Shares q107's semantics, so the oracle is the same direct SQL.
+    "q109_spatial_knn_grid" -> ((s, d) =>
+      graft.operators.SpatialJoin.knnGrid(
+          spatialPoints(s, d), spatialQueries(s, d), k = 3, cell = 50L)
+        .withColumnRenamed("id", "cust_id")),
 
     // Keyed table reconciliation (CDC diff): full-outer join on the key
     // comparing payload columns, emitting only differing rows as
@@ -675,6 +670,19 @@ object RelationalOps {
         .filter(col("diff_kind") =!= "same")
     })
   )
+
+  /** Deterministic integer point sets for the spatial k-NN family. */
+  private def spatialPoints(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "customer").select(
+      col("c_custkey").as("id"),
+      (col("c_custkey") * 13L % 1000L).as("px"),
+      (col("c_custkey") * 29L % 1000L).as("py"))
+
+  private def spatialQueries(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "supplier").select(
+      col("s_suppkey").as("query_id"),
+      (col("s_suppkey") * 97L % 1000L).as("qx"),
+      (col("s_suppkey") * 41L % 1000L).as("qy"))
 
   def oracles: Map[String, String] = Map(
     "q01_scan_prefix" ->
@@ -1091,6 +1099,23 @@ object RelationalOps {
          FROM customer GROUP BY 1, 2""",
 
     "q107_spatial_knn" ->
+      """WITH p AS (SELECT c_custkey AS cust_id,
+                           c_custkey * 13 % 1000 AS px,
+                           c_custkey * 29 % 1000 AS py FROM customer),
+          q AS (SELECT s_suppkey AS query_id,
+                       s_suppkey * 97 % 1000 AS qx,
+                       s_suppkey * 41 % 1000 AS qy FROM supplier),
+          dd AS (SELECT query_id, cust_id,
+                        (px - qx) * (px - qx) + (py - qy) * (py - qy) AS d2
+                 FROM p CROSS JOIN q),
+          r AS (SELECT query_id, cust_id, d2,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY d2, cust_id) AS BIGINT) AS rank
+                FROM dd)
+          SELECT query_id, rank, cust_id, CAST(d2 AS BIGINT) AS d2
+          FROM r WHERE rank <= 3""",
+
+    "q109_spatial_knn_grid" ->
       """WITH p AS (SELECT c_custkey AS cust_id,
                            c_custkey * 13 % 1000 AS px,
                            c_custkey * 29 % 1000 AS py FROM customer),

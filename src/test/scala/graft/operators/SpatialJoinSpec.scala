@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+class SpatialJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def pts(xs: Seq[(Long, Long, Long)]): DataFrame =
+    xs.toDF("id", "px", "py")
+  private def qs(xs: Seq[(Long, Long, Long)]): DataFrame =
+    xs.toDF("query_id", "qx", "qy")
+
+  private def sorted(df: DataFrame) =
+    df.as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+
+  test("grid plan equals brute force on a dense random point set") {
+    val rnd = new Random(7)
+    val ps = (1L to 400L).map(i =>
+      (i, rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+    val queries = (1L to 30L).map(i =>
+      (i, rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+    val brute = SpatialJoin.knn(pts(ps), qs(queries), k = 3)
+    val grid = SpatialJoin.knnGrid(pts(ps), qs(queries), k = 3, cell = 50L)
+    assert(sorted(grid).toSeq == sorted(brute).toSeq)
+  }
+
+  test("sparse data forces the brute rescue path and stays exact") {
+    // every point is far outside the query's 3x3 cell block, so the
+    // probe yields zero candidates and ONLY the rescue union answers
+    val ps = Seq((1L, 900L, 900L), (2L, 880L, 910L), (3L, 870L, 860L),
+      (4L, 0L, 999L))
+    val queries = Seq((10L, 5L, 5L))
+    val got = sorted(SpatialJoin.knnGrid(pts(ps), qs(queries), k = 3, cell = 50L))
+    val want = sorted(SpatialJoin.knn(pts(ps), qs(queries), k = 3))
+    assert(got.toSeq == want.toSeq)
+    assert(got.map(_._3).toSeq == Seq(4L, 3L, 2L)) // nearest first
+  }
+
+  test("guarantee boundary: kth candidate exactly at (cell+1)^2 is not trusted") {
+    // query at a cell corner; an in-probe point at d2 == (cell+1)^2 ties
+    // an out-of-probe point at the same d2 with a SMALLER id — only the
+    // rescue path ranks them correctly
+    val cell = 50L
+    // query at (102, 102): cell (2,2); probe covers cells 1..3 → coords 50..199
+    // in-probe candidate at (153, 102): d2 = 51^2 = 2601 = (cell+1)^2, id 9
+    // out-of-probe point at (102, 51): wait 51 is cell 1 → in probe. Use
+    // x-axis: (102+51, 102) in probe; out point must differ ≥ 51 on an
+    // axis AND sit in a cell outside 1..3 → coord ≤ 49 or ≥ 200.
+    // (102, 49): cell y=0, d2 = 53^2 too big. Make query near the edge:
+    // query (150, 150) cell (3,3), probe cells 2..4 → coords 100..249.
+    // out point (99, 150): cell x=1 (outside), d2 = 51^2 = 2601, id 1.
+    // in points: (201, 150) d2=2601 id 5; plus two close ones.
+    val ps = Seq(
+      (5L, 201L, 150L), // in-probe, d2 = 2601
+      (1L, 99L, 150L),  // OUT of probe, d2 = 2601, smaller id — must win tie
+      (6L, 151L, 150L), // d2 = 1
+      (7L, 150L, 152L)) // d2 = 4
+    val queries = Seq((20L, 150L, 150L))
+    val got = sorted(SpatialJoin.knnGrid(pts(ps), qs(queries), k = 3, cell = cell))
+    assert(got.map(r => (r._3, r._4)).toSeq ==
+      Seq((6L, 1L), (7L, 4L), (1L, 2601L)))
+  }
+}
