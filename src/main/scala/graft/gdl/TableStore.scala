@@ -182,6 +182,72 @@ class TableStore(spark: SparkSession, root: String,
 
   def isEmptyTable(table: String): Boolean = read(table).forall(_.isEmpty)
 
+  /** Zone-map read: the table filtered to `lo ≤ column ≤ hi` (inclusive,
+    * null-excluding — the filter still runs on whatever is read), but
+    * generations whose recorded [min, max] for `column` cannot overlap
+    * the range are skipped WITHOUT opening their files — the same
+    * file-skipping that makes Delta/Iceberg point reads O(matching
+    * files) instead of O(table). Combined with a layout that clusters
+    * the column (partitionBy, or [[graft.functions.ZOrderExpr]]-sorted
+    * writes), a 100 TB table answers a key-range probe from the handful
+    * of generations whose zones intersect it.
+    *
+    * Safety over speed: a generation with no stats file (older writer,
+    * stats write failed) is always read; a column recorded as
+    * unsupported-for-stats is never used to skip; a column absent from
+    * a generation's stats was absent (or all-null) in that generation's
+    * data, where the range predicate cannot match — skip is exact, not
+    * best-effort. */
+  def readRange(table: String, column: String, lo: Any, hi: Any): Option[DataFrame] = {
+    val gens = liveGenerations(table)
+    if (gens.isEmpty) return None
+    val kept = gens.filter(g => TableStore.zoneOverlaps(
+      readZoneMap(g._3), column, lo, hi))
+    val pred = col(column).between(org.apache.spark.sql.functions.lit(lo),
+      org.apache.spark.sql.functions.lit(hi))
+    if (kept.isEmpty) Some(readGenerations(gens).filter(pred).limit(0))
+    else Some(readGenerations(kept).filter(pred))
+  }
+
+  /** How many live generations a `readRange` over this range would skip
+    * — the observability hook the zone-map spec (and an operator
+    * debugging a slow probe) reads. */
+  def zoneSkipCount(table: String, column: String, lo: Any, hi: Any): Int = {
+    val gens = liveGenerations(table)
+    gens.count(g => !TableStore.zoneOverlaps(readZoneMap(g._3), column, lo, hi))
+  }
+
+  private def readZoneMap(gen: Path): Option[Map[String, TableStore.Zone]] = {
+    val p = new Path(gen, TableStore.zoneMapFile)
+    val f = fs(p)
+    try {
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        Some(TableStore.parseZoneMap(txt))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None } // unreadable = no stats
+  }
+
+  /** Compute and stage the zone map for a generation, reading back the
+    * just-written files (O(new data), never re-evaluates the input
+    * plan). Stats are an OPTIMIZATION: any failure leaves the
+    * generation without a zone map, which readers treat as
+    * must-read — never a commit failure. */
+  private def writeZoneMap(tmp: Path, f: FileSystem): Unit =
+    try {
+      // reading the "_tmp-" dir warns ("all paths were ignored") but
+      // resolves — explicit root paths bypass the hidden-path filter;
+      // the directory read (not a part-file list) matters: it's what
+      // resolves `col=value/` partition columns into the stats
+      val df = spark.read.parquet(tmp.toString)
+      val txt = TableStore.computeZoneMap(df)
+      val out = f.create(new Path(tmp, TableStore.zoneMapFile), true)
+      try out.write(txt.getBytes("UTF-8")) finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   /** Last-wins resolution for tables maintained as status-delta appends
     * (e.g. `import_executions`): the row with the highest `seqCol` per
     * key. One window shuffle keyed on the key columns — point lookups
@@ -297,6 +363,10 @@ class TableStore(spark: SparkSession, root: String,
     val writer = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(tmp.toString)
+    // zone map lands INSIDE the staged dir, so the atomic rename commits
+    // data and stats together (the "_"-prefixed name is invisible to
+    // parquet directory reads)
+    writeZoneMap(tmp, f)
     var attempts = 0
     var committed = -1L
     while (committed < 0) {
@@ -339,4 +409,112 @@ object TableStore {
     "processing_assets" -> Seq("dataset_id"),
     "validation_results" -> Seq("dataset_id"),
     "import_reports" -> Seq("dataset_id"))
+
+  private[gdl] val zoneMapFile = "_zonemap.tsv"
+
+  /** One column's zone: kind ∈ i (integral, min/max as longs),
+    * f (fractional, as doubles), s (string, URL-encoded UTF-8),
+    * x (type unsupported for skipping — always read),
+    * n (present but ALL null — a range predicate can never match). */
+  private[gdl] final case class Zone(kind: String, min: String, max: String)
+
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** TSV zone map for a just-written generation: one line per schema
+    * column (EVERY column — a column missing entirely from the file
+    * means it was absent from this generation's data, which is what
+    * lets readers skip on absent-column semantics). */
+  private[gdl] def computeZoneMap(df: DataFrame): String = {
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+    import org.apache.spark.sql.types._
+    val fields = df.schema.fields
+    val eligible = fields.filter(f => f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case FloatType | DoubleType => true
+      case StringType => true
+      case _ => false
+    })
+    val row =
+      if (eligible.isEmpty) null
+      else {
+        val aggs = eligible.flatMap(f =>
+          Seq(fmin(col(f.name)).as(s"mn_${f.name}"),
+            fmax(col(f.name)).as(s"mx_${f.name}")))
+        df.agg(aggs.head, aggs.tail: _*).head()
+      }
+    val zoneOf = eligible.zipWithIndex.map { case (f, i) =>
+      val (mn, mx) = (row.get(2 * i), row.get(2 * i + 1))
+      val z =
+        if (mn == null) Zone("n", "", "")
+        else f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            Zone("i", mn.toString, mx.toString)
+          case FloatType | DoubleType =>
+            Zone("f", mn.toString, mx.toString)
+          case StringType =>
+            Zone("s", enc(mn.asInstanceOf[String]), enc(mx.asInstanceOf[String]))
+        }
+      f.name -> z
+    }.toMap
+    fields.map { f =>
+      val z = zoneOf.getOrElse(f.name, Zone("x", "", ""))
+      s"${enc(f.name)}\t${z.kind}\t${z.min}\t${z.max}"
+    }.mkString("", "\n", "\n")
+  }
+
+  private[gdl] def parseZoneMap(txt: String): Map[String, Zone] =
+    txt.split("\n").filter(_.nonEmpty).flatMap { line =>
+      line.split("\t", -1) match {
+        case Array(name, kind, mn, mx) => Some(dec(name) -> Zone(kind, mn, mx))
+        case _ => None
+      }
+    }.toMap
+
+  /** Can generation `zones` contain a row with `lo ≤ column ≤ hi`?
+    * Every uncertain case answers true (must read); only a proven-
+    * disjoint zone answers false. Numeric compare is exact BigDecimal
+    * (no double rounding on long bounds); string compare is UTF-8 byte
+    * order, matching Spark/parquet binary string ordering. */
+  private[gdl] def zoneOverlaps(zones: Option[Map[String, Zone]],
+                                column: String, lo: Any, hi: Any): Boolean =
+    zones match {
+      case None => true // no stats: must read
+      case Some(m) => m.get(column) match {
+        case None => false // column absent from the generation's data
+        case Some(Zone("n", _, _)) => false // present but all null
+        case Some(Zone("x", _, _)) => true // unsupported type: must read
+        case Some(Zone("i" | "f", mn, mx)) =>
+          (toDec(lo), toDec(hi)) match {
+            case (Some(l), Some(h)) =>
+              // NaN/Infinity bounds don't parse — treat as must-read
+              try new java.math.BigDecimal(mx).compareTo(l) >= 0 &&
+                new java.math.BigDecimal(mn).compareTo(h) <= 0
+              catch { case _: NumberFormatException => true }
+            case _ => true // non-numeric bounds on a numeric zone: read
+          }
+        case Some(Zone("s", mn, mx)) => (lo, hi) match {
+          case (l: String, h: String) =>
+            utf8Cmp(dec(mx), l) >= 0 && utf8Cmp(dec(mn), h) <= 0
+          case _ => true
+        }
+        case _ => true // unknown kind from a future writer: must read
+      }
+    }
+
+  private def toDec(v: Any): Option[java.math.BigDecimal] = v match {
+    case n: java.lang.Number => Some(new java.math.BigDecimal(n.toString))
+    case _ => None
+  }
+
+  private def utf8Cmp(a: String, b: String): Int = {
+    val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = java.lang.Integer.compareUnsigned(x(i) & 0xff, y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
 }

@@ -81,6 +81,24 @@ final class VectorIndex(store: TableStore, name: String,
     snap
   }
 
+  /** Streaming form of the incremental loop: every micro-batch of
+    * (id, embedding) rows is encoded against the frozen quantizers and
+    * appended, so a live embedding feed keeps the index current without
+    * any rebuild. Caller starts/stops the returned writer (and owns the
+    * checkpoint location). Delivery is foreachBatch's at-least-once on
+    * restart — a replayed batch re-appends identical assignment/code
+    * rows, which [[search]] collapses before scoring (the ADC sum would
+    * otherwise double-count), so duplicates cost bytes, never
+    * correctness; exactly-once ingest is the [[refreshFrom]]
+    * change-feed path. */
+  def refreshStream(stream: DataFrame)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) refresh(batch.select(col("id"), col("embedding")))
+      }
+
   /** IVF→ADC search from the stored tables: probes the `nprobe` nearest
     * coarse cells per query, scores ONLY those cells' members via the
     * broadcast lookup table — the corpus-sized inputs touched are the
@@ -111,8 +129,15 @@ final class VectorIndex(store: TableStore, name: String,
       .orderBy(col("adc_q").desc, col("vec_id"))
     assignment.join(broadcast(probes), Seq("cell"))
       .join(codes, Seq("vec_id"))
-      .join(broadcast(lut), Seq("query_id", "m", "cid"))
       .filter(col("vec_id") =!= col("query_id"))
+      // at-least-once ingest (refreshStream replay) can leave IDENTICAL
+      // duplicate assignment/code rows; collapse them here — after the
+      // probe join, so the distinct is candidate-sized, never
+      // corpus-sized — or the ADC sum below would double-count
+      .select(col("query_id"), col("cell"), col("vec_id"), col("m"),
+        col("cid"))
+      .distinct()
+      .join(broadcast(lut), Seq("query_id", "m", "cid"))
       .groupBy(col("query_id"), col("vec_id"), col("cell"))
       .agg(sum(col("qd")).as("adc_q"))
       .select(col("query_id"), col("vec_id"), col("cell"), col("adc_q"),

@@ -60,4 +60,95 @@ object StreamingDedup {
       .drop("_hs")
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("simhash")
+
+  final case class ProbeRow(probe: Long, doc_id: Long, simhash: Long,
+                            ts: java.sql.Timestamp)
+  final case class BucketEntry(docId: Long, tsMs: Long)
+  final case class BucketState(entries: List[BucketEntry])
+  final case class NearDupMatch(id_a: Long, id_b: Long, hamming: Long,
+                                ts: java.sql.Timestamp)
+
+  /** Streaming near-dup MATCH detection within Hamming distance ≤ 1 —
+    * the streaming form of [[graft.operators.Dedup.simhashNearDup]]'s
+    * multiprobe: each arriving doc probes its own 16-bit fingerprint
+    * plus every 1-bit flip (17 probe rows, a map-only explode), and the
+    * stateful stage is keyed by PROBE BUCKET. A bucket's state holds
+    * only docs whose OWN fingerprint equals the bucket key (the
+    * identity row registers, flip rows only look), so a pair at
+    * distance d ≤ 1 meets in EXACTLY one bucket — identity for d = 0,
+    * the flipped differing bit for d = 1 — and each pair emits once,
+    * with no dedup stage after the stateful operator (append mode
+    * allows one).
+    *
+    * Emits (id_a = earlier doc, id_b = later doc, hamming, ts of the
+    * later doc). Within a micro-batch, arrival order is (ts, doc_id) —
+    * deterministic, matching the batch operator's id ordering when
+    * ids are assigned in time order.
+    *
+    * State is bounded the same way as [[exactByContent]]: entries whose
+    * event time has fallen behind the watermark by more than `delayMs`
+    * are pruned on every bucket visit, and idle buckets are removed
+    * wholesale by event-time timeout. Per-entry cost is two longs — the
+    * document body never enters the state store, and the 17× probe
+    * fan-out carries (probe, id, fingerprint, ts) rows, not text.
+    *
+    * @param docs streaming (idCol: long, textCol: string, tsCol:
+    *             timestamp) rows
+    * @param delayMs watermark delay: near-dups farther apart than this
+    *                in event time are NOT matched (the periodic batch
+    *                sweep owns those)
+    */
+  def nearBySimhashH1(docs: DataFrame, idCol: String, textCol: String,
+                      tsCol: String, delayMs: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val bits = 16
+    val fp = docs
+      .withColumn("_hs", graft.functions.TextFunctions.tokenHashes(col(textCol)))
+      .withColumn("simhash",
+        graft.functions.TextFunctions.simhash16FromHashes(col("_hs")))
+      .withWatermark(tsCol, s"$delayMs milliseconds")
+      .select(
+        explode(array(
+          (0 until bits).map(j => col("simhash").bitwiseXOR(lit(1L << j))) :+
+            col("simhash"): _*)).as("probe"),
+        col(idCol).cast("long").as("doc_id"), col("simhash"),
+        col(tsCol).as("ts"))
+      .as[ProbeRow]
+    fp.groupByKey(_.probe)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (probe: Long, it: Iterator[ProbeRow], state: GroupState[BucketState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var entries = state.getOption.map(_.entries).getOrElse(Nil)
+            .filter(_.tsMs + delayMs >= wm)
+          if (state.hasTimedOut) {
+            if (entries.isEmpty) state.remove()
+            else { // younger entries arrived since the timeout was set
+              state.update(BucketState(entries))
+              state.setTimeoutTimestamp(
+                entries.map(_.tsMs).max + delayMs + 1L)
+            }
+            Iterator.empty
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupMatch]
+            it.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
+              entries.foreach { e =>
+                if (e.docId != r.doc_id)
+                  out += NearDupMatch(e.docId, r.doc_id,
+                    java.lang.Long.bitCount(r.simhash ^ probe).toLong, r.ts)
+              }
+              if (r.simhash == probe)
+                entries = BucketEntry(r.doc_id, r.ts.getTime) :: entries
+            }
+            if (entries.isEmpty) state.remove()
+            else {
+              state.update(BucketState(entries))
+              state.setTimeoutTimestamp(
+                entries.map(_.tsMs).max + delayMs + 1L)
+            }
+            out.iterator
+          }
+      }
+      .toDF()
+  }
 }

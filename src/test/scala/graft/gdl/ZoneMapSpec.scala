@@ -1,0 +1,113 @@
+package graft.gdl
+
+import graft.TestSpark
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Zone-map file skipping: a range read must open ONLY the generations
+  * whose [min,max] can contain the range, and skipping must never
+  * change the result — the Delta/Iceberg file-skipping contract. */
+class ZoneMapSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshStore() = new TableStore(spark,
+    java.nio.file.Files.createTempDirectory("zonemap").toString,
+    partitioning = Map.empty)
+
+  private def rows(df: DataFrame) =
+    df.as[(Long, String)].collect().toSet
+
+  private def threeGens(store: TableStore): Unit = {
+    store.append("t", (0L until 100L).map(i => (i, s"a$i")).toDF("id", "s"))
+    store.append("t", (100L until 200L).map(i => (i, s"b$i")).toDF("id", "s"))
+    store.append("t", (200L until 300L).map(i => (i, s"c$i")).toDF("id", "s"))
+  }
+
+  test("range probe reads only the overlapping generation") {
+    val store = freshStore()
+    threeGens(store)
+    assert(store.zoneSkipCount("t", "id", 120L, 150L) == 2)
+    val got = store.readRange("t", "id", 120L, 150L).get
+    // only generation 1's files are opened
+    assert(got.inputFiles.forall(_.contains("g0000001")))
+    assert(rows(got) ==
+      rows(store.read("t").get.filter($"id".between(120L, 150L))))
+  }
+
+  test("a range matching nothing skips every generation but keeps the schema") {
+    val store = freshStore()
+    threeGens(store)
+    assert(store.zoneSkipCount("t", "id", 1000L, 2000L) == 3)
+    val got = store.readRange("t", "id", 1000L, 2000L).get
+    assert(got.isEmpty && got.columns.toSeq == Seq("id", "s"))
+  }
+
+  test("string zones skip by UTF-8 order") {
+    val store = freshStore()
+    threeGens(store)
+    assert(store.zoneSkipCount("t", "s", "b", "b~") == 2)
+    val got = store.readRange("t", "s", "b", "b~").get
+    assert(rows(got) ==
+      rows(store.read("t").get.filter($"s".between("b", "b~"))))
+    assert(rows(got).nonEmpty)
+  }
+
+  test("a generation without a zone map is always read (safety)") {
+    val store = freshStore()
+    val root = {
+      // recover the store root from the table's file listing
+      val f = store.read("t0"); f // no-op; root not exposed — write then look
+      store.append("t", Seq((1L, "x")).toDF("id", "s"))
+      store.append("t", Seq((500L, "y")).toDF("id", "s"))
+      new Path(store.read("t").get.inputFiles.head).getParent.getParent.getParent
+    }
+    // delete generation 0's zone map: it must become un-skippable
+    val g0 = new Path(root, "t/g0000000-delta/_zonemap.tsv")
+    g0.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(g0, false)
+    assert(store.zoneSkipCount("t", "id", 400L, 600L) == 0)
+    assert(rows(store.readRange("t", "id", 400L, 600L).get) == Set((500L, "y")))
+  }
+
+  test("a column absent from an old generation skips it; evolution stays correct") {
+    val store = freshStore()
+    store.append("t", Seq((1L, "x")).toDF("id", "s"))
+    store.append("t", Seq((2L, "y", 7L)).toDF("id", "s", "v"))
+    // gen0 has no `v` at all → reads as null there → cannot match a range
+    assert(store.zoneSkipCount("t", "v", 0L, 100L) == 1)
+    val got = store.readRange("t", "v", 0L, 100L).get
+    assert(got.select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("compaction carries zone maps: skipping still works after folding") {
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("zonemap-c").toString,
+      autoCompactDeltas = 1, partitioning = Map.empty)
+    threeGens(store) // autoCompact folds along the way
+    assert(store.history("t").exists(_._2 == "comp"))
+    val got = store.readRange("t", "id", 120L, 150L).get
+    assert(rows(got) ==
+      rows(store.read("t").get.filter($"id".between(120L, 150L))))
+  }
+
+  test("partition columns (living only in dir names) are zone-mapped too") {
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("zonemap-p").toString,
+      partitioning = Map("t" -> Seq("ds")))
+    store.append("t", Seq((1L, "dsA"), (2L, "dsA")).toDF("id", "ds"))
+    store.append("t", Seq((3L, "dsB")).toDF("id", "ds"))
+    assert(store.zoneSkipCount("t", "ds", "dsB", "dsB") == 1)
+    assert(store.readRange("t", "ds", "dsB", "dsB").get
+      .select("id").as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("all-null column zones are skippable; a later real value is found") {
+    val store = freshStore()
+    store.append("t", Seq((1L, null.asInstanceOf[java.lang.Long])).toDF("id", "v"))
+    store.append("t", Seq((2L, java.lang.Long.valueOf(9L))).toDF("id", "v"))
+    assert(store.zoneSkipCount("t", "v", 0L, 100L) == 1)
+    assert(store.readRange("t", "v", 0L, 100L).get
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+}

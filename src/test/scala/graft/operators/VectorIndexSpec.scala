@@ -97,6 +97,44 @@ class VectorIndexSpec extends AnyFunSuite {
                              r.getLong(3), r.getLong(4))).toSet)
   }
 
+  test("streamed embedding feed grows the index to equal one-shot indexing") {
+    val idx = freshIndex()
+    val half = corpus.filter(col("id") % 2 === 0)
+    val rest = corpus.filter(col("id") % 2 =!= 0)
+    idx.build(half, coarse)
+
+    val dir = java.nio.file.Files.createTempDirectory("vecidx-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("vecidx-ckpt").toString
+    rest.filter(col("id") % 4 === 1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(rest.schema).parquet(dir)
+    val q = idx.refreshStream(stream)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      rest.filter(col("id") % 4 === 3).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val oneShot = freshIndex()
+    oneShot.build(half, coarse)
+    oneShot.refresh(rest)
+    val queries = corpus.filter(col("id") < 5L)
+    assert(asSet(idx.search(queries, nprobe = 2, k = 5)) ==
+           asSet(oneShot.search(queries, nprobe = 2, k = 5)))
+  }
+
+  test("an at-least-once replayed batch does not corrupt ADC scores") {
+    val idx = freshIndex()
+    val half = corpus.filter(col("id") % 2 === 0)
+    val rest = corpus.filter(col("id") % 2 =!= 0)
+    idx.build(half, coarse)
+    val queries = corpus.filter(col("id") < 5L)
+    idx.refresh(rest)
+    val clean = asSet(idx.search(queries, nprobe = 2, k = 5))
+    idx.refresh(rest) // duplicate append ≙ foreachBatch replay
+    assert(asSet(idx.search(queries, nprobe = 2, k = 5)) == clean)
+  }
+
   test("refresh before build fails loudly") {
     val idx = freshIndex()
     intercept[IllegalStateException](idx.refresh(corpus))
