@@ -47,6 +47,14 @@ object GraftExtensions {
         case Seq(x, y, Literal(bits: Int, _)) => ZOrder2(x, y, bits)
         case other => throw new IllegalArgumentException(
           s"z_order(x, y[, bits]) — got ${other.size} args")
+      }),
+    (new FunctionIdentifier("min_k_longs"),
+      new ExpressionInfo(classOf[graft.functions.MinKLongs].getName, "min_k_longs"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c, Literal(k: Int, _)) =>
+          graft.functions.MinKLongs(c, k).toAggregateExpression()
+        case other => throw new IllegalArgumentException(
+          s"min_k_longs(packed_long, k) — got ${other.size} args")
       }))
 
   /** Register into an already-built session (tests, REPLs). */

@@ -21,4 +21,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getSeq[String](2) == Seq("a"))
     assert(row.getSeq[String](3) == Seq("__PARSE_ERROR__"))
   }
+
+  test("min_k_longs is SQL-callable as a grouped aggregate") {
+    GraftExtensions.registerAll(spark)
+    import spark.implicits._
+    (1L to 10L).map(i => (i % 2, 11L - i)).toDF("g", "v")
+      .createOrReplaceTempView("mkl_in")
+    val got = spark.sql(
+      "SELECT g, min_k_longs(v, 3) AS mk FROM mkl_in GROUP BY g ORDER BY g")
+      .as[(Long, Seq[Long])].collect().toSeq
+    assert(got == Seq((0L, Seq(1L, 3L, 5L)), (1L, Seq(2L, 4L, 6L))))
+  }
 }
