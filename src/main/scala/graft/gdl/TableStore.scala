@@ -198,23 +198,62 @@ class TableStore(spark: SparkSession, root: String,
     * a generation's stats was absent (or all-null) in that generation's
     * data, where the range predicate cannot match — skip is exact, not
     * best-effort. */
-  def readRange(table: String, column: String, lo: Any, hi: Any): Option[DataFrame] = {
+  def readRange(table: String, column: String, lo: Any, hi: Any): Option[DataFrame] =
+    scan(table, col(column).between(org.apache.spark.sql.functions.lit(lo),
+      org.apache.spark.sql.functions.lit(hi)))
+
+  /** Predicate-pushdown form of the zone-map read: extracts the
+    * column-vs-literal range conjuncts a Catalyst predicate implies
+    * (=, <, <=, >, >=, BETWEEN, IN — anything else contributes no
+    * pruning), skips every generation whose zones are disjoint from ANY
+    * conjunct, and applies the FULL original predicate to whatever is
+    * read — pruning is an execution optimization, the filter semantics
+    * are exactly `read(table).filter(predicate)`. Strict bounds are
+    * relaxed to inclusive for the skip decision (conservative: may read
+    * a boundary-only generation, never skips a matching row). */
+  def scan(table: String, predicate: org.apache.spark.sql.Column): Option[DataFrame] = {
     val gens = liveGenerations(table)
     if (gens.isEmpty) return None
-    val kept = gens.filter(g => TableStore.zoneOverlaps(
-      readZoneMap(g._3), column, lo, hi))
-    val pred = col(column).between(org.apache.spark.sql.functions.lit(lo),
-      org.apache.spark.sql.functions.lit(hi))
-    if (kept.isEmpty) Some(readGenerations(gens).filter(pred).limit(0))
-    else Some(readGenerations(kept).filter(pred))
+    val full = readGenerations(gens).filter(predicate)
+    val kept = gens.filter { g =>
+      val zm = readZoneMap(g._3)
+      analyzedBounds(full).forall { case (c, lo, hi) =>
+        TableStore.zoneOverlaps(zm, c, lo, hi) }
+    }
+    if (kept.isEmpty) Some(full.limit(0))
+    else if (kept.size == gens.size) Some(full)
+    else Some(readGenerations(kept).filter(predicate))
   }
+
+  /** Bounds from a just-built `.filter(predicate)` DataFrame: a Spark 4
+    * Column is a lazy ColumnNode tree, so the comparison structure only
+    * exists after analysis — take the analyzed Filter's catalyst
+    * condition (literal sides are Cast-wrapped but foldable). */
+  private def analyzedBounds(filtered: DataFrame) =
+    filtered.queryExecution.analyzed match {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, _) =>
+        TableStore.predicateBounds(cond)
+      case _ => Nil
+    }
 
   /** How many live generations a `readRange` over this range would skip
     * — the observability hook the zone-map spec (and an operator
     * debugging a slow probe) reads. */
   def zoneSkipCount(table: String, column: String, lo: Any, hi: Any): Int = {
     val gens = liveGenerations(table)
-    gens.count(g => !TableStore.zoneOverlaps(readZoneMap(g._3), column, lo, hi))
+    gens.count(g => !TableStore.zoneOverlaps(readZoneMap(g._3), column,
+      Some(lo), Some(hi)))
+  }
+
+  /** [[zoneSkipCount]] for a full predicate, mirroring [[scan]]. */
+  def zoneSkipCount(table: String, predicate: org.apache.spark.sql.Column): Int = {
+    val gens = liveGenerations(table)
+    if (gens.isEmpty) return 0
+    val bounds = analyzedBounds(readGenerations(gens).filter(predicate))
+    gens.count { g =>
+      val zm = readZoneMap(g._3)
+      !bounds.forall { case (c, lo, hi) => TableStore.zoneOverlaps(zm, c, lo, hi) }
+    }
   }
 
   private def readZoneMap(gen: Path): Option[Map[String, TableStore.Zone]] = {
@@ -471,13 +510,15 @@ object TableStore {
       }
     }.toMap
 
-  /** Can generation `zones` contain a row with `lo ≤ column ≤ hi`?
-    * Every uncertain case answers true (must read); only a proven-
-    * disjoint zone answers false. Numeric compare is exact BigDecimal
-    * (no double rounding on long bounds); string compare is UTF-8 byte
-    * order, matching Spark/parquet binary string ordering. */
+  /** Can generation `zones` contain a row with `lo ≤ column ≤ hi`
+    * (either bound may be absent = unbounded)? Every uncertain case
+    * answers true (must read); only a proven-disjoint zone answers
+    * false. Numeric compare is exact BigDecimal (no double rounding on
+    * long bounds); string compare is UTF-8 byte order, matching
+    * Spark/parquet binary string ordering. */
   private[gdl] def zoneOverlaps(zones: Option[Map[String, Zone]],
-                                column: String, lo: Any, hi: Any): Boolean =
+                                column: String, lo: Option[Any],
+                                hi: Option[Any]): Boolean =
     zones match {
       case None => true // no stats: must read
       case Some(m) => m.get(column) match {
@@ -485,19 +526,20 @@ object TableStore {
         case Some(Zone("n", _, _)) => false // present but all null
         case Some(Zone("x", _, _)) => true // unsupported type: must read
         case Some(Zone("i" | "f", mn, mx)) =>
-          (toDec(lo), toDec(hi)) match {
-            case (Some(l), Some(h)) =>
-              // NaN/Infinity bounds don't parse — treat as must-read
-              try new java.math.BigDecimal(mx).compareTo(l) >= 0 &&
-                new java.math.BigDecimal(mn).compareTo(h) <= 0
-              catch { case _: NumberFormatException => true }
-            case _ => true // non-numeric bounds on a numeric zone: read
-          }
-        case Some(Zone("s", mn, mx)) => (lo, hi) match {
-          case (l: String, h: String) =>
-            utf8Cmp(dec(mx), l) >= 0 && utf8Cmp(dec(mn), h) <= 0
-          case _ => true
-        }
+          // NaN/Infinity zone bounds don't parse → must-read; a
+          // non-numeric predicate bound on a numeric zone prunes nothing
+          try {
+            val loOk = lo.flatMap(toDec).forall(l =>
+              new java.math.BigDecimal(mx).compareTo(l) >= 0)
+            val hiOk = hi.flatMap(toDec).forall(h =>
+              new java.math.BigDecimal(mn).compareTo(h) <= 0)
+            loOk && hiOk
+          } catch { case _: NumberFormatException => true }
+        case Some(Zone("s", mn, mx)) =>
+          (lo.forall { case l: String => utf8Cmp(dec(mx), l) >= 0
+                       case _ => true }) &&
+            (hi.forall { case h: String => utf8Cmp(dec(mn), h) <= 0
+                         case _ => true })
         case _ => true // unknown kind from a future writer: must read
       }
     }
@@ -505,6 +547,76 @@ object TableStore {
   private def toDec(v: Any): Option[java.math.BigDecimal] = v match {
     case n: java.lang.Number => Some(new java.math.BigDecimal(n.toString))
     case _ => None
+  }
+
+  /** The per-column inclusive range conjuncts a predicate implies, for
+    * zone pruning: (column, lo?, hi?) — one entry per comparison
+    * conjunct (a column constrained twice yields two entries; pruning
+    * requires the zone to overlap ALL of them). Anything that is not a
+    * top-level AND of column-vs-literal comparisons contributes
+    * nothing: OR, expressions over the column, casts, and UDF-ish
+    * conjuncts are simply not used to skip. Strict inequalities relax
+    * to inclusive — conservative in the safe direction. */
+  private[gdl] def predicateBounds(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[(String, Option[Any], Option[Any])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    // bare attribute only — NEVER unwrap a cast on the column side
+    // (cast(col as narrower) is not range-monotonic, skipping on the
+    // cast-space bound could drop matching rows)
+    def name(x: Expression): Option[String] = x match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    // literal side: anything foldable (the analyzer wraps literals in
+    // widening casts; eval() folds them); a null bound gives no pruning
+    def value(x: Expression): Option[Any] =
+      if (!x.foldable) None
+      else x.eval() match {
+        case null => None
+        case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+        case other => Some(other)
+      }
+    def conjuncts(x: Expression): Seq[Expression] = x match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(e).flatMap {
+      case EqualTo(a, l) if name(a).isDefined && value(l).isDefined =>
+        Some((name(a).get, value(l), value(l)))
+      case EqualTo(l, a) if name(a).isDefined && value(l).isDefined =>
+        Some((name(a).get, value(l), value(l)))
+      case GreaterThan(a, l) if name(a).isDefined && value(l).isDefined =>
+        Some((name(a).get, value(l), None))
+      case GreaterThanOrEqual(a, l) if name(a).isDefined && value(l).isDefined =>
+        Some((name(a).get, value(l), None))
+      case LessThan(a, l) if name(a).isDefined && value(l).isDefined =>
+        Some((name(a).get, None, value(l)))
+      case LessThanOrEqual(a, l) if name(a).isDefined && value(l).isDefined =>
+        Some((name(a).get, None, value(l)))
+      case GreaterThan(l, a) if name(a).isDefined && value(l).isDefined =>
+        Some((name(a).get, None, value(l)))
+      case GreaterThanOrEqual(l, a) if name(a).isDefined && value(l).isDefined =>
+        Some((name(a).get, None, value(l)))
+      case LessThan(l, a) if name(a).isDefined && value(l).isDefined =>
+        Some((name(a).get, value(l), None))
+      case LessThanOrEqual(l, a) if name(a).isDefined && value(l).isDefined =>
+        Some((name(a).get, value(l), None))
+      case In(a, vs) if name(a).isDefined && vs.nonEmpty &&
+          vs.forall(v => value(v).isDefined) =>
+        val lits = vs.map(v => value(v).get)
+        if (lits.forall(_.isInstanceOf[java.lang.Number])) {
+          val decs = lits.map(v => new java.math.BigDecimal(v.toString))
+          Some((name(a).get, Some(decs.min), Some(decs.max)))
+        } else if (lits.forall(_.isInstanceOf[String])) {
+          val ord = Ordering.comparatorToOrdering(
+            (x: String, y: String) => utf8Cmp(x, y))
+          val ss = lits.map(_.asInstanceOf[String])
+          Some((name(a).get, Some(ss.min(ord)), Some(ss.max(ord))))
+        } else None
+      case _ => None // no pruning information from this conjunct
+    }
   }
 
   private def utf8Cmp(a: String, b: String): Int = {

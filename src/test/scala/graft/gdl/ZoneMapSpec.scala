@@ -91,6 +91,49 @@ class ZoneMapSpec extends AnyFunSuite {
       rows(store.read("t").get.filter($"id".between(120L, 150L))))
   }
 
+  test("scan prunes from a compound predicate and keeps full filter semantics") {
+    val store = freshStore()
+    threeGens(store)
+    // id range + string equality: both conjuncts prune; the modulo
+    // conjunct contributes nothing but still filters rows
+    val pred = $"id".between(120L, 150L) && $"s" > "b" && $"id" % 2 === 0
+    assert(store.zoneSkipCount("t", pred) == 2)
+    val got = store.scan("t", pred).get
+    assert(got.inputFiles.forall(_.contains("g0000001")))
+    assert(rows(got) == rows(store.read("t").get.filter(pred)))
+    assert(rows(got).nonEmpty)
+  }
+
+  test("scan with IN prunes to the min-max envelope of the list") {
+    val store = freshStore()
+    threeGens(store)
+    val pred = $"id".isin(205L, 210L, 290L)
+    assert(store.zoneSkipCount("t", pred) == 2)
+    assert(rows(store.scan("t", pred).get) ==
+      rows(store.read("t").get.filter(pred)))
+  }
+
+  test("strict inequality at a zone boundary is conservative, never wrong") {
+    val store = freshStore()
+    threeGens(store)
+    // gen1 max id = 199; `id > 199` can't match gen1 rows but the skip
+    // decision relaxes to >=, so gen1 is read and the filter drops it
+    val pred = $"id" > 199L && $"id" < 205L
+    val got = store.scan("t", pred).get
+    assert(rows(got) == rows(store.read("t").get.filter(pred)))
+    assert(got.select("id").as[Long].collect().forall(i => i > 199L && i < 205L))
+    assert(store.zoneSkipCount("t", pred) >= 1) // gen0 is provably disjoint
+  }
+
+  test("an OR predicate prunes nothing and stays correct") {
+    val store = freshStore()
+    threeGens(store)
+    val pred = $"id" === 5L || $"id" === 250L
+    assert(store.zoneSkipCount("t", pred) == 0)
+    assert(rows(store.scan("t", pred).get) ==
+      rows(store.read("t").get.filter(pred)))
+  }
+
   test("partition columns (living only in dir names) are zone-mapped too") {
     val store = new TableStore(spark,
       java.nio.file.Files.createTempDirectory("zonemap-p").toString,
