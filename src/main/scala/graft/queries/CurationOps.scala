@@ -245,6 +245,26 @@ object CurationOps {
     // by the bounded TopK AGGREGATE — no corpus-wide window; the
     // shuffle carries ≤ k rows per source per mapper (q87's plan shape
     // applied to curation).
+    // Temperature-based domain mixture (the UnifiedQA / LLaMA-style
+    // rebalance): sampling weight per domain ∝ count^α. α = 1/2 on
+    // purpose — sqrt is the one power IEEE 754 requires to be exactly
+    // rounded, so the weights (quantized to the 1e-6 grid) are
+    // bitwise-reproducible in any engine, unlike pow(c, 0.7). Share
+    // math stays in integer space end-to-end: floor(sqrt·1e6) longs,
+    // then long `div` for parts-per-million (wq ≤ 1e12 even at a
+    // trillion docs per domain, so wq·1e6 never overflows a long).
+    // One combinable count, one broadcast total — two tiny shuffles.
+    "q110_domain_mixture" -> ((s, d) => {
+      val counts = Tables.load(s, d, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("wq",
+          floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+      val tot = counts.agg(sum(col("wq")).as("tw"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("wq"),
+          expr("wq * 1000000L div tw").as("share_ppm"))
+    }),
+
     "q91_domain_cap" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
         .select(col("source"),
@@ -617,6 +637,17 @@ object CurationOps {
                    AS avg_logratio,
                  sum(lr) > 0 AS keep
           FROM lr GROUP BY doc_id""",
+
+    "q110_domain_mixture" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                    FROM documents GROUP BY source),
+          w AS (SELECT source, n_docs,
+                       CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT) AS wq
+                FROM c),
+          t AS (SELECT CAST(sum(wq) AS BIGINT) AS tw FROM w)
+          SELECT source, n_docs, wq,
+                 CAST(wq * 1000000 // tw AS BIGINT) AS share_ppm
+          FROM w CROSS JOIN t""",
 
     "q91_domain_cap" ->
       """WITH d AS (SELECT source, doc_id,

@@ -234,6 +234,33 @@ object EventOps {
     // slowly-changing-dimension build every warehouse needs from a CDC
     // feed. All windows partition on user_id; epoch-micros longs keep
     // calendar semantics out of the value-checked path.
+    // Point-in-time join (the feature-store lookup): each event joins
+    // the SCD2 dimension row valid AT its timestamp —
+    // valid_from ≤ ts < valid_to, null valid_to = open. Per-user
+    // dimension history is small (one row per attribute change), so the
+    // equi-join on user_id carries bounded fan-out and the containment
+    // predicate is a post-join filter, never an inequality-only join;
+    // zero-width intervals (adjacent islands sharing a timestamp)
+    // contain nothing, so every event lands in EXACTLY one row with no
+    // tie-break needed. Dimension here = q101's intervals over the same
+    // events, making containment self-checking: dim_event_type must
+    // equal the event's own type.
+    "q111_pit_join" -> ((s, d) => {
+      val dim = queries("q101_scd2_intervals")(s, d)
+        .select(col("user_id"), col("event_type").as("dim_event_type"),
+          col("valid_from_us"), col("valid_to_us"))
+      val ev = Tables.load(s, d, "events")
+        .filter(col("user_id") < 100L)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      ev.join(dim, Seq("user_id"))
+        .filter(col("valid_from_us") <= col("ts_us") &&
+          (col("valid_to_us").isNull || col("ts_us") < col("valid_to_us")))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("event_type"), col("dim_event_type"), col("valid_from_us"),
+          (col("event_type") === col("dim_event_type")).as("consistent"))
+    }),
+
     "q101_scd2_intervals" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
@@ -412,6 +439,37 @@ object EventOps {
           FROM ev JOIN st USING (event_type)
           ORDER BY abs((CAST(vc AS DOUBLE) / 100.0 - mean) / std) DESC, event_id
           LIMIT 50""",
+
+    "q111_pit_join" ->
+      """WITH ev AS (SELECT user_id, event_id,
+                            epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                            event_type
+                     FROM events WHERE user_id < 100),
+          c AS (SELECT *,
+                       CASE WHEN event_type = lag(event_type) OVER w
+                            THEN 0 ELSE 1 END AS chg
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+          g AS (SELECT *,
+                       sum(chg) OVER (PARTITION BY user_id
+                         ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+                         AS grp
+                FROM c),
+          isl AS (SELECT user_id, grp, event_type,
+                         CAST(min(ts_us) AS BIGINT) AS valid_from_us
+                  FROM g GROUP BY user_id, grp, event_type),
+          dim AS (SELECT user_id, event_type AS dim_event_type,
+                         valid_from_us,
+                         lead(valid_from_us) OVER (PARTITION BY user_id
+                           ORDER BY grp) AS valid_to_us
+                  FROM isl)
+          SELECT event_id, ev.user_id, CAST(ev.ts_us AS BIGINT) AS ts_us,
+                 ev.event_type, dim_event_type,
+                 valid_from_us,
+                 (ev.event_type = dim_event_type) AS consistent
+          FROM ev JOIN dim ON ev.user_id = dim.user_id
+            AND valid_from_us <= ev.ts_us
+            AND (valid_to_us IS NULL OR ev.ts_us < valid_to_us)""",
 
     "q101_scd2_intervals" ->
       """WITH ev AS (SELECT user_id, event_id,
