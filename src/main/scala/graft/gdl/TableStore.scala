@@ -215,14 +215,26 @@ class TableStore(spark: SparkSession, root: String,
     val gens = liveGenerations(table)
     if (gens.isEmpty) return None
     val full = readGenerations(gens).filter(predicate)
-    val kept = gens.filter { g =>
-      val zm = readZoneMap(g._3)
-      analyzedBounds(full).forall { case (c, lo, hi) =>
-        TableStore.zoneOverlaps(zm, c, lo, hi) }
+    val bounds = analyzedBounds(full)
+    // per-generation: all files kept (read the dir — cheapest, normal
+    // partition discovery), a subset (read the kept files under the
+    // generation's basePath so `col=value/` partition columns still
+    // resolve), or none (generation skipped entirely)
+    val parts = gens.flatMap { g =>
+      TableStore.keptFiles(readZoneMap(g._3), bounds) match {
+        case None => Some(spark.read.parquet(g._3.toString)) // no stats
+        case Some(files) if files.isEmpty => None
+        case Some(files) =>
+          val all = readZoneMap(g._3).get.keySet
+          if (files.size == all.size) Some(spark.read.parquet(g._3.toString))
+          else Some(spark.read
+            .option("basePath", g._3.toString)
+            .parquet(files.toSeq.sorted.map(f => new Path(g._3, f).toString): _*))
+      }
     }
-    if (kept.isEmpty) Some(full.limit(0))
-    else if (kept.size == gens.size) Some(full)
-    else Some(readGenerations(kept).filter(predicate))
+    if (parts.isEmpty) Some(full.limit(0))
+    else Some(parts.reduce(_.unionByName(_, allowMissingColumns = true))
+      .filter(predicate))
   }
 
   /** Bounds from a just-built `.filter(predicate)` DataFrame: a Spark 4
@@ -237,26 +249,42 @@ class TableStore(spark: SparkSession, root: String,
     }
 
   /** How many live generations a `readRange` over this range would skip
-    * — the observability hook the zone-map spec (and an operator
-    * debugging a slow probe) reads. */
-  def zoneSkipCount(table: String, column: String, lo: Any, hi: Any): Int = {
-    val gens = liveGenerations(table)
-    gens.count(g => !TableStore.zoneOverlaps(readZoneMap(g._3), column,
-      Some(lo), Some(hi)))
-  }
+    * ENTIRELY — the coarse observability hook; [[zoneFileCounts]] is the
+    * file-granular one. */
+  def zoneSkipCount(table: String, column: String, lo: Any, hi: Any): Int =
+    zoneSkipCount(table,
+      col(column).between(org.apache.spark.sql.functions.lit(lo),
+        org.apache.spark.sql.functions.lit(hi)))
 
   /** [[zoneSkipCount]] for a full predicate, mirroring [[scan]]. */
   def zoneSkipCount(table: String, predicate: org.apache.spark.sql.Column): Int = {
     val gens = liveGenerations(table)
     if (gens.isEmpty) return 0
     val bounds = analyzedBounds(readGenerations(gens).filter(predicate))
-    gens.count { g =>
-      val zm = readZoneMap(g._3)
-      !bounds.forall { case (c, lo, hi) => TableStore.zoneOverlaps(zm, c, lo, hi) }
-    }
+    gens.count(g => TableStore.keptFiles(readZoneMap(g._3), bounds)
+      .exists(_.isEmpty))
   }
 
-  private def readZoneMap(gen: Path): Option[Map[String, TableStore.Zone]] = {
+  /** (files a scan with this predicate would read, total live files) —
+    * what the file-granular skipping actually saves. Generations
+    * without stats count all their zone-mapped... without stats the
+    * file count is unknown; they report (1, 1) per generation
+    * (read-everything). */
+  def zoneFileCounts(table: String,
+                     predicate: org.apache.spark.sql.Column): (Int, Int) = {
+    val gens = liveGenerations(table)
+    if (gens.isEmpty) return (0, 0)
+    val bounds = analyzedBounds(readGenerations(gens).filter(predicate))
+    gens.map { g =>
+      readZoneMap(g._3) match {
+        case None => (1, 1)
+        case Some(zm) =>
+          (TableStore.keptFiles(Some(zm), bounds).get.size, zm.size)
+      }
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+  }
+
+  private def readZoneMap(gen: Path): Option[Map[String, Map[String, TableStore.Zone]]] = {
     val p = new Path(gen, TableStore.zoneMapFile)
     val f = fs(p)
     try {
@@ -282,10 +310,37 @@ class TableStore(spark: SparkSession, root: String,
       // the directory read (not a part-file list) matters: it's what
       // resolves `col=value/` partition columns into the stats
       val df = spark.read.parquet(tmp.toString)
-      val txt = TableStore.computeZoneMap(df)
+      val txt = TableStore.computeZoneMap(df, tmp.toString)
       val out = f.create(new Path(tmp, TableStore.zoneMapFile), true)
       try out.write(txt.getBytes("UTF-8")) finally out.close()
     } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Cluster the table for zone-tight probes: fold the live generations
+    * into ONE full-contents generation laid out so each part file
+    * covers a narrow range of `clusterCol` (range partitioning +
+    * in-file sort — pass a `z_order(x, y)` column for 2-D locality).
+    * Contents are unchanged, so it commits as "comp" (invisible to the
+    * change feed) under the same optimistic expected-slot protocol as
+    * [[compact]]; after it, the per-file zone maps turn a key probe
+    * into O(matching files) reads — appends interleave keys, clustering
+    * is what makes the zones tight. */
+  def rewriteClustered(table: String, clusterCol: org.apache.spark.sql.Column,
+                       nFiles: Int): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done && attempts < 5) {
+      attempts += 1
+      val gens = liveGenerations(table)
+      if (gens.isEmpty) done = true
+      else done =
+        try commit(table,
+          readGenerations(gens)
+            .repartitionByRange(nFiles, clusterCol)
+            .sortWithinPartitions(clusterCol),
+          "comp", expectedSeq = Some(gens.last._1 + 1))
+        catch { case scala.util.control.NonFatal(_) => false }
+    }
+  }
 
   /** Last-wins resolution for tables maintained as status-delta appends
     * (e.g. `import_executions`): the row with the highest `seqCol` per
@@ -460,12 +515,17 @@ object TableStore {
   private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
 
-  /** TSV zone map for a just-written generation: one line per schema
-    * column (EVERY column — a column missing entirely from the file
-    * means it was absent from this generation's data, which is what
-    * lets readers skip on absent-column semantics). */
-  private[gdl] def computeZoneMap(df: DataFrame): String = {
-    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+  /** TSV zone map for a just-written generation, PER PART FILE: one
+    * line per (file, schema column) — every schema column appears (a
+    * column missing entirely from a file's lines means it was absent
+    * from that file's data, which is what lets readers skip on
+    * absent-column semantics). File keys are generation-relative paths
+    * (so `col=value/part-...` keeps its partition dirs). Per-file
+    * granularity is what makes CLUSTERED layouts pay: after
+    * [[TableStore.rewriteClustered]] each file covers a tight key
+    * range, and a probe reads O(matching files) of the generation. */
+  private[gdl] def computeZoneMap(df: DataFrame, genRoot: String): String = {
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin, input_file_name}
     import org.apache.spark.sql.types._
     val fields = df.schema.fields
     val eligible = fields.filter(f => f.dataType match {
@@ -474,41 +534,67 @@ object TableStore {
       case StringType => true
       case _ => false
     })
-    val row =
-      if (eligible.isEmpty) null
-      else {
-        val aggs = eligible.flatMap(f =>
-          Seq(fmin(col(f.name)).as(s"mn_${f.name}"),
-            fmax(col(f.name)).as(s"mx_${f.name}")))
-        df.agg(aggs.head, aggs.tail: _*).head()
+    val aggs = eligible.flatMap(f =>
+      Seq(fmin(col(f.name)).as(s"mn_${f.name}"),
+        fmax(col(f.name)).as(s"mx_${f.name}")))
+    val perFile: Seq[(String, org.apache.spark.sql.Row)] =
+      if (eligible.isEmpty)
+        df.select(input_file_name().as("_f")).distinct()
+          .collect().map(r => (r.getString(0), null)).toSeq
+      else
+        df.groupBy(input_file_name().as("_f")).agg(aggs.head, aggs.tail: _*)
+          .collect().map(r => (r.getString(0), r)).toSeq
+    val rootUri = new Path(genRoot).toUri.getPath
+    def rel(file: String): String = {
+      val p = new Path(file).toUri.getPath
+      val i = p.indexOf(rootUri)
+      if (i >= 0) p.substring(i + rootUri.length).stripPrefix("/") else p
+    }
+    perFile.flatMap { case (file, row) =>
+      val zoneOf = eligible.zipWithIndex.flatMap { case (f, i) =>
+        val (mn, mx) =
+          if (row == null) (null, null) else (row.get(2 * i + 1), row.get(2 * i + 2))
+        val z =
+          if (mn == null) Zone("n", "", "")
+          else f.dataType match {
+            case ByteType | ShortType | IntegerType | LongType =>
+              Zone("i", mn.toString, mx.toString)
+            case FloatType | DoubleType =>
+              Zone("f", mn.toString, mx.toString)
+            case StringType =>
+              Zone("s", enc(mn.asInstanceOf[String]), enc(mx.asInstanceOf[String]))
+            case _ => Zone("x", "", "")
+          }
+        Some(f.name -> z)
+      }.toMap
+      fields.map { f =>
+        val z = zoneOf.getOrElse(f.name, Zone("x", "", ""))
+        s"${enc(rel(file))}\t${enc(f.name)}\t${z.kind}\t${z.min}\t${z.max}"
       }
-    val zoneOf = eligible.zipWithIndex.map { case (f, i) =>
-      val (mn, mx) = (row.get(2 * i), row.get(2 * i + 1))
-      val z =
-        if (mn == null) Zone("n", "", "")
-        else f.dataType match {
-          case ByteType | ShortType | IntegerType | LongType =>
-            Zone("i", mn.toString, mx.toString)
-          case FloatType | DoubleType =>
-            Zone("f", mn.toString, mx.toString)
-          case StringType =>
-            Zone("s", enc(mn.asInstanceOf[String]), enc(mx.asInstanceOf[String]))
-        }
-      f.name -> z
-    }.toMap
-    fields.map { f =>
-      val z = zoneOf.getOrElse(f.name, Zone("x", "", ""))
-      s"${enc(f.name)}\t${z.kind}\t${z.min}\t${z.max}"
     }.mkString("", "\n", "\n")
   }
 
-  private[gdl] def parseZoneMap(txt: String): Map[String, Zone] =
+  private[gdl] def parseZoneMap(txt: String): Map[String, Map[String, Zone]] =
     txt.split("\n").filter(_.nonEmpty).flatMap { line =>
       line.split("\t", -1) match {
-        case Array(name, kind, mn, mx) => Some(dec(name) -> Zone(kind, mn, mx))
+        case Array(file, name, kind, mn, mx) =>
+          Some((dec(file), dec(name), Zone(kind, mn, mx)))
         case _ => None
       }
-    }.toMap
+    }.groupBy(_._1).map { case (f, xs) =>
+      f -> xs.map(x => (x._2, x._3)).toMap
+    }
+
+  /** Which of a generation's files can contain rows satisfying every
+    * bound conjunct: None = no stats (read the whole generation),
+    * Some(files) = exactly these (possibly empty = skip it all). */
+  private[gdl] def keptFiles(zones: Option[Map[String, Map[String, Zone]]],
+                             bounds: Seq[(String, Option[Any], Option[Any])])
+      : Option[Set[String]] =
+    zones.map(_.filter { case (_, fileZones) =>
+      bounds.forall { case (c, lo, hi) =>
+        zoneOverlaps(Some(fileZones), c, lo, hi) }
+    }.keySet)
 
   /** Can generation `zones` contain a row with `lo ≤ column ≤ hi`
     * (either bound may be absent = unbounded)? Every uncertain case

@@ -145,6 +145,45 @@ class ZoneMapSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("clustering rewrite turns an unskippable probe into O(matching files)") {
+    val store = freshStore()
+    // interleave keys across appends: every generation (and most files)
+    // spans the whole key range, so nothing can be skipped
+    store.append("t", (0L until 300L by 3).map(i => (i, s"v$i")).toDF("id", "s"))
+    store.append("t", (1L until 300L by 3).map(i => (i, s"v$i")).toDF("id", "s"))
+    store.append("t", (2L until 300L by 3).map(i => (i, s"v$i")).toDF("id", "s"))
+    val pred = $"id".between(100L, 120L)
+    assert(store.zoneSkipCount("t", pred) == 0)
+
+    store.rewriteClustered("t", $"id", nFiles = 10)
+    assert(store.history("t").last._2 == "comp")
+    // contents unchanged
+    assert(rows(store.read("t").get) ==
+      (0L until 300L).map(i => (i, s"v$i")).toSet)
+    // the probe now reads a small fraction of the files
+    val (kept, total) = store.zoneFileCounts("t", pred)
+    assert(total >= 10, s"expected >= 10 clustered files, got $total")
+    assert(kept <= 2, s"expected <= 2 overlapping files, got $kept/$total")
+    val got = store.scan("t", pred).get
+    assert(got.inputFiles.length == kept)
+    assert(rows(got) == rows(store.read("t").get.filter(pred)))
+  }
+
+  test("clustering a partitioned table keeps the layout and the skip") {
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("zonemap-pc").toString,
+      partitioning = Map("t" -> Seq("ds")))
+    store.append("t", (0L until 100L).map(i =>
+      (i, if (i % 2 == 0) "dsA" else "dsB")).toDF("id", "ds"))
+    store.rewriteClustered("t", $"id", nFiles = 5)
+    val pred = $"ds" === "dsA" && $"id" < 10L
+    val got = store.scan("t", pred).get
+    assert(got.as[(Long, String)].collect().toSet ==
+      (0L until 10L by 2).map(i => (i, "dsA")).toSet)
+    val (kept, total) = store.zoneFileCounts("t", pred)
+    assert(kept < total, s"expected file pruning, got $kept/$total")
+  }
+
   test("all-null column zones are skippable; a later real value is found") {
     val store = freshStore()
     store.append("t", Seq((1L, null.asInstanceOf[java.lang.Long])).toDF("id", "v"))
