@@ -61,6 +61,24 @@ object TextFunctions {
       when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Production-width (64-bit) SimHash pieces: same construction as the
+    * 16-bit oracle-checkable form, widened — token hash from xxhash64
+    * (codegen'd builtin; no hex parsing), 64 ±1 bit-sums, sign fuse.
+    * The 16-bit form stays because DuckDB-expressible oracles pin ITS
+    * values; this one is spec-verified against brute Hamming instead
+    * (the construction is identical, only the width changes). */
+  def tokenHashes64(text: Column): Column =
+    transform(tokens(text), t => xxhash64(t))
+
+  /** Map-only 64-bit SimHash over a pre-materialized hash array. Bit 63
+    * lands in the sign — the fingerprint is an opaque signed long. */
+  def simhash64FromHashes(hs: Column): Column =
+    (0 until 64).map { b =>
+      val bitSum = aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Jaccard similarity of two pre-distinct shingle arrays (single
     * double division → bit-identical across engines). */
   def jaccard(a: Column, b: Column): Column = {

@@ -157,11 +157,39 @@ class TableStore(spark: SparkSession, root: String,
     * Scale: reads ONLY the delta generations in range — cost is
     * O(new data), independent of table size. */
   def readChangesSince(table: String, sinceSeq: Long,
-                       untilSeq: Long = Long.MaxValue): Option[DataFrame] = {
+                       untilSeq: Long = Long.MaxValue): Option[DataFrame] =
+    changeDeltas(table, sinceSeq, untilSeq) match {
+      case None => None
+      case Some(deltas) if deltas.nonEmpty => Some(readGenerations(deltas))
+      case _ => read(table).map(_.limit(0)) // no changes: empty, schema kept
+    }
+
+  /** [[readChangesSince]] with zone-map pruning: only the delta FILES
+    * whose zones can satisfy `predicate` are opened, and the full
+    * predicate filters the result — the selective-maintenance feed (an
+    * index over one dataset's rows polls a partitioned 100 TB change
+    * stream and reads O(its own new files)). Same protocol failures as
+    * the unfiltered feed: skipping is not allowed to hide an overwrite
+    * or a vacuum. */
+  def readChangesSinceWhere(table: String, sinceSeq: Long,
+                            predicate: org.apache.spark.sql.Column,
+                            untilSeq: Long = Long.MaxValue): Option[DataFrame] =
+    changeDeltas(table, sinceSeq, untilSeq) match {
+      case None => None
+      case Some(deltas) if deltas.nonEmpty =>
+        Some(readGenerationsWhere(deltas, predicate))
+      case _ => read(table).map(_.filter(predicate).limit(0))
+    }
+
+  /** The delta generations between the checkpoint and `untilSeq`, after
+    * the change-feed protocol checks (vacuum gap, overwrite). None =
+    * table never written; empty = no changes. */
+  private def changeDeltas(table: String, sinceSeq: Long,
+                           untilSeq: Long): Option[Seq[(Long, String, Path)]] = {
     val all0 = generations(table)
     if (all0.isEmpty) return None
     val all = all0.filter(_._1 <= untilSeq)
-    if (all.isEmpty) return read(table).map(_.limit(0))
+    if (all.isEmpty) return Some(Nil)
     val later = all.filter(_._1 > sinceSeq)
     val maxSeq = all.last._1
     val expected = (maxSeq - math.max(sinceSeq, -1L)).max(0L)
@@ -175,9 +203,7 @@ class TableStore(spark: SparkSession, root: String,
         s"table '$table' was overwritten at " +
         s"g${later.find(_._2 == "full").get._1} (> seq=$sinceSeq); " +
         "changes since then are not expressible as appends")
-    val deltas = later.filter(_._2 == "delta")
-    if (deltas.nonEmpty) Some(readGenerations(deltas))
-    else read(table).map(_.limit(0)) // no changes: empty, schema preserved
+    Some(later.filter(_._2 == "delta"))
   }
 
   def isEmptyTable(table: String): Boolean = read(table).forall(_.isEmpty)
@@ -214,12 +240,18 @@ class TableStore(spark: SparkSession, root: String,
   def scan(table: String, predicate: org.apache.spark.sql.Column): Option[DataFrame] = {
     val gens = liveGenerations(table)
     if (gens.isEmpty) return None
+    Some(readGenerationsWhere(gens, predicate))
+  }
+
+  /** The zone-map-pruned read: per generation, all files kept (read the
+    * dir — cheapest, normal partition discovery), a subset (read the
+    * kept files under the generation's basePath so `col=value/`
+    * partition columns still resolve), or none (generation skipped
+    * entirely); the FULL predicate then filters whatever was read. */
+  private def readGenerationsWhere(gens: Seq[(Long, String, Path)],
+                                   predicate: org.apache.spark.sql.Column): DataFrame = {
     val full = readGenerations(gens).filter(predicate)
     val bounds = analyzedBounds(full)
-    // per-generation: all files kept (read the dir — cheapest, normal
-    // partition discovery), a subset (read the kept files under the
-    // generation's basePath so `col=value/` partition columns still
-    // resolve), or none (generation skipped entirely)
     val parts = gens.flatMap { g =>
       TableStore.keptFiles(readZoneMap(g._3), bounds) match {
         case None => Some(spark.read.parquet(g._3.toString)) // no stats
@@ -232,9 +264,9 @@ class TableStore(spark: SparkSession, root: String,
             .parquet(files.toSeq.sorted.map(f => new Path(g._3, f).toString): _*))
       }
     }
-    if (parts.isEmpty) Some(full.limit(0))
-    else Some(parts.reduce(_.unionByName(_, allowMissingColumns = true))
-      .filter(predicate))
+    if (parts.isEmpty) full.limit(0)
+    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+      .filter(predicate)
   }
 
   /** Bounds from a just-built `.filter(predicate)` DataFrame: a Spark 4

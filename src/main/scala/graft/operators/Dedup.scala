@@ -224,6 +224,31 @@ object Dedup {
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
   }
 
+  /** [[simhashNearDup]] at production width: 64-bit fingerprints
+    * (xxhash64 tokens, map-only per-row SimHash — no explode+groupBy
+    * stage at all), 65 probe keys per doc. Same exactly-one-collision
+    * argument; the probe explode is 65 small (probe, id, fingerprint)
+    * rows per doc, still corpus-scan dominated. Spec-verified against
+    * brute Hamming (Simhash64Spec) — the 16-bit form keeps the DuckDB
+    * oracle, this one keeps the production bit budget. */
+  def simhashNearDup64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.TextFunctions.{simhash64FromHashes, tokenHashes64}
+    val sh = docs
+      .withColumn("_hs", tokenHashes64(col(textCol)))
+      .select(col(idCol).as("doc_id"), simhash64FromHashes(col("_hs")).as("simhash"))
+      .localCheckpoint(true)
+    val probes = sh.select(col("doc_id").as("id_a"), col("simhash").as("h_a"),
+      explode(array(
+        (0 until 64).map(j => col("simhash").bitwiseXOR(lit(1L << j))) :+
+          col("simhash"): _*)).as("probe"))
+    val idn = sh.select(col("doc_id").as("id_b"), col("simhash").as("h_b"),
+      col("simhash").as("probe"))
+    probes.join(idn, Seq("probe"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed: candidates
     * come from an equi-join on the hyperplane bucket (map-only
     * assignment, no cross product), then exact cosine filters. Same

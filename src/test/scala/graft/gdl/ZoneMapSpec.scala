@@ -184,6 +184,42 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(kept < total, s"expected file pruning, got $kept/$total")
   }
 
+  test("2-D z-order clustering makes a box probe read few files") {
+    val store = freshStore()
+    // 32x32 grid of points, row-major (so x and y both interleave
+    // within any contiguous write — neither column alone clusters)
+    val pts = for (x <- 0L until 32L; y <- 0L until 32L)
+      yield (x * 32 + y, x, y)
+    store.append("t", pts.toDF("id", "x", "y"))
+    store.rewriteClustered("t",
+      graft.functions.ZOrder2.zorder($"x", $"y", 8), nFiles = 16)
+    // a small box touches both columns; z-order keeps it in few files
+    val pred = $"x".between(4L, 7L) && $"y".between(8L, 11L)
+    val (kept, total) = store.zoneFileCounts("t", pred)
+    assert(total >= 16, s"expected >= 16 clustered files, got $total")
+    assert(kept <= 4, s"z-order box probe should read <= 4 files, got $kept/$total")
+    val got = store.scan("t", pred).get
+    assert(rows2(got) == rows2(store.read("t").get.filter(pred)))
+  }
+
+  private def rows2(df: DataFrame) =
+    df.select("id", "x", "y").as[(Long, Long, Long)].collect().toSet
+
+  test("filtered change feed prunes delta files and keeps the protocol") {
+    val store = freshStore()
+    threeGens(store)
+    // consumer checkpointed at g0; wants only ids >= 200 → g1 (100-199)
+    // is provably disjoint and never opened
+    val pred = $"id" >= 200L
+    val feed = store.readChangesSinceWhere("t", 0L, pred).get
+    assert(rows(feed) == rows(store.readChangesSince("t", 0L).get.filter(pred)))
+    assert(feed.inputFiles.forall(_.contains("g0000002")))
+    // pruning must not mask protocol failures: an overwrite still throws
+    store.overwrite("t", Seq((999L, "z")).toDF("id", "s"))
+    intercept[TableStore.FullRefreshRequiredException](
+      store.readChangesSinceWhere("t", 0L, pred))
+  }
+
   test("all-null column zones are skippable; a later real value is found") {
     val store = freshStore()
     store.append("t", Seq((1L, null.asInstanceOf[java.lang.Long])).toDF("id", "v"))
