@@ -24,6 +24,27 @@ object VectorOps {
     s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Per-dimension embedding statistics — the drift/quality monitor a
+    // lake runs after every ingest batch: ONE map-side-combinable
+    // aggregate over the exploded (pos, value) rows, no shuffle beyond
+    // the 64-group hash agg. Moments accumulate on the 1e-9-quantized
+    // long grid (order-free, engine-exact); float→double casts and
+    // double products are IEEE-exact, so min/max/mean hash-match too.
+    "q112_embedding_stats" -> ((s, d) =>
+      Tables.load(s, d, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("pos0", "xf")))
+        .select((col("pos0") + 1).cast("long").as("pos"),
+          col("xf").cast("double").as("x"))
+        .groupBy(col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("x") * 1e9).cast("long")).as("sum_q"),
+          sum(floor(col("x") * col("x") * 1e9).cast("long")).as("sumsq_q"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"))
+        .select(col("pos"), col("n"), col("sum_q"), col("sumsq_q"),
+          col("min_x"), col("max_x"),
+          (col("sum_q").cast("double") / lit(1e9) / col("n").cast("double"))
+            .as("mean"))),
     // Brute-force exact cosine top-k: 5 query vectors vs the whole corpus.
     "q26_cosine_topk" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
@@ -244,6 +265,18 @@ object VectorOps {
   )
 
   def oracles: Map[String, String] = Map(
+
+    "q112_embedding_stats" ->
+      """WITH u AS (SELECT CAST(t.d AS BIGINT) AS pos,
+                           CAST(embedding[t.d] AS DOUBLE) AS x
+                    FROM embeddings, unnest(range(1, 65)) AS t(d))
+          SELECT pos, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(floor(x * 1e9) AS BIGINT)) AS BIGINT) AS sum_q,
+                 CAST(sum(CAST(floor(x * x * 1e9) AS BIGINT)) AS BIGINT) AS sumsq_q,
+                 min(x) AS min_x, max(x) AS max_x,
+                 CAST(sum(CAST(floor(x * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+                   / CAST(count(*) AS DOUBLE) AS mean
+          FROM u GROUP BY pos""",
     "q26_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
                      FROM embeddings WHERE vec_id < 5),
