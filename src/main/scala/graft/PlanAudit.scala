@@ -87,7 +87,22 @@ object PlanAudit {
       else Seq("q01_scan_prefix", "q07_outcome_filter", "q11_status_merge",
                "q17_revenue_agg", "q24_minhash_lsh", "q26_cosine_topk",
                "q31_asof_join", "q41_topk_per_group")
-    names.foreach { name =>
+    if (names == Seq("ALL")) {
+      // fleet sweep: one audit summary line per query, no plan dumps —
+      // the every-plan sanity pass (cartesians, codegen, scan shapes)
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try {
+          val r = audit(fn(spark, sfDir))
+          val scanCols = r.scans.map(s =>
+            s"${s.source}:${s.readColumns.size}c").mkString(" ")
+          println(f"AUDIT $name%-26s codegen=${r.wholeStageCodegen}%-5s " +
+            f"bcast=${r.broadcastJoins}%-2d shuf=${r.shuffleJoins}%-2d " +
+            f"cart=${r.cartesianProducts} scans[$scanCols]")
+        } catch { case e: Throwable =>
+          println(s"AUDIT $name ERROR ${e.getClass.getSimpleName}")
+        }
+      }
+    } else names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
