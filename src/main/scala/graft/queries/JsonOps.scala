@@ -20,6 +20,19 @@ object JsonOps {
           get_json_object(col("props"), "$.k").cast("long").as("k"))
     }),
 
+    // q32's extraction through Spark 4's VARIANT type: parse once into
+    // the binary-encoded semi-structured value, then typed path gets —
+    // the open-format answer to schema-on-read at 100 TB (a VARIANT
+    // column is stored parsed; repeated probes skip the JSON text
+    // entirely, where get_json_object re-tokenizes per call). Results
+    // are scalars, so the DuckDB oracle is plain json_extract.
+    "q113_variant_extract" -> ((s, d) =>
+      Tables.load(s, d, "events")
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(col("event_id"),
+          variant_get(col("v"), "$.k", "long").as("k"),
+          try_variant_get(col("v"), "$.missing", "long").as("missing"))),
+
     // O-18: duplicate-key detection via the JsonDuplicateKeys Catalyst
     // expression, over synthesized documents with known duplicates —
     // from_json would silently drop them.
@@ -60,6 +73,11 @@ object JsonOps {
   def oracles: Map[String, String] = Map(
     "q32_json_extract" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+         FROM events""",
+
+    "q113_variant_extract" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+              CAST(json_extract(props, '$.missing') AS BIGINT) AS missing
          FROM events""",
 
     // every synthesized doc has exactly one duplicated key "k"

@@ -210,6 +210,33 @@ object RelationalOps {
         .select(col("node"), col("depth"))
     }),
 
+    // q16's reachability as a NATIVE recursive CTE (Spark 4 WITH
+    // RECURSIVE) — the SQL-surface form of the same BFS: a user porting
+    // recursive-CTE workloads runs them verbatim; the loop-form
+    // GraphBfs stays the scale path (per-level dedup bounds the
+    // frontier, where UNION ALL recursion enumerates every PATH before
+    // the final GROUP BY collapses them — fine on a DAG this shallow,
+    // explosive on diamond-heavy graphs).
+    "q114_recursive_bfs" -> ((s, d) => {
+      Tables.load(s, d, "customer").createOrReplaceTempView("customer")
+      Tables.load(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        WITH RECURSIVE edges AS (
+          SELECT 'N#' || CAST(c_nationkey AS STRING) AS src,
+                 'C#' || CAST(c_custkey AS STRING) AS dst FROM customer
+          UNION ALL
+          SELECT 'C#' || CAST(o_custkey AS STRING),
+                 'O#' || CAST(o_orderkey AS STRING) FROM orders
+        ), bfs AS (
+          SELECT 'N#3' AS node, 0 AS depth
+          UNION ALL
+          SELECT e.dst, b.depth + 1 FROM bfs b JOIN edges e ON e.src = b.node
+          WHERE b.depth < 5
+        )
+        SELECT node, CAST(min(depth) AS BIGINT) AS depth
+        FROM bfs GROUP BY node""")
+    }),
+
     // Damped PageRank (2 rounds) over the undirected customer↔supplier
     // co-purchase graph — the iterative-importance member of the graph
     // family (BFS = reachability, CC = clusters). Supplier ids offset
@@ -783,6 +810,21 @@ object RelationalOps {
          FROM lineitem WHERE l_orderkey < 50""",
 
     "q16_graph_bfs" ->
+      """WITH RECURSIVE edges AS (
+           SELECT 'N#' || CAST(c_nationkey AS VARCHAR) AS src,
+                  'C#' || CAST(c_custkey AS VARCHAR) AS dst FROM customer
+           UNION ALL
+           SELECT 'C#' || CAST(o_custkey AS VARCHAR),
+                  'O#' || CAST(o_orderkey AS VARCHAR) FROM orders
+         ), bfs AS (
+           SELECT 'N#3' AS node, 0 AS depth
+           UNION ALL
+           SELECT e.dst, b.depth + 1 FROM bfs b JOIN edges e ON e.src = b.node
+           WHERE b.depth < 5
+         )
+         SELECT node, CAST(min(depth) AS BIGINT) AS depth FROM bfs GROUP BY node""",
+
+    "q114_recursive_bfs" ->
       """WITH RECURSIVE edges AS (
            SELECT 'N#' || CAST(c_nationkey AS VARCHAR) AS src,
                   'C#' || CAST(c_custkey AS VARCHAR) AS dst FROM customer
