@@ -25,6 +25,23 @@ object VectorOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Johnson-Lindenstrauss random projection 64 → 16 dims: each output
+    // coordinate is the dot with a deterministic md5-derived hyperplane
+    // (the q28 LSH planes, used as a dense projection matrix) — the
+    // dimensionality-reduction pass that shrinks an embedding table 4×
+    // before clustering/ANN while approximately preserving distances.
+    // Map-only: 16 sequential-fold dots per row inside one projection,
+    // no shuffle at all; outputs quantized to the 1e-9 long grid so the
+    // fold order is pinned and any engine hash-matches.
+    "q115_jl_projection" -> ((s, d) => {
+      import graft.functions.VectorFunctions.{dot, hyperplane}
+      val cols = (0 until 16).map(j =>
+        floor(dot(col("embedding"), hyperplane(j, 64)) * lit(1e9))
+          .cast("long").as(s"p$j"))
+      Tables.load(s, d, "embeddings")
+        .select(col("vec_id") +: cols: _*)
+    }),
+
     // Per-dimension embedding statistics — the drift/quality monitor a
     // lake runs after every ingest batch: ONE map-side-combinable
     // aggregate over the exploded (pos, value) rows, no shuffle beyond
@@ -265,6 +282,19 @@ object VectorOps {
   )
 
   def oracles: Map[String, String] = Map(
+
+    "q115_jl_projection" -> {
+      val planeSql = (j: Int) =>
+        s"""list_transform(range(1, 65),
+              i -> (CAST('0x' || substr(md5('${j}_' || CAST(i AS VARCHAR)), 1, 4)
+                         AS BIGINT) - 32768) / 32768.0)"""
+      val cols = (0 until 16).map { j =>
+        s"""CAST(floor((SELECT ${dotSql("e.embedding", "p")}
+                        FROM (SELECT ${planeSql(j)} AS p)) * 1e9) AS BIGINT) AS p$j"""
+      }.mkString(",\n                 ")
+      s"""SELECT vec_id, $cols
+          FROM embeddings e"""
+    },
 
     "q112_embedding_stats" ->
       """WITH u AS (SELECT CAST(t.d AS BIGINT) AS pos,
