@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.{Decontaminate, Dedup}
+import graft.sinks.ShardedExport
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Capstone: the full training-data curation pipeline composed from the
+  * engine's operators — quality filter → exact dedup → near-dup cluster
+  * drop → benchmark decontamination → sharded export — with the
+  * invariants a data team would assert at each stage, and determinism
+  * across re-runs (the property that makes a 100 TB curation run
+  * auditable and resumable).
+  */
+class TrainingPipelineE2ESpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs: DataFrame =
+    Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+
+  /** The composed pipeline; returns the curated corpus. */
+  private def curate(in: DataFrame, bench: DataFrame): DataFrame = {
+    // 1. quality floor: droppable junk never reaches the expensive stages
+    val quality = in
+      .withColumn("_n", size(split(col("text"), "\\s+")))
+      .filter(col("_n") >= 10L).drop("_n")
+
+    // 2. exact dedup: keep the canonical (min-id) copy per content hash
+    val canon = Dedup.exact(quality, "doc_id", "text")
+      .select(col("canonical_id").as("doc_id"))
+    val exactKept = quality.join(canon, Seq("doc_id"), "left_semi")
+
+    // 3. near-dup clusters: keep each cluster's min-id member
+    val pairs = Dedup.minhashLsh(exactKept, "doc_id", "text",
+      shingleN = 3, k = 8, bands = 2, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+    val clusters = Dedup.connectedComponents(pairs)
+    val nearDrop = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    val nearKept = exactKept.join(nearDrop, Seq("doc_id"), "left_anti")
+
+    // 4. decontamination: drop any train doc overlapping a benchmark doc
+    val contaminated = Decontaminate.overlapPairs(nearKept, bench,
+      "doc_id", "text", shingleN = 3, minOverlap = 0.8)
+      .select(col("train_id").as("doc_id")).distinct()
+    nearKept.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  test("curated corpus satisfies every stage invariant and exports losslessly") {
+    // benchmark set = a few real docs (guaranteed overlap = themselves)
+    val bench = docs.filter(col("doc_id") % 97L === 0L)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val curated = curate(docs, bench).localCheckpoint(true)
+
+    // invariant: no exact duplicates survive
+    val dupGroups = curated.groupBy(md5(col("text"))).count()
+      .filter(col("count") > 1L).count()
+    assert(dupGroups == 0L, s"$dupGroups exact-dup groups survived")
+
+    // invariant: re-running near-dup detection on the output finds nothing
+    val residualPairs = Dedup.minhashLsh(curated, "doc_id", "text",
+      shingleN = 3, k = 8, bands = 2, threshold = 0.5).count()
+    assert(residualPairs == 0L, s"$residualPairs near-dup pairs survived")
+
+    // invariant: nothing overlapping the benchmark set survives
+    val residualContam = Decontaminate.overlapPairs(curated, bench,
+      "doc_id", "text", shingleN = 3, minOverlap = 0.8).count()
+    assert(residualContam == 0L, s"$residualContam contaminated docs survived")
+
+    // the pipeline kept a real corpus, not an empty one
+    val kept = curated.count()
+    assert(kept > 100L, s"only $kept docs survived — pipeline too aggressive")
+
+    // 5. sharded export: lossless, and every shard directory exists
+    val out = java.nio.file.Files.createTempDirectory("curated").toString
+    ShardedExport.write(curated, "doc_id", nShards = 8, out)
+    val back = spark.read.parquet(out) // shard= resolves as a partition column
+    assert(back.count() == kept)
+    assert(back.select("doc_id").as[Long].collect().sorted.toSeq ==
+      curated.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("the pipeline is deterministic across re-runs") {
+    val bench = docs.filter(col("doc_id") % 97L === 0L)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val a = curate(docs, bench).select("doc_id").as[Long].collect().sorted.toSeq
+    val b = curate(docs, bench).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+}
