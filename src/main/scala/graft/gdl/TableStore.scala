@@ -121,6 +121,14 @@ class TableStore(spark: SparkSession, root: String,
     val gens = all.filter(_._1 <= seq)
     val lastFull = gens.lastIndexWhere(g => isFullKind(g._2))
     val live = if (lastFull >= 0) gens.drop(lastFull) else gens
+    // a delta chain with no full generation under it is complete ONLY
+    // if it starts at the table's first commit (seq 0) — a straggler
+    // delta kept by the gc grace period while its predecessors were
+    // deleted must not masquerade as the whole table at that point
+    if (live.nonEmpty && lastFull < 0 && live.head._1 != 0L)
+      throw new TableStore.VacuumedHistoryException(
+        s"table '$table' at seq=$seq: deltas below g${live.head._1} were " +
+        "gc'd, the surviving chain is partial; history was vacuumed")
     if (live.nonEmpty) Some(readGenerations(live))
     else if (all.nonEmpty)
       throw new TableStore.VacuumedHistoryException(
@@ -189,7 +197,17 @@ class TableStore(spark: SparkSession, root: String,
     val all0 = generations(table)
     if (all0.isEmpty) return None
     val all = all0.filter(_._1 <= untilSeq)
-    if (all.isEmpty) return Some(Nil)
+    if (all.isEmpty) {
+      // every generation at or below the reader's snapshot was gc'd; if
+      // the snapshot is ahead of the checkpoint, appends in between may
+      // have existed and are gone — never a silent miss
+      if (untilSeq > sinceSeq)
+        throw new TableStore.VacuumedHistoryException(
+          s"table '$table': no generation at or below untilSeq=$untilSeq " +
+          s"survives (earliest on disk: g${all0.head._1}); changes after " +
+          s"seq=$sinceSeq were vacuumed — the reader must re-bootstrap")
+      return Some(Nil)
+    }
     val later = all.filter(_._1 > sinceSeq)
     val maxSeq = all.last._1
     val expected = (maxSeq - math.max(sinceSeq, -1L)).max(0L)
@@ -253,12 +271,12 @@ class TableStore(spark: SparkSession, root: String,
     val full = readGenerations(gens).filter(predicate)
     val bounds = analyzedBounds(full)
     val parts = gens.flatMap { g =>
-      TableStore.keptFiles(readZoneMap(g._3), bounds) match {
+      val zm = readZoneMap(g._3) // read once: re-reads can race gc
+      TableStore.keptFiles(zm, bounds) match {
         case None => Some(spark.read.parquet(g._3.toString)) // no stats
         case Some(files) if files.isEmpty => None
         case Some(files) =>
-          val all = readZoneMap(g._3).get.keySet
-          if (files.size == all.size) Some(spark.read.parquet(g._3.toString))
+          if (files.size == zm.get.size) Some(spark.read.parquet(g._3.toString))
           else Some(spark.read
             .option("basePath", g._3.toString)
             .parquet(files.toSeq.sorted.map(f => new Path(g._3, f).toString): _*))
@@ -298,10 +316,9 @@ class TableStore(spark: SparkSession, root: String,
   }
 
   /** (files a scan with this predicate would read, total live files) —
-    * what the file-granular skipping actually saves. Generations
-    * without stats count all their zone-mapped... without stats the
-    * file count is unknown; they report (1, 1) per generation
-    * (read-everything). */
+    * what the file-granular skipping actually saves. A generation
+    * without stats has an unknown file count; it reports (1, 1), i.e.
+    * read-everything with no pruning credit. */
   def zoneFileCounts(table: String,
                      predicate: org.apache.spark.sql.Column): (Int, Int) = {
     val gens = liveGenerations(table)
@@ -343,8 +360,15 @@ class TableStore(spark: SparkSession, root: String,
       // resolves `col=value/` partition columns into the stats
       val df = spark.read.parquet(tmp.toString)
       val txt = TableStore.computeZoneMap(df, tmp.toString)
-      val out = f.create(new Path(tmp, TableStore.zoneMapFile), true)
-      try out.write(txt.getBytes("UTF-8")) finally out.close()
+      // stage-and-rename INSIDE the staged dir: a mid-write failure must
+      // not leave a TRUNCATED zone map behind (missing (file, column)
+      // lines read as "column absent" = skippable — silently wrong
+      // results); a dangling "...tmp" file is invisible to readers
+      val staged = new Path(tmp, TableStore.zoneMapFile + ".tmp")
+      val out = f.create(staged, true)
+      try { out.write(txt.getBytes("UTF-8")) } finally out.close()
+      if (!f.rename(staged, new Path(tmp, TableStore.zoneMapFile)))
+        f.delete(staged, false)
     } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Cluster the table for zone-tight probes: fold the live generations
@@ -484,7 +508,7 @@ class TableStore(spark: SparkSession, root: String,
     // is claimed by the atomic rename, retried under a fresh number if
     // another writer took it first — optimistic concurrency, like any
     // log-structured table format's commit protocol
-    val tmp = new Path(dir, s"_tmp-${java.util.UUID.randomUUID().toString}")
+    var tmp = new Path(dir, s"_tmp-${java.util.UUID.randomUUID().toString}")
     val partitionBy = layout(table)
     val writer = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
@@ -505,8 +529,30 @@ class TableStore(spark: SparkSession, root: String,
         return false
       }
       val dest = new Path(dir, f"g$next%07d-$kind")
-      if (f.rename(tmp, dest)) committed = next
-      else if (attempts >= 20) {
+      if (f.rename(tmp, dest)) {
+        // rename onto an EXISTING directory returns true but moves the
+        // source INSIDE it (HDFS old-API semantics AND the local fs —
+        // probed): that is a LOST RACE, not a commit. Detect the nested
+        // marker, pull the staged data back out to a fresh tmp, and
+        // retry under the next slot — the winner's generation is
+        // untouched (the nested "_"-dir was invisible to reads), and
+        // the loser's rows are never silently dropped.
+        val nested = new Path(dest, tmp.getName)
+        if (!f.exists(nested)) committed = next
+        else {
+          val recovered = new Path(dir,
+            s"_tmp-${java.util.UUID.randomUUID().toString}")
+          if (!f.rename(nested, recovered))
+            throw new IllegalStateException(
+              s"commit race recovery failed: cannot extract $nested")
+          tmp = recovered
+          if (attempts >= 20) {
+            f.delete(tmp, true)
+            throw new IllegalStateException(
+              s"atomic commit failed after $attempts tries: $dest")
+          }
+        }
+      } else if (attempts >= 20) {
         f.delete(tmp, true)
         throw new IllegalStateException(s"atomic commit failed after $attempts tries: $dest")
       }
@@ -640,7 +686,14 @@ object TableStore {
     zones match {
       case None => true // no stats: must read
       case Some(m) => m.get(column) match {
-        case None => false // column absent from the generation's data
+        case None =>
+          // exact-name miss: if a key differs only by case, this
+          // generation was written under another casing (legal when
+          // spark.sql.caseSensitive=false unions them) — must read;
+          // using the other-case zone would be wrong under
+          // caseSensitive=true where they are DIFFERENT columns.
+          // No case-insensitive hit either → truly absent → skip.
+          m.keys.exists(_.equalsIgnoreCase(column))
         case Some(Zone("n", _, _)) => false // present but all null
         case Some(Zone("x", _, _)) => true // unsupported type: must read
         case Some(Zone("i" | "f", mn, mx)) =>
@@ -654,10 +707,13 @@ object TableStore {
             loOk && hiOk
           } catch { case _: NumberFormatException => true }
         case Some(Zone("s", mn, mx)) =>
-          (lo.forall { case l: String => utf8Cmp(dec(mx), l) >= 0
-                       case _ => true }) &&
+          // a corrupted escape in a stored bound must degrade to
+          // must-read, never crash the scan or skip wrongly
+          try (lo.forall { case l: String => utf8Cmp(dec(mx), l) >= 0
+                           case _ => true }) &&
             (hi.forall { case h: String => utf8Cmp(dec(mn), h) <= 0
                          case _ => true })
+          catch { case _: IllegalArgumentException => true }
         case _ => true // unknown kind from a future writer: must read
       }
     }
