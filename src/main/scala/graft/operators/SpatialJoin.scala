@@ -30,31 +30,43 @@ object SpatialJoin {
     * @return intersecting pairs (a_id, b_id, overlap_area) where
     *         overlap_area counts the closed-interval lattice overlap
     */
+  /** Uniform floor cell id (divide-then-truncate would make cell 0 span
+    * (-cell, cell) — double width, quadrupling the hottest cell's pair
+    * term for origin-centered data; floor matches RangeJoin's buckets). */
+  private def cellId(c: Column, cell: Long): Column =
+    floor(c.cast("double") / cell).cast("long")
+
   def bboxIntersect(a: DataFrame, b: DataFrame, cell: Long): DataFrame = {
     def cells(df: DataFrame, x0: String, x1: String, y0: String, y1: String) =
-      df.withColumn("cx", explode(sequence(col(x0).divide(cell).cast("long"),
-          col(x1).divide(cell).cast("long"))))
-        .withColumn("cy", explode(sequence(col(y0).divide(cell).cast("long"),
-          col(y1).divide(cell).cast("long"))))
+      df.withColumn("cx", explode(sequence(cellId(col(x0), cell),
+          cellId(col(x1), cell))))
+        .withColumn("cy", explode(sequence(cellId(col(y0), cell),
+          cellId(col(y1), cell))))
     val ac = cells(a, "ax0", "ax1", "ay0", "ay1")
     val bc = cells(b, "bx0", "bx1", "by0", "by1")
     ac.join(bc, Seq("cx", "cy"))
       .filter(col("ax0") <= col("bx1") && col("bx0") <= col("ax1") &&
         col("ay0") <= col("by1") && col("by0") <= col("ay1"))
       // reference-point dedup: emit only in the intersection's
-      // top-left cell, so no distinct pass is needed
-      .filter(col("cx") ===
-          greatest(col("ax0"), col("bx0")).divide(cell).cast("long") &&
-        col("cy") ===
-          greatest(col("ay0"), col("by0")).divide(cell).cast("long"))
+      // top-left cell, so no distinct pass is needed (same cellId as
+      // the explode — a mismatched rounding would LOSE pairs whose
+      // reference point rounds outside the exploded range)
+      .filter(col("cx") === cellId(greatest(col("ax0"), col("bx0")), cell) &&
+        col("cy") === cellId(greatest(col("ay0"), col("by0")), cell))
       .select(col("a_id"), col("b_id"),
         ((least(col("ax1"), col("bx1")) - greatest(col("ax0"), col("bx0")) + 1L) *
           (least(col("ay1"), col("by1")) - greatest(col("ay0"), col("by0")) + 1L))
           .as("overlap_area"))
   }
 
-  private def d2(px: Column, py: Column, qx: Column, qy: Column): Column =
-    (px - qx) * (px - qx) + (py - qy) * (py - qy)
+  // long arithmetic regardless of the caller's integer width: int
+  // inputs would otherwise overflow the product (axis gaps > 46k), and
+  // an int d2 feeding shiftleft(_, 33) is a MASKED 1-bit shift in Java
+  private def d2(px: Column, py: Column, qx: Column, qy: Column): Column = {
+    val (dx, dy) = (px.cast("long") - qx.cast("long"),
+      py.cast("long") - qy.cast("long"))
+    dx * dx + dy * dy
+  }
 
   /** Exact k-NN, brute-force pair space but BOUNDED shuffle: queries
     * broadcast against one corpus scan, then per-query top-k via the
@@ -80,15 +92,26 @@ object SpatialJoin {
     * (query_id, id, d2) candidate set, as a bounded codegen aggregate
     * over (d2, id) packed into one long: d2 in the high bits so packed
     * order IS (d2 asc, id asc). Exact iff 0 ≤ id < 2³³ and
-    * 0 ≤ d2 < 2³⁰ — integer-grid coordinates up to ~23k per axis. */
-  private def topKAsc(cand: DataFrame, k: Int): DataFrame =
+    * 0 ≤ d2 < 2³⁰ — integer-grid coordinates up to ~23k per axis —
+    * ENFORCED at runtime (a silent wrap would rank the farthest points
+    * first): out-of-range rows raise instead of mis-ranking. */
+  private def topKAsc(cand: DataFrame, k: Int): DataFrame = {
+    val id = col("id").cast("long")
+    val inRange = col("d2") >= 0L && col("d2") < (1L << 30) &&
+      id >= 0L && id < (1L << 33)
+    // assert_true is NULL when the condition holds — coalesce folds it
+    // into the packing for free, and a violation fails the job loudly
+    val packed = shiftleft(col("d2"), 33) + id +
+      coalesce(assert_true(inRange,
+        lit("spatial knn packing overflow: need 0 <= d2 < 2^30, " +
+          "0 <= id < 2^33")).cast("long"), lit(0L))
     cand.groupBy(col("query_id"))
-      .agg(TopK.minKPacked(k)(
-        shiftleft(col("d2"), 33) + col("id")).as("top"))
+      .agg(TopK.minKPacked(k)(packed).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "pk")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("pk").bitwiseAND((1L << 33) - 1L).as("id"),
         shiftright(col("pk"), 33).as("d2"))
+  }
 
   /** Exact grid-probed k-NN — the 100 TB plan. Points bucket once into
     * `cell`-sized grid cells; each query probes only its 3×3 cell
@@ -107,24 +130,28 @@ object SpatialJoin {
     */
   def knnGrid(pts: DataFrame, qs: DataFrame, k: Int, cell: Long): DataFrame = {
     val pc = pts.select(col("id"), col("px"), col("py"),
-      (col("px") / cell).cast("long").as("cx"),
-      (col("py") / cell).cast("long").as("cy"))
+      cellId(col("px"), cell).as("cx"), cellId(col("py"), cell).as("cy"))
     val probe = qs
-      .withColumn("cx", explode(sequence((col("qx") / cell).cast("long") - 1L,
-        (col("qx") / cell).cast("long") + 1L)))
-      .withColumn("cy", explode(sequence((col("qy") / cell).cast("long") - 1L,
-        (col("qy") / cell).cast("long") + 1L)))
+      .withColumn("cx", explode(sequence(cellId(col("qx"), cell) - 1L,
+        cellId(col("qx"), cell) + 1L)))
+      .withColumn("cy", explode(sequence(cellId(col("qy"), cell) - 1L,
+        cellId(col("qy"), cell) + 1L)))
     val cand = probe.join(pc, Seq("cx", "cy"))
       .select(col("query_id"), col("id"),
         d2(col("px"), col("py"), col("qx"), col("qy")).as("d2"))
     val guarantee = (cell + 1L) * (cell + 1L)
+    // materialize once: three consumers (resolved rows, the resolved-id
+    // anti-join, the final union) would otherwise re-run the probe join
+    // + aggregate — the dominant stage — per consumer. Result is
+    // k-bounded per query, so the checkpoint is tiny.
     val topped = topKAsc(cand, k)
       .withColumn("resolved",
         max(when(col("rank") === k && col("d2") < guarantee, true))
           .over(org.apache.spark.sql.expressions.Window.partitionBy("query_id")))
+      .localCheckpoint(true)
     val resolvedRows = topped.filter(col("resolved")).drop("resolved")
     val unresolved = qs.join(
-      topped.filter(col("resolved")).select(col("query_id")).distinct(),
+      resolvedRows.select(col("query_id")).distinct(),
       Seq("query_id"), "left_anti")
     resolvedRows.unionByName(knn(pts, unresolved, k))
   }

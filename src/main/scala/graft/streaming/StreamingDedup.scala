@@ -73,17 +73,23 @@ object StreamingDedup {
     * multiprobe: each arriving doc probes its own 16-bit fingerprint
     * plus every 1-bit flip (17 probe rows, a map-only explode), and the
     * stateful stage is keyed by PROBE BUCKET. A bucket's state holds
-    * only docs whose OWN fingerprint equals the bucket key (the
-    * identity row registers, flip rows only look), so a pair at
-    * distance d ≤ 1 meets in EXACTLY one bucket — identity for d = 0,
-    * the flipped differing bit for d = 1 — and each pair emits once,
+    * only docs whose OWN fingerprint equals the bucket key — the
+    * identity row registers, flip rows only look. A d ≤ 1 pair CO-
+    * OCCURS in two buckets (each doc's identity bucket holds the
+    * other's probe), but only the LATER arrival's probe row finds the
+    * earlier one registered, so each pair emits exactly once — the
+    * register-only-identity asymmetry is what carries the guarantee,
     * with no dedup stage after the stateful operator (append mode
-    * allows one).
+    * allows one). A replayed doc_id is neither re-registered nor
+    * re-matched in its identity bucket; a replayed FLIP row can still
+    * re-emit a d=1 pair (pair-level state would be needed to suppress
+    * that), so an at-least-once source should be fronted by
+    * [[exactByContent]] or treated as emitting at-least-once matches.
     *
-    * Emits (id_a = earlier doc, id_b = later doc, hamming, ts of the
-    * later doc). Within a micro-batch, arrival order is (ts, doc_id) —
-    * deterministic, matching the batch operator's id ordering when
-    * ids are assigned in time order.
+    * Emits (id_a = earlier-ARRIVING doc, id_b = later, hamming, ts of
+    * the later arrival). Within a micro-batch, processing order is
+    * (ts, doc_id) — deterministic; across batches it is arrival order,
+    * which tracks event time only as far as the source does.
     *
     * State is bounded the same way as [[exactByContent]]: entries whose
     * event time has fallen behind the watermark by more than `delayMs`
@@ -122,23 +128,29 @@ object StreamingDedup {
           var entries = state.getOption.map(_.entries).getOrElse(Nil)
             .filter(_.tsMs + delayMs >= wm)
           if (state.hasTimedOut) {
-            if (entries.isEmpty) state.remove()
-            else { // younger entries arrived since the timeout was set
-              state.update(BucketState(entries))
-              state.setTimeoutTimestamp(
-                entries.map(_.tsMs).max + delayMs + 1L)
-            }
+            // the timeout is always re-set past every entry's expiry on
+            // data visits, so by the time it fires the prune above has
+            // emptied the bucket — nothing can survive here
+            state.remove()
             Iterator.empty
           } else {
             val out = scala.collection.mutable.ArrayBuffer.empty[NearDupMatch]
             it.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
-              entries.foreach { e =>
-                if (e.docId != r.doc_id)
-                  out += NearDupMatch(e.docId, r.doc_id,
-                    java.lang.Long.bitCount(r.simhash ^ probe).toLong, r.ts)
+              // a replayed identity row (at-least-once source) is
+              // already registered: matching it again would emit every
+              // pair once per replay, registering it again would emit
+              // them once per duplicate entry forever after
+              val replay = r.simhash == probe &&
+                entries.exists(_.docId == r.doc_id)
+              if (!replay) {
+                entries.foreach { e =>
+                  if (e.docId != r.doc_id)
+                    out += NearDupMatch(e.docId, r.doc_id,
+                      java.lang.Long.bitCount(r.simhash ^ probe).toLong, r.ts)
+                }
+                if (r.simhash == probe)
+                  entries = BucketEntry(r.doc_id, r.ts.getTime) :: entries
               }
-              if (r.simhash == probe)
-                entries = BucketEntry(r.doc_id, r.ts.getTime) :: entries
             }
             if (entries.isEmpty) state.remove()
             else {

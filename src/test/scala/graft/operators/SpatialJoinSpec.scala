@@ -40,6 +40,37 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(got.map(_._3).toSeq == Seq(4L, 3L, 2L)) // nearest first
   }
 
+  test("negative coordinates: grid equals brute force (floor cells, not trunc)") {
+    val rnd = new Random(13)
+    val ps = (1L to 300L).map(i =>
+      (i, rnd.nextInt(2000).toLong - 1000L, rnd.nextInt(2000).toLong - 1000L))
+    val queries = (1L to 20L).map(i =>
+      (i, rnd.nextInt(2000).toLong - 1000L, rnd.nextInt(2000).toLong - 1000L))
+    // d2 can reach 2000^2*2 = 8e6 < 2^30: packing stays in range even
+    // though coordinates are signed
+    val brute = SpatialJoin.knn(pts(ps), qs(queries), k = 3)
+    val grid = SpatialJoin.knnGrid(pts(ps), qs(queries), k = 3, cell = 50L)
+    assert(sorted(grid).toSeq == sorted(brute).toSeq)
+  }
+
+  test("int-typed coordinate columns rank identically to long-typed") {
+    val ps = Seq((1, 10, 10), (2, 20, 20), (3, 500, 500), (4, 11, 9))
+      .toDF("id", "px", "py")
+    val queries = Seq((7, 10, 10)).toDF("query_id", "qx", "qy")
+    val got = SpatialJoin.knn(ps, queries, k = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(got.map(_._3).toSeq == Seq(1L, 4L, 2L))
+    assert(got.map(_._4).toSeq == Seq(0L, 2L, 200L))
+  }
+
+  test("coordinates past the packing envelope fail loudly, never mis-rank") {
+    val ps = Seq((1L, 0L, 0L), (2L, 60000L, 60000L)).toDF("id", "px", "py")
+    val queries = Seq((7L, 0L, 0L)).toDF("query_id", "qx", "qy")
+    val e = intercept[Exception](
+      SpatialJoin.knn(ps, queries, k = 2).collect())
+    assert(e.getMessage != null)
+  }
+
   test("guarantee boundary: kth candidate exactly at (cell+1)^2 is not trusted") {
     // query at a cell corner; an in-probe point at d2 == (cell+1)^2 ties
     // an out-of-probe point at the same d2 with a SMALLER id — only the

@@ -86,6 +86,18 @@ class StreamingNearDupSpec extends AnyFunSuite {
     assert(got.isEmpty)
   }
 
+  test("a replayed identity row neither re-emits nor amplifies later pairs") {
+    val dir = Files.createTempDirectory("sneardup-replay").toString
+    val text = "replay guard fixture tokens"
+    val got = streamed(dir, delayMs = 3600_000L, sink = "sneardup_rp_out",
+      Seq((1L, ts(0), text)),
+      Seq((1L, ts(0), text)),               // at-least-once replay of doc 1
+      Seq((2L, ts(2), text)))               // genuine dup arrives after
+    // exactly ONE (1,2) pair: the replayed registration must not have
+    // created a second entry, and the replay itself must not match
+    assert(got.toSeq == Seq((1L, 2L, 0L)))
+  }
+
   test("within the window, both hamming-0 and hamming-1 pairs emit once") {
     val dir = Files.createTempDirectory("sneardup-h1").toString
     // same tokens → d=0; one substituted token → usually d<=1 at 16 bits:
