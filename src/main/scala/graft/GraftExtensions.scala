@@ -25,36 +25,50 @@ object GraftExtensions {
   type FunctionDescription =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
+  /** Literal int/long of either width — SQL literals type per value
+    * (31 is INT, 3000000007 is BIGINT), so a fixed-width match would
+    * reject valid mixed-width calls. */
+  private object IntegralLit {
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, _) => Some(v)
+      case Literal(v: Int, _) => Some(v.toLong)
+      case _ => None
+    }
+  }
+
   val functions: Seq[FunctionDescription] = Seq(
     (new FunctionIdentifier("json_duplicate_keys"),
       new ExpressionInfo(classOf[JsonDuplicateKeys].getName, "json_duplicate_keys"),
-      (exprs: Seq[Expression]) => JsonDuplicateKeys(exprs.head)),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(j) => JsonDuplicateKeys(j)
+        case other => throw new IllegalArgumentException(
+          s"json_duplicate_keys(json_str) takes 1 argument — got ${other.size}")
+      }),
     (new FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (exprs: Seq[Expression]) => exprs match {
         case Seq(c) => RollingHash(c, 31L, 1000000007L)
-        case Seq(c, Literal(base: Long, _), Literal(mod: Long, _)) =>
+        case Seq(c, IntegralLit(base), IntegralLit(mod)) =>
           RollingHash(c, base, mod)
-        case Seq(c, Literal(base: Int, _), Literal(mod: Int, _)) =>
-          RollingHash(c, base.toLong, mod.toLong)
         case other => throw new IllegalArgumentException(
-          s"rolling_hash(str[, base, mod]) — got ${other.size} args")
+          "rolling_hash(str[, base, mod]) needs literal integer base/mod — " +
+          s"got ${other.size} args (${other.drop(1).map(_.dataType.catalogString).mkString(", ")})")
       }),
     (new FunctionIdentifier("z_order"),
       new ExpressionInfo(classOf[ZOrder2].getName, "z_order"),
       (exprs: Seq[Expression]) => exprs match {
         case Seq(x, y) => ZOrder2(x, y, 16)
-        case Seq(x, y, Literal(bits: Int, _)) => ZOrder2(x, y, bits)
+        case Seq(x, y, IntegralLit(bits)) => ZOrder2(x, y, bits.toInt)
         case other => throw new IllegalArgumentException(
-          s"z_order(x, y[, bits]) — got ${other.size} args")
+          s"z_order(x, y[, bits]) needs a literal integer bit width — got ${other.size} args")
       }),
     (new FunctionIdentifier("min_k_longs"),
       new ExpressionInfo(classOf[graft.functions.MinKLongs].getName, "min_k_longs"),
       (exprs: Seq[Expression]) => exprs match {
-        case Seq(c, Literal(k: Int, _)) =>
-          graft.functions.MinKLongs(c, k).toAggregateExpression()
+        case Seq(c, IntegralLit(k)) =>
+          graft.functions.MinKLongs(c, k.toInt).toAggregateExpression()
         case other => throw new IllegalArgumentException(
-          s"min_k_longs(packed_long, k) — got ${other.size} args")
+          s"min_k_longs(packed_long, k) needs a literal integer k — got ${other.size} args")
       }))
 
   /** Register into an already-built session (tests, REPLs). */

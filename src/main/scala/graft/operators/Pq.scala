@@ -179,9 +179,29 @@ object Pq {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, coarse: DataFrame,
                 codebooks: DataFrame, nprobe: Int, m: Int, subDim: Int,
                 k: Int): DataFrame = {
-    import graft.functions.VectorFunctions.norm
     val assignment = Similarity.ivfAssign(corpus, coarse)
       .select(col("id").as("vec_id"), col("cid").as("cell"))
+    val codes = encode(corpus, codebooks, m, subDim)
+      .withColumnRenamed("id", "vec_id")
+    ivfPqScore(queries, coarse, codebooks, assignment, codes,
+      nprobe, m, subDim, k, dedupCandidates = false)
+  }
+
+  /** The shared IVF→ADC scorer over PRECOMPUTED (assignment, codes)
+    * tables — [[ivfPqTopK]] passes freshly-encoded ones, a persistent
+    * index ([[VectorIndex.search]]) passes its stored tables, so the
+    * probe selection and tie-breaks cannot silently diverge between the
+    * computed and stored paths (the equality the index spec pins).
+    * `dedupCandidates` collapses IDENTICAL duplicate assignment/code
+    * rows (at-least-once index ingest) before the ADC sum — candidate-
+    * sized, skipped on the freshly-computed path where duplicates are
+    * impossible. */
+  private[operators] def ivfPqScore(queries: DataFrame, coarse: DataFrame,
+                                    codebooks: DataFrame, assignment: DataFrame,
+                                    codes: DataFrame, nprobe: Int, m: Int,
+                                    subDim: Int, k: Int,
+                                    dedupCandidates: Boolean): DataFrame = {
+    import graft.functions.VectorFunctions.norm
     val c = coarse.select(col("cid").as("cell"),
       col("embedding").as("cent_emb"), norm(col("embedding")).as("cent_norm"))
     val q = queries.select(col("id").as("query_id"),
@@ -195,15 +215,16 @@ object Pq {
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("cell"))
-    val codes = encode(corpus, codebooks, m, subDim)
-      .withColumnRenamed("id", "vec_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_q").desc, col("vec_id"))
-    assignment.join(broadcast(probes), Seq("cell"))
+    val cand0 = assignment.join(broadcast(probes), Seq("cell"))
       .join(codes, Seq("vec_id"))
-      .join(broadcast(lut(queries, codebooks, m, subDim)),
-            Seq("query_id", "m", "cid"))
       .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("cell"), col("vec_id"), col("m"),
+        col("cid"))
+    val cand = if (dedupCandidates) cand0.distinct() else cand0
+    cand.join(broadcast(lut(queries, codebooks, m, subDim)),
+        Seq("query_id", "m", "cid"))
       .groupBy(col("query_id"), col("vec_id"), col("cell"))
       .agg(sum(col("qd")).as("adc_q"))
       .select(col("query_id"), col("vec_id"), col("cell"), col("adc_q"),

@@ -31,11 +31,29 @@ final class VectorIndex(store: TableStore, name: String,
 
   private def t(suffix: String) = s"${name}_$suffix"
 
+  /** A required table, with a typed "rebuild me" failure instead of a
+    * bare None.get when a crashed build left the index partial. */
+  private def required(suffix: String): DataFrame =
+    store.read(t(suffix)).getOrElse(throw new IllegalStateException(
+      s"index '$name' is missing table '${t(suffix)}' — not built, or a " +
+      "build crashed mid-way; rebuild required"))
+
   /** Build the index from scratch: train quantizers on `corpus`
     * (id, embedding) with coarse centroids supplied (production trains
     * them offline via [[KMeans]]; q61 shows that path), then encode the
-    * whole corpus. Overwrites any previous index generation. */
+    * whole corpus. Overwrites any previous index generation.
+    *
+    * The four tables commit separately (TableStore is per-table
+    * atomic); the `meta` marker commits LAST, so a build that crashes
+    * mid-way leaves the marker ABSENT (or stale-epoch) and readers
+    * fail loudly instead of joining new quantizers to old codes —
+    * well-formed garbage scores otherwise. A search running
+    * CONCURRENTLY with a rebuild can still see mixed generations
+    * (cross-table snapshot isolation needs a top-level pointer commit);
+    * rebuilds should be fenced from queries operationally. */
   def build(corpus: DataFrame, coarse: DataFrame): Unit = {
+    import corpus.sparkSession.implicits._
+    val epoch = store.history(t("meta")).lastOption.map(_._1 + 1).getOrElse(0L)
     val codebooks = Pq.train(corpus, m, subDim, codebookK, trainIters)
     store.overwrite(t("coarse"), coarse.select(col("cid"), col("embedding")))
     store.overwrite(t("codebooks"), codebooks)
@@ -45,22 +63,40 @@ final class VectorIndex(store: TableStore, name: String,
     store.overwrite(t("codes"),
       Pq.encode(corpus, codebooks, m, subDim)
         .withColumnRenamed("id", "vec_id"))
+    store.overwrite(t("meta"), Seq(epoch).toDF("build_epoch"))
   }
+
+  private def requireComplete(): Unit =
+    if (store.read(t("meta")).isEmpty)
+      throw new IllegalStateException(
+        s"index '$name' has no build-complete marker — not built, or a " +
+        "build crashed before finishing; rebuild required")
 
   /** Incremental maintenance: assign + encode ONLY `newVectors`
     * (id, embedding) against the frozen quantizers and append — ingest
-    * cost is O(new vectors), independent of index size. */
+    * cost is O(new vectors + one vec_id-column scan of the assignment
+    * table). Already-indexed ids are DROPPED, not re-encoded: a
+    * re-seen id with a changed embedding would otherwise leave two
+    * code rows with different cids whose LUT entries BOTH join the
+    * ADC sum (the search-side distinct only collapses identical
+    * rows), roughly doubling that vector's score. Re-encoding an
+    * existing id is a rebuild, not a refresh. */
   def refresh(newVectors: DataFrame): Unit = {
-    val coarse = store.read(t("coarse")).getOrElse(
-      throw new IllegalStateException(s"index '$name' not built"))
-      .select(col("cid"), col("embedding"))
-    val codebooks = store.read(t("codebooks")).get
-    store.append(t("assign"),
-      Similarity.ivfAssign(newVectors, coarse)
-        .select(col("id").as("vec_id"), col("cid").as("cell")))
-    store.append(t("codes"),
-      Pq.encode(newVectors, codebooks, m, subDim)
-        .withColumnRenamed("id", "vec_id"))
+    requireComplete()
+    val coarse = required("coarse").select(col("cid"), col("embedding"))
+    val codebooks = required("codebooks")
+    val fresh = newVectors
+      .join(required("assign").select(col("vec_id").as("id")),
+        Seq("id"), "left_anti")
+      .localCheckpoint(true) // feeds two encoders: read the feed once
+    if (!fresh.isEmpty) {
+      store.append(t("assign"),
+        Similarity.ivfAssign(fresh, coarse)
+          .select(col("id").as("vec_id"), col("cid").as("cell")))
+      store.append(t("codes"),
+        Pq.encode(fresh, codebooks, m, subDim)
+          .withColumnRenamed("id", "vec_id"))
+    }
   }
 
   /** One step of the incremental-index loop: consume the `sourceTable`
@@ -76,7 +112,6 @@ final class VectorIndex(store: TableStore, name: String,
       .getOrElse(return sinceSeq) // source never written: nothing to do
     if (snap <= sinceSeq) return sinceSeq
     store.readChangesSince(sourceTable, sinceSeq, untilSeq = snap)
-      .filter(!_.isEmpty)
       .foreach(df => refresh(df.select(col("id"), col("embedding"))))
     snap
   }
@@ -104,45 +139,15 @@ final class VectorIndex(store: TableStore, name: String,
     * broadcast lookup table — the corpus-sized inputs touched are the
     * stored assignment and code tables, never the embeddings. */
   def search(queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
-    import graft.functions.VectorFunctions.{dot, norm}
-    import org.apache.spark.sql.expressions.Window
-    val coarse = store.read(t("coarse")).getOrElse(
-      throw new IllegalStateException(s"index '$name' not built"))
-    val codebooks = store.read(t("codebooks")).get
-    val assignment = store.read(t("assign")).get
-    val codes = store.read(t("codes")).get
-    val c = coarse.select(col("cid").as("cell"),
-      col("embedding").as("cent_emb"), norm(col("embedding")).as("cent_norm"))
-    val q = queries.select(col("id").as("query_id"),
-      col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cent_sim").desc, col("cell"))
-    val probes = q.crossJoin(broadcast(c))
-      .select(col("query_id"), col("cell"),
-        (dot(col("q_emb"), col("cent_emb")) / (col("q_norm") * col("cent_norm")))
-          .as("cent_sim"))
-      .withColumn("rn", row_number().over(probeW))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("cell"))
-    val lut = Pq.lut(queries, codebooks, m, subDim)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_q").desc, col("vec_id"))
-    assignment.join(broadcast(probes), Seq("cell"))
-      .join(codes, Seq("vec_id"))
-      .filter(col("vec_id") =!= col("query_id"))
-      // at-least-once ingest (refreshStream replay) can leave IDENTICAL
-      // duplicate assignment/code rows; collapse them here — after the
-      // probe join, so the distinct is candidate-sized, never
-      // corpus-sized — or the ADC sum below would double-count
-      .select(col("query_id"), col("cell"), col("vec_id"), col("m"),
-        col("cid"))
-      .distinct()
-      .join(broadcast(lut), Seq("query_id", "m", "cid"))
-      .groupBy(col("query_id"), col("vec_id"), col("cell"))
-      .agg(sum(col("qd")).as("adc_q"))
-      .select(col("query_id"), col("vec_id"), col("cell"), col("adc_q"),
-        (col("adc_q").cast("double") / 1e12).as("adc_hat"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    requireComplete()
+    // the ONE scorer, shared with Pq.ivfPqTopK, over the stored tables:
+    // probe selection and tie-breaks cannot diverge between the
+    // computed and stored paths. dedupCandidates collapses IDENTICAL
+    // duplicate assignment/code rows (at-least-once refreshStream
+    // replay) after the probe join — candidate-sized, never
+    // corpus-sized — or the ADC sum would double-count.
+    Pq.ivfPqScore(queries, required("coarse"), required("codebooks"),
+      required("assign"), required("codes"),
+      nprobe, m, subDim, k, dedupCandidates = true)
   }
 }

@@ -22,6 +22,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getSeq[String](3) == Seq("__PARSE_ERROR__"))
   }
 
+  test("mixed-width integer literals resolve; bad arity reports usage") {
+    GraftExtensions.registerAll(spark)
+    // 31 parses as INT, 3000000007 as BIGINT — both must be accepted
+    val r = spark.sql("SELECT rolling_hash('abc', 31, 3000000007) AS rh").head()
+    assert(r.getLong(0) == ((97L * 31 + 98) * 31 + 99) % 3000000007L)
+    val e = intercept[Exception](spark.sql("SELECT json_duplicate_keys('a','b')").head())
+    assert(e.getMessage.contains("takes 1 argument"))
+  }
+
   test("min_k_longs is SQL-callable as a grouped aggregate") {
     GraftExtensions.registerAll(spark)
     import spark.implicits._

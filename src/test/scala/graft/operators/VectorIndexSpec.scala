@@ -140,6 +140,46 @@ class VectorIndexSpec extends AnyFunSuite {
     intercept[IllegalStateException](idx.refresh(corpus))
   }
 
+  test("a re-ingested id with a CHANGED embedding cannot corrupt scores") {
+    val idx = freshIndex()
+    val half = corpus.filter(col("id") % 2 === 0)
+    val rest = corpus.filter(col("id") % 2 =!= 0)
+    idx.build(half, coarse)
+    idx.refresh(rest)
+    val queries = corpus.filter(col("id") < 5L)
+    val clean = asSet(idx.search(queries, nprobe = 2, k = 5))
+    // same ids, different vectors (e.g. a corrected embedding feed):
+    // refresh must DROP them — re-encoding under frozen quantizers
+    // would leave two code rows with different cids that both join the
+    // ADC sum. The index answer stays byte-identical.
+    val changed = rest.select(col("id"),
+      reverse(col("embedding")).as("embedding"))
+    idx.refresh(changed)
+    assert(asSet(idx.search(queries, nprobe = 2, k = 5)) == clean)
+  }
+
+  test("a partial build (missing completion marker) fails loudly, not garbage") {
+    val root = java.nio.file.Files.createTempDirectory("vecidx-part").toString
+    val store = new TableStore(spark, root)
+    val idx = new VectorIndex(store, "ann",
+      m = 4, subDim = 16, codebookK = 4, trainIters = 1)
+    // simulate a build that crashed before the marker: stage the four
+    // tables by hand, no meta
+    val cb = Pq.train(corpus, 4, 16, 4, 1)
+    store.overwrite("ann_coarse", coarse.select(col("cid"), col("embedding")))
+    store.overwrite("ann_codebooks", cb)
+    store.overwrite("ann_assign", Similarity.ivfAssign(corpus, coarse)
+      .select(col("id").as("vec_id"), col("cid").as("cell")))
+    store.overwrite("ann_codes", Pq.encode(corpus, cb, 4, 16)
+      .withColumnRenamed("id", "vec_id"))
+    val q = corpus.filter(col("id") < 5L)
+    intercept[IllegalStateException](idx.search(q, nprobe = 2, k = 5))
+    intercept[IllegalStateException](idx.refresh(corpus))
+    // a completed build over the same store heals it
+    idx.build(corpus, coarse)
+    assert(idx.search(q, nprobe = 2, k = 5).count() > 0)
+  }
+
   test("change-feed polling indexes each appended batch exactly once") {
     val root = java.nio.file.Files.createTempDirectory("vecidx-feed").toString
     val store = new TableStore(spark, root)
