@@ -67,4 +67,61 @@ object Decontaminate {
         coalesce(col("max_overlap"), lit(0.0)).as("max_overlap"),
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
   }
+
+  /** SEMANTIC decontamination: train docs whose EMBEDDING is
+    * near-cosine-identical to a benchmark doc's — catches paraphrases
+    * and translations that share no n-gram (the gap [[overlapPairs]]
+    * can't see). Same LSH shape as [[Dedup.embeddingNearDup]] but
+    * across two tables: both sides bucket by the shared hyperplane
+    * family (map-only), candidates come from the bucket equi-join with
+    * the (tiny) benchmark side broadcast, exact cosine verifies. The
+    * train corpus is scanned once and never shuffled; recall is the
+    * usual LSH trade (pairs straddling a plane are missed — raise
+    * nPlanes bands or probe flipped buckets to tighten).
+    * Inputs: (id, embedding) both sides.
+    * Output: (train_id, bench_id, bucket, sim ≥ threshold). */
+  def semantic(train: DataFrame, bench: DataFrame, threshold: Double,
+               nPlanes: Int, dim: Int): DataFrame =
+    semanticImpl(train, bench, threshold, nPlanes, dim, probeFlips = false)
+
+  /** [[semantic]] with Hamming-1 multiprobe on the bench side: each
+    * benchmark vector probes its own bucket plus every 1-bit flip
+    * (nPlanes+1 keys — the bench side is tiny, so the probe explode is
+    * free), recovering every pair whose buckets differ by one plane.
+    * A pair at bucket distance d ≤ 1 collides on exactly one probe key
+    * (identity for d=0, the flipped plane for d=1), so the equi-join
+    * emits each pair once — still no pair space, still one corpus
+    * scan. The remaining misses straddle ≥ 2 planes at once
+    * (q121 measures the difference instead of guessing). */
+  def semanticProbed(train: DataFrame, bench: DataFrame, threshold: Double,
+                     nPlanes: Int, dim: Int): DataFrame =
+    semanticImpl(train, bench, threshold, nPlanes, dim, probeFlips = true)
+
+  private def semanticImpl(train: DataFrame, bench: DataFrame,
+                           threshold: Double, nPlanes: Int, dim: Int,
+                           probeFlips: Boolean): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val t = train.select(
+      hyperplaneBucket(col("embedding"), nPlanes, dim).as("bucket"),
+      col("id").as("train_id"), col("embedding").as("train_emb"),
+      norm(col("embedding")).as("train_nrm"))
+    val b0 = bench.select(
+      hyperplaneBucket(col("embedding"), nPlanes, dim).as("own_bucket"),
+      col("id").as("bench_id"), col("embedding").as("bench_emb"),
+      norm(col("embedding")).as("bench_nrm"))
+    val b =
+      if (!probeFlips) b0.withColumn("bucket", col("own_bucket"))
+      else b0.select(col("bench_id"), col("bench_emb"), col("bench_nrm"),
+        explode(array(
+          (0 until nPlanes).map(j =>
+            col("own_bucket").bitwiseXOR(lit(1L << j))) :+ col("own_bucket")
+            : _*)).as("bucket"))
+    t.join(broadcast(b.select(col("bucket"), col("bench_id"),
+        col("bench_emb"), col("bench_nrm"))), Seq("bucket"))
+      .filter(col("train_id") =!= col("bench_id"))
+      .select(col("train_id"), col("bench_id"), col("bucket"),
+        (dot(col("train_emb"), col("bench_emb"))
+          / (col("train_nrm") * col("bench_nrm"))).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
 }

@@ -109,6 +109,68 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Near-dup pairs between a NEW batch and an already-processed corpus
+    * — the incremental-crawl shape: dedupe incoming documents against
+    * everything ingested so far without touching the corpus text.
+    * Candidates come from the batch-bands ⋈ corpus-bands equi-join
+    * (shuffle sized by the batch plus colliding corpus rows, never the
+    * corpus pair space); verification is SIGNATURE AGREEMENT — the
+    * fraction of matching minhash slots, the standard unbiased Jaccard
+    * estimator — rather than exact shingle Jaccard, because the
+    * incremental path must work from stored signatures alone
+    * ([[graft.operators.NearDupIndex]] persists signatures and band
+    * keys, not text; re-shingling the corpus would re-read 100 TB per
+    * batch). Batch-internal duplicates are [[minhashLsh]]'s job.
+    * Output: (new_id, corpus_id, est_jaccard ≥ minEst). */
+  def minhashLshAcross(batch: DataFrame, corpus: DataFrame,
+                       idCol: String, textCol: String,
+                       shingleN: Int = 3, k: Int = 8, bands: Int = 2,
+                       minEst: Double = 0.5): DataFrame = {
+    // each side's signatures feed its band derivation AND the estimate
+    // join: materialize once per side
+    val bs = minhashSignatures(shingleRows(batch, idCol, textCol, shingleN), k)
+      .localCheckpoint(eager = true)
+    val cs = minhashSignatures(shingleRows(corpus, idCol, textCol, shingleN), k)
+      .localCheckpoint(eager = true)
+    sigEstimatePairs(bs, lshBands(bs, bands, k / bands),
+                     cs, lshBands(cs, bands, k / bands), k, minEst)
+  }
+
+  /** The shared cross-corpus scorer over (signature, band) tables —
+    * [[minhashLshAcross]] passes freshly-computed ones, the persistent
+    * [[graft.operators.NearDupIndex]] passes its stored tables, so
+    * candidate generation and the slot-agreement estimate cannot
+    * silently diverge between the computed and stored paths. The final
+    * distinct is pair-sized and collapses the duplicate rows an
+    * at-least-once index ingest can leave. */
+  private[operators] def sigEstimatePairs(batchSig: DataFrame,
+                                          batchBands: DataFrame,
+                                          corpusSig: DataFrame,
+                                          corpusBands: DataFrame,
+                                          k: Int, minEst: Double): DataFrame = {
+    val cand = batchBands
+      .select(col("band"), col("band_key"), col("doc_id").as("new_id"))
+      .join(corpusBands.select(col("band"), col("band_key"),
+                               col("doc_id").as("corpus_id")),
+            Seq("band", "band_key"))
+      .select(col("new_id"), col("corpus_id"))
+      .distinct()
+    val a = batchSig.select(
+      col("doc_id").as("new_id") +:
+        (0 until k).map(j => col(s"h$j").as(s"a_h$j")): _*)
+    val b = corpusSig.select(
+      col("doc_id").as("corpus_id") +:
+        (0 until k).map(j => col(s"h$j").as(s"b_h$j")): _*)
+    val nMatch = (0 until k)
+      .map(j => when(col(s"a_h$j") === col(s"b_h$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(a, Seq("new_id")).join(b, Seq("corpus_id"))
+      .select(col("new_id"), col("corpus_id"),
+        (nMatch.cast("double") / k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
+      .distinct()
+  }
+
   /** Connected components over near-dup pairs → duplicate clusters with
     * the min-id member as the canonical document (what a dedup pipeline
     * actually drops rows by). Iterative min-label propagation: each

@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.gdl.TableStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Persistent MinHash-LSH document index over a [[TableStore]] — the
+  * document analogue of [[VectorIndex]], and the operator behind
+  * incremental crawl dedup: ingest a corpus once, then dedupe each
+  * incoming batch against everything seen so far in O(batch), never
+  * re-reading or re-shingling corpus text.
+  *
+  * Stored tables (all per-table atomic in the TableStore commit log):
+  *  - `<name>_sig`   — (doc_id, h0..h{k-1}) minhash signatures
+  *  - `<name>_bands` — (doc_id, band, band_key) LSH bucket keys
+  *  - `<name>_meta`  — build-complete marker, committed LAST so a build
+  *    that crashes mid-way leaves the marker absent and readers fail
+  *    loudly instead of joining half-written tables.
+  *
+  * The hash family is parameter-determined (md5-derived, no trained
+  * state), so batch-side signatures computed at query time are directly
+  * comparable with stored ones — there is nothing to "retrain" and a
+  * refresh can never drift from the build. Scale: a query shuffles the
+  * batch bands against the stored band table (equi-join on band_key);
+  * the corpus-sized tables are only ever scanned, never crossed.
+  *
+  * Verification is signature agreement (matching-slot fraction, the
+  * unbiased Jaccard estimator) because the index stores signatures, not
+  * text — see [[Dedup.minhashLshAcross]], which shares the scorer so
+  * the stored and computed paths cannot diverge.
+  */
+final class NearDupIndex(store: TableStore, name: String,
+                         shingleN: Int = 3, k: Int = 8, bands: Int = 2) {
+
+  private def t(suffix: String) = s"${name}_$suffix"
+
+  private def required(suffix: String): DataFrame =
+    store.read(t(suffix)).getOrElse(throw new IllegalStateException(
+      s"near-dup index '$name' is missing table '${t(suffix)}' — not " +
+      "built, or a build crashed mid-way; rebuild required"))
+
+  private def requireComplete(): Unit =
+    if (store.read(t("meta")).isEmpty)
+      throw new IllegalStateException(
+        s"near-dup index '$name' has no build-complete marker — not " +
+        "built, or a build crashed before finishing; rebuild required")
+
+  private def signatures(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    Dedup.minhashSignatures(
+      Dedup.shingleRows(docs, idCol, textCol, shingleN), k)
+
+  /** Index `docs` (idCol, textCol) from scratch, overwriting any
+    * previous generation. The meta marker commits last (crash safety —
+    * see class doc). */
+  def build(docs: DataFrame, idCol: String, textCol: String): Unit = {
+    import docs.sparkSession.implicits._
+    val epoch = store.history(t("meta")).lastOption.map(_._1 + 1).getOrElse(0L)
+    // signatures feed the band derivation and the stored table: one pass
+    val sig = signatures(docs, idCol, textCol).localCheckpoint(eager = true)
+    store.overwrite(t("sig"), sig)
+    store.overwrite(t("bands"), Dedup.lshBands(sig, bands, k / bands))
+    store.overwrite(t("meta"), Seq(epoch).toDF("build_epoch"))
+  }
+
+  /** Add `newDocs` to the index — O(new docs + one doc_id-column scan
+    * of the stored signatures). Already-indexed ids are DROPPED, not
+    * re-signed: a re-seen id with changed text would otherwise leave
+    * two signature rows whose band keys BOTH generate candidates and
+    * whose slot agreement is ambiguous. Re-ingesting an existing id is
+    * a rebuild, not a refresh. */
+  def refresh(newDocs: DataFrame, idCol: String, textCol: String): Unit = {
+    requireComplete()
+    val fresh = newDocs
+      .join(required("sig").select(col("doc_id").as(idCol)),
+        Seq(idCol), "left_anti")
+    val sig = signatures(fresh, idCol, textCol).localCheckpoint(eager = true)
+    if (!sig.isEmpty) {
+      store.append(t("sig"), sig)
+      store.append(t("bands"), Dedup.lshBands(sig, bands, k / bands))
+    }
+  }
+
+  /** One step of the incremental-index loop: consume the `sourceTable`
+    * change feed past `sinceSeq` (document rows), index whatever is
+    * new, and return the seq to checkpoint for the next poll. Snapshot-
+    * first, so the step is exactly-once under concurrent appends —
+    * rows committed after the snapshot wait for the next poll, never
+    * skipped or double-indexed (see [[VectorIndex.refreshFrom]], the
+    * same discipline). Propagates the feed's typed failures (an
+    * overwritten source needs a rebuild; vacuumed history a
+    * re-bootstrap). */
+  def refreshFrom(sourceTable: String, sinceSeq: Long,
+                  idCol: String, textCol: String): Long = {
+    val snap = store.history(sourceTable).lastOption.map(_._1)
+      .getOrElse(return sinceSeq) // source never written: nothing to do
+    if (snap <= sinceSeq) return sinceSeq
+    store.readChangesSince(sourceTable, sinceSeq, untilSeq = snap)
+      .foreach(df => refresh(df.select(col(idCol), col(textCol)),
+                             idCol, textCol))
+    snap
+  }
+
+  /** Streaming form: each micro-batch of documents is signed against
+    * the parameter-determined hash family and appended, keeping the
+    * index current with a live crawl. Caller starts/stops the returned
+    * writer (and owns the checkpoint location). foreachBatch's
+    * at-least-once replay on restart is harmless here — [[refresh]]
+    * anti-joins already-indexed ids, so a replayed batch appends
+    * nothing at all. */
+  def refreshStream(stream: DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          refresh(batch.select(col(idCol), col(textCol)), idCol, textCol)
+      }
+
+  /** Near-dup pairs between `batch` (idCol, textCol) and the indexed
+    * corpus: (new_id, corpus_id, est_jaccard ≥ minEst). Runs the SAME
+    * scorer as [[Dedup.minhashLshAcross]] over the stored tables; the
+    * pair-sized distinct inside it collapses duplicate rows left by an
+    * at-least-once ingest retry. */
+  def query(batch: DataFrame, idCol: String, textCol: String,
+            minEst: Double = 0.5): DataFrame = {
+    requireComplete()
+    val bs = signatures(batch, idCol, textCol).localCheckpoint(eager = true)
+    Dedup.sigEstimatePairs(bs, Dedup.lshBands(bs, bands, k / bands),
+      required("sig"), required("bands"), k, minEst)
+  }
+}

@@ -20,6 +20,33 @@ object EventOps {
   private val gapUs = 30L * 60 * 1000 * 1000 // 30-minute session gap
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Time-series gap fill + LOCF — densify each user's hourly series
+    // over their observed span and carry the last observed hourly sum
+    // through silent hours (the dashboard/feature-freshness op). The
+    // grid explode is per-user-span-sized; the fill window partitions
+    // per user — never a global sort. First grid hour is always
+    // observed (the span starts at an observation), so no null survives.
+    "q122_gap_fill" -> ((s, d) => {
+      val hourUs = 3600000000L
+      val obs = Tables.load(s, d, "events")
+        .groupBy(col("user_id"),
+                 unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(col("value").cast(DecimalType(18, 2))).cast("double")
+               .as("hour_sum"))
+      val grid = obs.groupBy(col("user_id"))
+        .agg(min(col("hour_us")).as("lo"), max(col("hour_us")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), lit(hourUs))).as("hour_us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hour_us"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("user_id", "hour_us"), "left")
+        .select(col("user_id"), col("hour_us"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("hour_sum"), ignoreNulls = true).over(w).as("value_filled"),
+          when(col("n_events").isNull, 1L).otherwise(0L).as("is_gap"))
+    }),
+
     // Tumbling hourly window per event type: count + exact-decimal sum.
     "q29_window_agg" -> ((s, d) => {
       Tables.load(s, d, "events")
@@ -338,6 +365,30 @@ object EventOps {
                 CAST(a.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE)
                   AS retention
          FROM active a JOIN sizes s USING (cohort_week)""",
+
+    "q122_gap_fill" ->
+      """WITH obs AS (SELECT user_id,
+                            epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                              AS hour_us,
+                            CAST(count(*) AS BIGINT) AS n_events,
+                            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                              AS hour_sum
+                     FROM events GROUP BY 1, 2),
+          span AS (SELECT user_id, min(hour_us) AS lo, max(hour_us) AS hi
+                   FROM obs GROUP BY user_id),
+          grid AS (SELECT user_id, CAST(t.h AS BIGINT) AS hour_us
+                   FROM span, unnest(range(lo, hi + 1, 3600000000)) AS t(h)),
+          j AS (SELECT g.user_id, g.hour_us, o.n_events, o.hour_sum
+                FROM grid g LEFT JOIN obs o
+                  ON o.user_id = g.user_id AND o.hour_us = g.hour_us)
+          SELECT user_id, hour_us,
+                 coalesce(n_events, 0) AS n_events,
+                 last_value(hour_sum IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY hour_us
+                         ROWS UNBOUNDED PRECEDING) AS value_filled,
+                 CAST(CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                   AS is_gap
+          FROM j""",
 
     "q29_window_agg" ->
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,

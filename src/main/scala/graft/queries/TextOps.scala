@@ -109,6 +109,17 @@ object TextOps {
     "q24_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(Tables.load(s, d, "documents"), "doc_id", "text")),
 
+    // Incremental-crawl dedup: a new batch (doc_id < 100) against the
+    // already-ingested corpus (the rest), candidates from the cross
+    // band join, verified by minhash-slot agreement — the stored-
+    // signature path a persistent index (NearDupIndex) uses, where
+    // corpus text is never re-read.
+    "q116_incremental_neardup" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      Dedup.minhashLshAcross(docs.filter(col("doc_id") < 100L),
+        docs.filter(col("doc_id") >= 100L), "doc_id", "text")
+    }),
+
     // All-pairs char-3-gram Jaccard on a bounded block (test-scale path).
     "q25_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(
@@ -283,6 +294,61 @@ object TextOps {
              (sum(col("n_tokens")).cast("double") / 2048.0).as("fill_ratio"))
     }),
 
+    // Epoch-deterministic global shuffle — the training-order step: each
+    // epoch re-permutes the corpus by a hash key so runs are replayable
+    // (same data + epoch → same order) with no stateful RNG. The order
+    // is (epoch, shard, pos): shards are hash-assigned and independent,
+    // so each rank window is corpus/nShards-sized — nShards scales with
+    // the cluster; no global row_number anywhere.
+    "q118_epoch_shuffle" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("epoch"), col("shard"))
+        .orderBy(col("skey"), col("doc_id"))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), explode(array(lit(0L), lit(1L))).as("epoch"))
+        .withColumn("skey",
+          md5(concat(lit("e"), col("epoch").cast("string"), lit("|"),
+                     col("doc_id").cast("string"))))
+        .withColumn("shard",
+          conv(substring(col("skey"), 1, 4), 16, 10).cast("long") % 8)
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+    }),
+
+    // Length-bucketed batching — pad-efficiency prep: documents batch
+    // with similar-length ones (bucket = token-length band), batches
+    // form within hash shards so the rank window never sees more than
+    // bucket/nShards rows; batch_max is what every sequence in the
+    // batch pads to, pad_waste the per-doc cost of the bucketing.
+    "q119_length_buckets" -> ((s, d) => {
+      val byBucket = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket"), col("shard")).orderBy(col("doc_id"))
+      val byBatch = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket"), col("shard"), col("batch_idx"))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
+          (conv(substring(md5(concat(lit("b|"), col("doc_id").cast("string"))),
+                          1, 4), 16, 10).cast("long") % 4).as("shard"))
+        .withColumn("bucket", floor(col("n_tokens") / 16L))
+        .withColumn("batch_idx",
+          floor((row_number().over(byBucket) - 1) / 4).cast("long"))
+        .withColumn("batch_max", max(col("n_tokens")).over(byBatch))
+        .select(col("doc_id"), col("n_tokens"), col("bucket"), col("shard"),
+          col("batch_idx"), col("batch_max"),
+          (col("batch_max") - col("n_tokens")).as("pad_waste"))
+    }),
+
+    // Pivot (long→wide): per-source language-count matrix. The value
+    // domain is declared, so Spark skips the extra distinct-values job
+    // and the plan is ONE map-side-combinable aggregate — wide output
+    // columns, not wide shuffles. Absent cells fill 0.
+    "q123_pivot" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
     // Sparse all-pairs tf-idf cosine through an inverted index: word
     // 3-gram terms, df ∈ [2,10] pruning (hubs explode the postings
     // self-join and idf down-weights them anyway), quantized idf /
@@ -397,6 +463,36 @@ object TextOps {
   }
 
   def oracles: Map[String, String] = Map(
+    "q116_incremental_neardup" -> {
+      val sigCols = (0 until 8).map(j =>
+        s"min(md5('$j|' || shingle)) AS h$j").mkString(", ")
+      val nMatch = (0 until 8).map(j =>
+        s"CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+          sh0 AS (SELECT doc_id,
+                         unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                                i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1]
+                                     || ' ' || w[CAST(i AS INTEGER) + 2])) AS shingle
+                  FROM toks),
+          sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+          sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS band_key FROM sig
+            UNION ALL
+            SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS band_key FROM sig),
+          cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.band_key = b.band_key
+                   WHERE a.doc_id < 100 AND b.doc_id >= 100)
+          SELECT CAST(c.new_id AS BIGINT) AS new_id,
+                 CAST(c.corpus_id AS BIGINT) AS corpus_id,
+                 CAST($nMatch AS DOUBLE) / 8.0 AS est_jaccard
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.new_id
+          JOIN sig sb ON sb.doc_id = c.corpus_id
+          WHERE CAST($nMatch AS DOUBLE) / 8.0 >= 0.5"""
+    },
+
     "q18_token_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
           SELECT doc_id,
@@ -624,7 +720,52 @@ object TextOps {
                  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
                  CAST(sum(n_tokens) AS DOUBLE) / 2048.0 AS fill_ratio
           FROM c
-          GROUP BY source, floor((cum - n_tokens) / 2048)"""
+          GROUP BY source, floor((cum - n_tokens) / 2048)""",
+
+    "q123_pivot" -> {
+      val cols = Seq("de", "en", "es", "fr", "zh").map(l =>
+        s"CAST(count(*) FILTER (WHERE lang = '$l') AS BIGINT) AS $l")
+        .mkString(",\n                 ")
+      s"""SELECT source,
+                 $cols
+          FROM documents GROUP BY source"""
+    },
+
+    "q118_epoch_shuffle" ->
+      """WITH e AS (SELECT doc_id, CAST(t.e AS BIGINT) AS epoch,
+                           md5('e' || CAST(t.e AS VARCHAR) || '|'
+                               || CAST(doc_id AS VARCHAR)) AS skey
+                    FROM documents, unnest([0, 1]) AS t(e)),
+          s AS (SELECT doc_id, epoch, skey,
+                       CAST('0x' || substr(skey, 1, 4) AS BIGINT) % 8 AS shard
+                FROM e)
+          SELECT epoch, CAST(shard AS BIGINT) AS shard,
+                 CAST(row_number() OVER (PARTITION BY epoch, shard
+                                         ORDER BY skey, doc_id) AS BIGINT) AS pos,
+                 doc_id
+          FROM s""",
+
+    "q119_length_buckets" ->
+      s"""WITH t AS (SELECT doc_id,
+                            CAST(len($toksSql) AS BIGINT) AS n_tokens,
+                            CAST('0x' || substr(md5('b|' || CAST(doc_id AS VARCHAR)),
+                                                1, 4) AS BIGINT) % 4 AS shard
+                     FROM documents),
+          b AS (SELECT doc_id, n_tokens, CAST(shard AS BIGINT) AS shard,
+                       n_tokens // 16 AS bucket
+                FROM t),
+          r AS (SELECT *, row_number() OVER (PARTITION BY bucket, shard
+                                             ORDER BY doc_id) AS rn
+                FROM b),
+          g AS (SELECT doc_id, n_tokens, bucket, shard,
+                       CAST((rn - 1) // 4 AS BIGINT) AS batch_idx
+                FROM r)
+          SELECT doc_id, n_tokens, bucket, shard, batch_idx,
+                 CAST(max(n_tokens) OVER (PARTITION BY bucket, shard, batch_idx)
+                      AS BIGINT) AS batch_max,
+                 CAST(max(n_tokens) OVER (PARTITION BY bucket, shard, batch_idx)
+                      - n_tokens AS BIGINT) AS pad_waste
+          FROM g"""
   ) ++ sparseCosineOracle
 
   private def sparseCosineOracle: Map[String, String] = Map(

@@ -163,6 +163,66 @@ object VectorOps {
         nPlanes = 2, dim = 64)
     }),
 
+    // Semantic decontamination: training vectors near-cosine-identical
+    // to a benchmark embedding (vec_id < 20 plays the benchmark set) —
+    // catches paraphrases that share no n-gram with q63's check. Bucket
+    // equi-join with the benchmark side broadcast; one corpus scan.
+    "q117_semantic_decontam" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      graft.operators.Decontaminate.semantic(
+        e.filter(col("id") >= 20L), e.filter(col("id") < 20L),
+        threshold = 0.3, nPlanes = 2, dim = 64)
+    }),
+
+    // q117 with Hamming-1 multiprobe on the benchmark side: each bench
+    // vector also probes every 1-bit-flipped bucket, recovering pairs
+    // that straddle exactly one hyperplane. Pairs collide on exactly
+    // one probe key, so the equi-join emits each once.
+    "q120_semantic_decontam_mp" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      graft.operators.Decontaminate.semanticProbed(
+        e.filter(col("id") >= 20L), e.filter(col("id") < 20L),
+        threshold = 0.3, nPlanes = 2, dim = 64)
+    }),
+
+    // LSH decontamination recall, measured not guessed: per benchmark
+    // vector, how many of the exact-cosine contamination pairs the
+    // single-bucket (q117) and multiprobe (q120) variants each recover.
+    // The exact side is a broadcast-bench × one-corpus-scan count — the
+    // same shape as q26, not a shuffled pair space.
+    "q121_semantic_decontam_recall" -> ((s, d) => {
+      import graft.functions.VectorFunctions._
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      val train = e.filter(col("id") >= 20L)
+      val bench = e.filter(col("id") < 20L)
+      val exact = train
+        .select(col("id").as("train_id"), col("embedding").as("t_emb"),
+                norm(col("embedding")).as("t_nrm"))
+        .crossJoin(broadcast(bench.select(col("id").as("bench_id"),
+          col("embedding").as("b_emb"), norm(col("embedding")).as("b_nrm"))))
+        .filter(dot(col("t_emb"), col("b_emb"))
+          / (col("t_nrm") * col("b_nrm")) >= 0.3)
+        .groupBy(col("bench_id")).agg(count(lit(1)).as("n_exact"))
+      def counted(df: org.apache.spark.sql.DataFrame, as: String) =
+        df.groupBy(col("bench_id")).agg(count(lit(1)).as(as))
+      val single = counted(graft.operators.Decontaminate.semantic(
+        train, bench, 0.3, 2, 64), "n_single")
+      val probed = counted(graft.operators.Decontaminate.semanticProbed(
+        train, bench, 0.3, 2, 64), "n_probed")
+      exact.join(single, Seq("bench_id"), "left")
+        .join(probed, Seq("bench_id"), "left")
+        .select(col("bench_id"), col("n_exact"),
+          coalesce(col("n_single"), lit(0L)).as("n_single"),
+          coalesce(col("n_probed"), lit(0L)).as("n_probed"))
+        .withColumn("recall_single",
+          col("n_single").cast("double") / col("n_exact").cast("double"))
+        .withColumn("recall_probed",
+          col("n_probed").cast("double") / col("n_exact").cast("double"))
+    }),
+
     // IVF coarse-quantizer training: 2 Lloyd's rounds, k=8,
     // deterministic init + tie-free quantized centroid means, so the
     // whole training run is value-checkable against the unrolled SQL
@@ -534,6 +594,94 @@ object VectorOps {
                          / (a.nrm * b2.nrm) AS sim
                 FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id)
           SELECT id_a, id_b, bucket, sim FROM p WHERE sim >= 0.3"""
+    },
+
+    // q35's bucketed LSH across the train/bench split: the benchmark
+    // side is ids < 20, train is the rest; same hyperplane family.
+    "q117_semantic_decontam" -> {
+      val planeSql = (j: Int) =>
+        s"""list_transform(range(1, 65),
+              i -> (CAST('0x' || substr(md5('${j}_' || CAST(i AS VARCHAR)), 1, 4)
+                         AS BIGINT) - 32768) / 32768.0)"""
+      val bits = (0 until 2).map { j =>
+        s"""CASE WHEN (SELECT ${dotSql("e.embedding", "p")}
+                       FROM (SELECT ${planeSql(j)} AS p)) >= 0.0
+                 THEN ${1L << j} ELSE 0 END"""
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT vec_id AS id, embedding,
+                            CAST($bits AS BIGINT) AS bucket,
+                            sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
+                     FROM embeddings e),
+          p AS (SELECT t.id AS train_id, q.id AS bench_id, t.bucket,
+                       (${dotSql("t.embedding", "q.embedding")})
+                         / (t.nrm * q.nrm) AS sim
+                FROM b t JOIN b q ON t.bucket = q.bucket
+                 AND t.id >= 20 AND q.id < 20)
+          SELECT train_id, bench_id, bucket, sim FROM p WHERE sim >= 0.3"""
+    },
+
+    // q117's join widened to bucket Hamming ≤ 1 (the multiprobe
+    // equi-join and this θ-join agree pair-for-pair: a pair at bucket
+    // distance d ≤ 1 collides on exactly one probe key).
+    "q120_semantic_decontam_mp" -> {
+      val planeSql = (j: Int) =>
+        s"""list_transform(range(1, 65),
+              i -> (CAST('0x' || substr(md5('${j}_' || CAST(i AS VARCHAR)), 1, 4)
+                         AS BIGINT) - 32768) / 32768.0)"""
+      val bits = (0 until 2).map { j =>
+        s"""CASE WHEN (SELECT ${dotSql("e.embedding", "p")}
+                       FROM (SELECT ${planeSql(j)} AS p)) >= 0.0
+                 THEN ${1L << j} ELSE 0 END"""
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT vec_id AS id, embedding,
+                            CAST($bits AS BIGINT) AS bucket,
+                            sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
+                     FROM embeddings e),
+          p AS (SELECT t.id AS train_id, q.id AS bench_id, t.bucket,
+                       (${dotSql("t.embedding", "q.embedding")})
+                         / (t.nrm * q.nrm) AS sim
+                FROM b t JOIN b q ON bit_count(xor(t.bucket, q.bucket)) <= 1
+                 AND t.id >= 20 AND q.id < 20)
+          SELECT train_id, bench_id, bucket, sim FROM p WHERE sim >= 0.3"""
+    },
+
+    "q121_semantic_decontam_recall" -> {
+      val planeSql = (j: Int) =>
+        s"""list_transform(range(1, 65),
+              i -> (CAST('0x' || substr(md5('${j}_' || CAST(i AS VARCHAR)), 1, 4)
+                         AS BIGINT) - 32768) / 32768.0)"""
+      val bits = (0 until 2).map { j =>
+        s"""CASE WHEN (SELECT ${dotSql("e.embedding", "p")}
+                       FROM (SELECT ${planeSql(j)} AS p)) >= 0.0
+                 THEN ${1L << j} ELSE 0 END"""
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT vec_id AS id, embedding,
+                            CAST($bits AS BIGINT) AS bucket,
+                            sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
+                     FROM embeddings e),
+          sims AS (SELECT t.id AS train_id, q.id AS bench_id,
+                          t.bucket AS t_bucket, q.bucket AS q_bucket,
+                          (${dotSql("t.embedding", "q.embedding")})
+                            / (t.nrm * q.nrm) AS sim
+                   FROM b t JOIN b q ON t.id >= 20 AND q.id < 20),
+          ex AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS n_exact
+                 FROM sims WHERE sim >= 0.3 GROUP BY bench_id),
+          sg AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS n_single
+                 FROM sims WHERE sim >= 0.3 AND t_bucket = q_bucket
+                 GROUP BY bench_id),
+          pr AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS n_probed
+                 FROM sims WHERE sim >= 0.3
+                  AND bit_count(xor(t_bucket, q_bucket)) <= 1
+                 GROUP BY bench_id)
+          SELECT ex.bench_id, ex.n_exact,
+                 coalesce(sg.n_single, 0) AS n_single,
+                 coalesce(pr.n_probed, 0) AS n_probed,
+                 CAST(coalesce(sg.n_single, 0) AS DOUBLE)
+                   / CAST(ex.n_exact AS DOUBLE) AS recall_single,
+                 CAST(coalesce(pr.n_probed, 0) AS DOUBLE)
+                   / CAST(ex.n_exact AS DOUBLE) AS recall_probed
+          FROM ex LEFT JOIN sg ON sg.bench_id = ex.bench_id
+                  LEFT JOIN pr ON pr.bench_id = ex.bench_id"""
     },
 
     "q59_kmeans_train" ->

@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.{Tables, TestSpark}
+import graft.gdl.TableStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persistent MinHash-LSH document index: querying stored
+  * signatures must equal the directly-computed cross-corpus pairs, and
+  * refresh must equal a full rebuild — the contracts that make it an
+  * index over the corpus rather than a cache of one query. */
+class NearDupIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs: DataFrame =
+    Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+
+  private def batch: DataFrame = docs.filter(col("doc_id") < 100L)
+  private def corpus: DataFrame = docs.filter(col("doc_id") >= 100L)
+
+  private def freshIndex() = {
+    val root = java.nio.file.Files.createTempDirectory("dupidx").toString
+    new NearDupIndex(new TableStore(spark, root), "dup")
+  }
+
+  private def asSet(df: DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("query from the stored index equals the computed cross-corpus pairs") {
+    val idx = freshIndex()
+    idx.build(corpus, "doc_id", "text")
+    val stored = idx.query(batch, "doc_id", "text")
+    val computed = Dedup.minhashLshAcross(batch, corpus, "doc_id", "text")
+    val pairs = asSet(stored)
+    assert(pairs == asSet(computed))
+    assert(pairs.nonEmpty) // the split must actually exercise the join
+  }
+
+  test("incremental refresh equals a full rebuild over the grown corpus") {
+    val half = corpus.filter(col("doc_id") % 2 === 0)
+    val rest = corpus.filter(col("doc_id") % 2 =!= 0)
+    val grown = freshIndex()
+    grown.build(half, "doc_id", "text")
+    grown.refresh(rest, "doc_id", "text")
+    val rebuilt = freshIndex()
+    rebuilt.build(corpus, "doc_id", "text")
+    assert(asSet(grown.query(batch, "doc_id", "text")) ==
+           asSet(rebuilt.query(batch, "doc_id", "text")))
+  }
+
+  test("a re-ingested id with CHANGED text cannot corrupt the index") {
+    val idx = freshIndex()
+    idx.build(corpus, "doc_id", "text")
+    val clean = asSet(idx.query(batch, "doc_id", "text"))
+    // same ids, different text — refresh must DROP them: a second
+    // signature row per id would generate ambiguous candidates
+    val changed = corpus.select(col("doc_id"), reverse(col("text")).as("text"))
+    idx.refresh(changed, "doc_id", "text")
+    assert(asSet(idx.query(batch, "doc_id", "text")) == clean)
+  }
+
+  test("a partial build (missing completion marker) fails loudly") {
+    val root = java.nio.file.Files.createTempDirectory("dupidx-part").toString
+    val store = new TableStore(spark, root)
+    val idx = new NearDupIndex(store, "dup")
+    // simulate a crash after the data tables but before the marker
+    val sig = Dedup.minhashSignatures(
+      Dedup.shingleRows(corpus, "doc_id", "text", 3), 8)
+    store.overwrite("dup_sig", sig)
+    store.overwrite("dup_bands", Dedup.lshBands(sig, 2, 4))
+    intercept[IllegalStateException](idx.query(batch, "doc_id", "text"))
+    intercept[IllegalStateException](idx.refresh(corpus, "doc_id", "text"))
+    // a completed build over the same store heals it
+    idx.build(corpus, "doc_id", "text")
+    assert(idx.query(batch, "doc_id", "text").count() > 0)
+  }
+
+  test("change-feed polling indexes each appended batch exactly once") {
+    val root = java.nio.file.Files.createTempDirectory("dupidx-feed").toString
+    val store = new TableStore(spark, root)
+    val idx = new NearDupIndex(store, "dup")
+    val half = corpus.filter(col("doc_id") % 2 === 0)
+    val rest = corpus.filter(col("doc_id") % 2 =!= 0)
+    idx.build(half, "doc_id", "text")
+
+    store.append("docs_src", rest.filter(col("doc_id") % 4 === 1))
+    var ckpt = idx.refreshFrom("docs_src", -1L, "doc_id", "text")
+    store.append("docs_src", rest.filter(col("doc_id") % 4 === 3))
+    ckpt = idx.refreshFrom("docs_src", ckpt, "doc_id", "text")
+    // an idle poll moves nothing and appends nothing
+    val gensBefore = store.history("dup_sig").size
+    ckpt = idx.refreshFrom("docs_src", ckpt, "doc_id", "text")
+    assert(store.history("dup_sig").size == gensBefore)
+
+    // every corpus doc with ≥1 shingle is signed exactly once
+    val sig = store.read("dup_sig").get
+    assert(sig.select("doc_id").distinct().count() == sig.count())
+    val rebuilt = freshIndex()
+    rebuilt.build(corpus, "doc_id", "text")
+    assert(asSet(idx.query(batch, "doc_id", "text")) ==
+           asSet(rebuilt.query(batch, "doc_id", "text")))
+  }
+
+  test("streamed document feed grows the index to equal one-shot indexing") {
+    val idx = freshIndex()
+    val half = corpus.filter(col("doc_id") % 2 === 0)
+    val rest = corpus.filter(col("doc_id") % 2 =!= 0)
+    idx.build(half, "doc_id", "text")
+
+    val dir = java.nio.file.Files.createTempDirectory("dupidx-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("dupidx-ckpt").toString
+    rest.filter(col("doc_id") % 4 === 1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(rest.schema).parquet(dir)
+    val q = idx.refreshStream(stream, "doc_id", "text")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      rest.filter(col("doc_id") % 4 === 3).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val oneShot = freshIndex()
+    oneShot.build(half, "doc_id", "text")
+    oneShot.refresh(rest, "doc_id", "text")
+    assert(asSet(idx.query(batch, "doc_id", "text")) ==
+           asSet(oneShot.query(batch, "doc_id", "text")))
+  }
+
+  test("estimate agrees with exact Jaccard for true near-dups") {
+    // generator near-dups share almost all shingles — slot agreement
+    // must be high where exact Jaccard is high (sanity of the
+    // signature-only verification the incremental path relies on)
+    val exact = Dedup.minhashLsh(docs, "doc_id", "text")
+      .select(col("id_a"), col("id_b"), col("jaccard")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val est = asSet(Dedup.minhashLshAcross(batch, corpus, "doc_id", "text"))
+    assert(est.nonEmpty)
+    est.foreach { case (a, b, e) =>
+      val j = exact.get((math.min(a, b), math.max(a, b)))
+      assert(j.isDefined, s"estimated pair ($a,$b) not found by exact LSH")
+      assert(e >= 0.5 && j.get >= 0.5)
+    }
+  }
+}
