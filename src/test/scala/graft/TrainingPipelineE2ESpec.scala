@@ -90,4 +90,42 @@ class TrainingPipelineE2ESpec extends AnyFunSuite {
     val b = curate(docs, bench).select("doc_id").as[Long].collect().sorted.toSeq
     assert(a == b)
   }
+
+  test("incremental batch arrival: index-driven dedup accepts only novel docs") {
+    import graft.gdl.TableStore
+    import graft.operators.NearDupIndex
+    // day 0: the ingested corpus is indexed once
+    val corpus = docs.filter(col("doc_id") % 2 === 0L)
+    val batch = docs.filter(col("doc_id") % 2 =!= 0L)
+    val idx = new NearDupIndex(new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("pipe-idx").toString), "crawl")
+    idx.build(corpus, "doc_id", "text")
+
+    // day 1: a crawl batch arrives — near-dups of indexed docs drop
+    // WITHOUT re-reading any corpus text
+    val dupIds = idx.query(batch, "doc_id", "text")
+      .select(col("new_id").as("doc_id")).distinct()
+    assert(dupIds.count() > 0L, "fixture split must produce cross dups")
+    val accepted = batch.join(dupIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+
+    // invariant: accepted docs are genuinely novel — the computed
+    // (text-reading) cross check agrees with the index's verdict
+    assert(Dedup.minhashLshAcross(accepted, corpus, "doc_id", "text")
+      .count() == 0L)
+
+    // day 1 close: the index absorbs the accepted docs, and the grown
+    // index answers exactly like one built from scratch on the union
+    idx.refresh(accepted, "doc_id", "text")
+    val scratch = new NearDupIndex(new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("pipe-idx2").toString), "crawl")
+    scratch.build(corpus.unionByName(accepted.select(col("doc_id"),
+      col("source"), col("text"))), "doc_id", "text")
+    val probe = docs.filter(col("doc_id") % 7L === 0L)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    def pairs(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(idx.query(probe, "doc_id", "text")) ==
+           pairs(scratch.query(probe, "doc_id", "text")))
+  }
 }
