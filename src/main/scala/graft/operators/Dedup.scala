@@ -153,6 +153,9 @@ object Dedup {
       .join(corpusBands.select(col("band"), col("band_key"),
                                col("doc_id").as("corpus_id")),
             Seq("band", "band_key"))
+      // a batch doc replayed with an id the corpus already has would
+      // otherwise report itself as its own near-dup (est = 1.0)
+      .filter(col("new_id") =!= col("corpus_id"))
       .select(col("new_id"), col("corpus_id"))
       .distinct()
     val a = batchSig.select(

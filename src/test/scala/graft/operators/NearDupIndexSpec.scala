@@ -128,6 +128,15 @@ class NearDupIndexSpec extends AnyFunSuite {
            asSet(oneShot.query(batch, "doc_id", "text")))
   }
 
+  test("a batch doc with an already-indexed id is not its own near-dup") {
+    val idx = freshIndex()
+    idx.build(corpus, "doc_id", "text")
+    // replaying indexed docs as the query batch: every self-pair must
+    // be suppressed (est would be 1.0), cross pairs still surface
+    val self = idx.query(corpus.limit(50), "doc_id", "text")
+    assert(self.filter(col("new_id") === col("corpus_id")).count() == 0L)
+  }
+
   test("estimate agrees with exact Jaccard for true near-dups") {
     // generator near-dups share almost all shingles — slot agreement
     // must be high where exact Jaccard is high (sanity of the
