@@ -338,6 +338,23 @@ object TextOps {
           (col("batch_max") - col("n_tokens")).as("pad_waste"))
     }),
 
+    // Fixed-size per-stratum sample (eval/holdout construction): exactly
+    // min(n, |stratum|) docs per language, chosen by hash rank — the
+    // deterministic reservoir: replayable, order-insensitive, and the
+    // rank window partitions per stratum (bounded by the largest
+    // stratum, never the corpus — for corpus-sized strata, rank within
+    // hash shards first, as q118/q119 do).
+    "q124_fixed_sample" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("skey"), col("doc_id"))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          md5(concat(lit("f|"), col("doc_id").cast("string"))).as("skey"))
+        .withColumn("pick", row_number().over(w).cast("long"))
+        .filter(col("pick") <= 40L)
+        .select(col("doc_id"), col("lang"), col("pick"))
+    }),
+
     // Pivot (long→wide): per-source language-count matrix. The value
     // domain is declared, so Spark skips the extra distinct-values job
     // and the plan is ONE map-side-combinable aggregate — wide output
@@ -730,6 +747,16 @@ object TextOps {
                  $cols
           FROM documents GROUP BY source"""
     },
+
+    "q124_fixed_sample" ->
+      """WITH h AS (SELECT doc_id, lang,
+                           md5('f|' || CAST(doc_id AS VARCHAR)) AS skey
+                    FROM documents),
+          r AS (SELECT doc_id, lang,
+                       CAST(row_number() OVER (PARTITION BY lang
+                            ORDER BY skey, doc_id) AS BIGINT) AS pick
+                FROM h)
+          SELECT doc_id, lang, pick FROM r WHERE pick <= 40""",
 
     "q118_epoch_shuffle" ->
       """WITH e AS (SELECT doc_id, CAST(t.e AS BIGINT) AS epoch,
