@@ -58,17 +58,20 @@ object GraftExtensions {
       new ExpressionInfo(classOf[ZOrder2].getName, "z_order"),
       (exprs: Seq[Expression]) => exprs match {
         case Seq(x, y) => ZOrder2(x, y, 16)
-        case Seq(x, y, IntegralLit(bits)) => ZOrder2(x, y, bits.toInt)
+        // isValidInt guard: an out-of-int-range BIGINT literal must
+        // error, not truncate to a nonsense bit width
+        case Seq(x, y, IntegralLit(bits)) if bits.isValidInt =>
+          ZOrder2(x, y, bits.toInt)
         case other => throw new IllegalArgumentException(
-          s"z_order(x, y[, bits]) needs a literal integer bit width — got ${other.size} args")
+          s"z_order(x, y[, bits]) needs a literal int-range bit width — got ${other.size} args")
       }),
     (new FunctionIdentifier("min_k_longs"),
       new ExpressionInfo(classOf[graft.functions.MinKLongs].getName, "min_k_longs"),
       (exprs: Seq[Expression]) => exprs match {
-        case Seq(c, IntegralLit(k)) =>
+        case Seq(c, IntegralLit(k)) if k.isValidInt =>
           graft.functions.MinKLongs(c, k.toInt).toAggregateExpression()
         case other => throw new IllegalArgumentException(
-          s"min_k_longs(packed_long, k) needs a literal integer k — got ${other.size} args")
+          s"min_k_longs(packed_long, k) needs a literal int-range k — got ${other.size} args")
       }))
 
   /** Register into an already-built session (tests, REPLs). */

@@ -33,12 +33,23 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // a failed query must FAIL the compare: stale parquet from a
         // previous run into the same outDir would otherwise be checked
-        // against the still-emitted oracle and mask the regression
+        // against the still-emitted oracle and mask the regression.
+        // Cleanup itself must not abort the loop (remaining queries
+        // still run) and must scream if the stale output survives.
         def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
           f.delete(); ()
         }
-        rm(new java.io.File(s"$outDir/$name"))
+        try {
+          val stale = new java.io.File(s"$outDir/$name")
+          rm(stale)
+          if (stale.exists())
+            System.err.println(s"[verify] WARNING: stale output for $name " +
+              "could not be removed — compare may mask this failure")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] cleanup for $name failed: ${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -116,9 +116,13 @@ object Decontaminate {
           (0 until nPlanes).map(j =>
             col("own_bucket").bitwiseXOR(lit(1L << j))) :+ col("own_bucket")
             : _*)).as("bucket"))
+    // NO train_id =!= bench_id guard: the two sides are independent
+    // tables with unrelated id spaces — an id collision between a
+    // training doc and a benchmark item is NOT a self-pair, and
+    // dropping it would ship a contaminated doc unreported. (Same-table
+    // callers split disjointly, as q117/q120/q121 do.)
     t.join(broadcast(b.select(col("bucket"), col("bench_id"),
         col("bench_emb"), col("bench_nrm"))), Seq("bucket"))
-      .filter(col("train_id") =!= col("bench_id"))
       .select(col("train_id"), col("bench_id"), col("bucket"),
         (dot(col("train_emb"), col("bench_emb"))
           / (col("train_nrm") * col("bench_nrm"))).as("sim"))

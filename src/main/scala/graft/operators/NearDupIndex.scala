@@ -39,8 +39,10 @@ final class NearDupIndex(store: TableStore, name: String,
       s"near-dup index '$name' is missing table '${t(suffix)}' — not " +
       "built, or a build crashed mid-way; rebuild required"))
 
+  /** Marker must be present AND non-empty: an empty marker table is a
+    * build/rebuild in flight (build invalidates it first). */
   private def requireComplete(): Unit =
-    if (store.read(t("meta")).isEmpty)
+    if (!store.read(t("meta")).exists(df => !df.isEmpty))
       throw new IllegalStateException(
         s"near-dup index '$name' has no build-complete marker — not " +
         "built, or a build crashed before finishing; rebuild required")
@@ -56,6 +58,11 @@ final class NearDupIndex(store: TableStore, name: String,
   def build(docs: DataFrame, idCol: String, textCol: String): Unit = {
     import docs.sparkSession.implicits._
     val epoch = store.history(t("meta")).lastOption.map(_._1 + 1).getOrElse(0L)
+    // invalidate FIRST: a REBUILD that crashes mid-way must leave
+    // readers failing loudly, not serving the old marker over
+    // half-overwritten sig/band tables (candidates from one signing
+    // scored against another = wrong estimates, no error)
+    store.overwrite(t("meta"), Seq.empty[Long].toDF("build_epoch"))
     // signatures feed the band derivation and the stored table: one pass
     val sig = signatures(docs, idCol, textCol).localCheckpoint(eager = true)
     store.overwrite(t("sig"), sig)
@@ -64,15 +71,21 @@ final class NearDupIndex(store: TableStore, name: String,
   }
 
   /** Add `newDocs` to the index — O(new docs + one doc_id-column scan
-    * of the stored signatures). Already-indexed ids are DROPPED, not
+    * of the stored band table). Already-indexed ids are DROPPED, not
     * re-signed: a re-seen id with changed text would otherwise leave
     * two signature rows whose band keys BOTH generate candidates and
     * whose slot agreement is ambiguous. Re-ingesting an existing id is
     * a rebuild, not a refresh. */
   def refresh(newDocs: DataFrame, idCol: String, textCol: String): Unit = {
     requireComplete()
+    // anti-join on the LAST-appended table (bands): a crash between the
+    // sig and bands appends must leave the batch retryable — an
+    // anti-join on sig would drop the half-ingested ids on replay and
+    // leave them permanently without band keys (zero candidates — their
+    // future near-dups silently accepted). Replayed sig rows are
+    // identical duplicates, collapsed by the pair-sized distinct.
     val fresh = newDocs
-      .join(required("sig").select(col("doc_id").as(idCol)),
+      .join(required("bands").select(col("doc_id").as(idCol)).distinct(),
         Seq(idCol), "left_anti")
     val sig = signatures(fresh, idCol, textCol).localCheckpoint(eager = true)
     if (!sig.isEmpty) {

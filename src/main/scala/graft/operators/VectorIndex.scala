@@ -54,6 +54,12 @@ final class VectorIndex(store: TableStore, name: String,
   def build(corpus: DataFrame, coarse: DataFrame): Unit = {
     import corpus.sparkSession.implicits._
     val epoch = store.history(t("meta")).lastOption.map(_._1 + 1).getOrElse(0L)
+    // invalidate FIRST: a REBUILD that crashes mid-way must leave
+    // readers failing loudly — keeping the previous generation's marker
+    // valid while the data tables are half-overwritten would serve new
+    // quantizers against old codes (exactly what the marker exists to
+    // prevent)
+    store.overwrite(t("meta"), Seq.empty[Long].toDF("build_epoch"))
     val codebooks = Pq.train(corpus, m, subDim, codebookK, trainIters)
     store.overwrite(t("coarse"), coarse.select(col("cid"), col("embedding")))
     store.overwrite(t("codebooks"), codebooks)
@@ -66,15 +72,17 @@ final class VectorIndex(store: TableStore, name: String,
     store.overwrite(t("meta"), Seq(epoch).toDF("build_epoch"))
   }
 
+  /** Marker must be present AND non-empty: an empty marker table is a
+    * build/rebuild in flight (build invalidates it first). */
   private def requireComplete(): Unit =
-    if (store.read(t("meta")).isEmpty)
+    if (!store.read(t("meta")).exists(df => !df.isEmpty))
       throw new IllegalStateException(
         s"index '$name' has no build-complete marker — not built, or a " +
         "build crashed before finishing; rebuild required")
 
   /** Incremental maintenance: assign + encode ONLY `newVectors`
     * (id, embedding) against the frozen quantizers and append — ingest
-    * cost is O(new vectors + one vec_id-column scan of the assignment
+    * cost is O(new vectors + one vec_id-column scan of the code
     * table). Already-indexed ids are DROPPED, not re-encoded: a
     * re-seen id with a changed embedding would otherwise leave two
     * code rows with different cids whose LUT entries BOTH join the
@@ -85,8 +93,14 @@ final class VectorIndex(store: TableStore, name: String,
     requireComplete()
     val coarse = required("coarse").select(col("cid"), col("embedding"))
     val codebooks = required("codebooks")
+    // anti-join on the LAST-appended table (codes): a crash between the
+    // assign and codes appends must leave the batch retryable — an
+    // anti-join on assign would drop the half-ingested ids on replay
+    // and lose their codes forever (search inner-joins codes). The
+    // replayed assign rows are identical duplicates, which search's
+    // candidate-sized distinct collapses.
     val fresh = newVectors
-      .join(required("assign").select(col("vec_id").as("id")),
+      .join(required("codes").select(col("vec_id").as("id")),
         Seq("id"), "left_anti")
       .localCheckpoint(true) // feeds two encoders: read the feed once
     if (!fresh.isEmpty) {

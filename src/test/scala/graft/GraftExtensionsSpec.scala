@@ -29,6 +29,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(0) == ((97L * 31 + 98) * 31 + 99) % 3000000007L)
     val e = intercept[Exception](spark.sql("SELECT json_duplicate_keys('a','b')").head())
     assert(e.getMessage.contains("takes 1 argument"))
+    // out-of-int-range BIGINT literal must error, not truncate to a
+    // nonsense width (4294967296.toInt == 0 → all-zero z-order keys)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT z_order(1, 2, 4294967296)").head())
+    assert(e2.getMessage.contains("bit width"))
   }
 
   test("min_k_longs is SQL-callable as a grouped aggregate") {

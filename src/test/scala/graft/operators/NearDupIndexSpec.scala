@@ -128,6 +128,46 @@ class NearDupIndexSpec extends AnyFunSuite {
            asSet(oneShot.query(batch, "doc_id", "text")))
   }
 
+  test("a crash between refresh's two appends heals on replay") {
+    val root = java.nio.file.Files.createTempDirectory("dupidx-crash").toString
+    val store = new TableStore(spark, root)
+    val idx = new NearDupIndex(store, "dup")
+    val half = corpus.filter(col("doc_id") % 2 === 0)
+    val rest = corpus.filter(col("doc_id") % 2 =!= 0)
+    idx.build(half, "doc_id", "text")
+    // simulate refresh crashing AFTER the sig append, BEFORE bands:
+    // the batch is signed but generates no candidates
+    store.append("dup_sig", Dedup.minhashSignatures(
+      Dedup.shingleRows(rest, "doc_id", "text", 3), 8))
+    // the replay must re-ingest (an anti-join on sig would drop the
+    // batch and leave its docs permanently without band keys)
+    idx.refresh(rest, "doc_id", "text")
+    val oneShot = freshIndex()
+    oneShot.build(half, "doc_id", "text")
+    oneShot.refresh(rest, "doc_id", "text")
+    assert(asSet(idx.query(batch, "doc_id", "text")) ==
+           asSet(oneShot.query(batch, "doc_id", "text")))
+  }
+
+  test("a crash mid-REBUILD fails loudly instead of serving mixed signings") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("dupidx-rebuild").toString
+    val store = new TableStore(spark, root)
+    val idx = new NearDupIndex(store, "dup")
+    idx.build(corpus, "doc_id", "text")
+    assert(idx.query(batch, "doc_id", "text").count() > 0)
+    // simulate a rebuild that invalidated the marker, overwrote ONE
+    // table, then crashed — the old marker must NOT be served
+    store.overwrite("dup_meta", Seq.empty[Long].toDF("build_epoch"))
+    store.overwrite("dup_sig", Dedup.minhashSignatures(
+      Dedup.shingleRows(corpus.limit(10), "doc_id", "text", 3), 8))
+    intercept[IllegalStateException](idx.query(batch, "doc_id", "text"))
+    intercept[IllegalStateException](idx.refresh(corpus, "doc_id", "text"))
+    // a completed rebuild heals
+    idx.build(corpus, "doc_id", "text")
+    assert(idx.query(batch, "doc_id", "text").count() > 0)
+  }
+
   test("a batch doc with an already-indexed id is not its own near-dup") {
     val idx = freshIndex()
     idx.build(corpus, "doc_id", "text")
@@ -137,19 +177,26 @@ class NearDupIndexSpec extends AnyFunSuite {
     assert(self.filter(col("new_id") === col("corpus_id")).count() == 0L)
   }
 
-  test("estimate agrees with exact Jaccard for true near-dups") {
-    // generator near-dups share almost all shingles — slot agreement
-    // must be high where exact Jaccard is high (sanity of the
-    // signature-only verification the incremental path relies on)
-    val exact = Dedup.minhashLsh(docs, "doc_id", "text")
-      .select(col("id_a"), col("id_b"), col("jaccard")).collect()
-      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
-    val est = asSet(Dedup.minhashLshAcross(batch, corpus, "doc_id", "text"))
-    assert(est.nonEmpty)
-    est.foreach { case (a, b, e) =>
-      val j = exact.get((math.min(a, b), math.max(a, b)))
-      assert(j.isDefined, s"estimated pair ($a,$b) not found by exact LSH")
-      assert(e >= 0.5 && j.get >= 0.5)
+  test("slot-agreement estimate tracks exact Jaccard on cross candidates") {
+    // the estimate is an unbiased k=8 estimator of Jaccard (per-slot
+    // match probability = J), so assert a generous tolerance rather
+    // than threshold agreement — a pair near the 0.5 line can land on
+    // either side of the cut without being a bug, but a mismatched
+    // hash family or mixed signing would blow way past ±0.45
+    val allCand = Dedup.minhashLshAcross(batch, corpus, "doc_id", "text",
+      minEst = 0.0)
+    val estPairs = allCand.select(col("new_id").as("id_a"),
+      col("corpus_id").as("id_b"), col("est_jaccard"))
+    assert(estPairs.count() > 0L)
+    val sh = Dedup.shingleRows(docs, "doc_id", "text", 3)
+    val exact = Dedup.verifyJaccard(
+      estPairs.select(col("id_a"), col("id_b")), sh, threshold = 0.0)
+    val joined = estPairs.join(exact, Seq("id_a", "id_b")).collect()
+    assert(joined.length > 0)
+    joined.foreach { r =>
+      val (est, j) = (r.getDouble(2), r.getDouble(3))
+      assert(math.abs(est - j) <= 0.45,
+        s"pair (${r.getLong(0)},${r.getLong(1)}): est=$est exact=$j")
     }
   }
 }

@@ -158,6 +158,50 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(asSet(idx.search(queries, nprobe = 2, k = 5)) == clean)
   }
 
+  test("a crash between refresh's two appends heals on replay") {
+    val root = java.nio.file.Files.createTempDirectory("vecidx-crash").toString
+    val store = new TableStore(spark, root)
+    val idx = new VectorIndex(store, "ann",
+      m = 4, subDim = 16, codebookK = 4, trainIters = 1)
+    val half = corpus.filter(col("id") % 2 === 0)
+    val rest = corpus.filter(col("id") % 2 =!= 0)
+    idx.build(half, coarse)
+    // simulate refresh crashing AFTER the assign append, BEFORE codes:
+    // the batch has assignment rows but no code rows
+    store.append("ann_assign", Similarity.ivfAssign(rest, coarse)
+      .select(col("id").as("vec_id"), col("cid").as("cell")))
+    // the at-least-once replay must re-ingest the batch (an anti-join
+    // on assign would drop it and lose the codes forever)
+    idx.refresh(rest)
+    val oneShot = freshIndex()
+    oneShot.build(half, coarse)
+    oneShot.refresh(rest)
+    val q = corpus.filter(col("id") < 5L)
+    assert(asSet(idx.search(q, nprobe = 2, k = 5)) ==
+           asSet(oneShot.search(q, nprobe = 2, k = 5)))
+  }
+
+  test("a crash mid-REBUILD fails loudly instead of serving mixed generations") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("vecidx-rebuild").toString
+    val store = new TableStore(spark, root)
+    val idx = new VectorIndex(store, "ann",
+      m = 4, subDim = 16, codebookK = 4, trainIters = 1)
+    idx.build(corpus, coarse)
+    val q = corpus.filter(col("id") < 5L)
+    assert(idx.search(q, nprobe = 2, k = 5).count() > 0)
+    // simulate a rebuild that invalidated the marker, overwrote ONE
+    // data table, then crashed — the old marker must NOT be served
+    store.overwrite("ann_meta", Seq.empty[Long].toDF("build_epoch"))
+    store.overwrite("ann_coarse", coarse.limit(4)
+      .select(col("cid"), col("embedding")))
+    intercept[IllegalStateException](idx.search(q, nprobe = 2, k = 5))
+    intercept[IllegalStateException](idx.refresh(corpus))
+    // a completed rebuild heals
+    idx.build(corpus, coarse)
+    assert(idx.search(q, nprobe = 2, k = 5).count() > 0)
+  }
+
   test("a partial build (missing completion marker) fails loudly, not garbage") {
     val root = java.nio.file.Files.createTempDirectory("vecidx-part").toString
     val store = new TableStore(spark, root)
