@@ -47,6 +47,36 @@ object EventOps {
           when(col("n_events").isNull, 1L).otherwise(0L).as("is_gap"))
     }),
 
+    // Per-type linear trend + correlation — drift detection over a
+    // metric stream: ONE map-side-combinable aggregate of integer
+    // moment sums (hour index × cent-quantized value, every sum < 2^53
+    // so the double conversions are exact and the final few IEEE ops
+    // are bit-identical in any engine), then closed-form OLS slope/
+    // intercept and Pearson r. No window, no second scan.
+    "q125_trend_stats" -> ((s, d) => {
+      val x = floor((unix_micros(date_trunc("hour", col("ts")))
+        - 1704067200000000L) / 3600000000L).cast("long")
+      val y = floor(col("value") * 100 + 0.5).cast("long")
+      val m = Tables.load(s, d, "events")
+        .select(col("event_type"), x.as("x"), y.as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+             sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+             sum(col("y") * col("y")).as("syy"),
+             sum(col("x") * col("y")).as("sxy"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") / 100.0
+      m.select(col("event_type"), col("n"),
+        slope.as("slope_per_hour"),
+        (col("sy").cast("double") / 100.0 / col("n").cast("double")
+          - slope * (col("sx").cast("double") / col("n").cast("double")))
+          .as("intercept"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+            * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+          .as("pearson_r"))
+    }),
+
     // Tumbling hourly window per event type: count + exact-decimal sum.
     "q29_window_agg" -> ((s, d) => {
       Tables.load(s, d, "events")
@@ -365,6 +395,34 @@ object EventOps {
                 CAST(a.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE)
                   AS retention
          FROM active a JOIN sizes s USING (cohort_week)""",
+
+    "q125_trend_stats" ->
+      """WITH e AS (SELECT event_type,
+                           (epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                              - 1704067200000000) // 3600000000 AS x,
+                           CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+                    FROM events),
+          m AS (SELECT event_type,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx,
+                       CAST(sum(y * y) AS BIGINT) AS syy,
+                       CAST(sum(x * y) AS BIGINT) AS sxy
+                FROM e GROUP BY event_type)
+          SELECT event_type, n,
+                 CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0
+                   AS slope_per_hour,
+                 CAST(sy AS DOUBLE) / 100.0 / CAST(n AS DOUBLE)
+                   - (CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0)
+                     * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                   AS intercept,
+                 CAST(n * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE)) AS pearson_r
+          FROM m""",
 
     "q122_gap_fill" ->
       """WITH obs AS (SELECT user_id,
