@@ -1,8 +1,9 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native polynomial rolling hash over a string's bytes:
@@ -19,6 +20,18 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class RollingHash(child: Expression, base: Long, mod: Long)
     extends UnaryExpression {
+
+  require(base > 0 && mod > 0, s"base and mod must be positive, got base=$base mod=$mod")
+  // acc ≤ mod-1 between steps; acc*base + 255 must stay in 64 bits or
+  // the hash silently wraps (mod=0 would divide by zero per row)
+  require(mod - 1 <= (Long.MaxValue - 255L) / base,
+    s"base=$base mod=$mod would overflow the 64-bit accumulator")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash needs a string input — got $other")
+  }
 
   override def dataType: DataType = LongType
 

@@ -22,22 +22,31 @@ object TextFunctions {
     * a raw `tokens(text)` expression here would be re-evaluated for every
     * `element_at` in the lambda — O(tokens²) per document. */
   def wordShinglesFromTokens(toks: Column, n: Int): Column =
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+    // the short-doc guard is load-bearing: sequence(1, 0) is the
+    // DESCENDING array [1, 0], not empty, so an unguarded transform
+    // would evaluate element_at past the array end — an ANSI runtime
+    // error on any document with fewer than n tokens
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))))
 
   /** Distinct word n-gram shingles (convenience; prefer staging tokens —
     * see [[wordShinglesFromTokens]]). */
   def wordShingles(text: Column, n: Int): Column =
     wordShinglesFromTokens(tokens(text), n)
 
-  /** Distinct character n-gram shingles. */
+  /** Distinct character n-gram shingles. Texts shorter than n yield an
+    * EMPTY array — without the guard, sequence(1, 0) = [1, 0] and
+    * substr's position-0 tolerance would silently emit partial
+    * "shingles", giving unrelated short docs spurious jaccard 1.0. */
   def charShingles(text: Column, n: Int): Column =
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
-        i => substr(text, i, lit(n))))
+    when(length(text) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(
+          sequence(lit(1), length(text) - (n - 1)),
+          i => substr(text, i, lit(n)))))
 
   /** 16-bit token hash from the md5 hex prefix — shared by SimHash and
     * the LSH band keys; reproducible in any engine with md5. */
@@ -80,11 +89,15 @@ object TextFunctions {
     }.reduce(_ + _)
 
   /** Jaccard similarity of two pre-distinct shingle arrays (single
-    * double division → bit-identical across engines). */
+    * double division → bit-identical across engines). Two empty sets →
+    * 0.0 — under Spark's default ANSI mode the unguarded 0/0 raises
+    * DIVIDE_BY_ZERO and kills the job. (The intersect appears twice in
+    * the tree; top-level projections fold it via subexpression
+    * elimination.) */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = (size(a) + size(b)).cast("double") - size(array_intersect(a, b))
-    inter / union
+    when(union === 0.0, lit(0.0)).otherwise(inter / union)
   }
 
   /** Exact 64-bit-safe polynomial rolling hash (base 31, mod 1e9+7) over

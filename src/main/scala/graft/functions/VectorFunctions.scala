@@ -28,9 +28,14 @@ object VectorFunctions {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity: dot / (‖a‖·‖b‖), same evaluation shape as the
-    * oracle so results match bitwise. */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    * oracle so results match bitwise. A zero-norm (all-zero) vector
+    * yields 0.0 — under Spark's default ANSI mode the unguarded
+    * division raises DIVIDE_BY_ZERO, so one null-imputed embedding row
+    * would otherwise kill a whole similarity scan. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
 
   /** Deterministic pseudo-random hyperplane `j` for `dim` dimensions:
     * weight_i = (hex16(md5("<j>_<i>")) − 32768) / 32768 ∈ [−1, 1).

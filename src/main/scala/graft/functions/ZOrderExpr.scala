@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -21,6 +22,16 @@ case class ZOrder2(left: Expression, right: Expression, bits: Int)
     extends BinaryExpression {
 
   require(bits >= 1 && bits <= 32, s"bits must be in [1, 32], got $bits")
+
+  // analysis-time type gate: without it an int column passes analysis,
+  // then the interpreted path ClassCastExceptions while codegen
+  // silently computes — and the two disagree
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"z_order needs (bigint, bigint) inputs — got $other (cast ints to bigint)")
+    }
 
   override def dataType: DataType = LongType
 
