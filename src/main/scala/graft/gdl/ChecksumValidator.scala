@@ -44,8 +44,19 @@ object ChecksumValidator {
             Map("message" -> String.valueOf(e.getMessage)))
       }
     try {
-      val fnCode = Integer.parseInt(multihash.substring(0, 2), 16)
-      digestFor(fnCode) match {
+      // a missing/short/non-hex multihash is a FAILED ROW, not an
+      // exception: in the streaming form an uncaught throw fails the
+      // micro-batch and the checkpoint replays the same poison file
+      // forever — continuous validation halts on one bad manifest row
+      val fnCodeOpt: Option[Int] =
+        if (multihash.length < 4) None
+        else try Some(Integer.parseInt(multihash.substring(0, 2), 16))
+        catch { case _: NumberFormatException => None }
+      fnCodeOpt match {
+        case None =>
+          row(Check.Checksum, Result.Failed,
+            Map("message" -> s"Malformed multihash '${multihash.take(8)}'"))
+        case Some(fnCode) => digestFor(fnCode) match {
         case None =>
           row(Check.Checksum, Result.Failed,
             Map("message" -> s"Unsupported multihash function code 0x${multihash.substring(0, 2)}"))
@@ -61,6 +72,7 @@ object ChecksumValidator {
           if (actual == expected) row(Check.Checksum, Result.Passed, Map.empty)
           else row(Check.Checksum, Result.Failed,
             Map("message" -> s"Checksum mismatch: expected $expected, got $actual"))
+        }
       }
     } finally in.close()
   }

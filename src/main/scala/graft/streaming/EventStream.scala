@@ -81,11 +81,37 @@ object EventStream {
   final case class SessionUpdate(user_id: Long, session_id: Long,
                                  n_events: Long, start_us: Long, end_us: Long)
 
+  /** The per-batch session fold shared by [[sessionize]] and
+    * [[sessionizeEventTime]] — one copy so gap/roll semantics (and any
+    * fix to them) cannot drift between the two variants. Folds the
+    * batch's event-time-sorted timestamps into the state, emitting each
+    * CLOSED session. */
+  private def foldSessions(userId: Long, tsSorted: Seq[Long],
+                           st0: SessionState, gapUs: Long)
+      : (SessionState, Seq[SessionUpdate]) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
+    var st = st0
+    tsSorted.foreach { tsUs =>
+      st = if (st.lastTsUs == Long.MinValue || tsUs - st.lastTsUs > gapUs) {
+        if (st.nEvents > 0)
+          out += SessionUpdate(userId, st.sessionId, st.nEvents, st.startUs, st.lastTsUs)
+        SessionState(st.sessionId + 1, tsUs, 1L, tsUs)
+      } else SessionState(st.sessionId, tsUs, st.nEvents + 1, st.startUs)
+    }
+    (st, out.toSeq)
+  }
+
   /** Event-time variant of [[sessionize]]: sessions also CLOSE when the
     * watermark passes their last event + gap, via EventTimeTimeout — the
     * production shape where an idle user's final session must flush
     * without waiting for their next event. Input rows need `ts`
     * (timestamp, watermarked by the caller) alongside `ts_us`.
+    *
+    * A timed-out user keeps a CLOSED-sentinel state (4 longs) rather
+    * than being removed: removing would reset the session counter, and
+    * the user's next session would re-emit session_id = 1 — colliding
+    * with ids already emitted for that user. State is therefore bounded
+    * by key cardinality, the same budget as [[rateLimit]].
     */
   def sessionizeEventTime(events: org.apache.spark.sql.Dataset[TimedSessionEvent],
                           gapUs: Long): org.apache.spark.sql.Dataset[SessionUpdate] = {
@@ -96,24 +122,18 @@ object EventStream {
         (userId: Long, it: Iterator[TimedSessionEvent], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val st = state.get
-            state.remove()
+            // keep the counter; no further timeout — nothing is open
+            state.update(SessionState(st.sessionId, Long.MinValue, 0L, 0L))
             Iterator.single(
               SessionUpdate(userId, st.sessionId, st.nEvents, st.startUs, st.lastTsUs))
           } else {
             val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
-            val out = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
-            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
-            sorted.foreach { e =>
-              st = if (st.lastTsUs == Long.MinValue || e.ts_us - st.lastTsUs > gapUs) {
-                if (st.nEvents > 0)
-                  out += SessionUpdate(userId, st.sessionId, st.nEvents, st.startUs, st.lastTsUs)
-                SessionState(st.sessionId + 1, e.ts_us, 1L, e.ts_us)
-              } else SessionState(st.sessionId, e.ts_us, st.nEvents + 1, st.startUs)
-            }
+            val st0 = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
+            val (st, closed) = foldSessions(userId, sorted.map(_.ts_us), st0, gapUs)
             state.update(st)
             // close the open session once the watermark passes last + gap
             state.setTimeoutTimestamp((st.lastTsUs + gapUs) / 1000L + 1L)
-            out.iterator
+            closed.iterator
           }
       }
   }
@@ -175,13 +195,13 @@ object EventStream {
   /** Stateful gap-based sessionization via `flatMapGroupsWithState` —
     * the custom-state streaming form of `q30_sessionize`. Each user's
     * state carries (current session id, last event time); a gap >
-    * `gapUs` rolls the session. Emits the running per-session row on
-    * every update (Update mode downstream dedupes on the key).
+    * `gapUs` rolls the session. Emits each CLOSED session exactly once
+    * (Append mode); the final still-open session stays in state and is
+    * never emitted by this variant — close-on-idle is what
+    * [[sessionizeEventTime]] adds via EventTimeTimeout.
     *
     * State is O(1) per user (four longs); at 100 TB the state store
-    * shards by the group key like any keyed state. Timeout handling
-    * (closing idle sessions) would use GroupStateTimeout.EventTimeTimeout
-    * + a watermark; kept processing-time-less here for determinism.
+    * shards by the group key like any keyed state.
     */
   def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent],
                  gapUs: Long): org.apache.spark.sql.Dataset[SessionUpdate] = {
@@ -193,18 +213,10 @@ object EventStream {
           // within a micro-batch events may arrive unordered; sort the
           // batch (cross-batch order is the file-source's responsibility)
           val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
-          sorted.foreach { e =>
-            val tsUs = e.ts_us
-            st = if (st.lastTsUs == Long.MinValue || tsUs - st.lastTsUs > gapUs) {
-              if (st.nEvents > 0)
-                out += SessionUpdate(userId, st.sessionId, st.nEvents, st.startUs, st.lastTsUs)
-              SessionState(st.sessionId + 1, tsUs, 1L, tsUs)
-            } else SessionState(st.sessionId, tsUs, st.nEvents + 1, st.startUs)
-          }
+          val st0 = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
+          val (st, closed) = foldSessions(userId, sorted.map(_.ts_us), st0, gapUs)
           state.update(st)
-          out.iterator
+          closed.iterator
       }
   }
 
@@ -230,12 +242,18 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, it: Iterator[CapEvent], state: GroupState[Long]) =>
           val seen = state.getOption.getOrElse(0L)
-          val room = math.max(maxPerKey - seen, 0L).toInt
-          val kept = it.toSeq.sortBy(e => (e.ts_us, e.event_id)).take(room)
-            .zipWithIndex.map { case (e, i) =>
-              CapKept(userId, e.event_id, e.ts_us, seen + i + 1) }
-          state.update(seen + kept.size)
-          kept.iterator
+          // clamp BEFORE toInt: maxPerKey > Int.MaxValue would wrap
+          // negative and take(negative) drops every event of the key
+          val room = math.min(math.max(maxPerKey - seen, 0L),
+            Int.MaxValue.toLong).toInt
+          if (room == 0) Iterator.empty // saturated key: skip the sort
+          else {
+            val kept = it.toSeq.sortBy(e => (e.ts_us, e.event_id)).take(room)
+              .zipWithIndex.map { case (e, i) =>
+                CapKept(userId, e.event_id, e.ts_us, seen + i + 1) }
+            state.update(seen + kept.size)
+            kept.iterator
+          }
       }
   }
 }

@@ -12,10 +12,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * micro-batch — continuous ingestion validation for a lake receiving
   * assets around the clock.
   *
-  * Exactly-once note: `foreachBatch` gives at-least-once on restart;
-  * the TableStore append is idempotent per (version, url, check) at the
-  * summary level (re-validation writes identical rows), which is the
-  * same property the reference's retry-driven Batch fleet relies on.
+  * Exactly-once: `foreachBatch` is at-least-once on restart, and
+  * TableStore.append is NOT row-idempotent (each append is a new delta
+  * generation), so validation rows are tagged with the micro-batch id
+  * and a replayed batch is detected by an id-column scan and skipped.
+  * Rows and tag commit atomically (per-table append), so a crash
+  * between append and the sink checkpoint cannot double-write.
   */
 object StreamingValidation {
 
@@ -28,9 +30,20 @@ object StreamingValidation {
     spark.readStream.schema(schema).parquet(manifestDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val rows = ChecksumValidator.validate(spark, batch.as[ProcessingAssetRow], reader)
-        store.append("validation_results", rows.toDF())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.{col, lit}
+        // replay guard: a restart between append and checkpoint commit
+        // re-runs this batchId; the tag column makes that visible
+        val replayed = store.read("validation_results").exists(df =>
+          df.schema.fieldNames.contains("batch_id") &&
+            !df.select(col("batch_id"))
+              .filter(col("batch_id") === batchId).isEmpty)
+        if (!replayed && !batch.isEmpty) {
+          val rows = ChecksumValidator.validate(
+            spark, batch.as[ProcessingAssetRow], reader)
+          store.append("validation_results",
+            rows.toDF().withColumn("batch_id", lit(batchId)))
+        }
       }
       .start()
   }

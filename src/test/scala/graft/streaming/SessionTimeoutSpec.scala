@@ -52,6 +52,24 @@ class SessionTimeoutSpec extends AnyFunSuite {
       assert(user1.head.n_events == 2L)
       assert(user1.head.start_us == baseUs)
       assert(user1.head.end_us == baseUs + 5L * 60 * 1000 * 1000)
+
+      // the user RETURNS after the timeout: the new session must get a
+      // FRESH id — a timeout that removed state would reset the counter
+      // and re-emit session_id 1, colliding with the session above
+      Seq(ev(5, 610, 1), ev(6, 611, 1)).toDS()
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      Seq(ev(7, 1300, 2)).toDS() // advance watermark way past session 2
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      Seq(ev(8, 1301, 2)).toDS() // let user 1's second timeout fire
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val again = spark.table("timeout_out").as[SessionUpdate].collect()
+        .filter(_.user_id == 1L).sortBy(_.session_id)
+      assert(again.length == 2, s"expected 2 closed sessions, got ${again.toSeq}")
+      assert(again.map(_.session_id).toSeq == Seq(1L, 2L),
+        s"session ids must stay unique per user: ${again.toSeq}")
     } finally q.stop()
   }
 }

@@ -68,4 +68,22 @@ class StreamingRateLimitSpec extends AnyFunSuite {
       assert(out == Set((10L, 1L), (11L, 2L), (20L, 1L)))
     } finally q.stop()
   }
+
+  test("a cap above Int.MaxValue means effectively unlimited, not zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[EventStream.CapEvent]
+    // (3e9 - 0).toInt wraps negative; take(negative) used to drop 100%
+    val q = EventStream.rateLimit(mem.toDS(), maxPerKey = 3000000000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cap_huge")
+      .start()
+    try {
+      mem.addData(EventStream.CapEvent(1L, 1000L, 1L),
+                  EventStream.CapEvent(2L, 2000L, 1L))
+      q.processAllAvailable()
+      assert(spark.table("cap_huge").count() == 2L)
+    } finally q.stop()
+  }
 }

@@ -42,6 +42,26 @@ class StreamingValidationSpec extends AnyFunSuite {
       val failed = after2.find(_.url == "s3://b/bad.bin").get
       assert(failed.result == Result.Failed)
       assert(failed.details("message").startsWith("Checksum mismatch: expected "))
+
+      // batch 3: a poison row — MISSING multihash. It must become a
+      // Failed row, not an uncaught exception that fails the micro-batch
+      // and replays the same file from the checkpoint forever
+      Seq(ProcessingAssetRow("d1", "v1", "DATA", 2L, "s3://b/good.bin", None))
+        .toDS().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(q.isActive, "a malformed multihash must not kill the stream")
+      val after3 = store.read("validation_results").get.as[ValidationRow].collect()
+      assert(after3.length == 3)
+      val poison = after3.filter(r =>
+        r.details.get("message").exists(_.startsWith("Malformed multihash")))
+      assert(poison.length == 1 && poison.head.result == Result.Failed)
+
+      // every streamed generation carries its micro-batch tag (the
+      // replay guard's detection column)
+      val tagged = store.read("validation_results").get
+      assert(tagged.schema.fieldNames.contains("batch_id"))
+      assert(tagged.filter(org.apache.spark.sql.functions.col("batch_id").isNull)
+        .count() == 0L)
     } finally q.stop()
   }
 }
