@@ -39,27 +39,35 @@ object AsOfJoin {
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, rightPayload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    // common layout: keys ++ ts ++ tag ++ leftPayload ++ rightPayload
+    // common layout: keys ++ ts ++ tag ++ leftPayload ++ payload struct.
+    // The payload travels as ONE struct, not per-column: per-column
+    // last(ignoreNulls) cannot tell the left-row placeholder nulls from
+    // a REAL null in the matched right row, so it would carry a stale
+    // value over a genuine null and stitch together columns from
+    // DIFFERENT right rows. A right row's struct is non-null as a whole
+    // even when its fields are null, so ignoreNulls skips exactly the
+    // left placeholders.
     val leftOnly = leftCols.filterNot(c => keys.contains(c) || c == tsCol)
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => right.schema(c).copy(name = c)))
     val l = left
       .withColumn("_tag", lit(1))
       .select((keys :+ tsCol).map(col) ++ Seq(col("_tag")) ++
-        leftOnly.map(col) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+        leftOnly.map(col) :+
+        lit(null).cast(payloadType).as("_r"): _*)
     val r = right
       .withColumn("_tag", lit(0))
       .select((keys :+ tsCol).map(col) ++ Seq(col("_tag")) ++
-        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(c => col(c).as(s"_r_$c")): _*)
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightPayload.map(col): _*).as("_r"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("_tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightPayload.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"_c_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = l.unionByName(r)
+      .withColumn("_c", last(col("_r"), ignoreNulls = true).over(w))
     carried.filter(col("_tag") === 1)
       .select((keys :+ tsCol).map(col) ++ leftOnly.map(col) ++
-        rightPayload.map(c => col(s"_c_$c").as(c)): _*)
+        rightPayload.map(c => col("_c").getField(c).as(c)): _*)
   }
 
   /** Same semantics as [[backward]], executed by the custom

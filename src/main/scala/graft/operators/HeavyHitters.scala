@@ -47,8 +47,12 @@ object HeavyHitters {
       counters.keysIterator
     }.distinct().toDF("key")
     val total = df.agg(count(lit(1)).as("n"))
+    // null-SAFE join: a null key can be a legitimate heavy hitter (it
+    // still counts toward n), and an equi-join would silently drop it
+    // from the report while it inflates the qualifying denominator
     df.select(col(keyCol).cast("string").as("key"))
-      .join(broadcast(candidates), Seq("key"))
+      .join(broadcast(candidates.select(col("key").as("_ck"))),
+        col("key") <=> col("_ck"))
       .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(total))
       .filter(col("cnt") * k > col("n"))

@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed Lloyd's k-means for training the IVF coarse quantizer
@@ -16,49 +15,74 @@ import org.apache.spark.sql.functions._
   *    same sequential left-fold the oracle uses, ties toward the
   *    smaller centroid id;
   *  - update: per-dimension mean over values quantized to the 1e-12
-  *    grid via `floor(x·1e12)` summed as longs — integer addition is
-  *    exact, so the result is independent of partitioning and
-  *    accumulation order (double sums are not), and floor has no
-  *    rounding ties (a DECIMAL cast does: exact binary fractions like
-  *    0.1983642578125 end in "…5" and HALF_UP vs half-to-even engines
-  *    disagree); quantization error 1e-12 is noise at clustering
-  *    precision. Empty clusters keep their previous centroid.
+  *    grid via `floor(x·1e12)` summed as DECIMAL(38,0) — integer
+  *    addition is exact, so the result is independent of partitioning
+  *    and accumulation order (double sums are not), and floor has no
+  *    rounding ties (a DECIMAL value cast does: exact binary fractions
+  *    like 0.1983642578125 end in "…5" and HALF_UP vs half-to-even
+  *    engines disagree); the 38-digit accumulator cannot overflow at
+  *    any realistic cluster size (a LONG accumulator wraps/throws past
+  *    ~9.2M members of unit-scale values — exactly the 100 TB case);
+  *    quantization error 1e-12 is noise at clustering precision.
+  *    Empty clusters keep their previous centroid.
   *
-  * Scale shape: assignment is one broadcast of k·dim doubles against a
-  * corpus scan (no shuffle); the update shuffles k·dim tiny partial
-  * sums (map-side combined). Centroids are localCheckpointed per round
-  * so the plan stays O(1) deep across iterations — the standard
-  * distributed k-means layout.
+  * Scale shape: assignment is MAP-ONLY — the k·dim centroids are
+  * collected (k rows; the same size every k-means implementation
+  * broadcasts) and shipped as an array literal, and each vector picks
+  * its nearest via `array_min` over per-centroid (dist, cid) structs,
+  * so no crossJoin row expansion and NO shuffle carries embeddings.
+  * The update shuffles k·dim tiny partial sums (map-side combined).
+  * Centroids are localCheckpointed per round so the plan stays O(1)
+  * deep across iterations — the standard distributed k-means layout.
   */
 object KMeans {
 
   /** @param corpus (id: Long, embedding: Array[Float|Double])
+    * @param iters  number of assign+update rounds, ≥ 1
     * @return (cid, n_members, centroid: Array[Double]) after `iters`
     *         assign+update rounds; n_members counts the final assignment
     *         that produced the returned centroids (0 for empty clusters)
     */
   def train(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
     val v = corpus
       .select(col("id"), transform(col("embedding"), _.cast("double")).as("emb"))
-    var cents = v.filter(col("id") < k)
+    // the k corpus vectors with the SMALLEST ids — not `id < k`, which
+    // silently under-seeds (or empties) the codebook for sparse or
+    // non-zero-based id spaces
+    var cents = v.orderBy(col("id")).limit(k)
       .select(col("id").as("cid"), col("emb").as("cent"))
       .localCheckpoint()
     var lastAssign: DataFrame = null
 
-    for (_ <- 1 to iters) {
-      val dist = aggregate(
-        zip_with(col("emb"), col("cent"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), _ + _)
-      val w = Window.partitionBy(col("id")).orderBy(col("dist"), col("cid"))
-      val assigned = v.crossJoin(broadcast(cents))
-        .select(col("id"), col("emb"), col("cid"), dist.as("dist"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("id"), col("emb"), col("cid"))
+    for (round <- 1 to iters) {
+      // centroids → one array literal per round (k·dim doubles, the
+      // broadcast every k-means ships); argmin is then a map-only
+      // array_min over (dist, cid) structs — struct order IS
+      // (dist asc, cid asc), the same tie-break as the oracle's
+      // row_number over ORDER BY dist, cid
+      val centLit: Column = array(
+        cents.select(col("cid"), col("cent")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1)))
+          .sortBy(_._1)
+          .map { case (cid, cent) =>
+            struct(typedLit(cent).as("cent"), lit(cid).as("cid")) }.toSeq: _*)
+      val best = array_min(transform(centLit, c =>
+        struct(
+          aggregate(
+            zip_with(col("emb"), c.getField("cent"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), _ + _).as("d"),
+          c.getField("cid").as("cid"))))
+      var assigned = v.select(col("id"), col("emb"),
+        best.getField("cid").as("cid"))
+      // the final round's assignment feeds BOTH the means and the
+      // n_members count — materialize it once instead of re-running
+      // the assignment scan for the count
+      if (round == iters) assigned = assigned.localCheckpoint(eager = true)
       val means = assigned
         .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
-        .agg((sum(floor(col("x") * 1e12).cast("long")).cast("double")
+        .agg((sum(floor(col("x") * 1e12).cast("decimal(38,0)")).cast("double")
                 / 1e12 / count(lit(1)).cast("double")).as("m"))
         .groupBy(col("cid"))
         .agg(transform(

@@ -13,7 +13,14 @@ import org.apache.spark.sql.functions._
   * handling doesn't cover for aggregations.
   *
   * The salt is derived from stable row content (not `rand()`), keeping
-  * results deterministic and replayable under task retry.
+  * results deterministic and replayable under task retry — over ALL
+  * columns, not just (key, value): a hot key whose value is constant
+  * (the common skew shape — think a default/zero value) would hash to
+  * ONE salt bucket under a (key, value) salt and get no mitigation at
+  * all. Fully identical rows still co-bucket; spread them upstream
+  * with any distinct per-row column. The aggregate itself is
+  * salt-independent (counts/sums are associative), so the salt basis
+  * never changes results.
   */
 object Salted {
 
@@ -22,7 +29,7 @@ object Salted {
   def aggregate(df: DataFrame, keyCol: String, valueCol: String,
                 saltBuckets: Int = 16): DataFrame = {
     val salted = df.withColumn("_salt",
-      pmod(hash(col(valueCol), col(keyCol)), lit(saltBuckets)))
+      pmod(hash(df.columns.map(col).toSeq: _*), lit(saltBuckets)))
     salted
       .groupBy(col(keyCol), col("_salt"))
       .agg(count(lit(1)).as("_n"),

@@ -91,26 +91,34 @@ object SpatialJoin {
   /** Per-query exact top-k by d2 ascending (id breaks ties) from a
     * (query_id, id, d2) candidate set, as a bounded codegen aggregate
     * over (d2, id) packed into one long: d2 in the high bits so packed
-    * order IS (d2 asc, id asc). Exact iff 0 ≤ id < 2³³ and
-    * 0 ≤ d2 < 2³⁰ — integer-grid coordinates up to ~23k per axis —
-    * ENFORCED at runtime (a silent wrap would rank the farthest points
-    * first): out-of-range rows raise instead of mis-ranking. */
+    * order IS (d2 asc, id asc). Exact iff 0 ≤ id < 2³³ and the WINNING
+    * distances fit 2³⁰. Far candidates (d2 ≥ 2³⁰, e.g. brute-force
+    * pairs across a wide corpus) SATURATE at the cap instead of failing
+    * the job — a saturated pair can never outrank one that fits, so
+    * ordering among possible winners is unchanged. Only if a saturated
+    * pair actually WINS a top-k slot (the true kth distance itself
+    * exceeds the packable range) does the query fail, loudly, on the
+    * k emitted rows — not on every candidate pair. */
   private def topKAsc(cand: DataFrame, k: Int): DataFrame = {
     val id = col("id").cast("long")
-    val inRange = col("d2") >= 0L && col("d2") < (1L << 30) &&
-      id >= 0L && id < (1L << 33)
+    val dCap = (1L << 30) - 1L
+    val idInRange = id >= 0L && id < (1L << 33)
     // assert_true is NULL when the condition holds — coalesce folds it
     // into the packing for free, and a violation fails the job loudly
-    val packed = shiftleft(col("d2"), 33) + id +
-      coalesce(assert_true(inRange,
-        lit("spatial knn packing overflow: need 0 <= d2 < 2^30, " +
-          "0 <= id < 2^33")).cast("long"), lit(0L))
+    val packed = shiftleft(least(col("d2"), lit(dCap)), 33) + id +
+      coalesce(assert_true(idInRange,
+        lit("spatial knn packing overflow: need 0 <= id < 2^33"))
+        .cast("long"), lit(0L))
+    val outD2 = shiftright(col("pk"), 33)
     cand.groupBy(col("query_id"))
       .agg(TopK.minKPacked(k)(packed).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "pk")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("pk").bitwiseAND((1L << 33) - 1L).as("id"),
-        shiftright(col("pk"), 33).as("d2"))
+        (outD2 + coalesce(assert_true(outD2 < dCap,
+          lit("spatial knn: a top-k distance saturated the 2^30 packing " +
+            "cap — results would be mis-ranked; use a coarser grid")).cast("long"),
+          lit(0L))).as("d2"))
   }
 
   /** Exact grid-probed k-NN — the 100 TB plan. Points bucket once into

@@ -54,6 +54,16 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out == Map("a" -> (30L, 60L), "b" -> (15L, 60L)))
   }
 
+  test("heavy hitters: a null key above the line is reported, not dropped") {
+    // null is 40% of traffic — it must appear in the report (it counts
+    // toward n either way; an equi-join would silently lose it)
+    val rows: Seq[String] = Seq.fill(40)(null.asInstanceOf[String]) ++
+      Seq.fill(35)("a") ++ (1 to 25).map(i => s"t$i")
+    val out = HeavyHitters.exact(rows.toDF("k").repartition(5), "k", k = 3)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toMap
+    assert(out == Map(None -> 40L, Some("a") -> 35L))
+  }
+
   test("heavy hitters: adversarial tail does not evict a true heavy key") {
     // 100 distinct tail keys + one key at 40% — k=3 summaries must keep it
     val rows = Seq.fill(80)("hot") ++ (1 to 120).map(i => s"t$i")

@@ -24,6 +24,23 @@ class KMeansSpec extends AnyFunSuite {
       .agg(sum(col("d"))).head().getDouble(0)
   }
 
+  test("non-zero-based ids still seed k clusters (smallest ids, not id < k)") {
+    val shifted = corpus.select((col("id") + 1000L).as("id"), col("embedding"))
+    val cents = KMeans.train(shifted, k = 4, iters = 1)
+    assert(cents.count() == 4L, "id<k seeding would return ZERO clusters here")
+    // same vectors, same training — centroids must match the 0-based run
+    val base = KMeans.train(corpus, k = 4, iters = 1)
+      .select(col("centroid")).collect().map(_.getSeq[Double](0)).toSet
+    val got = cents.select(col("centroid")).collect()
+      .map(_.getSeq[Double](0)).toSet
+    assert(got == base)
+  }
+
+  test("iters = 0 is rejected, not an NPE") {
+    val e = intercept[IllegalArgumentException](KMeans.train(corpus, 4, 0))
+    assert(e.getMessage.contains("iters"))
+  }
+
   test("each Lloyd's round reduces within-cluster SSE") {
     val s1 = sse(corpus, KMeans.train(corpus, k = 4, iters = 1))
     val s2 = sse(corpus, KMeans.train(corpus, k = 4, iters = 2))

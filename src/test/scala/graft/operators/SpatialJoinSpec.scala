@@ -17,6 +17,22 @@ class SpatialJoinSpec extends AnyFunSuite {
   private def sorted(df: DataFrame) =
     df.as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
 
+  test("far pairs saturate the packing instead of failing the job") {
+    // corpus span >> 23k: the brute path sees pairs with d2 >= 2^30,
+    // which previously tripped a per-candidate assert even though the
+    // true nearest neighbors fit the packing comfortably
+    val ps = Seq((1L, 0L, 0L), (2L, 3L, 0L), (3L, 0L, 4L),
+      (4L, 50000L, 50000L))
+    val got = sorted(SpatialJoin.knn(pts(ps), qs(Seq((10L, 1L, 1L))), k = 3))
+    assert(got.map(_._3).toSeq == Seq(1L, 2L, 3L))
+    // ...but a saturated pair WINNING a slot still fails loudly: k=4
+    // forces the far point into the top-k with a clamped distance
+    val e = intercept[Exception](
+      SpatialJoin.knn(pts(ps), qs(Seq((10L, 1L, 1L))), k = 4).collect())
+    assert(e.getMessage.contains("saturated") ||
+      e.getCause != null && e.getCause.getMessage.contains("saturated"))
+  }
+
   test("grid plan equals brute force on a dense random point set") {
     val rnd = new Random(7)
     val ps = (1L to 400L).map(i =>

@@ -69,6 +69,22 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
                       "c" -> null)) // key 2 has no right rows at all
   }
 
+  test("a REAL null in the matched right row is carried, not a stale value") {
+    import spark.implicits._
+    val l = Seq((1L, 3L, "q")).toDF("k", "t", "tag")
+    val r = Seq((1L, 1L, Some(5L), Some(7L)), (1L, 2L, None, Some(8L)))
+      .toDF("k", "t", "x", "y")
+    // the latest preceding right row is (t=2, x=null, y=8); per-column
+    // carry would stitch (x=5, y=8) — a row that never existed
+    val out = AsOfJoin.backward(l, r, Seq("k"), "t", Seq("x", "y"))
+      .select("x", "y").head()
+    assert(out.isNullAt(0) && out.getLong(1) == 8L,
+      s"expected (null, 8), got $out")
+    val planned = AsOfJoin.backwardPlanned(l, r, Seq("k"), "t", Seq("x", "y"))
+      .select("x", "y").head()
+    assert(planned.isNullAt(0) && planned.getLong(1) == 8L)
+  }
+
   test("key predicates push through the custom node into both parquet scans") {
     val sf = graft.TestSpark.sfDir
     val events = graft.Tables.load(spark, sf, "events")
