@@ -124,8 +124,9 @@ object Decontaminate {
     t.join(broadcast(b.select(col("bucket"), col("bench_id"),
         col("bench_emb"), col("bench_nrm"))), Seq("bucket"))
       .select(col("train_id"), col("bench_id"), col("bucket"),
-        (dot(col("train_emb"), col("bench_emb"))
-          / (col("train_nrm") * col("bench_nrm"))).as("sim"))
+        (when(col("train_nrm") * col("bench_nrm") === 0.0, lit(0.0))
+          .otherwise(dot(col("train_emb"), col("bench_emb"))
+            / (col("train_nrm") * col("bench_nrm")))).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

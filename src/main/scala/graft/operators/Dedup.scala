@@ -46,8 +46,15 @@ object Dedup {
   }
 
   /** LSH band keys: `bands` bands of `rowsPerBand` signature slots each;
-    * key = md5 of the concatenated slots. Output: (doc_id, band, band_key). */
+    * key = md5 of the concatenated slots. Output: (doc_id, band, band_key).
+    * rowsPerBand must be ≥ 1: zero slots would give EVERY doc the same
+    * band key (md5 of the empty concat) and the candidate join becomes
+    * the full n² cross product LSH exists to avoid. Callers derive
+    * rowsPerBand = k / bands, so k must divide by bands — a remainder
+    * would silently never band the trailing signature slots. */
   def lshBands(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1,
+      s"need bands >= 1 and rowsPerBand >= 1, got bands=$bands rows=$rowsPerBand")
     val bandRows = (0 until bands).map { b =>
       val slots = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"h$j"))
       sig.select(col("doc_id"), lit(b).as("band"),
@@ -61,6 +68,9 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, k: Int = 8, bands: Int = 2,
                  threshold: Double = 0.5): DataFrame = {
+    require(bands >= 1 && k % bands == 0,
+      s"k must divide into bands (got k=$k, bands=$bands) — a remainder " +
+      "would silently drop trailing signature slots from banding")
     // shingle rows feed three consumers (signatures + both sides of the
     // Jaccard verify) — persist so tokenize/shingle runs once, not thrice
     val sh = shingleRows(docs, idCol, textCol, shingleN)
@@ -126,6 +136,8 @@ object Dedup {
                        idCol: String, textCol: String,
                        shingleN: Int = 3, k: Int = 8, bands: Int = 2,
                        minEst: Double = 0.5): DataFrame = {
+    require(bands >= 1 && k % bands == 0,
+      s"k must divide into bands (got k=$k, bands=$bands)")
     // each side's signatures feed its band derivation AND the estimate
     // join: materialize once per side
     val bs = minhashSignatures(shingleRows(batch, idCol, textCol, shingleN), k)
@@ -334,7 +346,9 @@ object Dedup {
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("bucket"),
-        (dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))).as("sim"))
+        (when(col("nrm_a") * col("nrm_b") === 0.0, lit(0.0))
+        .otherwise(dot(col("emb_a"), col("emb_b"))
+          / (col("nrm_a") * col("nrm_b")))).as("sim"))
       .filter(col("sim") >= threshold)
   }
 

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Iterative breadth-first reachability over an edge table.
   *
@@ -37,9 +36,14 @@ object GraphBfs {
     */
   def reachable(edges: DataFrame, roots: DataFrame, maxDepth: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
+    // localCheckpoint(eager) everywhere instead of persist: it cuts
+    // lineage so the plan stays O(1) deep per level AND its blocks are
+    // reclaimed by the ContextCleaner once unreferenced — a persist per
+    // level would pin one cache entry per level of every reachable()
+    // call for the life of the session (the leak minhashLsh documents)
     var visited = roots.select(col("node")).distinct()
       .withColumn("depth", lit(0L))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     var frontier = visited
     var depth = 0L
     while (depth < maxDepth && !frontier.isEmpty) {
@@ -52,11 +56,8 @@ object GraphBfs {
         .distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .withColumn("depth", lit(depth))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // localCheckpoint cuts lineage so the plan doesn't grow per level
-      val newVisited = visited.union(next).localCheckpoint(false)
-      visited.unpersist(false)
-      visited = newVisited
+        .localCheckpoint(eager = true)
+      visited = visited.union(next).localCheckpoint(eager = true)
       frontier = next
     }
     visited

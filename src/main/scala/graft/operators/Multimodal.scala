@@ -44,7 +44,13 @@ object Multimodal {
   def decode(spark: SparkSession, media: DataFrame,
              idCol: String, binCol: String): Dataset[DecodedMedia] = {
     import spark.implicits._
+    // a NULL blob (failed download) decodes like an empty one instead
+    // of NPE-ing the task; a NULL id cannot enter the (Long, bytes)
+    // encoder at all, so those rows are dropped up front — a real
+    // pipeline would route both to a quarantine sink
     media.select(col(idCol).cast("long"), col(binCol))
+      .filter(col(idCol).isNotNull)
+      .withColumn(binCol, coalesce(col(binCol), lit(Array.empty[Byte])))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
   }
@@ -63,15 +69,21 @@ object Multimodal {
     * blobs never leave their partition. */
   def frameSample(media: DataFrame, idCol: String, binCol: String,
                   frameBytes: Int, everyN: Int): DataFrame = {
+    // fail at the call site, not as a per-row ANSI DIVIDE_BY_ZERO deep
+    // inside the job
+    require(frameBytes > 0 && everyN > 0,
+      s"need frameBytes > 0 and everyN > 0, got $frameBytes / $everyN")
     val nFrames =
       ceil(length(col(binCol)).cast("double") / frameBytes).cast("long")
     media
       .select(col(idCol), col(binCol), nFrames.as("n_frames"))
       .select(col(idCol), col(binCol),
+        // stepped sequence emits ONLY the kept indices — an unstepped
+        // explode + `% everyN` filter would materialize everyN× the
+        // rows, each dragging the full blob column along
         explode(when(col("n_frames") > 0,
-            sequence(lit(0L), col("n_frames") - 1))
+            sequence(lit(0L), col("n_frames") - 1, lit(everyN.toLong)))
           .otherwise(array().cast("array<bigint>"))).as("frame_idx"))
-      .filter(col("frame_idx") % everyN === 0)
       .select(col(idCol), col("frame_idx"),
         sha2(col(binCol).substr(
           (col("frame_idx") * frameBytes + 1).cast("int"),

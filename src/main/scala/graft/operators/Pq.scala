@@ -57,7 +57,11 @@ object Pq {
             iters: Int): DataFrame = {
     val v = subvecs(corpus, m, subDim)
       .localCheckpoint() // m·|corpus| sub-rows feed every round once
-    var cents = v.filter(col("id") < k)
+    // the k corpus vectors with the SMALLEST ids — not `id < k`, which
+    // silently under-seeds (or empties) the codebook for sparse or
+    // non-zero-based id spaces (same contract as KMeans.train)
+    val seedIds = corpus.select(col("id")).orderBy(col("id")).limit(k)
+    var cents = v.join(broadcast(seedIds), Seq("id"))
       .select(col("m"), col("id").as("cid"), col("emb").as("cent"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
@@ -74,7 +78,10 @@ object Pq {
       val means = assigned
         .select(col("m"), col("cid"), posexplode(col("emb")).as(Seq("pos", "x")))
         .groupBy(col("m"), col("cid"), col("pos"))
-        .agg((sum(floor(col("x") * 1e12).cast("long")).cast("double")
+        // DECIMAL(38,0), not LONG: a long accumulator overflows past
+        // ~9.2M cluster members of unit-scale values (same fix as
+        // KMeans.train, whose math this must stay identical to)
+        .agg((sum(floor(col("x") * 1e12).cast("decimal(38,0)")).cast("double")
                 / 1e12 / count(lit(1)).cast("double")).as("mean"))
         .groupBy(col("m"), col("cid"))
         .agg(transform(
@@ -163,7 +170,9 @@ object Pq {
     page.join(c, Seq("vec_id")) // only the page's embeddings are read
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
-        (dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+        (when(col("q_norm") * col("c_norm") === 0.0, lit(0.0))
+          .otherwise(dot(col("q_emb"), col("c_emb"))
+            / (col("q_norm") * col("c_norm"))))
           .as("sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -210,7 +219,9 @@ object Pq {
       .orderBy(col("cent_sim").desc, col("cell"))
     val probes = q.crossJoin(broadcast(c))
       .select(col("query_id"), col("cell"),
-        (dot(col("q_emb"), col("cent_emb")) / (col("q_norm") * col("cent_norm")))
+        (when(col("q_norm") * col("cent_norm") === 0.0, lit(0.0))
+          .otherwise(dot(col("q_emb"), col("cent_emb"))
+            / (col("q_norm") * col("cent_norm"))))
           .as("cent_sim"))
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)

@@ -29,13 +29,24 @@ object RangeJoin {
     // a right row within [t−tol, t+tol] lives in bucket(t)−1 … bucket(t)+1,
     // so each left row probes exactly those three buckets; a qualifying
     // pair matches on exactly ONE bucket value (right's bucket is fixed),
-    // so the join produces no duplicates
+    // so the join produces no duplicates.
+    // INTEGER division, not `/`: Column `/` on longs is double division,
+    // and timestamps past 2^53 (nanosecond epochs are ~1.7e18) lose
+    // precision — buckets land arbitrarily far from the true bucket and
+    // in-tolerance pairs silently vanish. Trunc-div still maps any
+    // tolerance-wide interval onto ≤ 2 adjacent buckets, which the ±1
+    // probe covers.
+    def bucketOf(ts: String): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
+      column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        expression(col(ts).cast("long")), expression(lit(tolerance))))
+    }
     val l = left
-      .withColumn("_lb", floor(col(leftTs) / tolerance))
+      .withColumn("_lb", bucketOf(leftTs))
       .withColumn("_bucket",
         explode(array(col("_lb") - 1, col("_lb"), col("_lb") + 1)))
       .drop("_lb")
-    val r = right.withColumn("_bucket", floor(col(rightTs) / tolerance))
+    val r = right.withColumn("_bucket", bucketOf(rightTs))
     l.join(r, keys :+ "_bucket")
       .filter(abs(col(leftTs) - col(rightTs)) <= tolerance)
       .drop("_bucket")

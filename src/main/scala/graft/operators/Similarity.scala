@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,10 +23,23 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Zero-norm-safe cosine: an all-zero (null-imputed/padded) vector
+    * scores 0.0 instead of raising DIVIDE_BY_ZERO under Spark's
+    * default ANSI mode and killing the whole scan. Identical to the
+    * unguarded division for every nonzero-norm pair. */
+  private def cosSim(dotC: Column, denom: Column): Column =
+    when(denom === 0.0, lit(0.0)).otherwise(dotC / denom)
+
   /** Exact brute-force top-k neighbors of each query row.
     * `queries`/`corpus`: (id, embedding). Output:
-    * (query_id, vec_id, sim, rank) with rank 1..k, self-matches excluded. */
-  def topK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    * (query_id, vec_id, sim, rank) with rank 1..k. `excludeSelf` drops
+    * vec_id == query_id pairs — right for self-search over ONE table
+    * (a vector's nearest neighbor is trivially itself); set it false
+    * when queries and corpus are DIFFERENT tables, where an id
+    * collision is not a self-pair and exclusion would silently drop a
+    * true neighbor. */
+  def topK(queries: DataFrame, corpus: DataFrame, k: Int,
+           excludeSelf: Boolean = true): DataFrame = {
     // norms are precomputed per row (not per pair): the pair loop then
     // does ONE dot product instead of three — same doubles, third the work
     val q = queries.select(col("id").as("query_id"), col("embedding").as("q_emb"),
@@ -35,22 +48,24 @@ object Similarity {
                           norm(col("embedding")).as("c_norm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    c.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
+    val pairs = c.crossJoin(broadcast(q))
+    (if (excludeSelf) pairs.filter(col("vec_id") =!= col("query_id")) else pairs)
       .select(col("query_id"), col("vec_id"),
-              (dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
-                .as("sim"))
+              cosSim(dot(col("q_emb"), col("c_emb")),
+                     col("q_norm") * col("c_norm")).as("sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 
   /** k-NN majority-vote classification of `test` rows against the
     * labeled `train` corpus. Output: (id, predicted_label, votes).
-    * Majority ties break toward the smaller label. */
+    * Majority ties break toward the smaller label. Test and train are
+    * separate id namespaces, so no self-exclusion: a test id equal to
+    * a train id is a coincidence, not the same row. */
   def knnClassify(test: DataFrame, train: DataFrame, k: Int): DataFrame = {
     val neighbors = topK(
       test.select(col("id"), col("embedding")),
-      train.select(col("id"), col("embedding")), k)
+      train.select(col("id"), col("embedding")), k, excludeSelf = false)
       .join(train.select(col("id").as("vec_id"), col("label")), Seq("vec_id"))
     val voteW = Window.partitionBy(col("query_id"))
       .orderBy(col("votes").desc, col("label"))
@@ -82,7 +97,7 @@ object Similarity {
     val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("cid"))
     v.crossJoin(broadcast(c))
       .select(col("id"), col("cid"),
-        (dot(col("embedding"), col("cent_emb")) / (col("v_norm") * col("cent_norm")))
+        cosSim(dot(col("embedding"), col("cent_emb")), col("v_norm") * col("cent_norm"))
           .as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -105,7 +120,7 @@ object Similarity {
       .orderBy(col("cent_sim").desc, col("cid"))
     val probes = q.crossJoin(broadcast(c))
       .select(col("query_id"), col("q_emb"), col("q_norm"), col("cid"),
-        (dot(col("q_emb"), col("cent_emb")) / (col("q_norm") * col("cent_norm")))
+        cosSim(dot(col("q_emb"), col("cent_emb")), col("q_norm") * col("cent_norm"))
           .as("cent_sim"))
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
@@ -118,7 +133,7 @@ object Similarity {
     cand.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("cid"),
-        (dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))).as("sim"))
+        cosSim(dot(col("q_emb"), col("c_emb")), col("q_norm") * col("c_norm")).as("sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
@@ -159,7 +174,7 @@ object Similarity {
     cb.join(broadcast(probes.drop("bucket")), col("bucket") === col("probe"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("bucket"),
-              (dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+              cosSim(dot(col("q_emb"), col("c_emb")), col("q_norm") * col("c_norm"))
                 .as("sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -182,7 +197,10 @@ object Similarity {
     val stats = corpus.agg(
       max(aggregate(col("embedding"), lit(0.0),
         (acc, x) => greatest(acc, abs(x.cast("double"))))).as("max_abs"))
-      .select((lit(127.0) / col("max_abs")).as("scale"))
+      // an all-zero corpus has max_abs = 0: scale 1.0 quantizes every
+      // value to 0 instead of raising ANSI DIVIDE_BY_ZERO
+      .select(when(col("max_abs") === 0.0, lit(1.0))
+        .otherwise(lit(127.0) / col("max_abs")).as("scale"))
     def quant(emb: org.apache.spark.sql.Column, scale: org.apache.spark.sql.Column) =
       transform(emb, x =>
         greatest(least(floor(x.cast("double") * scale + 0.5), lit(127L)), lit(-127L)))

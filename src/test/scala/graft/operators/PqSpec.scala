@@ -15,6 +15,13 @@ class PqSpec extends AnyFunSuite {
     (i, Array.tabulate(8)(d => base + 0.01f * ((i + d) % 5)))
   }.toDF("id", "embedding")
 
+  test("non-zero-based ids still seed k codebook entries per subspace") {
+    val shifted = clustered.select((col("id") + 5000L).as("id"), col("embedding"))
+    val cb = Pq.train(shifted, m = 2, subDim = 4, k = 2, iters = 1)
+    // id<k seeding would return an EMPTY codebook here
+    assert(cb.groupBy(col("m")).count().collect().forall(_.getLong(1) == 2L))
+  }
+
   test("codebooks cover every (m, cid); encoding gives m codes per vector") {
     val cb = Pq.train(clustered, m = 2, subDim = 4, k = 2, iters = 1)
     assert(cb.count() == 4) // 2 subspaces x 2 codes
