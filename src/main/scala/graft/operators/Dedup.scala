@@ -205,21 +205,32 @@ object Dedup {
     // `pairs` (often a whole LSH pipeline) would be computed twice when
     // `edges` first materializes (measured 2× on q44)
     val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint, not persist: every round's plan references the
+    // edge table, and each round's labels reference the previous round
+    // TWICE (via neighborMin and directly) — with an un-truncated
+    // lineage the analyzed plan doubles per round and the base plan
+    // (often a whole LSH pipeline full of hyperplane literals) rides
+    // along in every copy. q126 hit a 2 GiB plan string and OOMed the
+    // driver before any data moved. Checkpointing makes edges a leaf
+    // and each round's labels a leaf, so plan size is constant per
+    // round. The materialization cost is the same the old persist+count
+    // already paid.
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var persisted = edges.select(col("src").as("id")).distinct()
+      .localCheckpoint(eager = true)
+    p.unpersist(blocking = false) // edges is materialized; pairs cache done
+    var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("old", col("id"))
+      .localCheckpoint(eager = true)
     // the init materialization doubles as a size probe: when the label
     // table fits in a broadcast (node count ≪ corpus — the normal LSH
     // outcome), hint both per-round joins broadcast so a round is one
     // map-side job instead of shuffle+sort stages; past the limit the
     // rounds fall back to shuffle joins (the 100 TB path)
-    val nNodes = persisted.count()
+    val nNodes = labels.count()
     val hinted: DataFrame => DataFrame =
       if (nNodes <= broadcastNodeLimit) broadcast(_) else identity
-    var labels = persisted
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -228,34 +239,103 @@ object Dedup {
         .join(hinted(labels.select(col("id").as("dst"), col("label"))), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nbr_label"))
-      val next = labels.withColumnRenamed("label", "old")
+      val prop = labels.select(col("id"), col("label").as("old"))
         .join(hinted(neighborMin), Seq("id"), "left")
         .select(col("id"),
-          least(col("old"), coalesce(col("nbr_label"), col("old"))).as("label"),
+          least(col("old"), coalesce(col("nbr_label"), col("old"))).as("l1"),
           col("old"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // one job: materializes the persist AND answers convergence
+      // pointer jump: follow the candidate label to ITS candidate label
+      // (labels are node ids, so l1 indexes back into this round's own
+      // table). Plain neighbor-min needs diameter rounds — a 330-pair
+      // embedding graph already produced a chain past maxIter=10; with
+      // the jump the unresolved chain halves per round (O(log diameter)).
+      // l2 ≤ l1 always (labels are min-monotone), so least() is exact.
+      // eager checkpoint materializes the round; the convergence count
+      // then runs over the checkpointed blocks, not a recompute
+      val next = prop
+        .join(hinted(prop.select(col("id").as("l1"), col("l1").as("l2"))),
+              Seq("l1"), "left")
+        .select(col("id"),
+          least(col("l1"), coalesce(col("l2"), col("l1"))).as("label"),
+          col("old"))
+        .localCheckpoint(eager = true)
       converged = next.filter(col("label") =!= col("old")).count() == 0
-      persisted.unpersist(false)
-      persisted = next
-      labels = next.select(col("id"), col("label")) // drop `old` for the next rename
+      labels = next
     }
-    // the label table is tiny (one row per node in some dup pair);
-    // checkpoint it eagerly so every intermediate cache — including the
-    // whole LSH pipeline behind `pairs` — can be dropped immediately
-    // instead of leaking for the life of the session
-    val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      .localCheckpoint(eager = true)
-    persisted.unpersist(blocking = false)
-    edges.unpersist(blocking = false)
-    p.unpersist(blocking = false)
-    out
+    // one row per node in some dup pair; the checkpointed round output
+    // is already materialized and lineage-free, so intermediate blocks
+    // (including the LSH pipeline behind `pairs`) are reclaimable by the
+    // ContextCleaner as each round's reference drops
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
   /** Above this node count the per-round label joins stop broadcasting
     * and fall back to shuffle joins (a broadcast of the label table
     * must fit executor memory; 1M (id,label) longs ≈ 16 MB). */
   private val broadcastNodeLimit = 1000000L
+
+  /** Incremental cluster maintenance: fold a new batch of near-dup
+    * pairs into stored cluster labels WITHOUT recomputing the full
+    * graph. Returns labels for the AFFECTED SLICE only — every member
+    * of a stored cluster that a new pair touches, plus every node of a
+    * new pair — so the caller can append it as a last-wins delta
+    * ([[graft.gdl.TableStore.readLatestBy]]) in O(affected) instead of
+    * rewriting an O(corpus) label table per batch.
+    *
+    * Correctness: each affected stored cluster is re-entered as star
+    * edges (member → cluster_id); the cluster_id is itself the min
+    * member id, so the stars carry exactly the old connectivity and the
+    * old min. Components of (stars ∪ newPairs) therefore equal the
+    * components of (oldPairs ∪ newPairs) restricted to the affected
+    * slice, and the recomputed label is the true min over the merged
+    * node set. Unaffected clusters never enter the computation at all.
+    *
+    * Scale: `touched` is pair-batch-sized, `affected` is bounded by the
+    * touched clusters' membership (dup clusters are tiny in practice),
+    * and every step is an equi-join keyed on doc/cluster id — no
+    * corpus-sized scan except the one column scan of `stored` that any
+    * label lookup needs (a persistent index prunes THAT with zone maps).
+    *
+    * Input: stored (doc_id, cluster_id); newPairs (id_a, id_b).
+    * Output: (doc_id, cluster_id) for the affected slice. */
+  def mergeClustersDelta(stored: DataFrame, newPairs: DataFrame,
+                         maxIter: Int = 10): DataFrame = {
+    // pair batch feeds the touched probe AND the merged edge set —
+    // checkpoint so an expensive pair source (an LSH query) runs once
+    val p = newPairs.select(col("id_a"), col("id_b"))
+      .localCheckpoint(eager = true)
+    val touched = p.select(col("id_a").as("doc_id"))
+      .union(p.select(col("id_b").as("doc_id")))
+      .distinct()
+    // clusters with any touched member; broadcast the (small) probe
+    val affectedClusters = stored
+      .join(broadcast(touched), Seq("doc_id"))
+      .select(col("cluster_id")).distinct()
+    val affectedMembers = stored
+      .join(broadcast(affectedClusters), Seq("cluster_id"))
+    // star edges re-enter each affected cluster's connectivity; the
+    // (cluster_id, cluster_id) self-row carries nothing and is skipped
+    val stars = affectedMembers
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("id_a"), col("cluster_id").as("id_b"))
+    connectedComponents(stars.union(p), maxIter)
+  }
+
+  /** [[mergeClustersDelta]] plus the pass-through of unaffected stored
+    * rows — the full merged label table, value-equal to running
+    * [[connectedComponents]] over the union of the old and new pair
+    * sets. Use the delta form when the labels live in a last-wins
+    * store; use this when the caller wants the whole view. */
+  def mergeClusters(stored: DataFrame, newPairs: DataFrame,
+                    maxIter: Int = 10): DataFrame = {
+    val delta = mergeClustersDelta(stored, newPairs, maxIter)
+    // anti-join on doc_id, not cluster_id: delta labels supersede the
+    // stored row for every node it covers (losing clusters keep their
+    // old cluster_id only on rows the delta does not re-emit — none)
+    val unaffected = stored.join(delta.select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    unaffected.select(col("doc_id"), col("cluster_id")).union(delta)
+  }
 
   /** 16-bit SimHash fingerprint per document: for each bit position the
     * sign of Σ_tokens (2·bit(hash16(token)) − 1). Kept at 16 bits so the

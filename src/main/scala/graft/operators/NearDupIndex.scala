@@ -142,4 +142,83 @@ final class NearDupIndex(store: TableStore, name: String,
     Dedup.sigEstimatePairs(bs, Dedup.lshBands(bs, bands, k / bands),
       required("sig"), required("bands"), k, minEst)
   }
+
+  // ---- incremental duplicate-cluster maintenance --------------------
+  //
+  // `<name>_clusters` holds (doc_id, cluster_id, upd_seq) as last-wins
+  // deltas: `buildClusters` seeds it from the corpus pair graph, each
+  // `refreshClusters` appends ONLY the affected slice (members of
+  // clusters a new pair touches, plus the new nodes) recomputed by
+  // Dedup.mergeClustersDelta — O(batch + affected members) per batch,
+  // never an O(corpus) label rewrite. Readers resolve with
+  // readLatestBy(doc_id, upd_seq).
+
+  private def nextClusterSeq: Long =
+    store.history(t("clusters")).lastOption.map(_._1 + 1).getOrElse(0L)
+
+  private def stamp(labels: DataFrame, seq: Long): DataFrame =
+    labels.select(col("doc_id"), col("cluster_id"),
+                  lit(seq).cast("long").as("upd_seq"))
+
+  /** Current duplicate-cluster labels: (doc_id, cluster_id), last-wins
+    * over the delta chain. Empty table (not an error) before
+    * [[buildClusters]] — callers distinguish "no clusters yet" from a
+    * half-built signature index via [[requireComplete]]. */
+  def clusters(): DataFrame =
+    store.readLatestBy(t("clusters"), Seq("doc_id"), "upd_seq")
+      .map(_.select(col("doc_id"), col("cluster_id")))
+      .getOrElse {
+        val spark = required("sig").sparkSession
+        import spark.implicits._
+        Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+      }
+
+  /** Seed the cluster table from the corpus itself: batch-internal
+    * near-dup pairs ([[Dedup.minhashLsh]], exact-Jaccard verified) →
+    * connected components. Overwrites any previous cluster history
+    * (labels derive from the pair graph, so a re-seed is a rebuild,
+    * not an append). */
+  def buildClusters(docs: DataFrame, idCol: String, textCol: String,
+                    threshold: Double = 0.5): Unit = {
+    val pairs = Dedup.minhashLsh(docs, idCol, textCol, shingleN, k, bands,
+        threshold)
+      .select(col("id_a"), col("id_b"))
+    store.overwrite(t("clusters"),
+      stamp(Dedup.connectedComponents(pairs), 0L))
+  }
+
+  /** Fold one batch's near-dup pairs into the stored clusters and
+    * return the appended delta. Pair sources, both parameter-identical
+    * to the build: batch-vs-corpus pairs from the stored signatures
+    * ([[query]], slot-agreement ≥ `minEst`) and batch-internal pairs
+    * re-shingled exactly ([[Dedup.minhashLsh]], Jaccard ≥ `threshold`).
+    * MUST run before [[refresh]] indexes the same batch — after it, the
+    * batch is corpus and [[query]] would re-score batch-internal pairs
+    * by slot agreement, a different (estimator) verdict than the exact
+    * path. Crash-retryable in that order: the delta is a deterministic
+    * function of (stored clusters, stored corpus, batch), and re-
+    * appending an identical delta is a last-wins no-op. */
+  def refreshClusters(batch: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.5,
+                      minEst: Double = 0.5): DataFrame = {
+    val cross = query(batch, idCol, textCol, minEst)
+      .select(col("new_id").as("id_a"), col("corpus_id").as("id_b"))
+    val internal = Dedup.minhashLsh(batch, idCol, textCol, shingleN, k,
+        bands, threshold)
+      .select(col("id_a"), col("id_b"))
+    val delta = Dedup.mergeClustersDelta(clusters(), cross.union(internal))
+    if (!delta.isEmpty) store.append(t("clusters"), stamp(delta, nextClusterSeq))
+    delta
+  }
+
+  /** One-call batch ingest: cluster maintenance first (see
+    * [[refreshClusters]] for why the order is load-bearing), then the
+    * signature/band index append ([[refresh]]). Retrying a crashed
+    * ingest from the top is safe at every interleaving: both halves are
+    * idempotent for an unchanged batch. */
+  def ingest(batch: DataFrame, idCol: String, textCol: String,
+             threshold: Double = 0.5, minEst: Double = 0.5): Unit = {
+    refreshClusters(batch, idCol, textCol, threshold, minEst)
+    refresh(batch, idCol, textCol)
+  }
 }

@@ -152,6 +152,26 @@ object TextOps {
       Dedup.connectedComponents(pairs)
     }),
 
+    // Incremental cluster maintenance: stored corpus clusters (doc_id
+    // ≥ 100) + one batch's near-dup pairs (batch-internal exact +
+    // batch-vs-corpus slot-agreement, q116's split) folded in with
+    // mergeClusters — only clusters a new pair touches are recomputed,
+    // yet the result is value-equal to clustering the union pair graph
+    // from scratch, which is exactly what the oracle does.
+    "q127_merged_clusters" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val batch = docs.filter(col("doc_id") < 100L)
+      val corpus = docs.filter(col("doc_id") >= 100L)
+      val stored = Dedup.connectedComponents(
+        Dedup.minhashLsh(corpus, "doc_id", "text")
+          .select(col("id_a"), col("id_b")))
+      val cross = Dedup.minhashLshAcross(batch, corpus, "doc_id", "text")
+        .select(col("new_id").as("id_a"), col("corpus_id").as("id_b"))
+      val internal = Dedup.minhashLsh(batch, "doc_id", "text")
+        .select(col("id_a"), col("id_b"))
+      Dedup.mergeClusters(stored, cross.union(internal))
+    }),
+
     // Deterministic stratified sampling for training mixes: md5-bucketed
     // per-doc hash against a per-language quota (en 50 %, others 25 %) —
     // replayable under retry, no RNG state.
@@ -443,11 +463,16 @@ object TextOps {
   }
 
   /** The full MinHash-LSH pair pipeline in SQL — q24's oracle, reused as
-    * the edge source for q44's connected-components oracle. */
-  private lazy val minhashPairsSql: String = {
+    * the edge source for q44's connected-components oracle, and (with a
+    * candidate predicate) as the same-side pair source for q127's
+    * incremental-merge oracle. `extraCand` is ANDed into the candidate
+    * join so the signature/banding prefix stays shared and identical. */
+  /** The shingle→signature→band CTE chain shared by every minhash
+    * oracle (no leading WITH — splice into a WITH/WITH RECURSIVE). */
+  private lazy val minhashPrefixSql: String = {
     val sigCols = (0 until 8).map(j =>
       s"min(md5('$j|' || shingle)) AS h$j").mkString(", ")
-    s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+    s"""toks AS (SELECT doc_id, $toksSql AS w FROM documents),
         sh0 AS (SELECT doc_id,
                        unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
                               i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1]
@@ -458,26 +483,37 @@ object TextOps {
         bands AS (
           SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS band_key FROM sig
           UNION ALL
-          SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS band_key FROM sig),
-        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS band_key FROM sig)"""
+  }
+
+  /** Candidate + exact-Jaccard-verify CTE chain over the prefix; the
+    * final CTE `pairs$tag` is (id_a, id_b, jaccard ≥ 0.5). `extraCand`
+    * is ANDed into the candidate join. */
+  private def minhashVerifySql(tag: String, extraCand: String): String =
+    s"""cand$tag AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                  FROM bands a JOIN bands b
                    ON a.band = b.band AND a.band_key = b.band_key
-                  AND a.doc_id < b.doc_id),
-        cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
-                  FROM cand c
+                  AND a.doc_id < b.doc_id$extraCand),
+        cnt$tag AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter$tag AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+                  FROM cand$tag c
                   JOIN sh x ON x.doc_id = c.id_a
                   JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
-                  GROUP BY c.id_a, c.id_b)
+                  GROUP BY c.id_a, c.id_b),
+        pairs$tag AS (
         SELECT CAST(i.id_a AS BIGINT) AS id_a, CAST(i.id_b AS BIGINT) AS id_b,
                CAST(i.n_inter AS DOUBLE)
                  / CAST(ca.n_sh + cb.n_sh - i.n_inter AS DOUBLE) AS jaccard
-        FROM inter i
-        JOIN cnt ca ON ca.doc_id = i.id_a
-        JOIN cnt cb ON cb.doc_id = i.id_b
+        FROM inter$tag i
+        JOIN cnt$tag ca ON ca.doc_id = i.id_a
+        JOIN cnt$tag cb ON cb.doc_id = i.id_b
         WHERE CAST(i.n_inter AS DOUBLE)
-                / CAST(ca.n_sh + cb.n_sh - i.n_inter AS DOUBLE) >= 0.5"""
-  }
+                / CAST(ca.n_sh + cb.n_sh - i.n_inter AS DOUBLE) >= 0.5)"""
+
+  private lazy val minhashPairsSql: String =
+    s"""WITH $minhashPrefixSql,
+        ${minhashVerifySql("", "")}
+        SELECT id_a, id_b, jaccard FROM pairs"""
 
   def oracles: Map[String, String] = Map(
     "q116_incremental_neardup" -> {
@@ -589,6 +625,38 @@ object TextOps {
          FROM documents GROUP BY md5(text)""",
 
     "q24_minhash_lsh" -> minhashPairsSql,
+
+    "q127_merged_clusters" -> {
+      val nMatch = (0 until 8).map(j =>
+        s"CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH RECURSIVE $minhashPrefixSql,
+          ${minhashVerifySql("_same", " AND (a.doc_id < 100) = (b.doc_id < 100)")},
+          cand_x AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.band_key = b.band_key
+                     WHERE a.doc_id < 100 AND b.doc_id >= 100),
+          pairs_x AS (SELECT CAST(c.id_a AS BIGINT) AS id_a,
+                             CAST(c.id_b AS BIGINT) AS id_b
+                      FROM cand_x c
+                      JOIN sig sa ON sa.doc_id = c.id_a
+                      JOIN sig sb ON sb.doc_id = c.id_b
+                      WHERE CAST($nMatch AS DOUBLE) / 8.0 >= 0.5),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs_same
+                    UNION ALL
+                    SELECT id_b AS src, id_a AS dst FROM pairs_same
+                    UNION ALL
+                    SELECT id_a AS src, id_b AS dst FROM pairs_x
+                    UNION ALL
+                    SELECT id_b AS src, id_a AS dst FROM pairs_x),
+          nodes AS (SELECT DISTINCT src AS id FROM edges),
+          reach AS (
+            SELECT id AS src, id AS dst FROM nodes
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+          )
+          SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
+          FROM reach GROUP BY src"""
+    },
 
     "q44_dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS ($minhashPairsSql),

@@ -163,6 +163,20 @@ object VectorOps {
         nPlanes = 2, dim = 64)
     }),
 
+    // Embedding-dup canonicalization — q44's shape on the vector side:
+    // LSH-bucketed cosine pairs (q35) → connected components →
+    // (vec_id, cluster_id) with the min id canonical. What an
+    // embedding-level dedup pipeline actually drops rows by.
+    "q126_embedding_dup_clusters" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      val pairs = graft.operators.Dedup
+        .embeddingNearDup(e, threshold = 0.3, nPlanes = 2, dim = 64)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.Dedup.connectedComponents(pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    }),
+
     // Semantic decontamination: training vectors near-cosine-identical
     // to a benchmark embedding (vec_id < 20 plays the benchmark set) —
     // catches paraphrases that share no n-gram with q63's check. Bucket
@@ -340,6 +354,29 @@ object VectorOps {
         nprobe = 2, m = 4, subDim = 16, k = 5)
     })
   )
+
+  /** q35's bucketed embedding near-dup pairs in SQL — also the pair
+    * source for q126's cluster closure, so the two stay in lockstep. */
+  private lazy val embeddingNearDupSql: String = {
+    val planeSql = (j: Int) =>
+      s"""list_transform(range(1, 65),
+            i -> (CAST('0x' || substr(md5('${j}_' || CAST(i AS VARCHAR)), 1, 4)
+                       AS BIGINT) - 32768) / 32768.0)"""
+    val bits = (0 until 2).map { j =>
+      s"""CASE WHEN (SELECT ${dotSql("e.embedding", "p")}
+                     FROM (SELECT ${planeSql(j)} AS p)) >= 0.0
+               THEN ${1L << j} ELSE 0 END"""
+    }.mkString(" + ")
+    s"""WITH b AS (SELECT vec_id AS id, embedding,
+                          CAST($bits AS BIGINT) AS bucket,
+                          sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
+                   FROM embeddings e),
+        p AS (SELECT a.id AS id_a, b2.id AS id_b, a.bucket,
+                     (${dotSql("a.embedding", "b2.embedding")})
+                       / (a.nrm * b2.nrm) AS sim
+              FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id)
+        SELECT id_a, id_b, bucket, sim FROM p WHERE sim >= 0.3"""
+  }
 
   def oracles: Map[String, String] = Map(
 
@@ -575,26 +612,22 @@ object VectorOps {
           FROM scored
           QUALIFY rank <= 5""",
 
-    "q35_embedding_neardup" -> {
-      val planeSql = (j: Int) =>
-        s"""list_transform(range(1, 65),
-              i -> (CAST('0x' || substr(md5('${j}_' || CAST(i AS VARCHAR)), 1, 4)
-                         AS BIGINT) - 32768) / 32768.0)"""
-      val bits = (0 until 2).map { j =>
-        s"""CASE WHEN (SELECT ${dotSql("e.embedding", "p")}
-                       FROM (SELECT ${planeSql(j)} AS p)) >= 0.0
-                 THEN ${1L << j} ELSE 0 END"""
-      }.mkString(" + ")
-      s"""WITH b AS (SELECT vec_id AS id, embedding,
-                            CAST($bits AS BIGINT) AS bucket,
-                            sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
-                     FROM embeddings e),
-          p AS (SELECT a.id AS id_a, b2.id AS id_b, a.bucket,
-                       (${dotSql("a.embedding", "b2.embedding")})
-                         / (a.nrm * b2.nrm) AS sim
-                FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id)
-          SELECT id_a, id_b, bucket, sim FROM p WHERE sim >= 0.3"""
-    },
+    "q35_embedding_neardup" -> embeddingNearDupSql,
+
+    // q44's recursive-CTE component closure over q35's pair graph.
+    "q126_embedding_dup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($embeddingNearDupSql),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION ALL
+                    SELECT id_b AS src, id_a AS dst FROM pairs),
+          nodes AS (SELECT DISTINCT src AS id FROM edges),
+          reach AS (
+            SELECT id AS src, id AS dst FROM nodes
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+          )
+          SELECT src AS vec_id, CAST(min(dst) AS BIGINT) AS cluster_id
+          FROM reach GROUP BY src""",
 
     // q35's bucketed LSH across the train/bench split: the benchmark
     // side is ids < 20, train is the rest; same hyperplane family.
