@@ -55,6 +55,28 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
   }
 
+  /** [[decode]] with the drops routed to a dead-letter table instead of
+    * vanishing: rows the decoder cannot process (null id — unkeyable;
+    * null blob — failed download) are appended to `quarantineTable` as
+    * (source, reason, payload) and only fully-valid rows are decoded.
+    * Unlike plain [[decode]] — which coalesces a null blob to empty
+    * bytes to stay total — the quarantined form treats both as
+    * unprocessable, because here "not processed" is visible instead of
+    * silent. Same partition-wise plan for the clean rows. */
+  def decodeQuarantined(spark: SparkSession, media: DataFrame,
+                        idCol: String, binCol: String,
+                        store: graft.gdl.TableStore,
+                        quarantineTable: String,
+                        source: String): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    val clean = graft.sinks.DeadLetter.quarantine(store, quarantineTable,
+      source, media,
+      Seq("null_id" -> col(idCol).isNull, "null_blob" -> col(binCol).isNull))
+    clean.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+  }
+
   /** Attach a media binary column derived from text (the testdata has no
     * real media; utf-8 bytes stand in for an encoded frame). */
   def withFakeMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =
