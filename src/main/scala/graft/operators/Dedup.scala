@@ -307,12 +307,18 @@ object Dedup {
     val touched = p.select(col("id_a").as("doc_id"))
       .union(p.select(col("id_b").as("doc_id")))
       .distinct()
-    // clusters with any touched member; broadcast the (small) probe
+    // the probes are batch-sized in the normal incremental flow, but a
+    // caller CAN pass a giant backfill batch — gate the broadcast on
+    // the materialized pair count (free: p is already checkpointed)
+    // the same way connectedComponents gates its label joins
+    val hinted: DataFrame => DataFrame =
+      if (p.count() * 2 <= broadcastNodeLimit) broadcast(_) else identity
+    // clusters with any touched member
     val affectedClusters = stored
-      .join(broadcast(touched), Seq("doc_id"))
+      .join(hinted(touched), Seq("doc_id"))
       .select(col("cluster_id")).distinct()
     val affectedMembers = stored
-      .join(broadcast(affectedClusters), Seq("cluster_id"))
+      .join(hinted(affectedClusters), Seq("cluster_id"))
     // star edges re-enter each affected cluster's connectivity; the
     // (cluster_id, cluster_id) self-row carries nothing and is skipped
     val stars = affectedMembers

@@ -375,6 +375,29 @@ object RelationalOps {
           col("rank"))
     }),
 
+    // Weighted sample without replacement via PRIORITY SAMPLING
+    // (Duffield/Lund/Thorup): priority = weight / uniform, keep the
+    // top-k per stratum. Deterministic AND cross-engine exact — the
+    // uniform is a 48-bit md5-derived integer (+1, so never zero), the
+    // weight is a 2-decimal parquet value, and one IEEE division of
+    // identical operands rounds identically everywhere; no pow(), the
+    // blocker that rules out the u^(1/w) reservoir form. Runs through
+    // the bounded TopK aggregate — ≤ k rows per stratum per mapper
+    // into the shuffle, no window sort (the 100 TB sampling plan).
+    "q128_priority_sample" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          // unique per row: linenumber is 1..7, 3 bits spare
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("row_key"),
+          (col("l_quantity").cast("double") /
+            (conv(substring(md5(concat(lit("w|"),
+                col("l_orderkey").cast("string"), lit("|"),
+                col("l_linenumber").cast("string"))), 1, 12), 16, 10)
+              .cast("long").cast("double") + 1.0d)).as("priority"))
+      graft.operators.TopK.perKeyDesc(li,
+        key = "l_returnflag", ord = "priority", tie = "row_key", k = 20)
+    }),
+
     // User-facing semi/anti joins (SURVEY §2.3 notes the reference only
     // has internal anti-join shapes; the engine exposes them properly):
     // customers WITH urgent orders, minus those with any 'F' order.
@@ -995,6 +1018,21 @@ object RelationalOps {
                      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS BIGINT) AS rank
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          QUALIFY rank <= 3""",
+
+    "q128_priority_sample" ->
+      """WITH p AS (
+           SELECT l_returnflag,
+                  CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS row_key,
+                  CAST(l_quantity AS DOUBLE)
+                    / (CAST(CAST('0x' || substr(md5('w|'
+                         || CAST(l_orderkey AS VARCHAR) || '|'
+                         || CAST(l_linenumber AS VARCHAR)), 1, 12)
+                       AS BIGINT) AS DOUBLE) + 1.0) AS priority
+           FROM lineitem)
+         SELECT l_returnflag, priority, row_key,
+                CAST(row_number() OVER (PARTITION BY l_returnflag
+                     ORDER BY priority DESC, row_key) AS BIGINT) AS rank
+         FROM p QUALIFY rank <= 20""",
 
     "q17_revenue_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -202,6 +202,40 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(rows2(got) == rows2(store.read("t").get.filter(pred)))
   }
 
+  test("z-order prunes BOTH dimensions where 1-D clustering covers one") {
+    // same grid, two layouts: clustered by x alone vs by z_order(x, y).
+    // The x-layout answers x-probes perfectly but cannot prune a
+    // y-probe at all (every file spans all of y); the z-layout prunes
+    // both probes — the reason to pay for multi-column clustering.
+    val pts = for (x <- 0L until 32L; y <- 0L until 32L)
+      yield (x * 32 + y, x, y)
+    val byX = freshStore()
+    byX.append("t", pts.toDF("id", "x", "y"))
+    byX.rewriteClustered("t", $"x", nFiles = 16)
+    val byZ = freshStore()
+    byZ.append("t", pts.toDF("id", "x", "y"))
+    byZ.rewriteClustered("t",
+      graft.functions.ZOrder2.zorder($"x", $"y", 8), nFiles = 16)
+
+    val yProbe = $"y".between(8L, 11L)
+    val (keptXy, totalXy) = byX.zoneFileCounts("t", yProbe)
+    val (keptZy, totalZy) = byZ.zoneFileCounts("t", yProbe)
+    assert(totalXy >= 16 && totalZy >= 16)
+    // x-layout: every range-partition of x contains every y → no skips
+    assert(keptXy == totalXy, s"x-layout should not prune y, got $keptXy/$totalXy")
+    // z-layout: 64-row chunks have y-extent 8 → the 4-wide band sits
+    // inside one aligned y-octave, ~1/4 of the files
+    assert(keptZy <= totalZy / 2, s"z-layout y-probe read $keptZy/$totalZy")
+    // and the z-layout still prunes x-probes (not as tightly as the
+    // dedicated x-layout, which is the trade being bought)
+    val xProbe = $"x".between(4L, 7L)
+    val (keptZx, totalZx) = byZ.zoneFileCounts("t", xProbe)
+    assert(keptZx <= totalZx / 2, s"z-layout x-probe read $keptZx/$totalZx")
+    // values identical under every layout/probe combination
+    assert(rows2(byZ.scan("t", yProbe).get) ==
+           rows2(byX.scan("t", yProbe).get))
+  }
+
   private def rows2(df: DataFrame) =
     df.select("id", "x", "y").as[(Long, Long, Long)].collect().toSet
 
