@@ -438,6 +438,38 @@ object Dedup {
       .filter(col("sim") >= threshold)
   }
 
+  /** Embedding near-dup pairs between a NEW batch and an already-
+    * ingested corpus — [[minhashLshAcross]]'s vector-side analogue.
+    * The hyperplane family is parameter-determined (data-independent),
+    * so batch buckets computed at query time join directly against
+    * corpus buckets, and — unlike the minhash path, where only
+    * signatures survive — the verify is EXACT cosine, because the
+    * embedding itself is what a vector store persists. Consequently
+    * corpus-internal ∪ batch-internal ∪ cross pairs IS the full-table
+    * pair set exactly (q129 leans on that to share q126's oracle).
+    * Output: (new_id, corpus_id, bucket, sim ≥ threshold); a batch id
+    * already present in the corpus is not its own near-dup. */
+  def embeddingNearDupAcross(batch: DataFrame, corpus: DataFrame,
+                             threshold: Double, nPlanes: Int,
+                             dim: Int): DataFrame = {
+    import graft.functions.VectorFunctions._
+    def withBucket(df: DataFrame) = df.select(
+      col("id"), col("embedding"),
+      hyperplaneBucket(col("embedding"), nPlanes, dim).as("bucket"),
+      norm(col("embedding")).as("nrm"))
+    val a = withBucket(batch).select(col("bucket"), col("id").as("new_id"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = withBucket(corpus).select(col("bucket"), col("id").as("corpus_id"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select(col("new_id"), col("corpus_id"), col("bucket"),
+        (when(col("nrm_a") * col("nrm_b") === 0.0, lit(0.0))
+        .otherwise(dot(col("emb_a"), col("emb_b"))
+          / (col("nrm_a") * col("nrm_b")))).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** All-pairs n-gram Jaccard within caller-restricted blocks —
     * verification-scale only (the LSH path is the 100 TB route). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,

@@ -195,15 +195,24 @@ final class NearDupIndex(store: TableStore, name: String,
     * MUST run before [[refresh]] indexes the same batch — after it, the
     * batch is corpus and [[query]] would re-score batch-internal pairs
     * by slot agreement, a different (estimator) verdict than the exact
-    * path. Crash-retryable in that order: the delta is a deterministic
-    * function of (stored clusters, stored corpus, batch), and re-
-    * appending an identical delta is a last-wins no-op. */
+    * path. For the same reason, ids the index already holds are dropped
+    * from the batch here exactly as [[refresh]] drops them: their pairs
+    * were folded in when they were ingested, and re-deriving them from
+    * a replayed batch would swap exact verdicts for estimator ones —
+    * so a FULLY replayed batch contributes nothing at all, a partially
+    * replayed one (clusters appended, index append lost) re-appends an
+    * identical delta, and either way last-wins readers are unchanged. */
   def refreshClusters(batch: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.5,
                       minEst: Double = 0.5): DataFrame = {
-    val cross = query(batch, idCol, textCol, minEst)
+    requireComplete()
+    val fresh = batch
+      .join(required("bands").select(col("doc_id").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+      .localCheckpoint(eager = true)
+    val cross = query(fresh, idCol, textCol, minEst)
       .select(col("new_id").as("id_a"), col("corpus_id").as("id_b"))
-    val internal = Dedup.minhashLsh(batch, idCol, textCol, shingleN, k,
+    val internal = Dedup.minhashLsh(fresh, idCol, textCol, shingleN, k,
         bands, threshold)
       .select(col("id_a"), col("id_b"))
     val delta = Dedup.mergeClustersDelta(clusters(), cross.union(internal))
@@ -221,4 +230,23 @@ final class NearDupIndex(store: TableStore, name: String,
     refreshClusters(batch, idCol, textCol, threshold, minEst)
     refresh(batch, idCol, textCol)
   }
+
+  /** Streaming form of [[ingest]]: each micro-batch folds into the
+    * cluster table and then the signature index, keeping BOTH current
+    * with a live crawl. foreachBatch replay safety holds per half:
+    * a replayed batch's cluster delta is identical and last-wins
+    * (same labels re-appended, readers unchanged), and [[refresh]]
+    * anti-joins already-indexed ids. A restart between the halves
+    * replays the batch from the top — the exact interleaving
+    * [[ingest]]'s order makes safe. */
+  def ingestStream(stream: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.5, minEst: Double = 0.5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          ingest(batch.select(col(idCol), col(textCol)), idCol, textCol,
+                 threshold, minEst)
+      }
 }

@@ -177,6 +177,29 @@ object VectorOps {
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
     }),
 
+    // q127's shape on the vector side: stored corpus clusters
+    // (vec_id ≥ 200) + one batch folded in through the cross bucket
+    // join and mergeClusters. Shares q126's from-scratch oracle —
+    // see the oracle comment for why the pair sets union exactly.
+    "q129_incremental_embedding_clusters" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      val batch = e.filter(col("id") < 200L)
+      val corpus = e.filter(col("id") >= 200L)
+      val D = graft.operators.Dedup
+      val stored = D.connectedComponents(
+        D.embeddingNearDup(corpus, threshold = 0.3, nPlanes = 2, dim = 64)
+          .select(col("id_a"), col("id_b")))
+      val cross = D.embeddingNearDupAcross(batch, corpus,
+          threshold = 0.3, nPlanes = 2, dim = 64)
+        .select(col("new_id").as("id_a"), col("corpus_id").as("id_b"))
+      val internal = D.embeddingNearDup(batch,
+          threshold = 0.3, nPlanes = 2, dim = 64)
+        .select(col("id_a"), col("id_b"))
+      D.mergeClusters(stored, cross.union(internal))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    }),
+
     // Semantic decontamination: training vectors near-cosine-identical
     // to a benchmark embedding (vec_id < 20 plays the benchmark set) —
     // catches paraphrases that share no n-gram with q63's check. Bucket
@@ -377,6 +400,22 @@ object VectorOps {
               FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id)
         SELECT id_a, id_b, bucket, sim FROM p WHERE sim >= 0.3"""
   }
+
+  /** q126/q129's shared oracle: recursive-CTE component closure over
+    * the full-table embedding near-dup pair graph. */
+  private lazy val embeddingClustersSql: String =
+    s"""WITH RECURSIVE pairs AS ($embeddingNearDupSql),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL
+                  SELECT id_b AS src, id_a AS dst FROM pairs),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach AS (
+          SELECT id AS src, id AS dst FROM nodes
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+        )
+        SELECT src AS vec_id, CAST(min(dst) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY src"""
 
   def oracles: Map[String, String] = Map(
 
@@ -615,19 +654,14 @@ object VectorOps {
     "q35_embedding_neardup" -> embeddingNearDupSql,
 
     // q44's recursive-CTE component closure over q35's pair graph.
-    "q126_embedding_dup_clusters" ->
-      s"""WITH RECURSIVE pairs AS ($embeddingNearDupSql),
-          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                    UNION ALL
-                    SELECT id_b AS src, id_a AS dst FROM pairs),
-          nodes AS (SELECT DISTINCT src AS id FROM edges),
-          reach AS (
-            SELECT id AS src, id AS dst FROM nodes
-            UNION
-            SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
-          )
-          SELECT src AS vec_id, CAST(min(dst) AS BIGINT) AS cluster_id
-          FROM reach GROUP BY src""",
+    "q126_embedding_dup_clusters" -> embeddingClustersSql,
+
+    // Same oracle on purpose: the hyperplane family is data-independent
+    // and the verify is exact cosine, so the incremental path's three
+    // pair sets (corpus-internal, batch-internal, cross) union to
+    // EXACTLY the full-table pair graph — the merged labels must equal
+    // clustering the whole table from scratch.
+    "q129_incremental_embedding_clusters" -> embeddingClustersSql,
 
     // q35's bucketed LSH across the train/bench split: the benchmark
     // side is ids < 20, train is the rest; same hyperplane family.

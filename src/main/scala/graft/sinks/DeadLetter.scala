@@ -35,6 +35,10 @@ object DeadLetter {
   def split(df: DataFrame, rules: Seq[(String, Column)])
       : (DataFrame, DataFrame) = {
     require(rules.nonEmpty, "need at least one rule")
+    // withColumn would silently REPLACE a caller's dl_reason column —
+    // the tag must not shadow payload data
+    require(!df.columns.contains("dl_reason"),
+      "input already has a dl_reason column; rename it before splitting")
     val reason = coalesce(
       rules.map { case (name, bad) => when(bad, lit(name)) } :+
         lit(null).cast("string"): _*)

@@ -125,6 +125,74 @@ class DedupMergeSpec extends AnyFunSuite {
     assert(labelSet(idx.clusters()) == afterFirst)
   }
 
+  test("embedding cross pairs are the full pair graph restricted to the split") {
+    val e = graft.Tables.load(spark, graft.TestSpark.sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val batch = e.filter(col("id") < 200L)
+    val corpus = e.filter(col("id") >= 200L)
+    val across = Dedup.embeddingNearDupAcross(batch, corpus,
+        threshold = 0.3, nPlanes = 2, dim = 64)
+      .select(least(col("new_id"), col("corpus_id")).as("a"),
+              greatest(col("new_id"), col("corpus_id")).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.embeddingNearDup(e, threshold = 0.3,
+        nPlanes = 2, dim = 64)
+      .filter((col("id_a") < 200L) =!= (col("id_b") < 200L))
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(across == full)
+    assert(across.nonEmpty) // the split must actually cross the join
+  }
+
+  test("a FULLY replayed ingest contributes nothing") {
+    val root = java.nio.file.Files.createTempDirectory("dupclu-full").toString
+    val store = new TableStore(spark, root)
+    val idx = new NearDupIndex(store, "dup")
+    val seed = docs.filter(col("doc_id") >= 100L)
+    val b = docs.filter(col("doc_id") < 100L)
+    idx.build(seed, "doc_id", "text")
+    idx.buildClusters(seed, "doc_id", "text")
+    idx.ingest(b, "doc_id", "text")
+    val labels = labelSet(idx.clusters())
+    val gens = store.history("dup_clusters").size
+    // restart-before-checkpoint replay: the batch is already fully in
+    // (clusters AND index). Re-deriving its pairs now would verify
+    // batch-internal pairs by slot agreement instead of exact Jaccard —
+    // the replayed ingest must instead drop the indexed ids and append
+    // nothing at all
+    idx.ingest(b, "doc_id", "text")
+    assert(labelSet(idx.clusters()) == labels)
+    assert(store.history("dup_clusters").size == gens)
+  }
+
+  test("streamed ingest equals one-shot ingest") {
+    val root = java.nio.file.Files.createTempDirectory("dupclu-stream").toString
+    val idx = new NearDupIndex(new TableStore(spark, root), "dup")
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val rest = docs.filter(col("doc_id") % 2 =!= 0)
+    idx.build(half, "doc_id", "text")
+    idx.buildClusters(half, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dupclu-sdir").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("dupclu-sckpt").toString
+    rest.filter(col("doc_id") % 4 === 1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(rest.schema).parquet(dir)
+    val q = idx.ingestStream(stream, "doc_id", "text")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      rest.filter(col("doc_id") % 4 === 3).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val oneShot = new NearDupIndex(new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("dupclu-1shot").toString), "dup")
+    oneShot.build(half, "doc_id", "text")
+    oneShot.buildClusters(half, "doc_id", "text")
+    oneShot.ingest(rest.filter(col("doc_id") % 4 === 1), "doc_id", "text")
+    oneShot.ingest(rest.filter(col("doc_id") % 4 === 3), "doc_id", "text")
+    assert(labelSet(idx.clusters()) == labelSet(oneShot.clusters()))
+    assert(labelSet(idx.clusters()).nonEmpty)
+  }
+
   test("clusters before any buildClusters is empty, not an error") {
     val root = java.nio.file.Files.createTempDirectory("dupclu-empty").toString
     val idx = new NearDupIndex(new TableStore(spark, root), "dup")
