@@ -172,6 +172,22 @@ object TextOps {
       Dedup.mergeClusters(stored, cross.union(internal))
     }),
 
+    // Export delivery manifest: per-shard row count, payload size, and
+    // an ORDER-FREE content fingerprint (sum of 48-bit row digests —
+    // combinable, partitioning-independent; no sorted collect of the
+    // shard). The md5 shard assignment mirrors the deterministic-hash
+    // family the sampling queries use so the oracle can reproduce it;
+    // a ShardedExport delivery passes its own shard column instead
+    // (ExportManifestSpec ties the two).
+    "q130_export_manifest" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .withColumn("shard",
+          conv(substring(md5(concat(lit("sh|"), col("doc_id").cast("string"))),
+            1, 4), 16, 10).cast("long") % 8)
+      graft.sinks.ExportManifest.manifest(docs,
+        col("shard"), col("doc_id"), col("text"))
+    }),
+
     // Deterministic stratified sampling for training mixes: md5-bucketed
     // per-doc hash against a per-language quota (en 50 %, others 25 %) —
     // replayable under retry, no RNG state.
@@ -671,6 +687,15 @@ object TextOps {
           )
           SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
           FROM reach GROUP BY src""",
+
+    "q130_export_manifest" ->
+      """SELECT CAST(CAST('0x' || substr(md5('sh|' || CAST(doc_id AS VARCHAR)), 1, 4)
+                     AS BIGINT) % 8 AS BIGINT) AS shard,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                CAST(sum(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                     || md5(text)), 1, 12) AS BIGINT)) AS BIGINT) AS content_fp
+         FROM documents GROUP BY 1""",
 
     "q45_stratified_sample" ->
       """WITH h AS (SELECT doc_id, lang,

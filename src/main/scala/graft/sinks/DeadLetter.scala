@@ -85,4 +85,18 @@ object DeadLetter {
     bad.select(lit(source).as("source"), col("dl_reason").as("reason"),
       to_json(struct(payloadCols.toSeq: _*)).as("payload"))
   }
+
+  /** Read one source's quarantined rows back as typed rows (plus the
+    * reason) for reprocessing after the upstream defect is fixed — the
+    * other half of the dead-letter loop. `schema` is the original input
+    * schema; fields it names that a payload lacks come back null, which
+    * is exactly the malformed state that quarantined the row. */
+  def replay(store: TableStore, table: String, source: String,
+             schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val q = store.read(table).getOrElse(
+      throw new IllegalStateException(s"no quarantine table '$table'"))
+    q.filter(col("source") === source)
+      .select(from_json(col("payload"), schema).as("row"), col("reason"))
+      .select(col("row.*"), col("reason"))
+  }
 }

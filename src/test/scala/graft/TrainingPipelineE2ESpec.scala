@@ -128,4 +128,67 @@ class TrainingPipelineE2ESpec extends AnyFunSuite {
     assert(pairs(idx.query(probe, "doc_id", "text")) ==
            pairs(scratch.query(probe, "doc_id", "text")))
   }
+
+  test("incremental arrival with quarantine and live cluster maintenance") {
+    import graft.gdl.TableStore
+    import graft.operators.NearDupIndex
+    import graft.sinks.DeadLetter
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("pipe-clu").toString)
+    val idx = new NearDupIndex(store, "crawl")
+    val corpus = docs.filter(col("doc_id") % 2 === 0L)
+    idx.build(corpus, "doc_id", "text")
+    idx.buildClusters(corpus, "doc_id", "text")
+
+    // a crawl batch arrives polluted: a lost download (null text) and an
+    // unkeyable row (null id) ride along with real documents
+    val batch = docs.filter(col("doc_id") % 2 =!= 0L)
+    val polluted = batch.unionByName(Seq[
+        (java.lang.Long, String, String)](
+        (9000001L, "crawl", null), (null, "crawl", "orphan payload"))
+      .toDF("doc_id", "source", "text"))
+    val rules = Seq("null_id" -> col("doc_id").isNull,
+                    "null_text" -> col("text").isNull)
+
+    // quarantine feeds the ingest — nothing vanishes, nothing poisons
+    val clean = DeadLetter.quarantine(store, "crawl_dlq", "ingest",
+      polluted, rules).localCheckpoint(true)
+    assert(clean.count() == batch.count())
+    val dlq = store.read("crawl_dlq").get
+    assert(dlq.count() == 2L)
+    assert(dlq.select("reason").collect().map(_.getString(0)).toSet ==
+      Set("null_id", "null_text"))
+
+    idx.ingest(clean.select(col("doc_id"), col("text")), "doc_id", "text")
+
+    // cluster-table invariants a curation run relies on:
+    val clusters = idx.clusters().localCheckpoint(true)
+    assert(clusters.count() > 0L)
+    // every label is the min id of its cluster (canonical member)
+    assert(clusters.groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).as("mn"))
+      .filter(col("mn") =!= col("cluster_id")).count() == 0L)
+    // labels only cover ingested ids (never a quarantined row)
+    val ingested = corpus.select(col("doc_id"))
+      .unionByName(clean.select(col("doc_id")))
+    assert(clusters.join(ingested, Seq("doc_id"), "left_anti").count() == 0L)
+
+    // dedup-by-cluster: drop non-canonical members. Same-side near-dups
+    // (corpus-corpus, batch-batch) CANNOT survive — both were exact-
+    // verified when their side was clustered. A surviving CROSS pair is
+    // possible by design: the incremental path verifies cross pairs by
+    // slot agreement against stored signatures (never re-reading corpus
+    // text), and the estimator can under-score a true pair — the recall
+    // trade the estimate-tolerance spec in NearDupIndexSpec measures.
+    val canonical = ingested.join(
+      clusters.filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val all = corpus.unionByName(
+      clean.select(col("doc_id"), col("source"), col("text")))
+    val curatedDocs = all.join(canonical, Seq("doc_id"), "left_semi")
+    val sameSideSurvivors = Dedup.minhashLsh(curatedDocs, "doc_id", "text")
+      .filter((col("id_a") % 2) === (col("id_b") % 2))
+    assert(sameSideSurvivors.count() == 0L,
+      "same-side near-dup pairs survived cluster-canonical dedup")
+  }
 }

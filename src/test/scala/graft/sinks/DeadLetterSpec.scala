@@ -83,6 +83,22 @@ class DeadLetterSpec extends AnyFunSuite {
     assert(store.read("dlq").get.count() == 2 * n)
   }
 
+  test("replay returns one source's typed rows for reprocessing") {
+    val store = freshStore()
+    DeadLetter.quarantine(store, "dlq", "stage_a", fixture, rules)
+    DeadLetter.quarantine(store, "dlq", "stage_b",
+      fixture.filter(col("id").isNull), Seq("null_id" -> col("id").isNull))
+    val back = DeadLetter.replay(store, "dlq", "stage_a", fixture.schema)
+    assert(back.columns.toSeq == Seq("id", "text", "reason"))
+    val got = back.collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)), r.getString(2))).toSet
+    // only stage_a's three rows, malformed state intact
+    assert(got == Set(
+      (Some(2L), None, "null_text"),
+      (Some(3L), Some(""), "empty_text"),
+      (None, Some("orphan"), "null_id")))
+  }
+
   test("decodeQuarantined routes unprocessable media, decodes the rest") {
     import spark.implicits._
     val store = freshStore()
