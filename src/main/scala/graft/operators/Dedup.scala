@@ -119,6 +119,58 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) ≥ threshold.
+    * Catches the asymmetric duplicates symmetric Jaccard misses — a
+    * short document embedded verbatim in a much longer one has Jaccard
+    * ≈ |A|/|B| (tiny) but containment 1.0; quote-expansion and
+    * boilerplate-wrapped reposts are exactly this shape.
+    *
+    * Candidates come from RARE-SHINGLE BLOCKING, not minhash bands: a
+    * contained doc's slot-agreement probability is ≈ its (tiny)
+    * Jaccard, so band LSH systematically misses exactly the pairs this
+    * operator exists for. Instead, two docs are candidates iff they
+    * share a shingle whose document frequency is ≤ `maxDf` — a
+    * contained doc shares ALL its shingles with its host, so any
+    * non-boilerplate shingle in it surfaces the pair (only a doc built
+    * entirely of df>maxDf boilerplate hides, and those are q66's
+    * problem, not a dup's). The rare-postings self-join is bounded by
+    * df·(df-1)/2 ≤ maxDf²/2 pairs per rare shingle — no pair space,
+    * and the df filter is one combinable aggregate over the postings.
+    * Output: (id_a, id_b, containment). */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, maxDf: Int = 5,
+                       threshold: Double = 0.8): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2)
+      .select(col("shingle"))
+    val rarePostings = sh.join(rare, Seq("shingle"))
+    val cand = rarePostings.select(col("shingle"), col("doc_id").as("id_a"))
+      .join(rarePostings.select(col("shingle"), col("doc_id").as("id_b")),
+        Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val out = inter
+      .join(counts.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(counts.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") /
+         least(col("n_a"), col("n_b")).cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+      .localCheckpoint(eager = true)
+    sh.unpersist(blocking = false)
+    out
+  }
+
   /** Near-dup pairs between a NEW batch and an already-processed corpus
     * — the incremental-crawl shape: dedupe incoming documents against
     * everything ingested so far without touching the corpus text.

@@ -120,6 +120,34 @@ object TextOps {
         docs.filter(col("doc_id") >= 100L), "doc_id", "text")
     }),
 
+    // Positional phrase search over an inverted index: postings
+    // (doc_id, pos, term) from one tokenize pass; a phrase match is an
+    // equi-join of the two terms' posting lists on (doc_id, adjacent
+    // pos). At scale each side is one term's posting list (tiny vs the
+    // corpus), and the join is keyed — no document text re-scan, the
+    // standard search-index plan. Output: every occurrence position.
+    "q132_phrase_search" -> ((s, d) => {
+      val postings = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextFunctions.tokens(col("text")))
+            .as(Seq("pos", "term")))
+      val t1 = postings.filter(col("term") === "table")
+        .select(col("doc_id"), col("pos"))
+      val t2 = postings.filter(col("term") === "scan")
+        .select(col("doc_id"), (col("pos") - 1).as("pos"))
+      t1.join(t2, Seq("doc_id", "pos"))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    }),
+
+    // Containment near-dup: |A∩B| / min(|A|,|B|) with rare-shingle
+    // blocking — the asymmetric dup detector (short doc embedded in a
+    // long one has tiny Jaccard but containment 1.0; band LSH misses
+    // those by construction, so candidates come from shared df≤5
+    // shingles instead).
+    "q131_containment_pairs" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.load(s, d, "documents"),
+        "doc_id", "text", threshold = 0.6)),
+
     // All-pairs char-3-gram Jaccard on a bounded block (test-scale path).
     "q25_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(
@@ -641,6 +669,37 @@ object TextOps {
          FROM documents GROUP BY md5(text)""",
 
     "q24_minhash_lsh" -> minhashPairsSql,
+
+    "q132_phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos
+          FROM t, unnest(range(1, len(toks))) AS r(i)
+          WHERE toks[CAST(i AS INTEGER)] = 'table'
+            AND toks[CAST(i AS INTEGER) + 1] = 'scan'""",
+
+    "q131_containment_pairs" ->
+      s"""WITH $minhashPrefixSql,
+          rare AS (SELECT shingle FROM sh GROUP BY shingle
+                   HAVING count(*) BETWEEN 2 AND 5),
+          rp AS (SELECT s.doc_id, s.shingle
+                 FROM sh s JOIN rare r ON s.shingle = r.shingle),
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM rp a JOIN rp b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+          cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+          inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+                    FROM cand c
+                    JOIN sh x ON x.doc_id = c.id_a
+                    JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+                    GROUP BY c.id_a, c.id_b)
+          SELECT CAST(i.id_a AS BIGINT) AS id_a, CAST(i.id_b AS BIGINT) AS id_b,
+                 CAST(i.n_inter AS DOUBLE)
+                   / CAST(least(ca.n_sh, cb.n_sh) AS DOUBLE) AS containment
+          FROM inter i
+          JOIN cnt ca ON ca.doc_id = i.id_a
+          JOIN cnt cb ON cb.doc_id = i.id_b
+          WHERE CAST(i.n_inter AS DOUBLE)
+                  / CAST(least(ca.n_sh, cb.n_sh) AS DOUBLE) >= 0.6""",
 
     "q127_merged_clusters" -> {
       val nMatch = (0 until 8).map(j =>

@@ -23,6 +23,35 @@ class DedupSpec extends AnyFunSuite {
     (7L, "unrelated content again entirely else")
   ).toDF("doc_id", "text")
 
+  test("containment catches the embedded short doc that Jaccard misses") {
+    val short = (1 to 14).map(i => s"tok$i").mkString(" ") // 12 shingles
+    val host = short + " " + (1 to 70).map(i => s"pad$i").mkString(" ")
+    val docs = Seq(
+      (1L, short),                       // fully contained in 2
+      (2L, host),                        // the (much longer) host
+      (3L, "entirely different words with no overlap at all whatsoever ok")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text",
+      threshold = 0.9)
+    val got = cont.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // every shingle of doc 1 appears in doc 2 → containment exactly 1.0
+    assert(got.keySet == Set(1L -> 2L) && got(1L -> 2L) == 1.0)
+    // symmetric Jaccard is ~12/83 — the pair is invisible to the
+    // Jaccard-threshold path even at its default 0.5 cut
+    assert(Dedup.minhashLsh(docs, "doc_id", "text").count() == 0L)
+  }
+
+  test("rare-shingle blocking ignores boilerplate-only overlap") {
+    // five docs sharing ONLY a common 3-gram (df=5 > maxDf=4): no
+    // candidate forms, so no pair is scored at all
+    val docs = (1L to 5L).map(i =>
+      (i, s"common three gram uniq${i}a uniq${i}b uniq${i}c"))
+      .toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(docs, "doc_id", "text",
+      maxDf = 4, threshold = 0.1).count() == 0L)
+  }
+
   test("multiprobe pairs equal the brute-force Hamming<=1 cross join") {
     val docs = fixture
     val got = Dedup.simhashNearDup(docs, "doc_id", "text")
