@@ -81,43 +81,58 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandDf = lshBands(sig, bands, k / bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = bandDf.select(col("band"), col("band_key"), col("doc_id").as("id_a"))
-    val b = bandDf.select(col("band"), col("band_key"), col("doc_id").as("id_b"))
-    val cand = a.join(b, Seq("band", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
     // materialize the (small) verified-pairs result, then drop the
     // pipeline caches — without this a long-lived session leaks the
     // shingle/signature/band blocks of every near-dup call it ever ran
-    val out = verifyJaccard(cand, sh, threshold).localCheckpoint(eager = true)
+    val out = minhashLshFrom(sh, bandDf, threshold).localCheckpoint(eager = true)
     sh.unpersist(blocking = false)
     sig.unpersist(blocking = false)
     bandDf.unpersist(blocking = false)
     out
   }
 
-  /** Exact Jaccard for candidate pairs from shingle rows (shuffle joins
-    * keyed on shingle set membership — no cross product). */
-  def verifyJaccard(cand: DataFrame, shingles: DataFrame,
-                    threshold: Double): DataFrame = {
+  /** [[minhashLsh]]'s core over precomputed shingle and band tables —
+    * exposed so a persistent index that already signed a batch
+    * ([[graft.operators.NearDupIndex.ingest]]) does not shingle and
+    * sign it a second time. Caller owns persistence of `sh`/`bandDf`
+    * (both are consumed more than once). */
+  private[operators] def minhashLshFrom(sh: DataFrame, bandDf: DataFrame,
+                                        threshold: Double): DataFrame = {
+    val a = bandDf.select(col("band"), col("band_key"), col("doc_id").as("id_a"))
+    val b = bandDf.select(col("band"), col("band_key"), col("doc_id").as("id_b"))
+    val cand = a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** (id_a, id_b, n_inter, n_a, n_b) for candidate pairs from shingle
+    * rows — the shared core of every set-overlap verifier. The
+    * composite-key equi-join (id_b, shingle) makes the hash join emit
+    * only actual intersections; joining on id alone and post-filtering
+    * the shingle equality would materialize |cand| × |sh_a| × |sh_b|
+    * rows. */
+  private def intersectCounts(cand: DataFrame, shingles: DataFrame): DataFrame = {
     val counts = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    // composite-key equi-join (id_b, shingle): the hash join emits only
-    // actual intersections — joining on id alone and post-filtering the
-    // shingle equality would materialize |cand| × |sh_a| × |sh_b| rows
-    val inter = cand
+    cand
       .join(shingles.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
       .join(shingles.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
       .join(counts.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
       .join(counts.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+  }
+
+  /** Exact Jaccard for candidate pairs from shingle rows (shuffle joins
+    * keyed on shingle set membership — no cross product). */
+  def verifyJaccard(cand: DataFrame, shingles: DataFrame,
+                    threshold: Double): DataFrame =
+    intersectCounts(cand, shingles)
       .select(col("id_a"), col("id_b"),
         (col("n_inter").cast("double") /
          (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
 
   /** CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) ≥ threshold.
     * Catches the asymmetric duplicates symmetric Jaccard misses — a
@@ -146,27 +161,23 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
       .select(col("shingle"))
+    // feeds both sides of the candidate self-join — persist or the df
+    // aggregate + postings join runs twice
     val rarePostings = sh.join(rare, Seq("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = rarePostings.select(col("shingle"), col("doc_id").as("id_a"))
       .join(rarePostings.select(col("shingle"), col("doc_id").as("id_b")),
         Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    val out = inter
-      .join(counts.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
-      .join(counts.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+    val out = intersectCounts(cand, sh)
       .select(col("id_a"), col("id_b"),
         (col("n_inter").cast("double") /
          least(col("n_a"), col("n_b")).cast("double")).as("containment"))
       .filter(col("containment") >= threshold)
       .localCheckpoint(eager = true)
+    rarePostings.unpersist(blocking = false)
     sh.unpersist(blocking = false)
     out
   }
@@ -291,11 +302,15 @@ object Dedup {
         .join(hinted(labels.select(col("id").as("dst"), col("label"))), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nbr_label"))
+      // checkpointed: prop feeds BOTH sides of the pointer-jump
+      // self-join — unmaterialized, the neighbor-min join+aggregate
+      // would run twice per round
       val prop = labels.select(col("id"), col("label").as("old"))
         .join(hinted(neighborMin), Seq("id"), "left")
         .select(col("id"),
           least(col("old"), coalesce(col("nbr_label"), col("old"))).as("l1"),
           col("old"))
+        .localCheckpoint(eager = true)
       // pointer jump: follow the candidate label to ITS candidate label
       // (labels are node ids, so l1 indexes back into this round's own
       // table). Plain neighbor-min needs diameter rounds — a 330-pair
@@ -314,6 +329,14 @@ object Dedup {
       converged = next.filter(col("label") =!= col("old")).count() == 0
       labels = next
     }
+    // silent truncation would be WRONG RESULTS (one component reported
+    // as several clusters) flowing into persisted indexes and the
+    // mergeClusters value-equality contract — fail loudly instead.
+    // Pointer jumping converges in O(log diameter), so maxIter=10
+    // covers diameters to ~2^10; a caller with a longer chain raises it.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+      "component diameter exceeds 2^maxIter; raise maxIter")
     // one row per node in some dup pair; the checkpointed round output
     // is already materialized and lineage-free, so intermediate blocks
     // (including the LSH pipeline behind `pairs`) are reclaimable by the
