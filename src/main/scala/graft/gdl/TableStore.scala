@@ -283,7 +283,13 @@ class TableStore(spark: SparkSession, root: String,
       }
     }
     if (parts.isEmpty) full.limit(0)
-    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    // Anchor the union on the FULL schema (zero rows): if every
+    // generation carrying a predicate column was zone-pruned and only
+    // stats-less generations lacking it remain, the kept parts alone
+    // would not resolve `predicate` (AnalysisException) — the anchor
+    // null-fills the column, matching read(table).filter(predicate).
+    else parts.foldLeft(full.limit(0))(
+        _.unionByName(_, allowMissingColumns = true))
       .filter(predicate)
   }
 
@@ -297,6 +303,22 @@ class TableStore(spark: SparkSession, root: String,
         TableStore.predicateBounds(cond)
       case _ => Nil
     }
+
+  /** Existence probe for replay guards: does any row satisfy
+    * `predicate`? Goes through [[scan]], so generations whose zone maps
+    * exclude the predicate are never opened — a streaming sink that
+    * tags each appended generation with a constant batch id pays
+    * O(live-generation metadata + at most one generation's data) per
+    * micro-batch instead of an unbounded full-table scan (the guard
+    * runs EVERY micro-batch; anything O(table) grows without bound on
+    * a long-running stream). `columns` names the predicate's inputs:
+    * if the table, or any of them, is absent, the probe is false
+    * without touching data. */
+  def probeExists(table: String, predicate: org.apache.spark.sql.Column,
+                  columns: Seq[String]): Boolean =
+    read(table).exists(df =>
+      columns.forall(df.schema.fieldNames.contains) &&
+        scan(table, predicate).exists(!_.isEmpty))
 
   /** How many live generations a `readRange` over this range would skip
     * ENTIRELY — the coarse observability hook; [[zoneFileCounts]] is the

@@ -753,7 +753,8 @@ object TextOps {
                 CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(length(text)) AS BIGINT) AS n_chars,
                 CAST(sum(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
-                     || md5(text)), 1, 12) AS BIGINT)) AS BIGINT) AS content_fp
+                     || md5(text)), 1, 12) AS BIGINT))
+                     % 4611686018427387904 AS BIGINT) AS content_fp
          FROM documents GROUP BY 1""",
 
     "q45_stratified_sample" ->

@@ -69,9 +69,13 @@ object DeadLetter {
                       batchId: Long, df: DataFrame,
                       rules: Seq[(String, Column)]): DataFrame = {
     val (clean, bad) = split(df, rules)
-    val replayed = store.read(table).exists(t =>
-      !t.filter(col("batch_id") === batchId &&
-                col("source") === source).isEmpty)
+    // zone-pruned probe (see TableStore.probeExists): each batch
+    // appends one constant-batch_id generation, so the guard opens at
+    // most that generation instead of rescanning the whole quarantine
+    // table every micro-batch
+    val replayed = store.probeExists(table,
+      col("batch_id") === batchId && col("source") === source,
+      Seq("batch_id", "source"))
     if (!replayed) {
       val rows = quarantineRows(bad, source)
         .withColumn("batch_id", lit(batchId))

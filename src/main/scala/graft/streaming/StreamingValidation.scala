@@ -15,7 +15,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Exactly-once: `foreachBatch` is at-least-once on restart, and
   * TableStore.append is NOT row-idempotent (each append is a new delta
   * generation), so validation rows are tagged with the micro-batch id
-  * and a replayed batch is detected by an id-column scan and skipped.
+  * and a replayed batch is detected by a zone-map-pruned probe on the
+  * id column (O(1) generations opened, not O(table)) and skipped.
   * Rows and tag commit atomically (per-table append), so a crash
   * between append and the sink checkpoint cannot double-write.
   */
@@ -33,11 +34,12 @@ object StreamingValidation {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.functions.{col, lit}
         // replay guard: a restart between append and checkpoint commit
-        // re-runs this batchId; the tag column makes that visible
-        val replayed = store.read("validation_results").exists(df =>
-          df.schema.fieldNames.contains("batch_id") &&
-            !df.select(col("batch_id"))
-              .filter(col("batch_id") === batchId).isEmpty)
+        // re-runs this batchId; the tag column makes that visible.
+        // Zone-pruned probe: each batch appends ONE generation with a
+        // constant batch_id, so this opens at most that generation —
+        // not an O(table) scan per micro-batch.
+        val replayed = store.probeExists("validation_results",
+          col("batch_id") === batchId, Seq("batch_id"))
         if (!replayed && !batch.isEmpty) {
           val rows = ChecksumValidator.validate(
             spark, batch.as[ProcessingAssetRow], reader)

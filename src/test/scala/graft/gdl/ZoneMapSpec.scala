@@ -80,6 +80,46 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(got.select("id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("predicate column resolves when its only generations are pruned " +
+    "and a stats-less one survives") {
+    // gen0 carries `v` (zone-mapped, small values); gen1 lacks `v` AND
+    // its zone map is deleted, so it is kept un-skippably. A probe on a
+    // `v` range disjoint from gen0's zones prunes gen0 — leaving only
+    // parts with no `v` column. The scan must still resolve the
+    // predicate (null-filled `v`, empty result), matching
+    // read(t).filter(...), not throw AnalysisException.
+    val store = freshStore()
+    store.append("t", Seq((1L, "x", 7L)).toDF("id", "s", "v"))
+    store.append("t", Seq((2L, "y")).toDF("id", "s"))
+    val root = new Path(store.read("t").get.inputFiles.head)
+      .getParent.getParent.getParent
+    val g1 = new Path(root, "t/g0000001-delta/_zonemap.tsv")
+    g1.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(g1, false)
+    val got = store.scan("t", $"v".between(1000L, 2000L)).get
+    assert(got.isEmpty)
+    assert(got.columns.toSet == Set("id", "s", "v"))
+    // and an overlapping probe still finds gen0's row through the same path
+    assert(store.scan("t", $"v".between(0L, 100L)).get
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("probeExists replay guard skips non-matching generations") {
+    // the streaming replay guard's shape: one generation per batch,
+    // constant batch_id — the probe must prune every other generation
+    // (O(1) data per micro-batch, not O(table))
+    val store = freshStore()
+    (0L until 3L).foreach(b => store.append("q",
+      Seq((b, s"row$b")).toDF("batch_id", "s")))
+    assert(store.probeExists("q", $"batch_id" === 1L, Seq("batch_id")))
+    assert(!store.probeExists("q", $"batch_id" === 99L, Seq("batch_id")))
+    // pruning is exact here: min==max==batch_id per generation
+    assert(store.zoneSkipCount("q", $"batch_id" === 1L) == 2)
+    assert(store.zoneSkipCount("q", $"batch_id" === 99L) == 3)
+    // absent table / absent column → false, no data touched
+    assert(!store.probeExists("nope", $"batch_id" === 1L, Seq("batch_id")))
+    assert(!store.probeExists("q", $"missing" === 1L, Seq("missing")))
+  }
+
   test("compaction carries zone maps: skipping still works after folding") {
     val store = new TableStore(spark,
       java.nio.file.Files.createTempDirectory("zonemap-c").toString,

@@ -58,6 +58,26 @@ class ExportManifestSpec extends AnyFunSuite {
     assert(rows(ExportManifest.combine(m(half1), m(half2))) == rows(m(docs)))
   }
 
+  test("fingerprint survives shards past 2^15 rows (LongType sum would overflow)") {
+    // 48-bit terms summed in a LongType hit Long.MaxValue at ~32,768
+    // rows; production shards are ~65k. The decimal(38,0) accumulator
+    // + mod-2^62 reduction must neither throw (ANSI Sum) nor wrap
+    // inconsistently: combine() of two halves equals the whole.
+    val big = spark.range(70000).toDF("doc_id")
+      .withColumn("text", concat(lit("payload-"), col("doc_id")))
+      .withColumn("shard", lit(0L))
+    def m(df: DataFrame) = ExportManifest.manifest(
+      df, col("shard"), col("doc_id"), col("text"))
+    val whole = rows(m(big))
+    assert(whole.head._2 == 70000L)
+    val fp = whole.head._4
+    assert(fp >= 0L && fp < ExportManifest.FpModulus)
+    val halves = ExportManifest.combine(
+      m(big.filter(col("doc_id") < 35000L)),
+      m(big.filter(col("doc_id") >= 35000L)))
+    assert(rows(halves) == whole)
+  }
+
   test("a changed, dropped, or re-idd row moves the fingerprint") {
     val base = docs.limit(100).localCheckpoint(true)
     val sharded = base.withColumn("shard", lit(0L))
