@@ -41,11 +41,28 @@ object Bench {
       if (args.nonEmpty) SparkEntry.queries.filter(q => args.contains(q._1))
       else SparkEntry.queries
 
+    // session hygiene between timed runs (VERDICT r4 #3): iterative
+    // operators localCheckpoint intermediates whose blocks outlive the
+    // query (the DataFrame ref is gone but the ContextCleaner only
+    // reaps on GC), so by query ~120 the executor heap carries dozens
+    // of dead block sets and timings inflate ~2-5× (q38: 3.10 s in-run
+    // vs 0.66 s isolated). Dropping persistent RDDs + cached plans and
+    // forcing a GC outside the timed region makes every query start
+    // from the same session state — per-query numbers are comparable
+    // across rounds and against isolated runs.
+    def scrub(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
+
     // a crashing query must NOT look like a fast success: it reports -1
     // and lands in the "failed" list
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
+        scrub()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
               (System.nanoTime() - t0) / 1e9 }

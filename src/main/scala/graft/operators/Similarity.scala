@@ -83,25 +83,68 @@ object Similarity {
     corpus.select(col("id").as("vec_id"),
                   hyperplaneBucket(col("embedding"), nPlanes, dim).as("bucket"))
 
+  /** Centroids collected to the driver as (cid, double-promoted
+    * embedding, norm), sorted by cid — the k·dim doubles every IVF
+    * implementation ships. Collect is MODEL-sized (a coarse quantizer,
+    * never corpus data). Element promotion float→double is exact, and
+    * the norm is the same left-to-right `acc += x·x` fold then sqrt
+    * that [[graft.functions.DotProductFold]]-backed `norm()` computes,
+    * so executor-side sims are bit-identical to the former
+    * column-vs-column form. */
+  private def collectCentroids(centroids: DataFrame): Array[(Long, Seq[Double], Double)] =
+    centroids.select(col("cid"), col("embedding")).collect()
+      .map { r =>
+        val emb: Seq[Double] = r.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case x: Number => x.doubleValue()
+        }
+        var acc = 0.0
+        emb.foreach(x => acc += x * x)
+        (r.getLong(0), emb, math.sqrt(acc))
+      }.sortBy(_._1)
+
+  /** One array literal of (cent, cnorm, cid) structs for [[ivfAssign]] /
+    * [[ivfTopK]]'s map-only scoring. */
+  private def centroidLiteral(cents: Array[(Long, Seq[Double], Double)]): Column = {
+    require(cents.nonEmpty, "empty centroid set")
+    array(cents.map { case (cid, emb, nrm) =>
+      struct(typedLit(emb).as("cent"), lit(nrm).as("cnorm"), lit(cid).as("cid"))
+    }.toSeq: _*)
+  }
+
+  /** Per-row array of (negsim, cid) structs, one per centroid —
+    * ascending struct order ≡ (sim desc, cid asc), the window ordering
+    * this replaces: `Double.compare(-a,-b) = -Double.compare(a,b)` for
+    * every non-NaN pair including ±0.0, so argmax/top-n selections are
+    * value-identical to the former `row_number` form. Requires a
+    * `v_norm` column alongside `embedding`. */
+  private def centroidScores(centLit: Column): Column =
+    transform(centLit, c =>
+      struct((-cosSim(dot(col("embedding"), c.getField("cent")),
+                      col("v_norm") * c.getField("cnorm"))).as("negsim"),
+             c.getField("cid").as("cid")))
+
   /** IVF cell assignment with externally supplied coarse centroids
     * (production IVF ships trained centroids as data; k-means training
     * is offline). Each corpus vector goes to its highest-cosine
-    * centroid — a broadcast of the tiny centroid set against one corpus
-    * scan, no shuffle. Ties break toward the smaller centroid id.
-    * `corpus`: (id, embedding); `centroids`: (cid, embedding). */
+    * centroid; ties break toward the smaller centroid id.
+    * `corpus`: (id, embedding); `centroids`: (cid, embedding).
+    *
+    * MAP-ONLY: centroids ride along as an array literal (the same
+    * argmax layout as [[KMeans.train]]) and each vector picks its cell
+    * via `array_min` over (negsim, cid) structs — one corpus scan, ZERO
+    * shuffle. The former shape — crossJoin(broadcast) + row_number
+    * window partitioned by id — pushed |corpus|×|centroids| expanded
+    * rows through a shuffle to keep one per vector; at a production
+    * cell count (4k-64k centroids) that is a thousandfold row
+    * expansion of a 100 TB scan. */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val c = centroids.select(col("cid"), col("embedding").as("cent_emb"),
-                             norm(col("embedding")).as("cent_norm"))
-    val v = corpus.select(col("id"), col("embedding"),
-                          norm(col("embedding")).as("v_norm"))
-    val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("cid"))
-    v.crossJoin(broadcast(c))
-      .select(col("id"), col("cid"),
-        cosSim(dot(col("embedding"), col("cent_emb")), col("v_norm") * col("cent_norm"))
-          .as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("cid"))
+    val centLit = centroidLiteral(collectCentroids(centroids))
+    corpus.select(col("id"), col("embedding"),
+                  norm(col("embedding")).as("v_norm"))
+      .select(col("id"),
+        array_min(centroidScores(centLit)).getField("cid").as("cid"))
   }
 
   /** IVF ANN top-k: each query probes its `nprobe` nearest cells and
@@ -112,19 +155,20 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
               nprobe: Int, k: Int): DataFrame = {
     val assignment = ivfAssign(corpus, centroids)
-    val c = centroids.select(col("cid"), col("embedding").as("cent_emb"),
-                             norm(col("embedding")).as("cent_norm"))
-    val q = queries.select(col("id").as("query_id"), col("embedding").as("q_emb"),
-                           norm(col("embedding")).as("q_norm"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cent_sim").desc, col("cid"))
-    val probes = q.crossJoin(broadcast(c))
-      .select(col("query_id"), col("q_emb"), col("q_norm"), col("cid"),
-        cosSim(dot(col("q_emb"), col("cent_emb")), col("q_norm") * col("cent_norm"))
-          .as("cent_sim"))
-      .withColumn("rn", row_number().over(probeW))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("q_emb"), col("q_norm"), col("cid"))
+    val centLit = centroidLiteral(collectCentroids(centroids))
+    // probe selection is map-only too: per query, sort the (negsim,
+    // cid) score array and slice the first nprobe — no query×centroid
+    // row expansion, no window shuffle. Same ordering as the former
+    // row_number over (cent_sim desc, cid).
+    val probes = queries
+      .select(col("id").as("query_id"), col("embedding"),
+              norm(col("embedding")).as("v_norm"))
+      .select(col("query_id"), col("embedding").as("q_emb"),
+        col("v_norm").as("q_norm"),
+        explode(slice(array_sort(centroidScores(centLit)), 1, nprobe))
+          .as("probe"))
+      .select(col("query_id"), col("q_emb"), col("q_norm"),
+        col("probe.cid").as("cid"))
     val cand = corpus.select(col("id").as("vec_id"), col("embedding").as("c_emb"),
                              norm(col("embedding")).as("c_norm"))
       .join(assignment.withColumnRenamed("id", "vec_id"), Seq("vec_id"))

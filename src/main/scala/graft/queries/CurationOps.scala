@@ -309,9 +309,19 @@ object CurationOps {
     // Training-mix assembly under a token budget: 30% of corpus tokens,
     // split across sources by weight (even-numbered sources get 2×), and
     // filled per source in deterministic md5-hash order until the
-    // source's budget is exhausted. Everything is integer arithmetic +
-    // per-source windows (shuffle keyed on source — scales out), so the
-    // mix is replayable bit-for-bit under retry.
+    // source's budget is exhausted. Everything is integer arithmetic, so
+    // the mix is replayable bit-for-bit under retry.
+    //
+    // Scale shape (VERDICT r4 #2): source cardinality is tiny (domains),
+    // so a cumulative window partitioned by source sorts an entire
+    // source's documents on ONE reducer. Instead, a two-phase prefix
+    // sum: docs bucket by the first 2 hex chars of their order hash
+    // (bucket order ≡ hash order, so bucketing refines — never reorders —
+    // the fill sequence); per-bucket token sums (sources×256 rows) are
+    // prefix-summed by a METADATA-sized window; buckets wholly inside
+    // the budget pass with no row window at all, buckets past it drop
+    // wholesale, and only the single boundary bucket per source runs a
+    // row-level cumsum — over 1/256th of a source.
     "q68_token_budget_mix" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
         .select(col("doc_id"), col("source"),
@@ -331,13 +341,33 @@ object CurationOps {
           floor(col("total_tokens").cast("double") * 0.3 *
             (col("src_tokens") * col("weight")).cast("double") /
             col("wt_tokens").cast("double")).as("src_budget"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-                     org.apache.spark.sql.expressions.Window.currentRow)
-      docs.join(broadcast(perSrc), Seq("source"))
-        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      val W = org.apache.spark.sql.expressions.Window
+      // hex-prefix bucket: numeric order == lexicographic order of the
+      // prefix, so (bucket, h, doc_id) == the global (h, doc_id) order
+      val bucketed = docs.join(broadcast(perSrc), Seq("source"))
+        .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("long"))
+      val bucketTotals = bucketed.groupBy(col("source"), col("bucket"))
+        .agg(sum(col("n_tokens")).as("b_tokens"))
+      // phase 1: prefix-sum the TINY per-bucket totals (≤ sources×256 rows)
+      val offsets = bucketTotals.withColumn("b_offset",
+        coalesce(sum(col("b_tokens")).over(
+          W.partitionBy(col("source")).orderBy(col("bucket"))
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      val withOff = bucketed.join(broadcast(offsets), Seq("source", "bucket"))
+      // phase 2: interior buckets pass wholesale; only the boundary
+      // bucket (straddling the budget) needs a row-level cumsum
+      val interior = withOff.filter(
+        col("b_offset") + col("b_tokens") <= col("src_budget"))
+      val boundaryKept = withOff.filter(
+        col("b_offset") < col("src_budget") &&
+          col("b_offset") + col("b_tokens") > col("src_budget"))
+        .withColumn("cum_tokens", col("b_offset") + sum(col("n_tokens")).over(
+          W.partitionBy(col("source"), col("bucket"))
+            .orderBy(col("h"), col("doc_id"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)))
         .filter(col("cum_tokens") <= col("src_budget"))
+        .drop("cum_tokens")
+      interior.unionByName(boundaryKept)
         .groupBy(col("source"), col("src_budget"))
         .agg(count(lit(1)).as("n_docs_kept"),
              sum(col("n_tokens")).as("tokens_kept"))

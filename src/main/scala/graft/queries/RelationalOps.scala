@@ -487,14 +487,17 @@ object RelationalOps {
 
     // HLL++ approximate distinct (the sketch path for 100 TB cardinality
     // estimation — one pass, fixed memory, vs q09's exact shuffle).
-    // No oracle: sketch estimates are engine-specific, so the driver
-    // records the weaker rows-only check for this one by design.
     // Sketch + exact side-by-side WITHOUT the Expand that mixing a
     // distinct agg with a non-distinct agg forces (2× agg input): dedupe
     // (flag, partkey) first — map-side combinable — then count and
     // sketch the distinct rows. HLL is duplicate-insensitive, so the
     // approx result is bit-identical to sketching the raw column; one
     // pass over the table either way, but no row doubling.
+    // Oracle-able output: the raw HLL estimate is engine-specific, so
+    // the published columns are the EXACT count (DuckDB-checkable) plus
+    // `approx_ok`, the in-engine relative-error assertion — the oracle
+    // pins it TRUE, so an HLL estimate drifting past 5% of exact (rsd
+    // 0.01 → expected ~1%) turns this row red instead of unoracled.
     "q46_approx_distinct" -> ((s, d) => {
       Tables.load(s, d, "lineitem")
         .select(col("l_returnflag"), col("l_partkey"))
@@ -502,6 +505,9 @@ object RelationalOps {
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
              count(lit(1)).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double") <=
+            col("exact_parts").cast("double") * 0.05).as("approx_ok"))
     }),
 
     // O-21-shaped manifest↔content equi-join + revenue agg (decimal-exact):
@@ -965,6 +971,16 @@ object RelationalOps {
                      ELSE 'Checksum mismatch: expected ' || expected || ', got ' || actual
                 END AS message
          FROM v""",
+
+    // the raw HLL estimate is engine-specific; the oracle pins the
+    // EXACT distinct count and asserts the estimate stayed within 5%
+    // (the engine computes approx_ok from its own sketch — a drifting
+    // HLL turns this row red instead of silently unoracled)
+    "q46_approx_distinct" ->
+      """SELECT l_returnflag,
+                CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+                TRUE AS approx_ok
+         FROM lineitem GROUP BY 1""",
 
     "q49_segment_revenue" ->
       """SELECT c.c_mktsegment, l.l_returnflag,

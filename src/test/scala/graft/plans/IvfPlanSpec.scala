@@ -1,0 +1,71 @@
+package graft.plans
+
+import graft.{PlanAudit, Tables, TestSpark}
+import graft.operators.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The scale contract of IVF assignment (VERDICT r4 #1): assigning a
+  * corpus vector to its nearest coarse centroid must be MAP-ONLY — no
+  * crossJoin row expansion, no row_number window, no exchange anywhere
+  * in the subtree. At a production cell count (4k-64k centroids) the
+  * former window form pushed a thousandfold expansion of the corpus
+  * through a shuffle. */
+class IvfPlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def corpus: DataFrame =
+    Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+
+  private def standIn(n: Int): DataFrame =
+    corpus.orderBy(col("id")).limit(n)
+      .select(col("id").as("cid"), col("embedding"))
+
+  test("ivfAssign plans with ZERO exchanges and ZERO windows") {
+    val df = Similarity.ivfAssign(corpus, standIn(8))
+    df.collect()
+    val nodes = PlanAudit.flatten(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "assignment must be map-only — an exchange here is the corpus-" +
+        "times-centroids expansion dying at scale")
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      "argmax must be array_min over the centroid literal, not a window")
+  }
+
+  test("map-only argmax agrees with the brute-force window form") {
+    // the shape it replaced, recomputed inline as the oracle
+    val cents = standIn(8)
+    val got = Similarity.ivfAssign(corpus, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val c = cents.select(col("cid"), col("embedding").as("cent_emb"))
+    val expected = corpus.crossJoin(broadcast(c))
+      .select(col("id"), col("cid"),
+        graft.functions.VectorFunctions.cosine(
+          col("embedding"), col("cent_emb")).as("sim"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("sim").desc, col("cid"))))
+      .filter(col("rn") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected)
+  }
+
+  test("ivfTopK probe selection stays map-only on the query side") {
+    // the full ivfTopK legitimately shuffles once for the cell
+    // equi-join; what must NOT appear is a window (probe selection
+    // and per-query top-k ranking both ran through windows before —
+    // probe selection is now an array_sort slice; the final rank
+    // window over k·nprobe candidate rows per query remains, bounded)
+    val df = Similarity.ivfTopK(
+      corpus.filter(col("id") < 5L), corpus, standIn(8), nprobe = 2, k = 5)
+    df.collect()
+    val nodes = PlanAudit.flatten(df.queryExecution.executedPlan)
+    // exactly one window remains: the bounded per-query candidate rank
+    assert(nodes.count(_.isInstanceOf[WindowExec]) <= 1,
+      "probe selection must not reintroduce a query-times-centroid window")
+  }
+}
