@@ -10,12 +10,19 @@ import org.apache.spark.sql.functions._
   * incoming batch against everything seen so far in O(batch), never
   * re-reading or re-shingling corpus text.
   *
-  * Stored tables (all per-table atomic in the TableStore commit log):
-  *  - `<name>_sig`   — (doc_id, h0..h{k-1}) minhash signatures
-  *  - `<name>_bands` — (doc_id, band, band_key) LSH bucket keys
-  *  - `<name>_meta`  — build-complete marker, committed LAST so a build
-  *    that crashes mid-way leaves the marker absent and readers fail
-  *    loudly instead of joining half-written tables.
+  * Cross-table snapshot isolation mirrors [[VectorIndex]]: each build
+  * writes a fresh EPOCH of data tables, then flips ONE pointer —
+  *  - `<name>_meta`          — single row (build_epoch); the atomic flip
+  *  - `<name>_e<E>_sig`      — (doc_id, h0..h{k-1}) minhash signatures
+  *  - `<name>_e<E>_bands`    — (doc_id, band, band_key) LSH bucket keys
+  *  - `<name>_e<E>_clusters` — (doc_id, cluster_id, upd_seq) label deltas
+  *
+  * A rebuild never mutates the published epoch, so a query that
+  * resolved the pointer reads one consistent signing even while a
+  * rebuild writes (or crashes writing) the next epoch; a crashed
+  * rebuild leaves the old epoch serving. A FIRST build that crashes
+  * leaves no pointer → readers fail loudly. [[vacuumEpochs]] reclaims
+  * superseded epochs once stale readers are gone.
   *
   * The hash family is parameter-determined (md5-derived, no trained
   * state), so batch-side signatures computed at query time are directly
@@ -32,42 +39,56 @@ import org.apache.spark.sql.functions._
 final class NearDupIndex(store: TableStore, name: String,
                          shingleN: Int = 3, k: Int = 8, bands: Int = 2) {
 
-  private def t(suffix: String) = s"${name}_$suffix"
+  private def meta = s"${name}_meta"
+  private def t(epoch: Long, suffix: String) = s"${name}_e${epoch}_$suffix"
 
-  private def required(suffix: String): DataFrame =
-    store.read(t(suffix)).getOrElse(throw new IllegalStateException(
-      s"near-dup index '$name' is missing table '${t(suffix)}' — not " +
-      "built, or a build crashed mid-way; rebuild required"))
+  /** The published epoch, or None before the first completed build. */
+  private def publishedEpoch: Option[Long] =
+    store.read(meta).flatMap(df =>
+      df.select(col("build_epoch")).collect().headOption.map(_.getLong(0)))
 
-  /** Marker must be present AND non-empty: an empty marker table is a
-    * build/rebuild in flight (build invalidates it first). */
-  private def requireComplete(): Unit =
-    if (!store.read(t("meta")).exists(df => !df.isEmpty))
-      throw new IllegalStateException(
-        s"near-dup index '$name' has no build-complete marker — not " +
-        "built, or a build crashed before finishing; rebuild required")
+  private def requireEpoch(): Long =
+    publishedEpoch.getOrElse(throw new IllegalStateException(
+      s"near-dup index '$name' has no published build — not built, or " +
+      "the first build crashed before the pointer commit; rebuild required"))
+
+  private def required(epoch: Long, suffix: String): DataFrame =
+    store.read(t(epoch, suffix)).getOrElse(throw new IllegalStateException(
+      s"near-dup index '$name' is missing table '${t(epoch, suffix)}' — a " +
+      "build crashed mid-way, or its epoch was vacuumed under a stale " +
+      "pointer; rebuild required"))
 
   private def signatures(docs: DataFrame, idCol: String,
                          textCol: String): DataFrame =
     Dedup.minhashSignatures(
       Dedup.shingleRows(docs, idCol, textCol, shingleN), k)
 
-  /** Index `docs` (idCol, textCol) from scratch, overwriting any
-    * previous generation. The meta marker commits last (crash safety —
-    * see class doc). */
+  /** Index `docs` (idCol, textCol) from scratch into a new epoch; the
+    * pointer flips last (crash safety — see class doc). The previous
+    * epoch — including its cluster table — stays published until the
+    * flip; labels derive from the pair graph, so the new epoch starts
+    * with no clusters until [[buildClusters]] re-seeds it. */
   def build(docs: DataFrame, idCol: String, textCol: String): Unit = {
     import docs.sparkSession.implicits._
-    val epoch = store.history(t("meta")).lastOption.map(_._1 + 1).getOrElse(0L)
-    // invalidate FIRST: a REBUILD that crashes mid-way must leave
-    // readers failing loudly, not serving the old marker over
-    // half-overwritten sig/band tables (candidates from one signing
-    // scored against another = wrong estimates, no error)
-    store.overwrite(t("meta"), Seq.empty[Long].toDF("build_epoch"))
+    val epoch = store.history(meta).lastOption.map(_._1 + 1).getOrElse(0L)
     // signatures feed the band derivation and the stored table: one pass
     val sig = signatures(docs, idCol, textCol).localCheckpoint(eager = true)
-    store.overwrite(t("sig"), sig)
-    store.overwrite(t("bands"), Dedup.lshBands(sig, bands, k / bands))
-    store.overwrite(t("meta"), Seq(epoch).toDF("build_epoch"))
+    store.overwrite(t(epoch, "sig"), sig)
+    store.overwrite(t(epoch, "bands"), Dedup.lshBands(sig, bands, k / bands))
+    store.overwrite(meta, Seq(epoch).toDF("build_epoch")) // atomic flip
+  }
+
+  /** Reclaim superseded epochs' space (empty + gc; tombstone names
+    * remain). NOT called from [[build]] — in-flight readers holding the
+    * previous pointer must be able to finish first. */
+  def vacuumEpochs(): Unit = {
+    val current = requireEpoch()
+    for (e <- 0L until current; suffix <- Seq("sig", "bands", "clusters")) {
+      store.read(t(e, suffix)).foreach { df =>
+        store.overwrite(t(e, suffix), df.limit(0))
+        store.gc(t(e, suffix))
+      }
+    }
   }
 
   /** Add `newDocs` to the index — O(new docs + one doc_id-column scan
@@ -75,9 +96,11 @@ final class NearDupIndex(store: TableStore, name: String,
     * re-signed: a re-seen id with changed text would otherwise leave
     * two signature rows whose band keys BOTH generate candidates and
     * whose slot agreement is ambiguous. Re-ingesting an existing id is
-    * a rebuild, not a refresh. */
+    * a rebuild, not a refresh. The epoch is resolved once, so both
+    * appends land in the same signing even if a rebuild publishes
+    * mid-call. */
   def refresh(newDocs: DataFrame, idCol: String, textCol: String): Unit = {
-    requireComplete()
+    val epoch = requireEpoch()
     // anti-join on the LAST-appended table (bands): a crash between the
     // sig and bands appends must leave the batch retryable — an
     // anti-join on sig would drop the half-ingested ids on replay and
@@ -85,12 +108,12 @@ final class NearDupIndex(store: TableStore, name: String,
     // future near-dups silently accepted). Replayed sig rows are
     // identical duplicates, collapsed by the pair-sized distinct.
     val fresh = newDocs
-      .join(required("bands").select(col("doc_id").as(idCol)).distinct(),
+      .join(required(epoch, "bands").select(col("doc_id").as(idCol)).distinct(),
         Seq(idCol), "left_anti")
     val sig = signatures(fresh, idCol, textCol).localCheckpoint(eager = true)
     if (!sig.isEmpty) {
-      store.append(t("sig"), sig)
-      store.append(t("bands"), Dedup.lshBands(sig, bands, k / bands))
+      store.append(t(epoch, "sig"), sig)
+      store.append(t(epoch, "bands"), Dedup.lshBands(sig, bands, k / bands))
     }
   }
 
@@ -134,27 +157,28 @@ final class NearDupIndex(store: TableStore, name: String,
     * corpus: (new_id, corpus_id, est_jaccard ≥ minEst). Runs the SAME
     * scorer as [[Dedup.minhashLshAcross]] over the stored tables; the
     * pair-sized distinct inside it collapses duplicate rows left by an
-    * at-least-once ingest retry. */
+    * at-least-once ingest retry. Pointer resolved once → sig and bands
+    * come from the same signing. */
   def query(batch: DataFrame, idCol: String, textCol: String,
             minEst: Double = 0.5): DataFrame = {
-    requireComplete()
+    val epoch = requireEpoch()
     val bs = signatures(batch, idCol, textCol).localCheckpoint(eager = true)
     Dedup.sigEstimatePairs(bs, Dedup.lshBands(bs, bands, k / bands),
-      required("sig"), required("bands"), k, minEst)
+      required(epoch, "sig"), required(epoch, "bands"), k, minEst)
   }
 
   // ---- incremental duplicate-cluster maintenance --------------------
   //
-  // `<name>_clusters` holds (doc_id, cluster_id, upd_seq) as last-wins
-  // deltas: `buildClusters` seeds it from the corpus pair graph, each
-  // `refreshClusters` appends ONLY the affected slice (members of
-  // clusters a new pair touches, plus the new nodes) recomputed by
-  // Dedup.mergeClustersDelta — O(batch + affected members) per batch,
-  // never an O(corpus) label rewrite. Readers resolve with
-  // readLatestBy(doc_id, upd_seq).
+  // `<name>_e<E>_clusters` holds (doc_id, cluster_id, upd_seq) as
+  // last-wins deltas: `buildClusters` seeds it from the corpus pair
+  // graph, each `refreshClusters` appends ONLY the affected slice
+  // (members of clusters a new pair touches, plus the new nodes)
+  // recomputed by Dedup.mergeClustersDelta — O(batch + affected
+  // members) per batch, never an O(corpus) label rewrite. Readers
+  // resolve with readLatestBy(doc_id, upd_seq).
 
-  private def nextClusterSeq: Long =
-    store.history(t("clusters")).lastOption.map(_._1 + 1).getOrElse(0L)
+  private def nextClusterSeq(epoch: Long): Long =
+    store.history(t(epoch, "clusters")).lastOption.map(_._1 + 1).getOrElse(0L)
 
   private def stamp(labels: DataFrame, seq: Long): DataFrame =
     labels.select(col("doc_id"), col("cluster_id"),
@@ -163,27 +187,30 @@ final class NearDupIndex(store: TableStore, name: String,
   /** Current duplicate-cluster labels: (doc_id, cluster_id), last-wins
     * over the delta chain. Empty table (not an error) before
     * [[buildClusters]] — callers distinguish "no clusters yet" from a
-    * half-built signature index via [[requireComplete]]. */
-  def clusters(): DataFrame =
-    store.readLatestBy(t("clusters"), Seq("doc_id"), "upd_seq")
+    * half-built signature index via the pointer check. */
+  def clusters(): DataFrame = {
+    val epoch = requireEpoch()
+    store.readLatestBy(t(epoch, "clusters"), Seq("doc_id"), "upd_seq")
       .map(_.select(col("doc_id"), col("cluster_id")))
       .getOrElse {
-        val spark = required("sig").sparkSession
+        val spark = required(epoch, "sig").sparkSession
         import spark.implicits._
         Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
       }
+  }
 
   /** Seed the cluster table from the corpus itself: batch-internal
     * near-dup pairs ([[Dedup.minhashLsh]], exact-Jaccard verified) →
-    * connected components. Overwrites any previous cluster history
-    * (labels derive from the pair graph, so a re-seed is a rebuild,
-    * not an append). */
+    * connected components. Overwrites any previous cluster history OF
+    * THIS EPOCH (labels derive from the pair graph, so a re-seed is a
+    * rebuild, not an append). */
   def buildClusters(docs: DataFrame, idCol: String, textCol: String,
                     threshold: Double = 0.5): Unit = {
+    val epoch = requireEpoch()
     val pairs = Dedup.minhashLsh(docs, idCol, textCol, shingleN, k, bands,
         threshold)
       .select(col("id_a"), col("id_b"))
-    store.overwrite(t("clusters"),
+    store.overwrite(t(epoch, "clusters"),
       stamp(Dedup.connectedComponents(pairs), 0L))
   }
 
@@ -205,9 +232,9 @@ final class NearDupIndex(store: TableStore, name: String,
   def refreshClusters(batch: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.5,
                       minEst: Double = 0.5): DataFrame = {
-    requireComplete()
+    val epoch = requireEpoch()
     val fresh = batch
-      .join(required("bands").select(col("doc_id").as(idCol)).distinct(),
+      .join(required(epoch, "bands").select(col("doc_id").as(idCol)).distinct(),
         Seq(idCol), "left_anti")
       .localCheckpoint(eager = true)
     val cross = query(fresh, idCol, textCol, minEst)
@@ -216,7 +243,8 @@ final class NearDupIndex(store: TableStore, name: String,
         bands, threshold)
       .select(col("id_a"), col("id_b"))
     val delta = Dedup.mergeClustersDelta(clusters(), cross.union(internal))
-    if (!delta.isEmpty) store.append(t("clusters"), stamp(delta, nextClusterSeq))
+    if (!delta.isEmpty)
+      store.append(t(epoch, "clusters"), stamp(delta, nextClusterSeq(epoch)))
     delta
   }
 

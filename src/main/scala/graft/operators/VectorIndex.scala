@@ -11,11 +11,25 @@ import org.apache.spark.sql.functions._
   * index lives in [[TableStore]] tables and is maintained
   * incrementally.
   *
-  * Tables written by [[build]]:
-  *  - `<name>_coarse`:    (cid, embedding)       — coarse IVF centroids
-  *  - `<name>_codebooks`: (m, cid, centroid)     — PQ codebooks
-  *  - `<name>_assign`:    (vec_id, cell)         — IVF cell per vector
-  *  - `<name>_codes`:     (vec_id, m, cid)       — PQ code ids per vector
+  * Cross-table snapshot isolation: each build writes a fresh EPOCH of
+  * data tables and then flips ONE pointer table —
+  *  - `<name>_meta`:           single row (build_epoch) — the pointer;
+  *    overwrite is per-table atomic, so the flip is atomic
+  *  - `<name>_e<E>_coarse`:    (cid, embedding)    — coarse IVF centroids
+  *  - `<name>_e<E>_codebooks`: (m, cid, centroid)  — PQ codebooks
+  *  - `<name>_e<E>_assign`:    (vec_id, cell)      — IVF cell per vector
+  *  - `<name>_e<E>_codes`:     (vec_id, m, cid)    — PQ code ids per vector
+  *
+  * A rebuild therefore NEVER mutates the published epoch's tables: a
+  * search that resolved the pointer keeps reading one internally
+  * consistent quantizer+code generation even while a rebuild writes
+  * (or crashes writing) epoch E+1, and a crashed rebuild leaves the
+  * old epoch fully published instead of an invalidated index — the
+  * mixed-generation race the pre-epoch design documented is closed
+  * (VectorIndexSpec races a rebuild against a resolved search). A
+  * FIRST build that crashes leaves no pointer → readers fail loudly.
+  * Old epochs are retained for in-flight readers; [[vacuumEpochs]]
+  * reclaims them once no reader can still hold a stale pointer.
   *
   * [[refresh]] appends assignment/code rows for NEW vectors only (the
   * quantizers stay frozen — the standard IVF discipline: retrain is an
@@ -29,56 +43,69 @@ final class VectorIndex(store: TableStore, name: String,
                         m: Int, subDim: Int, codebookK: Int,
                         trainIters: Int) {
 
-  private def t(suffix: String) = s"${name}_$suffix"
+  private def meta = s"${name}_meta"
+  private def t(epoch: Long, suffix: String) = s"${name}_e${epoch}_$suffix"
 
-  /** A required table, with a typed "rebuild me" failure instead of a
-    * bare None.get when a crashed build left the index partial. */
-  private def required(suffix: String): DataFrame =
-    store.read(t(suffix)).getOrElse(throw new IllegalStateException(
-      s"index '$name' is missing table '${t(suffix)}' — not built, or a " +
-      "build crashed mid-way; rebuild required"))
+  /** The published epoch, or None before the first completed build.
+    * An EMPTY pointer table is tolerated as unpublished (the shape a
+    * pre-epoch layout's crashed rebuild left behind). */
+  private def publishedEpoch: Option[Long] =
+    store.read(meta).flatMap { df =>
+      val rows = df.select(col("build_epoch")).collect()
+      rows.headOption.map(_.getLong(0))
+    }
+
+  private def requireEpoch(): Long =
+    publishedEpoch.getOrElse(throw new IllegalStateException(
+      s"index '$name' has no published build — not built, or the first " +
+      "build crashed before the pointer commit; rebuild required"))
+
+  /** A required table of one epoch, with a typed "rebuild me" failure
+    * instead of a bare None.get when a crashed build left it partial. */
+  private def required(epoch: Long, suffix: String): DataFrame =
+    store.read(t(epoch, suffix)).getOrElse(throw new IllegalStateException(
+      s"index '$name' is missing table '${t(epoch, suffix)}' — a build " +
+      "crashed mid-way, or its epoch was vacuumed under a stale pointer; " +
+      "rebuild required"))
 
   /** Build the index from scratch: train quantizers on `corpus`
     * (id, embedding) with coarse centroids supplied (production trains
     * them offline via [[KMeans]]; q61 shows that path), then encode the
-    * whole corpus. Overwrites any previous index generation.
-    *
-    * The four tables commit separately (TableStore is per-table
-    * atomic); the `meta` marker commits LAST, so a build that crashes
-    * mid-way leaves the marker ABSENT (or stale-epoch) and readers
-    * fail loudly instead of joining new quantizers to old codes —
-    * well-formed garbage scores otherwise. A search running
-    * CONCURRENTLY with a rebuild can still see mixed generations
-    * (cross-table snapshot isolation needs a top-level pointer commit);
-    * rebuilds should be fenced from queries operationally. */
+    * whole corpus into a NEW epoch's tables, and finally flip the
+    * pointer. The previous epoch stays published — and searchable —
+    * until the flip; a crash anywhere before it changes nothing for
+    * readers. A re-run of a crashed build recomputes the same epoch
+    * number (the pointer never advanced) and overwrites its partial
+    * tables. */
   def build(corpus: DataFrame, coarse: DataFrame): Unit = {
     import corpus.sparkSession.implicits._
-    val epoch = store.history(t("meta")).lastOption.map(_._1 + 1).getOrElse(0L)
-    // invalidate FIRST: a REBUILD that crashes mid-way must leave
-    // readers failing loudly — keeping the previous generation's marker
-    // valid while the data tables are half-overwritten would serve new
-    // quantizers against old codes (exactly what the marker exists to
-    // prevent)
-    store.overwrite(t("meta"), Seq.empty[Long].toDF("build_epoch"))
+    val epoch = store.history(meta).lastOption.map(_._1 + 1).getOrElse(0L)
     val codebooks = Pq.train(corpus, m, subDim, codebookK, trainIters)
-    store.overwrite(t("coarse"), coarse.select(col("cid"), col("embedding")))
-    store.overwrite(t("codebooks"), codebooks)
-    store.overwrite(t("assign"),
+    store.overwrite(t(epoch, "coarse"), coarse.select(col("cid"), col("embedding")))
+    store.overwrite(t(epoch, "codebooks"), codebooks)
+    store.overwrite(t(epoch, "assign"),
       Similarity.ivfAssign(corpus, coarse)
         .select(col("id").as("vec_id"), col("cid").as("cell")))
-    store.overwrite(t("codes"),
+    store.overwrite(t(epoch, "codes"),
       Pq.encode(corpus, codebooks, m, subDim)
         .withColumnRenamed("id", "vec_id"))
-    store.overwrite(t("meta"), Seq(epoch).toDF("build_epoch"))
+    store.overwrite(meta, Seq(epoch).toDF("build_epoch")) // atomic flip
   }
 
-  /** Marker must be present AND non-empty: an empty marker table is a
-    * build/rebuild in flight (build invalidates it first). */
-  private def requireComplete(): Unit =
-    if (!store.read(t("meta")).exists(df => !df.isEmpty))
-      throw new IllegalStateException(
-        s"index '$name' has no build-complete marker — not built, or a " +
-        "build crashed before finishing; rebuild required")
+  /** Reclaim the space of superseded epochs (tables are emptied and
+    * their dead generations gc'd; the tombstone names remain). NOT
+    * called from [[build]]: an in-flight reader holding the previous
+    * pointer must be able to finish — run this once no search started
+    * before the latest build can still be running. */
+  def vacuumEpochs(): Unit = {
+    val current = requireEpoch()
+    for (e <- 0L until current; suffix <- Seq("coarse", "codebooks", "assign", "codes")) {
+      store.read(t(e, suffix)).foreach { df =>
+        store.overwrite(t(e, suffix), df.limit(0))
+        store.gc(t(e, suffix))
+      }
+    }
+  }
 
   /** Incremental maintenance: assign + encode ONLY `newVectors`
     * (id, embedding) against the frozen quantizers and append — ingest
@@ -88,11 +115,16 @@ final class VectorIndex(store: TableStore, name: String,
     * code rows with different cids whose LUT entries BOTH join the
     * ADC sum (the search-side distinct only collapses identical
     * rows), roughly doubling that vector's score. Re-encoding an
-    * existing id is a rebuild, not a refresh. */
+    * existing id is a rebuild, not a refresh. The epoch is resolved
+    * ONCE, so both appends land in the same generation even if a
+    * rebuild publishes mid-call (the appends then feed a superseded
+    * epoch — lost to the new build exactly like any refresh that
+    * raced it, which is the rebuild contract: rebuilds re-encode the
+    * full corpus). */
   def refresh(newVectors: DataFrame): Unit = {
-    requireComplete()
-    val coarse = required("coarse").select(col("cid"), col("embedding"))
-    val codebooks = required("codebooks")
+    val epoch = requireEpoch()
+    val coarse = required(epoch, "coarse").select(col("cid"), col("embedding"))
+    val codebooks = required(epoch, "codebooks")
     // anti-join on the LAST-appended table (codes): a crash between the
     // assign and codes appends must leave the batch retryable — an
     // anti-join on assign would drop the half-ingested ids on replay
@@ -100,14 +132,14 @@ final class VectorIndex(store: TableStore, name: String,
     // replayed assign rows are identical duplicates, which search's
     // candidate-sized distinct collapses.
     val fresh = newVectors
-      .join(required("codes").select(col("vec_id").as("id")),
+      .join(required(epoch, "codes").select(col("vec_id").as("id")),
         Seq("id"), "left_anti")
       .localCheckpoint(true) // feeds two encoders: read the feed once
     if (!fresh.isEmpty) {
-      store.append(t("assign"),
+      store.append(t(epoch, "assign"),
         Similarity.ivfAssign(fresh, coarse)
           .select(col("id").as("vec_id"), col("cid").as("cell")))
-      store.append(t("codes"),
+      store.append(t(epoch, "codes"),
         Pq.encode(fresh, codebooks, m, subDim)
           .withColumnRenamed("id", "vec_id"))
     }
@@ -151,17 +183,20 @@ final class VectorIndex(store: TableStore, name: String,
   /** IVF→ADC search from the stored tables: probes the `nprobe` nearest
     * coarse cells per query, scores ONLY those cells' members via the
     * broadcast lookup table — the corpus-sized inputs touched are the
-    * stored assignment and code tables, never the embeddings. */
+    * stored assignment and code tables, never the embeddings. The
+    * pointer is resolved ONCE, so all four tables come from the same
+    * epoch — a rebuild completing mid-search cannot mix quantizer
+    * generations into the plan. */
   def search(queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
-    requireComplete()
+    val epoch = requireEpoch()
     // the ONE scorer, shared with Pq.ivfPqTopK, over the stored tables:
     // probe selection and tie-breaks cannot diverge between the
     // computed and stored paths. dedupCandidates collapses IDENTICAL
     // duplicate assignment/code rows (at-least-once refreshStream
     // replay) after the probe join — candidate-sized, never
     // corpus-sized — or the ADC sum would double-count.
-    Pq.ivfPqScore(queries, required("coarse"), required("codebooks"),
-      required("assign"), required("codes"),
+    Pq.ivfPqScore(queries, required(epoch, "coarse"), required(epoch, "codebooks"),
+      required(epoch, "assign"), required(epoch, "codes"),
       nprobe, m, subDim, k, dedupCandidates = true)
   }
 }

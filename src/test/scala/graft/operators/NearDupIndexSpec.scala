@@ -65,11 +65,12 @@ class NearDupIndexSpec extends AnyFunSuite {
     val root = java.nio.file.Files.createTempDirectory("dupidx-part").toString
     val store = new TableStore(spark, root)
     val idx = new NearDupIndex(store, "dup")
-    // simulate a crash after the data tables but before the marker
+    // simulate a FIRST build crash after the data tables, before the
+    // pointer commit
     val sig = Dedup.minhashSignatures(
       Dedup.shingleRows(corpus, "doc_id", "text", 3), 8)
-    store.overwrite("dup_sig", sig)
-    store.overwrite("dup_bands", Dedup.lshBands(sig, 2, 4))
+    store.overwrite("dup_e0_sig", sig)
+    store.overwrite("dup_e0_bands", Dedup.lshBands(sig, 2, 4))
     intercept[IllegalStateException](idx.query(batch, "doc_id", "text"))
     intercept[IllegalStateException](idx.refresh(corpus, "doc_id", "text"))
     // a completed build over the same store heals it
@@ -90,12 +91,12 @@ class NearDupIndexSpec extends AnyFunSuite {
     store.append("docs_src", rest.filter(col("doc_id") % 4 === 3))
     ckpt = idx.refreshFrom("docs_src", ckpt, "doc_id", "text")
     // an idle poll moves nothing and appends nothing
-    val gensBefore = store.history("dup_sig").size
+    val gensBefore = store.history("dup_e0_sig").size
     ckpt = idx.refreshFrom("docs_src", ckpt, "doc_id", "text")
-    assert(store.history("dup_sig").size == gensBefore)
+    assert(store.history("dup_e0_sig").size == gensBefore)
 
     // every corpus doc with ≥1 shingle is signed exactly once
-    val sig = store.read("dup_sig").get
+    val sig = store.read("dup_e0_sig").get
     assert(sig.select("doc_id").distinct().count() == sig.count())
     val rebuilt = freshIndex()
     rebuilt.build(corpus, "doc_id", "text")
@@ -137,7 +138,7 @@ class NearDupIndexSpec extends AnyFunSuite {
     idx.build(half, "doc_id", "text")
     // simulate refresh crashing AFTER the sig append, BEFORE bands:
     // the batch is signed but generates no candidates
-    store.append("dup_sig", Dedup.minhashSignatures(
+    store.append("dup_e0_sig", Dedup.minhashSignatures(
       Dedup.shingleRows(rest, "doc_id", "text", 3), 8))
     // the replay must re-ingest (an anti-join on sig would drop the
     // batch and leave its docs permanently without band keys)
@@ -149,23 +150,26 @@ class NearDupIndexSpec extends AnyFunSuite {
            asSet(oneShot.query(batch, "doc_id", "text")))
   }
 
-  test("a crash mid-REBUILD fails loudly instead of serving mixed signings") {
-    import spark.implicits._
+  test("a crash mid-REBUILD leaves the old signing serving; a completed one flips") {
     val root = java.nio.file.Files.createTempDirectory("dupidx-rebuild").toString
     val store = new TableStore(spark, root)
     val idx = new NearDupIndex(store, "dup")
     idx.build(corpus, "doc_id", "text")
-    assert(idx.query(batch, "doc_id", "text").count() > 0)
-    // simulate a rebuild that invalidated the marker, overwrote ONE
-    // table, then crashed — the old marker must NOT be served
-    store.overwrite("dup_meta", Seq.empty[Long].toDF("build_epoch"))
-    store.overwrite("dup_sig", Dedup.minhashSignatures(
+    val before = asSet(idx.query(batch, "doc_id", "text"))
+    assert(before.nonEmpty)
+    // simulate a rebuild (epoch 1) crashing after ONE table — pointer
+    // never flipped, so queries keep serving epoch 0, never a mix of
+    // the new partial signing with the old bands
+    store.overwrite("dup_e1_sig", Dedup.minhashSignatures(
       Dedup.shingleRows(corpus.limit(10), "doc_id", "text", 3), 8))
-    intercept[IllegalStateException](idx.query(batch, "doc_id", "text"))
-    intercept[IllegalStateException](idx.refresh(corpus, "doc_id", "text"))
-    // a completed rebuild heals
-    idx.build(corpus, "doc_id", "text")
-    assert(idx.query(batch, "doc_id", "text").count() > 0)
+    assert(asSet(idx.query(batch, "doc_id", "text")) == before)
+    // a completed rebuild over a SMALLER corpus atomically switches
+    idx.build(corpus.filter(col("doc_id") >= 300L), "doc_id", "text")
+    val after = asSet(idx.query(batch, "doc_id", "text"))
+    assert(after.subsetOf(before), "same hash family → same shared pairs")
+    assert(after.forall(_._2 >= 300L),
+      "post-flip queries see only the rebuilt (smaller) corpus")
+    assert(after != before || before.forall(_._2 >= 300L))
   }
 
   test("a batch doc with an already-indexed id is not its own near-dup") {

@@ -167,8 +167,9 @@ class VectorIndexSpec extends AnyFunSuite {
     val rest = corpus.filter(col("id") % 2 =!= 0)
     idx.build(half, coarse)
     // simulate refresh crashing AFTER the assign append, BEFORE codes:
-    // the batch has assignment rows but no code rows
-    store.append("ann_assign", Similarity.ivfAssign(rest, coarse)
+    // the batch has assignment rows but no code rows (epoch 0 tables —
+    // the first build's)
+    store.append("ann_e0_assign", Similarity.ivfAssign(rest, coarse)
       .select(col("id").as("vec_id"), col("cid").as("cell")))
     // the at-least-once replay must re-ingest the batch (an anti-join
     // on assign would drop it and lose the codes forever)
@@ -181,24 +182,65 @@ class VectorIndexSpec extends AnyFunSuite {
            asSet(oneShot.search(q, nprobe = 2, k = 5)))
   }
 
-  test("a crash mid-REBUILD fails loudly instead of serving mixed generations") {
-    import spark.implicits._
+  test("a crash mid-REBUILD leaves the OLD epoch serving, consistently") {
+    // the epoch-pointer contract: a rebuild writes the NEXT epoch's
+    // tables and flips the pointer last, so a crash mid-rebuild changes
+    // NOTHING for readers — no invalidation window, no mixed generations
     val root = java.nio.file.Files.createTempDirectory("vecidx-rebuild").toString
     val store = new TableStore(spark, root)
     val idx = new VectorIndex(store, "ann",
       m = 4, subDim = 16, codebookK = 4, trainIters = 1)
     idx.build(corpus, coarse)
     val q = corpus.filter(col("id") < 5L)
-    assert(idx.search(q, nprobe = 2, k = 5).count() > 0)
-    // simulate a rebuild that invalidated the marker, overwrote ONE
-    // data table, then crashed — the old marker must NOT be served
-    store.overwrite("ann_meta", Seq.empty[Long].toDF("build_epoch"))
-    store.overwrite("ann_coarse", coarse.limit(4)
+    val before = asSet(idx.search(q, nprobe = 2, k = 5))
+    assert(before.nonEmpty)
+    // simulate a rebuild (epoch 1) crashing after ONE data table, the
+    // pointer never flipped — searches keep serving epoch 0 untouched
+    store.overwrite("ann_e1_coarse", coarse.limit(4)
       .select(col("cid"), col("embedding")))
-    intercept[IllegalStateException](idx.search(q, nprobe = 2, k = 5))
-    intercept[IllegalStateException](idx.refresh(corpus))
-    // a completed rebuild heals
+    assert(asSet(idx.search(q, nprobe = 2, k = 5)) == before)
+    idx.refresh(corpus) // refresh also still lands in the live epoch
+    assert(asSet(idx.search(q, nprobe = 2, k = 5)) == before)
+    // a completed rebuild (epoch 1, overwriting the partial tables)
+    // atomically switches readers
+    idx.build(corpus, coarse.limit(4)
+      .select(col("cid"), col("embedding")))
+    val after = asSet(idx.search(q, nprobe = 2, k = 5))
+    assert(after.nonEmpty && after != before)
+  }
+
+  test("a search resolved BEFORE a rebuild completes never sees mixed generations") {
+    // the race VectorIndex.scala documented as open pre-epoch: resolve
+    // a search plan, complete a rebuild (different quantizers), THEN
+    // evaluate the old plan — it must equal the pure pre-rebuild
+    // answer (old epoch intact), never a mix of new coarse + old codes
+    val root = java.nio.file.Files.createTempDirectory("vecidx-race").toString
+    val store = new TableStore(spark, root)
+    val idx = new VectorIndex(store, "ann",
+      m = 4, subDim = 16, codebookK = 4, trainIters = 1)
     idx.build(corpus, coarse)
+    val q = corpus.filter(col("id") < 5L)
+    val expectedOld = asSet(idx.search(q, nprobe = 2, k = 5))
+    val inFlight = idx.search(q, nprobe = 2, k = 5) // resolved, unevaluated
+    idx.build(corpus, coarse.limit(4)
+      .select(col("cid"), col("embedding")))       // rebuild completes
+    assert(asSet(inFlight) == expectedOld,
+      "in-flight search must keep its resolved epoch")
+    val fresh = asSet(idx.search(q, nprobe = 2, k = 5))
+    assert(fresh.nonEmpty && fresh != expectedOld,
+      "a search resolved after the flip serves the new epoch")
+  }
+
+  test("vacuumEpochs reclaims superseded epochs; the live one survives") {
+    val root = java.nio.file.Files.createTempDirectory("vecidx-vac").toString
+    val store = new TableStore(spark, root)
+    val idx = new VectorIndex(store, "ann",
+      m = 4, subDim = 16, codebookK = 4, trainIters = 1)
+    idx.build(corpus, coarse)
+    idx.build(corpus, coarse.limit(4).select(col("cid"), col("embedding")))
+    idx.vacuumEpochs()
+    assert(store.read("ann_e0_codes").exists(_.isEmpty), "old epoch emptied")
+    val q = corpus.filter(col("id") < 5L)
     assert(idx.search(q, nprobe = 2, k = 5).count() > 0)
   }
 
@@ -207,14 +249,14 @@ class VectorIndexSpec extends AnyFunSuite {
     val store = new TableStore(spark, root)
     val idx = new VectorIndex(store, "ann",
       m = 4, subDim = 16, codebookK = 4, trainIters = 1)
-    // simulate a build that crashed before the marker: stage the four
-    // tables by hand, no meta
+    // simulate a FIRST build that crashed before the pointer commit:
+    // stage the four epoch-0 tables by hand, no meta
     val cb = Pq.train(corpus, 4, 16, 4, 1)
-    store.overwrite("ann_coarse", coarse.select(col("cid"), col("embedding")))
-    store.overwrite("ann_codebooks", cb)
-    store.overwrite("ann_assign", Similarity.ivfAssign(corpus, coarse)
+    store.overwrite("ann_e0_coarse", coarse.select(col("cid"), col("embedding")))
+    store.overwrite("ann_e0_codebooks", cb)
+    store.overwrite("ann_e0_assign", Similarity.ivfAssign(corpus, coarse)
       .select(col("id").as("vec_id"), col("cid").as("cell")))
-    store.overwrite("ann_codes", Pq.encode(corpus, cb, 4, 16)
+    store.overwrite("ann_e0_codes", Pq.encode(corpus, cb, 4, 16)
       .withColumnRenamed("id", "vec_id"))
     val q = corpus.filter(col("id") < 5L)
     intercept[IllegalStateException](idx.search(q, nprobe = 2, k = 5))
@@ -241,12 +283,12 @@ class VectorIndexSpec extends AnyFunSuite {
     store.append("embeddings_src", restB)
     ckpt = idx.refreshFrom("embeddings_src", ckpt)
     // an idle poll moves nothing and appends nothing
-    val gensBefore = store.history("ann_assign").size
+    val gensBefore = store.history("ann_e0_assign").size
     ckpt = idx.refreshFrom("embeddings_src", ckpt)
-    assert(store.history("ann_assign").size == gensBefore)
+    assert(store.history("ann_e0_assign").size == gensBefore)
 
     // every corpus vector is indexed exactly once
-    val assigned = store.read("ann_assign").get
+    val assigned = store.read("ann_e0_assign").get
     assert(assigned.count() == corpus.count())
     assert(assigned.select("vec_id").distinct().count() == corpus.count())
 
