@@ -74,6 +74,128 @@ class StacValidatorSpec extends AnyFunSuite {
   test("unknown type fails") {
     assert(StacValidator.validate(parse(catalog), "Nope").isDefined)
   }
+
+  // ---- Draft-7 depth: each rejection class the bundled schemas pin ----
+
+  private def patchedItem(patch: String => String) = parse(patch(item))
+  private def patchedColl(patch: String => String) = parse(patch(collection))
+
+  test("type and stac_version consts are enforced per schema") {
+    // a Catalog doc run through the Collection validator is a const
+    // violation, not merely missing-license
+    assert(StacValidator.validate(parse(catalog), "Collection")
+      .contains("'Catalog' is not one of ['Collection']"))
+    val badVer = patchedItem(_.replace("1.0.0-rc.3", "0.9.0"))
+    assert(StacValidator.validate(badVer, "Feature")
+      .contains("'0.9.0' is not one of ['1.0.0-rc.3']"))
+  }
+
+  test("link objects require rel as well as href") {
+    val noRel = patchedColl(_.replace(""""links":[]""",
+      """"links":[{"href":"s3://b/x.json"}]"""))
+    assert(StacValidator.validate(noRel, "Collection")
+      .contains("'rel' is a required property"))
+  }
+
+  test("item geometry-bbox oneOf pairing") {
+    // non-null geometry without bbox → bbox required
+    val geomNoBbox = patchedItem(_.replace(""""geometry":null""",
+      """"geometry":{"type":"Point","coordinates":[170.0,-45.0]}"""))
+    assert(StacValidator.validate(geomNoBbox, "Feature")
+      .contains("'bbox' is a required property"))
+    // with a well-formed bbox → valid
+    val geomBbox = patchedItem(_.replace(""""geometry":null""",
+      """"geometry":{"type":"Point","coordinates":[170.0,-45.0]},
+         "bbox":[169.9,-45.1,170.1,-44.9]"""))
+    assert(StacValidator.validate(geomBbox, "Feature").isEmpty)
+    // null geometry FORBIDS bbox
+    val nullGeomBbox = patchedItem(_.replace(""""geometry":null""",
+      """"geometry":null,"bbox":[169.9,-45.1,170.1,-44.9]"""))
+    assert(StacValidator.validate(nullGeomBbox, "Feature")
+      .contains("'bbox' must not be present when 'geometry' is null"))
+  }
+
+  test("geometry type enum and coordinates") {
+    val badType = patchedItem(_.replace(""""geometry":null""",
+      """"geometry":{"type":"Circle","coordinates":[0,0]},
+         "bbox":[0,0,0,0]"""))
+    assert(StacValidator.validate(badType, "Feature").get
+      .startsWith("'Circle' is not one of"))
+    val noCoords = patchedItem(_.replace(""""geometry":null""",
+      """"geometry":{"type":"Polygon"},"bbox":[0,0,0,0]"""))
+    assert(StacValidator.validate(noCoords, "Feature")
+      .contains("'coordinates' is a required property"))
+    // GeometryCollection takes geometries, recursively validated
+    val gcOk = patchedItem(_.replace(""""geometry":null""",
+      """"geometry":{"type":"GeometryCollection","geometries":
+           [{"type":"Point","coordinates":[1,2]}]},
+         "bbox":[1,2,1,2]"""))
+    assert(StacValidator.validate(gcOk, "Feature").isEmpty)
+    val gcBad = patchedItem(_.replace(""""geometry":null""",
+      """"geometry":{"type":"GeometryCollection","geometries":
+           [{"type":"Point"}]},
+         "bbox":[1,2,1,2]"""))
+    assert(StacValidator.validate(gcBad, "Feature")
+      .contains("'coordinates' is a required property"))
+  }
+
+  test("bbox arity is 4 or 6 numbers") {
+    val fiveElems = patchedItem(_.replace(""""geometry":null""",
+      """"geometry":{"type":"Point","coordinates":[0,0]},
+         "bbox":[1,2,3,4,5]"""))
+    assert(StacValidator.validate(fiveElems, "Feature")
+      .contains("'bbox' has 5 elements; 4 or 6 required"))
+    val sixOk = patchedItem(_.replace(""""geometry":null""",
+      """"geometry":{"type":"Point","coordinates":[0,0]},
+         "bbox":[1,2,0,3,4,100]"""))
+    assert(StacValidator.validate(sixOk, "Feature").isEmpty)
+    val nonNum = patchedColl(_.replace("[[-180,-90,180,90]]",
+      """[[-180,"-90",180,90]]"""))
+    assert(StacValidator.validate(nonNum, "Collection")
+      .contains("'bbox' elements are not of type 'number'"))
+    val empty = patchedColl(_.replace("[[-180,-90,180,90]]", "[]"))
+    assert(StacValidator.validate(empty, "Collection")
+      .contains("'bbox' is too short (minItems 1)"))
+  }
+
+  test("item datetime format-checked, nullable via start/end pair") {
+    val bad = patchedItem(_.replace("2000-01-01T00:00:00Z", "not a datetime"))
+    assert(StacValidator.validate(bad, "Feature")
+      .contains("'not a datetime' is not a 'date-time'"))
+    // RFC 3339 needs an offset — a naive local datetime fails
+    val naive = patchedItem(_.replace("2000-01-01T00:00:00Z", "2000-01-01T00:00:00"))
+    assert(StacValidator.validate(naive, "Feature")
+      .contains("'2000-01-01T00:00:00' is not a 'date-time'"))
+    val offset = patchedItem(_.replace("2000-01-01T00:00:00Z", "2000-01-01T13:45:30+13:00"))
+    assert(StacValidator.validate(offset, "Feature").isEmpty)
+    // datetime:null alone → start_datetime required
+    val nullOnly = patchedItem(_.replace(""""datetime":"2000-01-01T00:00:00Z"""",
+      """"datetime":null"""))
+    assert(StacValidator.validate(nullOnly, "Feature")
+      .contains("'start_datetime' is a required property"))
+    val range = patchedItem(_.replace(""""datetime":"2000-01-01T00:00:00Z"""",
+      """"datetime":null,"start_datetime":"2000-01-01T00:00:00Z",
+         "end_datetime":"2000-01-02T00:00:00Z""""))
+    assert(StacValidator.validate(range, "Feature").isEmpty)
+  }
+
+  test("collection temporal interval bounds are date-time or null") {
+    // ≙ tests/test_check_stac_metadata.py:395-400
+    val bad = patchedColl(_.replace("2000-01-01T00:00:00Z", "not a datetime"))
+    assert(StacValidator.validate(bad, "Collection")
+      .contains("'not a datetime' is not a 'date-time'"))
+    val triple = patchedColl(_.replace("""[["2000-01-01T00:00:00Z",null]]""",
+      """[["2000-01-01T00:00:00Z",null,null]]"""))
+    assert(StacValidator.validate(triple, "Collection")
+      .contains("'interval' item has 3 elements; 2 required"))
+    val numBound = patchedColl(_.replace("""[["2000-01-01T00:00:00Z",null]]""",
+      """[[42,null]]"""))
+    assert(StacValidator.validate(numBound, "Collection")
+      .contains("'interval' bounds are not of type 'string' or null"))
+    val emptyIv = patchedColl(_.replace("""[["2000-01-01T00:00:00Z",null]]""", "[]"))
+    assert(StacValidator.validate(emptyIv, "Collection")
+      .contains("'interval' is too short (minItems 1)"))
+  }
 }
 
 class UlidSpec extends AnyFunSuite {

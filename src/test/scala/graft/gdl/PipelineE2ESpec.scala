@@ -206,6 +206,43 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(latest.filter(col("sfn_status") === "Succeeded").count() == 2)
   }
 
+  test("deep Draft-7 violations fail validation with format/oneOf messages") {
+    // ≙ the reference's FormatChecker + item.json oneOf depth
+    // (stac_validators.py:26, test_check_stac_metadata.py:395-400):
+    // a naive datetime and a non-null geometry without bbox are schema
+    // failures, not crawler crashes — each aborts with a JsonSchema row
+    val badDatetime = stacGraph() + ("s3://staging/data/item.json" ->
+      s"""{"type":"Feature","stac_version":"1.0.0-rc.3","id":"item1",
+           "geometry":null,"properties":{"datetime":"2000-01-01 00:00:00"},
+           "assets":{"a1":{"href":"asset1.bin",
+                           "file:checksum":"${multihash256(asset1)}"}},
+           "links":[]}""".getBytes(UTF_8))
+    val (p1, s1, _) = freshPipeline(badDatetime)
+    val ds1 = p1.datasets.create("Bad_Datetime", t0).toOption.get
+    val e1 = p1.run(ds1.id, "s3://staging/data/catalog.json",
+      t0.plusSeconds(60)).toOption.get
+    val r1 = s1.get(e1).toOption.get
+    assert(r1.validation.status == "Failed")
+    assert(r1.validation.errors.exists(e => e.check == Check.JsonSchema &&
+      e.details("message") == "'2000-01-01 00:00:00' is not a 'date-time'"))
+
+    val geomNoBbox = stacGraph() + ("s3://staging/data/item.json" ->
+      s"""{"type":"Feature","stac_version":"1.0.0-rc.3","id":"item1",
+           "geometry":{"type":"Point","coordinates":[170.0,-45.0]},
+           "properties":{"datetime":"2000-01-01T00:00:00Z"},
+           "assets":{"a1":{"href":"asset1.bin",
+                           "file:checksum":"${multihash256(asset1)}"}},
+           "links":[]}""".getBytes(UTF_8))
+    val (p2, s2, _) = freshPipeline(geomNoBbox)
+    val ds2 = p2.datasets.create("Geom_No_Bbox", t0).toOption.get
+    val e2 = p2.run(ds2.id, "s3://staging/data/catalog.json",
+      t0.plusSeconds(60)).toOption.get
+    val r2 = s2.get(e2).toOption.get
+    assert(r2.validation.status == "Failed")
+    assert(r2.validation.errors.exists(e => e.check == Check.JsonSchema &&
+      e.details("message") == "'bbox' is a required property"))
+  }
+
   test("duplicate JSON key recorded but traversal continues (first wins)") {
     val docs = stacGraph() + ("s3://staging/data/item.json" ->
       s"""{"type":"Feature","stac_version":"1.0.0-rc.3","id":"item1",
