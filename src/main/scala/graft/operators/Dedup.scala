@@ -545,6 +545,43 @@ object Dedup {
       .filter(col("sim") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster-then-prune. Every vector is assigned to
+    * its nearest-cosine centroid ([[Similarity.ivfAssign]] — map-only,
+    * centroids as a broadcast array literal), exact cosine runs ONLY
+    * within a cell, and a vector is dropped iff a SMALLER id in its
+    * cell is ≥ `tau` similar (keep-first: deterministic and
+    * replayable; the paper's keep-lowest-centroid-similarity variant
+    * is a one-line ORDER change). Output: (id, cid, dropped).
+    *
+    * Scale: this is the published SemDeDup recipe precisely BECAUSE the
+    * cell equi-join bounds the pair space — Σ|cell|² instead of n²;
+    * cells are k-means-sized (corpus/k on average), and a skewed hot
+    * cell is handled the same way the near-dup band join is (AQE skew
+    * split; the cell key is already the shuffle key). */
+  def semanticDedup(vecs: DataFrame, centroids: DataFrame,
+                    tau: Double): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val v = vecs.join(Similarity.ivfAssign(vecs, centroids), Seq("id"))
+      .select(col("id"), col("cid"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+    val hi = v.select(col("cid"), col("id"), col("embedding").as("emb_a"),
+      col("nrm").as("nrm_a"))
+    val lo = v.select(col("cid"), col("id").as("id_lo"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val dropped = hi.join(lo, Seq("cid"))
+      .filter(col("id_lo") < col("id"))
+      .filter(
+        (when(col("nrm_a") * col("nrm_b") === 0.0, lit(0.0))
+          .otherwise(dot(col("emb_a"), col("emb_b"))
+            / (col("nrm_a") * col("nrm_b")))) >= tau)
+      .select(col("id")).distinct()
+    v.select(col("id"), col("cid"))
+      .join(dropped.withColumn("dropped", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cid"),
+        coalesce(col("dropped"), lit(false)).as("dropped"))
+  }
+
   /** All-pairs n-gram Jaccard within caller-restricted blocks —
     * verification-scale only (the LSH path is the 100 TB route). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,

@@ -37,6 +37,42 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
+  /** The shared map-only argmin: centroids as ONE array literal of
+    * (cent, cid) structs, nearest picked via `array_min` over
+    * (sqdist, cid) — struct comparison IS (dist asc, cid asc), the
+    * oracle's row_number tie-break. Expects an `emb` column of doubles
+    * in scope. */
+  private def argminStruct(centRows: Array[(Long, Seq[Double])]): Column = {
+    val centLit: Column = array(centRows.sortBy(_._1).map { case (cid, cent) =>
+      struct(typedLit(cent).as("cent"), lit(cid).as("cid")) }.toSeq: _*)
+    array_min(transform(centLit, c =>
+      struct(
+        aggregate(
+          zip_with(col("emb"), c.getField("cent"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), _ + _).as("d"),
+        c.getField("cid").as("cid"))))
+  }
+
+  /** Map-only nearest-centroid assignment against TRAINED (or stored)
+    * centroids: (id, cid, sqdist) — zero shuffle, the same argmin and
+    * tie-break as [[train]]'s rounds. The squared-L2 sibling of
+    * [[Similarity.ivfAssign]] (which assigns by cosine); this one also
+    * returns the distance, the raw material for drift monitoring
+    * (q136): rising mean cell distance = the retrain trigger every IVF
+    * deployment watches.
+    *
+    * @param centroids (cid: Long, centroid: Array[Float|Double]) */
+  def assign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val v = corpus
+      .select(col("id"), transform(col("embedding"), _.cast("double")).as("emb"))
+    val best = argminStruct(
+      centroids
+        .select(col("cid"), transform(col("centroid"), _.cast("double")).as("cent"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))))
+    v.select(col("id"), best.getField("cid").as("cid"),
+      best.getField("d").as("sqdist"))
+  }
+
   /** @param corpus (id: Long, embedding: Array[Float|Double])
     * @param iters  number of assign+update rounds, ≥ 1
     * @return (cid, n_members, centroid: Array[Double]) after `iters`
@@ -61,18 +97,9 @@ object KMeans {
       // array_min over (dist, cid) structs — struct order IS
       // (dist asc, cid asc), the same tie-break as the oracle's
       // row_number over ORDER BY dist, cid
-      val centLit: Column = array(
+      val best = argminStruct(
         cents.select(col("cid"), col("cent")).collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1)))
-          .sortBy(_._1)
-          .map { case (cid, cent) =>
-            struct(typedLit(cent).as("cent"), lit(cid).as("cid")) }.toSeq: _*)
-      val best = array_min(transform(centLit, c =>
-        struct(
-          aggregate(
-            zip_with(col("emb"), c.getField("cent"), (x, y) => (x - y) * (x - y)),
-            lit(0.0), _ + _).as("d"),
-          c.getField("cid").as("cid"))))
+          .map(r => (r.getLong(0), r.getSeq[Double](1))))
       var assigned = v.select(col("id"), col("emb"),
         best.getField("cid").as("cid"))
       // the final round's assignment feeds BOTH the means and the

@@ -10,11 +10,15 @@ import org.apache.spark.sql.functions._
   * batch transform.
   *
   * The Spark-side machinery — schema handling, `mapPartitions` batch
-  * shape, typed output — is real and tested. The decoder itself is a
-  * STUB (this container carries no image/audio codecs): a deterministic
-  * function of the bytes standing in where libjpeg/ffmpeg would be. The
-  * stub's field derivations are chosen so a SQL oracle can verify the
-  * plumbing end-to-end.
+  * shape, typed output — is real and tested. Codecs come in two tiers:
+  *  - REAL, pure-JDK: [[decodeImage]] (PNG/JPEG/GIF/BMP via
+  *    javax.imageio) and [[decodeAudio]] (WAV/AIFF/AU PCM via
+  *    javax.sound.sampled) decode actual rasters and PCM frames — no
+  *    native libraries involved;
+  *  - STUB where only native code exists (video containers, mp3/opus):
+  *    [[decodeStub]] is a deterministic function of the bytes standing
+  *    in where ffmpeg would be, its field derivations chosen so a SQL
+  *    oracle can verify the plumbing end-to-end.
   *
   * Scale notes: one decode task per input partition, no shuffle; media
   * blobs stream through the iterator (never collected); with a real
@@ -82,6 +86,157 @@ object Multimodal {
   def withFakeMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("id"),
                 encode(col(textCol), "UTF-8").as("media"))
+
+  // ---- REAL codecs (pure-JDK; no native libraries) ------------------
+  //
+  // javax.imageio ships PNG/JPEG/GIF/BMP readers and writers inside
+  // every JVM, and javax.sound.sampled parses WAV/AIFF/AU PCM — so for
+  // these formats the decode path is NOT a stub: real rasters, real PCM
+  // frames, decoded partition-wise with the blobs never leaving their
+  // partition. ffmpeg-class containers (video, mp3, opus) remain the
+  // genuinely-unavailable part; their plumbing shape is [[decodeStub]]/
+  // [[frameSample]].
+
+  /** Real decoded-image row. `mean_luma_x1000` is over raster band 0
+    * (gray/luma) — integer arithmetic so results are engine-exact. */
+  final case class DecodedImage(
+      id: Long, format: String, width: Int, height: Int,
+      mean_luma_x1000: Long)
+
+  /** Real decoded-audio row (PCM container headers + frames). */
+  final case class DecodedAudio(
+      id: Long, sample_rate_hz: Int, channels: Int, n_frames: Long,
+      mean_abs_x1000: Long)
+
+  /** Deterministic pixel/sample derivation from a doc's UTF-8 bytes:
+    * byte i (unsigned), space-padded past the end. ASCII text ⇒ a SQL
+    * oracle reproduces it with ascii(substr(text, i, 1)) — which is the
+    * point: the REAL encode→decode roundtrip becomes value-checkable. */
+  private def textByte(bytes: Array[Byte], i: Int): Int =
+    if (i < bytes.length) bytes(i) & 0xff else 32
+
+  /** Encode each doc's leading bytes as a `w`×`h` 8-bit GRAY PNG via
+    * the JDK's real PNG writer (row-major pixels, space-padded).
+    * Output: (id, media binary). Map-only, one encoder per row. */
+  def encodeGrayPng(spark: SparkSession, docs: DataFrame, idCol: String,
+                    textCol: String, w: Int, h: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), encode(col(textCol), "UTF-8"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        var i = 0
+        while (i < w * h) {
+          img.getRaster.setSample(i % w, i / w, 0, textByte(bytes, i))
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }).toDF("id", "media")
+  }
+
+  /** REAL image decode: sniff the container (png/jpeg/gif/bmp) from the
+    * stream, decode the raster, and reduce band 0 to an exact integer
+    * mean. Bytes no JDK reader claims → ("unknown", -1, -1, -1) — a
+    * quarantine row, not a task failure. Partition-wise, no shuffle. */
+  def decodeImage(spark: SparkSession, media: DataFrame,
+                  idCol: String, binCol: String): Dataset[DecodedImage] = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(binCol))
+      .filter(col(idCol).isNotNull)
+      .withColumn(binCol, coalesce(col(binCol), lit(Array.empty[Byte])))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) DecodedImage(id, "unknown", -1, -1, -1L)
+        else {
+          val reader = readers.next()
+          val fmt = reader.getFormatName.toLowerCase
+          try {
+            reader.setInput(iis)
+            val img = reader.read(0)
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0L
+            var i = 0
+            while (i < w * h) {
+              sum += img.getRaster.getSample(i % w, i / w, 0)
+              i += 1
+            }
+            DecodedImage(id, fmt, w, h, sum * 1000L / (w.toLong * h))
+          } catch { // truncated/corrupt body behind a valid magic
+            case _: Exception => DecodedImage(id, fmt, -1, -1, -1L)
+          } finally reader.dispose()
+        }
+      })
+  }
+
+  /** Encode each doc's leading bytes as 16-bit mono PCM WAV (the JDK's
+    * real RIFF writer): sample i = (byte_i − 96)·128, `n` frames.
+    * Output: (id, media binary). */
+  def encodePcmWav(spark: SparkSession, docs: DataFrame, idCol: String,
+                   textCol: String, n: Int, sampleRate: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), encode(col(textCol), "UTF-8"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val pcm = new Array[Byte](2 * n)
+        var i = 0
+        while (i < n) {
+          val s = (textByte(bytes, i) - 96) * 128
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = (s >> 8).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          sampleRate.toFloat, 16, 1, true, false)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        (id, bos.toByteArray)
+      }).toDF("id", "media")
+  }
+
+  /** REAL audio decode: parse the container header (rate, channels,
+    * frame count) and fold the PCM frames to an exact integer mean
+    * absolute amplitude. Unparseable bytes → (-1, -1, -1, -1).
+    * 16-bit little-endian PCM only (what the JDK's WAV writer emits);
+    * a resampling decode belongs behind the same partition-wise shape. */
+  def decodeAudio(spark: SparkSession, media: DataFrame,
+                  idCol: String, binCol: String): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(binCol))
+      .filter(col(idCol).isNotNull)
+      .withColumn(binCol, coalesce(col(binCol), lit(Array.empty[Byte])))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        try {
+          val ain = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ain.getFormat
+          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian)
+          val pcm = ain.readAllBytes()
+          val nSamples = pcm.length / 2
+          var sum = 0L
+          var i = 0
+          while (i < nSamples) {
+            val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort
+            sum += math.abs(s.toLong)
+            i += 1
+          }
+          DecodedAudio(id, fmt.getSampleRate.toInt, fmt.getChannels,
+            ain.getFrameLength,
+            if (nSamples == 0) 0L else sum * 1000L / nSamples)
+        } catch {
+          case _: Exception => DecodedAudio(id, -1, -1, -1L, -1L)
+        }
+      })
+  }
 
   /** Frame sampling: treat the binary as a container of fixed-size
     * frames and emit every `everyN`-th frame with its hash and size —

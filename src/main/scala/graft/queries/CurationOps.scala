@@ -265,6 +265,33 @@ object CurationOps {
           expr("wq * 1000000L div tw").as("share_ppm"))
     }),
 
+    // Temperature-scaled mixture SAMPLING (the multilingual-corpus
+    // rebalance recipe: p_s ∝ tokens_s^(1/T), T=2): per-source token
+    // sums set acceptance rates (largest source = 1.0, smaller sources
+    // boosted toward flat), then each doc's keep/drop is a
+    // deterministic md5-bucket test — replayable, no RNG state. q110
+    // computes target SHARES; this materializes the sampled corpus.
+    // Two metadata-sized aggs + one broadcast join: doc scan stays
+    // map-only, nothing shuffles at corpus scale.
+    "q134_temperature_mix" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select(
+        col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+        (conv(substring(md5(concat(lit("tm|"), col("doc_id").cast("string"))),
+           1, 6), 16, 10).cast("long") % 1000000L).as("bucket_ppm"))
+      val w = docs.groupBy(col("source")).agg(sum(col("n_tok")).as("tok_s"))
+        // quantized sqrt weight (T=2): order-free long arithmetic
+        .withColumn("wq",
+          floor(sqrt(col("tok_s").cast("double")) * 1e6).cast("long"))
+      val mx = w.agg(max(col("wq")).as("wmax"))
+      val rates = w.crossJoin(broadcast(mx))
+        .select(col("source"), col("tok_s"),
+          expr("wq * 1000000L div wmax").as("rate_ppm"))
+      docs.join(broadcast(rates), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_tok"), col("rate_ppm"),
+          (col("bucket_ppm") < col("rate_ppm")).as("sampled"))
+    }),
+
     "q91_domain_cap" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
         .select(col("source"),
@@ -678,6 +705,24 @@ object CurationOps {
           SELECT source, n_docs, wq,
                  CAST(wq * 1000000 // tw AS BIGINT) AS share_ppm
           FROM w CROSS JOIN t""",
+
+    "q134_temperature_mix" ->
+      """WITH d AS (SELECT doc_id, source,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+                CAST('0x' || substr(md5('tm|' || CAST(doc_id AS VARCHAR)), 1, 6)
+                     AS BIGINT) % 1000000 AS bucket_ppm
+           FROM documents),
+          w AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tok_s,
+                       CAST(floor(sqrt(CAST(sum(n_tok) AS DOUBLE)) * 1e6)
+                            AS BIGINT) AS wq
+                FROM d GROUP BY source),
+          m AS (SELECT CAST(max(wq) AS BIGINT) AS wmax FROM w),
+          r AS (SELECT source, tok_s,
+                       CAST(wq * 1000000 // wmax AS BIGINT) AS rate_ppm
+                FROM w CROSS JOIN m)
+          SELECT d.doc_id, d.source, d.n_tok, r.rate_ppm,
+                 d.bucket_ppm < r.rate_ppm AS sampled
+          FROM d JOIN r ON r.source = d.source""",
 
     "q91_domain_cap" ->
       """WITH d AS (SELECT source, doc_id,

@@ -61,6 +61,28 @@ object JsonOps {
                 col("content_sha256"))
     }),
 
+    // REAL image codec roundtrip (no stub): docs → 16×8 gray PNG via
+    // the JDK's actual PNG writer → partition-wise javax.imageio decode
+    // → raster stats. Oracle-checkable because the pixels derive from
+    // the (all-ASCII) text bytes, so DuckDB re-derives the mean luma
+    // without decoding anything. Map-only; blobs never leave their
+    // partition.
+    "q137_image_decode" -> ((s, d) => {
+      val media = Multimodal.encodeGrayPng(s,
+        Tables.load(s, d, "documents"), "doc_id", "text", w = 16, h = 8)
+      Multimodal.decodeImage(s, media, "id", "media").toDF()
+    }),
+
+    // REAL audio codec roundtrip: docs → 16-bit mono PCM WAV (the
+    // JDK's RIFF writer) → javax.sound header+frame decode → exact
+    // integer amplitude stats, re-derivable from the text in SQL.
+    "q138_audio_decode" -> ((s, d) => {
+      val media = Multimodal.encodePcmWav(s,
+        Tables.load(s, d, "documents"), "doc_id", "text",
+        n = 128, sampleRate = 8000)
+      Multimodal.decodeAudio(s, media, "id", "media").toDF()
+    }),
+
     // Video-shaped frame sampling over the binary column: 64-byte
     // frames, every 2nd sampled, hashed — map-only, blobs stay put.
     "q62_frame_sample" -> ((s, d) => {
@@ -94,6 +116,42 @@ object JsonOps {
                 CAST(strlen(text) AS BIGINT) AS n_bytes,
                 sha256(text) AS content_sha256
          FROM documents""",
+
+    // The REAL codec roundtrips: Spark encodes pixels/samples from the
+    // text bytes, writes genuine PNG/WAV, decodes them back with the
+    // JDK codecs; the oracle re-derives the same stats straight from
+    // the (verified all-ASCII) text — if the engine's encode→decode
+    // loses or shifts a single pixel/sample, the hash breaks.
+    "q137_image_decode" ->
+      """WITH px AS (SELECT doc_id,
+                list_transform(range(1, 129),
+                  i -> CASE WHEN i <= strlen(text)
+                            THEN ascii(substr(text, CAST(i AS INTEGER), 1))
+                            ELSE 32 END) AS ps
+           FROM documents)
+          SELECT doc_id AS id, 'png' AS format,
+                 CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+                 CAST(list_reduce(list_prepend(0, ps), (x, y) -> x + y)
+                      * 1000 // 128 AS BIGINT) AS mean_luma_x1000
+          FROM px""",
+
+    "q138_audio_decode" ->
+      """WITH px AS (SELECT doc_id,
+                list_transform(range(1, 129),
+                  i -> CASE WHEN i <= strlen(text)
+                            THEN ascii(substr(text, CAST(i AS INTEGER), 1))
+                            ELSE 32 END) AS ps
+           FROM documents)
+          SELECT doc_id AS id,
+                 CAST(8000 AS INTEGER) AS sample_rate_hz,
+                 CAST(1 AS INTEGER) AS channels,
+                 CAST(128 AS BIGINT) AS n_frames,
+                 CAST(list_reduce(
+                        list_prepend(0, list_transform(ps,
+                          b -> abs((b - 96) * 128))),
+                        (x, y) -> x + y) * 1000 // 128 AS BIGINT)
+                   AS mean_abs_x1000
+          FROM px""",
 
     // Spark slices the true BINARY column; DuckDB v1.0 has no blob
     // substr/sha256, so the oracle slices the string — equivalent

@@ -44,6 +44,54 @@ object TextOps {
     }),
 
     // Quality scoring: stopword ratio, length saturation, uniqueness.
+    // Gopher/Dolma-style RULE BUNDLE (Rae et al. 2021 §A1.1, the
+    // rule-based filter battery every pretraining pipeline runs before
+    // model-based quality): word-count bounds, mean word length,
+    // symbol-to-word ratio, bullet/ellipsis line fractions, unique-word
+    // fraction, stop-word presence — one map-only pass, every signal in
+    // integer/ppm arithmetic so the booleans are engine-exact (no
+    // double-ratio drift). q19 is the soft quality SCORE; this is the
+    // hard accept/reject battery with per-rule attribution.
+    "q135_quality_rules" -> ((s, d) => {
+      val stopLits = Seq("the", "a", "of", "to", "and", "in", "is", "that")
+      Tables.load(s, d, "documents")
+        .withColumn("words", split(trim(col("text")), "\\s+"))
+        .withColumn("lw", transform(col("words"), w => lower(w)))
+        .withColumn("lines", split(col("text"), "\n"))
+        .withColumn("n_words", size(col("words")).cast("long"))
+        .withColumn("word_chars",
+          length(regexp_replace(col("text"), "\\s+", "")).cast("long"))
+        .withColumn("n_lines", size(col("lines")).cast("long"))
+        .withColumn("n_bullet", size(filter(col("lines"),
+          l => substring(trim(l), 1, 1).isin("-", "*", "•"))).cast("long"))
+        .withColumn("n_ell_end", size(filter(col("lines"),
+          l => endswith(trim(l), lit("...")))).cast("long"))
+        .withColumn("n_hash",
+          (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+            .cast("long"))
+        .withColumn("n_ell3", expr(
+          "CAST(length(text) - length(regexp_replace(text, '\\\\.\\\\.\\\\.', '')) AS BIGINT) div 3"))
+        .withColumn("n_unique", size(array_distinct(col("lw"))).cast("long"))
+        .withColumn("stop_hits",
+          size(array_intersect(col("lw"),
+            array(stopLits.map(lit): _*))).cast("long"))
+        .withColumn("mean_wl_x100", expr("word_chars * 100 div n_words"))
+        .withColumn("symbol_ppm", expr("(n_hash + n_ell3) * 1000000 div n_words"))
+        .select(col("doc_id"), col("n_words"), col("mean_wl_x100"),
+          col("symbol_ppm"), col("n_unique"), col("stop_hits"),
+          col("n_words").between(50L, 100000L).as("r_word_count"),
+          col("mean_wl_x100").between(300L, 1000L).as("r_mean_wl"),
+          (col("symbol_ppm") < 100000L).as("r_symbol"),
+          (col("n_bullet") * 10L <= col("n_lines") * 9L).as("r_bullet"),
+          (col("n_ell_end") * 10L <= col("n_lines") * 3L).as("r_ellipsis"),
+          (col("n_unique") * 5L > col("n_words")).as("r_unique"),
+          (col("stop_hits") >= 2L).as("r_stop"))
+        .withColumn("passes",
+          col("r_word_count") && col("r_mean_wl") && col("r_symbol") &&
+          col("r_bullet") && col("r_ellipsis") && col("r_unique") &&
+          col("r_stop"))
+    }),
+
     "q19_quality_score" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
       val ts = col("_toks")
@@ -599,6 +647,56 @@ object TextOps {
                  CAST(list_sum(list_transform(toks, x -> CAST(len(x) AS BIGINT))) AS DOUBLE)
                    / CAST(len(toks) AS DOUBLE) AS avg_token_len
           FROM t""",
+
+    "q135_quality_rules" ->
+      """WITH b AS (SELECT doc_id, text,
+                string_split_regex(trim(text), '\s+') AS words,
+                string_split(text, chr(10)) AS lines
+           FROM documents),
+          s AS (SELECT doc_id,
+                CAST(len(words) AS BIGINT) AS n_words,
+                CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
+                  AS word_chars,
+                CAST(len(lines) AS BIGINT) AS n_lines,
+                CAST(len(list_filter(lines,
+                     l -> substr(trim(l), 1, 1) IN ('-', '*', '•')))
+                     AS BIGINT) AS n_bullet,
+                CAST(len(list_filter(lines, l -> ends_with(trim(l), '...')))
+                     AS BIGINT) AS n_ell_end,
+                CAST(length(text) - length(regexp_replace(text, '#', '', 'g'))
+                     AS BIGINT) AS n_hash,
+                CAST((length(text)
+                      - length(regexp_replace(text, '\.\.\.', '', 'g'))) // 3
+                     AS BIGINT) AS n_ell3,
+                CAST(len(list_distinct(list_transform(words, w -> lower(w))))
+                     AS BIGINT) AS n_unique,
+                CAST(len(list_distinct(list_intersect(
+                     list_transform(words, w -> lower(w)),
+                     ['the','a','of','to','and','in','is','that'])))
+                     AS BIGINT) AS stop_hits
+           FROM b),
+          sig AS (SELECT *,
+                CAST(word_chars * 100 // n_words AS BIGINT) AS mean_wl_x100,
+                CAST((n_hash + n_ell3) * 1000000 // n_words AS BIGINT)
+                  AS symbol_ppm
+           FROM s)
+          SELECT doc_id, n_words, mean_wl_x100, symbol_ppm, n_unique,
+                 stop_hits,
+                 (n_words BETWEEN 50 AND 100000) AS r_word_count,
+                 (mean_wl_x100 BETWEEN 300 AND 1000) AS r_mean_wl,
+                 (symbol_ppm < 100000) AS r_symbol,
+                 (n_bullet * 10 <= n_lines * 9) AS r_bullet,
+                 (n_ell_end * 10 <= n_lines * 3) AS r_ellipsis,
+                 (n_unique * 5 > n_words) AS r_unique,
+                 (stop_hits >= 2) AS r_stop,
+                 ((n_words BETWEEN 50 AND 100000)
+                  AND (mean_wl_x100 BETWEEN 300 AND 1000)
+                  AND (symbol_ppm < 100000)
+                  AND (n_bullet * 10 <= n_lines * 9)
+                  AND (n_ell_end * 10 <= n_lines * 3)
+                  AND (n_unique * 5 > n_words)
+                  AND (stop_hits >= 2)) AS passes
+          FROM sig""",
 
     "q19_quality_score" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -163,6 +163,45 @@ object VectorOps {
         nPlanes = 2, dim = 64)
     }),
 
+    // IVF health / retrain-trigger monitor: per-cell member counts,
+    // occupancy share, and mean squared distance to the trained
+    // centroid — rising mean distance or a hot cell is the signal
+    // every IVF deployment retrains on. Map-only assignment
+    // (KMeans.assign: centroid array literal, no shuffle), one
+    // 8-group aggregate; distances quantized to the 1e9 long grid and
+    // mean'd with integer div, so the monitor is engine-exact.
+    "q136_ivf_drift" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      val trained = graft.operators.KMeans.train(e, k = 8, iters = 2)
+        .select(col("cid"), col("centroid"))
+      val tot = e.agg(count(lit(1)).as("n_total"))
+      graft.operators.KMeans.assign(e, trained)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(floor(col("sqdist") * 1e9).cast("decimal(38,0)"))
+            .cast("long").as("sumd_q"))
+        .crossJoin(broadcast(tot))
+        .select(col("cid"), col("n_members"),
+          expr("sumd_q div n_members").as("mean_sqd_q"),
+          expr("n_members * 10000L div n_total").as("share_x10000"))
+    }),
+
+    // SemDeDup (Abbas et al. 2023): k-means cells (q59's training) →
+    // within-cell exact cosine → drop any vector ≥ τ-similar to a
+    // smaller id in its cell. The cluster-then-prune recipe that makes
+    // semantic dedup tractable at corpus scale: pair space is Σ|cell|²,
+    // never n². Dedup scope vec_id < 800 (training uses the full
+    // table, like a production run training on a sample window).
+    "q133_semantic_dedup" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      val cent = graft.operators.KMeans.train(e, k = 8, iters = 2)
+        .select(col("cid"), col("centroid").as("embedding"))
+      graft.operators.Dedup.semanticDedup(
+        e.filter(col("id") < 800L), cent, tau = 0.4)
+    }),
+
     // Embedding-dup canonicalization — q44's shape on the vector side:
     // LSH-bucketed cosine pairs (q35) → connected components →
     // (vec_id, cluster_id) with the min id canonical. What an
@@ -750,6 +789,60 @@ object VectorOps {
           FROM ex LEFT JOIN sg ON sg.bench_id = ex.bench_id
                   LEFT JOIN pr ON pr.bench_id = ex.bench_id"""
     },
+
+    // IVF drift monitor: a2 is the kmeans CTEs' FINAL euclidean
+    // assignment (same fold, same tie-break); distances recomputed
+    // against c2 and quantized exactly like the engine.
+    "q136_ivf_drift" -> {
+      val sq = (a: String, b: String) =>
+        s"""list_reduce(
+              list_prepend(0.0, list_transform(range(1, len($a) + 1),
+                i -> ($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)])
+                     * ($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)]))),
+              (x, y) -> x + y)"""
+      s"""WITH $kmeansCtesSql,
+          dist AS (SELECT id, cid, sqdist FROM (
+                     SELECT v.id, c.cid,
+                            ${sq("v.emb", "c.cent")} AS sqdist,
+                            row_number() OVER (PARTITION BY v.id
+                              ORDER BY ${sq("v.emb", "c.cent")}, c.cid) AS rn
+                     FROM corpus v CROSS JOIN c2 c) WHERE rn = 1),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM corpus),
+          agg AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+                         CAST(sum(CAST(floor(sqdist * 1e9) AS HUGEINT))
+                              AS BIGINT) AS sumd_q
+                  FROM dist GROUP BY cid)
+          SELECT agg.cid, agg.n_members,
+                 CAST(agg.sumd_q // agg.n_members AS BIGINT) AS mean_sqd_q,
+                 CAST(agg.n_members * 10000 // tot.n_total AS BIGINT)
+                   AS share_x10000
+          FROM agg CROSS JOIN tot"""
+    },
+
+    // SemDeDup: q59's trained centroids (kmeans CTEs), q61's cosine
+    // assignment, then a within-cell pair EXISTS — the oracle's cell
+    // join mirrors the engine's equi-join exactly.
+    "q133_semantic_dedup" ->
+      s"""WITH $kmeansCtesSql,
+          cent AS (SELECT cid, cent AS cent_emb,
+                          sqrt(${dotSql("c2.cent", "c2.cent")}) AS cent_norm
+                   FROM c2),
+          v AS (SELECT id, emb, sqrt(${dotSql("corpus.emb", "corpus.emb")}) AS nrm
+                FROM corpus WHERE id < 800),
+          asn AS (SELECT id, cid FROM (
+                    SELECT v.id, c.cid,
+                           row_number() OVER (PARTITION BY v.id ORDER BY
+                             (${dotSql("v.emb", "c.cent_emb")})
+                               / (v.nrm * c.cent_norm) DESC, c.cid) AS rn
+                    FROM v CROSS JOIN cent c) WHERE rn = 1),
+          j AS (SELECT v.id, v.emb, v.nrm, a.cid
+                FROM v JOIN asn a ON a.id = v.id),
+          drp AS (SELECT DISTINCT hi.id
+                  FROM j hi JOIN j lo ON hi.cid = lo.cid AND lo.id < hi.id
+                  WHERE (${dotSql("hi.emb", "lo.emb")})
+                          / (hi.nrm * lo.nrm) >= 0.4)
+          SELECT j.id, j.cid, (drp.id IS NOT NULL) AS dropped
+          FROM j LEFT JOIN drp ON drp.id = j.id""",
 
     "q59_kmeans_train" ->
       s"""WITH $kmeansCtesSql

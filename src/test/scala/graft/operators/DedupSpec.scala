@@ -23,6 +23,33 @@ class DedupSpec extends AnyFunSuite {
     (7L, "unrelated content again entirely else")
   ).toDF("doc_id", "text")
 
+  test("semanticDedup drops within-cell near-identicals, keep-first") {
+    // two tight groups around orthogonal axes + one isolate; centroids
+    // on the axes so the groups land in separate cells
+    def v(x: Double, y: Double, z: Double) = Array(x.toFloat, y.toFloat, z.toFloat)
+    val vecs = Seq(
+      (10L, v(1.0, 0.01, 0.0)), (11L, v(1.0, 0.02, 0.0)),  // cell A dups
+      (12L, v(0.9, 0.05, 0.0)),                            // cell A, near 10
+      (20L, v(0.0, 1.0, 0.01)), (21L, v(0.01, 1.0, 0.0)),  // cell B dups
+      (30L, v(0.0, 0.0, 1.0))                              // isolate, cell C
+    ).toDF("id", "embedding")
+    val cents = Seq(
+      (0L, v(1.0, 0.0, 0.0)), (1L, v(0.0, 1.0, 0.0)), (2L, v(0.0, 0.0, 1.0))
+    ).toDF("cid", "embedding")
+    val out = Dedup.semanticDedup(vecs, cents, tau = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // smallest id per similar group survives; everything ≥0.99-similar
+    // to a smaller same-cell id is dropped
+    assert(out == Map(10L -> false, 11L -> true, 12L -> true,
+                      20L -> false, 21L -> true, 30L -> false))
+    // a vector's fate never depends on OTHER cells: removing cell B
+    // leaves cell A's verdicts unchanged
+    val partial = Dedup.semanticDedup(
+      vecs.filter(col("id") < 20L), cents, tau = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(partial == Map(10L -> false, 11L -> true, 12L -> true))
+  }
+
   test("containment catches the embedded short doc that Jaccard misses") {
     val short = (1 to 14).map(i => s"tok$i").mkString(" ") // 12 shingles
     val host = short + " " + (1 to 70).map(i => s"pad$i").mkString(" ")

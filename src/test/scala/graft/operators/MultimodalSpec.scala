@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The REAL pure-JDK codec paths (javax.imageio / javax.sound): format
+  * sniffing across containers, exact raster/PCM roundtrips, and the
+  * quarantine rows for undecodable or truncated bytes. The oracle side
+  * (q137/q138) pins the PNG/WAV roundtrip values; this spec covers what
+  * SQL can't reach — other containers and the failure modes.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def grayImage(w: Int, h: Int)(px: (Int, Int) => Int) = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, px(x, y))
+    img
+  }
+
+  private def encoded(fmt: String, img: java.awt.image.BufferedImage) = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("decodeImage sniffs png/bmp/gif, decodes real rasters, quarantines junk") {
+    val img = grayImage(6, 4)((x, y) => (x * 40 + y * 7) % 256)
+    val lumaSum = (for (y <- 0 until 4; x <- 0 until 6)
+      yield (x * 40 + y * 7) % 256).map(_.toLong).sum
+    val png = encoded("png", img)
+    val bmp = encoded("bmp", img)
+    val gif = encoded("gif", img)
+    val media = Seq(
+      (1L, png), (2L, bmp), (3L, gif),
+      (4L, Array[Byte](1, 2, 3)),       // no reader claims it
+      (5L, png.take(20))                // valid magic, truncated body
+    ).toDF("id", "media")
+    val out = Multimodal.decodeImage(spark, media, "id", "media")
+      .collect().map(d => d.id -> d).toMap
+    // png and bmp roundtrip the gray raster losslessly
+    for ((id, fmt) <- Seq(1L -> "png", 2L -> "bmp")) {
+      assert(out(id).format == fmt && out(id).width == 6 && out(id).height == 4)
+      assert(out(id).mean_luma_x1000 == lumaSum * 1000 / 24)
+    }
+    // gif decodes with correct dims (palette quantization may shift
+    // values, so only the shape is asserted)
+    assert(out(3L).format == "gif" && out(3L).width == 6 && out(3L).height == 4)
+    assert(out(4L).format == "unknown" && out(4L).width == -1)
+    assert(out(5L).format == "png" && out(5L).width == -1,
+      "truncated body keeps the sniffed format but decodes to the error row")
+  }
+
+  test("jpeg decodes with exact dims and plausible luma (lossy codec)") {
+    val img = grayImage(16, 16)((_, _) => 128)
+    val media = Seq((1L, encoded("jpg", img))).toDF("id", "media")
+    val d = Multimodal.decodeImage(spark, media, "id", "media").collect().head
+    assert(d.format == "jpeg" && d.width == 16 && d.height == 16)
+    // flat gray 128 should come back within a quantization hair
+    assert(math.abs(d.mean_luma_x1000 - 128000L) < 3000, d.mean_luma_x1000)
+  }
+
+  test("wav roundtrip is sample-exact; junk and null blobs quarantine") {
+    val docs = Seq((7L, "abc"), (8L, "")).toDF("doc_id", "text")
+    val media = Multimodal.encodePcmWav(spark, docs, "doc_id", "text",
+      n = 4, sampleRate = 16000)
+    val good = Multimodal.decodeAudio(spark, media, "id", "media")
+      .collect().map(d => d.id -> d).toMap
+    // "abc" → bytes 97,98,99 then space pad: samples (b-96)*128
+    val s7 = Seq(97, 98, 99, 32).map(b => math.abs((b - 96) * 128).toLong)
+    assert(good(7L).sample_rate_hz == 16000 && good(7L).channels == 1)
+    assert(good(7L).n_frames == 4L)
+    assert(good(7L).mean_abs_x1000 == s7.sum * 1000 / 4)
+    // all-pad doc decodes too (constant −64·128 amplitude)
+    assert(good(8L).mean_abs_x1000 == 64 * 128 * 1000L)
+    val bad = Multimodal.decodeAudio(spark,
+      Seq((9L, Array[Byte](9, 9, 9)), (10L, null.asInstanceOf[Array[Byte]]))
+        .toDF("id", "media"), "id", "media")
+      .collect().map(d => d.id -> d).toMap
+    assert(bad(9L).sample_rate_hz == -1 && bad(10L).sample_rate_hz == -1)
+  }
+}

@@ -172,6 +172,19 @@ class NearDupIndexSpec extends AnyFunSuite {
     assert(after != before || before.forall(_._2 >= 300L))
   }
 
+  test("vacuumEpochs reclaims superseded epochs; the live one survives") {
+    val root = java.nio.file.Files.createTempDirectory("dupidx-vac").toString
+    val store = new TableStore(spark, root)
+    val idx = new NearDupIndex(store, "dup")
+    idx.build(corpus, "doc_id", "text")
+    idx.buildClusters(corpus, "doc_id", "text")
+    idx.build(corpus.filter(col("doc_id") >= 300L), "doc_id", "text")
+    idx.vacuumEpochs()
+    assert(store.read("dup_e0_sig").exists(_.isEmpty), "old epoch emptied")
+    assert(store.read("dup_e0_clusters").exists(_.isEmpty))
+    assert(idx.query(batch, "doc_id", "text").count() > 0)
+  }
+
   test("a batch doc with an already-indexed id is not its own near-dup") {
     val idx = freshIndex()
     idx.build(corpus, "doc_id", "text")

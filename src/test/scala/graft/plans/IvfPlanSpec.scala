@@ -54,6 +54,17 @@ class IvfPlanSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("KMeans.assign plans with ZERO exchanges and ZERO windows") {
+    // the sq-L2 sibling (q136's drift monitor) shares the contract
+    val trained = graft.operators.KMeans.train(corpus, k = 8, iters = 1)
+      .select(col("cid"), col("centroid"))
+    val df = graft.operators.KMeans.assign(corpus, trained)
+    df.collect()
+    val nodes = PlanAudit.flatten(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeExec]))
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]))
+  }
+
   test("ivfTopK probe selection stays map-only on the query side") {
     // the full ivfTopK legitimately shuffles once for the cell
     // equi-join; what must NOT appear is a window (probe selection
