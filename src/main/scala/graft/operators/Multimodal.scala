@@ -28,6 +28,13 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache: every encode/decode
+  // creates (and fsyncs) a temp file, and 32 executor threads contend
+  // on the temp directory — measured 23× wall at 10× rows before this
+  // (sf1 stress, NOTES round 5). Media blobs here are row-sized; the
+  // memory cache is strictly better. JVM-wide, set once.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Decoded-media metadata (what a real decoder would emit). */
   final case class DecodedMedia(
       id: Long, format: String, width: Int, height: Int,
