@@ -197,6 +197,50 @@ object TextOps {
         "doc_id", "text", threshold = 0.6)),
 
     // All-pairs char-3-gram Jaccard on a bounded block (test-scale path).
+    // LSH RECALL/PRECISION measurement — the text-side sibling of the
+    // vector family's q50/q74/q121: exact word-shingle Jaccard ground
+    // truth (shared-shingle equi-join — pairs at τ > 0 must share a
+    // shingle, so no cross product) vs the band-join candidate set.
+    // One row: how much the 2-band/8-hash scheme misses (recall) and
+    // how much junk it verifies away (precision). The measurement every
+    // LSH parameter choice should be accountable to.
+    "q139_lsh_recall" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val sh = graft.operators.Dedup
+        .shingleRows(docs, "doc_id", "text", 3).distinct()
+        .localCheckpoint(true) // feeds counts, both join sides, and sigs
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val inter = sh.select(col("doc_id").as("id_a"), col("shingle"))
+        .join(sh.select(col("doc_id").as("id_b"), col("shingle")),
+          Seq("shingle"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+      val exact = inter
+        .join(cnt.select(col("doc_id").as("id_a"), col("n_sh").as("na")),
+          Seq("id_a"))
+        .join(cnt.select(col("doc_id").as("id_b"), col("n_sh").as("nb")),
+          Seq("id_b"))
+        .filter(col("n_inter").cast("double")
+          / (col("na") + col("nb") - col("n_inter")).cast("double") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      val bands = graft.operators.Dedup.lshBands(
+        graft.operators.Dedup.minhashSignatures(sh, 8), 2, 4)
+      val cand = bands.select(col("band"), col("band_key"),
+          col("doc_id").as("id_a"))
+        .join(bands.select(col("band"), col("band_key"),
+          col("doc_id").as("id_b")), Seq("band", "band_key"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      val ne = exact.agg(count(lit(1)).as("n_exact"))
+      val nc = cand.agg(count(lit(1)).as("n_candidates"))
+      val nh = exact.join(cand, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("n_caught"))
+      ne.crossJoin(nc).crossJoin(nh)
+        .select(col("n_exact"), col("n_candidates"), col("n_caught"),
+          expr("n_caught * 1000000L div n_exact").as("recall_ppm"),
+          expr("n_caught * 1000000L div n_candidates").as("precision_ppm"))
+    }),
+
     "q25_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(
         Tables.load(s, d, "documents").filter(col("doc_id") < 100L),
@@ -767,6 +811,33 @@ object TextOps {
          FROM documents GROUP BY md5(text)""",
 
     "q24_minhash_lsh" -> minhashPairsSql,
+
+    // recall measurement over the SAME shingle/sig/band prefix as q24
+    "q139_lsh_recall" ->
+      s"""WITH $minhashPrefixSql,
+          cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ni
+                    FROM sh a JOIN sh b
+                      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+          exact AS (SELECT ia, ib FROM inter
+                    JOIN cnt ca ON ca.doc_id = ia
+                    JOIN cnt cb ON cb.doc_id = ib
+                    WHERE CAST(ni AS DOUBLE)
+                            / CAST(ca.n + cb.n - ni AS DOUBLE) >= 0.5),
+          cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id),
+          ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+          nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+          nh AS (SELECT CAST(count(*) AS BIGINT) AS n_caught
+                 FROM exact e JOIN cand c ON c.ia = e.ia AND c.ib = e.ib)
+          SELECT n_exact, n_candidates, n_caught,
+                 CAST(n_caught * 1000000 // n_exact AS BIGINT) AS recall_ppm,
+                 CAST(n_caught * 1000000 // n_candidates AS BIGINT)
+                   AS precision_ppm
+          FROM ne CROSS JOIN nc CROSS JOIN nh""",
 
     "q132_phrase_search" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
