@@ -57,25 +57,52 @@ object Bench {
       System.gc()
     }
 
+    // Shuffle-volume accounting: wall time is ±50% machine noise here,
+    // but shuffle BYTES are deterministic per plan — a plan-shape
+    // regression (lost broadcast, new exchange) shows up as a bytes
+    // jump even when seconds hide it. One listener, per-query deltas.
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          shuffleWrite.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      })
+
     // a crashing query must NOT look like a fast success: it reports -1
     // and lands in the "failed" list
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var lastShuffle = -1L
       val times = (1 to repeat).map { _ =>
         scrub()
+        val s0 = shuffleWrite.get()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-              (System.nanoTime() - t0) / 1e9 }
+              val dt = (System.nanoTime() - t0) / 1e9
+              // listener events are async (and the bus is private):
+              // wait for the counter to go quiet before reading
+              var prev = -1L
+              var cur = shuffleWrite.get()
+              while (cur != prev) { prev = cur; Thread.sleep(30)
+                                    cur = shuffleWrite.get() }
+              lastShuffle = cur - s0
+              dt }
         catch { case _: Throwable => -1.0 }
       }
-      if (times.contains(-1.0)) { failed += name; name -> -1.0 }
-      else name -> times.min
+      if (times.contains(-1.0)) { failed += name; (name, -1.0, -1L) }
+      else (name, times.min, lastShuffle)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val sh = results.map { case (k, _, b) => "\"" + k + "\":" + b }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.filter(_._2 >= 0).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
