@@ -333,6 +333,37 @@ object CurationOps {
       LogReg.train(feats, dim = 4, lr = 0.5, rounds = 2)
     }),
 
+    // Model-based quality filtering, APPLY side — q93 trains the
+    // classifier, this scores the whole corpus with it and makes the
+    // keep/drop decision (the CCNet/Dolma "model filter" stage). The
+    // trained weights are model-sized: collected once and inlined as
+    // literals, so scoring is a pure map over the corpus — zero
+    // shuffle, zero joins. Same quantized sigmoid as training, so the
+    // scores are engine-exact.
+    "q140_quality_inference" -> ((s, d) => {
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      val feats = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+          toks.as("_toks"))
+        .select(
+          col("doc_id"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+          lit(1.0).as("x0"),
+          (size(col("_toks")).cast("double") / 100.0).as("x1"),
+          (size(array_distinct(col("_toks"))).cast("double") /
+            size(col("_toks")).cast("double")).as("x2"),
+          (col("n_chars").cast("double") / 1000.0).as("x3"))
+      val w = LogReg.train(feats.drop("doc_id"), dim = 4, lr = 0.5, rounds = 2)
+        .filter(col("round") === 2).orderBy(col("j"))
+        .collect().map(_.getDouble(2)).toSeq // 4 doubles — model-sized
+      feats.select(col("doc_id"),
+          LogReg.score(w, (0 until 4).map(j => col(s"x$j"))).as("quality"))
+        // operating point calibrated for the 2-round model (scores
+        // live in a narrow band around the 0.5 prior after 2 GD rounds
+        // from zero weights); any fixed threshold is engine-exact
+        .withColumn("keep", col("quality") >= 0.4765)
+    }),
+
     // Training-mix assembly under a token budget: 30% of corpus tokens,
     // split across sources by weight (even-numbered sources get 2×), and
     // filled per source in deterministic md5-hash order until the
@@ -837,6 +868,55 @@ object CurationOps {
                  $upd2
                  FROM g2 CROSS JOIN w1)
           $out"""
+    },
+
+    // q93's unrolled GD chain, then every doc scored against the final
+    // weights (w2 is one row, cross-joined = the broadcast literal the
+    // engine inlines)
+    "q140_quality_inference" -> {
+      def z(ws: Seq[String]) =
+        ws.zipWithIndex.map { case (w, j) => s"$w * x$j" }.mkString(" + ")
+      def p(ws: Seq[String]) =
+        s"""CAST(CAST(floor(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+           + exp(-(${z(ws)}))) * 1e9) AS BIGINT) AS DOUBLE) / 1e9"""
+      def grads(ws: Seq[String]) = (0 until 4).map(j =>
+        s"""sum(CAST(floor((${p(ws)} - y) * x$j * 1e12) AS BIGINT)) AS g$j""")
+        .mkString(",\n                 ")
+      val w0 = Seq.fill(4)("CAST(0 AS DOUBLE)")
+      val w1 = (0 until 4).map(j => s"w1_$j")
+      val w2 = (0 until 4).map(j => s"w2_$j")
+      val upd1 = (0 until 4).map(j =>
+        s"""CAST(0 AS DOUBLE) - CAST(0.5 AS DOUBLE)
+            * (CAST(g$j AS DOUBLE) / 1e12 / CAST(n AS DOUBLE)) AS w1_$j""")
+        .mkString(",\n                 ")
+      val upd2 = (0 until 4).map(j =>
+        s"""w1.w1_$j - CAST(0.5 AS DOUBLE)
+            * (CAST(g2.g$j AS DOUBLE) / 1e12 / CAST(w1.n AS DOUBLE)) AS w2_$j""")
+        .mkString(",\n                 ")
+      s"""WITH f AS (SELECT doc_id,
+                 CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y,
+                 CAST(1 AS DOUBLE) AS x0,
+                 CAST(len(toks) AS DOUBLE) / 100.0 AS x1,
+                 CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) AS x2,
+                 CAST(n_chars AS DOUBLE) / 1000.0 AS x3
+               FROM (SELECT doc_id, $toksSql AS toks, lang, n_chars
+                     FROM documents)),
+          g1 AS (SELECT count(*) AS n,
+                 ${grads(w0)}
+                 FROM f),
+          w1 AS (SELECT n,
+                 $upd1
+                 FROM g1),
+          g2 AS (SELECT
+                 ${grads(w1)}
+                 FROM f CROSS JOIN w1),
+          w2 AS (SELECT
+                 $upd2
+                 FROM g2 CROSS JOIN w1),
+          scored AS (SELECT f.doc_id, ${p(w2)} AS quality
+                     FROM f CROSS JOIN w2)
+          SELECT doc_id, quality, quality >= 0.4765 AS keep FROM scored"""
     }
   )
 }
