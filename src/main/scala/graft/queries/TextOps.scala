@@ -52,45 +52,13 @@ object TextOps {
     // integer/ppm arithmetic so the booleans are engine-exact (no
     // double-ratio drift). q19 is the soft quality SCORE; this is the
     // hard accept/reject battery with per-rule attribution.
-    "q135_quality_rules" -> ((s, d) => {
-      val stopLits = Seq("the", "a", "of", "to", "and", "in", "is", "that")
-      Tables.load(s, d, "documents")
-        .withColumn("words", split(trim(col("text")), "\\s+"))
-        .withColumn("lw", transform(col("words"), w => lower(w)))
-        .withColumn("lines", split(col("text"), "\n"))
-        .withColumn("n_words", size(col("words")).cast("long"))
-        .withColumn("word_chars",
-          length(regexp_replace(col("text"), "\\s+", "")).cast("long"))
-        .withColumn("n_lines", size(col("lines")).cast("long"))
-        .withColumn("n_bullet", size(filter(col("lines"),
-          l => substring(trim(l), 1, 1).isin("-", "*", "•"))).cast("long"))
-        .withColumn("n_ell_end", size(filter(col("lines"),
-          l => endswith(trim(l), lit("...")))).cast("long"))
-        .withColumn("n_hash",
-          (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
-            .cast("long"))
-        .withColumn("n_ell3", expr(
-          "CAST(length(text) - length(regexp_replace(text, '\\\\.\\\\.\\\\.', '')) AS BIGINT) div 3"))
-        .withColumn("n_unique", size(array_distinct(col("lw"))).cast("long"))
-        .withColumn("stop_hits",
-          size(array_intersect(col("lw"),
-            array(stopLits.map(lit): _*))).cast("long"))
-        .withColumn("mean_wl_x100", expr("word_chars * 100 div n_words"))
-        .withColumn("symbol_ppm", expr("(n_hash + n_ell3) * 1000000 div n_words"))
-        .select(col("doc_id"), col("n_words"), col("mean_wl_x100"),
-          col("symbol_ppm"), col("n_unique"), col("stop_hits"),
-          col("n_words").between(50L, 100000L).as("r_word_count"),
-          col("mean_wl_x100").between(300L, 1000L).as("r_mean_wl"),
-          (col("symbol_ppm") < 100000L).as("r_symbol"),
-          (col("n_bullet") * 10L <= col("n_lines") * 9L).as("r_bullet"),
-          (col("n_ell_end") * 10L <= col("n_lines") * 3L).as("r_ellipsis"),
-          (col("n_unique") * 5L > col("n_words")).as("r_unique"),
-          (col("stop_hits") >= 2L).as("r_stop"))
-        .withColumn("passes",
-          col("r_word_count") && col("r_mean_wl") && col("r_symbol") &&
-          col("r_bullet") && col("r_ellipsis") && col("r_unique") &&
-          col("r_stop"))
-    }),
+    "q135_quality_rules" -> ((s, d) =>
+      graft.operators.QualityRules
+        .withSignals(Tables.load(s, d, "documents"), "text")
+        .select(Seq(col("doc_id"), col("n_words"), col("mean_wl_x100"),
+          col("symbol_ppm"), col("n_unique"), col("stop_hits")) ++
+          graft.operators.QualityRules.ruleNames.map(col) :+
+          col("passes"): _*)),
 
     "q19_quality_score" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
