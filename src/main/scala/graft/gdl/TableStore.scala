@@ -52,11 +52,24 @@ import org.apache.spark.sql.functions.{col, desc, row_number}
   *                     overwrites and compactions — so the layout is a
   *                     property of the table, not of whichever append
   *                     happened to trigger a compaction
+  * @param bloomColumns per-table high-cardinality columns to build
+  *                     per-file Bloom sidecars for at commit time.
+  *                     Zone maps prune RANGE probes but are useless for
+  *                     point lookups on columns whose values interleave
+  *                     across files (ULIDs, doc ids, URLs — every file's
+  *                     [min,max] spans the whole key space); the Bloom
+  *                     sidecar is what keeps an id lookup O(matching
+  *                     files) on an append-mostly 100 TB table without
+  *                     a clustering rewrite
+  * @param bloomBitsPerFile Bloom width per (file, column) sketch; at
+  *                     10 bits/row that holds ~bits/10 rows at ~1% FPP
   */
 class TableStore(spark: SparkSession, root: String,
                  autoCompactDeltas: Int = 64,
                  gcGraceMs: Long = 10L * 60 * 1000,
-                 partitioning: Map[String, Seq[String]] = TableStore.defaultPartitioning) {
+                 partitioning: Map[String, Seq[String]] = TableStore.defaultPartitioning,
+                 bloomColumns: Map[String, Seq[String]] = Map.empty,
+                 bloomBitsPerFile: Long = 1L << 18) {
 
   private def layout(table: String): Seq[String] =
     partitioning.getOrElse(table, Nil)
@@ -270,13 +283,16 @@ class TableStore(spark: SparkSession, root: String,
                                    predicate: org.apache.spark.sql.Column): DataFrame = {
     val full = readGenerations(gens).filter(predicate)
     val bounds = analyzedBounds(full)
+    val eqs = analyzedEqualities(full)
     val parts = gens.flatMap { g =>
       val zm = readZoneMap(g._3) // read once: re-reads can race gc
-      TableStore.keptFiles(zm, bounds) match {
+      val bf = if (eqs.isEmpty) None else readBloom(g._3)
+      TableStore.prunedFiles(zm, bounds, bf, eqs) match {
         case None => Some(spark.read.parquet(g._3.toString)) // no stats
         case Some(files) if files.isEmpty => None
         case Some(files) =>
-          if (files.size == zm.get.size) Some(spark.read.parquet(g._3.toString))
+          val listed = zm.map(_.size).orElse(bf.map(_.size)).getOrElse(0)
+          if (files.size == listed) Some(spark.read.parquet(g._3.toString))
           else Some(spark.read
             .option("basePath", g._3.toString)
             .parquet(files.toSeq.sorted.map(f => new Path(g._3, f).toString): _*))

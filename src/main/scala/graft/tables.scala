@@ -18,15 +18,22 @@ object Tables {
     if (name == "events") loadEvents(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as raw nanos and truncate to microseconds
-    * (exactly what DuckDB's `CAST(ts AS TIMESTAMP)` does, so oracle
-    * comparisons stay value-exact). Integer `DIV` keeps full precision —
-    * a double division would lose bits above 2^53. */
+  /** `events.ts` has varied across driver testdata drops: parquet
+    * TIMESTAMP(NANOS) (Spark's vectorized reader rejects it — read as
+    * raw nanos and truncate to microseconds, exactly what DuckDB's
+    * `CAST(ts AS TIMESTAMP)` does; integer `DIV` keeps full precision
+    * where a double division would lose bits above 2^53) and plain
+    * TIMESTAMP(MICROS) (reads natively as TIMESTAMP_NTZ). Branch on the
+    * schema actually read; the sessions all run UTC, so the NTZ→LTZ
+    * cast is value-identity and oracle comparisons stay exact. */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Register all tables as temp views (used by tests and Bench). */
