@@ -27,11 +27,13 @@ class ImportStatus(spark: SparkSession, store: TableStore) {
   import spark.implicits._
 
   def get(executionId: String): Either[String, Report] = {
-    // column predicate (not a typed closure) so the lookup prunes at the
-    // parquet scan; the newest status-delta row wins (see model.scala)
-    val exec = store.read("import_executions")
-      .map(_.filter(col("execution_id") === executionId)
-        .orderBy(desc("state_seq"), desc("started_at"))
+    // scan(): the ULID equality prunes via the Bloom sidecar before the
+    // parquet scan opens files (execution ids interleave across the
+    // append-only status deltas, so zone maps alone cannot skip); the
+    // newest status-delta row wins (see model.scala)
+    val exec = store.scan("import_executions",
+        col("execution_id") === executionId)
+      .map(_.orderBy(desc("state_seq"), desc("started_at"))
         .limit(1)
         .as[ImportExecutionRow].collect())
       .getOrElse(Array.empty)

@@ -62,14 +62,17 @@ import org.apache.spark.sql.functions.{col, desc, row_number}
   *                     files) on an append-mostly 100 TB table without
   *                     a clustering rewrite
   * @param bloomBitsPerFile Bloom width per (file, column) sketch; at
-  *                     10 bits/row that holds ~bits/10 rows at ~1% FPP
+  *                     10 bits/row that holds ~bits/10 rows at ~1% FPP.
+  *                     Int on purpose: a per-file bitset beyond 2^31
+  *                     bits (256 MiB) would dwarf the data it indexes
   */
 class TableStore(spark: SparkSession, root: String,
                  autoCompactDeltas: Int = 64,
                  gcGraceMs: Long = 10L * 60 * 1000,
                  partitioning: Map[String, Seq[String]] = TableStore.defaultPartitioning,
-                 bloomColumns: Map[String, Seq[String]] = Map.empty,
-                 bloomBitsPerFile: Long = 1L << 18) {
+                 bloomColumns: Map[String, Seq[String]] = TableStore.defaultBloomColumns,
+                 bloomBitsPerFile: Int = 1 << 18) {
+  require(bloomBitsPerFile > 0, "bloomBitsPerFile must be positive")
 
   private def layout(table: String): Seq[String] =
     partitioning.getOrElse(table, Nil)
@@ -320,6 +323,17 @@ class TableStore(spark: SparkSession, root: String,
       case _ => Nil
     }
 
+  /** Equality conjuncts (`col = lit`, `col IN (...)`) over
+    * Bloom-eligible columns, as the candidate CANONICAL STRING values
+    * the sidecar hashes — the point-probe analogue of
+    * [[analyzedBounds]]. */
+  private def analyzedEqualities(filtered: DataFrame) =
+    filtered.queryExecution.analyzed match {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, _) =>
+        TableStore.predicateEqualities(cond)
+      case _ => Nil
+    }
+
   /** Existence probe for replay guards: does any row satisfy
     * `predicate`? Goes through [[scan]], so generations whose zone maps
     * exclude the predicate are never opened — a streaming sink that
@@ -371,6 +385,29 @@ class TableStore(spark: SparkSession, root: String,
     }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
   }
 
+  /** (files a [[scan]] with this predicate would open, total live
+    * files) under the COMBINED zone + Bloom pruning — what the sidecars
+    * actually save; [[zoneFileCounts]] isolates the zone contribution.
+    * A generation without stats of either kind reports (1, 1):
+    * read-everything, no pruning credit. */
+  def scanFileCounts(table: String,
+                     predicate: org.apache.spark.sql.Column): (Int, Int) = {
+    val gens = liveGenerations(table)
+    if (gens.isEmpty) return (0, 0)
+    val full = readGenerations(gens).filter(predicate)
+    val bounds = analyzedBounds(full)
+    val eqs = analyzedEqualities(full)
+    gens.map { g =>
+      val zm = readZoneMap(g._3)
+      val bf = if (eqs.isEmpty) None else readBloom(g._3)
+      TableStore.prunedFiles(zm, bounds, bf, eqs) match {
+        case None => (1, 1)
+        case Some(files) =>
+          (files.size, zm.map(_.size).orElse(bf.map(_.size)).getOrElse(0))
+      }
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+  }
+
   private def readZoneMap(gen: Path): Option[Map[String, Map[String, TableStore.Zone]]] = {
     val p = new Path(gen, TableStore.zoneMapFile)
     val f = fs(p)
@@ -383,6 +420,20 @@ class TableStore(spark: SparkSession, root: String,
         Some(TableStore.parseZoneMap(txt))
       }
     } catch { case scala.util.control.NonFatal(_) => None } // unreadable = no stats
+  }
+
+  private def readBloom(gen: Path): Option[Map[String, Map[String, TableStore.Bloom]]] = {
+    val p = new Path(gen, TableStore.bloomFile)
+    val f = fs(p)
+    try {
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        Some(TableStore.parseBloom(txt))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None } // unreadable = no sketch
   }
 
   /** Compute and stage the zone map for a generation, reading back the
@@ -408,6 +459,50 @@ class TableStore(spark: SparkSession, root: String,
       if (!f.rename(staged, new Path(tmp, TableStore.zoneMapFile)))
         f.delete(staged, false)
     } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Compute and stage the per-file Bloom sidecar for a just-written
+    * generation of a table with configured `bloomColumns`. One
+    * [[graft.gdl.expr.BloomBuildAgg]] per (file, column) over the
+    * canonical string form — O(new data), map-side partial aggregation,
+    * ~files×columns sketch rows to the driver. Same optimization-only
+    * contract as the zone map: any failure leaves the generation
+    * without a sidecar, which readers treat as must-read. */
+  private def writeBloom(table: String, tmp: Path, f: FileSystem): Unit = {
+    val want = bloomColumns.getOrElse(table, Nil)
+    if (want.isEmpty) return
+    try {
+      val df = spark.read.parquet(tmp.toString)
+      val cols = want.filter(c => df.schema.fields.exists(fd =>
+        fd.name == c && graft.gdl.expr.BloomSidecar.eligibleType(fd.dataType)))
+      if (cols.isEmpty) return
+      import org.apache.spark.sql.functions.input_file_name
+      val bridge = org.apache.spark.sql.GraftExpressionBridge
+      val aggs = cols.map { c =>
+        bridge.column(graft.gdl.expr.BloomBuildAgg(
+          bridge.expression(col(c).cast("string")),
+          bloomBitsPerFile, TableStore.bloomHashes).toAggregateExpression()).as(c)
+      }
+      val rows = df.groupBy(input_file_name().as("_f"))
+        .agg(aggs.head, aggs.tail: _*).collect()
+      val b64 = java.util.Base64.getEncoder
+      val txt = rows.flatMap { r =>
+        val file = TableStore.relativize(tmp.toString, r.getString(0))
+        cols.zipWithIndex.map { case (c, i) =>
+          s"${TableStore.encPub(file)}\t${TableStore.encPub(c)}\t" +
+            s"$bloomBitsPerFile\t${TableStore.bloomHashes}\t" +
+            b64.encodeToString(r.getAs[Array[Byte]](i + 1))
+        }
+      }.mkString("", "\n", "\n")
+      // stage-and-rename inside the staged dir, like the zone map: a
+      // truncated sidecar would skip files whose (file, column) lines
+      // are missing — silently wrong results
+      val staged = new Path(tmp, TableStore.bloomFile + ".tmp")
+      val out = f.create(staged, true)
+      try { out.write(txt.getBytes("UTF-8")) } finally out.close()
+      if (!f.rename(staged, new Path(tmp, TableStore.bloomFile)))
+        f.delete(staged, false)
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
 
   /** Cluster the table for zone-tight probes: fold the live generations
     * into ONE full-contents generation laid out so each part file
@@ -551,10 +646,11 @@ class TableStore(spark: SparkSession, root: String,
     val writer = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(tmp.toString)
-    // zone map lands INSIDE the staged dir, so the atomic rename commits
-    // data and stats together (the "_"-prefixed name is invisible to
-    // parquet directory reads)
+    // zone map and Bloom sidecar land INSIDE the staged dir, so the
+    // atomic rename commits data and stats together (the "_"-prefixed
+    // names are invisible to parquet directory reads)
     writeZoneMap(tmp, f)
+    writeBloom(table, tmp, f)
     var attempts = 0
     var committed = -1L
     while (committed < 0) {
@@ -620,7 +716,83 @@ object TableStore {
     "validation_results" -> Seq("dataset_id"),
     "import_reports" -> Seq("dataset_id"))
 
+  /** The engine's out-of-the-box point-lookup sidecars: execution-status
+    * gets probe a ULID on an append-only table whose ids interleave
+    * across every delta — the exact shape zone maps cannot skip
+    * (ImportStatus.get is the reference's GET /import-status hot path,
+    * backend/import_status/get.py). */
+  val defaultBloomColumns: Map[String, Seq[String]] = Map(
+    "import_executions" -> Seq("execution_id"))
+
   private[gdl] val zoneMapFile = "_zonemap.tsv"
+  private[gdl] val bloomFile = "_bloom.tsv"
+
+  /** Probe count k, FROZEN like the hash seeds: stored sidecars outlive
+    * code. 5 probes ≈ the optimum for ~7 bits/key, and FPP degrades
+    * gracefully either side of that load. */
+  private[gdl] val bloomHashes = 5
+
+  /** One (file, column) sketch: bits/hashes are read from the sidecar
+    * line, not assumed — a store reconfigured to a wider bitset keeps
+    * probing old generations' sketches correctly. */
+  private[gdl] final case class Bloom(bits: Int, hashes: Int,
+                                      bs: java.util.BitSet)
+
+  private[gdl] def encPub(s: String): String = enc(s)
+
+  /** Generation-relative path of an absolute part-file URI — keeps
+    * `col=value/` partition dirs, mirrors [[computeZoneMap]]'s keys. */
+  private[gdl] def relativize(genRoot: String, file: String): String = {
+    val rootUri = new Path(genRoot).toUri.getPath
+    val p = new Path(file).toUri.getPath
+    val i = p.indexOf(rootUri)
+    if (i >= 0) p.substring(i + rootUri.length).stripPrefix("/") else p
+  }
+
+  private[gdl] def parseBloom(txt: String): Map[String, Map[String, Bloom]] =
+    txt.split("\n").filter(_.nonEmpty).flatMap { line =>
+      line.split("\t", -1) match {
+        case Array(file, name, bits, hashes, b64)
+            if bits.nonEmpty && bits.forall(_.isDigit) &&
+              hashes.nonEmpty && hashes.forall(_.isDigit) =>
+          try Some((dec(file), dec(name), Bloom(bits.toInt, hashes.toInt,
+            java.util.BitSet.valueOf(java.util.Base64.getDecoder.decode(b64)))))
+          catch { case scala.util.control.NonFatal(_) => None }
+        case _ => None // malformed line: no sketch, must-read
+      }
+    }.groupBy(_._1).map { case (f, xs) =>
+      f -> xs.map(x => (x._2, x._3)).toMap
+    }
+
+  /** Which of a generation's files survive BOTH prunes — zone ranges
+    * and Bloom point probes: None = no stats of either kind (read the
+    * whole generation); Some(files) = exactly these (empty = skip it
+    * all). The file universe comes from whichever sidecar exists (each
+    * lists every data-bearing file); a file absent from both carried no
+    * rows, so dropping it is exact. A (file, column) with no Bloom
+    * sketch — unconfigured column, older writer — never skips: the
+    * sidecar is opt-in per column, unlike the zone map where an absent
+    * column PROVABLY had no data. */
+  private[gdl] def prunedFiles(zones: Option[Map[String, Map[String, Zone]]],
+                               bounds: Seq[(String, Option[Any], Option[Any])],
+                               blooms: Option[Map[String, Map[String, Bloom]]],
+                               eqs: Seq[(String, Seq[String])])
+      : Option[Set[String]] = {
+    if (zones.isEmpty && blooms.isEmpty) return None
+    val files = zones.map(_.keySet).getOrElse(blooms.get.keySet)
+    Some(files.filter { file =>
+      val zoneOk = bounds.forall { case (c, lo, hi) =>
+        zoneOverlaps(zones.map(_(file)), c, lo, hi) }
+      val bloomOk = eqs.forall { case (c, values) =>
+        blooms.flatMap(_.get(file)).flatMap(_.get(c)) match {
+          case None => true // no sketch for this (file, column): must read
+          case Some(b) => values.exists(v =>
+            graft.gdl.expr.BloomSidecar.mightContain(b.bs, v, b.bits, b.hashes))
+        }
+      }
+      zoneOk && bloomOk
+    })
+  }
 
   /** One column's zone: kind ∈ i (integral, min/max as longs),
     * f (fractional, as doubles), s (string, URL-encoded UTF-8),
@@ -769,31 +941,42 @@ object TableStore {
     * nothing: OR, expressions over the column, casts, and UDF-ish
     * conjuncts are simply not used to skip. Strict inequalities relax
     * to inclusive — conservative in the safe direction. */
+  // bare attribute only — NEVER unwrap a cast on the column side
+  // (cast(col as narrower) is not range-monotonic, skipping on the
+  // cast-space bound could drop matching rows)
+  private def exprName(x: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[String] = x match {
+    case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+      Some(a.name)
+    case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+      Some(a.name)
+    case _ => None
+  }
+
+  // literal side: anything foldable (the analyzer wraps literals in
+  // widening casts; eval() folds them); a null bound gives no pruning
+  private def exprValue(x: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[Any] =
+    if (!x.foldable) None
+    else x.eval() match {
+      case null => None
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case other => Some(other)
+    }
+
+  private def exprConjuncts(x: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = x match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      exprConjuncts(l) ++ exprConjuncts(r)
+    case other => Seq(other)
+  }
+
   private[gdl] def predicateBounds(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : Seq[(String, Option[Any], Option[Any])] = {
     import org.apache.spark.sql.catalyst.expressions._
-    // bare attribute only — NEVER unwrap a cast on the column side
-    // (cast(col as narrower) is not range-monotonic, skipping on the
-    // cast-space bound could drop matching rows)
-    def name(x: Expression): Option[String] = x match {
-      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-        Some(a.name)
-      case a: AttributeReference => Some(a.name)
-      case _ => None
-    }
-    // literal side: anything foldable (the analyzer wraps literals in
-    // widening casts; eval() folds them); a null bound gives no pruning
-    def value(x: Expression): Option[Any] =
-      if (!x.foldable) None
-      else x.eval() match {
-        case null => None
-        case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
-        case other => Some(other)
-      }
-    def conjuncts(x: Expression): Seq[Expression] = x match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
+    def name(x: Expression): Option[String] = exprName(x)
+    def value(x: Expression): Option[Any] = exprValue(x)
+    def conjuncts(x: Expression): Seq[Expression] = exprConjuncts(x)
     conjuncts(e).flatMap {
       case EqualTo(a, l) if name(a).isDefined && value(l).isDefined =>
         Some((name(a).get, value(l), value(l)))
@@ -828,6 +1011,56 @@ object TableStore {
           Some((name(a).get, Some(ss.min(ord)), Some(ss.max(ord))))
         } else None
       case _ => None // no pruning information from this conjunct
+    }
+  }
+
+  /** The per-column equality candidate sets a predicate implies, in the
+    * Bloom sidecar's canonical string form: (column, values) — a file
+    * is readable only if, for EVERY entry, at least one candidate might
+    * be in the file's sketch. Only conjuncts over Bloom-ELIGIBLE
+    * attribute types participate (string/integral — where
+    * `cast(col as string)` of the stored value equals the literal's
+    * canonical form); everything else — fractional equality, OR,
+    * expressions over the column, non-literal sides — contributes
+    * nothing and prunes nothing. */
+  private[gdl] def predicateEqualities(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[(String, Seq[String])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    // the attribute side must be RESOLVED (analyzed plan) so its type is
+    // known to be canonical-string-safe; an unresolved attribute has no
+    // trustworthy type — contribute nothing
+    def eligName(x: Expression): Option[String] = x match {
+      case a: AttributeReference
+          if graft.gdl.expr.BloomSidecar.eligibleType(a.dataType) =>
+        Some(a.name)
+      case _ => None
+    }
+    // canonical string form of an eval'd literal — must match what
+    // BloomBuildAgg hashed, i.e. `cast(col as string)` of a stored value
+    def canon(v: Any): Option[String] = v match {
+      case s: String => Some(s)
+      case _: java.lang.Byte | _: java.lang.Short |
+           _: java.lang.Integer | _: java.lang.Long => Some(v.toString)
+      case _ => None
+    }
+    def lit(x: Expression): Option[String] = exprValue(x).flatMap(canon)
+    exprConjuncts(e).flatMap {
+      case EqualTo(a, l) if eligName(a).isDefined && lit(l).isDefined =>
+        Some((eligName(a).get, Seq(lit(l).get)))
+      case EqualTo(l, a) if eligName(a).isDefined && lit(l).isDefined =>
+        Some((eligName(a).get, Seq(lit(l).get)))
+      // null-safe equality to a NON-NULL literal is plain equality for
+      // membership; `col <=> null` matches null rows, which never set
+      // sketch bits — canon(null) never arises (exprValue drops nulls)
+      case EqualNullSafe(a, l) if eligName(a).isDefined && lit(l).isDefined =>
+        Some((eligName(a).get, Seq(lit(l).get)))
+      case EqualNullSafe(l, a) if eligName(a).isDefined && lit(l).isDefined =>
+        Some((eligName(a).get, Seq(lit(l).get)))
+      case In(a, vs) if eligName(a).isDefined && vs.nonEmpty &&
+          vs.forall(v => lit(v).isDefined) =>
+        Some((eligName(a).get, vs.map(v => lit(v).get)))
+      case _ => None // no membership information from this conjunct
     }
   }
 

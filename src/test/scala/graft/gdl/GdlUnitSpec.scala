@@ -223,6 +223,22 @@ class ChecksumSpec extends AnyFunSuite {
     val r = ChecksumValidator.validateOne(reader, "d", "v", "s3://b/f", multihash512(bytes))
     assert(r.result == Result.Passed)
   }
+  test("digests match the published FIPS 180 known-answer vectors") {
+    // DuckDB has no sha512, so the 0x13 multihash path has no SQL
+    // oracle; pin both digests to the NIST test vectors for "abc"
+    // instead of re-deriving expected values from the same JDK call
+    val abc = "abc".getBytes("US-ASCII")
+    val kat = new InMemoryUrlReader(Map("s3://b/abc" -> abc))
+    val mh256 = "1220" +
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
+    val mh512 = "1340" +
+      "ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a" +
+      "2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f"
+    assert(ChecksumValidator.validateOne(kat, "d", "v", "s3://b/abc", mh256)
+      .result == Result.Passed)
+    assert(ChecksumValidator.validateOne(kat, "d", "v", "s3://b/abc", mh512)
+      .result == Result.Passed)
+  }
   test("mismatch fails with reference message shape") {
     val wrong = "1220" + "0" * 64
     val r = ChecksumValidator.validateOne(reader, "d", "v", "s3://b/f", wrong)
