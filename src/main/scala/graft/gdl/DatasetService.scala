@@ -75,8 +75,10 @@ class DatasetService(spark: SparkSession, store: TableStore,
               .fold[Either[String, Timestamp]](Right(Timestamp.from(now)))(parseTs("updated_at", _))
           } yield {
             val next = titled.copy(created_at = created, updated_at = updated)
-            store.overwrite(Table,
-              (all().filterNot(_.id == id) :+ next).toDS().toDF())
+            // row-level upsert: rewrites only the file(s) holding this
+            // id, not the catalog (≙ the reference's per-item
+            // UpdateItem, backend/datasets/update.py)
+            store.merge(Table, Seq(next).toDS().toDF(), Seq("id"))
             next
           }
         }
@@ -93,7 +95,8 @@ class DatasetService(spark: SparkSession, store: TableStore,
       if (hasVersions)
         Left(s"dataset '$id' has existing versions") // delete.py:41-45
       else {
-        store.overwrite(Table, all().filterNot(_.id == id).toDS().toDF())
+        // row-level delete (≙ DeleteItem, backend/datasets/delete.py)
+        store.deleteWhere(Table, org.apache.spark.sql.functions.col("id") === id)
         Right(())
       }
     }

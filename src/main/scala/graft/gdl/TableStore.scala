@@ -111,12 +111,44 @@ class TableStore(spark: SparkSession, root: String,
     if (lastFull >= 0) gens.drop(lastFull) else gens
   }
 
-  private def readGenerations(gens: Seq[(Long, String, Path)]): DataFrame =
-    gens.map(g => spark.read.parquet(g._3.toString))
+  /** The union of replace-lists carried by the chain's merge
+    * generations: generation-dir-name → its files REWRITTEN by a later
+    * row-level [[merge]]/[[deleteWhere]] (tombstoned, must not be
+    * read). Only merges INSIDE the passed chain apply — which is what
+    * makes [[readAt]] time travel exact for free. */
+  private def replacedIn(gens: Seq[(Long, String, Path)]): Map[String, Set[String]] =
+    gens.filter(_._2 == TableStore.mergeKind)
+      .map(g => readReplaces(g._3))
+      .foldLeft(Map.empty[String, Set[String]]) { (acc, m) =>
+        m.foldLeft(acc) { case (a, (k, v)) =>
+          a.updated(k, a.getOrElse(k, Set.empty) ++ v) }
+      }
+
+  /** One generation's surviving contents: a whole-dir read when none of
+    * its files were tombstoned (fast path — normal partition
+    * discovery), an explicit file list under the generation's basePath
+    * otherwise (so `col=value/` partition columns still resolve), None
+    * when every file was rewritten away. */
+  private def readGeneration(g: (Long, String, Path),
+                             gone: Set[String]): Option[DataFrame] =
+    if (gone.isEmpty) Some(spark.read.parquet(g._3.toString))
+    else {
+      val surviving = listDataFiles(g._3).filterNot(gone)
+      if (surviving.isEmpty) None
+      else Some(spark.read.option("basePath", g._3.toString)
+        .parquet(surviving.sorted.map(f => new Path(g._3, f).toString): _*))
+    }
+
+  private def readGenerations(gens: Seq[(Long, String, Path)]): DataFrame = {
+    val replaced = replacedIn(gens)
+    // the chain's last generation can never be tombstoned by anything
+    // inside the chain, so the parts are non-empty whenever gens is
+    gens.flatMap(g => readGeneration(g, replaced.getOrElse(g._3.getName, Set.empty)))
       // schema evolution: a generation written before a column existed
       // reads as null for that column (old and new generations stay
       // jointly readable; consumers of evolved columns coalesce defaults)
       .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** Current table contents, or None if never written. */
   def read(table: String): Option[DataFrame] = {
@@ -237,6 +269,13 @@ class TableStore(spark: SparkSession, root: String,
         s"table '$table' was overwritten at " +
         s"g${later.find(_._2 == "full").get._1} (> seq=$sinceSeq); " +
         "changes since then are not expressible as appends")
+    // a row-level merge/delete REWRITES prior rows in place — updates
+    // and deletions cannot be expressed as appends either
+    if (later.exists(_._2 == TableStore.mergeKind))
+      throw new TableStore.FullRefreshRequiredException(
+        s"table '$table' had rows merged/deleted at " +
+        s"g${later.find(_._2 == TableStore.mergeKind).get._1} " +
+        s"(> seq=$sinceSeq); the incremental reader must re-bootstrap")
     Some(later.filter(_._2 == "delta"))
   }
 
@@ -287,18 +326,26 @@ class TableStore(spark: SparkSession, root: String,
     val full = readGenerations(gens).filter(predicate)
     val bounds = analyzedBounds(full)
     val eqs = analyzedEqualities(full)
+    val replaced = replacedIn(gens)
     val parts = gens.flatMap { g =>
+      val gone = replaced.getOrElse(g._3.getName, Set.empty[String])
       val zm = readZoneMap(g._3) // read once: re-reads can race gc
       val bf = if (eqs.isEmpty) None else readBloom(g._3)
       TableStore.prunedFiles(zm, bounds, bf, eqs) match {
-        case None => Some(spark.read.parquet(g._3.toString)) // no stats
-        case Some(files) if files.isEmpty => None
-        case Some(files) =>
-          val listed = zm.map(_.size).orElse(bf.map(_.size)).getOrElse(0)
-          if (files.size == listed) Some(spark.read.parquet(g._3.toString))
-          else Some(spark.read
-            .option("basePath", g._3.toString)
-            .parquet(files.toSeq.sorted.map(f => new Path(g._3, f).toString): _*))
+        case None => readGeneration(g, gone) // no stats
+        case Some(files0) =>
+          // a tombstoned file may still sit in ITS generation's sidecar
+          // (stats are written once) — subtract, never read stale rows
+          val files = files0 -- gone
+          if (files.isEmpty) None
+          else {
+            val listed = zm.map(_.size).orElse(bf.map(_.size)).getOrElse(0)
+            if (gone.isEmpty && files.size == listed)
+              Some(spark.read.parquet(g._3.toString))
+            else Some(spark.read
+              .option("basePath", g._3.toString)
+              .parquet(files.toSeq.sorted.map(f => new Path(g._3, f).toString): _*))
+          }
       }
     }
     if (parts.isEmpty) full.limit(0)
@@ -397,13 +444,17 @@ class TableStore(spark: SparkSession, root: String,
     val full = readGenerations(gens).filter(predicate)
     val bounds = analyzedBounds(full)
     val eqs = analyzedEqualities(full)
+    val replaced = replacedIn(gens)
     gens.map { g =>
+      val gone = replaced.getOrElse(g._3.getName, Set.empty[String])
       val zm = readZoneMap(g._3)
       val bf = if (eqs.isEmpty) None else readBloom(g._3)
       TableStore.prunedFiles(zm, bounds, bf, eqs) match {
         case None => (1, 1)
         case Some(files) =>
-          (files.size, zm.map(_.size).orElse(bf.map(_.size)).getOrElse(0))
+          ((files -- gone).size,
+            (zm.map(_.keySet).orElse(bf.map(_.keySet)).getOrElse(Set.empty)
+              -- gone).size)
       }
     }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
   }
@@ -434,6 +485,43 @@ class TableStore(spark: SparkSession, root: String,
         Some(TableStore.parseBloom(txt))
       }
     } catch { case scala.util.control.NonFatal(_) => None } // unreadable = no sketch
+  }
+
+  /** A generation's data files as generation-relative paths (partition
+    * dirs kept). Listed only when a tombstone forces a file-granular
+    * read — the no-merge fast path never pays this. */
+  private def listDataFiles(gen: Path): Seq[String] = {
+    val f = fs(gen)
+    def walk(p: Path): Seq[String] =
+      f.listStatus(p).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (s.isDirectory) walk(s.getPath)
+        else if (n.endsWith(".parquet"))
+          Seq(TableStore.relativize(gen.toString, s.getPath.toString))
+        else Nil
+      }
+    walk(gen)
+  }
+
+  /** The tombstone list a merge generation carries: dir-name of an
+    * EARLIER generation → the files this merge rewrote. Unlike the
+    * zone/Bloom sidecars, tombstones are CORRECTNESS, not an
+    * optimization: an unreadable list must FAIL the read — degrading
+    * to empty would resurrect every rewritten row as a duplicate. A
+    * genuinely absent file is fine (an insert-only merge replaces
+    * nothing); data and tombstones commit under one atomic rename, so
+    * absent never means lost. */
+  private def readReplaces(gen: Path): Map[String, Set[String]] = {
+    val p = new Path(gen, TableStore.replacesFile)
+    val f = fs(p)
+    if (!f.exists(p)) Map.empty
+    else {
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      TableStore.parseReplaces(txt)
+    }
   }
 
   /** Compute and stage the zone map for a generation, reading back the
@@ -569,6 +657,109 @@ class TableStore(spark: SparkSession, root: String,
     ()
   }
 
+  /** Row-level upsert at O(affected files) — the MERGE INTO the
+    * reference expresses as per-item DynamoDB writes, re-expressed as
+    * copy-on-write file rewrite: rows of `updates` whose `keyCols`
+    * match an existing row replace it; the rest insert. Only the files
+    * CONTAINING a matched key are rewritten — their surviving rows and
+    * all of `updates` land in one new "merge" generation whose
+    * tombstone list (`_replaces.tsv`, committed under the same atomic
+    * rename) hides the rewritten files from every reader. Untouched
+    * files — the overwhelming majority of a 100 TB table — are never
+    * opened for writing.
+    *
+    * Discovery is one map-only scan joined against the (usually
+    * broadcast-small) distinct update keys — the same touched-file
+    * scan Delta/Iceberg MERGE runs; no shuffle of the table.
+    *
+    * Semantics notes: `updates` must be key-unique (two update rows
+    * with one key land as two rows — garbage in, garbage out);
+    * updates missing columns write null there (schema evolution
+    * rules). Incremental readers checkpointed BEFORE a merge get
+    * [[TableStore.FullRefreshRequiredException]] — an update is not
+    * expressible as an append. Time travel to a pre-merge seq shows
+    * pre-merge rows exactly (tombstones apply only from generations
+    * inside the read's chain).
+    *
+    * Concurrency: commits under the expected-slot protocol (like
+    * [[compact]]) — a concurrent append between the discovery snapshot
+    * and the commit forfeits the slot and the merge retries on a fresh
+    * snapshot, so a concurrently-appended row for a merged key is
+    * never silently shadowed. */
+  def merge(table: String, updates: DataFrame, keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    import org.apache.spark.sql.functions.input_file_name
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      val gens = liveGenerations(table)
+      if (gens.isEmpty) { append(table, updates); return }
+      val cur = readGenerations(gens)
+      val keys = updates.select(keyCols.map(col): _*).distinct()
+      val affectedAbs = cur.withColumn("_gf", input_file_name())
+        .join(keys, keyCols).select("_gf").distinct()
+        .collect().map(_.getString(0)).toSeq
+      val replaces = TableStore.groupByGeneration(gens, affectedAbs)
+      val newRows =
+        if (replaces.isEmpty) updates // pure insert, but still slot-guarded
+        else affectedRows(gens, replaces)
+          .join(keys, keyCols.toSeq, "left_anti")
+          .unionByName(updates, allowMissingColumns = true)
+      val kind = if (replaces.isEmpty) "delta" else TableStore.mergeKind
+      val done =
+        try commit(table, newRows, kind,
+          expectedSeq = Some(gens.last._1 + 1), replaces = replaces)
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (done) return
+    }
+    throw new IllegalStateException(
+      s"merge into '$table' lost the commit race $attempts times")
+  }
+
+  /** Row-level delete at O(affected files): rewrite only the files
+    * holding a matching row, minus those rows, tombstoning the
+    * originals — same mechanism, protocol and caveats as [[merge]].
+    * Discovery goes through [[scan]], so the zone/Bloom sidecars bound
+    * it to O(candidate files) for pruned predicates (a key-equality
+    * delete never scans the table). */
+  def deleteWhere(table: String, predicate: org.apache.spark.sql.Column): Unit = {
+    import org.apache.spark.sql.functions.input_file_name
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      val gens = liveGenerations(table)
+      if (gens.isEmpty) return
+      val affectedAbs = readGenerationsWhere(gens, predicate)
+        .withColumn("_gf", input_file_name())
+        .select("_gf").distinct().collect().map(_.getString(0)).toSeq
+      if (affectedAbs.isEmpty) return // nothing matches: no-op, no commit
+      val replaces = TableStore.groupByGeneration(gens, affectedAbs)
+      // three-valued logic: DELETE removes rows where the predicate is
+      // TRUE; a NULL-evaluating row is KEPT (bare !predicate would
+      // evaluate NULL and silently drop it)
+      val keep = !org.apache.spark.sql.functions.coalesce(predicate,
+        org.apache.spark.sql.functions.lit(false))
+      val newRows = affectedRows(gens, replaces).filter(keep)
+      val done =
+        try commit(table, newRows, TableStore.mergeKind,
+          expectedSeq = Some(gens.last._1 + 1), replaces = replaces)
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (done) return
+    }
+    throw new IllegalStateException(
+      s"deleteWhere on '$table' lost the commit race $attempts times")
+  }
+
+  /** The full contents of the to-be-rewritten files, read explicitly
+    * under each generation's basePath. */
+  private def affectedRows(gens: Seq[(Long, String, Path)],
+                           replaces: Map[String, Set[String]]): DataFrame =
+    replaces.toSeq.sortBy(_._1).map { case (genName, rels) =>
+      val dir = gens.find(_._3.getName == genName).get._3
+      spark.read.option("basePath", dir.toString)
+        .parquet(rels.toSeq.sorted.map(f => new Path(dir, f).toString): _*)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+
   /** Compaction: fold the current generations into one full generation
     * (same contents, one pass) — runs automatically once a table
     * accumulates `autoCompactDeltas` deltas; superseded generations are
@@ -632,7 +823,8 @@ class TableStore(spark: SparkSession, root: String,
     * (append/overwrite), retries under fresh slot numbers until the
     * rename wins. */
   private def commit(table: String, df: DataFrame, kind: String,
-                     expectedSeq: Option[Long]): Boolean = {
+                     expectedSeq: Option[Long],
+                     replaces: Map[String, Set[String]] = Map.empty): Boolean = {
     val dir = tableDir(table)
     val f = fs(dir)
     f.mkdirs(dir)
@@ -646,9 +838,17 @@ class TableStore(spark: SparkSession, root: String,
     val writer = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(tmp.toString)
-    // zone map and Bloom sidecar land INSIDE the staged dir, so the
-    // atomic rename commits data and stats together (the "_"-prefixed
-    // names are invisible to parquet directory reads)
+    // zone map, Bloom sidecar and tombstone list land INSIDE the staged
+    // dir, so the atomic rename commits data, stats and replaces
+    // together (the "_"-prefixed names are invisible to parquet
+    // directory reads). The tombstones are written DIRECTLY (no
+    // best-effort swallow): a merge whose replaces cannot be recorded
+    // must not commit at all
+    if (replaces.nonEmpty) {
+      val out = f.create(new Path(tmp, TableStore.replacesFile), true)
+      try out.write(TableStore.serializeReplaces(replaces).getBytes("UTF-8"))
+      finally out.close()
+    }
     writeZoneMap(tmp, f)
     writeBloom(table, tmp, f)
     var attempts = 0
@@ -726,6 +926,40 @@ object TableStore {
 
   private[gdl] val zoneMapFile = "_zonemap.tsv"
   private[gdl] val bloomFile = "_bloom.tsv"
+  private[gdl] val replacesFile = "_replaces.tsv"
+
+  /** Generation kind written by [[TableStore.merge]]/[[TableStore.deleteWhere]]:
+    * carries rewritten rows + a tombstone list hiding the originals. */
+  private[gdl] val mergeKind = "merge"
+
+  private[gdl] def serializeReplaces(m: Map[String, Set[String]]): String =
+    m.toSeq.sortBy(_._1).flatMap { case (gen, files) =>
+      files.toSeq.sorted.map(fl => s"${enc(gen)}\t${enc(fl)}")
+    }.mkString("", "\n", "\n")
+
+  private[gdl] def parseReplaces(txt: String): Map[String, Set[String]] =
+    txt.split("\n").filter(_.nonEmpty).map { line =>
+      line.split("\t", -1) match {
+        case Array(gen, fl) => (dec(gen), dec(fl))
+        case _ => throw new IllegalStateException(
+          s"corrupt tombstone line: '$line'") // correctness: never skip
+      }
+    }.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet }
+
+  /** Map absolute part-file paths (from `input_file_name()`) back to
+    * (generation-dir-name → relative files). Generation dir names are
+    * unique within a table (g%07d-kind), so a path-segment match is
+    * exact; a file outside every passed generation is a protocol bug —
+    * fail loudly rather than tombstone the wrong file. */
+  private[gdl] def groupByGeneration(gens: Seq[(Long, String, Path)],
+                                     absFiles: Seq[String]): Map[String, Set[String]] =
+    absFiles.map { p =>
+      val up = new Path(p).toUri.getPath
+      val g = gens.find(g => up.contains("/" + g._3.getName + "/"))
+        .getOrElse(throw new IllegalStateException(
+          s"file '$p' belongs to no live generation"))
+      g._3.getName -> relativize(g._3.toString, p)
+    }.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet }
 
   /** Probe count k, FROZEN like the hash seeds: stored sidecars outlive
     * code. 5 probes ≈ the optimum for ~7 bits/key, and FPP degrades
