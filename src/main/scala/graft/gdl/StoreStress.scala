@@ -1,0 +1,96 @@
+package graft.gdl
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Storage-layer stress: zone/Bloom pruning and row-level merge cost
+  * on a table ~170× the unit-test fixtures (1M rows, 20 generations ×
+  * 8 files, interleaved string keys — the shape where zone maps prune
+  * nothing and the sidecar is the only thing between a point probe and
+  * a 160-file scan).
+  *
+  * Prints one JSON line per measurement; used to record the NOTES.md
+  * scale evidence, re-runnable any round.
+  *
+  * Usage: runMain graft.gdl.StoreStress [workDir]
+  */
+object StoreStress {
+  def main(args: Array[String]): Unit = {
+    val work = args.headOption.getOrElse(
+      java.nio.file.Files.createTempDirectory("store-stress").toString)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-store-stress")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed[A](what: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"""{"step":"$what","sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+      r
+    }
+
+    val gens = 20
+    val rowsPerGen = 50000
+    val store = new TableStore(spark, s"$work/tables",
+      partitioning = Map.empty,
+      bloomColumns = Map("t" -> Seq("id")))
+    val plain = new TableStore(spark, s"$work/plain",
+      partitioning = Map.empty, bloomColumns = Map.empty)
+
+    timed(s"ingest ${gens}x$rowsPerGen with sidecars") {
+      (0 until gens).foreach { g =>
+        val lo = g * rowsPerGen
+        val df = (lo until lo + rowsPerGen)
+          .map(i => (f"${i % 97}%02dk$i%08d", i.toLong)).toDF("id", "v")
+          .repartition(8)
+        store.append("t", df)
+      }
+    }
+    timed(s"ingest ${gens}x$rowsPerGen no sidecars") {
+      (0 until gens).foreach { g =>
+        val lo = g * rowsPerGen
+        val df = (lo until lo + rowsPerGen)
+          .map(i => (f"${i % 97}%02dk$i%08d", i.toLong)).toDF("id", "v")
+          .repartition(8)
+        plain.append("plain", df)
+      }
+    }
+
+    val needle = f"${424242 % 97}%02dk${424242}%08d"
+    val probe = timed("point probe WITH bloom") {
+      val df = store.scan("t", col("id") === needle).get
+      (df.count(), df.inputFiles.length)
+    }
+    val probePlain = timed("point probe NO bloom") {
+      val df = plain.scan("plain", col("id") === needle).get
+      (df.count(), df.inputFiles.length)
+    }
+    println(s"""{"probe_files_bloom":${probe._2},"probe_files_plain":${probePlain._2},"rows":${probe._1}}""")
+    val (kept, listed) = store.scanFileCounts("t", col("id") === needle)
+    println(s"""{"scanFileCounts_kept":$kept,"scanFileCounts_listed":$listed}""")
+
+    // merge 100 scattered keys into the 1M-row table
+    val updates = (0 until 100)
+      .map(i => (f"${i * 9973 % 97}%02dk${i * 9973}%08d", -1L)).toDF("id", "v")
+    timed("merge 100 keys into 1M rows") {
+      store.merge("t", updates, Seq("id"))
+    }
+    val hist = store.history("t")
+    println(s"""{"post_merge_kind":"${hist.last._2}","generations":${hist.size}}""")
+    timed("full read after merge (count)") {
+      println(s"""{"post_merge_count":${store.read("t").get.count()}}""")
+    }
+    timed("delete 1 key from 1M rows") {
+      store.deleteWhere("t", col("id") === needle)
+    }
+    timed("post-delete probe (expect 0 rows)") {
+      println(s"""{"post_delete_rows":${store.scan("t", col("id") === needle).get.count()}}""")
+    }
+    spark.stop()
+  }
+}

@@ -524,73 +524,41 @@ class TableStore(spark: SparkSession, root: String,
     }
   }
 
-  /** Compute and stage the zone map for a generation, reading back the
-    * just-written files (O(new data), never re-evaluates the input
-    * plan). Stats are an OPTIMIZATION: any failure leaves the
-    * generation without a zone map, which readers treat as
-    * must-read — never a commit failure. */
-  private def writeZoneMap(tmp: Path, f: FileSystem): Unit =
+  /** Compute and stage a generation's stats — zone map AND (when the
+    * table has `bloomColumns`) the Bloom sidecar — in ONE aggregation
+    * pass over the just-written files: the min/max and sketch
+    * aggregates share a single `groupBy(input_file_name())`, so a
+    * Bloom-configured table pays ~the same commit-time stats cost as a
+    * zone-only one (measured: separate passes doubled ingest wall).
+    * O(new data), never re-evaluates the input plan. Stats are an
+    * OPTIMIZATION: any failure leaves the generation without them,
+    * which readers treat as must-read — never a commit failure. */
+  private def writeStats(table: String, tmp: Path, f: FileSystem): Unit =
     try {
       // reading the "_tmp-" dir warns ("all paths were ignored") but
       // resolves — explicit root paths bypass the hidden-path filter;
       // the directory read (not a part-file list) matters: it's what
       // resolves `col=value/` partition columns into the stats
       val df = spark.read.parquet(tmp.toString)
-      val txt = TableStore.computeZoneMap(df, tmp.toString)
+      val bloomCols = bloomColumns.getOrElse(table, Nil).filter(c =>
+        df.schema.fields.exists(fd =>
+          fd.name == c && graft.gdl.expr.BloomSidecar.eligibleType(fd.dataType)))
+      val (zoneTxt, bloomTxt) = TableStore.computeStats(df, tmp.toString,
+        bloomCols, bloomBitsPerFile, TableStore.bloomHashes)
       // stage-and-rename INSIDE the staged dir: a mid-write failure must
-      // not leave a TRUNCATED zone map behind (missing (file, column)
+      // not leave a TRUNCATED stats file behind (missing (file, column)
       // lines read as "column absent" = skippable — silently wrong
       // results); a dangling "...tmp" file is invisible to readers
-      val staged = new Path(tmp, TableStore.zoneMapFile + ".tmp")
-      val out = f.create(staged, true)
-      try { out.write(txt.getBytes("UTF-8")) } finally out.close()
-      if (!f.rename(staged, new Path(tmp, TableStore.zoneMapFile)))
-        f.delete(staged, false)
-    } catch { case scala.util.control.NonFatal(_) => () }
-
-  /** Compute and stage the per-file Bloom sidecar for a just-written
-    * generation of a table with configured `bloomColumns`. One
-    * [[graft.gdl.expr.BloomBuildAgg]] per (file, column) over the
-    * canonical string form — O(new data), map-side partial aggregation,
-    * ~files×columns sketch rows to the driver. Same optimization-only
-    * contract as the zone map: any failure leaves the generation
-    * without a sidecar, which readers treat as must-read. */
-  private def writeBloom(table: String, tmp: Path, f: FileSystem): Unit = {
-    val want = bloomColumns.getOrElse(table, Nil)
-    if (want.isEmpty) return
-    try {
-      val df = spark.read.parquet(tmp.toString)
-      val cols = want.filter(c => df.schema.fields.exists(fd =>
-        fd.name == c && graft.gdl.expr.BloomSidecar.eligibleType(fd.dataType)))
-      if (cols.isEmpty) return
-      import org.apache.spark.sql.functions.input_file_name
-      val bridge = org.apache.spark.sql.GraftExpressionBridge
-      val aggs = cols.map { c =>
-        bridge.column(graft.gdl.expr.BloomBuildAgg(
-          bridge.expression(col(c).cast("string")),
-          bloomBitsPerFile, TableStore.bloomHashes).toAggregateExpression()).as(c)
+      def stage(name: String, txt: String): Unit = {
+        val staged = new Path(tmp, name + ".tmp")
+        val out = f.create(staged, true)
+        try { out.write(txt.getBytes("UTF-8")) } finally out.close()
+        if (!f.rename(staged, new Path(tmp, name)))
+          f.delete(staged, false)
       }
-      val rows = df.groupBy(input_file_name().as("_f"))
-        .agg(aggs.head, aggs.tail: _*).collect()
-      val b64 = java.util.Base64.getEncoder
-      val txt = rows.flatMap { r =>
-        val file = TableStore.relativize(tmp.toString, r.getString(0))
-        cols.zipWithIndex.map { case (c, i) =>
-          s"${TableStore.encPub(file)}\t${TableStore.encPub(c)}\t" +
-            s"$bloomBitsPerFile\t${TableStore.bloomHashes}\t" +
-            b64.encodeToString(r.getAs[Array[Byte]](i + 1))
-        }
-      }.mkString("", "\n", "\n")
-      // stage-and-rename inside the staged dir, like the zone map: a
-      // truncated sidecar would skip files whose (file, column) lines
-      // are missing — silently wrong results
-      val staged = new Path(tmp, TableStore.bloomFile + ".tmp")
-      val out = f.create(staged, true)
-      try { out.write(txt.getBytes("UTF-8")) } finally out.close()
-      if (!f.rename(staged, new Path(tmp, TableStore.bloomFile)))
-        f.delete(staged, false)
+      stage(TableStore.zoneMapFile, zoneTxt)
+      bloomTxt.foreach(stage(TableStore.bloomFile, _))
     } catch { case scala.util.control.NonFatal(_) => () }
-  }
 
   /** Cluster the table for zone-tight probes: fold the live generations
     * into ONE full-contents generation laid out so each part file
@@ -849,8 +817,7 @@ class TableStore(spark: SparkSession, root: String,
       try out.write(TableStore.serializeReplaces(replaces).getBytes("UTF-8"))
       finally out.close()
     }
-    writeZoneMap(tmp, f)
-    writeBloom(table, tmp, f)
+    writeStats(table, tmp, f)
     var attempts = 0
     var committed = -1L
     while (committed < 0) {
@@ -1046,7 +1013,17 @@ object TableStore {
     * granularity is what makes CLUSTERED layouts pay: after
     * [[TableStore.rewriteClustered]] each file covers a tight key
     * range, and a probe reads O(matching files) of the generation. */
-  private[gdl] def computeZoneMap(df: DataFrame, genRoot: String): String = {
+  private[gdl] def computeZoneMap(df: DataFrame, genRoot: String): String =
+    computeStats(df, genRoot, Nil, 1, 1)._1
+
+  /** The fused stats pass: zone TSV and (when `bloomCols` is non-empty)
+    * Bloom sidecar TSV from ONE `groupBy(input_file_name())` — min/max
+    * and sketch aggregates ride the same shuffle-free aggregation
+    * (mixed declarative + object-buffer aggregates run under
+    * ObjectHashAggregate). */
+  private[gdl] def computeStats(df: DataFrame, genRoot: String,
+                                bloomCols: Seq[String], bloomBits: Int,
+                                bloomHashes: Int): (String, Option[String]) = {
     import org.apache.spark.sql.functions.{max => fmax, min => fmin, input_file_name}
     import org.apache.spark.sql.types._
     val fields = df.schema.fields
@@ -1056,23 +1033,25 @@ object TableStore {
       case StringType => true
       case _ => false
     })
-    val aggs = eligible.flatMap(f =>
+    val zoneAggs = eligible.flatMap(f =>
       Seq(fmin(col(f.name)).as(s"mn_${f.name}"),
         fmax(col(f.name)).as(s"mx_${f.name}")))
+    val bridge = org.apache.spark.sql.GraftExpressionBridge
+    val bloomAggs = bloomCols.map { c =>
+      bridge.column(graft.gdl.expr.BloomBuildAgg(
+        bridge.expression(col(c).cast("string")),
+        bloomBits, bloomHashes).toAggregateExpression()).as(s"bf_$c")
+    }
+    val aggs = zoneAggs ++ bloomAggs
     val perFile: Seq[(String, org.apache.spark.sql.Row)] =
-      if (eligible.isEmpty)
+      if (aggs.isEmpty)
         df.select(input_file_name().as("_f")).distinct()
           .collect().map(r => (r.getString(0), null)).toSeq
       else
         df.groupBy(input_file_name().as("_f")).agg(aggs.head, aggs.tail: _*)
           .collect().map(r => (r.getString(0), r)).toSeq
-    val rootUri = new Path(genRoot).toUri.getPath
-    def rel(file: String): String = {
-      val p = new Path(file).toUri.getPath
-      val i = p.indexOf(rootUri)
-      if (i >= 0) p.substring(i + rootUri.length).stripPrefix("/") else p
-    }
-    perFile.flatMap { case (file, row) =>
+    def rel(file: String): String = relativize(genRoot, file)
+    val zoneTxt = perFile.flatMap { case (file, row) =>
       val zoneOf = eligible.zipWithIndex.flatMap { case (f, i) =>
         val (mn, mx) =
           if (row == null) (null, null) else (row.get(2 * i + 1), row.get(2 * i + 2))
@@ -1094,6 +1073,19 @@ object TableStore {
         s"${enc(rel(file))}\t${enc(f.name)}\t${z.kind}\t${z.min}\t${z.max}"
       }
     }.mkString("", "\n", "\n")
+    val bloomTxt =
+      if (bloomCols.isEmpty) None
+      else {
+        val b64 = java.util.Base64.getEncoder
+        val base = 1 + 2 * eligible.length
+        Some(perFile.flatMap { case (file, row) =>
+          bloomCols.zipWithIndex.map { case (c, i) =>
+            s"${enc(rel(file))}\t${enc(c)}\t$bloomBits\t$bloomHashes\t" +
+              b64.encodeToString(row.getAs[Array[Byte]](base + i))
+          }
+        }.mkString("", "\n", "\n"))
+      }
+    (zoneTxt, bloomTxt)
   }
 
   private[gdl] def parseZoneMap(txt: String): Map[String, Map[String, Zone]] =
