@@ -211,6 +211,51 @@ object Dedup {
                      cs, lshBands(cs, bands, k / bands), k, minEst)
   }
 
+  /** The three pair sets an incremental near-dup maintenance step
+    * consumes — (corpus-internal, batch×corpus, batch-internal) —
+    * from ONE shingle pass and ONE signature aggregation over the
+    * whole document set, split by the `isBatch` predicate afterwards.
+    * Calling [[minhashLsh]](corpus) + [[minhashLshAcross]](batch,
+    * corpus) + [[minhashLsh]](batch) separately signs the corpus twice
+    * and the batch twice; signing (explode + k-way min aggregate over
+    * every shingle) dominates near-dup wall time, so the fused form
+    * halves it. Pair semantics are EXACTLY the separate calls':
+    * same-side pairs are exact-Jaccard-verified against the shingle
+    * table (the full table serves both sides — a candidate pair's ids
+    * pin the join, foreign rows cannot match), cross pairs are
+    * signature-agreement estimates (the stored-signature contract).
+    * A null `isBatch` counts as corpus. */
+  def incrementalPairSets(docs: DataFrame, idCol: String, textCol: String,
+                          isBatch: Column, shingleN: Int = 3, k: Int = 8,
+                          bands: Int = 2, threshold: Double = 0.5)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(bands >= 1 && k % bands == 0,
+      s"k must divide into bands (got k=$k, bands=$bands)")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val tags = docs.select(col(idCol).as("doc_id"),
+      coalesce(isBatch, lit(false)).as("_b"))
+    val sh = shingleRows(docs, idCol, textCol, shingleN).persist(lvl)
+    // the tag join is doc-count-sized and shuffle-aligned with the
+    // signature aggregation's own grouping key
+    val sig = minhashSignatures(sh, k).join(tags, Seq("doc_id")).persist(lvl)
+    val sigB = sig.filter(col("_b")).drop("_b")
+    val sigC = sig.filter(!col("_b")).drop("_b")
+    val bandB = lshBands(sigB, bands, k / bands).persist(lvl)
+    val bandC = lshBands(sigC, bands, k / bands).persist(lvl)
+    val corpusPairs = minhashLshFrom(sh, bandC, threshold)
+      .localCheckpoint(eager = true)
+    val crossPairs = sigEstimatePairs(sigB, bandB, sigC, bandC, k, threshold)
+      .select(col("new_id"), col("corpus_id"))
+      .localCheckpoint(eager = true)
+    val batchPairs = minhashLshFrom(sh, bandB, threshold)
+      .localCheckpoint(eager = true)
+    sh.unpersist(blocking = false)
+    sig.unpersist(blocking = false)
+    bandB.unpersist(blocking = false)
+    bandC.unpersist(blocking = false)
+    (corpusPairs, crossPairs, batchPairs)
+  }
+
   /** The shared cross-corpus scorer over (signature, band) tables —
     * [[minhashLshAcross]] passes freshly-computed ones, the persistent
     * [[graft.operators.NearDupIndex]] passes its stored tables, so

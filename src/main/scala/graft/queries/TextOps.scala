@@ -248,16 +248,19 @@ object TextOps {
     // from scratch, which is exactly what the oracle does.
     "q127_merged_clusters" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
-      val batch = docs.filter(col("doc_id") < 100L)
-      val corpus = docs.filter(col("doc_id") >= 100L)
+      // fused: ONE shingle+signature pass feeds all three pair sets
+      // (corpus-internal, batch×corpus, batch-internal) — value-equal
+      // to the separate minhashLsh/minhashLshAcross calls, which sign
+      // the corpus twice and the batch twice
+      val (corpusPairs, crossPairs, internalPairs) =
+        Dedup.incrementalPairSets(docs, "doc_id", "text",
+          col("doc_id") < 100L)
       val stored = Dedup.connectedComponents(
-        Dedup.minhashLsh(corpus, "doc_id", "text")
-          .select(col("id_a"), col("id_b")))
-      val cross = Dedup.minhashLshAcross(batch, corpus, "doc_id", "text")
+        corpusPairs.select(col("id_a"), col("id_b")))
+      val cross = crossPairs
         .select(col("new_id").as("id_a"), col("corpus_id").as("id_b"))
-      val internal = Dedup.minhashLsh(batch, "doc_id", "text")
-        .select(col("id_a"), col("id_b"))
-      Dedup.mergeClusters(stored, cross.union(internal))
+      Dedup.mergeClusters(stored,
+        cross.union(internalPairs.select(col("id_a"), col("id_b"))))
     }),
 
     // Export delivery manifest: per-shard row count, payload size, and
