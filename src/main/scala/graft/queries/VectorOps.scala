@@ -223,19 +223,22 @@ object VectorOps {
     "q129_incremental_embedding_clusters" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
         .select(col("vec_id").as("id"), col("embedding"))
-      val batch = e.filter(col("id") < 200L)
-      val corpus = e.filter(col("id") >= 200L)
       val D = graft.operators.Dedup
-      val stored = D.connectedComponents(
-        D.embeddingNearDup(corpus, threshold = 0.3, nPlanes = 2, dim = 64)
-          .select(col("id_a"), col("id_b")))
-      val cross = D.embeddingNearDupAcross(batch, corpus,
-          threshold = 0.3, nPlanes = 2, dim = 64)
-        .select(col("new_id").as("id_a"), col("corpus_id").as("id_b"))
-      val internal = D.embeddingNearDup(batch,
-          threshold = 0.3, nPlanes = 2, dim = 64)
+      // the hyperplane family is data-independent, so the full-table
+      // bucket join IS corpus-internal ∪ cross ∪ batch-internal exactly
+      // (see embeddingNearDupAcross's contract) — bucket once, join
+      // once, split the PAIRS by the id boundary instead of bucketing
+      // the corpus twice and the batch twice; checkpointed because the
+      // three consumers + the iterative cc would each re-run the join
+      val pairs = D.embeddingNearDup(e, threshold = 0.3, nPlanes = 2,
+          dim = 64)
         .select(col("id_a"), col("id_b"))
-      D.mergeClusters(stored, cross.union(internal))
+        .localCheckpoint(eager = true)
+      val stored = D.connectedComponents(
+        pairs.filter(col("id_a") >= 200L && col("id_b") >= 200L))
+      // id_a < id_b and every batch id sorts below every corpus id, so
+      // "id_a in the batch" is exactly cross ∪ batch-internal
+      D.mergeClusters(stored, pairs.filter(col("id_a") < 200L))
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
     }),
 
