@@ -42,8 +42,15 @@ object StressGen {
     spark.sparkContext.setLogLevel("WARN")
 
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    // a 10× corpus has ~10× FILES, not 10×-fatter files: the broadcast
+    // cross-join expansion keeps the SOURCE partition count, which left
+    // sf1 documents as 2-3 fat files — scans (and every explode-heavy
+    // partial aggregation above them) then run 2-3 tasks no matter how
+    // many cores the cluster has. Repartitioning on write restores the
+    // file-count/parallelism shape real ingest produces.
     def write(t: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      df.repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"$t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
     }
 
