@@ -341,9 +341,22 @@ object Dedup {
       if (nNodes <= broadcastNodeLimit) broadcast(_) else identity
     var converged = false
     var iter = 0
+    // the working edge set, CONTRACTED to label space after every
+    // round: an edge inside an already-merged cluster relabels to a
+    // self-loop and disappears, so a DENSE dup graph (a threshold that
+    // accepts a constant fraction of same-bucket pairs produces
+    // Θ(n²) edges — q126 at 10× data hit 144M edges over 20k nodes)
+    // collapses to a few inter-representative edges after round 1
+    // instead of re-joining the full pair table every round. Members
+    // of a contracted cluster keep converging through the pointer
+    // jump below (their label indexes the representative's row).
+    // Contraction never changes the result: nodes sharing a label are
+    // provably in one component, and merging them preserves the
+    // component structure of the rest of the graph.
+    var cedges = edges
     while (!converged && iter < maxIter) {
       iter += 1
-      val neighborMin = edges
+      val neighborMin = cedges
         .join(hinted(labels.select(col("id").as("dst"), col("label"))), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nbr_label"))
@@ -373,6 +386,21 @@ object Dedup {
         .localCheckpoint(eager = true)
       converged = next.filter(col("label") =!= col("old")).count() == 0
       labels = next
+      if (!converged) {
+        // contract: relabel both endpoints, drop in-cluster self-loops,
+        // dedupe — the distinct is one shuffle over an edge set that
+        // only ever shrinks, and after round 1 a dense cluster's Θ(n²)
+        // internal edges are gone
+        cedges = cedges
+          .join(hinted(next.select(col("id").as("src"), col("label").as("_sl"))),
+            Seq("src"))
+          .join(hinted(next.select(col("id").as("dst"), col("label").as("_dl"))),
+            Seq("dst"))
+          .select(col("_sl").as("src"), col("_dl").as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+          .localCheckpoint(eager = true)
+      }
     }
     // silent truncation would be WRONG RESULTS (one component reported
     // as several clusters) flowing into persisted indexes and the
