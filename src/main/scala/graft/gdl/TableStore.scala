@@ -77,6 +77,20 @@ class TableStore(spark: SparkSession, root: String,
   private def layout(table: String): Seq[String] =
     partitioning.getOrElse(table, Nil)
 
+  /** Bloom config for a table: an exact-name entry wins; otherwise
+    * every `*suffix` wildcard entry whose suffix matches contributes.
+    * The wildcard form exists for FAMILIES of dynamically-named tables
+    * — the epoch tables of [[graft.operators.NearDupIndex]] /
+    * [[graft.operators.VectorIndex]] (`<name>_e<E>_clusters`, …) get
+    * their point-probe sidecars from one `*_clusters` entry instead of
+    * a per-epoch config nobody could write ahead of time. */
+  private def bloomColsFor(table: String): Seq[String] =
+    bloomColumns.get(table).map(_.toSeq).getOrElse(
+      bloomColumns.iterator.collect {
+        case (pat, cols) if pat.startsWith("*") &&
+          table.endsWith(pat.drop(1)) => cols
+      }.flatten.toSeq.distinct)
+
   private def fs(p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -540,7 +554,7 @@ class TableStore(spark: SparkSession, root: String,
       // the directory read (not a part-file list) matters: it's what
       // resolves `col=value/` partition columns into the stats
       val df = spark.read.parquet(tmp.toString)
-      val bloomCols = bloomColumns.getOrElse(table, Nil).filter(c =>
+      val bloomCols = bloomColsFor(table).filter(c =>
         df.schema.fields.exists(fd =>
           fd.name == c && graft.gdl.expr.BloomSidecar.eligibleType(fd.dataType)))
       val (zoneTxt, bloomTxt) = TableStore.computeStats(df, tmp.toString,
@@ -889,7 +903,18 @@ object TableStore {
     * (ImportStatus.get is the reference's GET /import-status hot path,
     * backend/import_status/get.py). */
   val defaultBloomColumns: Map[String, Seq[String]] = Map(
-    "import_executions" -> Seq("execution_id"))
+    "import_executions" -> Seq("execution_id"),
+    // the persistent-index epoch-table families (`*suffix` wildcards —
+    // the epoch number makes exact names unknowable in advance):
+    // cluster-label point reads probe doc_id on an append-mostly delta
+    // chain whose ids interleave across every file (NearDupIndex
+    // .clusterOf); IVF searches probe `cell IN (...)` on the assignment
+    // and code tables, where per-file membership — not the loose
+    // [min,max] an IN collapses to — is what skips unprobed cells'
+    // files (VectorIndex.search)
+    "*_clusters" -> Seq("doc_id"),
+    "*_assign" -> Seq("cell"),
+    "*_codes" -> Seq("cell"))
 
   private[gdl] val zoneMapFile = "_zonemap.tsv"
   private[gdl] val bloomFile = "_bloom.tsv"

@@ -199,6 +199,33 @@ final class NearDupIndex(store: TableStore, name: String,
       }
   }
 
+  /** Point lookup: current labels for just `docIds` — (doc_id,
+    * cluster_id), last-wins over the delta chain exactly like
+    * [[clusters]], but resolved from ONLY the rows (and files) that
+    * can hold those ids. The cluster table is an append-mostly delta
+    * chain whose doc ids interleave across every file ([min,max] zones
+    * prune nothing), so this is the Bloom sidecar's case: `scan` opens
+    * just the files whose `doc_id` sketches might contain a requested
+    * id — O(matching files), not O(label history). The window then
+    * runs over requested-ids-sized input, not the corpus. */
+  def clusterOf(docIds: Seq[Any]): DataFrame = {
+    val epoch = requireEpoch()
+    val matched =
+      if (docIds.isEmpty) None
+      else store.scan(t(epoch, "clusters"), col("doc_id").isin(docIds: _*))
+    matched.map { df =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(desc("upd_seq"))
+      df.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+        .select(col("doc_id"), col("cluster_id"))
+    }.getOrElse {
+      val spark = required(epoch, "sig").sparkSession
+      import spark.implicits._
+      Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    }
+  }
+
   /** Seed the cluster table from the corpus itself: batch-internal
     * near-dup pairs ([[Dedup.minhashLsh]], exact-Jaccard verified) →
     * connected components. Overwrites any previous cluster history OF

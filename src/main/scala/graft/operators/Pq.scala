@@ -205,11 +205,14 @@ object Pq {
     * rows (at-least-once index ingest) before the ADC sum — candidate-
     * sized, skipped on the freshly-computed path where duplicates are
     * impossible. */
-  private[operators] def ivfPqScore(queries: DataFrame, coarse: DataFrame,
-                                    codebooks: DataFrame, assignment: DataFrame,
-                                    codes: DataFrame, nprobe: Int, m: Int,
-                                    subDim: Int, k: Int,
-                                    dedupCandidates: Boolean): DataFrame = {
+  /** The probe set — (query_id, cell), the `nprobe` nearest coarse
+    * cells per query by cosine, ties broken on cell id. ONE function
+    * shared by [[ivfPqScore]]'s in-plan candidate join and the file-
+    * pruning path ([[VectorIndex.search]] collects `cell` from exactly
+    * this to scan only the probed cells' files), so the cells a search
+    * scores and the cells its storage scan keeps cannot diverge. */
+  def probeCells(queries: DataFrame, coarse: DataFrame,
+                 nprobe: Int): DataFrame = {
     import graft.functions.VectorFunctions.norm
     val c = coarse.select(col("cid").as("cell"),
       col("embedding").as("cent_emb"), norm(col("embedding")).as("cent_norm"))
@@ -217,7 +220,7 @@ object Pq {
       col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("cent_sim").desc, col("cell"))
-    val probes = q.crossJoin(broadcast(c))
+    q.crossJoin(broadcast(c))
       .select(col("query_id"), col("cell"),
         (when(col("q_norm") * col("cent_norm") === 0.0, lit(0.0))
           .otherwise(dot(col("q_emb"), col("cent_emb"))
@@ -226,6 +229,14 @@ object Pq {
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("cell"))
+  }
+
+  private[operators] def ivfPqScore(queries: DataFrame, coarse: DataFrame,
+                                    codebooks: DataFrame, assignment: DataFrame,
+                                    codes: DataFrame, nprobe: Int, m: Int,
+                                    subDim: Int, k: Int,
+                                    dedupCandidates: Boolean): DataFrame = {
+    val probes = probeCells(queries, coarse, nprobe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_q").desc, col("vec_id"))
     val cand0 = assignment.join(broadcast(probes), Seq("cell"))

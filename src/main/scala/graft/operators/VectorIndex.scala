@@ -83,13 +83,35 @@ final class VectorIndex(store: TableStore, name: String,
     val codebooks = Pq.train(corpus, m, subDim, codebookK, trainIters)
     store.overwrite(t(epoch, "coarse"), coarse.select(col("cid"), col("embedding")))
     store.overwrite(t(epoch, "codebooks"), codebooks)
-    store.overwrite(t(epoch, "assign"),
-      Similarity.ivfAssign(corpus, coarse)
-        .select(col("id").as("vec_id"), col("cid").as("cell")))
+    // feeds its own table AND the code table's cell column: one pass
+    val assign = Similarity.ivfAssign(corpus, coarse)
+      .select(col("id").as("vec_id"), col("cid").as("cell"))
+      .localCheckpoint(eager = true)
+    store.overwrite(t(epoch, "assign"), clusteredByCell(assign))
     store.overwrite(t(epoch, "codes"),
-      Pq.encode(corpus, codebooks, m, subDim)
-        .withColumnRenamed("id", "vec_id"))
+      clusteredByCell(Pq.encode(corpus, codebooks, m, subDim)
+        .withColumnRenamed("id", "vec_id")
+        .join(assign, Seq("vec_id"))))
     store.overwrite(meta, Seq(epoch).toDF("build_epoch")) // atomic flip
+  }
+
+  /** The inverted-list LAYOUT: assignment and code rows range-
+    * partitioned and sorted on `cell`, so each part file covers few
+    * cells and the store's per-file stats (zone [min,max] + Bloom
+    * membership over `cell`) turn a probed-cells scan into opening
+    * only those cells' files — [[search]] reads nprobe/ncells of the
+    * corpus-sized tables instead of all of them. `vec_id` as the
+    * secondary key spreads a big cell over multiple balanced files.
+    * Pure physical: contents identical, any reader sees the same rows. */
+  private def clusteredByCell(df: DataFrame): DataFrame = {
+    // explicit partition count: an unnumbered range shuffle is fair
+    // game for AQE coalescing, which on a small input folds everything
+    // into ONE file and erases the per-file cell locality the layout
+    // exists for. numShufflePartitions is the cluster-sized knob the
+    // user already tunes to the data scale.
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartitionByRange(n, col("cell"), col("vec_id"))
+      .sortWithinPartitions(col("cell"), col("vec_id"))
   }
 
   /** Reclaim the space of superseded epochs (tables are emptied and
@@ -136,12 +158,14 @@ final class VectorIndex(store: TableStore, name: String,
         Seq("id"), "left_anti")
       .localCheckpoint(true) // feeds two encoders: read the feed once
     if (!fresh.isEmpty) {
-      store.append(t(epoch, "assign"),
-        Similarity.ivfAssign(fresh, coarse)
-          .select(col("id").as("vec_id"), col("cid").as("cell")))
+      val assign = Similarity.ivfAssign(fresh, coarse)
+        .select(col("id").as("vec_id"), col("cid").as("cell"))
+        .localCheckpoint(eager = true)
+      store.append(t(epoch, "assign"), clusteredByCell(assign))
       store.append(t(epoch, "codes"),
-        Pq.encode(fresh, codebooks, m, subDim)
-          .withColumnRenamed("id", "vec_id"))
+        clusteredByCell(Pq.encode(fresh, codebooks, m, subDim)
+          .withColumnRenamed("id", "vec_id")
+          .join(assign, Seq("vec_id"))))
     }
   }
 
@@ -189,14 +213,39 @@ final class VectorIndex(store: TableStore, name: String,
     * generations into the plan. */
   def search(queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
     val epoch = requireEpoch()
+    val coarse = required(epoch, "coarse")
+    // Probed-cell file pruning — the inverted-list READ: the probe set
+    // comes from Pq.probeCells, the exact function the scorer's
+    // candidate join uses, so the cells scanned and the cells scored
+    // cannot diverge. Collecting it is centroid-bounded (≤ distinct
+    // probed cells ≤ ncells — model-sized, like the coarse broadcast
+    // itself); scan() then opens only the files whose zone/Bloom
+    // sidecars might hold a probed cell, which under [[clusteredByCell]]
+    // is ~nprobe/ncells of each table instead of all of it. Pruning is
+    // physical only: scan(pred) ≡ read().filter(pred), and filtering
+    // assignment/codes to probed cells drops only rows the probe join
+    // discards anyway.
+    val cells = Pq.probeCells(queries, coarse, nprobe)
+      .select(col("cell")).distinct().collect().map(_.get(0)).toSeq
+    val pred = if (cells.isEmpty) lit(false) else col("cell").isin(cells: _*)
+    val assign = store.scan(t(epoch, "assign"), pred)
+      .getOrElse(required(epoch, "assign"))
+    // pre-layout epochs stored codes without the cell column — readable
+    // forever, just without code-side pruning; cell is dropped either
+    // way (the scorer joins codes on vec_id alone)
+    val codes0 = required(epoch, "codes")
+    val codes =
+      if (codes0.columns.contains("cell"))
+        store.scan(t(epoch, "codes"), pred).map(_.drop("cell"))
+          .getOrElse(codes0.drop("cell"))
+      else codes0
     // the ONE scorer, shared with Pq.ivfPqTopK, over the stored tables:
     // probe selection and tie-breaks cannot diverge between the
     // computed and stored paths. dedupCandidates collapses IDENTICAL
     // duplicate assignment/code rows (at-least-once refreshStream
     // replay) after the probe join — candidate-sized, never
     // corpus-sized — or the ADC sum would double-count.
-    Pq.ivfPqScore(queries, required(epoch, "coarse"), required(epoch, "codebooks"),
-      required(epoch, "assign"), required(epoch, "codes"),
-      nprobe, m, subDim, k, dedupCandidates = true)
+    Pq.ivfPqScore(queries, coarse, required(epoch, "codebooks"),
+      assign, codes, nprobe, m, subDim, k, dedupCandidates = true)
   }
 }

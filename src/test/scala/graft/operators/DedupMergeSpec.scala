@@ -154,7 +154,8 @@ class DedupMergeSpec extends AnyFunSuite {
     idx.buildClusters(seed, "doc_id", "text")
     idx.ingest(b, "doc_id", "text")
     val labels = labelSet(idx.clusters())
-    val gens = store.history("dup_clusters").size
+    val gens = store.history("dup_e0_clusters").size
+    assert(gens > 0, "the cluster table must actually have history")
     // restart-before-checkpoint replay: the batch is already fully in
     // (clusters AND index). Re-deriving its pairs now would verify
     // batch-internal pairs by slot agreement instead of exact Jaccard —
@@ -162,7 +163,36 @@ class DedupMergeSpec extends AnyFunSuite {
     // nothing at all
     idx.ingest(b, "doc_id", "text")
     assert(labelSet(idx.clusters()) == labels)
-    assert(store.history("dup_clusters").size == gens)
+    assert(store.history("dup_e0_clusters").size == gens)
+  }
+
+  test("clusterOf point read equals the full resolution, opening few files") {
+    val root = java.nio.file.Files.createTempDirectory("dupclu-point").toString
+    val store = new TableStore(spark, root)
+    val idx = new NearDupIndex(store, "dup")
+    val seed = docs.filter(col("doc_id") >= 200L)
+    idx.build(seed, "doc_id", "text")
+    idx.buildClusters(seed, "doc_id", "text")
+    // two ingests → a seed generation plus delta appends whose doc ids
+    // interleave with the seed's: the zone-map-useless shape
+    idx.ingest(docs.filter(col("doc_id") >= 100L && col("doc_id") < 200L),
+      "doc_id", "text")
+    idx.ingest(docs.filter(col("doc_id") < 100L), "doc_id", "text")
+    val all = labelSet(idx.clusters())
+    assert(all.nonEmpty)
+    val some = all.take(3).map(_._1).toSeq
+    val got = idx.clusterOf(some)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == all.filter(p => some.contains(p._1)))
+    // an id no ingest ever labeled: the Bloom sidecars must prove every
+    // file absent — the probe touches zero data files
+    val absent = -1L
+    assert(idx.clusterOf(Seq(absent)).isEmpty)
+    val (read, total) =
+      store.scanFileCounts("dup_e0_clusters", col("doc_id") === lit(absent))
+    assert(total > 0)
+    assert(read == 0,
+      s"absent-key probe read $read of $total files — sidecars not pruning")
   }
 
   test("streamed ingest equals one-shot ingest") {

@@ -244,6 +244,30 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(idx.search(q, nprobe = 2, k = 5).count() > 0)
   }
 
+  test("probed-cell search opens only the probed cells' files") {
+    val root = java.nio.file.Files.createTempDirectory("vecidx-prune").toString
+    val store = new TableStore(spark, root)
+    val idx = new VectorIndex(store, "ann",
+      m = 4, subDim = 16, codebookK = 4, trainIters = 1)
+    idx.build(corpus, coarse)
+    // one cell's worth of the inverted-list layout: the clustered
+    // write + per-file cell stats must turn a single-cell probe into
+    // a strict subset of each table's files
+    val oneCell = col("cell") === lit(0L)
+    for (table <- Seq("ann_e0_assign", "ann_e0_codes")) {
+      val (read, total) = store.scanFileCounts(table, oneCell)
+      assert(total > 1, s"$table should span multiple files, got $total")
+      assert(read < total,
+        s"$table: single-cell probe read $read of $total files — no pruning")
+    }
+    // and the pruned read is still the exact filter semantics
+    val viaScan = store.scan("ann_e0_assign", oneCell).get
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val viaRead = store.read("ann_e0_assign").get.filter(oneCell)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(viaScan == viaRead)
+  }
+
   test("a partial build (missing completion marker) fails loudly, not garbage") {
     val root = java.nio.file.Files.createTempDirectory("vecidx-part").toString
     val store = new TableStore(spark, root)
