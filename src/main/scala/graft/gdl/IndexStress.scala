@@ -83,11 +83,16 @@ object IndexStress {
       s""""assign_zone_only":[$zk,$zt]}""")
 
     // ---- NearDupIndex: 20k synthetic docs, seed + 10 delta ingests
+    // every 10th/10th+1 id pair shares one text seed → guaranteed dup
+    // pairs inside each batch, so the cluster table is non-trivial
     def docsBetween(lo: Long, hi: Long) =
       spark.range(lo, hi).select(col("id").as("doc_id"),
-        concat_ws(" ", (1 to 30).map(j =>
-          pmod(hash(col("id") * 17 + j), lit(500)).cast("string")): _*)
-          .as("text"))
+        when(pmod(col("id"), lit(10)) < 2, (col("id") / 10) * 10)
+          .otherwise(col("id")).as("_seed"))
+        .select(col("doc_id"),
+          concat_ws(" ", (1 to 30).map(j =>
+            pmod(hash(col("_seed") * 17 + j), lit(500)).cast("string")): _*)
+            .as("text"))
     val dstore = new TableStore(spark, s"$work/dup", partitioning = Map.empty)
     val didx = new NearDupIndex(dstore, "dup")
     timed("near-dup index build+clusters (10k seed docs)") {

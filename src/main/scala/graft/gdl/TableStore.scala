@@ -118,9 +118,10 @@ class TableStore(spark: SparkSession, root: String,
   private def isFullKind(kind: String): Boolean =
     kind == "full" || kind == "comp"
 
-  /** The live generations: the newest full one plus every later delta. */
+  /** The live generations: the newest full one plus every later delta,
+    * minus the ones a fold supersedes. */
   private def liveGenerations(table: String): Seq[(Long, String, Path)] = {
-    val gens = generations(table)
+    val gens = TableStore.dropFoldCovered(generations(table))
     val lastFull = gens.lastIndexWhere(g => isFullKind(g._2))
     if (lastFull >= 0) gens.drop(lastFull) else gens
   }
@@ -181,27 +182,39 @@ class TableStore(spark: SparkSession, root: String,
   def readAt(table: String, seq: Long): Option[DataFrame] = {
     val all = generations(table)
     val gens = all.filter(_._1 <= seq)
+    if (gens.isEmpty) {
+      if (all.nonEmpty)
+        throw new TableStore.VacuumedHistoryException(
+          s"table '$table' has no surviving generation at or before seq=$seq " +
+          s"(earliest on disk: g${all.head._1}); history was gc'd or the seq " +
+          "predates the first commit")
+      return None
+    }
     val lastFull = gens.lastIndexWhere(g => isFullKind(g._2))
-    val live = if (lastFull >= 0) gens.drop(lastFull) else gens
-    // a delta chain with no full generation under it is complete ONLY
-    // if it starts at the table's first commit (seq 0) — a straggler
-    // delta kept by the gc grace period while its predecessors were
-    // deleted must not masquerade as the whole table at that point
-    if (live.nonEmpty && lastFull < 0 && live.head._1 != 0L)
-      throw new TableStore.VacuumedHistoryException(
-        s"table '$table' at seq=$seq: deltas below g${live.head._1} were " +
-        "gc'd, the surviving chain is partial; history was vacuumed")
-    if (live.nonEmpty) Some(readGenerations(live))
-    else if (all.nonEmpty)
-      throw new TableStore.VacuumedHistoryException(
-        s"table '$table' has no surviving generation at or before seq=$seq " +
-        s"(earliest on disk: g${all.head._1}); history was gc'd or the seq " +
-        "predates the first commit")
-    else None
+    val (base, from) =
+      if (lastFull >= 0) (Seq(gens(lastFull)), gens(lastFull)._1 + 1)
+      // a chain with no full generation under it is complete ONLY if it
+      // accounts for every slot from the table's first commit (seq 0) —
+      // a straggler kept by the gc grace period while its predecessors
+      // were deleted must not masquerade as the whole table
+      else (Seq.empty, 0L)
+    // the chain may resolve each slot as the original generation or as
+    // a fold that STARTS there; a slot with neither (gc'd under a fold
+    // whose range extends past `seq`, or a vanished predecessor) is
+    // vacuumed history, never a silent partial read
+    TableStore.coverSlots(gens, from, gens.last._1) match {
+      case Left(missing) =>
+        throw new TableStore.VacuumedHistoryException(
+          s"table '$table' at seq=$seq: generation g$missing does not " +
+          "survive (gc'd, or superseded by a fold covering past the " +
+          "requested point); history was vacuumed")
+      case Right(chain) =>
+        Some(readGenerations(base ++ chain.collect { case (g, true) => g }))
+    }
   }
 
   /** Committed generations, oldest first:
-    * (seq, "full" | "delta" | "comp"). */
+    * (seq, "full" | "delta" | "comp" | "merge" | "fold<coveredFrom>"). */
   def history(table: String): Seq[(Long, String)] =
     generations(table).map(g => (g._1, g._2))
 
@@ -270,27 +283,36 @@ class TableStore(spark: SparkSession, root: String,
           s"seq=$sinceSeq were vacuumed — the reader must re-bootstrap")
       return Some(Nil)
     }
-    val later = all.filter(_._1 > sinceSeq)
     val maxSeq = all.last._1
-    val expected = (maxSeq - math.max(sinceSeq, -1L)).max(0L)
-    if (later.size < expected)
-      throw new TableStore.VacuumedHistoryException(
-        s"table '$table': generations after seq=$sinceSeq were gc'd " +
-        s"(surviving: ${later.map(_._1).mkString(",")}, head seq should be " +
-        s"${sinceSeq + 1}); the incremental reader must re-bootstrap")
-    if (later.exists(_._2 == "full"))
+    if (maxSeq <= sinceSeq) return Some(Nil)
+    // account for every slot in (sinceSeq, maxSeq]: the original
+    // generation, or a fold that STARTS at the slot (its rows are
+    // exactly the covered deltas' — one fold serves a whole run). A
+    // fold reached mid-range (checkpoint INSIDE its covered span)
+    // cannot be split per seq, so the walk relies on the surviving
+    // originals; once gc reclaims them, the history is vacuumed — a
+    // typed re-bootstrap, never a silent miss or double delivery.
+    val chain = TableStore.coverSlots(all, sinceSeq + 1, maxSeq) match {
+      case Left(missing) =>
+        throw new TableStore.VacuumedHistoryException(
+          s"table '$table': generation g$missing after seq=$sinceSeq does " +
+          "not survive (gc'd, or folded across the checkpoint); the " +
+          "incremental reader must re-bootstrap")
+      case Right(c) => c
+    }
+    chain.find(_._1._2 == "full").foreach { case ((s, _, _), _) =>
       throw new TableStore.FullRefreshRequiredException(
-        s"table '$table' was overwritten at " +
-        s"g${later.find(_._2 == "full").get._1} (> seq=$sinceSeq); " +
+        s"table '$table' was overwritten at g$s (> seq=$sinceSeq); " +
         "changes since then are not expressible as appends")
+    }
     // a row-level merge/delete REWRITES prior rows in place — updates
     // and deletions cannot be expressed as appends either
-    if (later.exists(_._2 == TableStore.mergeKind))
+    chain.find(_._1._2 == TableStore.mergeKind).foreach { case ((s, _, _), _) =>
       throw new TableStore.FullRefreshRequiredException(
-        s"table '$table' had rows merged/deleted at " +
-        s"g${later.find(_._2 == TableStore.mergeKind).get._1} " +
-        s"(> seq=$sinceSeq); the incremental reader must re-bootstrap")
-    Some(later.filter(_._2 == "delta"))
+        s"table '$table' had rows merged/deleted at g$s (> seq=$sinceSeq); " +
+        "the incremental reader must re-bootstrap")
+    }
+    Some(chain.collect { case (g, true) => g })
   }
 
   def isEmptyTable(table: String): Boolean = read(table).forall(_.isEmpty)
@@ -623,14 +645,26 @@ class TableStore(spark: SparkSession, root: String,
     * (SURVEY §7.4 #7). */
   def append(table: String, df: DataFrame): Unit = {
     commit(table, df, "delta", expectedSeq = None)
-    // bound read-time listings: fold long delta chains into a new full
-    // gen. Best-effort: the append itself has already committed, so a
+    // bound read-time listings, tiered like a log-structured store.
+    // Tier 1 (cheap, the steady state): fold the trailing delta run
+    // into one generation — O(run), so ingest maintenance never reads
+    // the table. Tier 2 (rare): when folds/merges themselves pile up
+    // past 2×autoCompactDeltas live generations, one full compaction
+    // resets the chain — write amplification is a full rewrite every
+    // ~autoCompactDeltas² appends instead of every autoCompactDeltas.
+    // Best-effort: the append itself has already committed, so a
     // compaction hiccup (e.g. a concurrent writer's gc) must not turn a
     // successful append into a failure — the next append retries anyway.
-    val gens = generations(table)
+    val gens = TableStore.dropFoldCovered(generations(table))
     val lastFull = gens.lastIndexWhere(g => isFullKind(g._2))
-    if (gens.size - 1 - lastFull > autoCompactDeltas)
-      try compact(table) catch { case scala.util.control.NonFatal(_) => () }
+    val tail = gens.drop(lastFull + 1)
+    try {
+      if (tail.size > 2 * autoCompactDeltas) compact(table)
+      else if (tail.reverse.takeWhile(_._2 == "delta").size > autoCompactDeltas) {
+        foldDeltas(table)
+        ()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Replace table contents (new full generation supersedes the past). */
@@ -776,6 +810,56 @@ class TableStore(spark: SparkSession, root: String,
     }
   }
 
+  /** Minor compaction: fold the trailing run of PURE delta generations
+    * into ONE `fold<from>` generation carrying exactly their rows —
+    * bounding the listing and the read-side union at O(new data) cost,
+    * never O(table). This is what keeps a 100 TB append-mostly table's
+    * maintenance write amplification sane: [[compact]] rewrites the
+    * whole table (and therefore must be rare); a fold rewrites only
+    * the deltas since the last full/merge/fold, which an
+    * [[autoCompactDeltas]]-triggered cadence keeps ≈ the recent-append
+    * window.
+    *
+    * Protocol: the fold commits under the expected-slot guard (a
+    * racing append forfeits the attempt, like [[compact]]); covered
+    * originals stay on disk for `gcGraceMs` AFTER the fold commits, so
+    * in-flight readers, mid-covered-range change-feed checkpoints, and
+    * time travel into the covered span all keep resolving exactly;
+    * once gc reclaims them, those mid-range reads become the same
+    * typed [[TableStore.VacuumedHistoryException]] any vacuumed
+    * history raises. Checkpoints at fold boundaries (the common poller
+    * state) are served by the fold itself, forever. The run never
+    * crosses a merge/full/fold generation, so a fold can carry no
+    * hidden tombstones and no covered slot can demand a re-bootstrap
+    * the originals didn't already.
+    *
+    * Returns true if a fold committed; false when there was nothing
+    * worth folding (< 2 trailing deltas) or every attempt lost the
+    * slot race. */
+  def foldDeltas(table: String): Boolean = {
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      val gens = generations(table)
+      val lastFull = gens.lastIndexWhere(g => isFullKind(g._2))
+      val run = gens.drop(lastFull + 1).reverse
+        .takeWhile(_._2 == "delta").reverse
+      if (run.size < 2) return false
+      val done =
+        try commit(table, readGenerations(run),
+          f"fold${run.head._1}%07d",
+          expectedSeq = Some(gens.last._1 + 1))
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (done) {
+        // covered originals are now superseded — reclaim them the same
+        // lazy way full commits do (grace-guarded inside gc)
+        gc(table)
+        return true
+      }
+    }
+    false
+  }
+
   /** Delete superseded generations (those older than the newest full
     * generation) that are past the grace period. Safe to run any time:
     * a generation younger than `gcGraceMs` is never touched, so lazy
@@ -783,18 +867,31 @@ class TableStore(spark: SparkSession, root: String,
   def gc(table: String): Unit = {
     val gens = generations(table)
     val lastFull = gens.lastIndexWhere(g => isFullKind(g._2))
-    if (lastFull > 0) {
-      val dir = tableDir(table)
-      val f = fs(dir)
-      val cutoff = System.currentTimeMillis() - gcGraceMs
-      gens.take(lastFull).foreach { g =>
-        // a concurrent gc/compact may delete a generation between our
-        // listing and this stat — already-gone is success, not failure
-        try {
-          if (f.getFileStatus(g._3).getModificationTime < cutoff)
-            f.delete(g._3, true)
-        } catch { case _: java.io.FileNotFoundException => () }
-      }
+    val dir = tableDir(table)
+    val f = fs(dir)
+    val cutoff = System.currentTimeMillis() - gcGraceMs
+    // a concurrent gc/compact may delete a generation between our
+    // listing and the stat — already-gone is success, not failure
+    def rm(g: (Long, String, Path)): Unit =
+      try {
+        if (f.getFileStatus(g._3).getModificationTime < cutoff)
+          f.delete(g._3, true)
+      } catch { case _: java.io.FileNotFoundException => () }
+    if (lastFull > 0) gens.take(lastFull).foreach(rm)
+    // fold-covered originals: reclaimable once the FOLD has aged past
+    // the grace period (the fold's commit is when they became
+    // superseded — their own mtime is arbitrarily old, and a reader
+    // that listed just before the fold must still resolve). Until
+    // then they also keep serving mid-covered-range change-feed
+    // checkpoints and time travel exactly.
+    val folds = gens.flatMap(g =>
+      TableStore.foldStart(g._2).map(c => (c, g._1, g._3)))
+    folds.foreach { case (c, s, fp) =>
+      val foldOld =
+        try f.getFileStatus(fp).getModificationTime < cutoff
+        catch { case _: java.io.FileNotFoundException => false }
+      if (foldOld)
+        gens.filter(g => g._1 >= c && g._1 < s).foreach(rm)
     }
   }
 
@@ -923,6 +1020,61 @@ object TableStore {
   /** Generation kind written by [[TableStore.merge]]/[[TableStore.deleteWhere]]:
     * carries rewritten rows + a tombstone list hiding the originals. */
   private[gdl] val mergeKind = "merge"
+
+  /** A fold generation's kind is `fold<coveredFromSeq>`: the generation
+    * at slot S carries EXACTLY the rows of the delta generations
+    * [coveredFrom, S-1] — a minor compaction. Returns the covered-from
+    * seq, or None for every other kind. */
+  private[gdl] def foldStart(kind: String): Option[Long] =
+    if (kind.startsWith("fold") && kind.length > 4 &&
+        kind.drop(4).forall(_.isDigit)) Some(kind.drop(4).toLong)
+    else None
+
+  /** Drop the generations a fold in `gens` supersedes (seq in
+    * [coveredFrom, foldSeq) of any fold present); the folds themselves
+    * stay. What a CURRENT reader should union — historical readers use
+    * [[coverSlots]], which can still prefer surviving originals. */
+  private[gdl] def dropFoldCovered(gens: Seq[(Long, String, Path)])
+      : Seq[(Long, String, Path)] = {
+    val covered = gens.flatMap(g => foldStart(g._2).map(c => (c, g._1)))
+    if (covered.isEmpty) gens
+    else gens.filter(g =>
+      !covered.exists { case (c, s) => g._1 >= c && g._1 < s })
+  }
+
+  /** Choose, from the on-disk listing `all` (ascending seq), the
+    * generations that exactly carry the data of slots [from, to]
+    * (inclusive): at each slot either a fold STARTING there (preferred —
+    * self-contained, longest first) or the original generation. Each
+    * element is (gen, carriesData): a fold chosen at its start carries
+    * its covered rows; a generation reached as its own slot carries
+    * data unless it is a comp (no data change) or a fold whose covered
+    * range lies BELOW `from` (re-delivering rows the caller already
+    * has). Left(slot) = neither the original nor a usable fold
+    * survives — that history is gone. */
+  private[gdl] def coverSlots(all: Seq[(Long, String, Path)],
+                              from: Long, to: Long)
+      : Either[Long, Seq[((Long, String, Path), Boolean)]] = {
+    val bySeq = all.map(g => g._1 -> g).toMap
+    val foldsByStart = all
+      .filter(g => foldStart(g._2).isDefined)
+      .groupBy(g => foldStart(g._2).get)
+    val out = Seq.newBuilder[((Long, String, Path), Boolean)]
+    var next = from
+    while (next <= to) {
+      foldsByStart.getOrElse(next, Nil).filter(_._1 <= to)
+          .sortBy(-_._1).headOption match {
+        case Some(f) => out += ((f, true)); next = f._1 + 1
+        case None => bySeq.get(next) match {
+          case Some(g) =>
+            out += ((g, g._2 != "comp" && foldStart(g._2).isEmpty))
+            next += 1
+          case None => return Left(next)
+        }
+      }
+    }
+    Right(out.result())
+  }
 
   private[gdl] def serializeReplaces(m: Map[String, Set[String]]): String =
     m.toSeq.sortBy(_._1).flatMap { case (gen, files) =>

@@ -431,6 +431,62 @@ object CurationOps {
              sum(col("n_tokens")).as("tokens_kept"))
         .select(col("source"), col("n_docs_kept"), col("tokens_kept"),
                 col("src_budget"))
+    }),
+
+    // CCNet-style perplexity bucketing: score every doc with the
+    // in-domain bigram LM (q71's exact-long discipline), then split the
+    // corpus into equal-frequency head / middle / tail thirds by score
+    // — head is what CCNet keeps, tail what it drops or downweights.
+    // Scale shape: the per-doc mean is quantized to the exact long grid
+    // ((−sum_lp) div n — both operands non-negative, so truncating and
+    // floor division agree across engines), the tertile boundaries come
+    // from a cumulative window over the VALUE-COUNT table (distinct
+    // quantized means, never the corpus — the q94 equi-depth
+    // discipline), and docs get their bucket from a broadcast of just
+    // the TWO cut values. Ties share a bucket: deterministic, no
+    // doc-order dependence.
+    "q141_perplexity_buckets" -> ((s, d) => {
+      val ts = col("_toks")
+      val bg = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(1), greatest(size(ts) - 1, lit(0))),
+            i => struct(element_at(ts, i).as("w1"),
+                        element_at(ts, i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val scores = bg.join(broadcast(c12), Seq("w1", "w2"))
+        .join(broadcast(c1), Seq("w1"))
+        .select(col("doc_id"),
+          floor(log(col("c12").cast("double") / col("c1").cast("double")) * 1e9)
+            .cast("long").as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("sum_lp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("(-sum_lp) div n_bigrams").as("mean_q"),
+          (col("sum_lp").cast("double") / 1e9 /
+            col("n_bigrams").cast("double")).as("avg_logp"))
+      val vc = scores.groupBy(col("mean_q")).agg(count(lit(1)).as("c"))
+      val tot = vc.agg(sum(col("c")).as("t"))
+      val W = org.apache.spark.sql.expressions.Window
+      val tiled = vc.crossJoin(broadcast(tot))
+        .withColumn("cb", coalesce(sum(col("c")).over(
+          W.orderBy(col("mean_q"))
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("tile", expr("(cb * 3) div t"))
+      val cuts = tiled.agg(
+        min(when(col("tile") >= 1L, col("mean_q"))).as("cut_mid"),
+        min(when(col("tile") >= 2L, col("mean_q"))).as("cut_tail"))
+      scores.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("n_bigrams"), col("avg_logp"),
+          when(col("mean_q") >=
+              coalesce(col("cut_tail"), lit(Long.MaxValue)), lit("tail"))
+            .when(col("mean_q") >=
+              coalesce(col("cut_mid"), lit(Long.MaxValue)), lit("middle"))
+            .otherwise(lit("head")).as("ppl_bucket"))
     })
   )
 
@@ -917,6 +973,49 @@ object CurationOps {
           scored AS (SELECT f.doc_id, ${p(w2)} AS quality
                      FROM f CROSS JOIN w2)
           SELECT doc_id, quality, quality >= 0.4765 AS keep FROM scored"""
-    }
+    },
+
+    "q141_perplexity_buckets" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          bg AS (SELECT doc_id,
+                        toks[CAST(t2.i AS INTEGER)] AS w1,
+                        toks[CAST(t2.i AS INTEGER) + 1] AS w2
+                 FROM t, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS t2(i)),
+          c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                  FROM bg GROUP BY w1, w2),
+          c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+                 FROM bg GROUP BY w1),
+          lp AS (SELECT bg.doc_id,
+                        CAST(floor(ln(CAST(c12.c12 AS DOUBLE)
+                                      / CAST(c1.c1 AS DOUBLE)) * 1e9)
+                             AS BIGINT) AS lp
+                 FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)),
+          sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                        CAST(sum(lp) AS BIGINT) AS sum_lp
+                 FROM lp GROUP BY doc_id),
+          s2 AS (SELECT doc_id, n_bigrams,
+                        (-sum_lp) // n_bigrams AS mean_q,
+                        CAST(sum_lp AS DOUBLE) / 1e9
+                          / CAST(n_bigrams AS DOUBLE) AS avg_logp
+                 FROM sc),
+          vc AS (SELECT mean_q, CAST(count(*) AS BIGINT) AS c
+                 FROM s2 GROUP BY 1),
+          tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM vc),
+          tiled AS (SELECT mean_q,
+                           (CAST(coalesce(sum(c) OVER (ORDER BY mean_q
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT) * 3) // t
+                             AS tile
+                    FROM vc CROSS JOIN tot),
+          cuts AS (SELECT min(CASE WHEN tile >= 1 THEN mean_q END) AS cut_mid,
+                          min(CASE WHEN tile >= 2 THEN mean_q END) AS cut_tail
+                   FROM tiled)
+          SELECT doc_id, n_bigrams, avg_logp,
+                 CASE WHEN mean_q >=
+                        coalesce(cut_tail, 9223372036854775807) THEN 'tail'
+                      WHEN mean_q >=
+                        coalesce(cut_mid, 9223372036854775807) THEN 'middle'
+                      ELSE 'head' END AS ppl_bucket
+          FROM s2 CROSS JOIN cuts"""
   )
 }

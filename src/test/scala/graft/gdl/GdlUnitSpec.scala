@@ -323,10 +323,17 @@ class TableStoreSpec extends AnyFunSuite {
     val store = new TableStore(spark, root, autoCompactDeltas = 3, gcGraceMs = 0L)
     (1 to 10).foreach(i => store.append("t", Seq(i).toDF("x")))
     assert(store.read("t").get.as[Int].collect().sorted.toSeq == (1 to 10))
-    // listings stay bounded: at most one full gen + autoCompactDeltas deltas
+    // reclaim deterministically: backdate dirs (filesystem mtime
+    // granularity must not keep superseded gens inside the 0ms grace)
+    new java.io.File(s"$root/t").listFiles()
+      .filter(_.getName.startsWith("g"))
+      .foreach(_.setLastModified(System.currentTimeMillis() - 60000))
+    store.gc("t")
+    // listings stay bounded: folds collapse the delta runs
     assert(genDirs(root, "t").size <= 4)
-    // compaction commits kind "comp" (whole table, no data change)
-    assert(genDirs(root, "t").exists(_.endsWith("-comp")))
+    // tier-1 auto-maintenance commits FOLD generations (minor
+    // compaction — O(run), never a table rewrite)
+    assert(genDirs(root, "t").exists(_.contains("-fold")))
   }
 
   test("readChangesSince streams appends, skips compaction, rejects overwrite") {

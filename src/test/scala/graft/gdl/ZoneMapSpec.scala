@@ -124,8 +124,9 @@ class ZoneMapSpec extends AnyFunSuite {
     val store = new TableStore(spark,
       java.nio.file.Files.createTempDirectory("zonemap-c").toString,
       autoCompactDeltas = 1, partitioning = Map.empty)
-    threeGens(store) // autoCompact folds along the way
-    assert(store.history("t").exists(_._2 == "comp"))
+    threeGens(store) // autoCompact folds along the way (tier-1: minor)
+    assert(store.history("t")
+      .exists(g => TableStore.foldStart(g._2).isDefined))
     val got = store.readRange("t", "id", 120L, 150L).get
     assert(rows(got) ==
       rows(store.read("t").get.filter($"id".between(120L, 150L))))
