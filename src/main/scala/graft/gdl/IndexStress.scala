@@ -87,7 +87,7 @@ object IndexStress {
     // pairs inside each batch, so the cluster table is non-trivial
     def docsBetween(lo: Long, hi: Long) =
       spark.range(lo, hi).select(col("id").as("doc_id"),
-        when(pmod(col("id"), lit(10)) < 2, (col("id") / 10) * 10)
+        when(pmod(col("id"), lit(10)) < 2, expr("(id div 10) * 10"))
           .otherwise(col("id")).as("_seed"))
         .select(col("doc_id"),
           concat_ws(" ", (1 to 30).map(j =>

@@ -91,6 +91,34 @@ object StoreStress {
     timed("post-delete probe (expect 0 rows)") {
       println(s"""{"post_delete_rows":${store.scan("t", col("id") === needle).get.count()}}""")
     }
+
+    // maintenance-cost asymmetry on the 1M-row table: a full compaction
+    // rewrites everything; a fold touches only the fresh delta tail.
+    // Locally BOTH walls are overhead-dominated (job setup, 16 scans,
+    // commit protocol), so the scale-honest number is BYTES REWRITTEN —
+    // the write-amplification each policy pays per maintenance cycle.
+    def lastGenBytes(table: String): Long = {
+      val (seq, kind) = store.history(table).last
+      val p = new org.apache.hadoop.fs.Path(f"$work/tables/$table/g$seq%07d-$kind")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    }
+    timed("compact: full rewrite of 1M rows") { store.compact("t") }
+    val compactBytes = lastGenBytes("t")
+    (0 until 16).foreach { g =>
+      val lo = 2000000 + g * 1000
+      store.append("t", (lo until lo + 1000)
+        .map(i => (f"${i % 97}%02dk$i%08d", i.toLong)).toDF("id", "v"))
+    }
+    timed("foldDeltas: fold the 16x1k delta tail") {
+      println(s"""{"folded":${store.foldDeltas("t")}}""")
+    }
+    val foldBytes = lastGenBytes("t")
+    println(s"""{"compact_bytes_rewritten":$compactBytes,""" +
+      s""""fold_bytes_rewritten":$foldBytes}""")
+    timed("full read after fold (count)") {
+      println(s"""{"post_fold_count":${store.read("t").get.count()}}""")
+    }
     spark.stop()
   }
 }

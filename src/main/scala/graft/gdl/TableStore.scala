@@ -799,7 +799,7 @@ class TableStore(spark: SparkSession, root: String,
       else done =
         // kind "comp": contains the whole table but changed no data, so
         // incremental readers (readChangesSince) skip it
-        try commit(table, readGenerations(gens), "comp",
+        try commit(table, binPacked(readGenerations(gens), gens), "comp",
           expectedSeq = Some(gens.last._1 + 1))
         catch {
           // a concurrent compactor's gc can delete a snapshot file
@@ -846,7 +846,7 @@ class TableStore(spark: SparkSession, root: String,
         .takeWhile(_._2 == "delta").reverse
       if (run.size < 2) return false
       val done =
-        try commit(table, readGenerations(run),
+        try commit(table, binPacked(readGenerations(run), run),
           f"fold${run.head._1}%07d",
           expectedSeq = Some(gens.last._1 + 1))
         catch { case scala.util.control.NonFatal(_) => false }
@@ -858,6 +858,21 @@ class TableStore(spark: SparkSession, root: String,
       }
     }
     false
+  }
+
+  /** Bin-pack a maintenance rewrite: a union of N generations carries
+    * the SUM of their partition counts, so a fold/compaction of many
+    * small deltas would otherwise write hundreds of near-empty files
+    * (each dragging a per-file stats entry). Target ~one file per
+    * [[TableStore.targetFileBytes]] of input, floor 1; coalesce is a
+    * narrow dependency — no shuffle, maintenance stays O(bytes read). */
+  private def binPacked(df: DataFrame,
+                        gens: Seq[(Long, String, Path)]): DataFrame = {
+    val bytes = gens.map { g =>
+      try fs(g._3).getContentSummary(g._3).getLength
+      catch { case scala.util.control.NonFatal(_) => 0L }
+    }.sum
+    df.coalesce(math.max(1L, bytes / TableStore.targetFileBytes).toInt)
   }
 
   /** Delete superseded generations (those older than the newest full
@@ -1012,6 +1027,10 @@ object TableStore {
     "*_clusters" -> Seq("doc_id"),
     "*_assign" -> Seq("cell"),
     "*_codes" -> Seq("cell"))
+
+  /** Maintenance rewrites aim for one output file per this many input
+    * bytes — the usual lake file-sizing target. */
+  private[gdl] val targetFileBytes: Long = 128L << 20
 
   private[gdl] val zoneMapFile = "_zonemap.tsv"
   private[gdl] val bloomFile = "_bloom.tsv"
@@ -1219,7 +1238,13 @@ object TableStore {
         bridge.expression(col(c).cast("string")),
         bloomBits, bloomHashes).toAggregateExpression()).as(s"bf_$c")
     }
-    val aggs = zoneAggs ++ bloomAggs
+    // per-file row count rides the same pass: it sizes each file's
+    // Bloom width (appended LAST so the bloom columns' index math —
+    // base + i — is untouched)
+    val aggs = zoneAggs ++ bloomAggs ++
+      (if (bloomCols.isEmpty) Nil
+       else Seq(org.apache.spark.sql.functions.count(
+         org.apache.spark.sql.functions.lit(1)).as("_rows")))
     val perFile: Seq[(String, org.apache.spark.sql.Row)] =
       if (aggs.isEmpty)
         df.select(input_file_name().as("_f")).distinct()
@@ -1256,13 +1281,48 @@ object TableStore {
         val b64 = java.util.Base64.getEncoder
         val base = 1 + 2 * eligible.length
         Some(perFile.flatMap { case (file, row) =>
+          val rows = row.getLong(base + bloomCols.length)
           bloomCols.zipWithIndex.map { case (c, i) =>
-            s"${enc(rel(file))}\t${enc(c)}\t$bloomBits\t$bloomHashes\t" +
-              b64.encodeToString(row.getAs[Array[Byte]](base + i))
+            val full = row.getAs[Array[Byte]](base + i)
+            val (bits, bytes) = shrinkBloom(full, bloomBits, rows)
+            s"${enc(rel(file))}\t${enc(c)}\t$bits\t$bloomHashes\t" +
+              b64.encodeToString(bytes)
           }
         }.mkString("", "\n", "\n"))
       }
     (zoneTxt, bloomTxt)
+  }
+
+  /** Right-size a file's sketch to its row count: OR-fold the power-of-2
+    * bitset down to the smallest power of 2 holding ~10 bits/row (floor
+    * 1024). Folding is EXACT for power-of-2 widths — `h mod w` equals
+    * `(h mod W) mod w` whenever w divides W — so the folded sketch is
+    * bit-identical to one built at the smaller width: same membership,
+    * no false negatives, FPP as if sized correctly up front. The width
+    * is written per sidecar line (probes already read it), so a 100-row
+    * file costs ~1 KiB of sidecar instead of the full configured width
+    * — without this, a small-file generation's sidecar dwarfs its data
+    * (measured: a 100-row delta carried 350 KiB of sketches for ~4 KiB
+    * of parquet). A non-power-of-2 configured width disables shrinking
+    * (the mod-compatibility proof needs divisibility). */
+  private[gdl] def shrinkBloom(bytes: Array[Byte], fullBits: Int,
+                               rows: Long): (Int, Array[Byte]) = {
+    if (Integer.bitCount(fullBits) != 1) return (fullBits, bytes)
+    var want = 1024
+    while (want < fullBits && want < 10L * math.max(rows, 1L)) want <<= 1
+    if (want >= fullBits) return (fullBits, bytes)
+    val outBytes = want / 8
+    val out = new Array[Byte](outBytes)
+    var i = 0
+    while (i < bytes.length) {
+      out(i % outBytes) = (out(i % outBytes) | bytes(i)).toByte
+      i += 1
+    }
+    // drop trailing zero bytes like BitSet.toByteArray does (absent
+    // bits read as 0 on the probe side)
+    var last = out.length - 1
+    while (last >= 0 && out(last) == 0) last -= 1
+    (want, out.take(last + 1))
   }
 
   private[gdl] def parseZoneMap(txt: String): Map[String, Map[String, Zone]] =

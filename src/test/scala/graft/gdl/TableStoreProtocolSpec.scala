@@ -45,6 +45,30 @@ class TableStoreProtocolSpec extends AnyFunSuite {
     assert(nested.isEmpty, nested.map(_.getPath).mkString(", "))
   }
 
+  test("appends racing explicit folds never lose rows") {
+    // foldDeltas commits under the expected-slot guard: a delta landing
+    // between its snapshot and its rename must surface in every read —
+    // the fold retries or gives up, it never swallows the delta.
+    val root = java.nio.file.Files.createTempDirectory("store-foldrace").toString
+    val a = new TableStore(spark, root, autoCompactDeltas = 1000)
+    val b = new TableStore(spark, root, autoCompactDeltas = 1000)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val n = 10
+    val fa = Future { (1 to n).foreach(i => a.append("t", Seq(i).toDF("x"))) }
+    val fb = Future { (1 to n).foreach { _ => b.foldDeltas("t") } }
+    Await.result(Future.sequence(Seq(fa, fb)), 300.seconds)
+    pool.shutdown()
+    assert(a.read("t").get.as[Int].collect().sorted.toSeq == (1 to n))
+    assert(b.read("t").get.as[Int].collect().sorted.toSeq == (1 to n))
+    // the change feed over the whole history delivers each row once
+    assert(a.readChangesSince("t", -1L).get.as[Int].collect().sorted.toSeq
+      == (1 to n))
+  }
+
   test("readAt refuses a partial delta chain left by gc stragglers") {
     val root = java.nio.file.Files.createTempDirectory("store-straggler").toString
     val store = new TableStore(spark, root)
