@@ -586,6 +586,124 @@ object Dedup {
       .filter(col("sim") >= threshold)
   }
 
+  /** Mean-center an embedding table — the standard preprocessing that
+    * makes hyperplane LSH (and a cosine threshold) actually selective
+    * on an all-positive embedding space. Raw encoder outputs often
+    * live in one orthant; there, pairwise cosine concentrates near its
+    * (high) mean — measured on the synthetic corpus: MEDIAN pairwise
+    * cosine 0.94 — so every threshold either accepts Θ(n²) pairs or
+    * nothing, and every random hyperplane assigns most vectors the
+    * same side (the LSH gate stops gating). Subtracting the corpus
+    * mean restores contrast: background pairs drop to ≈0 cosine,
+    * true duplicates stay at 1.0.
+    *
+    * Engine-exactness (the oracle recomputes this): the mean is NOT a
+    * float average (accumulation order differs across engines — a
+    * one-ulp mean difference flips bucket codes near a hyperplane).
+    * Each element is quantized to the 1e-9 long grid, summed exactly,
+    * divided by the count as integers (inputs are non-negative, so
+    * truncating and floor division agree), and the centered value is
+    * `x − mean_q/1e9` — every step reproducible bit-for-bit in any
+    * engine. One tiny aggregate row, broadcast; the centering itself
+    * is map-only. */
+  def centerEmbeddings(vecs: DataFrame, dim: Int): DataFrame = {
+    val sums = vecs.agg(
+      count(lit(1)).as("_n"),
+      (1 to dim).map(i =>
+        sum(floor(element_at(col("embedding"), i).cast("double") * 1e9)
+          .cast("long")).as(s"_s$i")): _*)
+    vecs.crossJoin(broadcast(sums))
+      .select(col("id"),
+        array((1 to dim).map(i =>
+          element_at(col("embedding"), i).cast("double") -
+            (expr(s"_s$i div _n").cast("double") / 1e9)): _*).as("embedding"))
+  }
+
+  /** [[embeddingNearDup]] with the Hamming-1 multiprobe that makes the
+    * plane count a FREE scale knob: with plain AND-bucketing the pair
+    * space is ~n²/2^planes but recall decays as p^planes (p = 1−θ/π),
+    * so 2 planes was the only usable point — and 2 planes means 4
+    * buckets, a bucket self-join that is n²/4 BY CONSTRUCTION (the
+    * 10× stress run measured q129 at 47× cost for 10× rows). Probing
+    * every 1-bit flip recovers the pairs that straddle exactly one
+    * hyperplane: recall becomes p^k + k·p^(k−1)(1−p), which at k=8
+    * matches the 2-plane curve while the candidate space drops to
+    * ~(k+1)·n²/2^k — 7× less work at the same recall, and the knob
+    * now scales (production picks k ≈ log2(n/targetBucket), probes
+    * keep the recall). The q75 SimHash discipline gives exactly-once
+    * pairs: side A keys by its own code, side B by its code PLUS every
+    * 1-bit flip, so a pair at code distance ≤ 1 collides on EXACTLY
+    * one key and `id_a < id_b` kills the mirror orientation. Verify is
+    * exact cosine. Output: (id_a, id_b, sim ≥ threshold). */
+  def embeddingNearDupProbed(vecs: DataFrame, threshold: Double,
+                             nPlanes: Int, dim: Int): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val withCode = vecs.select(
+      col("id"), col("embedding"),
+      hyperplaneBucket(col("embedding"), nPlanes, dim).as("code"),
+      norm(col("embedding")).as("nrm"))
+    val a = withCode.select(col("code").as("key"), col("id").as("id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val flips = lit(0L) +: (0 until nPlanes).map(j => lit(1L << j))
+    val b = withCode.select(col("id").as("id_b"),
+        col("embedding").as("emb_b"), col("nrm").as("nrm_b"),
+        explode(array(flips.map(f => col("code").bitwiseXOR(f)): _*)).as("key"))
+    a.join(b, Seq("key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (when(col("nrm_a") * col("nrm_b") === 0.0, lit(0.0))
+        .otherwise(dot(col("emb_a"), col("emb_b"))
+          / (col("nrm_a") * col("nrm_b")))).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Embedding duplicate clusters with the exact-identity COLLAPSE a
+    * production pipeline runs first: group bit-identical vectors (one
+    * hash-groupBy), run the probed near-dup join and the component
+    * closure over one REPRESENTATIVE per group, then expand labels
+    * back to members. Returns (doc_id, cluster_id) — provably equal to
+    * `connectedComponents(embeddingNearDupProbed(centered vecs))`:
+    *
+    *  - identical vectors share a bucket code (d = 0 always collides),
+    *    so the naive graph contains each identity group as a clique —
+    *    collapsing the clique to its min-id member preserves
+    *    components;
+    *  - members are bit-identical to their rep, so a member pair
+    *    (a, b) exists iff the rep pair (rep_a, rep_b) exists, with the
+    *    same sim — rep pairs ARE the quotient graph;
+    *  - the rep is the group's min id, so the component min over reps
+    *    equals the component min over members — cluster ids match;
+    *  - a group of ≥ 2 members with no external pair is a component by
+    *    itself in the naive graph (its internal clique) — emitted with
+    *    cluster = rep; a singleton with no pair is emitted by neither.
+    *
+    * Scale: this is what makes near-dup clustering survive a corpus
+    * with heavy exact duplication (the 10× stress corpus is 10
+    * bit-identical copies of everything): the pair join and the
+    * closure run over n_distinct nodes, and the member-level Θ(dup²)
+    * pair blowup never materializes. Centering happens BEFORE the
+    * collapse, over the full table with multiplicity — the exact mean
+    * the naive plan uses. */
+  def embeddingDupClusters(vecs: DataFrame, threshold: Double,
+                           nPlanes: Int, dim: Int): DataFrame = {
+    val centered = centerEmbeddings(vecs, dim)
+      .localCheckpoint(eager = true) // feeds the group-by AND the join back
+    val groups = centered.groupBy(col("embedding"))
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("grp_n"))
+    val memb = centered.join(groups, Seq("embedding"))
+      .select(col("id"), col("rep"), col("grp_n"))
+    val reps = centered.join(
+      groups.select(col("rep").as("id")), Seq("id"), "left_semi")
+    val repCC = connectedComponents(
+      embeddingNearDupProbed(reps, threshold, nPlanes, dim)
+        .select(col("id_a"), col("id_b")))
+      .select(col("doc_id").as("rep"), col("cluster_id"))
+    memb.join(repCC, Seq("rep"), "left")
+      .filter(col("cluster_id").isNotNull || col("grp_n") >= 2L)
+      .select(col("id").as("doc_id"),
+        coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
+  }
+
   /** Embedding near-dup pairs between a NEW batch and an already-
     * ingested corpus — [[minhashLshAcross]]'s vector-side analogue.
     * The hyperplane family is parameter-determined (data-independent),

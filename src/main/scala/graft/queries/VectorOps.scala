@@ -154,13 +154,21 @@ object VectorOps {
         nprobe = 2, k = 5)
     }),
 
-    // Embedding-cosine near-dup pairs, LSH-bucketed (the dedup scale
-    // path: bucket equi-join candidates, exact-cosine verify).
+    // Embedding-cosine near-dup pairs: corpus MEAN-CENTERED (the raw
+    // space is all-positive — median pairwise cosine 0.94, where no
+    // threshold and no hyperplane separates anything), then
+    // LSH-bucketed with Hamming-1 multiprobe (8 planes = 256 buckets
+    // bound the candidate join, the 1-bit-flip probes keep recall for
+    // the near-identical pairs dedup exists for), exact-cosine verify.
+    // The 10× stress run forced both fixes: the old 2-plane uncentered
+    // form emitted 90.7M pairs at sf1 — 45% of ALL pairs — and its
+    // 4-bucket join was n²/4 by construction.
     "q35_embedding_neardup" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
         .select(col("vec_id").as("id"), col("embedding"))
-      graft.operators.Dedup.embeddingNearDup(e, threshold = 0.3,
-        nPlanes = 2, dim = 64)
+      graft.operators.Dedup.embeddingNearDupProbed(
+        graft.operators.Dedup.centerEmbeddings(e, 64),
+        threshold = 0.3, nPlanes = 8, dim = 64)
     }),
 
     // IVF health / retrain-trigger monitor: per-cell member counts,
@@ -203,14 +211,20 @@ object VectorOps {
     }),
 
     // Embedding-dup canonicalization — q44's shape on the vector side:
-    // LSH-bucketed cosine pairs (q35) → connected components →
+    // centered LSH-probed cosine pairs → connected components →
     // (vec_id, cluster_id) with the min id canonical. What an
-    // embedding-level dedup pipeline actually drops rows by.
+    // embedding-level dedup pipeline actually drops rows by. On a
+    // corpus with heavy EXACT duplication, Dedup.embeddingDupClusters
+    // computes the identical result over one representative per
+    // identity group (spec-pinned equal); this corpus has no exact
+    // dups, so the direct plan skips the collapse's two extra shuffles.
     "q126_embedding_dup_clusters" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
         .select(col("vec_id").as("id"), col("embedding"))
       val pairs = graft.operators.Dedup
-        .embeddingNearDup(e, threshold = 0.3, nPlanes = 2, dim = 64)
+        .embeddingNearDupProbed(
+          graft.operators.Dedup.centerEmbeddings(e, 64),
+          threshold = 0.3, nPlanes = 8, dim = 64)
         .select(col("id_a"), col("id_b"))
       graft.operators.Dedup.connectedComponents(pairs)
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
@@ -229,9 +243,13 @@ object VectorOps {
       // (see embeddingNearDupAcross's contract) — bucket once, join
       // once, split the PAIRS by the id boundary instead of bucketing
       // the corpus twice and the batch twice; checkpointed because the
-      // three consumers + the iterative cc would each re-run the join
-      val pairs = D.embeddingNearDup(e, threshold = 0.3, nPlanes = 2,
-          dim = 64)
+      // three consumers + the iterative cc would each re-run the join.
+      // The centering mean is computed ONCE over the full table here;
+      // a production incremental path freezes the corpus mean at index
+      // build time (the IVF frozen-quantizer discipline) so batch codes
+      // stay comparable with stored ones
+      val pairs = D.embeddingNearDupProbed(D.centerEmbeddings(e, 64),
+          threshold = 0.3, nPlanes = 8, dim = 64)
         .select(col("id_a"), col("id_b"))
         .localCheckpoint(eager = true)
       val stored = D.connectedComponents(
@@ -420,27 +438,49 @@ object VectorOps {
     })
   )
 
-  /** q35's bucketed embedding near-dup pairs in SQL — also the pair
-    * source for q126's cluster closure, so the two stay in lockstep. */
+  /** q35's multiprobed embedding near-dup pairs in SQL — also the pair
+    * source for q126's cluster closure, so the two stay in lockstep.
+    * Mirrors Dedup.embeddingNearDupProbed at 8 planes: side a keys by
+    * its own code, side b by code XOR each of {0, 1<<0..1<<7}, so a
+    * pair at code distance ≤ 1 joins on exactly one key. */
   private lazy val embeddingNearDupSql: String = {
     val planeSql = (j: Int) =>
       s"""list_transform(range(1, 65),
             i -> (CAST('0x' || substr(md5('${j}_' || CAST(i AS VARCHAR)), 1, 4)
                        AS BIGINT) - 32768) / 32768.0)"""
-    val bits = (0 until 2).map { j =>
+    val bits = (0 until 8).map { j =>
       s"""CASE WHEN (SELECT ${dotSql("e.embedding", "p")}
                      FROM (SELECT ${planeSql(j)} AS p)) >= 0.0
                THEN ${1L << j} ELSE 0 END"""
     }.mkString(" + ")
-    s"""WITH b AS (SELECT vec_id AS id, embedding,
-                          CAST($bits AS BIGINT) AS bucket,
+    val flipList = (Seq(0L) ++ (0 until 8).map(j => 1L << j)).mkString(", ")
+    // exact-grid corpus mean per dimension (see Dedup.centerEmbeddings:
+    // quantized long sums + integer division — order-free, so both
+    // engines compute the identical mean and identical centered values)
+    val sumCols = (1 to 64).map(i =>
+      s"""CAST(sum(CAST(floor(CAST(embedding[$i] AS DOUBLE) * 1e9)
+              AS BIGINT)) AS BIGINT) AS s$i""").mkString(",\n               ")
+    val centered = (1 to 64).map(i =>
+      s"CAST(embedding[$i] AS DOUBLE) - (CAST(s$i // n AS DOUBLE) / 1e9)")
+      .mkString("[", ",\n                 ", "]")
+    s"""WITH cm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               $sumCols
+             FROM embeddings),
+        e AS (SELECT vec_id AS id,
+                 $centered AS embedding
+              FROM embeddings CROSS JOIN cm),
+        b AS (SELECT id, embedding,
+                          CAST($bits AS BIGINT) AS code,
                           sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
-                   FROM embeddings e),
-        p AS (SELECT a.id AS id_a, b2.id AS id_b, a.bucket,
-                     (${dotSql("a.embedding", "b2.embedding")})
-                       / (a.nrm * b2.nrm) AS sim
-              FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id)
-        SELECT id_a, id_b, bucket, sim FROM p WHERE sim >= 0.3"""
+                   FROM e),
+        pr AS (SELECT id, embedding, nrm,
+                      xor(code, CAST(t.f AS BIGINT)) AS key
+               FROM b, unnest([$flipList]) AS t(f)),
+        p AS (SELECT a.id AS id_a, q.id AS id_b,
+                     (${dotSql("a.embedding", "q.embedding")})
+                       / (a.nrm * q.nrm) AS sim
+              FROM b a JOIN pr q ON a.code = q.key AND a.id < q.id)
+        SELECT id_a, id_b, sim FROM p WHERE sim >= 0.3"""
   }
 
   /** q126/q129's shared oracle: recursive-CTE component closure over

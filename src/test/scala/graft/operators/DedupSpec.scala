@@ -23,6 +23,31 @@ class DedupSpec extends AnyFunSuite {
     (7L, "unrelated content again entirely else")
   ).toDF("doc_id", "text")
 
+  test("embeddingDupClusters (identity collapse) equals the naive pairs->CC plan") {
+    // the real embeddings table plus EXACT copies of a slice under
+    // shifted ids — the corpus shape the collapse exists for
+    val base = graft.Tables.load(spark, graft.TestSpark.sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val copies = base.filter(col("id") % 3 === 0)
+      .select((col("id") + 100000L).as("id"), col("embedding"))
+    val copies2 = base.filter(col("id") % 5 === 0)
+      .select((col("id") + 200000L).as("id"), col("embedding"))
+    val vecs = base.union(copies).union(copies2)
+    val collapsed = Dedup.embeddingDupClusters(vecs,
+        threshold = 0.3, nPlanes = 8, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = Dedup.connectedComponents(
+        Dedup.embeddingNearDupProbed(Dedup.centerEmbeddings(vecs, 64),
+            threshold = 0.3, nPlanes = 8, dim = 64)
+          .select(col("id_a"), col("id_b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(collapsed == naive)
+    assert(collapsed.nonEmpty)
+    // the copies really exercised the collapse: every copied id labels
+    // with (at least) its original
+    assert(collapsed.exists(_._1 >= 100000L))
+  }
+
   test("semanticDedup drops within-cell near-identicals, keep-first") {
     // two tight groups around orthogonal axes + one isolate; centroids
     // on the axes so the groups land in separate cells
