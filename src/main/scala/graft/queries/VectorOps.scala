@@ -230,6 +230,64 @@ object VectorOps {
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
     }),
 
+    // The exact-identity-collapse form of q126: group bit-identical
+    // vectors, run the probed pair join + component closure over one
+    // representative per group, expand labels back. Value-equal to
+    // q126 BY THE QUOTIENT-GRAPH ARGUMENT (Dedup.embeddingDupClusters
+    // scaladoc) — the driver verifies that equality against q126's
+    // from-scratch SQL. On a corpus with heavy exact duplication this
+    // is the only shape that survives (the member-level pair space is
+    // Θ(dup²)); this corpus has no exact dups, so here it degenerates
+    // gracefully to the direct plan plus one groupBy.
+    "q142_embedding_dedup_collapsed" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      graft.operators.Dedup
+        .embeddingDupClusters(e, threshold = 0.3, nPlanes = 8, dim = 64)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    }),
+
+    // Recall measurement for the centered probed family (the q139
+    // discipline on the vector side): exact ground truth from a
+    // BROADCAST SAMPLE (ids < 200) against the whole corpus — linear
+    // in corpus, never the n² an unrestricted exact pair set would be
+    // (cosine has no shared-support trick like q139's shingles) —
+    // versus the probed pairs touching the sample. Approx pairs are
+    // exact-verified, so precision is 1 by construction; recall is
+    // the Hamming-≤1 collision probability the family trades on.
+    "q143_embedding_recall" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      val D = graft.operators.Dedup
+      val centered = D.centerEmbeddings(e, 64)
+        .localCheckpoint(eager = true) // feeds ground truth AND the probed join
+      val sample = centered.filter(col("id") < 200L)
+        .select(col("id").as("s_id"), col("embedding").as("s_emb"))
+      import graft.functions.VectorFunctions.{dot, norm}
+      val denom = norm(col("embedding")) * norm(col("s_emb"))
+      val truth = centered.crossJoin(broadcast(sample))
+        .filter(col("id") =!= col("s_id"))
+        .select(least(col("id"), col("s_id")).as("id_a"),
+          greatest(col("id"), col("s_id")).as("id_b"),
+          when(denom === 0.0, lit(0.0))
+            .otherwise(dot(col("embedding"), col("s_emb")) / denom).as("sim"))
+        .filter(col("sim") >= 0.3)
+        .select(col("id_a"), col("id_b")).distinct()
+      val ap = D.embeddingNearDupProbed(centered,
+          threshold = 0.3, nPlanes = 8, dim = 64)
+        .filter(col("id_a") < 200L || col("id_b") < 200L)
+        .select(col("id_a"), col("id_b"))
+      val ne = truth.agg(count(lit(1)).as("n_exact"))
+      val na = ap.agg(count(lit(1)).as("n_approx"))
+      val nh = truth.join(ap, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("n_caught"))
+      ne.crossJoin(na).crossJoin(nh)
+        .select(col("n_exact"), col("n_approx"), col("n_caught"),
+          when(col("n_exact") === 0L, lit(0L))
+            .otherwise(expr("n_caught * 1000000L div n_exact"))
+            .as("recall_ppm"))
+    }),
+
     // q127's shape on the vector side: stored corpus clusters
     // (vec_id ≥ 200) + one batch folded in through the cross bucket
     // join and mergeClusters. Shares q126's from-scratch oracle —
@@ -454,21 +512,7 @@ object VectorOps {
                THEN ${1L << j} ELSE 0 END"""
     }.mkString(" + ")
     val flipList = (Seq(0L) ++ (0 until 8).map(j => 1L << j)).mkString(", ")
-    // exact-grid corpus mean per dimension (see Dedup.centerEmbeddings:
-    // quantized long sums + integer division — order-free, so both
-    // engines compute the identical mean and identical centered values)
-    val sumCols = (1 to 64).map(i =>
-      s"""CAST(sum(CAST(floor(CAST(embedding[$i] AS DOUBLE) * 1e9)
-              AS BIGINT)) AS BIGINT) AS s$i""").mkString(",\n               ")
-    val centered = (1 to 64).map(i =>
-      s"CAST(embedding[$i] AS DOUBLE) - (CAST(s$i // n AS DOUBLE) / 1e9)")
-      .mkString("[", ",\n                 ", "]")
-    s"""WITH cm AS (SELECT CAST(count(*) AS BIGINT) AS n,
-               $sumCols
-             FROM embeddings),
-        e AS (SELECT vec_id AS id,
-                 $centered AS embedding
-              FROM embeddings CROSS JOIN cm),
+    s"""WITH $embeddingPairsPrefixSql,
         b AS (SELECT id, embedding,
                           CAST($bits AS BIGINT) AS code,
                           sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
@@ -481,6 +525,25 @@ object VectorOps {
                        / (a.nrm * q.nrm) AS sim
               FROM b a JOIN pr q ON a.code = q.key AND a.id < q.id)
         SELECT id_a, id_b, sim FROM p WHERE sim >= 0.3"""
+  }
+
+  /** The shared `cm`/`e` CTE pair: exact-grid corpus mean per dimension
+    * (see Dedup.centerEmbeddings: quantized long sums + integer
+    * division — order-free, so both engines compute the identical mean
+    * and identical centered values), and the centered table. */
+  private lazy val embeddingPairsPrefixSql: String = {
+    val sumCols = (1 to 64).map(i =>
+      s"""CAST(sum(CAST(floor(CAST(embedding[$i] AS DOUBLE) * 1e9)
+              AS BIGINT)) AS BIGINT) AS s$i""").mkString(",\n               ")
+    val centered = (1 to 64).map(i =>
+      s"CAST(embedding[$i] AS DOUBLE) - (CAST(s$i // n AS DOUBLE) / 1e9)")
+      .mkString("[", ",\n                 ", "]")
+    s"""cm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               $sumCols
+             FROM embeddings),
+        e AS (SELECT vec_id AS id,
+                 $centered AS embedding
+              FROM embeddings CROSS JOIN cm)"""
   }
 
   /** q126/q129's shared oracle: recursive-CTE component closure over
@@ -737,6 +800,30 @@ object VectorOps {
 
     // q44's recursive-CTE component closure over q35's pair graph.
     "q126_embedding_dup_clusters" -> embeddingClustersSql,
+
+    // value-equal to q126 by the quotient-graph proof — the oracle IS
+    // the from-scratch closure, so the driver checks the equality
+    "q142_embedding_dedup_collapsed" -> embeddingClustersSql,
+
+    "q143_embedding_recall" ->
+      s"""WITH $embeddingPairsPrefixSql,
+          truth AS (SELECT DISTINCT least(s.id, c.id) AS id_a,
+                           greatest(s.id, c.id) AS id_b
+                    FROM e c JOIN e s ON s.id < 200 AND c.id <> s.id
+                    WHERE (${dotSql("c.embedding", "s.embedding")})
+                          / (sqrt(${dotSql("c.embedding", "c.embedding")})
+                             * sqrt(${dotSql("s.embedding", "s.embedding")}))
+                            >= 0.3),
+          ap AS (SELECT id_a, id_b FROM ($embeddingNearDupSql) q
+                 WHERE id_a < 200 OR id_b < 200),
+          ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM truth),
+          na AS (SELECT CAST(count(*) AS BIGINT) AS n_approx FROM ap),
+          nh AS (SELECT CAST(count(*) AS BIGINT) AS n_caught
+                 FROM truth JOIN ap USING (id_a, id_b))
+          SELECT n_exact, n_approx, n_caught,
+                 CASE WHEN n_exact = 0 THEN 0
+                      ELSE n_caught * 1000000 // n_exact END AS recall_ppm
+          FROM ne CROSS JOIN na CROSS JOIN nh""",
 
     // Same oracle on purpose: the hyperplane family is data-independent
     // and the verify is exact cosine, so the incremental path's three
