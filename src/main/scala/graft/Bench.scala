@@ -102,7 +102,12 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.filter(_._2 >= 0).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"failed":$failedJson,"sf":"$sfDir"}""")
+    // shuffle map on its OWN earlier line: the driver keeps the TAIL of
+    // stdout, and r6's combined line was truncated mid-shuffle_bytes,
+    // losing every wall time. The metric line ends with `queries` so a
+    // tail cut can only cost the (separately printed) shuffle map.
+    println(s"""{"metric":"shuffle_bytes","unit":"bytes","shuffle_bytes":$sh}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson,"queries":$qs}""")
     spark.stop()
   }
 }

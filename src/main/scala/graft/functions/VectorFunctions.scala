@@ -60,4 +60,36 @@ object VectorFunctions {
     (0 until nPlanes).map { j =>
       when(dot(v, hyperplane(j, dim)) >= 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** All `nPlanes` hyperplane dot-product signs in ONE pass: the plane
+    * matrix rides as a single array<array<double>> literal and the
+    * fold runs as loop-shaped higher-order-function code, so generated
+    * code size is O(1) in the plane count — inlining 64 separate
+    * [[dot]] expressions in one projection blows Janino's heap during
+    * compilation (observed as a spurious "Not enough memory to build
+    * and broadcast"). The per-plane fold is the same left-to-right
+    * aggregate-over-zip_with shape as [[dot]], so each sign is
+    * bit-identical to `dot(v, hyperplane(j, dim)) >= 0.0`. */
+  def hyperplaneSigns(v: Column, nPlanes: Int, dim: Int): Column = {
+    val planes = typedLit((0 until nPlanes).map(j => hyperplaneWeights(j, dim)))
+    transform(planes, p =>
+      aggregate(zip_with(v, p, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x) >= 0.0)
+  }
+
+  /** OR-of-bands LSH keys: `bands` keys per vector, band l's key =
+    * l·2^planesPerBand + its sign code over planes l·k..l·k+k−1 (bit t
+    * = plane l·k+t) — globally unique per (band, code), so one
+    * equi-join covers all bands at once. Loop-shaped like
+    * [[hyperplaneSigns]] for the same codegen-size reason. */
+  def bandKeys(v: Column, bands: Int, planesPerBand: Int, dim: Int): Column = {
+    val signs = hyperplaneSigns(v, bands * planesPerBand, dim)
+    val pow2 = typedLit((0 until planesPerBand).map(t => 1L << t))
+    transform(sequence(lit(0), lit(bands - 1)), l =>
+      aggregate(sequence(lit(0), lit(planesPerBand - 1)), lit(0L),
+        (acc, t) => acc + when(
+          element_at(signs, l * planesPerBand + t + 1),
+          element_at(pow2, t + 1)).otherwise(lit(0L)))
+        + l.cast("long") * lit(1L << planesPerBand))
+  }
 }

@@ -352,6 +352,19 @@ class TableStore(spark: SparkSession, root: String,
     Some(readGenerationsWhere(gens, predicate))
   }
 
+  /** True iff `column` exists in the parquet schema of EVERY live
+    * generation of `table` (false for an absent table). Footer-only —
+    * no data rows are read. The soundness gate for physical pruning on
+    * an EVOLVED column: old generations read the column as null via
+    * unionByName, so a `col IN (...)` scan predicate would silently
+    * drop every pre-evolution row; callers must fall back to an
+    * unpruned read when this is false. */
+  def columnInAllGenerations(table: String, column: String): Boolean = {
+    val gens = liveGenerations(table)
+    gens.nonEmpty && gens.forall(g =>
+      spark.read.parquet(g._3.toString).schema.fieldNames.contains(column))
+  }
+
   /** The zone-map-pruned read: per generation, all files kept (read the
     * dir — cheapest, normal partition discovery), a subset (read the
     * kept files under the generation's basePath so `col=value/`

@@ -601,23 +601,36 @@ object Dedup {
     * float average (accumulation order differs across engines — a
     * one-ulp mean difference flips bucket codes near a hyperplane).
     * Each element is quantized to the 1e-9 long grid, summed exactly,
-    * divided by the count as integers (inputs are non-negative, so
-    * truncating and floor division agree), and the centered value is
-    * `x − mean_q/1e9` — every step reproducible bit-for-bit in any
-    * engine. One tiny aggregate row, broadcast; the centering itself
-    * is map-only. */
-  def centerEmbeddings(vecs: DataFrame, dim: Int): DataFrame = {
-    val sums = vecs.agg(
+    * divided by the count as integers — Spark's `div` and DuckDB's
+    * integer `//` BOTH truncate toward zero (verified empirically:
+    * DuckDB 1.0 gives −7 // 2 = −3; ADVICE r6 suspected a floor/
+    * truncate split, DedupSpec pins the negative-sum parity) — and the
+    * centered value is `x − mean_q/1e9`: every step reproducible
+    * bit-for-bit in any engine. One tiny aggregate row, broadcast; the
+    * centering itself is map-only. */
+  def centerEmbeddings(vecs: DataFrame, dim: Int): DataFrame =
+    centerWith(vecs, quantizedSums(vecs, dim), dim)
+
+  /** The one-row exact-grid sum table feeding [[centerWith]]:
+    * (_n, _s1.._sdim) with each _si the exact long sum of
+    * floor(x·1e9). Split out so a FROZEN corpus mean can center a
+    * different table (the decontam benchmark side, an incremental
+    * batch) with the indexed corpus's own mean — the frozen-quantizer
+    * discipline: codes stay comparable across tables and time. */
+  def quantizedSums(vecs: DataFrame, dim: Int): DataFrame =
+    vecs.agg(
       count(lit(1)).as("_n"),
       (1 to dim).map(i =>
         sum(floor(element_at(col("embedding"), i).cast("double") * 1e9)
           .cast("long")).as(s"_s$i")): _*)
+
+  /** Subtract the grid mean carried by `sums` from every vector. */
+  def centerWith(vecs: DataFrame, sums: DataFrame, dim: Int): DataFrame =
     vecs.crossJoin(broadcast(sums))
       .select(col("id"),
         array((1 to dim).map(i =>
           element_at(col("embedding"), i).cast("double") -
             (expr(s"_s$i div _n").cast("double") / 1e9)): _*).as("embedding"))
-  }
 
   /** [[embeddingNearDup]] with the Hamming-1 multiprobe that makes the
     * plane count a FREE scale knob: with plain AND-bucketing the pair
@@ -676,6 +689,12 @@ object Dedup {
     *  - a group of ≥ 2 members with no external pair is a component by
     *    itself in the naive graph (its internal clique) — emitted with
     *    cluster = rep; a singleton with no pair is emitted by neither.
+    *    EXCEPT a zero-norm group under threshold > 0: the probed join
+    *    forces sim = 0.0 for zero-norm pairs, so the naive graph has
+    *    no internal clique there and emits nothing — the collapsed
+    *    plan matches by excluding zero-norm groups from the grp_n ≥ 2
+    *    branch (under threshold ≤ 0 those forced-0.0 pairs ARE edges,
+    *    so the branch stays; ADVICE r6).
     *
     * Scale: this is what makes near-dup clustering survive a corpus
     * with heavy exact duplication (the 10× stress corpus is 10
@@ -690,16 +709,21 @@ object Dedup {
       .localCheckpoint(eager = true) // feeds the group-by AND the join back
     val groups = centered.groupBy(col("embedding"))
       .agg(min(col("id")).as("rep"), count(lit(1)).as("grp_n"))
+      .withColumn("grp_zero",
+        !exists(col("embedding"), x => x =!= lit(0.0)))
     val memb = centered.join(groups, Seq("embedding"))
-      .select(col("id"), col("rep"), col("grp_n"))
+      .select(col("id"), col("rep"), col("grp_n"), col("grp_zero"))
     val reps = centered.join(
       groups.select(col("rep").as("id")), Seq("id"), "left_semi")
     val repCC = connectedComponents(
       embeddingNearDupProbed(reps, threshold, nPlanes, dim)
         .select(col("id_a"), col("id_b")))
       .select(col("doc_id").as("rep"), col("cluster_id"))
+    val groupEmits =
+      if (threshold > 0.0) col("grp_n") >= 2L && !col("grp_zero")
+      else col("grp_n") >= 2L
     memb.join(repCC, Seq("rep"), "left")
-      .filter(col("cluster_id").isNotNull || col("grp_n") >= 2L)
+      .filter(col("cluster_id").isNotNull || groupEmits)
       .select(col("id").as("doc_id"),
         coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
   }

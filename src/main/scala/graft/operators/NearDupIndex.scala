@@ -220,9 +220,18 @@ final class NearDupIndex(store: TableStore, name: String,
         .filter(col("_rn") === 1).drop("_rn")
         .select(col("doc_id"), col("cluster_id"))
     }.getOrElse {
-      val spark = required(epoch, "sig").sparkSession
-      import spark.implicits._
-      Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+      // the empty/absent fallback mirrors the STORED schema: an index
+      // built over string doc ids must return string-typed doc_id here
+      // too, or callers that union/compare against the populated path
+      // hit a type mismatch (ADVICE r6). Only a never-built clusters
+      // table falls back to the (long, long) default.
+      store.read(t(epoch, "clusters"))
+        .map(_.limit(0).select(col("doc_id"), col("cluster_id")))
+        .getOrElse {
+          val spark = required(epoch, "sig").sparkSession
+          import spark.implicits._
+          Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+        }
     }
   }
 

@@ -232,12 +232,19 @@ final class VectorIndex(store: TableStore, name: String,
       .getOrElse(required(epoch, "assign"))
     // pre-layout epochs stored codes without the cell column — readable
     // forever, just without code-side pruning; cell is dropped either
-    // way (the scorer joins codes on vec_id alone)
+    // way (the scorer joins codes on vec_id alone). Pruning is gated on
+    // the column existing in EVERY generation: a mixed table (old
+    // generations null-filled by unionByName) would lose pre-layout
+    // rows to `cell IN (...)` — those nulls fail the IN and their
+    // vectors vanish from the inner-joined scorer (ADVICE r6).
+    val codesTable = t(epoch, "codes")
     val codes0 = required(epoch, "codes")
     val codes =
-      if (codes0.columns.contains("cell"))
-        store.scan(t(epoch, "codes"), pred).map(_.drop("cell"))
+      if (codes0.columns.contains("cell") &&
+          store.columnInAllGenerations(codesTable, "cell"))
+        store.scan(codesTable, pred).map(_.drop("cell"))
           .getOrElse(codes0.drop("cell"))
+      else if (codes0.columns.contains("cell")) codes0.drop("cell")
       else codes0
     // the ONE scorer, shared with Pq.ivfPqTopK, over the stored tables:
     // probe selection and tie-breaks cannot diverge between the

@@ -13,6 +13,14 @@ object CurationOps {
 
   private val bm25Terms = Seq("fast", "vector", "stream")
 
+  // Bigram index list [1 .. size-1], EMPTY for 0/1-token docs: Spark's
+  // sequence(1, 0) yields the DESCENDING [1, 0], which would evaluate
+  // element_at at index 0 / past the array end (ANSI runtime error)
+  // where DuckDB's range(1, 1) is cleanly empty (ADVICE r6).
+  private def bigramIdx(ts: org.apache.spark.sql.Column) =
+    when(size(ts) >= 2, sequence(lit(1), size(ts) - 1))
+      .otherwise(array().cast("array<int>"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination: docs with doc_id % 50 == 0 stand in for
     // a held-out benchmark; every training doc sharing word-3-gram
@@ -80,7 +88,7 @@ object CurationOps {
         .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("_toks"))
         .select(col("doc_id"),
           explode(transform(
-            sequence(lit(1), greatest(size(ts) - 1, lit(0))),
+            bigramIdx(ts),
             i => struct(element_at(ts, i).as("w1"),
                         element_at(ts, i + 1).as("w2")))).as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
@@ -110,7 +118,7 @@ object CurationOps {
         .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("_toks"))
         .select(col("doc_id"),
           explode(transform(
-            sequence(lit(1), greatest(size(ts) - 1, lit(0))),
+            bigramIdx(ts),
             i => struct(element_at(ts, i).as("w1"),
                         element_at(ts, i + 1).as("w2")))).as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
@@ -141,7 +149,7 @@ object CurationOps {
         .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("_toks"))
         .select(col("doc_id"),
           explode(transform(
-            sequence(lit(1), greatest(size(ts) - 1, lit(0))),
+            bigramIdx(ts),
             i => struct(element_at(ts, i).as("w1"),
                         element_at(ts, i + 1).as("w2")))).as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
@@ -452,7 +460,7 @@ object CurationOps {
           graft.functions.TextFunctions.tokens(col("text")).as("_toks"))
         .select(col("doc_id"),
           explode(transform(
-            sequence(lit(1), greatest(size(ts) - 1, lit(0))),
+            bigramIdx(ts),
             i => struct(element_at(ts, i).as("w1"),
                         element_at(ts, i + 1).as("w2")))).as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))

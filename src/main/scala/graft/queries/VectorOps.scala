@@ -318,62 +318,70 @@ object VectorOps {
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
     }),
 
-    // Semantic decontamination: training vectors near-cosine-identical
-    // to a benchmark embedding (vec_id < 20 plays the benchmark set) —
-    // catches paraphrases that share no n-gram with q63's check. Bucket
-    // equi-join with the benchmark side broadcast; one corpus scan.
+    // Semantic decontamination over CENTERED embeddings: training
+    // vectors near-cosine-identical to a benchmark embedding (vec_id
+    // < 20 plays the benchmark set) — catches paraphrases that share
+    // no n-gram with q63's check. The corpus mean is frozen from the
+    // TRAIN side (the mean an index build would have stored) and
+    // centers both sides, making the 0.3 verdict semantic instead of
+    // the uncentered space's bucket coincidence (median background
+    // cosine 0.94 — VERDICT r6). OR-of-16-bands × 4 planes: recall
+    // 0.93 measured (q121) where AND-probing holds 0.17; benchmark
+    // side broadcast, one corpus scan, zero shuffles.
     "q117_semantic_decontam" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
         .select(col("vec_id").as("id"), col("embedding"))
-      graft.operators.Decontaminate.semantic(
+      graft.operators.Decontaminate.semanticBanded(
         e.filter(col("id") >= 20L), e.filter(col("id") < 20L),
-        threshold = 0.3, nPlanes = 2, dim = 64)
+        threshold = 0.3, bands = 16, planesPerBand = 4, dim = 64)
     }),
 
-    // q117 with Hamming-1 multiprobe on the benchmark side: each bench
-    // vector also probes every 1-bit-flipped bucket, recovering pairs
-    // that straddle exactly one hyperplane. Pairs collide on exactly
-    // one probe key, so the equi-join emits each once.
+    // The AND-family counterpart on the same centered space: one
+    // 8-plane code, Hamming-1 multiprobe on the benchmark side. Kept
+    // as a first-class query so q121 can MEASURE the band-vs-probe
+    // recall gap instead of asserting it.
     "q120_semantic_decontam_mp" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
         .select(col("vec_id").as("id"), col("embedding"))
+      val (t, b) = graft.operators.Decontaminate.centered(
+        e.filter(col("id") >= 20L), e.filter(col("id") < 20L), dim = 64)
       graft.operators.Decontaminate.semanticProbed(
-        e.filter(col("id") >= 20L), e.filter(col("id") < 20L),
-        threshold = 0.3, nPlanes = 2, dim = 64)
+        t, b, threshold = 0.3, nPlanes = 8, dim = 64)
     }),
 
     // LSH decontamination recall, measured not guessed: per benchmark
     // vector, how many of the exact-cosine contamination pairs the
-    // single-bucket (q117) and multiprobe (q120) variants each recover.
-    // The exact side is a broadcast-bench × one-corpus-scan count — the
+    // banded (q117) and multiprobe (q120) variants each recover. The
+    // exact side is a broadcast-bench × one-corpus-scan count — the
     // same shape as q26, not a shuffled pair space.
     "q121_semantic_decontam_recall" -> ((s, d) => {
       import graft.functions.VectorFunctions._
+      val D = graft.operators.Decontaminate
       val e = Tables.load(s, d, "embeddings")
         .select(col("vec_id").as("id"), col("embedding"))
       val train = e.filter(col("id") >= 20L)
       val bench = e.filter(col("id") < 20L)
-      val exact = train
+      val (tc, bc) = D.centered(train, bench, dim = 64)
+      val exact = tc
         .select(col("id").as("train_id"), col("embedding").as("t_emb"),
                 norm(col("embedding")).as("t_nrm"))
-        .crossJoin(broadcast(bench.select(col("id").as("bench_id"),
+        .crossJoin(broadcast(bc.select(col("id").as("bench_id"),
           col("embedding").as("b_emb"), norm(col("embedding")).as("b_nrm"))))
         .filter(dot(col("t_emb"), col("b_emb"))
           / (col("t_nrm") * col("b_nrm")) >= 0.3)
         .groupBy(col("bench_id")).agg(count(lit(1)).as("n_exact"))
       def counted(df: org.apache.spark.sql.DataFrame, as: String) =
         df.groupBy(col("bench_id")).agg(count(lit(1)).as(as))
-      val single = counted(graft.operators.Decontaminate.semantic(
-        train, bench, 0.3, 2, 64), "n_single")
-      val probed = counted(graft.operators.Decontaminate.semanticProbed(
-        train, bench, 0.3, 2, 64), "n_probed")
-      exact.join(single, Seq("bench_id"), "left")
+      val banded = counted(D.semanticBanded(
+        train, bench, 0.3, bands = 16, planesPerBand = 4, dim = 64), "n_banded")
+      val probed = counted(D.semanticProbed(tc, bc, 0.3, 8, 64), "n_probed")
+      exact.join(banded, Seq("bench_id"), "left")
         .join(probed, Seq("bench_id"), "left")
         .select(col("bench_id"), col("n_exact"),
-          coalesce(col("n_single"), lit(0L)).as("n_single"),
+          coalesce(col("n_banded"), lit(0L)).as("n_banded"),
           coalesce(col("n_probed"), lit(0L)).as("n_probed"))
-        .withColumn("recall_single",
-          col("n_single").cast("double") / col("n_exact").cast("double"))
+        .withColumn("recall_banded",
+          col("n_banded").cast("double") / col("n_exact").cast("double"))
         .withColumn("recall_probed",
           col("n_probed").cast("double") / col("n_exact").cast("double"))
     }),
@@ -545,6 +553,59 @@ object VectorOps {
                  $centered AS embedding
               FROM embeddings CROSS JOIN cm)"""
   }
+
+  private def decontamPlaneSql(j: Int): String =
+    s"""list_transform(range(1, 65),
+          i -> (CAST('0x' || substr(md5('${j}_' || CAST(i AS VARCHAR)), 1, 4)
+                     AS BIGINT) - 32768) / 32768.0)"""
+
+  /** The decontam family's centered prefix — like
+    * [[embeddingPairsPrefixSql]] but the corpus mean is frozen from
+    * the TRAIN split only (vec_id >= 20): the mean an index build over
+    * the train corpus would store, applied to both sides so codes stay
+    * comparable (mirrors Decontaminate.centered). */
+  private lazy val decontamCenteredPrefixSql: String = {
+    val sumCols = (1 to 64).map(i =>
+      s"""CAST(sum(CAST(floor(CAST(embedding[$i] AS DOUBLE) * 1e9)
+              AS BIGINT)) AS BIGINT) AS s$i""").mkString(",\n               ")
+    val centered = (1 to 64).map(i =>
+      s"CAST(embedding[$i] AS DOUBLE) - (CAST(s$i // n AS DOUBLE) / 1e9)")
+      .mkString("[", ",\n                 ", "]")
+    s"""cm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               $sumCols
+             FROM embeddings WHERE vec_id >= 20),
+        e AS (SELECT vec_id AS id,
+                 $centered AS embedding
+              FROM embeddings CROSS JOIN cm)"""
+  }
+
+  /** 16 per-band key columns k0..k15; band l's key = l·16 + its 4-bit
+    * sign code over planes 4l..4l+3 (mirrors semanticBanded's keys). */
+  private lazy val decontamBandCodesSql: String =
+    (0 until 16).map { l =>
+      val bits = (0 until 4).map { t =>
+        s"""CASE WHEN (SELECT ${dotSql("e.embedding", "p")}
+                       FROM (SELECT ${decontamPlaneSql(l * 4 + t)} AS p)) >= 0.0
+                 THEN ${1 << t} ELSE 0 END"""
+      }.mkString(" + ")
+      s"CAST(${l * 16} + $bits AS BIGINT) AS k$l"
+    }.mkString(",\n               ")
+
+  private lazy val decontamAnyBandSql: String =
+    (0 until 16).map(l => s"t.k$l = q.k$l").mkString(" OR ")
+
+  private lazy val decontamFirstBandSql: String =
+    "CASE " +
+      (0 until 16).map(l => s"WHEN t.k$l = q.k$l THEN $l").mkString(" ") +
+      " END"
+
+  /** The 8-plane AND-code over the centered table (q120/q121). */
+  private lazy val decontamCode8Sql: String =
+    (0 until 8).map { j =>
+      s"""CASE WHEN (SELECT ${dotSql("e.embedding", "p")}
+                     FROM (SELECT ${decontamPlaneSql(j)} AS p)) >= 0.0
+               THEN ${1L << j} ELSE 0 END"""
+    }.mkString(" + ")
 
   /** q126/q129's shared oracle: recursive-CTE component closure over
     * the full-table embedding near-dup pair graph. */
@@ -832,93 +893,68 @@ object VectorOps {
     // clustering the whole table from scratch.
     "q129_incremental_embedding_clusters" -> embeddingClustersSql,
 
-    // q35's bucketed LSH across the train/bench split: the benchmark
-    // side is ids < 20, train is the rest; same hyperplane family.
-    "q117_semantic_decontam" -> {
-      val planeSql = (j: Int) =>
-        s"""list_transform(range(1, 65),
-              i -> (CAST('0x' || substr(md5('${j}_' || CAST(i AS VARCHAR)), 1, 4)
-                         AS BIGINT) - 32768) / 32768.0)"""
-      val bits = (0 until 2).map { j =>
-        s"""CASE WHEN (SELECT ${dotSql("e.embedding", "p")}
-                       FROM (SELECT ${planeSql(j)} AS p)) >= 0.0
-                 THEN ${1L << j} ELSE 0 END"""
-      }.mkString(" + ")
-      s"""WITH b AS (SELECT vec_id AS id, embedding,
-                            CAST($bits AS BIGINT) AS bucket,
-                            sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
-                     FROM embeddings e),
-          p AS (SELECT t.id AS train_id, q.id AS bench_id, t.bucket,
+    // q35's centered family across the train/bench split, OR-of-bands:
+    // the corpus mean is frozen from the TRAIN side (vec_id >= 20),
+    // centers both sides, and a pair is a candidate if any of 16
+    // 4-plane band codes matches; the reported band is the FIRST
+    // colliding one (the Spark side's exactly-once discipline).
+    "q117_semantic_decontam" ->
+      s"""WITH $decontamCenteredPrefixSql,
+          b AS (SELECT id, embedding, $decontamBandCodesSql,
+                       sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
+                FROM e),
+          p AS (SELECT t.id AS train_id, q.id AS bench_id,
+                       CAST(${decontamFirstBandSql} AS BIGINT) AS band,
                        (${dotSql("t.embedding", "q.embedding")})
                          / (t.nrm * q.nrm) AS sim
-                FROM b t JOIN b q ON t.bucket = q.bucket
+                FROM b t JOIN b q ON (${decontamAnyBandSql})
                  AND t.id >= 20 AND q.id < 20)
-          SELECT train_id, bench_id, bucket, sim FROM p WHERE sim >= 0.3"""
-    },
+          SELECT train_id, bench_id, band, sim FROM p WHERE sim >= 0.3""",
 
-    // q117's join widened to bucket Hamming ≤ 1 (the multiprobe
-    // equi-join and this θ-join agree pair-for-pair: a pair at bucket
-    // distance d ≤ 1 collides on exactly one probe key).
-    "q120_semantic_decontam_mp" -> {
-      val planeSql = (j: Int) =>
-        s"""list_transform(range(1, 65),
-              i -> (CAST('0x' || substr(md5('${j}_' || CAST(i AS VARCHAR)), 1, 4)
-                         AS BIGINT) - 32768) / 32768.0)"""
-      val bits = (0 until 2).map { j =>
-        s"""CASE WHEN (SELECT ${dotSql("e.embedding", "p")}
-                       FROM (SELECT ${planeSql(j)} AS p)) >= 0.0
-                 THEN ${1L << j} ELSE 0 END"""
-      }.mkString(" + ")
-      s"""WITH b AS (SELECT vec_id AS id, embedding,
-                            CAST($bits AS BIGINT) AS bucket,
-                            sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
-                     FROM embeddings e),
+    // The AND-family counterpart on the same centered space: 8-plane
+    // code, bucket Hamming ≤ 1 (the multiprobe equi-join and this
+    // θ-join agree pair-for-pair: a pair at bucket distance d ≤ 1
+    // collides on exactly one probe key).
+    "q120_semantic_decontam_mp" ->
+      s"""WITH $decontamCenteredPrefixSql,
+          b AS (SELECT id, embedding,
+                       CAST($decontamCode8Sql AS BIGINT) AS bucket,
+                       sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
+                FROM e),
           p AS (SELECT t.id AS train_id, q.id AS bench_id, t.bucket,
                        (${dotSql("t.embedding", "q.embedding")})
                          / (t.nrm * q.nrm) AS sim
                 FROM b t JOIN b q ON bit_count(xor(t.bucket, q.bucket)) <= 1
                  AND t.id >= 20 AND q.id < 20)
-          SELECT train_id, bench_id, bucket, sim FROM p WHERE sim >= 0.3"""
-    },
+          SELECT train_id, bench_id, bucket, sim FROM p WHERE sim >= 0.3""",
 
-    "q121_semantic_decontam_recall" -> {
-      val planeSql = (j: Int) =>
-        s"""list_transform(range(1, 65),
-              i -> (CAST('0x' || substr(md5('${j}_' || CAST(i AS VARCHAR)), 1, 4)
-                         AS BIGINT) - 32768) / 32768.0)"""
-      val bits = (0 until 2).map { j =>
-        s"""CASE WHEN (SELECT ${dotSql("e.embedding", "p")}
-                       FROM (SELECT ${planeSql(j)} AS p)) >= 0.0
-                 THEN ${1L << j} ELSE 0 END"""
-      }.mkString(" + ")
-      s"""WITH b AS (SELECT vec_id AS id, embedding,
-                            CAST($bits AS BIGINT) AS bucket,
-                            sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
-                     FROM embeddings e),
+    "q121_semantic_decontam_recall" ->
+      s"""WITH $decontamCenteredPrefixSql,
+          b AS (SELECT id, embedding, $decontamBandCodesSql,
+                       CAST($decontamCode8Sql AS BIGINT) AS bucket,
+                       sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
+                FROM e),
           sims AS (SELECT t.id AS train_id, q.id AS bench_id,
-                          t.bucket AS t_bucket, q.bucket AS q_bucket,
+                          (${decontamAnyBandSql}) AS banded,
+                          bit_count(xor(t.bucket, q.bucket)) <= 1 AS probed,
                           (${dotSql("t.embedding", "q.embedding")})
                             / (t.nrm * q.nrm) AS sim
                    FROM b t JOIN b q ON t.id >= 20 AND q.id < 20),
           ex AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS n_exact
                  FROM sims WHERE sim >= 0.3 GROUP BY bench_id),
-          sg AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS n_single
-                 FROM sims WHERE sim >= 0.3 AND t_bucket = q_bucket
-                 GROUP BY bench_id),
+          bd AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS n_banded
+                 FROM sims WHERE sim >= 0.3 AND banded GROUP BY bench_id),
           pr AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS n_probed
-                 FROM sims WHERE sim >= 0.3
-                  AND bit_count(xor(t_bucket, q_bucket)) <= 1
-                 GROUP BY bench_id)
+                 FROM sims WHERE sim >= 0.3 AND probed GROUP BY bench_id)
           SELECT ex.bench_id, ex.n_exact,
-                 coalesce(sg.n_single, 0) AS n_single,
+                 coalesce(bd.n_banded, 0) AS n_banded,
                  coalesce(pr.n_probed, 0) AS n_probed,
-                 CAST(coalesce(sg.n_single, 0) AS DOUBLE)
-                   / CAST(ex.n_exact AS DOUBLE) AS recall_single,
+                 CAST(coalesce(bd.n_banded, 0) AS DOUBLE)
+                   / CAST(ex.n_exact AS DOUBLE) AS recall_banded,
                  CAST(coalesce(pr.n_probed, 0) AS DOUBLE)
                    / CAST(ex.n_exact AS DOUBLE) AS recall_probed
-          FROM ex LEFT JOIN sg ON sg.bench_id = ex.bench_id
-                  LEFT JOIN pr ON pr.bench_id = ex.bench_id"""
-    },
+          FROM ex LEFT JOIN bd ON bd.bench_id = ex.bench_id
+                  LEFT JOIN pr ON pr.bench_id = ex.bench_id""",
 
     // IVF drift monitor: a2 is the kmeans CTEs' FINAL euclidean
     // assignment (same fold, same tie-break); distances recomputed

@@ -39,6 +39,70 @@ class CurationSpec extends AnyFunSuite {
     assert(byId(200L).getDouble(3) == 0.0)
   }
 
+  test("banded semantic decontam: brute-force parity, exactly-once pairs") {
+    import graft.functions.VectorFunctions._
+    val e = graft.Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val train = e.filter(col("id") >= 20L)
+    val bench = e.filter(col("id") < 20L)
+    val got = Decontaminate.semanticBanded(train, bench,
+        threshold = 0.3, bands = 16, planesPerBand = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exactly-once: one row per (train, bench) pair even when several
+    // bands collide
+    assert(got.map(p => (p._1, p._2)).distinct.length == got.length)
+    // independent expectation: collect the centered vectors and redo
+    // everything in plain Scala — brute-force cross product, any-band
+    // collision, FIRST colliding band, left-to-right double folds
+    // (the same IEEE accumulation order as the engine's HOF folds)
+    val (tcDf, bcDf) = Decontaminate.centered(train, bench, 64)
+    def grab(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val tc = grab(tcDf); val bc = grab(bcDf)
+    def dotS(a: Array[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    def keysOf(v: Array[Double]): Seq[Long] = (0 until 16).map { l =>
+      (0 until 4).map { t =>
+        if (dotS(v, hyperplaneWeights(l * 4 + t, 64)) >= 0.0) 1L << t else 0L
+      }.sum + l * 16L
+    }
+    val want = for {
+      (tid, te) <- tc.toSeq
+      (bid, be) <- bc.toSeq
+      m = keysOf(te).zip(keysOf(be)).map(p => p._1 == p._2)
+      if m.contains(true)
+      denom = math.sqrt(dotS(te, te.toSeq)) * math.sqrt(dotS(be, be.toSeq))
+      sim = if (denom == 0.0) 0.0 else dotS(te, be.toSeq) / denom
+      if sim >= 0.3
+    } yield (tid, bid, m.indexWhere(identity).toLong)
+    assert(got.toSet == want.toSet)
+    assert(got.nonEmpty)
+  }
+
+  test("bigram queries survive 0- and 1-token docs (descending-sequence guard)") {
+    // Spark's sequence(1, 0) is the DESCENDING [1, 0] — the unguarded
+    // bigram expansion evaluated element_at(toks, 0) (ANSI error) on
+    // short docs where DuckDB's range(1, 1) is empty (ADVICE r6).
+    // A corpus dir whose documents table is mostly short docs:
+    val dir = java.nio.file.Files.createTempDirectory("shortdocs").toString
+    Seq(
+      (1L, "", "en", "web", 0L),
+      (2L, "single", "en", "web", 6L),
+      (3L, "   ", "en", "web", 3L),
+      (4L, "two words and more here", "en", "web", 23L),
+      (5L, "alpha beta alpha beta gamma", "en", "web", 27L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    for (q <- Seq("q71_bigram_lm", "q79_repetition", "q141_perplexity_buckets")) {
+      val rows = graft.queries.CurationOps.queries(q)(spark, dir).collect()
+      // only the two >=2-token docs can contribute bigrams
+      assert(rows.nonEmpty, q)
+      assert(!rows.exists(r => r.getLong(0) == 1L || r.getLong(0) == 2L), q)
+    }
+  }
+
   test("bm25: more term hits rank higher; termless docs score zero") {
     val docs = Seq(
       (1L, "x x y y"),

@@ -195,6 +195,26 @@ class DedupMergeSpec extends AnyFunSuite {
       s"absent-key probe read $read of $total files — sidecars not pruning")
   }
 
+  test("clusterOf empty fallback mirrors a string-id index's schema") {
+    // an index over STRING doc ids: the no-match path must return the
+    // stored (string, string) schema, not a hardcoded (long, long) —
+    // callers union the point read with the populated path (ADVICE r6)
+    val root = java.nio.file.Files.createTempDirectory("dupclu-str").toString
+    val store = new TableStore(spark, root)
+    val idx = new NearDupIndex(store, "dup")
+    val sdocs = docs.select(concat(lit("d-"), col("doc_id")).as("doc_id"),
+      col("text"))
+    idx.build(sdocs, "doc_id", "text")
+    idx.buildClusters(sdocs, "doc_id", "text")
+    val populated = idx.clusterOf(Seq("d-1"))
+    val empty = idx.clusterOf(Seq.empty) // the fallback path
+    assert(empty.isEmpty)
+    assert(empty.schema.map(f => (f.name, f.dataType)) ==
+           populated.schema.map(f => (f.name, f.dataType)))
+    // unioning the two paths — the caller shape that used to break
+    assert(populated.unionByName(empty).count() == populated.count())
+  }
+
   test("streamed ingest equals one-shot ingest") {
     val root = java.nio.file.Files.createTempDirectory("dupclu-stream").toString
     val idx = new NearDupIndex(new TableStore(spark, root), "dup")

@@ -48,6 +48,49 @@ class DedupSpec extends AnyFunSuite {
     assert(collapsed.exists(_._1 >= 100000L))
   }
 
+  test("zero-norm identity group: collapse matches the naive plan's silence") {
+    // an ALL-identical corpus centers to the zero vector (values on
+    // the exact 1e-9 grid so mean subtraction is exact): the probed
+    // join forces sim = 0.0 for zero-norm pairs, so the naive plan
+    // emits NO cluster — the collapsed plan's grp_n >= 2 branch must
+    // not emit one either (ADVICE r6)
+    val vecs = Seq(
+      (1L, Array(0.5f, 0.25f, 0.125f, 0.75f)),
+      (2L, Array(0.5f, 0.25f, 0.125f, 0.75f)),
+      (3L, Array(0.5f, 0.25f, 0.125f, 0.75f))
+    ).toDF("id", "embedding")
+    val naive = Dedup.connectedComponents(
+        Dedup.embeddingNearDupProbed(Dedup.centerEmbeddings(vecs, 4),
+            threshold = 0.3, nPlanes = 2, dim = 4)
+          .select(col("id_a"), col("id_b")))
+      .collect()
+    val collapsed = Dedup.embeddingDupClusters(vecs,
+        threshold = 0.3, nPlanes = 2, dim = 4)
+      .collect()
+    assert(naive.isEmpty)
+    assert(collapsed.isEmpty)
+  }
+
+  test("centerEmbeddings negative-sum mean matches DuckDB's truncating //") {
+    // a NEGATIVE per-dimension quantized sum, not divisible by n — the
+    // case ADVICE r6 flagged as a floor-vs-truncate engine split.
+    // Empirically BOTH engines truncate toward zero (DuckDB 1.0:
+    // −7 // 2 = −3), so the contract is truncation, pinned here:
+    // s = floor(double(−0.3f)·1e9) + 2·floor(double(0.1f)·1e9)
+    //   = −300000012 + 2·100000001 = −100000010, n = 3 →
+    // mean_q = −33333336 (floor division would give −33333337).
+    val xs = Seq((1L, Array(-0.3f)), (2L, Array(0.1f)), (3L, Array(0.1f)))
+    val centered = Dedup.centerEmbeddings(xs.toDF("id", "embedding"), 1)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).head)).toMap
+    val qs = xs.map { case (_, a) => math.floor(a(0).toDouble * 1e9).toLong }
+    val mean = qs.sum / xs.size // JVM / truncates — the shared semantics
+    assert(mean * xs.size.toLong != qs.sum) // the inexact-division case
+    assert(mean == -33333336L)
+    xs.foreach { case (id, a) =>
+      assert(centered(id) == a(0).toDouble - mean.toDouble / 1e9)
+    }
+  }
+
   test("semanticDedup drops within-cell near-identicals, keep-first") {
     // two tight groups around orthogonal axes + one isolate; centroids
     // on the axes so the groups land in separate cells

@@ -158,6 +158,33 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(asSet(idx.search(queries, nprobe = 2, k = 5)) == clean)
   }
 
+  test("mixed-generation codes table (pre-layout epoch + refresh) loses no vectors") {
+    // an index built BEFORE the inverted-list layout stored codes
+    // without the `cell` column; a refresh with the current code then
+    // appends a generation WITH it. unionByName null-fills the old
+    // rows, and a `cell IN (probed)` scan predicate would silently
+    // drop every pre-layout vector from search (ADVICE r6) — pruning
+    // must disable itself unless EVERY generation carries the column.
+    val root = java.nio.file.Files.createTempDirectory("vecidx-mixed").toString
+    val store = new TableStore(spark, root)
+    val idx = new VectorIndex(store, "ann",
+      m = 4, subDim = 16, codebookK = 4, trainIters = 1)
+    val half = corpus.filter(col("id") % 2 === 0)
+    val rest = corpus.filter(col("id") % 2 =!= 0)
+    idx.build(half, coarse)
+    // strip `cell` from the built epoch's codes = the pre-layout shape
+    store.overwrite("ann_e0_codes",
+      store.read("ann_e0_codes").get.drop("cell")
+        .localCheckpoint(eager = true))
+    idx.refresh(rest) // appends a generation WITH cell → mixed table
+    val oneShot = freshIndex()
+    oneShot.build(half, coarse)
+    oneShot.refresh(rest)
+    val q = corpus.filter(col("id") < 5L)
+    assert(asSet(idx.search(q, nprobe = 2, k = 5)) ==
+           asSet(oneShot.search(q, nprobe = 2, k = 5)))
+  }
+
   test("a crash between refresh's two appends heals on replay") {
     val root = java.nio.file.Files.createTempDirectory("vecidx-crash").toString
     val store = new TableStore(spark, root)
