@@ -55,11 +55,24 @@ object VectorFunctions {
     }
   }
 
-  /** Random-hyperplane LSH bucket id from `nPlanes` sign bits. */
+  /** Random-hyperplane LSH bucket id from `nPlanes` sign bits. Small
+    * counts inline one codegen'd [[dot]] per plane (the hot oracle
+    * paths are 2-8 planes); larger counts switch to the loop-shaped
+    * [[hyperplaneSigns]] — bit-identical values — because inlined dot
+    * literals grow generated code linearly and ~64 of them in one
+    * projection OOM Janino. */
   def hyperplaneBucket(v: Column, nPlanes: Int, dim: Int): Column =
-    (0 until nPlanes).map { j =>
-      when(dot(v, hyperplane(j, dim)) >= 0.0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    if (nPlanes <= 16)
+      (0 until nPlanes).map { j =>
+        when(dot(v, hyperplane(j, dim)) >= 0.0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    else {
+      val signs = hyperplaneSigns(v, nPlanes, dim)
+      val pow2 = typedLit((0 until nPlanes).map(j => 1L << j))
+      aggregate(sequence(lit(0), lit(nPlanes - 1)), lit(0L),
+        (acc, j) => acc + when(element_at(signs, j + 1),
+          element_at(pow2, j + 1)).otherwise(lit(0L)))
+    }
 
   /** All `nPlanes` hyperplane dot-product signs in ONE pass: the plane
     * matrix rides as a single array<array<double>> literal and the

@@ -61,10 +61,32 @@ class Importer(spark: SparkSession, storageRoot: String) extends Serializable {
     mapper.writeValueAsString(root)
   }
 
+  /** Transient-vs-deterministic failure taxonomy ≙ the reference's
+    * RequestTimeout → TemporaryFailure split
+    * (/root/reference/backend/import_asset_file/task.py:30-37): IO
+    * errors other than not-found (timeouts, resets, flaky NFS/S3) are
+    * retryable; a missing source or malformed metadata never heals by
+    * retrying. */
+  private def isTransient(e: Throwable): Boolean = e match {
+    case _: java.io.FileNotFoundException => false
+    case _: java.io.IOException => true
+    case _ => false
+  }
+
   /** Copy all manifest rows of one asset type for a version. Returns the
-    * per-file report (order-insensitive, like the reference's copy jobs). */
+    * per-file report (order-insensitive, like the reference's copy jobs).
+    *
+    * Transient IO failures are retried IN the task up to `maxAttempts`
+    * (the reference's copy fleet re-drives TemporaryFailure rows; a
+    * Spark task retry would redo the whole partition, and local mode
+    * has none at all) and reported `TemporaryFailure` only once the
+    * attempts are exhausted — so one NFS/S3 hiccup no longer
+    * permanently fails a file per run, and what's left as temporary is
+    * honestly re-drivable by the caller. Deterministic errors stay
+    * `PermanentFailure` on the first attempt. */
   def importAssets(assets: Dataset[ProcessingAssetRow], reader: UrlReader,
-                   titlePrefix: String, assetType: String): Dataset[CopyResult] = {
+                   titlePrefix: String, assetType: String,
+                   maxAttempts: Int = 3): Dataset[CopyResult] = {
     import assets.sparkSession.implicits._
     val root = storageRoot
     val rewrite = assetType == "METADATA"
@@ -73,7 +95,9 @@ class Importer(spark: SparkSession, storageRoot: String) extends Serializable {
       val conf = new Configuration()
       it.map { a =>
         val newKey = s"$titlePrefix/${a.version_id}/${basename(a.url)}"
-        try {
+        def attemptOnce(): CopyResult = {
+          // fs.create(overwrite = true) makes a retried half-written
+          // target start clean
           val target = new Path(s"$root/$newKey")
           val fs = target.getFileSystem(conf)
           val out = fs.create(target, true)
@@ -91,11 +115,23 @@ class Importer(spark: SparkSession, storageRoot: String) extends Serializable {
           } finally { in.close(); out.close() }
           CopyResult(a.dataset_id, a.version_id, a.asset_type, a.url, newKey,
             "Succeeded", "")
-        } catch {
-          case e: Exception =>
-            CopyResult(a.dataset_id, a.version_id, a.asset_type, a.url, newKey,
-              "PermanentFailure", s"Exception: ${e.getMessage}")
         }
+        var attempt = 0
+        var result: CopyResult = null
+        while (result == null) {
+          attempt += 1
+          try result = attemptOnce()
+          catch {
+            case e: Exception if isTransient(e) && attempt < maxAttempts =>
+              () // retry the row
+            case e: Exception =>
+              val code =
+                if (isTransient(e)) "TemporaryFailure" else "PermanentFailure"
+              result = CopyResult(a.dataset_id, a.version_id, a.asset_type,
+                a.url, newKey, code, s"Exception: ${e.getMessage}")
+          }
+        }
+        result
       }
     }
   }

@@ -74,6 +74,27 @@ object StoreStress {
     val (kept, listed) = store.scanFileCounts("t", col("id") === needle)
     println(s"""{"scanFileCounts_kept":$kept,"scanFileCounts_listed":$listed}""")
 
+    // large-file sizing: 4 generations x 2 files x 250k rows — the
+    // 128 MiB bin-packed maintenance shape where the old 2^18 default
+    // degraded to ~2.6 bits/row and pruned nothing (VERDICT r6 #7)
+    val bigStore = new TableStore(spark, s"$work/big",
+      partitioning = Map.empty, bloomColumns = Map("t" -> Seq("id")))
+    timed("ingest 4x500k as 250k-row files") {
+      (0 until 4).foreach { g =>
+        val lo = g * 500000
+        bigStore.append("t", (lo until lo + 500000)
+          .map(i => (f"${i % 97}%02dk$i%08d", i.toLong)).toDF("id", "v")
+          .repartition(2))
+      }
+    }
+    val bigNeedle = f"${777777 % 97}%02dk${777777}%08d"
+    val (bigKept, bigListed) =
+      bigStore.scanFileCounts("t", col("id") === bigNeedle)
+    val (bigAbsKept, _) =
+      bigStore.scanFileCounts("t", col("id") === "zz_absent")
+    println(s"""{"bigfile_probe_kept":$bigKept,"bigfile_listed":$bigListed,""" +
+      s""""bigfile_absent_kept":$bigAbsKept}""")
+
     // merge 100 scattered keys into the 1M-row table
     val updates = (0 until 100)
       .map(i => (f"${i * 9973 % 97}%02dk${i * 9973}%08d", -1L)).toDF("id", "v")

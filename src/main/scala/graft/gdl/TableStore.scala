@@ -61,17 +61,31 @@ import org.apache.spark.sql.functions.{col, desc, row_number}
   *                     sidecar is what keeps an id lookup O(matching
   *                     files) on an append-mostly 100 TB table without
   *                     a clustering rewrite
-  * @param bloomBitsPerFile Bloom width per (file, column) sketch; at
-  *                     10 bits/row that holds ~bits/10 rows at ~1% FPP.
-  *                     Int on purpose: a per-file bitset beyond 2^31
-  *                     bits (256 MiB) would dwarf the data it indexes
+  * @param bloomBitsPerFile CAP on the per-(file, column) Bloom build
+  *                     width. The actual width is sized per commit
+  *                     from its footer-only row count
+  *                     ([[TableStore.bloomWidthFor]]: ~10 bits/row for
+  *                     the commit total, so the worst file keeps ~1%
+  *                     FPP) and each file's sidecar is then OR-folded
+  *                     down to its own count ([[TableStore.shrinkBloom]])
+  *                     — a small delta pays small-delta buffers, and a
+  *                     250k-row bin-packed file still prunes (the old
+  *                     FIXED 2^18 width silently fell to ~2.6 bits/row
+  *                     past ~26k rows/file and passed everything). The
+  *                     default cap 2^25 bounds the transient build
+  *                     buffer at 4 MiB per file × column (shuffled once
+  *                     as partial-agg state; a task reads ~1 file under
+  *                     default split sizing) and covers ~3.3M rows/file
+  *                     — beyond any 128 MiB layout's row count. Int on
+  *                     purpose: a per-file bitset beyond 2^31 bits
+  *                     (256 MiB) would dwarf the data it indexes
   */
 class TableStore(spark: SparkSession, root: String,
                  autoCompactDeltas: Int = 64,
                  gcGraceMs: Long = 10L * 60 * 1000,
                  partitioning: Map[String, Seq[String]] = TableStore.defaultPartitioning,
                  bloomColumns: Map[String, Seq[String]] = TableStore.defaultBloomColumns,
-                 bloomBitsPerFile: Int = 1 << 18) {
+                 bloomBitsPerFile: Int = 1 << 25) {
   require(bloomBitsPerFile > 0, "bloomBitsPerFile must be positive")
 
   private def layout(table: String): Seq[String] =
@@ -592,8 +606,17 @@ class TableStore(spark: SparkSession, root: String,
       val bloomCols = bloomColsFor(table).filter(c =>
         df.schema.fields.exists(fd =>
           fd.name == c && graft.gdl.expr.BloomSidecar.eligibleType(fd.dataType)))
+      // build width sized from THIS commit's row count (a footer-only
+      // count — no column data): every file holds ≤ the commit total,
+      // so the width covers the worst file at ~10 bits/row, a small
+      // delta's build buffers stay small-delta-sized, and shrinkBloom
+      // still folds each FILE's sidecar down to its own row count.
+      // bloomBitsPerFile is the CAP (buffer-size bound), not the width.
+      val width =
+        if (bloomCols.isEmpty) bloomBitsPerFile
+        else TableStore.bloomWidthFor(df.count(), bloomBitsPerFile)
       val (zoneTxt, bloomTxt) = TableStore.computeStats(df, tmp.toString,
-        bloomCols, bloomBitsPerFile, TableStore.bloomHashes)
+        bloomCols, width, TableStore.bloomHashes)
       // stage-and-rename INSIDE the staged dir: a mid-write failure must
       // not leave a TRUNCATED stats file behind (missing (file, column)
       // lines read as "column absent" = skippable — silently wrong
@@ -1304,6 +1327,19 @@ object TableStore {
         }.mkString("", "\n", "\n"))
       }
     (zoneTxt, bloomTxt)
+  }
+
+  /** Commit-time Bloom BUILD width: smallest power of 2 holding ~10
+    * bits/row for the whole commit (floor 2^13, cap `cap`). The commit
+    * total bounds every file's rows, so the worst file keeps ~1% FPP;
+    * [[shrinkBloom]] then folds each file's sidecar to its OWN count.
+    * A non-power-of-2 cap disables the sizing (and the fold) — the
+    * mod-compatibility proof needs divisibility. */
+  private[gdl] def bloomWidthFor(totalRows: Long, cap: Int): Int = {
+    if (Integer.bitCount(cap) != 1) return cap
+    var w = 1 << 13
+    while (w < cap && w < 10L * math.max(totalRows, 1L)) w <<= 1
+    w.min(cap)
   }
 
   /** Right-size a file's sketch to its row count: OR-fold the power-of-2

