@@ -55,54 +55,40 @@ object VectorFunctions {
     }
   }
 
-  /** Random-hyperplane LSH bucket id from `nPlanes` sign bits. Small
-    * counts inline one codegen'd [[dot]] per plane (the hot oracle
-    * paths are 2-8 planes); larger counts switch to the loop-shaped
-    * [[hyperplaneSigns]] — bit-identical values — because inlined dot
-    * literals grow generated code linearly and ~64 of them in one
-    * projection OOM Janino. */
-  def hyperplaneBucket(v: Column, nPlanes: Int, dim: Int): Column =
-    if (nPlanes <= 16)
-      (0 until nPlanes).map { j =>
-        when(dot(v, hyperplane(j, dim)) >= 0.0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    else {
-      val signs = hyperplaneSigns(v, nPlanes, dim)
-      val pow2 = typedLit((0 until nPlanes).map(j => 1L << j))
-      aggregate(sequence(lit(0), lit(nPlanes - 1)), lit(0L),
-        (acc, j) => acc + when(element_at(signs, j + 1),
-          element_at(pow2, j + 1)).otherwise(lit(0L)))
-    }
-
-  /** All `nPlanes` hyperplane dot-product signs in ONE pass: the plane
-    * matrix rides as a single array<array<double>> literal and the
-    * fold runs as loop-shaped higher-order-function code, so generated
-    * code size is O(1) in the plane count — inlining 64 separate
-    * [[dot]] expressions in one projection blows Janino's heap during
-    * compilation (observed as a spurious "Not enough memory to build
-    * and broadcast"). The per-plane fold is the same left-to-right
-    * aggregate-over-zip_with shape as [[dot]], so each sign is
-    * bit-identical to `dot(v, hyperplane(j, dim)) >= 0.0`. */
-  def hyperplaneSigns(v: Column, nPlanes: Int, dim: Int): Column = {
-    val planes = typedLit((0 until nPlanes).map(j => hyperplaneWeights(j, dim)))
-    transform(planes, p =>
-      aggregate(zip_with(v, p, (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, x) => acc + x) >= 0.0)
+  /** All `nPlanes` hyperplane sign bits as ONE long — the native
+    * codegen'd [[HyperplaneCode]] expression: a tight generated loop
+    * over the constant plane matrix. Bit j equals
+    * `dot(v, hyperplane(j, dim)) >= 0.0` exactly (same ascending fold),
+    * so composed forms can be swapped for this without value drift.
+    * One expression regardless of plane count: nPlanes inlined [[dot]]
+    * literals grow generated code linearly (Janino OOMs near 64 in one
+    * projection) and the higher-order-function fold interprets at
+    * ~19 ms/row at 64×64 — this runs in microseconds. */
+  def hyperplaneCode(v: Column, nPlanes: Int, dim: Int): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge._
+    val mat = (0 until nPlanes).map(j => hyperplaneWeights(j, dim).toArray).toArray
+    column(HyperplaneCode(expression(v), mat))
   }
+
+  /** Random-hyperplane LSH bucket id from `nPlanes` sign bits
+    * (= [[hyperplaneCode]]; kept as the historical name). */
+  def hyperplaneBucket(v: Column, nPlanes: Int, dim: Int): Column =
+    hyperplaneCode(v, nPlanes, dim)
 
   /** OR-of-bands LSH keys: `bands` keys per vector, band l's key =
     * l·2^planesPerBand + its sign code over planes l·k..l·k+k−1 (bit t
     * = plane l·k+t) — globally unique per (band, code), so one
-    * equi-join covers all bands at once. Loop-shaped like
-    * [[hyperplaneSigns]] for the same codegen-size reason. */
+    * equi-join covers all bands at once. One [[hyperplaneCode]] eval
+    * (shared by codegen subexpression elimination — the band
+    * extraction is static shift-and-mask per band). */
   def bandKeys(v: Column, bands: Int, planesPerBand: Int, dim: Int): Column = {
-    val signs = hyperplaneSigns(v, bands * planesPerBand, dim)
-    val pow2 = typedLit((0 until planesPerBand).map(t => 1L << t))
-    transform(sequence(lit(0), lit(bands - 1)), l =>
-      aggregate(sequence(lit(0), lit(planesPerBand - 1)), lit(0L),
-        (acc, t) => acc + when(
-          element_at(signs, l * planesPerBand + t + 1),
-          element_at(pow2, t + 1)).otherwise(lit(0L)))
-        + l.cast("long") * lit(1L << planesPerBand))
+    require(bands * planesPerBand <= 64,
+      s"bands*planesPerBand must fit a long, got ${bands * planesPerBand}")
+    val code = hyperplaneCode(v, bands * planesPerBand, dim)
+    val mask = (1L << planesPerBand) - 1
+    array((0 until bands).map { l =>
+      shiftright(code, l * planesPerBand).bitwiseAND(lit(mask)) +
+        lit(l.toLong * (1L << planesPerBand))
+    }: _*)
   }
 }

@@ -29,7 +29,18 @@ class ImportPipeline(spark: SparkSession, store: TableStore,
   /** ≙ POST /dataset-versions (backend/dataset_versions/create.py:22-86)
     * + synchronous execution of the whole state machine. Returns the
     * execution id (≙ execution ARN). */
-  def run(datasetId: String, metadataUrl: String, now: Instant): Either[String, String] =
+  def run(datasetId: String, metadataUrl: String, now: Instant): Either[String, String] = {
+    // payload log ≙ the reference's EVENT_KEY debug line
+    // (tests/test_import_dataset_logging.py should_log_payload)
+    Log.debugEvent("import_dataset",
+      "dataset_id" -> datasetId, "metadata_url" -> metadataUrl)
+    val result = runImpl(datasetId, metadataUrl, now)
+    result.left.foreach(e => Log.warningError("import_dataset", e))
+    result
+  }
+
+  private def runImpl(datasetId: String, metadataUrl: String,
+                      now: Instant): Either[String, String] =
     datasets.get(datasetId).map { dataset =>
       val versionId = Ulid.generate(now, rng)
       val executionId = s"execution-$versionId"
@@ -49,6 +60,12 @@ class ImportPipeline(spark: SparkSession, store: TableStore,
           (Some(false), "Pending", "Pending")
         }
 
+      // validation-summary outcome line ≙ SUCCESS_KEY/MESSAGE_KEY
+      // (tests/test_validation_summary_logging.py)
+      Log.infoOutcome("validation_summary",
+        validationSuccess.getOrElse(false),
+        if (validationSuccess.contains(true)) ""
+        else "validation failed — see validation_results")
       // completion is an O(1) status-delta append — readers resolve
       // last-wins on state_seq (the full-collect-and-rewrite alternative
       // costs O(all executions ever) per run and collects to the driver)

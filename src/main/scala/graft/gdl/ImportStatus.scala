@@ -27,6 +27,8 @@ class ImportStatus(spark: SparkSession, store: TableStore) {
   import spark.implicits._
 
   def get(executionId: String): Either[String, Report] = {
+    // payload + not-found logs ≙ tests/test_import_status_logging.py
+    Log.debugEvent("import_status", "execution_id" -> executionId)
     // scan(): the ULID equality prunes via the Bloom sidecar before the
     // parquet scan opens files (execution ids interleave across the
     // append-only status deltas, so zone maps alone cannot skip); the
@@ -39,6 +41,7 @@ class ImportStatus(spark: SparkSession, store: TableStore) {
       .getOrElse(Array.empty)
       .headOption
       .toRight(s"execution '$executionId' does not exist")
+    exec.left.foreach(e => Log.warningError("import_status", e))
 
     exec.map { e =>
       // O-7 + O-26: failed rows of this version, key-parsed error list

@@ -46,8 +46,12 @@ class Api(spark: SparkSession, store: TableStore, reader: UrlReader,
 
   /** Datasets endpoint ≙ backend/datasets/entrypoint.py. */
   def datasetsEndpoint(httpMethod: String, bodyJson: String): Response = {
+    Log.debugEvent("datasets", "httpMethod" -> httpMethod, "body" -> bodyJson)
+    def errW(code: Int, message: String): Response = {
+      Log.warningError("datasets", message); err(code, message)
+    }
     val parsed = StrictJson.parse(bodyJson)
-    if (parsed.parseError.isDefined) return err(400, "body is not valid JSON")
+    if (parsed.parseError.isDefined) return errW(400, "body is not valid JSON")
     val body = parsed.node.get
     def str(f: String): Option[String] =
       Option(body.get(f)).filter(_.isTextual).map(_.asText)
@@ -55,20 +59,20 @@ class Api(spark: SparkSession, store: TableStore, reader: UrlReader,
     httpMethod match {
       case "POST" =>
         str("title") match {
-          case None => err(400, "'title' is a required property")
+          case None => errW(400, "'title' is a required property")
           case Some(title) =>
             datasets.create(title, now()) match {
               case Right(d) => Response(201, datasetJson(d))
-              case Left(e) if e.contains("already exists") => err(409, e)
-              case Left(e) => err(400, e)
+              case Left(e) if e.contains("already exists") => errW(409, e)
+              case Left(e) => errW(400, e)
             }
         }
       case "GET" =>
         (str("id"), str("title")) match {
           case (Some(id), _) =>
-            datasets.get(id).fold(e => err(404, e), d => Response(200, datasetJson(d)))
+            datasets.get(id).fold(e => errW(404, e), d => Response(200, datasetJson(d)))
           case (None, Some(title)) =>
-            datasets.getByTitle(title).fold(e => err(404, e), d => Response(200, datasetJson(d)))
+            datasets.getByTitle(title).fold(e => errW(404, e), d => Response(200, datasetJson(d)))
           case (None, None) =>
             Response(200, datasets.list().map(datasetJson).mkString("[", ", ", "]"))
         }
@@ -77,31 +81,36 @@ class Api(spark: SparkSession, store: TableStore, reader: UrlReader,
           case (Some(id), Some(title)) =>
             datasets.update(id, title, now()) match {
               case Right(d) => Response(200, datasetJson(d))
-              case Left(e) if e.contains("does not exist") => err(404, e)
-              case Left(e) if e.contains("already exists") => err(409, e)
-              case Left(e) => err(400, e)
+              case Left(e) if e.contains("does not exist") => errW(404, e)
+              case Left(e) if e.contains("already exists") => errW(409, e)
+              case Left(e) => errW(400, e)
             }
-          case _ => err(400, "'id' and 'title' are required properties")
+          case _ => errW(400, "'id' and 'title' are required properties")
         }
       case "DELETE" =>
         str("id") match {
-          case None => err(400, "'id' is a required property")
+          case None => errW(400, "'id' is a required property")
           case Some(id) =>
             datasets.delete(id) match {
               case Right(_) => Response(204, "")
-              case Left(e) if e.contains("does not exist") => err(404, e)
-              case Left(e) => err(409, e)
+              case Left(e) if e.contains("does not exist") => errW(404, e)
+              case Left(e) => errW(409, e)
             }
         }
-      case other => err(400, s"'$other' is not a supported HTTP method")
+      case other => errW(400, s"'$other' is not a supported HTTP method")
     }
   }
 
   /** Dataset-versions endpoint ≙ backend/dataset_versions/create.py. */
   def datasetVersionsEndpoint(httpMethod: String, bodyJson: String): Response = {
-    if (httpMethod != "POST") return err(400, s"'$httpMethod' is not a supported HTTP method")
+    Log.debugEvent("dataset_versions",
+      "httpMethod" -> httpMethod, "body" -> bodyJson)
+    def errW(code: Int, message: String): Response = {
+      Log.warningError("dataset_versions", message); err(code, message)
+    }
+    if (httpMethod != "POST") return errW(400, s"'$httpMethod' is not a supported HTTP method")
     val parsed = StrictJson.parse(bodyJson)
-    if (parsed.parseError.isDefined) return err(400, "body is not valid JSON")
+    if (parsed.parseError.isDefined) return errW(400, "body is not valid JSON")
     val body = parsed.node.get
     def str(f: String): Option[String] =
       Option(body.get(f)).filter(_.isTextual).map(_.asText)
@@ -110,22 +119,27 @@ class Api(spark: SparkSession, store: TableStore, reader: UrlReader,
         pipeline.run(id, url, now()) match {
           case Right(execId) =>
             Response(201, s"""{"dataset_version": "$execId", "execution_arn": "$execId"}""")
-          case Left(e) => err(404, e)
+          case Left(e) => errW(404, e)
         }
-      case _ => err(400, "'id' and 'metadata-url' are required properties")
+      case _ => errW(400, "'id' and 'metadata-url' are required properties")
     }
   }
 
   /** Import-status endpoint ≙ backend/import_status/get.py. */
   def importStatusEndpoint(httpMethod: String, bodyJson: String): Response = {
-    if (httpMethod != "GET") return err(400, s"'$httpMethod' is not a supported HTTP method")
+    Log.debugEvent("import_status",
+      "httpMethod" -> httpMethod, "body" -> bodyJson)
+    def errW(code: Int, message: String): Response = {
+      Log.warningError("import_status", message); err(code, message)
+    }
+    if (httpMethod != "GET") return errW(400, s"'$httpMethod' is not a supported HTTP method")
     val parsed = StrictJson.parse(bodyJson)
-    if (parsed.parseError.isDefined) return err(400, "body is not valid JSON")
+    if (parsed.parseError.isDefined) return errW(400, "body is not valid JSON")
     Option(parsed.node.get.get("execution_arn")).filter(_.isTextual).map(_.asText) match {
-      case None => err(400, "'execution_arn' is a required property")
+      case None => errW(400, "'execution_arn' is a required property")
       case Some(arn) =>
         status.get(arn) match {
-          case Left(e) => err(404, e)
+          case Left(e) => errW(404, e)
           case Right(r) =>
             def section(s: StatusSection): JsonNode = {
               val o = nodes.objectNode()

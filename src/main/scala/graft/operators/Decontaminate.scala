@@ -146,16 +146,34 @@ object Decontaminate {
     // covers all L tables at once; loop-shaped (bandKeys) because 64
     // inlined dot literals overflow Janino
     def keys(v: Column): Column = bandKeys(v, bands, planesPerBand, dim)
-    val t = t0.select(col("id").as("train_id"),
+    // TWO materialization points, both load-bearing (measured 198 s →
+    // ~2 s at sf0.1 without them):
+    //  1. the CENTERED arrays — bandKeys is an interpreted higher-order
+    //     fold that references its input once per plane, so an
+    //     unmaterialized centering expression (64 arithmetic exprs over
+    //     the raw floats + the broadcast mean row) would be re-derived
+    //     L·k times per row inside the lambda;
+    //  2. the CODED rows before the explode — Catalyst's projection
+    //     collapse would otherwise inline the key computation into the
+    //     Generate and the join-level first-band filter, re-running it
+    //     per exploded key and per candidate pair.
+    // One pass over each side; the working set is input + keys —
+    // exactly the coded table a persistent index stores; the explode
+    // then reads the stored array.
+    val tCen = t0.localCheckpoint(eager = true)
+    val bCen = b0.localCheckpoint(eager = true)
+    val tCoded = tCen.select(col("id").as("train_id"),
         col("embedding").as("train_emb"), norm(col("embedding")).as("train_nrm"),
         keys(col("embedding")).as("train_keys"))
-      .select(col("train_id"), col("train_emb"), col("train_nrm"),
-        col("train_keys"), explode(col("train_keys")).as("key"))
-    val b = b0.select(col("id").as("bench_id"),
+      .localCheckpoint(eager = true)
+    val bCoded = bCen.select(col("id").as("bench_id"),
         col("embedding").as("bench_emb"), norm(col("embedding")).as("bench_nrm"),
         keys(col("embedding")).as("bench_keys"))
-      .select(col("bench_id"), col("bench_emb"), col("bench_nrm"),
-        col("bench_keys"), explode(col("bench_keys")).as("key"))
+      .localCheckpoint(eager = true)
+    val t = tCoded.select(col("train_id"), col("train_emb"), col("train_nrm"),
+      col("train_keys"), explode(col("train_keys")).as("key"))
+    val b = bCoded.select(col("bench_id"), col("bench_emb"), col("bench_nrm"),
+      col("bench_keys"), explode(col("bench_keys")).as("key"))
     val band = shiftright(col("key"), planesPerBand)
     // exactly-once: keep the collision only in the pair's FIRST
     // colliding band — both key arrays ride along, so "no band ℓ < l

@@ -766,11 +766,19 @@ object Dedup {
                            targetBucket: Long = 64L,
                            minPlanes: Int = 2): DataFrame = {
     val v = vecs.localCheckpoint(eager = true)
-    val n = v.count()
-    val k = math.ceil(
-      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0))
-      .toInt.max(minPlanes).min(62)
-    embeddingNearDupProbed(v, threshold, k, dim)
+    embeddingNearDupProbed(v, threshold,
+      autoPlanes(v.count(), targetBucket, minPlanes), dim)
+  }
+
+  /** k = max(minPlanes, ceil(log2(ceil(n / targetBucket)))), capped at
+    * 62 — INTEGER arithmetic only, so any engine derives the identical
+    * k from the same count (a float log2 can land on either side of an
+    * exact power of two; q144's oracle recomputes this in SQL). */
+  private[graft] def autoPlanes(n: Long, targetBucket: Long,
+                                minPlanes: Int): Int = {
+    val m = (n + targetBucket - 1) / targetBucket // ceil(n / target)
+    val k = (0 to 62).find(j => (1L << j) >= m).getOrElse(62)
+    k.max(minPlanes).min(62)
   }
 
   /** THE default entry point for embedding-level dedup clustering —

@@ -198,15 +198,34 @@ object Multimodal {
           pcm(2 * i + 1) = (s >> 8).toByte
           i += 1
         }
-        val fmt = new javax.sound.sampled.AudioFormat(
-          sampleRate.toFloat, 16, 1, true, false)
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(
-          new javax.sound.sampled.AudioInputStream(
-            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-        (id, bos.toByteArray)
+        (id, wavPcm16Mono(pcm, sampleRate))
       }).toDF("id", "media")
+  }
+
+  /** The canonical 44-byte RIFF/WAVE header + PCM payload — the exact
+    * layout the JDK's WAV writer emits for PCM16LE mono (MultimodalSpec
+    * pins AudioSystem reading these bytes back), written directly:
+    * AudioSystem.write's per-call provider lookup contends across 32
+    * encode threads the same way the decode side did (sf1: 19 s → 9 s
+    * from the decode fast path alone; the encode was the remainder). */
+  private def wavPcm16Mono(pcm: Array[Byte], sampleRate: Int): Array[Byte] = {
+    val out = new Array[Byte](44 + pcm.length)
+    def put32(o: Int, v: Long): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte; out(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def put16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def tag(o: Int, s: String): Unit =
+      s.zipWithIndex.foreach { case (c, i) => out(o + i) = c.toByte }
+    tag(0, "RIFF"); put32(4, 36L + pcm.length); tag(8, "WAVE")
+    tag(12, "fmt "); put32(16, 16L); put16(20, 1); put16(22, 1)
+    put32(24, sampleRate.toLong); put32(28, sampleRate.toLong * 2)
+    put16(32, 2); put16(34, 16)
+    tag(36, "data"); put32(40, pcm.length.toLong)
+    System.arraycopy(pcm, 0, out, 44, pcm.length)
+    out
   }
 
   /** REAL audio decode: parse the container header (rate, channels,
@@ -222,27 +241,73 @@ object Multimodal {
       .withColumn(binCol, coalesce(col(binCol), lit(Array.empty[Byte])))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        try {
-          val ain = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          val fmt = ain.getFormat
-          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian)
-          val pcm = ain.readAllBytes()
-          val nSamples = pcm.length / 2
-          var sum = 0L
-          var i = 0
-          while (i < nSamples) {
-            val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort
-            sum += math.abs(s.toLong)
-            i += 1
+        // RIFF/WAVE PCM16LE fast path first: AudioSystem's SPI lookup
+        // re-scans providers per call behind registry locks — 32
+        // decode threads contend and the sf1 sweep measured 16× cost
+        // at 10× rows. A WAV header is 3 chunk scans; the platform
+        // codec stays as the fallback for anything else.
+        parseWavPcm16(id, bytes).getOrElse {
+          try {
+            val ain = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = ain.getFormat
+            require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian)
+            val pcm = ain.readAllBytes()
+            DecodedAudio(id, fmt.getSampleRate.toInt, fmt.getChannels,
+              ain.getFrameLength, meanAbsAmplitude(pcm, pcm.length))
+          } catch {
+            case _: Exception => DecodedAudio(id, -1, -1, -1L, -1L)
           }
-          DecodedAudio(id, fmt.getSampleRate.toInt, fmt.getChannels,
-            ain.getFrameLength,
-            if (nSamples == 0) 0L else sum * 1000L / nSamples)
-        } catch {
-          case _: Exception => DecodedAudio(id, -1, -1, -1L, -1L)
         }
       })
+  }
+
+  private def meanAbsAmplitude(pcm: Array[Byte], len: Int): Long = {
+    val nSamples = len / 2
+    var sum = 0L
+    var i = 0
+    while (i < nSamples) {
+      val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort
+      sum += math.abs(s.toLong)
+      i += 1
+    }
+    if (nSamples == 0) 0L else sum * 1000L / nSamples
+  }
+
+  /** Manual RIFF/WAVE parse for the 16-bit little-endian PCM layout:
+    * walk the chunk list, read `fmt ` (format tag 1, 16-bit), measure
+    * `data`. Returns None for anything that is not exactly this shape
+    * so the caller's general decoder handles it. Values match the
+    * AudioSystem path bit-for-bit: frame_length = dataLen/blockAlign,
+    * amplitude over ALL interleaved samples. */
+  private def parseWavPcm16(id: Long, bytes: Array[Byte]): Option[DecodedAudio] = {
+    def le16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def le32(o: Int) = (bytes(o) & 0xff).toLong | ((bytes(o + 1) & 0xff).toLong << 8) |
+      ((bytes(o + 2) & 0xff).toLong << 16) | ((bytes(o + 3) & 0xff).toLong << 24)
+    def tag(o: Int, s: String) = bytes.length >= o + 4 &&
+      s.zipWithIndex.forall { case (c, i) => bytes(o + i) == c.toByte }
+    if (bytes.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var off = 12
+    var rate = -1; var channels = -1; var blockAlign = -1
+    var dataOff = -1; var dataLen = -1L
+    while (off + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
+      val size = le32(off + 4)
+      if (tag(off, "fmt ")) {
+        if (size < 16 || off + 8 + 16 > bytes.length) return None
+        if (le16(off + 8) != 1 || le16(off + 8 + 14) != 16) return None // PCM16 only
+        channels = le16(off + 8 + 2)
+        rate = le32(off + 8 + 4).toInt
+        blockAlign = le16(off + 8 + 12)
+      } else if (tag(off, "data")) {
+        dataOff = off + 8
+        dataLen = math.min(size, (bytes.length - dataOff).toLong)
+      }
+      off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (rate < 0 || dataOff < 0 || channels <= 0 || blockAlign <= 0) return None
+    val pcm = java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + dataLen.toInt)
+    Some(DecodedAudio(id, rate, channels, dataLen / blockAlign,
+      meanAbsAmplitude(pcm, pcm.length)))
   }
 
   /** Frame sampling: treat the binary as a container of fixed-size

@@ -330,6 +330,21 @@ object VectorOps {
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
     }),
 
+    // q35 with the plane count DERIVED from the corpus size — the knob
+    // that keeps the candidate space ~(k+1)·n·targetBucket instead of
+    // quadratic once data outgrows a hand-tuned constant (the fixed
+    // 8-plane family's sf1 sweep cost is dominated by exactly that
+    // growth). k is integer-exact from the count (Dedup.autoPlanes),
+    // so the oracle re-derives the same k at ANY scale factor — the
+    // driver's sf0.01 check runs at k=3 where q35 runs at 8.
+    "q144_embedding_neardup_auto" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      graft.operators.Dedup.embeddingNearDupAuto(
+        graft.operators.Dedup.centerEmbeddings(e, 64),
+        threshold = 0.3, dim = 64, targetBucket = 64L, minPlanes = 2)
+    }),
+
     // Semantic decontamination over CENTERED embeddings: training
     // vectors near-cosine-identical to a benchmark embedding (vec_id
     // < 20 plays the benchmark set) — catches paraphrases that share
@@ -619,6 +634,41 @@ object VectorOps {
                THEN ${1L << j} ELSE 0 END"""
     }.mkString(" + ")
 
+  /** q144's oracle: the q35 pair join with the plane count derived
+    * from the corpus size IN SQL — integer-exact (ceil-divide then
+    * smallest power of two; a float log2 could land on either side of
+    * an exact power), unrolled to 24 gated planes (covers corpora to
+    * 64·2^24 ≈ 10⁹ rows). Side a keys by its own K-bit code, side b by
+    * the code XOR each of {0} ∪ {1<<j : j < K}. */
+  private lazy val embeddingNearDupAutoSql: String = {
+    val bits = (0 until 24).map { j =>
+      s"""CASE WHEN $j < kk.k AND (SELECT ${dotSql("e.embedding", "p")}
+                     FROM (SELECT ${decontamPlaneSql(j)} AS p)) >= 0.0
+               THEN ${1L << j} ELSE 0 END"""
+    }.mkString(" + ")
+    s"""WITH $embeddingPairsPrefixSql,
+        kk AS (SELECT CAST(min(j.j) AS BIGINT) AS k
+               FROM (SELECT unnest(range(2, 25)) AS j) j,
+                    (SELECT CAST(ceil(CAST(count(*) AS DOUBLE) / 64.0)
+                                 AS BIGINT) AS m FROM embeddings) mm
+               WHERE (CAST(1 AS BIGINT) << j.j) >= mm.m),
+        b AS (SELECT id, embedding,
+                     CAST($bits AS BIGINT) AS code,
+                     sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
+              FROM e CROSS JOIN kk),
+        pr AS (SELECT id, embedding, nrm,
+                      xor(code, CAST(t.f AS BIGINT)) AS key
+               FROM b CROSS JOIN kk,
+                    unnest(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(0, CAST(kk.k AS INTEGER)),
+                        j -> CAST(CAST(1 AS BIGINT) << j AS BIGINT)))) AS t(f)),
+        p AS (SELECT a.id AS id_a, q.id AS id_b,
+                     (${dotSql("a.embedding", "q.embedding")})
+                       / (a.nrm * q.nrm) AS sim
+              FROM b a JOIN pr q ON a.code = q.key AND a.id < q.id)
+        SELECT id_a, id_b, sim FROM p WHERE sim >= 0.3"""
+  }
+
   /** q126/q129's shared oracle: recursive-CTE component closure over
     * the full-table embedding near-dup pair graph. */
   private lazy val embeddingClustersSql: String =
@@ -870,6 +920,8 @@ object VectorOps {
           QUALIFY rank <= 5""",
 
     "q35_embedding_neardup" -> embeddingNearDupSql,
+
+    "q144_embedding_neardup_auto" -> embeddingNearDupAutoSql,
 
     // q44's recursive-CTE component closure over q35's pair graph.
     "q126_embedding_dup_clusters" -> embeddingClustersSql,

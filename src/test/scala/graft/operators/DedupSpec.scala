@@ -107,8 +107,7 @@ class DedupSpec extends AnyFunSuite {
       val vecs = graft.operators.Dedup
         .centerEmbeddings(grow(times), 64).localCheckpoint(eager = true)
       val n = vecs.count()
-      val k = math.ceil(math.log(math.max(1.0, n.toDouble / target))
-        / math.log(2.0)).toInt.max(2).min(62)
+      val k = Dedup.autoPlanes(n, target, 2)
       // occupancy: mean bucket size tracks the target within small
       // constant factors (random planes split real data unevenly)
       val occ = vecs.select(hyperplaneBucket(col("embedding"), k, 64).as("c"))

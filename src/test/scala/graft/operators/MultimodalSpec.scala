@@ -83,4 +83,25 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(d => d.id -> d).toMap
     assert(bad(9L).sample_rate_hz == -1 && bad(10L).sample_rate_hz == -1)
   }
+
+  test("manually-written WAV bytes interop with the platform codec") {
+    // encodePcmWav writes the RIFF header itself (AudioSystem.write's
+    // provider lookup contends across threads); the bytes must stay
+    // the canonical layout any WAV consumer reads — pinned by decoding
+    // through javax.sound itself, not our parser
+    val docs = Seq((1L, "xy")).toDF("doc_id", "text")
+    val bytes = Multimodal.encodePcmWav(spark, docs, "doc_id", "text",
+        n = 4, sampleRate = 8000)
+      .collect().head.getAs[Array[Byte]]("media")
+    val ain = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(ain.getFormat.getSampleRate == 8000f)
+    assert(ain.getFormat.getChannels == 1)
+    assert(ain.getFormat.getSampleSizeInBits == 16)
+    assert(!ain.getFormat.isBigEndian)
+    assert(ain.getFrameLength == 4L)
+    val pcm = ain.readAllBytes()
+    val s0 = ((pcm(0) & 0xff) | (pcm(1) << 8)).toShort
+    assert(s0 == (('x'.toInt - 96) * 128).toShort)
+  }
 }
