@@ -196,6 +196,42 @@ object CurationOps {
           col("doc_id").as("neg_doc_id"), col("h"))
     }),
 
+    // q84's SCALE path: direct construction instead of rank-over-
+    // corpus. q84 draws negatives as "5 smallest md5 over all docs" —
+    // a deliberate brute-force yardstick whose pair space is n²/100.
+    // The production sampler addresses the corpus once: a one-time
+    // sorted index (orderBy + zipWithIndex — a range shuffle, never a
+    // single-partition window), then each query generates 8 candidate
+    // INDICES by hash (md5 mod n), equi-joins them against the index,
+    // drops self/duplicate hits, and keeps the first 5 by draw order —
+    // O(corpus log corpus) once + O(queries · k) per run, replayable
+    // bit-for-bit (no RNG state), same contrastive-pair contract.
+    "q145_negative_sampling_direct" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.load(s, d, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val indexed = docs.orderBy(col("doc_id")).as[Long].rdd
+        .zipWithIndex.toDF("neg_doc_id", "idx")
+      val qs = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("query_id"))
+      val cand = qs
+        .select(col("query_id"),
+          explode(sequence(lit(1), lit(8))).as("j"))
+        .withColumn("idx",
+          conv(substring(md5(concat(col("query_id").cast("string"),
+            lit("|"), col("j").cast("string"))), 1, 15), 16, 10)
+            .cast("long") % lit(n))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("j"))
+      cand.join(indexed, Seq("idx"))
+        .filter(col("neg_doc_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("neg_doc_id"))
+        .agg(min(col("j")).as("j"))
+        .withColumn("neg_rank", row_number().over(w).cast("long"))
+        .filter(col("neg_rank") <= 5L)
+        .select(col("query_id"), col("neg_rank"), col("neg_doc_id"))
+    }),
+
     // T5-style span corruption: tokens partition into fixed 3-token
     // blocks; a block is masked iff a hash of (doc, block) selects it
     // (deterministic, replayable — no RNG), giving ~20% corruption with
@@ -657,6 +693,30 @@ object CurationOps {
                             ORDER BY h, doc_id) AS BIGINT) AS neg_rank
                 FROM c)
           SELECT query_id, neg_rank, doc_id AS neg_doc_id, h
+          FROM r WHERE neg_rank <= 5""",
+
+    "q145_negative_sampling_direct" ->
+      """WITH docs AS (SELECT doc_id FROM documents),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+          idx AS (SELECT doc_id AS neg_doc_id,
+                         CAST(row_number() OVER (ORDER BY doc_id) - 1
+                              AS BIGINT) AS idx
+                  FROM docs),
+          qs AS (SELECT doc_id AS query_id FROM docs WHERE doc_id % 100 = 0),
+          cand AS (SELECT query_id, CAST(t.j AS BIGINT) AS j,
+                          CAST(CAST('0x' || substr(md5(query_id || '|' || t.j),
+                                    1, 15) AS BIGINT) % n.n AS BIGINT) AS idx
+                   FROM qs, n, unnest(range(1, 9)) AS t(j)),
+          joined AS (SELECT c.query_id, c.j, i.neg_doc_id
+                     FROM cand c JOIN idx i USING (idx)
+                     WHERE i.neg_doc_id <> c.query_id),
+          dd AS (SELECT query_id, neg_doc_id, CAST(min(j) AS BIGINT) AS j
+                 FROM joined GROUP BY 1, 2),
+          r AS (SELECT query_id, neg_doc_id,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY j) AS BIGINT) AS neg_rank
+                FROM dd)
+          SELECT query_id, neg_rank, neg_doc_id
           FROM r WHERE neg_rank <= 5""",
 
     "q79_repetition" ->
