@@ -330,6 +330,23 @@ object VectorOps {
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
     }),
 
+    // The full embedding-dedup pipeline at its PRODUCTION operating
+    // point: auto-sized planes (q144's knob) AND threshold 0.4 — where
+    // "near-duplicate" means near-identical, the pair output is
+    // dup-cluster-sized, and the whole clusters job stays linear-ish
+    // in the corpus (the 0.3 setting is the research yardstick whose
+    // TRUE pair graph on this corpus is dense — see NOTES sf1 sweep).
+    "q146_embedding_clusters_production" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      val D = graft.operators.Dedup
+      val pairs = D.embeddingNearDupAuto(D.centerEmbeddings(e, 64),
+          threshold = 0.4, dim = 64, targetBucket = 64L, minPlanes = 2)
+        .select(col("id_a"), col("id_b"))
+      D.connectedComponents(pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    }),
+
     // q35 with the plane count DERIVED from the corpus size — the knob
     // that keeps the candidate space ~(k+1)·n·targetBucket instead of
     // quadratic once data outgrows a hand-tuned constant (the fixed
@@ -640,7 +657,10 @@ object VectorOps {
     * an exact power), unrolled to 24 gated planes (covers corpora to
     * 64·2^24 ≈ 10⁹ rows). Side a keys by its own K-bit code, side b by
     * the code XOR each of {0} ∪ {1<<j : j < K}. */
-  private lazy val embeddingNearDupAutoSql: String = {
+  private lazy val embeddingNearDupAutoSql: String =
+    embeddingNearDupAutoSqlAt(0.3)
+
+  private def embeddingNearDupAutoSqlAt(threshold: Double): String = {
     val bits = (0 until 24).map { j =>
       s"""CASE WHEN $j < kk.k AND (SELECT ${dotSql("e.embedding", "p")}
                      FROM (SELECT ${decontamPlaneSql(j)} AS p)) >= 0.0
@@ -666,8 +686,26 @@ object VectorOps {
                      (${dotSql("a.embedding", "q.embedding")})
                        / (a.nrm * q.nrm) AS sim
               FROM b a JOIN pr q ON a.code = q.key AND a.id < q.id)
-        SELECT id_a, id_b, sim FROM p WHERE sim >= 0.3"""
+        SELECT id_a, id_b, sim FROM p WHERE sim >= $threshold"""
   }
+
+  /** q146's oracle: the recursive closure over the AUTO-sized pair
+    * graph at the tight threshold 0.4 — the operating point where
+    * the pair output is near-dup-sized instead of the 0.3 research
+    * setting's dense similarity graph. */
+  private lazy val embeddingClustersProductionSql: String =
+    s"""WITH RECURSIVE pairs AS (${embeddingNearDupAutoSqlAt(0.4)}),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL
+                  SELECT id_b AS src, id_a AS dst FROM pairs),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach AS (
+          SELECT id AS src, id AS dst FROM nodes
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+        )
+        SELECT src AS vec_id, CAST(min(dst) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY src"""
 
   /** q126/q129's shared oracle: recursive-CTE component closure over
     * the full-table embedding near-dup pair graph. */
@@ -922,6 +960,8 @@ object VectorOps {
     "q35_embedding_neardup" -> embeddingNearDupSql,
 
     "q144_embedding_neardup_auto" -> embeddingNearDupAutoSql,
+
+    "q146_embedding_clusters_production" -> embeddingClustersProductionSql,
 
     // q44's recursive-CTE component closure over q35's pair graph.
     "q126_embedding_dup_clusters" -> embeddingClustersSql,
