@@ -107,7 +107,23 @@ object Bench {
     // losing every wall time. The metric line ends with `queries` so a
     // tail cut can only cost the (separately printed) shuffle map.
     println(s"""{"metric":"shuffle_bytes","unit":"bytes","shuffle_bytes":$sh}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson,"queries":$qs}""")
+    val metric =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson,"queries":$qs}"""
+    println(metric)
+    // ALSO persist the complete record in-repo: the driver keeps only a
+    // 2,000-char stdout tail and the full queries map is ~4.5 KB, which
+    // has twice cost a round its per-query history (VERDICT r7 #3).
+    // Committed under bench/ so every round's numbers survive verbatim.
+    try {
+      val dir = java.nio.file.Paths.get("bench")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("latest.json"),
+        metric + "\n" +
+          s"""{"metric":"shuffle_bytes","unit":"bytes","shuffle_bytes":$sh}""" +
+          "\n")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write bench/latest.json: $e")
+    }
     spark.stop()
   }
 }

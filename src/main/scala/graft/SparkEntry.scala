@@ -34,7 +34,8 @@ object SparkEntry {
       graft.queries.VectorOps.queries ++
       graft.queries.EventOps.queries ++
       graft.queries.JsonOps.queries ++
-      graft.queries.CurationOps.queries
+      graft.queries.CurationOps.queries ++
+      graft.queries.HtmlOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check.
@@ -48,7 +49,8 @@ object SparkEntry {
       graft.queries.VectorOps.oracles ++
       graft.queries.EventOps.oracles ++
       graft.queries.JsonOps.oracles ++
-      graft.queries.CurationOps.oracles)
+      graft.queries.CurationOps.oracles ++
+      graft.queries.HtmlOps.oracles)
       .map { case (k, sql) =>
         k -> s"SELECT * FROM ($sql) AS graft_q ORDER BY ALL NULLS FIRST"
       }

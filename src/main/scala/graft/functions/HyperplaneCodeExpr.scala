@@ -17,10 +17,19 @@ import org.apache.spark.sql.types._
   * PER ROW at 64 planes × 64 dims — boxing and lambda dispatch on
   * every element — versus microseconds here).
   *
-  * Null semantics match the composed forms: a null input array is
-  * null; a null ELEMENT makes every plane's dot null, whose `>= 0.0`
-  * is null, which the composed `when(...)` lowered to bit 0 — so the
-  * code is 0L for any vector containing a null element.
+  * Null semantics — one INTENTIONAL divergence from the composed
+  * `when(dot >= 0, bit).otherwise(0)` form: for a null INPUT ARRAY the
+  * composed reduce yields 0L (null condition falls to otherwise) while
+  * this expression, a standard null-intolerant UnaryExpression, yields
+  * NULL — so a null embedding drops out of the bucket equi-join
+  * instead of landing in bucket 0. That is the better behavior (a
+  * null vector can never pass the exact-cosine verify, so bucketing it
+  * only inflates the candidate join with pairs the verify then
+  * discards), and final PAIR outputs are identical under both forms.
+  * A null ELEMENT matches the composed form exactly: it makes every
+  * plane's dot null, whose `>= 0.0` is null, which `when(...)` lowers
+  * to bit 0 — so the code is 0L for any vector containing a null
+  * element.
   */
 case class HyperplaneCode(child: Expression, planes: Array[Array[Double]])
     extends UnaryExpression {

@@ -63,13 +63,24 @@ class Importer(spark: SparkSession, storageRoot: String) extends Serializable {
 
   /** Transient-vs-deterministic failure taxonomy ≙ the reference's
     * RequestTimeout → TemporaryFailure split
-    * (/root/reference/backend/import_asset_file/task.py:30-37): IO
-    * errors other than not-found (timeouts, resets, flaky NFS/S3) are
-    * retryable; a missing source or malformed metadata never heals by
-    * retrying. */
+    * (/root/reference/backend/import_asset_file/task.py:30-37): the
+    * transient set is NARROW — network timeouts/resets that a retry
+    * can heal. Everything deterministic (missing source, permission
+    * denied, truncated stream, malformed metadata) is permanent on
+    * first sight: coding it retryable burns the attempt budget and
+    * reports the row as re-drivable when it never is. */
   private def isTransient(e: Throwable): Boolean = e match {
     case _: java.io.FileNotFoundException => false
-    case _: java.io.IOException => true
+    case _: java.io.EOFException => false          // truncated source: deterministic
+    case _: java.nio.file.FileSystemException => false // AccessDenied/NoSuchFile/...
+    case _: java.net.SocketTimeoutException => true
+    case _: java.net.ConnectException => true
+    case _: java.io.InterruptedIOException => true
+    case e: java.io.IOException =>
+      // generic IOException: retryable only when the message says so
+      val m = Option(e.getMessage).getOrElse("").toLowerCase
+      Seq("timeout", "timed out", "reset", "connection", "temporarily",
+          "throttl", "slow down", "503", "unavailable").exists(m.contains)
     case _ => false
   }
 
@@ -96,23 +107,37 @@ class Importer(spark: SparkSession, storageRoot: String) extends Serializable {
       it.map { a =>
         val newKey = s"$titlePrefix/${a.version_id}/${basename(a.url)}"
         def attemptOnce(): CopyResult = {
-          // fs.create(overwrite = true) makes a retried half-written
-          // target start clean
-          val target = new Path(s"$root/$newKey")
-          val fs = target.getFileSystem(conf)
-          val out = fs.create(target, true)
+          // source FIRST: a missing/flaky URL (the common failure) must
+          // not create-truncate the destination at all — the old order
+          // leaked the never-closed output stream on every failed
+          // attempt AND left an empty target behind for rows reported
+          // as failures
           val in = reader.open(a.url)
           try {
-            if (rewrite) {
-              val rewritten = self.rewriteMetadata(
-                new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
-              out.write(rewritten.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            } else {
-              val buf = new Array[Byte](1 << 20)
-              var n = in.read(buf)
-              while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+            val target = new Path(s"$root/$newKey")
+            val fs = target.getFileSystem(conf)
+            // fs.create(overwrite = true) makes a retried half-written
+            // target start clean
+            val out = fs.create(target, true)
+            var ok = false
+            try {
+              if (rewrite) {
+                val rewritten = self.rewriteMetadata(
+                  new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+                out.write(rewritten.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              } else {
+                val buf = new Array[Byte](1 << 20)
+                var n = in.read(buf)
+                while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+              }
+              ok = true
+            } finally {
+              out.close()
+              // a half-written target from a failed copy is not a
+              // deliverable — remove it so failures leave no artifact
+              if (!ok) { try fs.delete(target, false) catch { case _: Exception => () } }
             }
-          } finally { in.close(); out.close() }
+          } finally in.close()
           CopyResult(a.dataset_id, a.version_id, a.asset_type, a.url, newKey,
             "Succeeded", "")
         }

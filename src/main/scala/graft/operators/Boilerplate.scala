@@ -35,7 +35,12 @@ object Boilerplate {
     val spans = base
       .select(col("doc_id"), col("_toks"),
         explode(transform(
-          sequence(lit(1), greatest(size(col("_toks")) - (n - 1), lit(0))),
+          // short-doc guard is load-bearing: sequence(1, 0) is the
+          // DESCENDING [1, 0], not empty — unguarded, any doc with
+          // < n tokens evaluates element_at past the array end (a
+          // runtime error); null positions → explode emits no rows
+          when(size(col("_toks")) >= n,
+            sequence(lit(1), size(col("_toks")) - (n - 1))),
           i => struct(i.as("pos"),
             concat_ws(" ", (0 until n).map(k => element_at(col("_toks"), i + k)): _*)
               .as("sh")))).as("sp"))
@@ -58,8 +63,12 @@ object Boilerplate {
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_bp_spans"), lit(0L)).as("n_bp_spans"),
         coalesce(col("n_covered"), lit(0L)).as("n_covered"),
-        (coalesce(col("n_covered"), lit(0L)).cast("double") /
-          col("n_tokens").cast("double")).as("coverage"))
+        // empty docs report coverage 0.0, not the IEEE 0/0 NaN (which
+        // engines disagree on and no downstream cut wants)
+        when(col("n_tokens") > 0,
+          coalesce(col("n_covered"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("coverage"))
       .localCheckpoint(eager = true) // per-doc sized; then drop the span cache
     spans.unpersist(blocking = false)
     out
@@ -89,7 +98,12 @@ object Boilerplate {
     val spans = base
       .select(col("doc_id"),
         explode(transform(
-          sequence(lit(1), greatest(size(col("_toks")) - (n - 1), lit(0))),
+          // short-doc guard is load-bearing: sequence(1, 0) is the
+          // DESCENDING [1, 0], not empty — unguarded, any doc with
+          // < n tokens evaluates element_at past the array end (a
+          // runtime error); null positions → explode emits no rows
+          when(size(col("_toks")) >= n,
+            sequence(lit(1), size(col("_toks")) - (n - 1))),
           i => struct(i.as("pos"),
             concat_ws(" ", (0 until n).map(k => element_at(col("_toks"), i + k)): _*)
               .as("sh")))).as("sp"))
@@ -135,7 +149,12 @@ object Boilerplate {
     val spans = base
       .select(col("doc_id"),
         explode(transform(
-          sequence(lit(1), greatest(size(col("_toks")) - (n - 1), lit(0))),
+          // short-doc guard is load-bearing: sequence(1, 0) is the
+          // DESCENDING [1, 0], not empty — unguarded, any doc with
+          // < n tokens evaluates element_at past the array end (a
+          // runtime error); null positions → explode emits no rows
+          when(size(col("_toks")) >= n,
+            sequence(lit(1), size(col("_toks")) - (n - 1))),
           i => struct(i.as("pos"),
             concat_ws(" ", (0 until n).map(k => element_at(col("_toks"), i + k)): _*)
               .as("sh")))).as("sp"))

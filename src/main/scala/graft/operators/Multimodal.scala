@@ -291,7 +291,7 @@ object Multimodal {
     var rate = -1; var channels = -1; var blockAlign = -1
     var dataOff = -1; var dataLen = -1L
     while (off + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
-      val size = le32(off + 4)
+      val size = le32(off + 4) // untrusted 32-bit field — advance in Long
       if (tag(off, "fmt ")) {
         if (size < 16 || off + 8 + 16 > bytes.length) return None
         if (le16(off + 8) != 1 || le16(off + 8 + 14) != 16) return None // PCM16 only
@@ -302,12 +302,141 @@ object Multimodal {
         dataOff = off + 8
         dataLen = math.min(size, (bytes.length - dataOff).toLong)
       }
-      off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      // chunks are word-aligned; a crafted size near 2^32 would make an
+      // Int step wrap to ≤ 0 and spin this loop forever — step in Long
+      // and bail to the general decoder unless strictly advancing
+      // (skip the bail once both chunks are in hand: the clamped data
+      // read is already valid and the loop is about to exit anyway)
+      if (rate < 0 || dataOff < 0) {
+        val next = off.toLong + 8L + size + (size & 1L)
+        if (next <= off || next > Int.MaxValue.toLong) return None
+        off = next.toInt
+      }
     }
     if (rate < 0 || dataOff < 0 || channels <= 0 || blockAlign <= 0) return None
     val pcm = java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + dataLen.toInt)
     Some(DecodedAudio(id, rate, channels, dataLen / blockAlign,
       meanAbsAmplitude(pcm, pcm.length)))
+  }
+
+  // ---- real frame container ("video") -------------------------------
+
+  /** Real decoded-video-frame row. */
+  final case class VideoFrame(
+      id: Long, frame_idx: Long, width: Int, height: Int,
+      mean_luma_x1000: Long)
+
+  /** Container magic for [[encodeFrameVideo]]: "GVID" + 4-byte BE frame
+    * count, then per frame a 4-byte BE length prefix + a REAL PNG. */
+  private val VideoMagic = Array[Byte]('G', 'V', 'I', 'D')
+
+  /** Encode each doc as a length-prefixed concatenated-PNG "video":
+    * frame f holds text bytes [f·w·h, (f+1)·w·h) as a w×h 8-bit GRAY
+    * PNG via the JDK's real PNG writer (space-padded past the end);
+    * every doc gets max(1, ceil(len/(w·h))) frames. The layout is the
+    * fixed-index seekable shape real containers give a demuxer: frame
+    * N is reachable by walking N length prefixes, decoding nothing.
+    * Map-only, one encoder per row; blobs never leave their partition. */
+  def encodeFrameVideo(spark: SparkSession, docs: DataFrame, idCol: String,
+                       textCol: String, w: Int, h: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), encode(col(textCol), "UTF-8"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val fpx = w * h
+        val nFrames = math.max(1L, (bytes.length + fpx - 1L) / fpx).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write(VideoMagic)
+        def be32(v: Int): Array[Byte] = Array(
+          (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+        bos.write(be32(nFrames))
+        var f = 0
+        while (f < nFrames) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          var i = 0
+          while (i < fpx) {
+            img.getRaster.setSample(i % w, i / w, 0,
+              textByte(bytes, f * fpx + i))
+            i += 1
+          }
+          val frame = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", frame)
+          val fb = frame.toByteArray
+          bos.write(be32(fb.length))
+          bos.write(fb)
+          f += 1
+        }
+        (id, bos.toByteArray)
+      }).toDF("id", "media")
+  }
+
+  /** Demux + decode + stride-sample a [[encodeFrameVideo]] container:
+    * every `everyN`-th frame is PNG-decoded (the REAL reader) to
+    * (id, frame_idx, width, height, mean_luma_x1000); skipped frames
+    * cost one length-prefix read and an arraycopy-free seek — the
+    * whole point of the container. A corrupt container — bad magic,
+    * length prefix running past the buffer, a frame the PNG reader
+    * rejects, or fewer frames than the header promises — emits ONE
+    * quarantine row (id, -1, -1, -1, -1) and never fails the task.
+    * Partition-wise, no shuffle. */
+  def sampleVideoFrames(spark: SparkSession, media: DataFrame,
+                        idCol: String, binCol: String,
+                        everyN: Int): Dataset[VideoFrame] = {
+    require(everyN > 0, s"need everyN > 0, got $everyN")
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(binCol))
+      .filter(col(idCol).isNotNull)
+      .withColumn(binCol, coalesce(col(binCol), lit(Array.empty[Byte])))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val quarantine = Seq(VideoFrame(id, -1L, -1, -1, -1L))
+        def be32(o: Int): Long =
+          ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+            ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+        if (bytes.length < 8 ||
+            !VideoMagic.indices.forall(i => bytes(i) == VideoMagic(i)))
+          quarantine
+        else {
+          val nFrames = be32(4)
+          val out = Seq.newBuilder[VideoFrame]
+          var off = 8L
+          var f = 0L
+          var bad = false
+          while (f < nFrames && !bad) {
+            if (off + 4 > bytes.length) bad = true
+            else {
+              val len = be32(off.toInt)
+              val start = off + 4
+              if (len <= 0 || start + len > bytes.length) bad = true
+              else {
+                if (f % everyN == 0) {
+                  try {
+                    val img = javax.imageio.ImageIO.read(
+                      new java.io.ByteArrayInputStream(
+                        bytes, start.toInt, len.toInt))
+                    if (img == null) bad = true
+                    else {
+                      val (w, h) = (img.getWidth, img.getHeight)
+                      var sum = 0L
+                      var i = 0
+                      while (i < w * h) {
+                        sum += img.getRaster.getSample(i % w, i / w, 0)
+                        i += 1
+                      }
+                      out += VideoFrame(id, f, w, h,
+                        sum * 1000L / (w.toLong * h))
+                    }
+                  } catch { case _: Exception => bad = true }
+                }
+                off = start + len
+                f += 1
+              }
+            }
+          }
+          if (bad || f < nFrames) quarantine else out.result()
+        }
+      })
   }
 
   /** Frame sampling: treat the binary as a container of fixed-size

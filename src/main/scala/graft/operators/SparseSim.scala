@@ -37,7 +37,12 @@ object SparseSim {
     val tf = base
       .select(col("doc_id"),
         explode(transform(
-          sequence(lit(1), greatest(size(col("_toks")) - (n - 1), lit(0))),
+          // short-doc guard is load-bearing: sequence(1, 0) is the
+          // DESCENDING [1, 0], not empty — unguarded, any doc with
+          // < n tokens evaluates element_at past the array end (a
+          // runtime error); null positions → explode emits no rows
+          when(size(col("_toks")) >= n,
+            sequence(lit(1), size(col("_toks")) - (n - 1))),
           i => concat_ws(" ", (0 until n).map(k => element_at(col("_toks"), i + k)): _*)))
           .as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))

@@ -43,9 +43,10 @@ object CurationOps {
 
     // Boilerplate-span coverage: token 3-grams appearing in ≥ 5 distinct
     // docs are boilerplate; per-doc fraction of tokens covered by such
-    // spans (the C4-style repetition-removal signal).
+    // spans (the C4-style repetition-removal signal). Runs over the
+    // edge-augmented corpus so the short-doc guards are hash-pinned.
     "q66_boilerplate" -> ((s, d) =>
-      Boilerplate.spanCoverage(Tables.load(s, d, "documents"),
+      Boilerplate.spanCoverage(Tables.documentsWithEdges(s, d),
         "doc_id", "text", n = 3, minDf = 5L)),
 
     // Tokenizer-vocabulary induction stats: the top-30 tokens by corpus
@@ -84,7 +85,7 @@ object CurationOps {
     // mean are the odd-domain/garbage candidates a curation pass drops.
     "q71_bigram_lm" -> ((s, d) => {
       val ts = col("_toks")
-      val bg = Tables.load(s, d, "documents")
+      val bg = Tables.documentsWithEdges(s, d)
         .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("_toks"))
         .select(col("doc_id"),
           explode(transform(
@@ -348,15 +349,17 @@ object CurationOps {
 
     // Maximal cross-doc duplicated spans (token 3-grams in ≥ 2 docs,
     // gaps-and-islands merge) — the extents an exact substring-dedup
-    // rewrite strips.
+    // rewrite strips. Edge corpus: the bit-identical 9000006/9000007
+    // pair pins cross-doc dup spans; empty/1/2-token docs pin the
+    // short-doc guard.
     "q92_dup_spans" -> ((s, d) =>
-      Boilerplate.dupSpans(Tables.load(s, d, "documents"),
+      Boilerplate.dupSpans(Tables.documentsWithEdges(s, d),
         "doc_id", "text", n = 3, minDf = 2L)),
 
     // ...and the rewrite itself: documents reassembled from the tokens
     // outside every duplicated span, with removal accounting.
     "q100_dup_strip" -> ((s, d) =>
-      Boilerplate.stripDupSpans(Tables.load(s, d, "documents"),
+      Boilerplate.stripDupSpans(Tables.documentsWithEdges(s, d),
         "doc_id", "text", n = 3, minDf = 2L)),
 
     // Distributed quality-classifier training: logistic regression
@@ -491,7 +494,7 @@ object CurationOps {
     // doc-order dependence.
     "q141_perplexity_buckets" -> ((s, d) => {
       val ts = col("_toks")
-      val bg = Tables.load(s, d, "documents")
+      val bg = Tables.documentsWithEdges(s, d)
         .select(col("doc_id"),
           graft.functions.TextFunctions.tokens(col("text")).as("_toks"))
         .select(col("doc_id"),
@@ -625,7 +628,8 @@ object CurationOps {
           FROM r WHERE rank <= 30""",
 
     "q71_bigram_lm" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      s"""WITH docs_e AS (${Tables.documentsWithEdgesSql}),
+          t AS (SELECT doc_id, $toksSql AS toks FROM docs_e),
           bg AS (SELECT doc_id,
                         toks[CAST(t2.i AS INTEGER)] AS w1,
                         toks[CAST(t2.i AS INTEGER) + 1] AS w2
@@ -793,7 +797,8 @@ object CurationOps {
           GROUP BY source, src_budget""",
 
     "q66_boilerplate" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      s"""WITH docs_e AS (${Tables.documentsWithEdgesSql}),
+          t AS (SELECT doc_id, $toksSql AS toks FROM docs_e),
           sp AS (SELECT doc_id, t2.i AS pos,
                         toks[CAST(t2.i AS INTEGER)] || ' '
                           || toks[CAST(t2.i AS INTEGER) + 1] || ' '
@@ -813,8 +818,10 @@ object CurationOps {
           SELECT b.doc_id, b.n_tokens,
                  coalesce(ns.n_bp_spans, 0) AS n_bp_spans,
                  coalesce(cov.n_covered, 0) AS n_covered,
-                 CAST(coalesce(cov.n_covered, 0) AS DOUBLE)
-                   / CAST(b.n_tokens AS DOUBLE) AS coverage
+                 CASE WHEN b.n_tokens > 0
+                      THEN CAST(coalesce(cov.n_covered, 0) AS DOUBLE)
+                             / CAST(b.n_tokens AS DOUBLE)
+                      ELSE CAST(0 AS DOUBLE) END AS coverage
           FROM base b
           LEFT JOIN ns USING (doc_id)
           LEFT JOIN cov USING (doc_id)""",
@@ -891,7 +898,8 @@ object CurationOps {
           SELECT source, doc_id, rank FROM r WHERE rank <= 10""",
 
     "q92_dup_spans" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      s"""WITH docs_e AS (${Tables.documentsWithEdgesSql}),
+          t AS (SELECT doc_id, $toksSql AS toks FROM docs_e),
           sp AS (SELECT doc_id, CAST(t2.i AS BIGINT) AS pos,
                         toks[CAST(t2.i AS INTEGER)] || ' '
                           || toks[CAST(t2.i AS INTEGER) + 1] || ' '
@@ -917,7 +925,8 @@ object CurationOps {
           FROM i GROUP BY doc_id, grp""",
 
     "q100_dup_strip" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      s"""WITH docs_e AS (${Tables.documentsWithEdgesSql}),
+          t AS (SELECT doc_id, $toksSql AS toks FROM docs_e),
           sp AS (SELECT doc_id, CAST(t2.i AS BIGINT) AS pos,
                         toks[CAST(t2.i AS INTEGER)] || ' '
                           || toks[CAST(t2.i AS INTEGER) + 1] || ' '
@@ -1044,7 +1053,8 @@ object CurationOps {
     },
 
     "q141_perplexity_buckets" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      s"""WITH docs_e AS (${Tables.documentsWithEdgesSql}),
+          t AS (SELECT doc_id, $toksSql AS toks FROM docs_e),
           bg AS (SELECT doc_id,
                         toks[CAST(t2.i AS INTEGER)] AS w1,
                         toks[CAST(t2.i AS INTEGER) + 1] AS w2

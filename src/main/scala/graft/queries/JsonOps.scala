@@ -83,12 +83,17 @@ object JsonOps {
       Multimodal.decodeAudio(s, media, "id", "media").toDF()
     }),
 
-    // Video-shaped frame sampling over the binary column: 64-byte
-    // frames, every 2nd sampled, hashed — map-only, blobs stay put.
+    // REAL video container roundtrip (the q137/q138 discipline): docs
+    // → length-prefixed concatenated-PNG "video" (16×8 frames, one per
+    // 128-byte text chunk) → demux walks the prefixes, PNG-decodes
+    // every 2nd frame. Map-only, blobs stay in their partition; the
+    // oracle re-derives per-frame luma straight from the text, so a
+    // single lost/shifted pixel in any frame of any container breaks
+    // the hash. Truncation → quarantine is MultimodalSpec's case.
     "q62_frame_sample" -> ((s, d) => {
-      val media = Multimodal.withFakeMedia(
-        Tables.load(s, d, "documents"), "doc_id", "text")
-      Multimodal.frameSample(media, "id", "media", frameBytes = 64, everyN = 2)
+      val media = Multimodal.encodeFrameVideo(s,
+        Tables.load(s, d, "documents"), "doc_id", "text", w = 16, h = 8)
+      Multimodal.sampleVideoFrames(s, media, "id", "media", everyN = 2).toDF()
     })
   )
 
@@ -153,19 +158,29 @@ object JsonOps {
                    AS mean_abs_x1000
           FROM px""",
 
-    // Spark slices the true BINARY column; DuckDB v1.0 has no blob
-    // substr/sha256, so the oracle slices the string — equivalent
-    // because the corpus is verified all-ASCII (length == octet_length
-    // for every row at every SF), making char offsets byte offsets.
+    // Every sampled frame's luma re-derived from the text chunk that
+    // fed its PNG: pixels are ascii bytes space-padded to 128 (the
+    // q137 rule, per 128-byte chunk); every doc has at least 1 frame.
     "q62_frame_sample" ->
       """WITH m AS (SELECT doc_id AS id, text,
-                           CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_frames
+                           greatest(CAST(ceil(strlen(text) / 128.0) AS BIGINT),
+                                    1) AS n_frames
                     FROM documents),
-          f AS (SELECT id, t.i AS frame_idx,
-                       substr(text, CAST(t.i * 64 + 1 AS BIGINT), 64) AS frame
-                FROM m, unnest(range(0, m.n_frames)) AS t(i))
-          SELECT id, frame_idx, sha256(frame) AS frame_sha256,
-                 CAST(strlen(frame) AS BIGINT) AS n_frame_bytes
-          FROM f WHERE frame_idx % 2 = 0"""
+          f AS (SELECT id, t.i AS frame_idx, text
+                FROM m, unnest(range(0, m.n_frames)) AS t(i)
+                WHERE t.i % 2 = 0),
+          px AS (SELECT id, frame_idx,
+                        list_transform(range(1, 129),
+                          j -> CASE WHEN frame_idx * 128 + j <= strlen(text)
+                                    THEN ascii(substr(text,
+                                           CAST(frame_idx * 128 + j AS INTEGER),
+                                           1))
+                                    ELSE 32 END) AS ps
+                 FROM f)
+          SELECT id, frame_idx,
+                 CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+                 CAST(list_reduce(list_prepend(0, ps), (x, y) -> x + y)
+                      * 1000 // 128 AS BIGINT) AS mean_luma_x1000
+          FROM px"""
   )
 }

@@ -25,8 +25,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SimulatedStore {
   private def dir(sfDir: String, tag: String): String = {
-    val key = java.lang.Integer.toHexString(sfDir.hashCode)
-    s"${sys.props("java.io.tmpdir")}/graft_simstore/${key}_$tag"
+    // key by the sanitized FULL path plus a content fingerprint of the
+    // corpus parquet (length + mtime) — a bare hashCode could collide
+    // between two data dirs, and regenerated data under the same path
+    // would silently serve the previous corpus's stored state
+    val path = new java.io.File(sfDir).getAbsolutePath
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val fp = Seq("documents", "embeddings").map { t =>
+      val f = new java.io.File(sfDir, s"$t.parquet")
+      s"${f.length()}_${f.lastModified()}"
+    }.mkString("-")
+    s"${sys.props("java.io.tmpdir")}/graft_simstore/${path}_${fp}_$tag"
   }
 
   /** Read the cached table for (sfDir, tag), materializing `mk` to

@@ -123,7 +123,7 @@ object TextOps {
     // MinHash-LSH near-dup pairs (word 3-grams, k=8, 2 bands of 4),
     // verified with exact Jaccard ≥ 0.5.
     "q24_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashLsh(Tables.load(s, d, "documents"), "doc_id", "text")),
+      Dedup.minhashLsh(Tables.documentsWithEdges(s, d), "doc_id", "text")),
 
     // Incremental-crawl dedup: a new batch (doc_id < 100) against the
     // already-ingested corpus (the rest), candidates from the cross
@@ -161,7 +161,7 @@ object TextOps {
     // those by construction, so candidates come from shared df≤5
     // shingles instead).
     "q131_containment_pairs" -> ((s, d) =>
-      Dedup.containmentPairs(Tables.load(s, d, "documents"),
+      Dedup.containmentPairs(Tables.documentsWithEdges(s, d),
         "doc_id", "text", threshold = 0.6)),
 
     // All-pairs char-3-gram Jaccard on a bounded block (test-scale path).
@@ -173,7 +173,7 @@ object TextOps {
     // how much junk it verifies away (precision). The measurement every
     // LSH parameter choice should be accountable to.
     "q139_lsh_recall" -> ((s, d) => {
-      val docs = Tables.load(s, d, "documents")
+      val docs = Tables.documentsWithEdges(s, d)
       val sh = graft.operators.Dedup
         .shingleRows(docs, "doc_id", "text", 3).distinct()
         .localCheckpoint(true) // feeds counts, both join sides, and sigs
@@ -235,7 +235,7 @@ object TextOps {
     // Duplicate-cluster canonicalization: MinHash-LSH pairs → connected
     // components → (doc, cluster) with the min id as canonical.
     "q44_dedup_clusters" -> ((s, d) => {
-      val pairs = Dedup.minhashLsh(Tables.load(s, d, "documents"), "doc_id", "text")
+      val pairs = Dedup.minhashLsh(Tables.documentsWithEdges(s, d), "doc_id", "text")
         .select(col("id_a"), col("id_b"))
       Dedup.connectedComponents(pairs)
     }),
@@ -252,7 +252,7 @@ object TextOps {
     // merge — never the corpus self-join + closure it replaces
     // (VERDICT r6 #3).
     "q127_merged_clusters" -> ((s, d) => {
-      val docs = Tables.load(s, d, "documents")
+      val docs = Tables.documentsWithEdges(s, d)
       val batch = docs.filter(col("doc_id") < 100L)
       // the stored side is a real NearDupIndex over the corpus —
       // signature/band tables AND seeded cluster labels — so the
@@ -262,9 +262,9 @@ object TextOps {
       // batch's own 100 docs, merge touched clusters. The corpus is
       // never re-signed and never self-joined here.
       val idx = {
-        val store = SimulatedStore.tableStore(s, d, "q127_idx_v1") { st =>
+        val store = SimulatedStore.tableStore(s, d, "q127_idx_v2") { st =>
           val i = new graft.operators.NearDupIndex(st, "dup")
-          val corpus = Tables.load(s, d, "documents")
+          val corpus = Tables.documentsWithEdges(s, d)
             .filter(col("doc_id") >= 100L)
           i.build(corpus, "doc_id", "text")
           i.buildClusters(corpus, "doc_id", "text")
@@ -513,8 +513,11 @@ object TextOps {
     // self-join and idf down-weights them anyway), quantized idf /
     // dot / norm sums so pairs are value-exact.
     "q96_sparse_cosine" -> ((s, d) =>
+      // edge-augmented corpus: pins the short-doc shingle guard (docs
+      // with < 3 tokens must contribute no terms, not crash) and the
+      // zero-weight-term norm rule
       graft.operators.SparseSim.allPairsCosine(
-        Tables.load(s, d, "documents"), "doc_id", "text",
+        Tables.documentsWithEdges(s, d), "doc_id", "text",
         n = 3, minDf = 2L, maxDf = 10L, threshold = 0.3))
   )
 
@@ -594,7 +597,8 @@ object TextOps {
   private lazy val minhashPrefixSql: String = {
     val sigCols = (0 until 8).map(j =>
       s"min(md5('$j|' || shingle)) AS h$j").mkString(", ")
-    s"""toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+    s"""docs_e AS (${Tables.documentsWithEdgesSql}),
+        toks AS (SELECT doc_id, $toksSql AS w FROM docs_e),
         sh0 AS (SELECT doc_id,
                        unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
                               i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1]
@@ -1105,7 +1109,8 @@ object TextOps {
 
   private def sparseCosineOracle: Map[String, String] = Map(
     "q96_sparse_cosine" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      s"""WITH docs_e AS (${Tables.documentsWithEdgesSql}),
+          t AS (SELECT doc_id, $toksSql AS toks FROM docs_e),
           tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
                  FROM (SELECT doc_id,
                               toks[CAST(t2.i AS INTEGER)] || ' '
@@ -1116,7 +1121,7 @@ object TextOps {
                  GROUP BY doc_id, term),
           dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
                   FROM tf GROUP BY term HAVING count(*) BETWEEN 2 AND 10),
-          nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+          nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM docs_e),
           w AS (SELECT doc_id, term, w FROM (
                   SELECT doc_id, term,
                        CAST(tf AS DOUBLE)

@@ -549,7 +549,7 @@ class FlakyReader(docs: Map[String, Array[Byte]], failN: Int)
   override def open(url: String): java.io.InputStream = {
     val n = FlakyReader.opens.merge(url, 1, (a, b) => a + b)
     if (n <= failN)
-      throw new java.io.IOException(s"transient hiccup #$n for $url")
+      throw new java.net.SocketTimeoutException(s"read timed out: hiccup #$n for $url")
     docs.get(url) match {
       case Some(b) => new java.io.ByteArrayInputStream(b)
       case None => throw new java.io.FileNotFoundException(url)
@@ -603,6 +603,49 @@ class ImporterSpec extends AnyFunSuite {
       "DATA").collect()
     assert(rows.head.result_code == "PermanentFailure")
     assert(FlakyReader.opens.get("mem://missing") == 1) // never retried
+  }
+
+  test("deterministic stream errors (EOF, access denied) are Permanent") {
+    // a truncated source or a permission error never heals by retrying
+    // — coding them transient burns the attempt budget and reports the
+    // row as re-drivable when it is not (ADVICE r7)
+    class Throwing(e: () => Exception) extends UrlReader {
+      override def open(url: String) = throw e()
+      override def exists(url: String) = true
+    }
+    for (mk <- Seq(
+        () => new java.io.EOFException("unexpected end of stream"),
+        () => new java.nio.file.AccessDeniedException("mem://c"): Exception,
+        () => new java.io.IOException("checksum mismatch"))) {
+      val root = java.nio.file.Files.createTempDirectory("imp-det").toString
+      val imp = new Importer(TestSpark.spark, root)
+      val rows = imp.importAssets(assetsOf("mem://c"), new Throwing(mk),
+        "t-d1", "DATA").collect()
+      assert(rows.head.result_code == "PermanentFailure", rows.head.result_string)
+      // source-open failures must leave NO destination artifact: the
+      // old create-dest-first order left an empty file (and a leaked
+      // stream) behind for every failed attempt
+      assert(!new java.io.File(s"$root/t-d1/v1/c").exists())
+    }
+  }
+
+  test("generic IOExceptions with timeout-ish messages stay retryable") {
+    FlakyReader.opens.clear()
+    class MsgFlaky(docs: Map[String, Array[Byte]]) extends UrlReader {
+      override def open(url: String): java.io.InputStream = {
+        val n = FlakyReader.opens.merge(url, 1, (a, b) => a + b)
+        if (n <= 1)
+          throw new java.io.IOException("connection reset by peer")
+        new java.io.ByteArrayInputStream(docs(url))
+      }
+      override def exists(url: String) = docs.contains(url)
+    }
+    val root = java.nio.file.Files.createTempDirectory("imp-msg").toString
+    val imp = new Importer(TestSpark.spark, root)
+    val rows = imp.importAssets(assetsOf("mem://d"),
+      new MsgFlaky(Map("mem://d" -> "ok".getBytes)), "t-d1", "DATA").collect()
+    assert(rows.head.result_code == "Succeeded", rows.head.result_string)
+    assert(FlakyReader.opens.get("mem://d") == 2)
   }
 
   test("metadata href rewrite to basenames") {

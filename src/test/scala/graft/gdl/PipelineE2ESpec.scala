@@ -282,7 +282,7 @@ private class FlakyAsset1Reader(docs: Map[String, Array[Byte]])
   override def open(url: String): java.io.InputStream = {
     if (url.endsWith("asset1.bin") &&
         PipelineE2ESpec.opensOfAsset1.incrementAndGet() > 1)
-      throw new java.io.IOException("injected copy failure")
+      throw new java.net.SocketTimeoutException("injected copy failure")
     super.open(url)
   }
 }

@@ -69,6 +69,54 @@ class TableStoreProtocolSpec extends AnyFunSuite {
       == (1 to n))
   }
 
+  test("appends racing FULL compactions never lose rows or bury deltas") {
+    // compact() snapshots live generations and claims the next slot
+    // under the expected-seq guard; a delta committed between snapshot
+    // and rename must either push the compaction to retry/forfeit or
+    // land ABOVE the new full generation — a delta below a full gen
+    // that excludes it would be hidden from read() and eligible for
+    // gc: silent row loss. Hammer the window and assert the union.
+    val root = java.nio.file.Files.createTempDirectory("store-comprace").toString
+    val a = new TableStore(spark, root, autoCompactDeltas = 1000)
+    val b = new TableStore(spark, root, autoCompactDeltas = 1000)
+    a.append("t", Seq(0).toDF("x"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val n = 10
+    val fa = Future { (1 to n).foreach(i => a.append("t", Seq(i).toDF("x"))) }
+    val fb = Future { (1 to n).foreach(_ => b.compact("t")) }
+    Await.result(Future.sequence(Seq(fa, fb)), 300.seconds)
+    pool.shutdown()
+    // every row survives, through either store instance
+    assert(a.read("t").get.as[Int].collect().sorted.toSeq == (0 to n))
+    assert(b.read("t").get.as[Int].collect().sorted.toSeq == (0 to n))
+    // and no generation hides a nested staged dir (the lost-race marker)
+    val f = hadoopFs(root)
+    val nested = f.listStatus(new Path(root, "t")).filter(_.isDirectory)
+      .flatMap(g => f.listStatus(g.getPath))
+      .filter(_.getPath.getName.startsWith("_tmp-"))
+    assert(nested.isEmpty, nested.map(_.getPath).mkString(", "))
+  }
+
+  test("two compactors racing each other leave one consistent table") {
+    val root = java.nio.file.Files.createTempDirectory("store-ccrace").toString
+    val a = new TableStore(spark, root, autoCompactDeltas = 1000)
+    val b = new TableStore(spark, root, autoCompactDeltas = 1000)
+    (1 to 6).foreach(i => a.append("t", Seq(i).toDF("x")))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val fs2 = Seq(a, b).map(st => Future { (1 to 4).foreach(_ => st.compact("t")) })
+    Await.result(Future.sequence(fs2), 300.seconds)
+    pool.shutdown()
+    assert(a.read("t").get.as[Int].collect().sorted.toSeq == (1 to 6))
+  }
+
   test("readAt refuses a partial delta chain left by gc stragglers") {
     val root = java.nio.file.Files.createTempDirectory("store-straggler").toString
     val store = new TableStore(spark, root)

@@ -84,6 +84,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bad(9L).sample_rate_hz == -1 && bad(10L).sample_rate_hz == -1)
   }
 
+  test("crafted RIFF chunk size near 2^32 terminates and quarantines") {
+    // chunk sizes are untrusted 32-bit fields: 0xFFFFFFF8 as an Int is
+    // -8, so the old Int-arithmetic walk advanced by 8 + (-8) = 0 and
+    // spun the executor task forever; the Long-safe walk must bail to
+    // the general decoder, which quarantines the blob (-1 row)
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+            ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val crafted = "RIFF".getBytes ++ le32(1000L) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ le32(0xFFFFFFF8L) ++ Array.fill[Byte](32)(0)
+    val out = Multimodal.decodeAudio(spark,
+        Seq((1L, crafted)).toDF("id", "media"), "id", "media")
+      .collect().head
+    assert(out.sample_rate_hz == -1 && out.n_frames == -1)
+  }
+
   test("manually-written WAV bytes interop with the platform codec") {
     // encodePcmWav writes the RIFF header itself (AudioSystem.write's
     // provider lookup contends across threads); the bytes must stay
