@@ -35,7 +35,8 @@ object SparkEntry {
       graft.queries.EventOps.queries ++
       graft.queries.JsonOps.queries ++
       graft.queries.CurationOps.queries ++
-      graft.queries.HtmlOps.queries
+      graft.queries.HtmlOps.queries ++
+      graft.queries.NormalizeOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check.
@@ -50,7 +51,8 @@ object SparkEntry {
       graft.queries.EventOps.oracles ++
       graft.queries.JsonOps.oracles ++
       graft.queries.CurationOps.oracles ++
-      graft.queries.HtmlOps.oracles)
+      graft.queries.HtmlOps.oracles ++
+      graft.queries.NormalizeOps.oracles)
       .map { case (k, sql) =>
         k -> s"SELECT * FROM ($sql) AS graft_q ORDER BY ALL NULLS FIRST"
       }
