@@ -512,6 +512,38 @@ object TextOps {
     // 3-gram terms, df ∈ [2,10] pruning (hubs explode the postings
     // self-join and idf down-weights them anyway), quantized idf /
     // dot / norm sums so pairs are value-exact.
+    // Token-distribution drift between two corpus snapshots — the
+    // mixture/ingest monitor every production pipeline runs when a new
+    // crawl lands: add-one-smoothed unigram distributions for the
+    // reference split (src0-9) vs the current split (src10-19 + edge
+    // docs), per-token KL contribution p_cur·ln(p_cur/p_ref) on the
+    // 1e-12 quantized-long grid (q71's libm-ulp discipline: ln is the
+    // only non-exact step and the grid floors cross-engine ulps).
+    // ONE map-side-combinable count over the corpus; everything after
+    // is vocab-sized. Top drift tokens = ORDER BY contrib — derivable.
+    "q153_token_drift" -> ((s, d) => {
+      val tok = Tables.documentsWithEdges(s, d)
+        .select(col("source"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+        .withColumn("is_ref",
+          col("source").isin((0 to 9).map("src" + _): _*))
+      val counts = tok.groupBy(col("tok"))
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
+             sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
+        .localCheckpoint(eager = true) // vocab-sized; feeds totals AND rows
+      val tot = counts.agg(
+        sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"),
+        count(lit(1)).as("v"))
+      val pRef = (col("c_ref") + 1L).cast("double") /
+        (col("n_ref") + col("v")).cast("double")
+      val pCur = (col("c_cur") + 1L).cast("double") /
+        (col("n_cur") + col("v")).cast("double")
+      counts.crossJoin(broadcast(tot))
+        .select(col("tok"), col("c_ref"), col("c_cur"),
+          floor(pCur * (log(pCur) - log(pRef)) * 1e12).cast("long")
+            .as("kl_contrib_q"))
+    }),
+
     "q96_sparse_cosine" -> ((s, d) =>
       // edge-augmented corpus: pins the short-doc shingle guard (docs
       // with < 3 tokens must contribute no terms, not crash) and the
@@ -1108,6 +1140,29 @@ object TextOps {
   ) ++ sparseCosineOracle
 
   private def sparseCosineOracle: Map[String, String] = Map(
+    "q153_token_drift" ->
+      s"""WITH docs_e AS (${Tables.documentsWithEdgesSql}),
+          tok AS (SELECT source, unnest($toksSql) AS tok FROM docs_e),
+          counts AS (SELECT tok,
+                       CAST(sum(CASE WHEN source IN ('src0','src1','src2',
+                         'src3','src4','src5','src6','src7','src8','src9')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+                       CAST(sum(CASE WHEN source IN ('src0','src1','src2',
+                         'src3','src4','src5','src6','src7','src8','src9')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS c_cur
+                     FROM tok GROUP BY tok),
+          tot AS (SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref,
+                         CAST(sum(c_cur) AS BIGINT) AS n_cur,
+                         CAST(count(*) AS BIGINT) AS v
+                  FROM counts)
+          SELECT tok, c_ref, c_cur,
+                 CAST(floor(
+                   (CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + v AS DOUBLE))
+                   * (ln(CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + v AS DOUBLE))
+                      - ln(CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + v AS DOUBLE)))
+                   * 1e12) AS BIGINT) AS kl_contrib_q
+          FROM counts CROSS JOIN tot""",
+
     "q96_sparse_cosine" ->
       s"""WITH docs_e AS (${Tables.documentsWithEdgesSql}),
           t AS (SELECT doc_id, $toksSql AS toks FROM docs_e),
