@@ -170,6 +170,17 @@ object Decontaminate {
         col("embedding").as("bench_emb"), norm(col("embedding")).as("bench_nrm"),
         keys(col("embedding")).as("bench_keys"))
       .localCheckpoint(eager = true)
+    bandedPairJoin(tCoded, bCoded, threshold, planesPerBand)
+  }
+
+  /** The banded candidate join + first-band exactly-once filter +
+    * exact-cosine verify, over pre-coded sides. Shared by the batch
+    * path (which checkpoints its inputs) and the STREAMING gate
+    * (which must not — checkpointing is illegal on a stream). */
+  private def bandedPairJoin(tCoded: DataFrame, bCoded: DataFrame,
+                             threshold: Double,
+                             planesPerBand: Int): DataFrame = {
+    import graft.functions.VectorFunctions._
     val t = tCoded.select(col("train_id"), col("train_emb"), col("train_nrm"),
       col("train_keys"), explode(col("train_keys")).as("key"))
     val b = bCoded.select(col("bench_id"), col("bench_emb"), col("bench_nrm"),
@@ -189,6 +200,36 @@ object Decontaminate {
           .otherwise(dot(col("train_emb"), col("bench_emb"))
             / (col("train_nrm") * col("bench_nrm")))).as("sim"))
       .filter(col("sim") >= threshold)
+  }
+
+  /** Ingest-time contamination gate for a STREAM of training vectors:
+    * the benchmark table, the train-frozen quantized mean (`sums` —
+    * the artifact an index build stores; see [[Dedup.quantizedSums]]),
+    * and therefore every band code on the bench side are STATIC; the
+    * hyperplane family is parameter-determined, so codes computed on
+    * stream rows join the stored bench codes directly. Per micro-batch
+    * this is the identical zero-shuffle plan as [[semanticBanded]]:
+    * center (broadcast mean), code map-side, explode band keys,
+    * broadcast-join the bench, verify exact cosine — no state, no
+    * watermark, each arriving vector gates independently. Same output
+    * schema/rows as the batch path restricted to the batch's rows
+    * (StreamingDecontamSpec pins the equality). */
+  def semanticBandedStream(trainStream: DataFrame, bench: DataFrame,
+                           sums: DataFrame, threshold: Double, bands: Int,
+                           planesPerBand: Int, dim: Int): DataFrame = {
+    import graft.functions.VectorFunctions._
+    def keys(v: org.apache.spark.sql.Column) =
+      bandKeys(v, bands, planesPerBand, dim)
+    val bCoded = Dedup.centerWith(bench, sums, dim)
+      .select(col("id").as("bench_id"), col("embedding").as("bench_emb"),
+        norm(col("embedding")).as("bench_nrm"),
+        keys(col("embedding")).as("bench_keys"))
+      .localCheckpoint(eager = true) // static side: build once per query
+    val tCoded = Dedup.centerWith(trainStream, sums, dim)
+      .select(col("id").as("train_id"), col("embedding").as("train_emb"),
+        norm(col("embedding")).as("train_nrm"),
+        keys(col("embedding")).as("train_keys"))
+    bandedPairJoin(tCoded, bCoded, threshold, planesPerBand)
   }
 
   private def semanticImpl(train: DataFrame, bench: DataFrame,
