@@ -34,7 +34,40 @@ object HtmlOps {
       HtmlExtract.extractMain(
         HtmlExtract.syntheticHtml(Tables.documentsWithEdges(s, d),
           "doc_id", "text"),
-        "doc_id", "html"))
+        "doc_id", "html")),
+
+    // The round-8 ingest capstone: the FULL crawl-to-report pipeline —
+    // dirty bytes (q152's prefix) wrapped in a page (q148's builder) →
+    // block-classified extraction (q149) → encoding repair/NFC (q152)
+    // → per-source data-card row: docs, blocks, good blocks, clean
+    // tokens, and the boilerplate ratio in exact ppm. One map-only
+    // pipeline to the per-doc grain, one doc_id join back for source,
+    // one combinable per-source aggregate — the report a 100 TB
+    // ingest run emits per crawl snapshot.
+    "q154_ingest_report" -> ((s, d) => {
+      val docs = Tables.documentsWithEdges(s, d)
+      val dirty = docs.select(col("doc_id"),
+        concat(lit(NormalizeOps.DirtyPrefix), col("text")).as("text"))
+      val main = HtmlExtract.extractMain(
+        HtmlExtract.syntheticHtml(dirty, "doc_id", "text"), "doc_id", "html")
+      val perDoc = main.select(col("doc_id"), col("n_blocks"), col("n_good"),
+        col("main_chars"), col("strip_chars"),
+        graft.functions.TextFunctions
+          .tokenCount(graft.operators.TextNormalize.cleanText(col("main_text")))
+          .as("n_tokens_clean"))
+      perDoc.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_blocks")).as("n_blocks"),
+          sum(col("n_good")).as("n_good"),
+          sum(col("n_tokens_clean")).as("n_tokens_clean"),
+          sum(col("main_chars")).as("main_chars"),
+          sum(col("strip_chars")).as("strip_chars"))
+        .select(col("source"), col("n_docs"), col("n_blocks"), col("n_good"),
+          col("n_tokens_clean"), col("main_chars"), col("strip_chars"),
+          expr("(strip_chars - main_chars) * 1000000L div strip_chars")
+            .as("boilerplate_ppm"))
+    })
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -51,15 +84,19 @@ object HtmlOps {
 
   /** trim + entity-decode + tag-strip + whitespace-normalize of a
     * fragment expression — [[HtmlExtract]]'s block_text recipe. */
+  // trim(x, ' ') NOT bare trim: DuckDB's default trim strips unicode
+  // spaces (NBSP included) where Spark's strips only ' ' — a block
+  // whose text starts/ends with NBSP (q154's dirty corpus) diverged
   private def blockTextSql(x: String): String =
     s"""trim(regexp_replace(${decodeSql(
          s"regexp_replace($x, ${sqlLit(HtmlExtract.TagRe)}, ' ', 'g')")},
-         '\\s+', ' ', 'g'))"""
+         '\\s+', ' ', 'g'), ' ')"""
 
-  /** The shared CTE chain: edge corpus → synthetic page → non-content
-    * drop → fragments (ordinal-indexed, mirroring posexplode over a
-    * split that KEEPS empty strings) → classified blocks. */
-  private lazy val blocksPrefixSql: String = {
+  /** The shared CTE chain: source docs (CTE `srcdocs(doc_id, text)`,
+    * defined by the caller) → synthetic page → non-content drop →
+    * fragments (ordinal-indexed, mirroring posexplode over a split
+    * that KEEPS empty strings) → classified blocks. */
+  private def blocksChainSql: String = {
     val htmlExpr =
       s"""${sqlLit(HtmlExtract.HtmlPre)}
            || substr(text, 1, length(text) // 2)
@@ -76,8 +113,7 @@ object HtmlOps {
     val linkJoined =
       s"""coalesce(array_to_string(regexp_extract_all(frag,
             ${sqlLit(HtmlExtract.AnchorRe)}, 1), ' '), '')"""
-    s"""docs_e AS (${Tables.documentsWithEdgesSql}),
-        h AS (SELECT doc_id, $htmlExpr AS html FROM docs_e),
+    s"""h AS (SELECT doc_id, $htmlExpr AS html FROM srcdocs),
         nc AS (SELECT doc_id, $nonContent AS h2 FROM h),
         fr AS (SELECT doc_id,
                       string_split_regex(h2,
@@ -109,14 +145,18 @@ object HtmlOps {
   def oracles: Map[String, String] = Map(
 
     "q148_html_blocks" ->
-      s"""WITH $blocksPrefixSql
+      s"""WITH docs_e AS (${Tables.documentsWithEdgesSql}),
+          srcdocs AS (SELECT doc_id, text FROM docs_e),
+          $blocksChainSql
           SELECT doc_id, block_idx, block_text, n_chars, n_words,
                  link_chars, link_density, is_good
           FROM blk""",
 
     "q149_html_extract" -> {
       val stripExpr = blockTextSql("h2")
-      s"""WITH $blocksPrefixSql,
+      s"""WITH docs_e AS (${Tables.documentsWithEdgesSql}),
+          srcdocs AS (SELECT doc_id, text FROM docs_e),
+          $blocksChainSql,
           agg AS (SELECT doc_id,
                          CAST(count(*) AS BIGINT) AS n_blocks,
                          CAST(sum(CASE WHEN is_good THEN 1 ELSE 0 END)
@@ -134,6 +174,51 @@ object HtmlOps {
                    AS main_chars,
                  CAST(length(st.stext) AS BIGINT) AS strip_chars
           FROM st LEFT JOIN agg a USING (doc_id)"""
+    },
+
+    "q154_ingest_report" -> {
+      val stripExpr = blockTextSql("h2")
+      val cleanTok =
+        s"""CAST(len(list_filter(string_split_regex(
+              ${NormalizeOps.cleanSql("coalesce(a.main_text, '')")},
+              '\\s+'), x -> x <> '')) AS BIGINT)"""
+      s"""WITH docs_e AS (${Tables.documentsWithEdgesSql}),
+          srcdocs AS (SELECT doc_id,
+                             ${sqlLit(NormalizeOps.DirtyPrefix)} || text AS text
+                      FROM docs_e),
+          $blocksChainSql,
+          agg AS (SELECT doc_id,
+                         CAST(count(*) AS BIGINT) AS n_blocks,
+                         CAST(sum(CASE WHEN is_good THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_good,
+                         coalesce(string_agg(
+                           CASE WHEN is_good THEN block_text END, ' '
+                           ORDER BY block_idx), '') AS main_text
+                  FROM blk GROUP BY doc_id),
+          st AS (SELECT doc_id, $stripExpr AS stext FROM nc),
+          perdoc AS (SELECT st.doc_id,
+                            coalesce(a.n_blocks, 0) AS n_blocks,
+                            coalesce(a.n_good, 0) AS n_good,
+                            $cleanTok AS n_tokens_clean,
+                            CAST(length(coalesce(a.main_text, '')) AS BIGINT)
+                              AS main_chars,
+                            CAST(length(st.stext) AS BIGINT) AS strip_chars
+                     FROM st LEFT JOIN agg a USING (doc_id)),
+          rep AS (SELECT d.source,
+                         CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(p.n_blocks) AS BIGINT) AS n_blocks,
+                         CAST(sum(p.n_good) AS BIGINT) AS n_good,
+                         CAST(sum(p.n_tokens_clean) AS BIGINT)
+                           AS n_tokens_clean,
+                         CAST(sum(p.main_chars) AS BIGINT) AS main_chars,
+                         CAST(sum(p.strip_chars) AS BIGINT) AS strip_chars
+                  FROM perdoc p JOIN docs_e d USING (doc_id)
+                  GROUP BY d.source)
+          SELECT source, n_docs, n_blocks, n_good, n_tokens_clean,
+                 main_chars, strip_chars,
+                 (strip_chars - main_chars) * 1000000 // strip_chars
+                   AS boilerplate_ppm
+          FROM rep"""
     }
   )
 }

@@ -43,15 +43,19 @@ object NormalizeOps {
     table.foldLeft(x) { case (acc, (f, t)) =>
       s"replace($acc, ${sqlLit(f)}, ${sqlLit(t)})" }
 
+  /** The DuckDB mirror of [[TextNormalize.cleanText]] applied to the
+    * SQL expression `x` — shared with the q154 capstone oracle. */
+  def cleanSql(x: String): String =
+    s"""regexp_replace(
+          ${replaceChainSql(
+            s"nfc_normalize(${replaceChainSql(x,
+              TextNormalize.MojibakeTable)})",
+            TextNormalize.PunctFoldTable)},
+          ${sqlLit(TextNormalize.ControlRe)}, '', 'g')"""
+
   def oracles: Map[String, String] = Map(
     "q152_text_normalize" -> {
-      val cleaned =
-        s"""regexp_replace(
-              ${replaceChainSql(
-                s"nfc_normalize(${replaceChainSql("dirty",
-                  TextNormalize.MojibakeTable)})",
-                TextNormalize.PunctFoldTable)},
-              ${sqlLit(TextNormalize.ControlRe)}, '', 'g')"""
+      val cleaned = cleanSql("dirty")
       s"""WITH docs_e AS (${Tables.documentsWithEdgesSql}),
           d AS (SELECT doc_id, ${sqlLit(DirtyPrefix)} || text AS dirty
                 FROM docs_e),
