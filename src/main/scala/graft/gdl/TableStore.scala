@@ -33,6 +33,19 @@ import org.apache.spark.sql.functions.{col, desc, row_number}
   * them into a new full generation, so read-time file listings stay O(1)
   * amortized no matter how many appends a table sees.
   *
+  * Slot ties: the atomic rename claims a NAME, so two writers CAN
+  * land the same sequence under different kinds (g5-delta vs g5-comp).
+  * Readers resolve every tie deterministically — snapshot-guarded
+  * kinds (comp/fold/merge) rank after the free kinds (delta/full),
+  * then by name — the losing committer detects the tie post-claim and
+  * withdraws (snapshot writers return false and re-run on a fresh
+  * snapshot that includes the rival; free writers pull their staged
+  * dir back and retry the next slot), and gc reclaims losers that
+  * crashed mid-withdrawal once past the grace period. The rule's
+  * direction matters: a maintenance rewrite losing a tie costs a
+  * re-snapshot, while an append losing one would make committed rows
+  * transiently vanish — so data-bearing kinds always win.
+  *
   * Compaction concurrency: compact() snapshots the live generations,
   * writes them as one full generation, and claims EXACTLY the next
   * sequence slot after the snapshot via the atomic rename. If any other
@@ -110,7 +123,16 @@ class TableStore(spark: SparkSession, root: String,
 
   private def tableDir(table: String) = new Path(root, table)
 
-  private def generations(table: String): Seq[(Long, String, Path)] = {
+  /** Every generation-shaped entry on disk, same-seq DUPLICATES
+    * included. Duplicates exist transiently: the atomic rename claims a
+    * NAME, so two writers committing the same slot under different
+    * KINDS (append's `g5-delta` vs compaction's `g5-comp`) both
+    * succeed — a hole name-claiming cannot close. Resolution is
+    * deterministic instead: the lexicographically-first full name owns
+    * the slot ([[generations]] applies it for every reader), the loser
+    * detects it post-commit and withdraws ([[commit]]), and [[gc]]
+    * reclaims any loser that crashed before withdrawing. */
+  private def rawGenerations(table: String): Seq[(Long, String, Path)] = {
     val dir = tableDir(table)
     val f = fs(dir)
     if (!f.exists(dir)) Seq.empty
@@ -123,8 +145,25 @@ class TableStore(spark: SparkSession, root: String,
           case _ => None
         }
       }
-      .sortBy(_._1)
+      .sortBy(g => (g._1, g._3.getName))
   }
+
+  /** Same-slot tie-break, applied identically by readers and by the
+    * committer's post-claim check. Snapshot-guarded kinds (comp, fold,
+    * merge — everything committed under `expectedSeq`) rank AFTER the
+    * free kinds (delta, full): a snapshot writer that loses a slot
+    * simply returns false and re-runs against a fresh snapshot that
+    * INCLUDES the rival's rows, whereas a withdrawing append would
+    * make already-committed rows transiently vanish. Ties within a
+    * class break on the full name. */
+  private def slotRank(kind: String, name: String): (Int, String) =
+    (if (kind == "comp" || kind == TableStore.mergeKind ||
+         TableStore.foldStart(kind).isDefined) 1 else 0, name)
+
+  private def generations(table: String): Seq[(Long, String, Path)] =
+    rawGenerations(table)
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.minBy(g => slotRank(g._2, g._3.getName)))
 
   /** "full" (overwrite) and "comp" (compaction) generations both contain
     * the whole table at their seq; "comp" additionally promises it
@@ -921,6 +960,16 @@ class TableStore(spark: SparkSession, root: String,
     val dir = tableDir(table)
     val f = fs(dir)
     val cutoff = System.currentTimeMillis() - gcGraceMs
+    // same-slot losers (a racer that crashed between claiming a name
+    // and withdrawing it): invisible to every reader by the
+    // deterministic-winner rule, reclaimable once aged past the grace
+    val winners = gens.map(_._3.getName).toSet
+    rawGenerations(table).filterNot(g => winners(g._3.getName)).foreach { g =>
+      try {
+        if (f.getFileStatus(g._3).getModificationTime < cutoff)
+          f.delete(g._3, true)
+      } catch { case _: java.io.FileNotFoundException => () }
+    }
     // a concurrent gc/compact may delete a generation between our
     // listing and the stat — already-gone is success, not failure
     def rm(g: (Long, String, Path)): Unit =
@@ -1001,8 +1050,42 @@ class TableStore(spark: SparkSession, root: String,
         // untouched (the nested "_"-dir was invisible to reads), and
         // the loser's rows are never silently dropped.
         val nested = new Path(dest, tmp.getName)
-        if (!f.exists(nested)) committed = next
-        else {
+        if (!f.exists(nested)) {
+          // the rename claimed the NAME — now check the SLOT: a racer
+          // committing the same seq under a different kind also
+          // succeeded, and readers resolve such ties to the
+          // lexicographically-first name. If that is not us, withdraw
+          // (pull the staged data back out, retry the next slot) —
+          // without this, the loser's append looked "committed" while
+          // every read ignored it: silent row loss.
+          val rivals = rawGenerations(table)
+            .filter(g => g._1 == next && g._3.getName != dest.getName)
+          val myRank = slotRank(kind, dest.getName)
+          if (rivals.forall(r =>
+              myRank._1 < slotRank(r._2, r._3.getName)._1 ||
+              (myRank._1 == slotRank(r._2, r._3.getName)._1 &&
+               myRank._2 < slotRank(r._2, r._3.getName)._2)))
+            committed = next
+          else if (expectedSeq.isDefined) {
+            // expected-slot writers (compaction/fold) treat a lost slot
+            // like any other conflict: abandon and let the caller
+            // re-snapshot
+            f.delete(dest, true)
+            return false
+          } else {
+            val recovered = new Path(dir,
+              s"_tmp-${java.util.UUID.randomUUID().toString}")
+            if (!f.rename(dest, recovered))
+              throw new IllegalStateException(
+                s"slot-race withdrawal failed: cannot move $dest")
+            tmp = recovered
+            if (attempts >= 20) {
+              f.delete(tmp, true)
+              throw new IllegalStateException(
+                s"atomic commit failed after $attempts tries: $dest")
+            }
+          }
+        } else {
           val recovered = new Path(dir,
             s"_tmp-${java.util.UUID.randomUUID().toString}")
           if (!f.rename(nested, recovered))

@@ -117,6 +117,31 @@ class TableStoreProtocolSpec extends AnyFunSuite {
     assert(a.read("t").get.as[Int].collect().sorted.toSeq == (1 to 6))
   }
 
+  test("same-slot duplicate generations resolve deterministically; gc reclaims the loser") {
+    // The atomic rename claims a NAME, so an append (g<N>-delta) and a
+    // maintenance writer (g<N>-comp) CAN both land the same slot —
+    // name-claiming cannot prevent it. The protocol's answer: every
+    // reader resolves the tie to the data-bearing kind (snapshot-
+    // guarded kinds rank after free kinds), the losing writer
+    // withdraws, and gc reclaims a loser that crashed mid-withdrawal.
+    // Forge the crashed-loser state directly and assert both halves.
+    val root = java.nio.file.Files.createTempDirectory("store-dup").toString
+    val store = new TableStore(spark, root, gcGraceMs = 0L)
+    store.append("t", Seq(1).toDF("x"))   // g0-delta
+    store.append("t", Seq(2).toDF("x"))   // g1-delta
+    val f = hadoopFs(root)
+    // a crashed compactor "claimed" slot 1 too, with STALE content
+    // (the snapshot that only saw row 1)
+    val forged = new Path(root, "t/g0000001-comp")
+    Seq(1).toDF("x").write.parquet(forged.toString)
+    // reads must resolve slot 1 to the delta — row 2 never vanishes
+    assert(store.read("t").get.as[Int].collect().sorted.toSeq == Seq(1, 2))
+    // gc (grace 0) reclaims the loser; the winner chain is untouched
+    store.gc("t")
+    assert(!f.exists(forged), "crashed same-slot loser must be reclaimed")
+    assert(store.read("t").get.as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
+
   test("readAt refuses a partial delta chain left by gc stragglers") {
     val root = java.nio.file.Files.createTempDirectory("store-straggler").toString
     val store = new TableStore(spark, root)
