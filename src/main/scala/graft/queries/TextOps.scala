@@ -544,6 +544,72 @@ object TextOps {
             .as("kl_contrib_q"))
     }),
 
+    // Sentence segmentation — the chunk-boundary primitive RAG/packing
+    // pipelines cut on. The corpus has no punctuation, so both engines
+    // first derive the IDENTICAL "dotted" text (a period after every
+    // 7th token — in-plan transform, no extra explode), then the
+    // actual operator under test segments it: regexp_extract_all on
+    // the RE2-portable '[^.!?]+[.!?]*' sentence pattern, trimmed, with
+    // per-sentence token counts. Map-only end to end; empty docs have
+    // no sentences and emit no rows (deterministically, both engines).
+    "q156_sentences" -> ((s, d) => {
+      import graft.functions.TextFunctions._
+      val docs = Tables.documentsWithEdges(s, d)
+      val dotted = docs.select(col("doc_id"), tokens(col("text")).as("_toks"))
+        .select(col("doc_id"),
+          array_join(transform(
+            sequence(lit(1), greatest(size(col("_toks")), lit(1)), lit(7)),
+            st => concat(array_join(slice(col("_toks"), st, lit(7)), " "),
+              lit("."))), " ").as("dotted"))
+      dotted
+        .select(col("doc_id"),
+          posexplode(filter(transform(
+            regexp_extract_all(col("dotted"),
+              lit("[^.!?]+[.!?]*"), lit(0)),
+            x => trim(x)), x => x =!= ""))
+            .as(Seq("sent_idx", "sent_text")))
+        .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"),
+          col("sent_text"),
+          size(tokens(col("sent_text"))).cast("long").as("n_words"))
+    }),
+
+    // N-gram novelty vs a reference corpus — the memorization / leak
+    // scan (Lee et al. 2022's n-gram view of train/test overlap,
+    // doc-grained): for every CURRENT-split document, how many of its
+    // distinct word 3-grams already exist anywhere in the REFERENCE
+    // split, and the novelty fraction in exact ppm. Plan: one shingle
+    // explode (map-only, distinct per doc), corpus-wide distinct on
+    // the reference side, ONE equi-join on the shingle key (at 100 TB
+    // the reference set is corpus-scale — a shuffle join on the
+    // shingle, never a broadcast), one doc_id-keyed count. Empty/short
+    // docs report 0 grams / novelty 0 via the left join.
+    "q155_ngram_novelty" -> ((s, d) => {
+      import graft.functions.TextFunctions._
+      val refSrcs = (0 to 9).map("src" + _)
+      val docs = Tables.documentsWithEdges(s, d)
+      val base = docs.select(col("doc_id"), col("source"),
+        tokens(col("text")).as("_toks"))
+      val sh = base.select(col("doc_id"), col("source"),
+        explode(wordShinglesFromTokens(col("_toks"), 3)).as("shingle"))
+      val ref = sh.filter(col("source").isin(refSrcs: _*))
+        .select(col("shingle")).distinct()
+        .withColumn("_seen", lit(1L))
+      val agg = sh.filter(!col("source").isin(refSrcs: _*))
+        .join(ref, Seq("shingle"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("_seen"), lit(0L))).as("n_seen"))
+      docs.filter(!col("source").isin(refSrcs: _*)).select(col("doc_id"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_seen"), lit(0L)).as("n_seen"))
+        .withColumn("novelty_ppm",
+          when(col("n_grams") > 0,
+            expr("(n_grams - n_seen) * 1000000L div n_grams"))
+            .otherwise(0L))
+    }),
+
     "q96_sparse_cosine" -> ((s, d) =>
       // edge-augmented corpus: pins the short-doc shingle guard (docs
       // with < 3 tokens must contribute no terms, not crash) and the
@@ -1140,6 +1206,63 @@ object TextOps {
   ) ++ sparseCosineOracle
 
   private def sparseCosineOracle: Map[String, String] = Map(
+    "q156_sentences" ->
+      s"""WITH docs_e AS (${Tables.documentsWithEdgesSql}),
+          t AS (SELECT doc_id, $toksSql AS w FROM docs_e),
+          dt AS (SELECT doc_id,
+                        array_to_string(list_transform(
+                          range(1, greatest(len(w), 1) + 1, 7),
+                          st -> array_to_string(
+                                  w[CAST(st AS INTEGER)
+                                    : CAST(st + 6 AS INTEGER)], ' ')
+                                || '.'), ' ') AS dotted
+                 FROM t),
+          ra AS (SELECT doc_id,
+                        regexp_extract_all(dotted, '[^.!?]+[.!?]*') AS arr
+                 FROM dt),
+          raw AS (SELECT doc_id, t2.i - 1 AS sent_idx0,
+                         trim(arr[CAST(t2.i AS INTEGER)], ' ') AS sent_text
+                  FROM ra, unnest(range(1, len(arr) + 1)) AS t2(i)),
+          f AS (SELECT doc_id, sent_text,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY sent_idx0) - 1 AS sent_idx
+                FROM raw WHERE sent_text <> '')
+          SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx, sent_text,
+                 CAST(len(list_filter(string_split_regex(sent_text, '\\s+'),
+                          x -> x <> '')) AS BIGINT) AS n_words
+          FROM f""",
+
+    "q155_ngram_novelty" -> {
+      val refIn = "('src0','src1','src2','src3','src4'," +
+        "'src5','src6','src7','src8','src9')"
+      s"""WITH docs_e AS (${Tables.documentsWithEdgesSql}),
+          t AS (SELECT doc_id, source, $toksSql AS w FROM docs_e),
+          sh0 AS (SELECT doc_id, source,
+                         unnest(list_transform(
+                           range(1, greatest(len(w) - 2, 0) + 1),
+                           i -> w[CAST(i AS INTEGER)] || ' '
+                                || w[CAST(i AS INTEGER) + 1] || ' '
+                                || w[CAST(i AS INTEGER) + 2])) AS shingle
+                  FROM t),
+          sh AS (SELECT DISTINCT doc_id, source, shingle FROM sh0),
+          ref AS (SELECT DISTINCT shingle FROM sh WHERE source IN $refIn),
+          agg AS (SELECT c.doc_id,
+                         CAST(count(*) AS BIGINT) AS n_grams,
+                         CAST(sum(CASE WHEN r.shingle IS NOT NULL
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+                  FROM sh c LEFT JOIN ref r USING (shingle)
+                  WHERE c.source NOT IN $refIn
+                  GROUP BY c.doc_id)
+          SELECT b.doc_id,
+                 coalesce(a.n_grams, 0) AS n_grams,
+                 coalesce(a.n_seen, 0) AS n_seen,
+                 CASE WHEN coalesce(a.n_grams, 0) > 0
+                      THEN (a.n_grams - a.n_seen) * 1000000 // a.n_grams
+                      ELSE 0 END AS novelty_ppm
+          FROM (SELECT doc_id FROM docs_e WHERE source NOT IN $refIn) b
+          LEFT JOIN agg a USING (doc_id)"""
+    },
+
     "q153_token_drift" ->
       s"""WITH docs_e AS (${Tables.documentsWithEdgesSql}),
           tok AS (SELECT source, unnest($toksSql) AS tok FROM docs_e),
