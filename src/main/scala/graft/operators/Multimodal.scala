@@ -181,6 +181,103 @@ object Multimodal {
       })
   }
 
+  /** Real decoded-image perceptual-hash row: the 64-bit average hash
+    * (aHash) split into four 16-bit bands (band b = hash bits
+    * 16b..16b+15). Undecodable/foreign-geometry bytes → all bands -1
+    * (quarantine; a real band is 0..65535, so -1 never collides). */
+  final case class DecodedImageAHash(
+      id: Long, format: String, b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** REAL image decode → average perceptual hash (aHash, the
+    * LAION-class image-dedup fingerprint): the 16×8 gray raster is
+    * block-averaged to 8×8 (horizontal pixel pairs), bit j = block j's
+    * mean > whole-raster mean. Integer-exact: bit j is
+    * 64·(p[2j]+p[2j+1]) > Σp — no division — so a SQL oracle
+    * re-derives identical bits straight from the source text. The hash
+    * ships as four 16-bit band longs: the near-dup join downstream
+    * needs band equality (LSH) plus XOR popcount, never 64-bit sums,
+    * which also keeps the oracle inside signed-BIGINT arithmetic.
+    * Rasters that are not exactly 128 pixels (foreign/corrupt input)
+    * quarantine rather than hash under a silently different geometry.
+    * Partition-wise; blobs never leave their partition. */
+  def decodeImageAHash(spark: SparkSession, media: DataFrame,
+                       idCol: String, binCol: String): Dataset[DecodedImageAHash] = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(binCol))
+      .filter(col(idCol).isNotNull)
+      .withColumn(binCol, coalesce(col(binCol), lit(Array.empty[Byte])))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) DecodedImageAHash(id, "unknown", -1L, -1L, -1L, -1L)
+        else {
+          val reader = readers.next()
+          val fmt = reader.getFormatName.toLowerCase
+          try {
+            reader.setInput(iis)
+            val img = reader.read(0)
+            val (w, h) = (img.getWidth, img.getHeight)
+            if (w.toLong * h != 128L) DecodedImageAHash(id, fmt, -1L, -1L, -1L, -1L)
+            else {
+              val p = new Array[Int](128)
+              var sum = 0L
+              var i = 0
+              while (i < 128) {
+                p(i) = img.getRaster.getSample(i % w, i / w, 0)
+                sum += p(i)
+                i += 1
+              }
+              val bands = new Array[Long](4)
+              var j = 0
+              while (j < 64) {
+                if (64L * (p(2 * j) + p(2 * j + 1)) > sum)
+                  bands(j / 16) |= 1L << (j % 16)
+                j += 1
+              }
+              DecodedImageAHash(id, fmt, bands(0), bands(1), bands(2), bands(3))
+            }
+          } catch { // truncated/corrupt body behind a valid magic
+            case _: Exception => DecodedImageAHash(id, fmt, -1L, -1L, -1L, -1L)
+          } finally reader.dispose()
+        }
+      })
+  }
+
+  /** Near-duplicate image pairs by banded aHash (perceptual image
+    * dedup): candidates = pairs agreeing exactly on ≥ 1 of the 4
+    * bands — banded LSH, so by pigeonhole every pair at hamming ≤ 3
+    * is guaranteed a candidate and recall decays gracefully above
+    * (band count is the recall knob, the same discipline as the
+    * SimHash text family) — then verified by EXACT 64-bit hamming
+    * Σ_b popcount(band_l XOR band_r) ≤ maxHamming. Quarantine rows
+    * (negative bands) drop out before banding.
+    *
+    * Scale: the join key is (band_id, band_value) — collisions within
+    * one 16-bit band value are the candidate set; no corpus-wide
+    * window, no cartesian, and the pair distinct() is keyed by the
+    * (doc_a, doc_b) output, already bounded by candidate count. */
+  def aHashNearDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val bandCols = Seq("b0", "b1", "b2", "b3")
+    val h = hashes.filter(col("b0") >= 0L)
+      .select(col("id") +: bandCols.map(col): _*)
+    val e = h.select(col("id") +: bandCols.map(col) :+
+      posexplode(array(bandCols.map(col): _*)).as(Seq("band_id", "band_val")): _*)
+    val l = e.select(e.columns.map(c => col(c).as(s"l_$c")).toSeq: _*)
+    val r = e.select(e.columns.map(c => col(c).as(s"r_$c")).toSeq: _*)
+    val hamming = bandCols.map(c =>
+      bit_count(col(s"l_$c").bitwiseXOR(col(s"r_$c"))).cast("long"))
+      .reduce(_ + _)
+    l.join(r, col("l_band_id") === col("r_band_id") &&
+        col("l_band_val") === col("r_band_val") &&
+        col("l_id") < col("r_id"))
+      .select(col("l_id").as("doc_a"), col("r_id").as("doc_b"),
+        hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Encode each doc's leading bytes as 16-bit mono PCM WAV (the JDK's
     * real RIFF writer): sample i = (byte_i − 96)·128, `n` frames.
     * Output: (id, media binary). */

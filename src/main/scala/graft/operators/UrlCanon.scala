@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization — the first stage of every crawl-derived
+  * corpus pipeline: URL-level dedup precedes any content dedup (it is
+  * the only dedup that avoids even fetching the duplicate), and the
+  * canonical URL is the natural partition/dedup key downstream.
+  *
+  * Canonical form, applied in order:
+  *   1. drop the fragment (`#…` is client-side only);
+  *   2. lowercase the scheme and authority (host names are
+  *      case-insensitive; the path is NOT touched);
+  *   3. strip a leading `www.`;
+  *   4. strip the scheme's default port (`:443` https, `:80` http);
+  *   5. drop tracking parameters (`utm_*`, `fbclid`, `gclid`), sort
+  *      the survivors byte-lexicographically (parameter order is
+  *      semantically irrelevant for idempotent GETs), and drop the
+  *      `?` entirely when nothing survives;
+  *   6. strip one trailing slash from a non-root path.
+  *
+  * Every step is a codegen'd builtin (regexp_replace / split /
+  * array_sort / array_join) — a map-only projection at any scale; the
+  * dedup that follows is one groupBy(canonical_url). All patterns are
+  * RE2-portable (no lookahead/backreference in the MATCH side) so a
+  * DuckDB oracle runs the identical rewrites. Canonicalization is
+  * idempotent: canonicalize ∘ canonicalize = canonicalize
+  * (UrlCanonSpec pins it property-style).
+  */
+object UrlCanon {
+
+  /** Tracking-parameter prefixes dropped by step 5. */
+  val TrackingPrefixes: Seq[String] = Seq("utm_", "fbclid=", "gclid=")
+
+  def canonicalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // lowercase ONLY scheme://authority — regexp_extract("") on a
+    // non-matching (schemeless) string yields "", so garbage input
+    // degrades to its own lowercased-empty prefix, never an error
+    val lowered = concat(
+      lower(regexp_extract(noFrag, "^([^/?#]*://[^/?#]*)", 1)),
+      regexp_replace(noFrag, "^[^/?#]*://[^/?#]*", ""))
+    val noWww = regexp_replace(lowered, "^(https?://)www\\.", "$1")
+    // default ports: group 2 may not participate (port at end of
+    // authority with no path) — Java and RE2 both substitute "" then
+    val noPort = regexp_replace(
+      regexp_replace(noWww, "^(https://[^/:?#]*):443([/?].*)?$", "$1$2"),
+      "^(http://[^/:?#]*):80([/?].*)?$", "$1$2")
+    val base = regexp_replace(regexp_extract(noPort, "^([^?]*)", 1),
+      "([^/])/$", "$1")
+    val qs = regexp_extract(noPort, "\\?(.*)$", 1) // "" when no query
+    val kept = array_join(array_sort(filter(split(qs, "&"), p =>
+      p =!= "" && TrackingPrefixes.map(t => !p.startsWith(t)).reduce(_ && _))),
+      "&")
+    concat(base, when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+}

@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Bm25, Boilerplate, Decontaminate, Dsir, LogReg, TopK}
+import graft.operators.{Bm25, Boilerplate, Decontaminate, Dsir, LogReg,
+  Retrieval, Similarity, TopK}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -40,6 +41,25 @@ object CurationOps {
     "q64_bm25" -> ((s, d) =>
       Bm25.rank(Tables.load(s, d, "documents"), "doc_id", "text",
         terms = bm25Terms, topK = 10)),
+
+    // Hybrid retrieval: BM25 top-50 (sparse) + exact cosine top-50 for
+    // query vector 0 (dense; doc_id ≡ vec_id — the corpus's embedding
+    // column), fused by reciprocal-rank fusion 1/(60+rank). The fusion
+    // join touches ≤ 100 rows whatever the corpus size — the scale
+    // cost stays in the two retrievals, each already scale-shaped
+    // (corpus-agg + TakeOrdered; broadcast-query scan + per-query
+    // window). Score-free: no BM25↔cosine calibration needed.
+    "q157_hybrid_rrf" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      val sparse = Bm25.rank(Tables.load(s, d, "documents"), "doc_id",
+          "text", terms = bm25Terms, topK = 50)
+        .select(col("doc_id"), col("rank").as("rank_sparse"))
+      val dense = Similarity.topK(emb.filter(col("id") === 0L), emb, k = 50)
+        .select(col("vec_id").as("doc_id"), col("rank").as("rank_dense"))
+      Retrieval.rrfFuse(sparse, dense, "doc_id", "rank_sparse",
+        "rank_dense", k0 = 60, topK = 20)
+    }),
 
     // Boilerplate-span coverage: token 3-grams appearing in ≥ 5 distinct
     // docs are boilerplate; per-doc fraction of tokens covered by such
@@ -542,6 +562,44 @@ object CurationOps {
   private val toksSql =
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
+  /** The q64 BM25 oracle parameterized by topK — q157's sparse arm
+    * reuses it at k=50. Score literals mirror the Scala side:
+    * (1.2 + 1.0), (1.0 - 0.75) are COMPUTED in both engines so the
+    * doubles agree bitwise; idf is quantized to the 1e-9 grid to
+    * absorb ≤1-ulp libm ln differences. */
+  private def bm25TopSql(topK: Int): String = {
+    val tfCols = bm25Terms.indices.map(i =>
+      s"CAST(len(list_filter(toks, x -> x = '${bm25Terms(i)}')) AS BIGINT) AS tf_$i")
+      .mkString(",\n                 ")
+    val dfCols = bm25Terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
+      .mkString(",\n                 ")
+    val termScores = bm25Terms.indices.map(i =>
+      s"""((floor(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5)
+                    / (CAST(df_$i AS DOUBLE) + 0.5)) * 1e9 + 0.5) / 1e9)
+           * (CAST(tf_$i AS DOUBLE) * (1.2 + 1.0))
+           / (CAST(tf_$i AS DOUBLE)
+              + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+                       / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))""")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        tf AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               $tfCols
+               FROM t),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(dl) AS BIGINT) AS sum_dl,
+               $dfCols
+               FROM tf),
+        sc AS (SELECT doc_id, dl, $termScores AS score
+               FROM tf CROSS JOIN st),
+        top AS (SELECT doc_id, dl, score FROM sc
+                ORDER BY score DESC, doc_id LIMIT $topK)
+        SELECT doc_id, dl, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+                 AS rank
+        FROM top"""
+  }
+
   /** Distinct word-3-gram shingle rows per doc (mirrors
     * Dedup.shingleRows at n=3). */
   private val shingle3Sql =
@@ -575,40 +633,37 @@ object CurationOps {
                  CAST(coalesce(pr.n_contaminated, 0) AS BIGINT) AS n_contaminated
           FROM bc LEFT JOIN pr USING (bench_id)""",
 
-    "q64_bm25" -> {
-      val tfCols = bm25Terms.indices.map(i =>
-        s"CAST(len(list_filter(toks, x -> x = '${bm25Terms(i)}')) AS BIGINT) AS tf_$i")
-        .mkString(",\n                 ")
-      val dfCols = bm25Terms.indices.map(i =>
-        s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
-        .mkString(",\n                 ")
-      // score literals mirror the Scala side: (1.2 + 1.0), (1.0 - 0.75)
-      // are COMPUTED in both engines so the doubles agree bitwise; idf is
-      // quantized to the 1e-9 grid to absorb ≤1-ulp libm ln differences
-      val termScores = bm25Terms.indices.map(i =>
-        s"""((floor(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5)
-                      / (CAST(df_$i AS DOUBLE) + 0.5)) * 1e9 + 0.5) / 1e9)
-             * (CAST(tf_$i AS DOUBLE) * (1.2 + 1.0))
-             / (CAST(tf_$i AS DOUBLE)
-                + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
-                         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))""")
-        .mkString(" + ")
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-          tf AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-                 $tfCols
-                 FROM t),
-          st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                        CAST(sum(dl) AS BIGINT) AS sum_dl,
-                 $dfCols
-                 FROM tf),
-          sc AS (SELECT doc_id, dl, $termScores AS score
-                 FROM tf CROSS JOIN st),
-          top AS (SELECT doc_id, dl, score FROM sc
-                  ORDER BY score DESC, doc_id LIMIT 10)
-          SELECT doc_id, dl, score,
-                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+    "q64_bm25" -> bm25TopSql(10),
+
+    "q157_hybrid_rrf" -> {
+      val cos = VectorOps.cosineSql("q.q_emb", "c.c_emb")
+      s"""WITH sp AS (SELECT doc_id, rank AS rank_sparse
+                      FROM (${bm25TopSql(50)})),
+          sims AS (SELECT c.vec_id AS doc_id, $cos AS sim
+                   FROM (SELECT vec_id, embedding AS c_emb
+                         FROM embeddings) c CROSS JOIN
+                        (SELECT embedding AS q_emb FROM embeddings
+                         WHERE vec_id = 0) q
+                   WHERE c.vec_id <> 0),
+          dn AS (SELECT doc_id, rank_dense FROM (
+                   SELECT doc_id,
+                          CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
+                               AS BIGINT) AS rank_dense
+                   FROM sims) WHERE rank_dense <= 50),
+          j AS (SELECT coalesce(sp.doc_id, dn.doc_id) AS doc_id,
+                       sp.rank_sparse, dn.rank_dense
+                FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id),
+          sc2 AS (SELECT doc_id, rank_sparse, rank_dense,
+                         coalesce(1.0 / (60.0 + CAST(rank_sparse AS DOUBLE)), 0.0)
+                       + coalesce(1.0 / (60.0 + CAST(rank_dense AS DOUBLE)), 0.0)
+                           AS rrf
+                  FROM j),
+          top2 AS (SELECT doc_id, rank_sparse, rank_dense, rrf FROM sc2
+                   ORDER BY rrf DESC, doc_id LIMIT 20)
+          SELECT doc_id, rank_sparse, rank_dense, rrf,
+                 CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
                    AS rank
-          FROM top"""
+          FROM top2"""
     },
 
     "q67_vocab_coverage" ->

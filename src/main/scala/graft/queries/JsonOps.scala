@@ -94,6 +94,19 @@ object JsonOps {
       val media = Multimodal.encodeFrameVideo(s,
         Tables.load(s, d, "documents"), "doc_id", "text", w = 16, h = 8)
       Multimodal.sampleVideoFrames(s, media, "id", "media", everyN = 2).toDF()
+    }),
+
+    // Perceptual-hash image near-dup (the LAION-style multimodal
+    // dedup): REAL PNG roundtrip → 64-bit aHash as 4×16-bit bands →
+    // banded LSH candidate join → exact hamming ≤ 8. Runs over the
+    // edge-augmented corpus so the all-equal-raster path (empty /
+    // whitespace-only docs hash to all-zero bands) is oracle-pinned.
+    "q158_image_phash_neardup" -> ((s, d) => {
+      val media = Multimodal.encodeGrayPng(s,
+        Tables.documentsWithEdges(s, d), "doc_id", "text", w = 16, h = 8)
+      Multimodal.aHashNearDupPairs(
+        Multimodal.decodeImageAHash(s, media, "id", "media").toDF(),
+        maxHamming = 8)
     })
   )
 
@@ -181,6 +194,45 @@ object JsonOps {
                  CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
                  CAST(list_reduce(list_prepend(0, ps), (x, y) -> x + y)
                       * 1000 // 128 AS BIGINT) AS mean_luma_x1000
-          FROM px"""
+          FROM px""",
+
+    // aHash bit j is the INTEGER comparison 64·(p[2j]+p[2j+1]) > Σp —
+    // the oracle re-derives the identical bits from the text bytes and
+    // mirrors the banded join; hamming via per-band XOR popcount stays
+    // inside signed BIGINT (no 64-bit hash value is ever summed).
+    "q158_image_phash_neardup" -> {
+      val bands = (0 until 4).map(b =>
+        s"""CAST(list_sum(list_transform(range(0, 16),
+              t -> CASE WHEN 64 * (ps[CAST(2 * ($b * 16 + t) + 1 AS INTEGER)]
+                                   + ps[CAST(2 * ($b * 16 + t) + 2 AS INTEGER)])
+                             > tot
+                        THEN (CAST(1 AS BIGINT) << CAST(t AS INTEGER))
+                        ELSE 0 END)) AS BIGINT) AS b$b""")
+        .mkString(",\n                 ")
+      s"""WITH docs_e AS (${Tables.documentsWithEdgesSql}),
+          px AS (SELECT doc_id, list_transform(range(1, 129),
+                   i -> CASE WHEN i <= strlen(text)
+                             THEN ascii(substr(text, CAST(i AS INTEGER), 1))
+                             ELSE 32 END) AS ps
+                 FROM docs_e),
+          s AS (SELECT doc_id, ps,
+                       list_reduce(list_prepend(0, ps), (x, y) -> x + y) AS tot
+                FROM px),
+          h AS (SELECT doc_id,
+                 $bands
+                 FROM s),
+          e AS (SELECT doc_id, b0, b1, b2, b3, t.band_id,
+                       CASE t.band_id WHEN 0 THEN b0 WHEN 1 THEN b1
+                            WHEN 2 THEN b2 ELSE b3 END AS band_val
+                FROM h, unnest(range(0, 4)) AS t(band_id)),
+          p AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                       CAST(bit_count(xor(l.b0, r.b0)) AS BIGINT)
+                     + CAST(bit_count(xor(l.b1, r.b1)) AS BIGINT)
+                     + CAST(bit_count(xor(l.b2, r.b2)) AS BIGINT)
+                     + CAST(bit_count(xor(l.b3, r.b3)) AS BIGINT) AS hamming
+                FROM e l JOIN e r ON l.band_id = r.band_id
+                     AND l.band_val = r.band_val AND l.doc_id < r.doc_id)
+          SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 8"""
+    }
   )
 }

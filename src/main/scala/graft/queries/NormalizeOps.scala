@@ -1,8 +1,9 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.TextNormalize
+import graft.operators.{TextNormalize, UrlCanon}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Encoding-repair / unicode-normalization queries (q152) — the
@@ -32,7 +33,39 @@ object NormalizeOps {
         .select(col("doc_id"), col("clean_text"),
           length(col("dirty")).cast("long").as("n_chars_dirty"),
           length(col("clean_text")).cast("long").as("n_chars_clean"),
-          (col("dirty") =!= col("clean_text")).as("changed")))
+          (col("dirty") =!= col("clean_text")).as("changed"))),
+
+    // URL canonicalization + URL-level dedup — the stage BEFORE any
+    // content dedup in a crawl pipeline. The corpus has no URL column,
+    // so both engines derive the IDENTICAL dirty URL from doc_id
+    // (identity = doc_id % 100; dirt variant = doc_id DIV 100 — case,
+    // www, default port, trailing slash, tracking params, unsorted
+    // params, fragment), then the operator under test canonicalizes
+    // and groups. Map-only projection + one window keyed by
+    // canonical_url (≙ groupBy on the dedup key — the partitioning a
+    // crawl store would already have).
+    "q159_url_canonicalize" -> ((s, d) => {
+      val q = expr("doc_id DIV 100")
+      val t = col("doc_id") % 100
+      val url = concat(
+        when(q % 2 === 1, "HTTPS://").otherwise("https://"),
+        when(q.isin(1, 3), "www.").otherwise(""),
+        when(q === 3, "Example.COM").otherwise("example.com"),
+        when(q === 2, ":443").otherwise(""),
+        lit("/p/"), t.cast("string"),
+        when(q === 4, "/").otherwise(""),
+        when(t % 4 === 1, "?utm_source=feed")
+          .when(t % 4 === 2, "?b=2&a=1&utm_campaign=x")
+          .when(t % 4 === 3, "?a=1&b=2").otherwise(""),
+        when(q === 1, "#top").otherwise(""))
+      val w = Window.partitionBy(col("canonical_url"))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), url.as("url"))
+        .withColumn("canonical_url", UrlCanon.canonicalize(col("url")))
+        .select(col("doc_id"), col("url"), col("canonical_url"),
+          min(col("doc_id")).over(w).as("keeper_doc_id"),
+          count(lit(1)).over(w).cast("long").as("n_dups"))
+    })
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -65,6 +98,61 @@ object NormalizeOps {
                  CAST(length(clean_text) AS BIGINT) AS n_chars_clean,
                  dirty <> clean_text AS changed
           FROM c"""
-    }
+    },
+
+    // The canonicalization chain mirrors UrlCanon.canonicalize step
+    // for step; every pattern is RE2-portable so both engines run the
+    // SAME rewrites. array_to_string([]) is NULL in DuckDB (engine
+    // parity note) → coalesce.
+    "q159_url_canonicalize" ->
+      """WITH d AS (
+            SELECT doc_id,
+              (CASE WHEN (doc_id // 100) % 2 = 1
+                    THEN 'HTTPS://' ELSE 'https://' END)
+              || (CASE WHEN (doc_id // 100) IN (1, 3) THEN 'www.' ELSE '' END)
+              || (CASE WHEN (doc_id // 100) = 3
+                       THEN 'Example.COM' ELSE 'example.com' END)
+              || (CASE WHEN (doc_id // 100) = 2 THEN ':443' ELSE '' END)
+              || '/p/' || CAST(doc_id % 100 AS VARCHAR)
+              || (CASE WHEN (doc_id // 100) = 4 THEN '/' ELSE '' END)
+              || (CASE (doc_id % 100) % 4
+                    WHEN 1 THEN '?utm_source=feed'
+                    WHEN 2 THEN '?b=2&a=1&utm_campaign=x'
+                    WHEN 3 THEN '?a=1&b=2' ELSE '' END)
+              || (CASE WHEN (doc_id // 100) = 1 THEN '#top' ELSE '' END) AS url
+            FROM documents),
+          s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u
+                 FROM d),
+          s2 AS (SELECT doc_id, url,
+                   lower(regexp_extract(u, '^([^/?#]*://[^/?#]*)', 1))
+                   || regexp_replace(u, '^[^/?#]*://[^/?#]*', '') AS u
+                 FROM s1),
+          s3 AS (SELECT doc_id, url,
+                   regexp_replace(u, '^(https?://)www\.', '\1') AS u FROM s2),
+          s4 AS (SELECT doc_id, url,
+                   regexp_replace(regexp_replace(u,
+                     '^(https://[^/:?#]*):443([/?].*)?$', '\1\2'),
+                     '^(http://[^/:?#]*):80([/?].*)?$', '\1\2') AS u FROM s3),
+          s5 AS (SELECT doc_id, url,
+                   regexp_replace(regexp_extract(u, '^([^?]*)', 1),
+                     '([^/])/$', '\1') AS base,
+                   regexp_extract(u, '\?(.*)$', 1) AS qs FROM s4),
+          s6 AS (SELECT doc_id, url, base,
+                   coalesce(array_to_string(list_sort(list_filter(
+                     string_split(qs, '&'),
+                     p -> p <> '' AND NOT p LIKE 'utm_%'
+                          AND NOT p LIKE 'fbclid=%'
+                          AND NOT p LIKE 'gclid=%')), '&'), '') AS q2
+                 FROM s5),
+          c AS (SELECT doc_id, url,
+                  base || (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END)
+                    AS canonical_url
+                FROM s6)
+          SELECT doc_id, url, canonical_url,
+                 min(doc_id) OVER (PARTITION BY canonical_url)
+                   AS keeper_doc_id,
+                 CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT)
+                   AS n_dups
+          FROM c"""
   )
 }

@@ -13,14 +13,14 @@ import org.apache.spark.sql.functions._
 object VectorOps {
 
   /** DuckDB fragment: sequential-fold dot product of `a`·`b`. */
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"""list_reduce(
           list_prepend(0.0, list_transform(range(1, len($a) + 1),
             i -> CAST($a[CAST(i AS INTEGER)] AS DOUBLE)
                  * CAST($b[CAST(i AS INTEGER)] AS DOUBLE))),
           (x, y) -> x + y)"""
 
-  private def cosineSql(a: String, b: String): String =
+  private[queries] def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
 
