@@ -260,8 +260,15 @@ object Multimodal {
     * (doc_a, doc_b) output, already bounded by candidate count. */
   def aHashNearDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     val bandCols = Seq("b0", "b1", "b2", "b3")
+    // `hashes` sits on a REAL media decode: referencing its lineage on
+    // BOTH sides of the self-join would decode the corpus twice.
+    // Persist the tiny hash rows (id + 4 longs ≈ 40 B/doc) instead —
+    // the Dedup.scala minhash discipline — then eagerly checkpoint the
+    // candidate-bounded pair output and release the cache so a
+    // long-lived session doesn't accumulate it.
     val h = hashes.filter(col("b0") >= 0L)
       .select(col("id") +: bandCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e = h.select(col("id") +: bandCols.map(col) :+
       posexplode(array(bandCols.map(col): _*)).as(Seq("band_id", "band_val")): _*)
     val l = e.select(e.columns.map(c => col(c).as(s"l_$c")).toSeq: _*)
@@ -269,13 +276,16 @@ object Multimodal {
     val hamming = bandCols.map(c =>
       bit_count(col(s"l_$c").bitwiseXOR(col(s"r_$c"))).cast("long"))
       .reduce(_ + _)
-    l.join(r, col("l_band_id") === col("r_band_id") &&
+    val out = l.join(r, col("l_band_id") === col("r_band_id") &&
         col("l_band_val") === col("r_band_val") &&
         col("l_id") < col("r_id"))
       .select(col("l_id").as("doc_a"), col("r_id").as("doc_b"),
         hamming.as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+      .localCheckpoint(eager = true)
+    h.unpersist(blocking = false)
+    out
   }
 
   /** Encode each doc's leading bytes as 16-bit mono PCM WAV (the JDK's
