@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hierarchical host-rule matching — the crawl allow/block-list and
+  * public-suffix primitive: a rule `src7.example.org` governs the host
+  * itself and every subdomain, and the MOST SPECIFIC (longest-suffix)
+  * matching rule wins, so `ads.src7.example.org → allow` can carve an
+  * exception out of `src7.example.org → block`.
+  *
+  * Scale design (100 TB): the host's suffix chain is exploded map-side
+  * (a host has ≤ ~6 labels, so ≤ 6 rows — constant fan-out), turning
+  * every wildcard-suffix rule into an EQUI-join key. A million-rule
+  * list therefore stays one hash join (broadcast while the list fits,
+  * shuffle beyond), never a per-pattern LIKE scan over the corpus —
+  * the same move as the public-suffix-list lookup in registrable-
+  * domain extraction. Longest match needs no length column: suffix
+  * position 0 IS the longest, so the per-doc window (≤ 6 rows) orders
+  * by position.
+  */
+object HostRules {
+
+  /** Match each `(idCol, hostCol)` row against `rules = (suffix,
+    * action)` with longest-suffix-wins; unmatched hosts get
+    * (`matched_rule` NULL, `default`). Output:
+    * (idCol, hostCol, matched_rule, action). */
+  def longestSuffixMatch(docs: DataFrame, idCol: String, hostCol: String,
+                         rules: Seq[(String, String)],
+                         default: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ruleDf = rules.toDF("rule", "action")
+    val parts = split(col(hostCol), "\\.")
+    val sx = docs.select(col(idCol), col(hostCol),
+      posexplode(transform(sequence(lit(1), size(parts)),
+        i => array_join(slice(parts, i, size(parts)), ".")))
+        .as(Seq("pos", "suffix")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val best = sx.join(broadcast(ruleDf), col("suffix") === col("rule"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("rule").as("matched_rule"), col("action"))
+    docs.join(best, Seq(idCol), "left")
+      .select(col(idCol), col(hostCol), col("matched_rule"),
+        coalesce(col("action"), lit(default)).as("action"))
+  }
+}

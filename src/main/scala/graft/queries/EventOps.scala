@@ -103,6 +103,35 @@ object EventOps {
              max(col("ts_us")).as("end_us"))
     }),
 
+    // Episode/trajectory assembly — turning an event log into ordered
+    // training episodes (the SFT/agent-trace construction step): q30's
+    // gap sessionization, then the per-session turn sequence joined
+    // in (ts, event_id) order. collect_list is bounded by the session
+    // (gap-bounded by construction, never the corpus); the groupBy
+    // reuses the window's user_id hash partitioning (clustering by
+    // user_id satisfies (user_id, session_id)) so sessionize +
+    // assemble is ONE shuffle end to end. Ordering is deterministic:
+    // array_sort on struct(ts_us, event_id, _) ≡ the oracle's
+    // string_agg ORDER BY ts_us, event_id.
+    "q161_episode_assembly" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, d, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(cum))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).cast("long").as("n_turns"),
+             (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"),
+             array_join(transform(
+               array_sort(collect_list(
+                 struct(col("ts_us"), col("event_id"), col("event_type")))),
+               x => x.getField("event_type")), "->").as("trajectory"))
+    }),
+
     // The BUILT-IN gap sessionization (Catalyst SessionWindow, the same
     // operator Structured Streaming uses for streaming sessions) next
     // to q30's window-composed form. Boundary semantics differ by
@@ -470,6 +499,25 @@ object EventOps {
           SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                  CAST(count(*) AS BIGINT) AS n_events,
                  min(ts_us) AS start_us, max(ts_us) AS end_us
+          FROM c GROUP BY user_id, session_id""",
+
+    "q161_episode_assembly" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type,
+                            epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+                     FROM events),
+          l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id) AS prev_us FROM e),
+          f AS (SELECT *, CASE WHEN prev_us IS NULL
+                                 OR ts_us - prev_us > $gapUs
+                               THEN 1 ELSE 0 END AS new_s FROM l),
+          c AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id FROM f)
+          SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                 CAST(count(*) AS BIGINT) AS n_turns,
+                 max(ts_us) - min(ts_us) AS duration_us,
+                 string_agg(event_type, '->' ORDER BY ts_us, event_id)
+                   AS trajectory
           FROM c GROUP BY user_id, session_id""",
 
     "q36_salted_agg" ->

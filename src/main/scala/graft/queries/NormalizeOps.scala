@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{TextNormalize, UrlCanon}
+import graft.operators.{HostRules, TextNormalize, UrlCanon}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -65,7 +65,26 @@ object NormalizeOps {
         .select(col("doc_id"), col("url"), col("canonical_url"),
           min(col("doc_id")).over(w).as("keeper_doc_id"),
           count(lit(1)).over(w).cast("long").as("n_dups"))
-    })
+    }),
+
+    // Hierarchical host allow/block rules, longest-suffix wins — the
+    // crawl blocklist primitive. Hosts derive deterministically from
+    // (doc_id, source) in both engines; the rule list carves an allow
+    // exception (ads.src7) out of a block (src7), which only
+    // longest-match semantics can express. Suffix-chain explode makes
+    // every rule an equi-join key (see HostRules scaladoc).
+    "q160_host_rules" -> ((s, d) =>
+      HostRules.longestSuffixMatch(
+        Tables.load(s, d, "documents").select(col("doc_id"),
+          concat(
+            when(col("doc_id") % 3 === 0, "cdn.")
+              .when(col("doc_id") % 3 === 1, "ads.").otherwise(""),
+            col("source"), lit(".example.org")).as("host")),
+        "doc_id", "host",
+        rules = Seq(
+          "src7.example.org" -> "block", "ads.src7.example.org" -> "allow",
+          "src2.example.org" -> "block", "cdn.src4.example.org" -> "block"),
+        default = "allow"))
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -153,6 +172,34 @@ object NormalizeOps {
                    AS keeper_doc_id,
                  CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT)
                    AS n_dups
-          FROM c"""
+          FROM c""",
+
+    // Longest-suffix rule matching mirrored via the same suffix-chain
+    // explode; suffix position 0 is the longest, so rn=1 under
+    // ORDER BY n_labels DESC ≡ the Spark side's ORDER BY pos.
+    "q160_host_rules" ->
+      """WITH d AS (SELECT doc_id,
+               (CASE doc_id % 3 WHEN 0 THEN 'cdn.' WHEN 1 THEN 'ads.'
+                     ELSE '' END)
+               || source || '.example.org' AS host FROM documents),
+          p AS (SELECT doc_id, host, string_split(host, '.') AS parts FROM d),
+          sx AS (SELECT doc_id, host,
+                   array_to_string(parts[CAST(t.i AS INTEGER):], '.') AS suffix,
+                   len(parts) - t.i + 1 AS n_labels
+                 FROM p, unnest(range(1, len(parts) + 1)) AS t(i)),
+          r AS (SELECT * FROM (VALUES
+                  ('src7.example.org', 'block'),
+                  ('ads.src7.example.org', 'allow'),
+                  ('src2.example.org', 'block'),
+                  ('cdn.src4.example.org', 'block')) t(rule, action)),
+          m AS (SELECT doc_id, rule, action,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY n_labels DESC) AS rn
+                FROM sx JOIN r ON sx.suffix = r.rule),
+          b AS (SELECT doc_id, rule AS matched_rule, action FROM m
+                WHERE rn = 1)
+          SELECT d.doc_id, d.host, b.matched_rule,
+                 coalesce(b.action, 'allow') AS action
+          FROM d LEFT JOIN b USING (doc_id)"""
   )
 }

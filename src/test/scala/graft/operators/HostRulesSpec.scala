@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for hierarchical host rules: longest-suffix wins, an
+  * allow exception carves out of a broader block, unmatched hosts get
+  * the default with a NULL rule, and a rule never matches a host it is
+  * merely a substring of. */
+class HostRulesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rules = Seq(
+    "example.org" -> "block",
+    "good.example.org" -> "allow",
+    "bad.good.example.org" -> "block")
+
+  private def verdicts(hosts: (Long, String)*) =
+    HostRules.longestSuffixMatch(hosts.toDF("id", "host"), "id", "host",
+        rules, default = "allow")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getString(2)).getOrElse("-"), r.getString(3))).toMap
+
+  test("longest suffix wins at every depth") {
+    val v = verdicts(
+      1L -> "example.org",           // depth-1 block
+      2L -> "x.example.org",         // inherits the block
+      3L -> "good.example.org",      // allow exception
+      4L -> "y.good.example.org",    // inherits the exception
+      5L -> "bad.good.example.org",  // re-blocked below the exception
+      6L -> "z.bad.good.example.org")
+    assert(v(1L) == ("example.org", "block"))
+    assert(v(2L) == ("example.org", "block"))
+    assert(v(3L) == ("good.example.org", "allow"))
+    assert(v(4L) == ("good.example.org", "allow"))
+    assert(v(5L) == ("bad.good.example.org", "block"))
+    assert(v(6L) == ("bad.good.example.org", "block"))
+  }
+
+  test("no rule → NULL match and the default action") {
+    val v = verdicts(1L -> "other.net", 2L -> "org")
+    assert(v(1L) == ("-", "allow"))
+    assert(v(2L) == ("-", "allow"))
+  }
+
+  test("suffix match is label-aligned, never substring") {
+    // notexample.org must NOT match the example.org rule
+    val v = verdicts(1L -> "notexample.org", 2L -> "example.org.evil.com")
+    assert(v(1L) == ("-", "allow"))
+    // example.org appearing mid-host (not as the suffix) must not match
+    assert(v(2L) == ("-", "allow"))
+  }
+}
