@@ -273,9 +273,7 @@ object Multimodal {
       posexplode(array(bandCols.map(col): _*)).as(Seq("band_id", "band_val")): _*)
     val l = e.select(e.columns.map(c => col(c).as(s"l_$c")).toSeq: _*)
     val r = e.select(e.columns.map(c => col(c).as(s"r_$c")).toSeq: _*)
-    val hamming = bandCols.map(c =>
-      bit_count(col(s"l_$c").bitwiseXOR(col(s"r_$c"))).cast("long"))
-      .reduce(_ + _)
+    val hamming = bandHamming("l_", "r_")
     val out = l.join(r, col("l_band_id") === col("r_band_id") &&
         col("l_band_val") === col("r_band_val") &&
         col("l_id") < col("r_id"))
@@ -287,6 +285,13 @@ object Multimodal {
     h.unpersist(blocking = false)
     out
   }
+
+  /** Exact 64-bit hamming distance between two prefixed aHash rows
+    * (`<lp>b0..b3` vs `<rp>b0..b3`): Σ per-band XOR popcount. */
+  def bandHamming(lp: String, rp: String): org.apache.spark.sql.Column =
+    Seq("b0", "b1", "b2", "b3").map(c =>
+      bit_count(col(lp + c).bitwiseXOR(col(rp + c))).cast("long"))
+      .reduce(_ + _)
 
   /** Encode each doc's leading bytes as 16-bit mono PCM WAV (the JDK's
     * real RIFF writer): sample i = (byte_i − 96)·128, `n` frames.

@@ -107,6 +107,37 @@ object JsonOps {
       Multimodal.aHashNearDupPairs(
         Multimodal.decodeImageAHash(s, media, "id", "media").toDF(),
         maxHamming = 8)
+    }),
+
+    // q158's banding ships with its recall MEASURED (the q139/q143
+    // discipline): exact hamming-≤8 truth over all pairs of a FIXED
+    // 1000-doc sample (the brute-force side is verification-scale only
+    // and stays constant at any sf) vs the banded path on the same
+    // sample. Pigeonhole guarantees recall 1.0 only at hamming ≤ 3 —
+    // above that it must be measured, not assumed.
+    "q162_phash_recall" -> ((s, d) => {
+      val sample = Tables.load(s, d, "documents")
+        .filter(col("doc_id") < 1000L).select(col("doc_id"), col("text"))
+      // hash rows are tiny (id + 4 longs); checkpoint so the REAL
+      // decode runs once, not once per side of the truth cross-join
+      val hashes = Multimodal.decodeImageAHash(s,
+        Multimodal.encodeGrayPng(s, sample, "doc_id", "text", w = 16, h = 8),
+        "id", "media").toDF()
+        .filter(col("b0") >= 0L)
+        .select(col("id"), col("b0"), col("b1"), col("b2"), col("b3"))
+        .localCheckpoint(eager = true)
+      val l = hashes.select(hashes.columns.map(c => col(c).as(s"l_$c")).toSeq: _*)
+      val r = hashes.select(hashes.columns.map(c => col(c).as(s"r_$c")).toSeq: _*)
+      val truth = l.crossJoin(r) // verification-scale only: ≤ 1000²/2 pairs
+        .filter(col("l_id") < col("r_id"))
+        .filter(Multimodal.bandHamming("l_", "r_") <= 8)
+      val found = Multimodal.aHashNearDupPairs(hashes, maxHamming = 8)
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .select(col("n_truth"), col("n_found"),
+          when(col("n_truth") > 0L,
+            expr("n_found * 1000000L div n_truth"))
+            .otherwise(1000000L).as("recall_ppm"))
     })
   )
 
@@ -233,6 +264,48 @@ object JsonOps {
                 FROM e l JOIN e r ON l.band_id = r.band_id
                      AND l.band_val = r.band_val AND l.doc_id < r.doc_id)
           SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 8"""
+    },
+
+    "q162_phash_recall" -> {
+      val bands = (0 until 4).map(b =>
+        s"""CAST(list_sum(list_transform(range(0, 16),
+              t -> CASE WHEN 64 * (ps[CAST(2 * ($b * 16 + t) + 1 AS INTEGER)]
+                                   + ps[CAST(2 * ($b * 16 + t) + 2 AS INTEGER)])
+                             > tot
+                        THEN (CAST(1 AS BIGINT) << CAST(t AS INTEGER))
+                        ELSE 0 END)) AS BIGINT) AS b$b""")
+        .mkString(",\n                 ")
+      def ham(l: String, r: String) = (0 until 4).map(b =>
+        s"CAST(bit_count(xor($l.b$b, $r.b$b)) AS BIGINT)").mkString(" + ")
+      s"""WITH s0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+          px AS (SELECT doc_id, list_transform(range(1, 129),
+                   i -> CASE WHEN i <= strlen(text)
+                             THEN ascii(substr(text, CAST(i AS INTEGER), 1))
+                             ELSE 32 END) AS ps
+                 FROM s0),
+          s AS (SELECT doc_id, ps,
+                       list_reduce(list_prepend(0, ps), (x, y) -> x + y) AS tot
+                FROM px),
+          h AS (SELECT doc_id,
+                 $bands
+                 FROM s),
+          t8 AS (SELECT l.doc_id AS a, r.doc_id AS b
+                 FROM h l JOIN h r ON l.doc_id < r.doc_id
+                 WHERE ${ham("l", "r")} <= 8),
+          e AS (SELECT doc_id, b0, b1, b2, b3, t.band_id,
+                       CASE t.band_id WHEN 0 THEN b0 WHEN 1 THEN b1
+                            WHEN 2 THEN b2 ELSE b3 END AS band_val
+                FROM h, unnest(range(0, 4)) AS t(band_id)),
+          f8 AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                 FROM e l JOIN e r ON l.band_id = r.band_id
+                      AND l.band_val = r.band_val AND l.doc_id < r.doc_id
+                 WHERE ${ham("l", "r")} <= 8)
+          SELECT CAST((SELECT count(*) FROM t8) AS BIGINT) AS n_truth,
+                 CAST((SELECT count(*) FROM f8) AS BIGINT) AS n_found,
+                 CASE WHEN (SELECT count(*) FROM t8) > 0
+                      THEN CAST((SELECT count(*) FROM f8) AS BIGINT) * 1000000
+                           // CAST((SELECT count(*) FROM t8) AS BIGINT)
+                      ELSE 1000000 END AS recall_ppm"""
     }
   )
 }
