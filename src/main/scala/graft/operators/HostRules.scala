@@ -46,4 +46,26 @@ object HostRules {
       .select(col(idCol), col(hostCol), col("matched_rule"),
         coalesce(col("action"), lit(default)).as("action"))
   }
+
+  /** Stateless single-projection variant with IDENTICAL semantics:
+    * the rule table rides in the plan as a map literal (right for
+    * curated lists; [[longestSuffixMatch]]'s join is the
+    * unbounded-list path) and longest match = first hit scanning
+    * suffix positions ascending. Being a pure projection, it runs
+    * UNCHANGED on a stream with zero state — the ingest-hygiene
+    * contract (StreamingIngestSpec proves stream ≡ batch ≡ the join
+    * variant). Returns (matched_rule, action) columns. */
+  def longestSuffixMatchCols(host: org.apache.spark.sql.Column,
+                             rules: Seq[(String, String)],
+                             default: String): Seq[org.apache.spark.sql.Column] = {
+    val m = map(rules.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val parts = split(host, "\\.")
+    val suffixes = transform(sequence(lit(1), size(parts)),
+      i => array_join(slice(parts, i, size(parts)), "."))
+    val hits = filter(suffixes, sx => element_at(m, sx).isNotNull)
+    // guarded element_at: ANSI mode throws on out-of-bounds indices
+    val rule = when(size(hits) > 0, element_at(hits, 1))
+    Seq(rule.as("matched_rule"),
+      coalesce(element_at(m, rule), lit(default)).as("action"))
+  }
 }

@@ -52,4 +52,21 @@ class HostRulesSpec extends AnyFunSuite {
     // example.org appearing mid-host (not as the suffix) must not match
     assert(v(2L) == ("-", "allow"))
   }
+
+  test("the stateless projection variant agrees with the join variant") {
+    val hosts = Seq(
+      1L -> "example.org", 2L -> "x.example.org", 3L -> "good.example.org",
+      4L -> "y.good.example.org", 5L -> "bad.good.example.org",
+      6L -> "z.bad.good.example.org", 7L -> "other.net",
+      8L -> "notexample.org").toDF("id", "host")
+    val joined = HostRules.longestSuffixMatch(hosts, "id", "host",
+      rules, default = "allow")
+    val exprd = hosts.select(
+      Seq(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("host")) ++
+        HostRules.longestSuffixMatchCols(
+          org.apache.spark.sql.functions.col("host"), rules,
+          default = "allow"): _*)
+    assert(joined.exceptAll(exprd).isEmpty && exprd.exceptAll(joined).isEmpty)
+  }
 }
