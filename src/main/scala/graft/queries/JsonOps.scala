@@ -138,8 +138,66 @@ object JsonOps {
           when(col("n_truth") > 0L,
             expr("n_found * 1000000L div n_truth"))
             .otherwise(1000000L).as("recall_ppm"))
+    }),
+
+    // Pairs → CLUSTERS: q158's near-dup pair graph collapsed by the
+    // same pointer-jumping connected components the text family uses
+    // (q44) — the decision-ready form of image dedup (keep
+    // cluster_id = min member, drop the rest). Per-cluster size via a
+    // window keyed by cluster_id, never the corpus.
+    "q163_image_dup_clusters" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val media = Multimodal.encodeGrayPng(s,
+        Tables.documentsWithEdges(s, d), "doc_id", "text", w = 16, h = 8)
+      val pairs = Multimodal.aHashNearDupPairs(
+        Multimodal.decodeImageAHash(s, media, "id", "media").toDF(),
+        maxHamming = 8)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+      val w = Window.partitionBy(col("cluster_id"))
+      graft.operators.Dedup.connectedComponents(pairs)
+        .select(col("doc_id"), col("cluster_id"),
+          count(lit(1)).over(w).cast("long").as("n_members"))
     })
   )
+
+  /** q158's banded near-dup pairs (doc_a, doc_b, hamming ≤ 8) as a
+    * composable SQL fragment — q163's cluster oracle embeds it the way
+    * q44 embeds minhashPairsSql. */
+  private lazy val phashPairsSql: String = {
+
+      val bands = (0 until 4).map(b =>
+        s"""CAST(list_sum(list_transform(range(0, 16),
+              t -> CASE WHEN 64 * (ps[CAST(2 * ($b * 16 + t) + 1 AS INTEGER)]
+                                   + ps[CAST(2 * ($b * 16 + t) + 2 AS INTEGER)])
+                             > tot
+                        THEN (CAST(1 AS BIGINT) << CAST(t AS INTEGER))
+                        ELSE 0 END)) AS BIGINT) AS b$b""")
+        .mkString(",\n                 ")
+      s"""WITH docs_e AS (${Tables.documentsWithEdgesSql}),
+          px AS (SELECT doc_id, list_transform(range(1, 129),
+                   i -> CASE WHEN i <= strlen(text)
+                             THEN ascii(substr(text, CAST(i AS INTEGER), 1))
+                             ELSE 32 END) AS ps
+                 FROM docs_e),
+          s AS (SELECT doc_id, ps,
+                       list_reduce(list_prepend(0, ps), (x, y) -> x + y) AS tot
+                FROM px),
+          h AS (SELECT doc_id,
+                 $bands
+                 FROM s),
+          e AS (SELECT doc_id, b0, b1, b2, b3, t.band_id,
+                       CASE t.band_id WHEN 0 THEN b0 WHEN 1 THEN b1
+                            WHEN 2 THEN b2 ELSE b3 END AS band_val
+                FROM h, unnest(range(0, 4)) AS t(band_id)),
+          p AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                       CAST(bit_count(xor(l.b0, r.b0)) AS BIGINT)
+                     + CAST(bit_count(xor(l.b1, r.b1)) AS BIGINT)
+                     + CAST(bit_count(xor(l.b2, r.b2)) AS BIGINT)
+                     + CAST(bit_count(xor(l.b3, r.b3)) AS BIGINT) AS hamming
+                FROM e l JOIN e r ON l.band_id = r.band_id
+                     AND l.band_val = r.band_val AND l.doc_id < r.doc_id)
+          SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 8"""
+  }
 
   def oracles: Map[String, String] = Map(
     "q32_json_extract" ->
@@ -231,40 +289,27 @@ object JsonOps {
     // the oracle re-derives the identical bits from the text bytes and
     // mirrors the banded join; hamming via per-band XOR popcount stays
     // inside signed BIGINT (no 64-bit hash value is ever summed).
-    "q158_image_phash_neardup" -> {
-      val bands = (0 until 4).map(b =>
-        s"""CAST(list_sum(list_transform(range(0, 16),
-              t -> CASE WHEN 64 * (ps[CAST(2 * ($b * 16 + t) + 1 AS INTEGER)]
-                                   + ps[CAST(2 * ($b * 16 + t) + 2 AS INTEGER)])
-                             > tot
-                        THEN (CAST(1 AS BIGINT) << CAST(t AS INTEGER))
-                        ELSE 0 END)) AS BIGINT) AS b$b""")
-        .mkString(",\n                 ")
-      s"""WITH docs_e AS (${Tables.documentsWithEdgesSql}),
-          px AS (SELECT doc_id, list_transform(range(1, 129),
-                   i -> CASE WHEN i <= strlen(text)
-                             THEN ascii(substr(text, CAST(i AS INTEGER), 1))
-                             ELSE 32 END) AS ps
-                 FROM docs_e),
-          s AS (SELECT doc_id, ps,
-                       list_reduce(list_prepend(0, ps), (x, y) -> x + y) AS tot
-                FROM px),
-          h AS (SELECT doc_id,
-                 $bands
-                 FROM s),
-          e AS (SELECT doc_id, b0, b1, b2, b3, t.band_id,
-                       CASE t.band_id WHEN 0 THEN b0 WHEN 1 THEN b1
-                            WHEN 2 THEN b2 ELSE b3 END AS band_val
-                FROM h, unnest(range(0, 4)) AS t(band_id)),
-          p AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
-                       CAST(bit_count(xor(l.b0, r.b0)) AS BIGINT)
-                     + CAST(bit_count(xor(l.b1, r.b1)) AS BIGINT)
-                     + CAST(bit_count(xor(l.b2, r.b2)) AS BIGINT)
-                     + CAST(bit_count(xor(l.b3, r.b3)) AS BIGINT) AS hamming
-                FROM e l JOIN e r ON l.band_id = r.band_id
-                     AND l.band_val = r.band_val AND l.doc_id < r.doc_id)
-          SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 8"""
-    },
+    "q158_image_phash_neardup" -> phashPairsSql,
+
+    // transitive closure over the phash pair graph (the q44 recursive
+    // CTE), then cluster size by window — cluster_id = min reachable id.
+    "q163_image_dup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($phashPairsSql),
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                    UNION ALL
+                    SELECT doc_b AS src, doc_a AS dst FROM pairs),
+          nodes AS (SELECT DISTINCT src AS id FROM edges),
+          reach AS (
+            SELECT id AS src, id AS dst FROM nodes
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+          ),
+          cc AS (SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
+                 FROM reach GROUP BY src)
+          SELECT doc_id, cluster_id,
+                 CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                   AS n_members
+          FROM cc""",
 
     "q162_phash_recall" -> {
       val bands = (0 until 4).map(b =>
