@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.HtmlExtract
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** HTML main-text extraction queries (q148/q149) — the crawled-page
@@ -67,6 +68,61 @@ object HtmlOps {
           col("n_tokens_clean"), col("main_chars"), col("strip_chars"),
           expr("(strip_chars - main_chars) * 1000000L div strip_chars")
             .as("boilerplate_ppm"))
+    }),
+
+    // The crawl ADMISSION gate, per-doc grain (q154's sibling — that
+    // one reports, this one decides): dirty URL → canonicalize → host
+    // verdict (longest-suffix rules, the stream-safe projection form)
+    // → page extraction → encoding repair → clean-token floor →
+    // URL-level keeper → one admitted/rejected row per doc with full
+    // provenance. Everything is a map-side projection except the two
+    // keyed steps a 100 TB run needs anyway: the canonical_url keeper
+    // window (≙ the crawl store's dedup partitioning) and the doc_id
+    // join of the extraction branch.
+    // Runs over the edge corpus so every REJECTION reason is pinned:
+    // URL-dup losers, blocked hosts, and keepers whose page extracts
+    // below the token floor (empty/whitespace/short edge docs).
+    "q164_crawl_admission" -> ((s, d) => {
+      import graft.operators.{HostRules, TextNormalize, UrlCanon}
+      val docs = Tables.documentsWithEdges(s, d)
+      val q = expr("doc_id DIV 100")
+      val t = col("doc_id") % 10
+      val url = concat(
+        when(q % 2 === 1, "HTTPS://").otherwise("https://"),
+        when(q % 5 === 1, "www.").otherwise(""),
+        when(col("doc_id") % 3 === 0, "cdn.")
+          .when(col("doc_id") % 3 === 1, "ads.").otherwise(""),
+        when(q % 5 === 3, upper(col("source"))).otherwise(col("source")),
+        lit(".example.org"),
+        when(q % 5 === 2, ":443").otherwise(""),
+        lit("/p/"), t.cast("string"),
+        when(q % 5 === 4, "/").otherwise(""),
+        when(t % 4 === 1, "?utm_source=feed")
+          .when(t % 4 === 2, "?b=2&a=1&utm_campaign=x")
+          .when(t % 4 === 3, "?a=1&b=2").otherwise(""),
+        when(q % 5 === 1, "#top").otherwise(""))
+      val canon = docs.select(col("doc_id"), url.as("url"))
+        .withColumn("canonical_url", UrlCanon.canonicalize(col("url")))
+      val host = regexp_extract(col("canonical_url"), "^https?://([^/]*)", 1)
+      val verdict = canon.select(
+        Seq(col("doc_id"), col("canonical_url")) ++
+          HostRules.longestSuffixMatchCols(host, NormalizeOps.crawlRules,
+            default = "allow"): _*)
+      val main = HtmlExtract.extractMain(
+        HtmlExtract.syntheticHtml(docs, "doc_id", "text"), "doc_id", "html")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions
+            .tokenCount(TextNormalize.cleanText(col("main_text")))
+            .as("n_tokens_clean"))
+      val w = Window.partitionBy(col("canonical_url"))
+      verdict.join(main, Seq("doc_id"))
+        .withColumn("keeper_doc_id", min(col("doc_id")).over(w))
+        .select(col("doc_id"), col("canonical_url"), col("matched_rule"),
+          col("action"), col("n_tokens_clean"),
+          (col("doc_id") === col("keeper_doc_id")).as("is_url_keeper"),
+          (col("action") === "allow" &&
+            col("doc_id") === col("keeper_doc_id") &&
+            col("n_tokens_clean") >= 5L).as("admitted"))
     })
   )
 
@@ -219,6 +275,67 @@ object HtmlOps {
                  (strip_chars - main_chars) * 1000000 // strip_chars
                    AS boilerplate_ppm
           FROM rep"""
+    },
+
+    // The admission capstone composes the FACTORED per-family chains
+    // verbatim: urlCanonChainSql (q159), hostRulesChainSql (q160),
+    // blocksChainSql + reassembly (q149), cleanSql (q152) — so a
+    // regression in any stage breaks BOTH its own oracle and this one.
+    "q164_crawl_admission" -> {
+      val cleanTok =
+        s"""CAST(len(list_filter(string_split_regex(
+              ${NormalizeOps.cleanSql("coalesce(a.main_text, '')")},
+              '\\s+'), x -> x <> '')) AS BIGINT)"""
+      s"""WITH docs_e AS (${Tables.documentsWithEdgesSql}),
+          ud AS (
+            SELECT doc_id,
+              (CASE WHEN (doc_id // 100) % 2 = 1
+                    THEN 'HTTPS://' ELSE 'https://' END)
+              || (CASE WHEN (doc_id // 100) % 5 = 1 THEN 'www.' ELSE '' END)
+              || (CASE doc_id % 3 WHEN 0 THEN 'cdn.' WHEN 1 THEN 'ads.'
+                       ELSE '' END)
+              || (CASE WHEN (doc_id // 100) % 5 = 3 THEN upper(source)
+                       ELSE source END)
+              || '.example.org'
+              || (CASE WHEN (doc_id // 100) % 5 = 2 THEN ':443' ELSE '' END)
+              || '/p/' || CAST(doc_id % 10 AS VARCHAR)
+              || (CASE WHEN (doc_id // 100) % 5 = 4 THEN '/' ELSE '' END)
+              || (CASE (doc_id % 10) % 4
+                    WHEN 1 THEN '?utm_source=feed'
+                    WHEN 2 THEN '?b=2&a=1&utm_campaign=x'
+                    WHEN 3 THEN '?a=1&b=2' ELSE '' END)
+              || (CASE WHEN (doc_id // 100) % 5 = 1 THEN '#top' ELSE '' END)
+                AS url
+            FROM docs_e),
+          ${NormalizeOps.urlCanonChainSql},
+          hd AS (SELECT doc_id,
+                   regexp_extract(canonical_url, '^https?://([^/]*)', 1)
+                     AS host
+                 FROM c),
+          ${NormalizeOps.hostRulesChainSql(NormalizeOps.crawlRules)},
+          srcdocs AS (SELECT doc_id, text FROM docs_e),
+          $blocksChainSql,
+          agg AS (SELECT doc_id,
+                         coalesce(string_agg(
+                           CASE WHEN is_good THEN block_text END, ' '
+                           ORDER BY block_idx), '') AS main_text
+                  FROM blk GROUP BY doc_id),
+          tok AS (SELECT sd.doc_id, $cleanTok AS n_tokens_clean
+                  FROM srcdocs sd LEFT JOIN agg a USING (doc_id)),
+          kw AS (SELECT c.doc_id, c.canonical_url,
+                        min(c.doc_id) OVER (PARTITION BY c.canonical_url)
+                          AS keeper_doc_id
+                 FROM c)
+          SELECT kw.doc_id, kw.canonical_url, hb.matched_rule,
+                 coalesce(hb.action, 'allow') AS action,
+                 tok.n_tokens_clean,
+                 kw.doc_id = kw.keeper_doc_id AS is_url_keeper,
+                 (coalesce(hb.action, 'allow') = 'allow'
+                  AND kw.doc_id = kw.keeper_doc_id
+                  AND tok.n_tokens_clean >= 5) AS admitted
+          FROM kw
+          LEFT JOIN hb USING (doc_id)
+          JOIN tok USING (doc_id)"""
     }
   )
 }

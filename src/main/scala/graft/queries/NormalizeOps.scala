@@ -80,11 +80,7 @@ object NormalizeOps {
             when(col("doc_id") % 3 === 0, "cdn.")
               .when(col("doc_id") % 3 === 1, "ads.").otherwise(""),
             col("source"), lit(".example.org")).as("host")),
-        "doc_id", "host",
-        rules = Seq(
-          "src7.example.org" -> "block", "ads.src7.example.org" -> "allow",
-          "src2.example.org" -> "block", "cdn.src4.example.org" -> "block"),
-        default = "allow"))
+        "doc_id", "host", rules = crawlRules, default = "allow"))
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -105,43 +101,13 @@ object NormalizeOps {
             TextNormalize.PunctFoldTable)},
           ${sqlLit(TextNormalize.ControlRe)}, '', 'g')"""
 
-  def oracles: Map[String, String] = Map(
-    "q152_text_normalize" -> {
-      val cleaned = cleanSql("dirty")
-      s"""WITH docs_e AS (${Tables.documentsWithEdgesSql}),
-          d AS (SELECT doc_id, ${sqlLit(DirtyPrefix)} || text AS dirty
-                FROM docs_e),
-          c AS (SELECT doc_id, dirty, $cleaned AS clean_text FROM d)
-          SELECT doc_id, clean_text,
-                 CAST(length(dirty) AS BIGINT) AS n_chars_dirty,
-                 CAST(length(clean_text) AS BIGINT) AS n_chars_clean,
-                 dirty <> clean_text AS changed
-          FROM c"""
-    },
-
-    // The canonicalization chain mirrors UrlCanon.canonicalize step
-    // for step; every pattern is RE2-portable so both engines run the
-    // SAME rewrites. array_to_string([]) is NULL in DuckDB (engine
-    // parity note) → coalesce.
-    "q159_url_canonicalize" ->
-      """WITH d AS (
-            SELECT doc_id,
-              (CASE WHEN (doc_id // 100) % 2 = 1
-                    THEN 'HTTPS://' ELSE 'https://' END)
-              || (CASE WHEN (doc_id // 100) IN (1, 3) THEN 'www.' ELSE '' END)
-              || (CASE WHEN (doc_id // 100) = 3
-                       THEN 'Example.COM' ELSE 'example.com' END)
-              || (CASE WHEN (doc_id // 100) = 2 THEN ':443' ELSE '' END)
-              || '/p/' || CAST(doc_id % 100 AS VARCHAR)
-              || (CASE WHEN (doc_id // 100) = 4 THEN '/' ELSE '' END)
-              || (CASE (doc_id % 100) % 4
-                    WHEN 1 THEN '?utm_source=feed'
-                    WHEN 2 THEN '?b=2&a=1&utm_campaign=x'
-                    WHEN 3 THEN '?a=1&b=2' ELSE '' END)
-              || (CASE WHEN (doc_id // 100) = 1 THEN '#top' ELSE '' END) AS url
-            FROM documents),
-          s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u
-                 FROM d),
+  /** The q159 canonicalization chain as a composable CTE list: expects
+    * a CTE `ud(doc_id, url)`, yields `c(doc_id, url, canonical_url)`.
+    * Splice as `WITH ud AS (...), $urlCanonChainSql SELECT ... FROM c`.
+    * The q164 crawl-admission capstone embeds it unchanged. */
+  private[queries] val urlCanonChainSql: String =
+    """s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u
+                 FROM ud),
           s2 AS (SELECT doc_id, url,
                    lower(regexp_extract(u, '^([^/?#]*://[^/?#]*)', 1))
                    || regexp_replace(u, '^[^/?#]*://[^/?#]*', '') AS u
@@ -166,7 +132,72 @@ object NormalizeOps {
           c AS (SELECT doc_id, url,
                   base || (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END)
                     AS canonical_url
-                FROM s6)
+                FROM s6)"""
+
+  /** The q160 longest-suffix rule chain as a composable CTE list:
+    * expects `hd(doc_id, host)`, yields
+    * `hb(doc_id, matched_rule, action)` (matched rows only — LEFT JOIN
+    * and coalesce the default at the use site). */
+  private[queries] def hostRulesChainSql(rules: Seq[(String, String)]): String = {
+    val values = rules.map { case (r, a) => s"('$r', '$a')" }
+      .mkString(",\n                  ")
+    s"""hp AS (SELECT doc_id, host, string_split(host, '.') AS parts
+                 FROM hd),
+          hsx AS (SELECT doc_id, host,
+                   array_to_string(parts[CAST(t.i AS INTEGER):], '.') AS suffix,
+                   len(parts) - t.i + 1 AS n_labels
+                 FROM hp, unnest(range(1, len(parts) + 1)) AS t(i)),
+          hr AS (SELECT * FROM (VALUES
+                  $values) t(rule, action)),
+          hm AS (SELECT doc_id, rule, action,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY n_labels DESC) AS rn
+                FROM hsx JOIN hr ON hsx.suffix = hr.rule),
+          hb AS (SELECT doc_id, rule AS matched_rule, action FROM hm
+                WHERE rn = 1)"""
+  }
+
+  /** The crawl rule list shared by q160 and the q164 capstone. */
+  private[queries] val crawlRules: Seq[(String, String)] = Seq(
+    "src7.example.org" -> "block", "ads.src7.example.org" -> "allow",
+    "src2.example.org" -> "block", "cdn.src4.example.org" -> "block")
+
+  def oracles: Map[String, String] = Map(
+    "q152_text_normalize" -> {
+      val cleaned = cleanSql("dirty")
+      s"""WITH docs_e AS (${Tables.documentsWithEdgesSql}),
+          d AS (SELECT doc_id, ${sqlLit(DirtyPrefix)} || text AS dirty
+                FROM docs_e),
+          c AS (SELECT doc_id, dirty, $cleaned AS clean_text FROM d)
+          SELECT doc_id, clean_text,
+                 CAST(length(dirty) AS BIGINT) AS n_chars_dirty,
+                 CAST(length(clean_text) AS BIGINT) AS n_chars_clean,
+                 dirty <> clean_text AS changed
+          FROM c"""
+    },
+
+    // The canonicalization chain mirrors UrlCanon.canonicalize step
+    // for step; every pattern is RE2-portable so both engines run the
+    // SAME rewrites. array_to_string([]) is NULL in DuckDB (engine
+    // parity note) → coalesce.
+    "q159_url_canonicalize" ->
+      s"""WITH ud AS (
+            SELECT doc_id,
+              (CASE WHEN (doc_id // 100) % 2 = 1
+                    THEN 'HTTPS://' ELSE 'https://' END)
+              || (CASE WHEN (doc_id // 100) IN (1, 3) THEN 'www.' ELSE '' END)
+              || (CASE WHEN (doc_id // 100) = 3
+                       THEN 'Example.COM' ELSE 'example.com' END)
+              || (CASE WHEN (doc_id // 100) = 2 THEN ':443' ELSE '' END)
+              || '/p/' || CAST(doc_id % 100 AS VARCHAR)
+              || (CASE WHEN (doc_id // 100) = 4 THEN '/' ELSE '' END)
+              || (CASE (doc_id % 100) % 4
+                    WHEN 1 THEN '?utm_source=feed'
+                    WHEN 2 THEN '?b=2&a=1&utm_campaign=x'
+                    WHEN 3 THEN '?a=1&b=2' ELSE '' END)
+              || (CASE WHEN (doc_id // 100) = 1 THEN '#top' ELSE '' END) AS url
+            FROM documents),
+          $urlCanonChainSql
           SELECT doc_id, url, canonical_url,
                  min(doc_id) OVER (PARTITION BY canonical_url)
                    AS keeper_doc_id,
@@ -178,28 +209,13 @@ object NormalizeOps {
     // explode; suffix position 0 is the longest, so rn=1 under
     // ORDER BY n_labels DESC ≡ the Spark side's ORDER BY pos.
     "q160_host_rules" ->
-      """WITH d AS (SELECT doc_id,
+      s"""WITH hd AS (SELECT doc_id,
                (CASE doc_id % 3 WHEN 0 THEN 'cdn.' WHEN 1 THEN 'ads.'
                      ELSE '' END)
                || source || '.example.org' AS host FROM documents),
-          p AS (SELECT doc_id, host, string_split(host, '.') AS parts FROM d),
-          sx AS (SELECT doc_id, host,
-                   array_to_string(parts[CAST(t.i AS INTEGER):], '.') AS suffix,
-                   len(parts) - t.i + 1 AS n_labels
-                 FROM p, unnest(range(1, len(parts) + 1)) AS t(i)),
-          r AS (SELECT * FROM (VALUES
-                  ('src7.example.org', 'block'),
-                  ('ads.src7.example.org', 'allow'),
-                  ('src2.example.org', 'block'),
-                  ('cdn.src4.example.org', 'block')) t(rule, action)),
-          m AS (SELECT doc_id, rule, action,
-                  row_number() OVER (PARTITION BY doc_id
-                                     ORDER BY n_labels DESC) AS rn
-                FROM sx JOIN r ON sx.suffix = r.rule),
-          b AS (SELECT doc_id, rule AS matched_rule, action FROM m
-                WHERE rn = 1)
-          SELECT d.doc_id, d.host, b.matched_rule,
-                 coalesce(b.action, 'allow') AS action
-          FROM d LEFT JOIN b USING (doc_id)"""
+          ${hostRulesChainSql(crawlRules)}
+          SELECT hd.doc_id, hd.host, hb.matched_rule,
+                 coalesce(hb.action, 'allow') AS action
+          FROM hd LEFT JOIN hb USING (doc_id)"""
   )
 }
