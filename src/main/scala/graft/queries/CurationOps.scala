@@ -407,29 +407,28 @@ object CurationOps {
     // literals, so scoring is a pure map over the corpus — zero
     // shuffle, zero joins. Same quantized sigmoid as training, so the
     // scores are engine-exact.
-    "q140_quality_inference" -> ((s, d) => {
-      val toks = graft.functions.TextFunctions.tokens(col("text"))
-      val feats = Tables.load(s, d, "documents")
-        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
-          toks.as("_toks"))
-        .select(
-          col("doc_id"),
-          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
-          lit(1.0).as("x0"),
-          (size(col("_toks")).cast("double") / 100.0).as("x1"),
-          (size(array_distinct(col("_toks"))).cast("double") /
-            size(col("_toks")).cast("double")).as("x2"),
-          (col("n_chars").cast("double") / 1000.0).as("x3"))
-      val w = LogReg.train(feats.drop("doc_id"), dim = 4, lr = 0.5, rounds = 2)
-        .filter(col("round") === 2).orderBy(col("j"))
-        .collect().map(_.getDouble(2)).toSeq // 4 doubles — model-sized
-      feats.select(col("doc_id"),
-          LogReg.score(w, (0 until 4).map(j => col(s"x$j"))).as("quality"))
-        // operating point calibrated for the 2-round model (scores
-        // live in a narrow band around the 0.5 prior after 2 GD rounds
-        // from zero weights); any fixed threshold is engine-exact
-        .withColumn("keep", col("quality") >= 0.4765)
-    }),
+    "q140_quality_inference" -> ((s, d) =>
+      // operating point calibrated for the 2-round model (scores
+      // live in a narrow band around the 0.5 prior after 2 GD rounds
+      // from zero weights); any fixed threshold is engine-exact
+      logRegScored(s, d).select(col("doc_id"), col("quality"),
+        (col("quality") >= 0.4765).as("keep"))),
+
+    // Reliability diagram for the q93/q140 classifier — the eval that
+    // tells you whether "quality 0.48" MEANS 48%: fixed-width percent
+    // bins of the predicted score vs the observed positive rate.
+    // One map-combinable aggregate (bins are data-independent, no
+    // corpus window, no ntile sort); means/rates on the exact
+    // quantized-long grid.
+    "q165_calibration" -> ((s, d) =>
+      logRegScored(s, d)
+        .groupBy(floor(col("quality") * 100).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"),
+          sum(floor(col("quality") * 1e9).cast("long")).as("sum_q_e9"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          expr("n_pos * 1000000L div n").as("pos_ppm"),
+          expr("sum_q_e9 div n").as("mean_quality_e9"))),
 
     // Training-mix assembly under a token budget: 30% of corpus tokens,
     // split across sources by weight (even-numbered sources get 2×), and
@@ -559,6 +558,30 @@ object CurationOps {
 
   // ---- oracle SQL ----------------------------------------------------
 
+  /** q140's train-then-score pipeline as a reusable DataFrame:
+    * (doc_id, y, quality) — 2 GD rounds from zero weights, the model
+    * collected once (4 doubles), corpus scored by the quantized
+    * sigmoid. q165's calibration bins consume it. */
+  private def logRegScored(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val feats = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+        toks.as("_toks"))
+      .select(
+        col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        lit(1.0).as("x0"),
+        (size(col("_toks")).cast("double") / 100.0).as("x1"),
+        (size(array_distinct(col("_toks"))).cast("double") /
+          size(col("_toks")).cast("double")).as("x2"),
+        (col("n_chars").cast("double") / 1000.0).as("x3"))
+    val w = LogReg.train(feats.drop("doc_id"), dim = 4, lr = 0.5, rounds = 2)
+      .filter(col("round") === 2).orderBy(col("j"))
+      .collect().map(_.getDouble(2)).toSeq // 4 doubles — model-sized
+    feats.select(col("doc_id"), col("y"),
+      LogReg.score(w, (0 until 4).map(j => col(s"x$j"))).as("quality"))
+  }
+
   private val toksSql =
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
@@ -609,6 +632,56 @@ object CurationOps {
                                    || ' ' || w[CAST(i AS INTEGER) + 2])) AS shingle
                 FROM (SELECT doc_id, $toksSql AS w FROM documents)),
         sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)"""
+
+  /** q140's full unrolled 2-round GD + scoring chain as one SQL query
+    * yielding (doc_id, y, quality) — mirrors LogReg.train/score (the
+    * q93 discipline: sigmoid 1e-9-quantized, gradient terms 1e-12
+    * longs, driver-double update). q140 and q165 both wrap it. */
+  private lazy val logRegScoredSql: String = {
+      def z(ws: Seq[String]) =
+        ws.zipWithIndex.map { case (w, j) => s"$w * x$j" }.mkString(" + ")
+      def p(ws: Seq[String]) =
+        s"""CAST(CAST(floor(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+           + exp(-(${z(ws)}))) * 1e9) AS BIGINT) AS DOUBLE) / 1e9"""
+      def grads(ws: Seq[String]) = (0 until 4).map(j =>
+        s"""sum(CAST(floor((${p(ws)} - y) * x$j * 1e12) AS BIGINT)) AS g$j""")
+        .mkString(",\n                 ")
+      val w0 = Seq.fill(4)("CAST(0 AS DOUBLE)")
+      val w1 = (0 until 4).map(j => s"w1_$j")
+      val w2 = (0 until 4).map(j => s"w2_$j")
+      val upd1 = (0 until 4).map(j =>
+        s"""CAST(0 AS DOUBLE) - CAST(0.5 AS DOUBLE)
+            * (CAST(g$j AS DOUBLE) / 1e12 / CAST(n AS DOUBLE)) AS w1_$j""")
+        .mkString(",\n                 ")
+      val upd2 = (0 until 4).map(j =>
+        s"""w1.w1_$j - CAST(0.5 AS DOUBLE)
+            * (CAST(g2.g$j AS DOUBLE) / 1e12 / CAST(w1.n AS DOUBLE)) AS w2_$j""")
+        .mkString(",\n                 ")
+      s"""WITH f AS (SELECT doc_id,
+                 CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y,
+                 CAST(1 AS DOUBLE) AS x0,
+                 CAST(len(toks) AS DOUBLE) / 100.0 AS x1,
+                 CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) AS x2,
+                 CAST(n_chars AS DOUBLE) / 1000.0 AS x3
+               FROM (SELECT doc_id, $toksSql AS toks, lang, n_chars
+                     FROM documents)),
+          g1 AS (SELECT count(*) AS n,
+                 ${grads(w0)}
+                 FROM f),
+          w1 AS (SELECT n,
+                 $upd1
+                 FROM g1),
+          g2 AS (SELECT
+                 ${grads(w1)}
+                 FROM f CROSS JOIN w1),
+          w2 AS (SELECT
+                 $upd2
+                 FROM g2 CROSS JOIN w1),
+          scored AS (SELECT f.doc_id, f.y, ${p(w2)} AS quality
+                     FROM f CROSS JOIN w2)
+          SELECT doc_id, y, quality FROM scored"""
+  }
 
   def oracles: Map[String, String] = Map(
     "q63_decontaminate" ->
@@ -1061,51 +1134,23 @@ object CurationOps {
     // q93's unrolled GD chain, then every doc scored against the final
     // weights (w2 is one row, cross-joined = the broadcast literal the
     // engine inlines)
-    "q140_quality_inference" -> {
-      def z(ws: Seq[String]) =
-        ws.zipWithIndex.map { case (w, j) => s"$w * x$j" }.mkString(" + ")
-      def p(ws: Seq[String]) =
-        s"""CAST(CAST(floor(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
-           + exp(-(${z(ws)}))) * 1e9) AS BIGINT) AS DOUBLE) / 1e9"""
-      def grads(ws: Seq[String]) = (0 until 4).map(j =>
-        s"""sum(CAST(floor((${p(ws)} - y) * x$j * 1e12) AS BIGINT)) AS g$j""")
-        .mkString(",\n                 ")
-      val w0 = Seq.fill(4)("CAST(0 AS DOUBLE)")
-      val w1 = (0 until 4).map(j => s"w1_$j")
-      val w2 = (0 until 4).map(j => s"w2_$j")
-      val upd1 = (0 until 4).map(j =>
-        s"""CAST(0 AS DOUBLE) - CAST(0.5 AS DOUBLE)
-            * (CAST(g$j AS DOUBLE) / 1e12 / CAST(n AS DOUBLE)) AS w1_$j""")
-        .mkString(",\n                 ")
-      val upd2 = (0 until 4).map(j =>
-        s"""w1.w1_$j - CAST(0.5 AS DOUBLE)
-            * (CAST(g2.g$j AS DOUBLE) / 1e12 / CAST(w1.n AS DOUBLE)) AS w2_$j""")
-        .mkString(",\n                 ")
-      s"""WITH f AS (SELECT doc_id,
-                 CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y,
-                 CAST(1 AS DOUBLE) AS x0,
-                 CAST(len(toks) AS DOUBLE) / 100.0 AS x1,
-                 CAST(len(list_distinct(toks)) AS DOUBLE)
-                   / CAST(len(toks) AS DOUBLE) AS x2,
-                 CAST(n_chars AS DOUBLE) / 1000.0 AS x3
-               FROM (SELECT doc_id, $toksSql AS toks, lang, n_chars
-                     FROM documents)),
-          g1 AS (SELECT count(*) AS n,
-                 ${grads(w0)}
-                 FROM f),
-          w1 AS (SELECT n,
-                 $upd1
-                 FROM g1),
-          g2 AS (SELECT
-                 ${grads(w1)}
-                 FROM f CROSS JOIN w1),
-          w2 AS (SELECT
-                 $upd2
-                 FROM g2 CROSS JOIN w1),
-          scored AS (SELECT f.doc_id, ${p(w2)} AS quality
-                     FROM f CROSS JOIN w2)
-          SELECT doc_id, quality, quality >= 0.4765 AS keep FROM scored"""
-    },
+    "q140_quality_inference" ->
+      s"""WITH sc AS ($logRegScoredSql)
+          SELECT doc_id, quality, quality >= 0.4765 AS keep FROM sc""",
+
+    "q165_calibration" ->
+      s"""WITH sc AS ($logRegScoredSql),
+          b AS (SELECT CAST(floor(quality * 100) AS BIGINT) AS bin,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_pos,
+                       CAST(sum(CAST(floor(quality * 1e9) AS BIGINT))
+                            AS BIGINT) AS sum_q_e9
+                FROM sc GROUP BY 1)
+          SELECT bin, n, n_pos,
+                 n_pos * 1000000 // n AS pos_ppm,
+                 sum_q_e9 // n AS mean_quality_e9
+          FROM b""",
 
     "q141_perplexity_buckets" ->
       s"""WITH docs_e AS (${Tables.documentsWithEdgesSql}),
