@@ -220,6 +220,71 @@ object EventStream {
       }
   }
 
+  final case class EpisodeEvent(event_id: Long, ts: java.sql.Timestamp,
+                                ts_us: Long, user_id: Long, event_type: String)
+  final case class EpisodeTurn(ts_us: Long, event_id: Long, event_type: String)
+  final case class EpisodeState(sessionId: Long, lastTsUs: Long, startUs: Long,
+                                turns: Seq[EpisodeTurn])
+  final case class EpisodeUpdate(user_id: Long, session_id: Long,
+                                 n_turns: Long, duration_us: Long,
+                                 trajectory: String)
+
+  private def emitEpisode(userId: Long, st: EpisodeState): EpisodeUpdate = {
+    // turns re-sort at emit: late (in-watermark) events land mid-session
+    val ordered = st.turns.sortBy(t => (t.ts_us, t.event_id))
+    // duration from the ORDERED turns (max − min), not the fold's
+    // last-processed timestamp — equal to the batch aggregate even
+    // when a late in-watermark event extended the session backward
+    EpisodeUpdate(userId, st.sessionId, ordered.size.toLong,
+      ordered.last.ts_us - ordered.head.ts_us,
+      ordered.map(_.event_type).mkString("->"))
+  }
+
+  /** Streaming episode/trajectory assembly — the online form of
+    * `q161_episode_assembly`: each user's state accumulates the open
+    * session's turns; a gap > `gapUs` (or the watermark passing
+    * last + gap, via EventTimeTimeout) CLOSES the session and emits it
+    * as one ordered-trajectory row, exactly once. Session-boundary
+    * semantics (`> gapUs`, roll, 1-based ids, closed-sentinel keeps the
+    * counter) mirror [[foldSessions]]/[[sessionizeEventTime]];
+    * StreamingEpisodeSpec pins stream ≡ the batch q161 row-for-row, so
+    * any drift between the folds turns a spec red.
+    *
+    * State is O(open-session turns) per user — the same bound the batch
+    * side's per-session collect_list carries, gap-bounded by
+    * construction, never the stream's history.
+    */
+  def assembleEpisodes(events: org.apache.spark.sql.Dataset[EpisodeEvent],
+                       gapUs: Long): org.apache.spark.sql.Dataset[EpisodeUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[EpisodeEvent], state: GroupState[EpisodeState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.update(EpisodeState(st.sessionId, Long.MinValue, 0L, Nil))
+            if (st.turns.nonEmpty) Iterator.single(emitEpisode(userId, st))
+            else Iterator.empty
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            var st = state.getOption
+              .getOrElse(EpisodeState(0L, Long.MinValue, 0L, Nil))
+            val out = scala.collection.mutable.ArrayBuffer.empty[EpisodeUpdate]
+            sorted.foreach { e =>
+              val turn = EpisodeTurn(e.ts_us, e.event_id, e.event_type)
+              st = if (st.lastTsUs == Long.MinValue || e.ts_us - st.lastTsUs > gapUs) {
+                if (st.turns.nonEmpty) out += emitEpisode(userId, st)
+                EpisodeState(st.sessionId + 1, e.ts_us, e.ts_us, Vector(turn))
+              } else st.copy(lastTsUs = e.ts_us, turns = st.turns :+ turn)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp((st.lastTsUs + gapUs) / 1000L + 1L)
+            out.iterator
+          }
+      }
+  }
+
   final case class CapEvent(event_id: Long, ts_us: Long, user_id: Long)
   final case class CapKept(user_id: Long, event_id: Long, ts_us: Long, seq: Long)
 
