@@ -27,6 +27,14 @@ class MultimodalFuzzSpec extends AnyFunSuite {
     // emit frame rows OR one quarantine row — at least one, finite)
     assert(Multimodal.decodeImage(spark, df, "id", "media").count()
       == blobs.size)
+    // the aHash decoder shares decodeImage's reader walk but adds the
+    // geometry gate + band fold — same totality bar, and any non-128-px
+    // or failed decode must land as a quarantine row (b0 = -1), never
+    // a partial hash
+    val ah = Multimodal.decodeImageAHash(spark, df, "id", "media").collect()
+    assert(ah.length == blobs.size)
+    assert(ah.forall(h => h.b0 == -1L ||
+      (Seq(h.b0, h.b1, h.b2, h.b3).forall(b => b >= 0L && b <= 65535L))))
     assert(Multimodal.decodeAudio(spark, df, "id", "media").count()
       == blobs.size)
     assert(Multimodal.sampleVideoFrames(spark, df, "id", "media", everyN = 2)
