@@ -47,6 +47,35 @@ object HostRules {
         coalesce(col("action"), lit(default)).as("action"))
   }
 
+  /** The PATH-level sibling of [[longestSuffixMatch]] — robots-style
+    * longest-prefix rules over URL paths (`/static → disallow`,
+    * `/static/p1 → allow` carves the exception), segment-granular so
+    * `/img` never matches `/imgx`. Same scale shape: the path's
+    * prefix chain is exploded map-side (≤ path depth rows), each rule
+    * becomes an equi-join key, most-specific = most segments. */
+  def longestPathPrefixMatch(docs: DataFrame, idCol: String,
+                             pathCol: String, rules: Seq[(String, String)],
+                             default: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ruleDf = rules.toDF("rule", "action")
+    val parts = split(regexp_replace(col(pathCol), "^/", ""), "/")
+    val sx = docs.select(col(idCol), col(pathCol),
+      posexplode(transform(sequence(lit(1), size(parts)),
+        i => concat(lit("/"), array_join(slice(parts, lit(1), i), "/"))))
+        .as(Seq("pos", "prefix")))
+    // pos ascends with segment count → the LAST matching pos is the
+    // most specific rule
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos").desc)
+    val best = sx.join(broadcast(ruleDf), col("prefix") === col("rule"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("rule").as("matched_rule"), col("action"))
+    docs.join(best, Seq(idCol), "left")
+      .select(col(idCol), col(pathCol), col("matched_rule"),
+        coalesce(col("action"), lit(default)).as("action"))
+  }
+
   /** Stateless single-projection variant with IDENTICAL semantics:
     * the rule table rides in the plan as a map literal (right for
     * curated lists; [[longestSuffixMatch]]'s join is the

@@ -80,8 +80,29 @@ object NormalizeOps {
             when(col("doc_id") % 3 === 0, "cdn.")
               .when(col("doc_id") % 3 === 1, "ads.").otherwise(""),
             col("source"), lit(".example.org")).as("host")),
-        "doc_id", "host", rules = crawlRules, default = "allow"))
+        "doc_id", "host", rules = crawlRules, default = "allow")),
+
+    // Robots-style PATH rules — longest-prefix wins at segment
+    // granularity, with an allow exception (/static/p1) carved out of
+    // a broader disallow (/static). The host-rule machinery's path
+    // sibling: prefix-chain explode ≤ depth rows → rules are equi-join
+    // keys, no per-pattern scans.
+    "q166_path_rules" -> ((s, d) =>
+      HostRules.longestPathPrefixMatch(
+        Tables.load(s, d, "documents").select(col("doc_id"),
+          concat(lit("/"),
+            when(col("doc_id") % 4 === 0, "docs")
+              .when(col("doc_id") % 4 === 1, "static")
+              .when(col("doc_id") % 4 === 2, "api").otherwise("img"),
+            lit("/p"), (col("doc_id") % 5).cast("string"),
+            lit("/x"), (col("doc_id") % 7).cast("string")).as("path")),
+        "doc_id", "path", rules = pathRules, default = "allow"))
   )
+
+  /** The robots path rules shared by q166's query and oracle. */
+  private[queries] val pathRules: Seq[(String, String)] = Seq(
+    "/static" -> "disallow", "/static/p1" -> "allow",
+    "/api" -> "disallow", "/docs/p2/x3" -> "disallow")
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -216,6 +237,37 @@ object NormalizeOps {
           ${hostRulesChainSql(crawlRules)}
           SELECT hd.doc_id, hd.host, hb.matched_rule,
                  coalesce(hb.action, 'allow') AS action
-          FROM hd LEFT JOIN hb USING (doc_id)"""
+          FROM hd LEFT JOIN hb USING (doc_id)""",
+
+    // prefix-chain explode mirrored in SQL; most segments = most
+    // specific, ties impossible at segment granularity.
+    "q166_path_rules" -> {
+      val values = pathRules.map { case (r, a) => s"('$r', '$a')" }
+        .mkString(",\n                  ")
+      s"""WITH pd AS (SELECT doc_id,
+               '/' || (CASE doc_id % 4 WHEN 0 THEN 'docs' WHEN 1 THEN 'static'
+                       WHEN 2 THEN 'api' ELSE 'img' END)
+               || '/p' || CAST(doc_id % 5 AS VARCHAR)
+               || '/x' || CAST(doc_id % 7 AS VARCHAR) AS path
+               FROM documents),
+          pp AS (SELECT doc_id, path,
+                   string_split(regexp_replace(path, '^/', ''), '/') AS parts
+                 FROM pd),
+          px AS (SELECT doc_id, path, t.i AS n_segs,
+                   '/' || array_to_string(parts[1:CAST(t.i AS INTEGER)], '/')
+                     AS prefix
+                 FROM pp, unnest(range(1, len(parts) + 1)) AS t(i)),
+          pr AS (SELECT * FROM (VALUES
+                  $values) t(rule, action)),
+          pm AS (SELECT doc_id, rule, action,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY n_segs DESC) AS rn
+                 FROM px JOIN pr ON px.prefix = pr.rule),
+          pb AS (SELECT doc_id, rule AS matched_rule, action FROM pm
+                 WHERE rn = 1)
+          SELECT pd.doc_id, pd.path, pb.matched_rule,
+                 coalesce(pb.action, 'allow') AS action
+          FROM pd LEFT JOIN pb USING (doc_id)"""
+    }
   )
 }

@@ -53,6 +53,25 @@ class HostRulesSpec extends AnyFunSuite {
     assert(v(2L) == ("-", "allow"))
   }
 
+  test("path rules: longest prefix wins, segment-aligned, exceptions carve") {
+    val pathRules = Seq("/static" -> "disallow", "/static/p1" -> "allow",
+      "/api" -> "disallow")
+    val v = HostRules.longestPathPrefixMatch(
+      Seq(1L -> "/static/p2/x1", 2L -> "/static/p1/x1", 3L -> "/api/p0/x0",
+        4L -> "/docs/p0/x0", 5L -> "/apix/p0/x0", 6L -> "/static")
+        .toDF("id", "path"),
+      "id", "path", pathRules, default = "allow")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getString(2)).getOrElse("-"), r.getString(3))).toMap
+    assert(v(1L) == ("/static", "disallow"))
+    assert(v(2L) == ("/static/p1", "allow"))   // exception wins by depth
+    assert(v(3L) == ("/api", "disallow"))
+    assert(v(4L) == ("-", "allow"))            // no rule → default
+    assert(v(5L) == ("-", "allow"))            // /apix must NOT match /api
+    assert(v(6L) == ("/static", "disallow"))   // exact-path match
+  }
+
   test("the stateless projection variant agrees with the join variant") {
     val hosts = Seq(
       1L -> "example.org", 2L -> "x.example.org", 3L -> "good.example.org",
