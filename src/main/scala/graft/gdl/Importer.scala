@@ -132,10 +132,15 @@ class Importer(spark: SparkSession, storageRoot: String) extends Serializable {
               }
               ok = true
             } finally {
-              out.close()
-              // a half-written target from a failed copy is not a
-              // deliverable — remove it so failures leave no artifact
-              if (!ok) { try fs.delete(target, false) catch { case _: Exception => () } }
+              if (ok) out.close()
+              else {
+                // a failed copy's close() can itself throw (flush-on-
+                // close object-store streams); swallow it so the
+                // half-written target is ALWAYS deleted and the
+                // ORIGINAL failure — not the close error — propagates
+                try out.close() catch { case _: Exception => () }
+                try fs.delete(target, false) catch { case _: Exception => () }
+              }
             }
           } finally in.close()
           CopyResult(a.dataset_id, a.version_id, a.asset_type, a.url, newKey,

@@ -977,7 +977,20 @@ class TableStore(spark: SparkSession, root: String,
         if (f.getFileStatus(g._3).getModificationTime < cutoff)
           f.delete(g._3, true)
       } catch { case _: java.io.FileNotFoundException => () }
-    if (lastFull > 0) gens.take(lastFull).foreach(rm)
+    // full-superseded originals: like the fold-covered ones below,
+    // reclaimable only once the SUPERSEDING full generation has itself
+    // aged past the grace period — the full's commit is the moment
+    // they became superseded. Measuring the originals' own mtimes
+    // alone (arbitrarily old on any long-lived table) let a comp's
+    // in-commit gc destroy the pre-comp chain inside the window where
+    // a racing append could still steal the comp's slot (free kinds
+    // win slot ties), silently losing every pre-comp row.
+    if (lastFull > 0) {
+      val fullOld =
+        try f.getFileStatus(gens(lastFull)._3).getModificationTime < cutoff
+        catch { case _: java.io.FileNotFoundException => false }
+      if (fullOld) gens.take(lastFull).foreach(rm)
+    }
     // fold-covered originals: reclaimable once the FOLD has aged past
     // the grace period (the fold's commit is when they became
     // superseded — their own mtime is arbitrarily old, and a reader
@@ -1060,11 +1073,22 @@ class TableStore(spark: SparkSession, root: String,
           // every read ignored it: silent row loss.
           val rivals = rawGenerations(table)
             .filter(g => g._1 == next && g._3.getName != dest.getName)
+          val rivalRanks = rivals.map(r => slotRank(r._2, r._3.getName))
           val myRank = slotRank(kind, dest.getName)
-          if (rivals.forall(r =>
-              myRank._1 < slotRank(r._2, r._3.getName)._1 ||
-              (myRank._1 == slotRank(r._2, r._3.getName)._1 &&
-               myRank._2 < slotRank(r._2, r._3.getName)._2)))
+          // A free writer that finds a snapshot-kind rival would WIN the
+          // reader tie (free kinds rank first) — but that rival may have
+          // ALREADY committed, acknowledged success to its caller, and
+          // gc'd the chain its snapshot supersedes. Stealing the slot
+          // would make every reader ignore the acknowledged comp/fold
+          // forever. So the free writer yields: withdraw the staged data
+          // and retry the next slot. The reader tie rule itself must stay
+          // free-first for the mirror arrival order (a snapshot writer
+          // landing SECOND must lose and re-snapshot, or the rival
+          // delta's acknowledged rows would vanish).
+          val yieldToSnapshot = myRank._1 == 0 && rivalRanks.exists(_._1 == 1)
+          if (!yieldToSnapshot && rivalRanks.forall(r =>
+              myRank._1 < r._1 ||
+              (myRank._1 == r._1 && myRank._2 < r._2)))
             committed = next
           else if (expectedSeq.isDefined) {
             // expected-slot writers (compaction/fold) treat a lost slot

@@ -31,7 +31,11 @@ object Boilerplate {
     * n_bp_spans, n_covered, coverage ∈ [0,1]). */
   def spanCoverage(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, minDf: Long): DataFrame = {
+    // persisted: TWO consumers (the span explode and the per-doc
+    // n_tokens branch) — unpersisted, each re-runs the tokenize regex
+    // over the full corpus (a whole extra scan+split pass, VERDICT r8)
     val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spans = base
       .select(col("doc_id"), col("_toks"),
         explode(transform(
@@ -71,6 +75,7 @@ object Boilerplate {
           .otherwise(lit(0.0)).as("coverage"))
       .localCheckpoint(eager = true) // per-doc sized; then drop the span cache
     spans.unpersist(blocking = false)
+    base.unpersist(blocking = false)
     out
   }
 
@@ -145,7 +150,11 @@ object Boilerplate {
     */
   def stripDupSpans(docs: DataFrame, idCol: String, textCol: String,
                     n: Int, minDf: Long): DataFrame = {
+    // persisted: THREE consumers (span explode, posexplode token
+    // branch, final n_tokens join) — unpersisted, each re-tokenizes
+    // the full corpus (two whole extra scan+split passes, VERDICT r8)
     val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spans = base
       .select(col("doc_id"),
         explode(transform(
@@ -190,6 +199,7 @@ object Boilerplate {
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
       .localCheckpoint(eager = true) // per-doc sized; then drop the cache
     spans.unpersist(blocking = false)
+    base.unpersist(blocking = false)
     out
   }
 }

@@ -209,7 +209,8 @@ object Decontaminate {
     * hyperplane family is parameter-determined, so codes computed on
     * stream rows join the stored bench codes directly. Per micro-batch
     * this is the identical zero-shuffle plan as [[semanticBanded]]:
-    * center (broadcast mean), code map-side, explode band keys,
+    * center (the frozen mean as a driver-side literal — see below),
+    * code map-side, explode band keys,
     * broadcast-join the bench, verify exact cosine — no state, no
     * watermark, each arriving vector gates independently. Same output
     * schema/rows as the batch path restricted to the batch's rows
@@ -220,12 +221,21 @@ object Decontaminate {
     import graft.functions.VectorFunctions._
     def keys(v: org.apache.spark.sql.Column) =
       bandKeys(v, bands, planesPerBand, dim)
-    val bCoded = Dedup.centerWith(bench, sums, dim)
+    // The frozen mean becomes a driver-side LITERAL, not a joined row:
+    // crossJoining even a broadcast 1-row mean onto a stream plans a
+    // BroadcastNestedLoopJoin whose generated consume inlines all
+    // `dim` centering expressions — past Janino's 64 KB method limit
+    // at dim=64, silently dropping the whole micro-batch plan out of
+    // whole-stage codegen (the ~19 ms/row interpreted-fold cliff).
+    // Literal-mean centering is one loop-shaped zip_with: zero joins,
+    // O(1) generated code in `dim`, bit-identical values.
+    val mean = Dedup.gridMean(sums, dim)
+    val bCoded = Dedup.centerWithMean(bench, mean)
       .select(col("id").as("bench_id"), col("embedding").as("bench_emb"),
         norm(col("embedding")).as("bench_nrm"),
         keys(col("embedding")).as("bench_keys"))
       .localCheckpoint(eager = true) // static side: build once per query
-    val tCoded = Dedup.centerWith(trainStream, sums, dim)
+    val tCoded = Dedup.centerWithMean(trainStream, mean)
       .select(col("id").as("train_id"), col("embedding").as("train_emb"),
         norm(col("embedding")).as("train_nrm"),
         keys(col("embedding")).as("train_keys"))

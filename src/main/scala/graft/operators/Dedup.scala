@@ -711,6 +711,35 @@ object Dedup {
           element_at(col("embedding"), i).cast("double") -
             (expr(s"_s$i div _n").cast("double") / 1e9)): _*).as("embedding"))
 
+  /** Collect a frozen [[quantizedSums]] row into the literal
+    * per-dimension grid mean it encodes — the driver-side form of the
+    * stored index artifact, for plans where even a broadcast 1-row
+    * mean join is wrong: on a STREAM the crossJoin becomes a
+    * BroadcastNestedLoopJoin whose generated consume inlines all `dim`
+    * centering expressions and blows Janino's 64 KB method limit
+    * (observed in the r8 streaming decontam gate). Arithmetic is
+    * bit-identical to [[centerWith]]'s SQL: `_si div _n` is a
+    * truncating long division on both engines and the JVM, then /1e9. */
+  def gridMean(sums: DataFrame, dim: Int): Array[Double] = {
+    val r = sums.collect()(0)
+    val n = r.getAs[Long]("_n")
+    (1 to dim).map { i =>
+      if (n == 0L) 0.0
+      else (r.getAs[Long](s"_s$i") / n).toDouble / 1e9
+    }.toArray
+  }
+
+  /** [[centerWith]] with the mean as a driver-side literal array:
+    * zero joins and LOOP-SHAPED (one zip_with regardless of `dim`), so
+    * whole-stage codegen stays O(1) in dimension — the same discipline
+    * as [[graft.functions.VectorFunctions.bandKeys]]. Each element is
+    * cast(float→double) minus the identical (s div n)/1e9 double, so
+    * outputs match [[centerWith]] bit-for-bit on dim-length vectors. */
+  def centerWithMean(vecs: DataFrame, mean: Array[Double]): DataFrame =
+    vecs.select(col("id"),
+      zip_with(col("embedding"), lit(mean),
+        (x, m) => x.cast("double") - m).as("embedding"))
+
   /** [[embeddingNearDup]] with the Hamming-1 multiprobe that makes the
     * plane count a FREE scale knob: with plain AND-bucketing the pair
     * space is ~n²/2^planes but recall decays as p^planes (p = 1−θ/π),

@@ -210,6 +210,11 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) =>
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
+        // the stream must be closed on EVERY path (no-reader, corrupt,
+        // success): with ImageIO's default useCache=true it can be
+        // file-backed — an fd and a tmp file per row that executors
+        // exhaust long before GC finalizes them on a large corpus
+        try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) DecodedImageAHash(id, "unknown", -1L, -1L, -1L, -1L)
         else {
@@ -242,6 +247,7 @@ object Multimodal {
             case _: Exception => DecodedImageAHash(id, fmt, -1L, -1L, -1L, -1L)
           } finally reader.dispose()
         }
+        } finally if (iis != null) iis.close()
       })
   }
 

@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   *      the survivors byte-lexicographically (parameter order is
   *      semantically irrelevant for idempotent GETs), and drop the
   *      `?` entirely when nothing survives;
-  *   6. strip one trailing slash from a non-root path.
+  *   6. strip one trailing slash — including the root path's lone
+  *      slash (`https://example.com/` → `https://example.com`): the
+  *      empty-path and root-path forms name the same resource
+  *      (RFC 3986 §6.2.3), so both collapse to the slashless spelling.
   *
   * Every step is a codegen'd builtin (regexp_replace / split /
   * array_sort / array_join) — a map-only projection at any scale; the

@@ -152,9 +152,9 @@ object NormalizeOps {
           s6 AS (SELECT doc_id, url, base,
                    coalesce(array_to_string(list_sort(list_filter(
                      string_split(qs, '&'),
-                     p -> p <> '' AND NOT p LIKE 'utm_%'
-                          AND NOT p LIKE 'fbclid=%'
-                          AND NOT p LIKE 'gclid=%')), '&'), '') AS q2
+                     p -> p <> '' AND NOT starts_with(p, 'utm_')
+                          AND NOT starts_with(p, 'fbclid=')
+                          AND NOT starts_with(p, 'gclid='))), '&'), '') AS q2
                  FROM s5),
           c AS (SELECT doc_id, url,
                   base || (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END)

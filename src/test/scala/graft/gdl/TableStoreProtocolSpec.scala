@@ -169,4 +169,59 @@ class TableStoreProtocolSpec extends AnyFunSuite {
     // an idle snapshot (until == since) still reports no changes cleanly
     assert(store.readChangesSince("t", 3L, untilSeq = 3L).get.isEmpty)
   }
+
+  test("gc spares comp-superseded generations until the comp itself ages past the grace") {
+    // Review finding (r8, high): the superseded-by-full gc branch
+    // measured the SUPERSEDED generations' own mtimes — arbitrarily old
+    // on any long-lived table — so a comp's in-commit gc deleted the
+    // pre-comp chain the instant the comp committed, inside the window
+    // where a racing append can still steal the comp's slot (free kinds
+    // win slot ties). The supersession clock must be the full
+    // generation's OWN commit time, mirroring the fold rule.
+    val root = java.nio.file.Files.createTempDirectory("store-compage").toString
+    val store = new TableStore(spark, root, gcGraceMs = 60L * 1000)
+    (1 to 3).foreach(i => store.append("t", Seq(i).toDF("x"))) // g0..g2
+    // age the deltas far past the grace (the long-lived-table state)
+    val old = System.currentTimeMillis() - 3600L * 1000
+    (0 to 2).foreach(i =>
+      new java.io.File(f"$root/t/g$i%07d-delta").setLastModified(old))
+    store.compact("t") // g3-comp, fresh mtime; runs gc in-commit
+    val f = hadoopFs(root)
+    (0 to 2).foreach(i =>
+      assert(f.exists(new Path(root, f"t/g$i%07d-delta")),
+        s"pre-comp g$i must survive gc while the comp is inside the grace"))
+    assert(store.read("t").get.as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    // once the comp itself ages past the grace, the originals go
+    assert(new java.io.File(s"$root/t/g0000003-comp").setLastModified(old))
+    store.gc("t")
+    (0 to 2).foreach(i =>
+      assert(!f.exists(new Path(root, f"t/g$i%07d-delta")),
+        s"aged-comp-superseded g$i must be reclaimed"))
+    assert(store.read("t").get.as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("appends racing compactions under zero grace never lose pre-comp rows") {
+    // The full r8-review scenario: with gcGraceMs=0 a comp's in-commit
+    // gc reclaims the pre-comp chain as soon as the comp ages at all,
+    // so an append that steals the comp's slot (listed before the comp
+    // landed, renamed after) would orphan the table. The free writer
+    // now YIELDS a slot holding a snapshot-kind rival instead of
+    // outranking it; hammer the window and assert nothing is lost.
+    val root = java.nio.file.Files.createTempDirectory("store-steal").toString
+    val a = new TableStore(spark, root, autoCompactDeltas = 1000, gcGraceMs = 0L)
+    val b = new TableStore(spark, root, autoCompactDeltas = 1000, gcGraceMs = 0L)
+    a.append("t", Seq(0).toDF("x"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val n = 12
+    val fa = Future { (1 to n).foreach(i => a.append("t", Seq(i).toDF("x"))) }
+    val fb = Future { (1 to n).foreach(_ => b.compact("t")) }
+    Await.result(Future.sequence(Seq(fa, fb)), 300.seconds)
+    pool.shutdown()
+    assert(a.read("t").get.as[Int].collect().sorted.toSeq == (0 to n),
+      "every appended row must survive racing compactions with immediate gc")
+  }
 }
