@@ -48,6 +48,16 @@ object TextFunctions {
           sequence(lit(1), length(text) - (n - 1)),
           i => substr(text, i, lit(n)))))
 
+  /** ALL character n-grams in order, duplicates kept — the hashed
+    * bag-of-ngrams feature primitive ([[graft.operators.LangId]]);
+    * same short-text guard as [[charShingles]] (texts shorter than n
+    * yield an EMPTY array, never partial grams). */
+  def charNgrams(text: Column, n: Int): Column =
+    when(length(text) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => substr(text, i, lit(n))))
+
   /** 16-bit token hash from the md5 hex prefix — shared by SimHash and
     * the LSH band keys; reproducible in any engine with md5. */
   def hash16(token: Column): Column =

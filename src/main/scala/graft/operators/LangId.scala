@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trained language identification — a fastText-style linear classifier
+  * over HASHED character-trigram features, replacing marker-word
+  * heuristics (the q20 baseline) with a model fit on the corpus's own
+  * labels. Langid keys every multilingual-corpus decision (mixing
+  * ratios, per-language quality floors), so it must be a trained,
+  * measurable component, not a hand-tuned word list.
+  *
+  * Construction (all pieces the engine already owns):
+  *  - features: every char trigram hashes through the md5-prefix
+  *    [[TextFunctions.hash16]] into `buckets` slots (the [[Dsir]]
+  *    hashed-feature discipline — model size is fixed no matter how
+  *    the vocabulary grows); x_b = bucket count / total trigrams
+  *    (exact long counts, ONE double division — engine-bitwise), plus
+  *    an x0 = 1 bias;
+  *  - training: one-vs-rest [[LogReg.train]] per language — full-batch
+  *    GD where each round is ONE map-side-combinable aggregate and the
+  *    model (buckets+1 doubles per language) lives on the driver;
+  *  - prediction: argmax of the per-language quantized sigmoids, with
+  *    the same deterministic ≥-chain tie-break as the heuristic.
+  *
+  * Scale shape (100 TB): the feature table is per-doc sized and
+  * localCheckpoint'd ONCE — the 2·rounds·|langs| training aggregates
+  * and the final scoring pass all read materialized columns instead of
+  * re-hashing the corpus; scoring folds the collected weights into the
+  * plan as literals (zero joins, map-only). Trigram hashing itself is
+  * one staged map pass.
+  *
+  * Honesty note, pinned by the eval query: on a corpus whose labels
+  * carry no n-gram signal (this synthetic one — per-language token
+  * distributions are flat), the discriminative model converges to the
+  * CLASS PRIOR, which is the Bayes-correct answer and still beats any
+  * arbitrary marker list; on a real multilingual corpus the identical
+  * machinery learns the true trigram signal. The eval query measures
+  * both accuracies rather than asserting either.
+  */
+object LangId {
+
+  /** Per-doc hashed-trigram feature rows:
+    * (doc_id, actual_lang, x0 = 1.0, x1..x{buckets} = bucket ratios).
+    * The hashed-gram array is staged through its own projection so the
+    * buckets+1 consumers of `_hs` read one materialized array (the
+    * NOTES.md O(n²) re-evaluation trap). */
+  def featurize(docs: DataFrame, idCol: String, textCol: String,
+                langCol: String, buckets: Int): DataFrame = {
+    val hs = transform(TextFunctions.charNgrams(col(textCol), 3),
+      g => pmod(TextFunctions.hash16(g), lit(buckets.toLong)))
+    val staged = docs.select(col(idCol).as("doc_id"),
+      col(langCol).as("actual_lang"), hs.as("_hs"))
+    val n = size(col("_hs")).cast("double")
+    staged.select(
+      Seq(col("doc_id"), col("actual_lang"), lit(1.0).as("x0")) ++
+        (1 to buckets).map(b =>
+          // short docs (zero trigrams) get all-zero features; the
+          // unguarded 0/0 raises DIVIDE_BY_ZERO under ANSI mode
+          when(n === 0.0, lit(0.0))
+            .otherwise(size(filter(col("_hs"),
+              h => h === lit((b - 1).toLong))).cast("double") / n)
+            .as(s"x$b")): _*)
+  }
+
+  /** Train one-vs-rest and score the whole corpus.
+    * Output: (doc_id, actual_lang, s_&lt;lang&gt; per language,
+    * predicted, is_match). */
+  def trainScore(docs: DataFrame, idCol: String, textCol: String,
+                 langCol: String, langs: Seq[String], buckets: Int = 16,
+                 lr: Double = 0.5, rounds: Int = 2): DataFrame = {
+    val dim = buckets + 1
+    val feats = featurize(docs, idCol, textCol, langCol, buckets)
+      .localCheckpoint(eager = true) // read 2·rounds·|langs| + 1 times
+    val xs = (0 until dim).map(j => col(s"x$j"))
+    val ws = langs.map { l =>
+      val f = feats.select(
+        when(col("actual_lang") === l, 1.0).otherwise(0.0).as("y") +: xs: _*)
+      l -> LogReg.train(f, dim, lr, rounds)
+        .filter(col("round") === rounds).orderBy(col("j"))
+        .collect().map(_.getDouble(2)).toSeq // model-sized per language
+    }
+    val scored = feats.select(
+      Seq(col("doc_id"), col("actual_lang")) ++
+        ws.map { case (l, w) => LogReg.score(w, xs).as(s"s_$l") }: _*)
+    val pred = langs.init.foldRight(lit(langs.last)) { case (l, rest) =>
+      val ge = langs.filter(_ != l)
+        .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+      when(ge, lit(l)).otherwise(rest)
+    }
+    scored.withColumn("predicted", pred)
+      .withColumn("is_match", col("predicted") === col("actual_lang"))
+  }
+}

@@ -27,6 +27,29 @@ object TextOps {
 
   private val stopwords = Seq("the", "a", "row", "data")
 
+  /** q20's marker-count scorer + argmax, factored so q168 can measure
+    * it against the trained model on identical rows. */
+  private def langidHeuristic(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents")
+    val ts = col("_toks")
+    val scored = docs
+      .select(col("doc_id"), col("lang").as("actual_lang"),
+              tokens(col("text")).as("_toks"))
+      .select(
+        (Seq(col("doc_id"), col("actual_lang")) ++
+          langMarkers.map { case (l, ws) =>
+            size(filter(ts, t => t.isin(ws: _*))).cast("long").as(s"s_$l")
+          }): _*)
+    val langs = langMarkers.map(_._1)
+    val pred = langs.foldRight(lit(langs.last)) { case (l, rest) =>
+      val ge = langs.filter(_ != l)
+        .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+      when(ge, lit(l)).otherwise(rest)
+    }
+    scored.withColumn("predicted", pred)
+      .withColumn("is_match", col("predicted") === col("actual_lang"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokenization, per-doc stats.
     "q18_token_stats" -> ((s, d) => {
@@ -77,26 +100,9 @@ object TextOps {
     }),
 
     // Language-ID heuristic: per-language marker-hit scores + argmax.
-    "q20_langid" -> ((s, d) => {
-      val docs = Tables.load(s, d, "documents")
-      val ts = col("_toks")
-      val scored = docs
-        .select(col("doc_id"), col("lang").as("actual_lang"),
-                tokens(col("text")).as("_toks"))
-        .select(
-          (Seq(col("doc_id"), col("actual_lang")) ++
-            langMarkers.map { case (l, ws) =>
-              size(filter(ts, t => t.isin(ws: _*))).cast("long").as(s"s_$l")
-            }): _*)
-      val langs = langMarkers.map(_._1)
-      val pred = langs.foldRight(lit(langs.last)) { case (l, rest) =>
-        val ge = langs.filter(_ != l)
-          .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
-        when(ge, lit(l)).otherwise(rest)
-      }
-      scored.withColumn("predicted", pred)
-        .withColumn("is_match", col("predicted") === col("actual_lang"))
-    }),
+    // Kept as the measured BASELINE the trained model (q167) beats —
+    // q168 computes both accuracies side by side.
+    "q20_langid" -> ((s, d) => langidHeuristic(s, d)),
 
     // Document fingerprinting: md5 + exact polynomial rolling hash.
     "q21_fingerprint" -> ((s, d) => {
@@ -616,7 +622,51 @@ object TextOps {
       // zero-weight-term norm rule
       graft.operators.SparseSim.allPairsCosine(
         Tables.documentsWithEdges(s, d), "doc_id", "text",
-        n = 3, minDf = 2L, maxDf = 10L, threshold = 0.3))
+        n = 3, minDf = 2L, maxDf = 10L, threshold = 0.3)),
+
+    // TRAINED language ID: one-vs-rest logistic regression over hashed
+    // char-trigram features (16 buckets + bias, the Dsir hashing
+    // discipline), 2 unrolled GD rounds per language, argmax of the
+    // quantized sigmoids — the trained upgrade of the q20 marker list.
+    "q167_langid_trained" -> ((s, d) =>
+      graft.operators.LangId.trainScore(Tables.load(s, d, "documents"),
+        "doc_id", "text", "lang", langMarkers.map(_._1))),
+
+    // Measured accuracy, trained vs heuristic, one combinable aggregate
+    // each. On THIS unsignaled synthetic corpus (per-lang token
+    // distributions are flat) the trained model learns the class
+    // prior — the Bayes-correct answer — and the measured gap is it
+    // beating the arbitrary marker list; on a real corpus the same
+    // query pair measures real trigram signal.
+    "q168_langid_eval" -> ((s, d) => {
+      def acc(scored: org.apache.spark.sql.DataFrame, m: String) =
+        scored.agg(count(lit(1)).as("n"),
+            sum(when(col("is_match"), 1L).otherwise(0L)).as("n_correct"))
+          .select(lit(m).as("method"), col("n"), col("n_correct"))
+      acc(graft.operators.LangId.trainScore(Tables.load(s, d, "documents"),
+            "doc_id", "text", "lang", langMarkers.map(_._1)),
+          "trained_trigram_logreg")
+        .unionByName(acc(langidHeuristic(s, d), "marker_heuristic"))
+        .withColumn("correct_ppm", expr("n_correct * 1000000L div n"))
+    }),
+
+    // Reliability bins (the q165 calibration harness) over the WINNING
+    // language score: does "score 0.44" mean 44% correct? Same
+    // map-combinable fixed-bin aggregate, means on the quantized grid.
+    "q169_langid_calibration" -> ((s, d) => {
+      val langs = langMarkers.map(_._1)
+      graft.operators.LangId.trainScore(Tables.load(s, d, "documents"),
+          "doc_id", "text", "lang", langs)
+        .select(col("is_match"),
+          greatest(langs.map(l => col(s"s_$l")): _*).as("win"))
+        .groupBy(floor(col("win") * 100).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_match"), 1L).otherwise(0L)).as("n_match"),
+          sum(floor(col("win") * 1e9).cast("long")).as("sum_win_e9"))
+        .select(col("bin"), col("n"), col("n_match"),
+          expr("n_match * 1000000L div n").as("match_ppm"),
+          expr("sum_win_e9 div n").as("mean_win_e9"))
+    })
   )
 
   // RE2-compatible PII patterns shared by q56 and its oracle
@@ -739,6 +789,112 @@ object TextOps {
         ${minhashVerifySql("", "")}
         SELECT id_a, id_b, jaccard FROM pairs"""
 
+  /** The shared argmax tie-break over s_&lt;lang&gt; columns — q20 and
+    * q167 use the identical ≥-chain, so the CASE is built once. */
+  private lazy val langidPredCaseSql: String = {
+    val langs = langMarkers.map(_._1)
+    val whens = langs.init.map { l =>
+      val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n                      ")
+    s"""CASE $whens
+                      ELSE '${langs.last}' END"""
+  }
+
+  /** q20's marker-heuristic chain, factored so q168 wraps it. */
+  private lazy val langidHeuristicSql: String = {
+    val scoreCols = langMarkers.map { case (l, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(toks, x -> x IN ($inList))) AS BIGINT) AS s_$l"
+    }.mkString(",\n                 ")
+    s"""WITH t AS (SELECT doc_id, lang AS actual_lang, $toksSql AS toks
+                   FROM documents),
+        sc AS (SELECT doc_id, actual_lang,
+               $scoreCols
+               FROM t)
+        SELECT doc_id, actual_lang, s_de, s_en, s_es, s_fr, s_zh,
+               $langidPredCaseSql AS predicted,
+               ($langidPredCaseSql) = actual_lang AS is_match
+        FROM sc"""
+  }
+
+  /** q167's full one-vs-rest GD + scoring chain in SQL — mirrors
+    * LangId/LogReg exactly (the q93/q140 discipline: 1e-9-quantized
+    * sigmoid, per-row gradient terms floored to the 1e-12 long grid,
+    * driver-double weight updates replayed as the same left-associated
+    * expression shapes). Hashed-trigram features mirror
+    * TextFunctions.charNgrams + hash16: md5-prefix hash of each
+    * 3-char substring, mod 16 buckets, count ratios. */
+  private lazy val langIdScoredSql: String = {
+    val B = 16
+    val dim = B + 1
+    val langs = langMarkers.map(_._1)
+    def z(ws: Seq[String]) =
+      (0 until dim).map(j => s"${ws(j)} * x$j").mkString(" + ")
+    def p(ws: Seq[String]) =
+      s"""CAST(CAST(floor(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+         + exp(-(${z(ws)}))) * 1e9) AS BIGINT) AS DOUBLE) / 1e9"""
+    def grads(ws: Seq[String], y: String) = (0 until dim).map(j =>
+      s"""sum(CAST(floor((${p(ws)} - $y) * x$j * 1e12) AS BIGINT)) AS g$j""")
+      .mkString(",\n               ")
+    val w0 = Seq.fill(dim)("CAST(0 AS DOUBLE)")
+    val xcols = (1 to B).map(b =>
+      s"""CASE WHEN len(hs) = 0 THEN CAST(0 AS DOUBLE)
+          ELSE CAST(len(list_filter(hs, h -> h = ${b - 1})) AS DOUBLE)
+               / CAST(len(hs) AS DOUBLE) END AS x$b""")
+      .mkString(",\n               ")
+    val ycols = langs.map(l =>
+      s"""CASE WHEN actual_lang = '$l' THEN CAST(1 AS DOUBLE)
+          ELSE CAST(0 AS DOUBLE) END AS y_$l""").mkString(",\n               ")
+    val perLang = langs.map { l =>
+      val upd1 = (0 until dim).map(j =>
+        s"""CAST(0 AS DOUBLE) - CAST(0.5 AS DOUBLE)
+            * (CAST(g$j AS DOUBLE) / 1e12 / CAST(n AS DOUBLE)) AS w1_$j""")
+        .mkString(",\n               ")
+      val upd2 = (0 until dim).map(j =>
+        s"""w1.w1_$j - CAST(0.5 AS DOUBLE)
+            * (CAST(g2.g$j AS DOUBLE) / 1e12 / CAST(w1.n AS DOUBLE))
+            AS w2_${l}_$j""").mkString(",\n               ")
+      s"""g1_$l AS (SELECT count(*) AS n,
+               ${grads(w0, s"y_$l")}
+               FROM fy),
+          w1_$l AS (SELECT n,
+               $upd1
+               FROM g1_$l),
+          g2_$l AS (SELECT
+               ${grads((0 until dim).map(j => s"w1.w1_$j"), s"y_$l")}
+               FROM fy CROSS JOIN w1_$l w1),
+          w2_$l AS (SELECT
+               $upd2
+               FROM g2_$l g2 CROSS JOIN w1_$l w1)"""
+    }.mkString(",\n        ")
+    val scoreSel = langs.map(l =>
+      s"${p((0 until dim).map(j => s"w2_${l}_$j"))} AS s_$l")
+      .mkString(",\n               ")
+    val crossW2 = langs.map(l => s"CROSS JOIN w2_$l").mkString(" ")
+    s"""WITH h0 AS (SELECT doc_id, lang,
+               CASE WHEN length(text) < 3 THEN CAST([] AS BIGINT[])
+               ELSE list_transform(range(1, length(text) - 1),
+                 i -> CAST('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 3)),
+                                          1, 4) AS BIGINT) % $B)
+               END AS hs
+             FROM documents),
+        f AS (SELECT doc_id, lang AS actual_lang, CAST(1 AS DOUBLE) AS x0,
+               $xcols
+              FROM h0),
+        fy AS (SELECT f.*,
+               $ycols
+               FROM f),
+        $perLang,
+        scored AS (SELECT fy.doc_id, fy.actual_lang,
+               $scoreSel
+             FROM fy $crossW2)
+        SELECT doc_id, actual_lang, s_de, s_en, s_es, s_fr, s_zh,
+               $langidPredCaseSql AS predicted,
+               ($langidPredCaseSql) = actual_lang AS is_match
+        FROM scored"""
+  }
+
   def oracles: Map[String, String] = Map(
     "q116_incremental_neardup" -> {
       val sigCols = (0 until 8).map(j =>
@@ -845,28 +1001,7 @@ object TextOps {
                  stopword_ratio * 0.4 + len_score * 0.3 + uniq_ratio * 0.3 AS quality
           FROM r""",
 
-    "q20_langid" -> {
-      val scoreCols = langMarkers.map { case (l, ws) =>
-        val inList = ws.map(w => s"'$w'").mkString(", ")
-        s"CAST(len(list_filter(toks, x -> x IN ($inList))) AS BIGINT) AS s_$l"
-      }.mkString(",\n                 ")
-      val langs = langMarkers.map(_._1)
-      val predCase = langs.init.map { l =>
-        val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
-        s"WHEN $conds THEN '$l'"
-      }.mkString("\n                      ")
-      s"""WITH t AS (SELECT doc_id, lang AS actual_lang, $toksSql AS toks
-                     FROM documents),
-          sc AS (SELECT doc_id, actual_lang,
-                 $scoreCols
-                 FROM t)
-          SELECT doc_id, actual_lang, s_de, s_en, s_es, s_fr, s_zh,
-                 CASE $predCase
-                      ELSE '${langs.last}' END AS predicted,
-                 (CASE $predCase
-                      ELSE '${langs.last}' END) = actual_lang AS is_match
-          FROM sc"""
-    },
+    "q20_langid" -> langidHeuristicSql,
 
     "q21_fingerprint" ->
       """SELECT doc_id, md5(text) AS md5_fp,
@@ -1324,6 +1459,40 @@ object TextOps {
           JOIN nrm na ON na.doc_id = pr.doc_a
           JOIN nrm nb ON nb.doc_id = pr.doc_b
           WHERE (CAST(dot AS DOUBLE) / 1e9) / (na.nr * nb.nr)
-                  >= CAST(0.3 AS DOUBLE)"""
+                  >= CAST(0.3 AS DOUBLE)""",
+
+    "q167_langid_trained" -> langIdScoredSql,
+
+    "q168_langid_eval" ->
+      s"""WITH tr AS (SELECT 'trained_trigram_logreg' AS method,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_correct
+               FROM ($langIdScoredSql)),
+          he AS (SELECT 'marker_heuristic' AS method,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_correct
+               FROM ($langidHeuristicSql)),
+          u AS (SELECT * FROM tr UNION ALL SELECT * FROM he)
+          SELECT method, n, n_correct,
+                 CAST(n_correct * 1000000 // n AS BIGINT) AS correct_ppm
+          FROM u""",
+
+    "q169_langid_calibration" ->
+      s"""WITH sc AS (SELECT is_match,
+                 greatest(s_de, s_en, s_es, s_fr, s_zh) AS win
+               FROM ($langIdScoredSql)),
+          b AS (SELECT CAST(floor(win * 100) AS BIGINT) AS bin,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_match,
+                 CAST(sum(CAST(floor(win * 1e9) AS BIGINT)) AS BIGINT)
+                   AS sum_win_e9
+               FROM sc GROUP BY 1)
+          SELECT bin, n, n_match,
+                 CAST(n_match * 1000000 // n AS BIGINT) AS match_ppm,
+                 CAST(sum_win_e9 // n AS BIGINT) AS mean_win_e9
+          FROM b"""
   )
 }
