@@ -446,57 +446,25 @@ object CurationOps {
     // the budget pass with no row window at all, buckets past it drop
     // wholesale, and only the single boundary bucket per source runs a
     // row-level cumsum — over 1/256th of a source.
-    "q68_token_budget_mix" -> ((s, d) => {
-      val docs = Tables.load(s, d, "documents")
+    "q68_token_budget_mix" -> ((s, d) =>
+      tokenBudgetMix(Tables.load(s, d, "documents")
         .select(col("doc_id"), col("source"),
-          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"),
-          md5(concat(lit("mix|"), col("doc_id").cast("string"))).as("h"),
-          when(regexp_extract(col("source"), "(\\d+)$", 1).cast("long") % 2 === 0,
-            lit(2L)).otherwise(lit(1L)).as("weight"))
-      // per-source budget = (30% of all tokens) · weighted-token share;
-      // floor keeps it integer-exact in any engine
-      val perSrcStats = docs.groupBy(col("source"), col("weight"))
-        .agg(sum(col("n_tokens")).as("src_tokens"))
-      val totals = perSrcStats.agg(
-        sum(col("src_tokens")).as("total_tokens"),
-        sum(col("src_tokens") * col("weight")).as("wt_tokens"))
-      val perSrc = perSrcStats.crossJoin(broadcast(totals))
-        .select(col("source"),
-          floor(col("total_tokens").cast("double") * 0.3 *
-            (col("src_tokens") * col("weight")).cast("double") /
-            col("wt_tokens").cast("double")).as("src_budget"))
-      val W = org.apache.spark.sql.expressions.Window
-      // hex-prefix bucket: numeric order == lexicographic order of the
-      // prefix, so (bucket, h, doc_id) == the global (h, doc_id) order
-      val bucketed = docs.join(broadcast(perSrc), Seq("source"))
-        .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("long"))
-      val bucketTotals = bucketed.groupBy(col("source"), col("bucket"))
-        .agg(sum(col("n_tokens")).as("b_tokens"))
-      // phase 1: prefix-sum the TINY per-bucket totals (≤ sources×256 rows)
-      val offsets = bucketTotals.withColumn("b_offset",
-        coalesce(sum(col("b_tokens")).over(
-          W.partitionBy(col("source")).orderBy(col("bucket"))
-            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-      val withOff = bucketed.join(broadcast(offsets), Seq("source", "bucket"))
-      // phase 2: interior buckets pass wholesale; only the boundary
-      // bucket (straddling the budget) needs a row-level cumsum
-      val interior = withOff.filter(
-        col("b_offset") + col("b_tokens") <= col("src_budget"))
-      val boundaryKept = withOff.filter(
-        col("b_offset") < col("src_budget") &&
-          col("b_offset") + col("b_tokens") > col("src_budget"))
-        .withColumn("cum_tokens", col("b_offset") + sum(col("n_tokens")).over(
-          W.partitionBy(col("source"), col("bucket"))
-            .orderBy(col("h"), col("doc_id"))
-            .rowsBetween(W.unboundedPreceding, W.currentRow)))
-        .filter(col("cum_tokens") <= col("src_budget"))
-        .drop("cum_tokens")
-      interior.unionByName(boundaryKept)
-        .groupBy(col("source"), col("src_budget"))
-        .agg(count(lit(1)).as("n_docs_kept"),
-             sum(col("n_tokens")).as("tokens_kept"))
-        .select(col("source"), col("n_docs_kept"), col("tokens_kept"),
-                col("src_budget"))
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens")))),
+
+    // q68 re-based on TOKENIZER-ACCURATE counts: the identical budget/
+    // mix chain, but n_tokens comes from the byte-level BPE family
+    // (GPT-2 pretokenizer + 8 trained byte merges) instead of
+    // whitespace splitting. Same corpus, same budget rule — the
+    // per-source keep sets shift because the whitespace count
+    // under-bills multi-piece words (NOTES records the measured
+    // whitespace-vs-BPE ratio on this corpus).
+    "q171_bpe_budget_mix" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      tokenBudgetMix(docs.select(col("doc_id"), col("source"))
+        .join(graft.operators.Bpe.byteTokenCounts(
+          docs, "doc_id", "text", nMerges = 8), Seq("doc_id"))
+        .select(col("doc_id"), col("source"),
+          col("n_bpe_tokens").as("n_tokens")))
     }),
 
     // CCNet-style perplexity bucketing: score every doc with the
@@ -558,10 +526,99 @@ object CurationOps {
 
   // ---- oracle SQL ----------------------------------------------------
 
+  /** The q68 budget-mix oracle over any `(doc_id, source, n_tokens)`
+    * block `d0` (a full SELECT, parenthesized here) — the simple
+    * one-window cumsum form, value-equivalent to the engine's
+    * two-phase bucketed fill. q68 feeds whitespace counts, q171 the
+    * byte-level BPE counts. */
+  private def tokenBudgetMixSql(d0: String): String =
+    s"""WITH d0 AS ($d0),
+        d AS (SELECT doc_id, source, n_tokens,
+                     md5('mix|' || CAST(doc_id AS VARCHAR)) AS h,
+                     CASE WHEN CAST(regexp_extract(source, '(\\d+)$$', 1)
+                                    AS BIGINT) % 2 = 0
+                          THEN 2 ELSE 1 END AS weight
+              FROM d0),
+        ps AS (SELECT source, weight, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+               FROM d GROUP BY source, weight),
+        tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+                       CAST(sum(src_tokens * weight) AS BIGINT) AS wt_tokens
+                FROM ps),
+        pb AS (SELECT source,
+                      CAST(floor(CAST(total_tokens AS DOUBLE) * 0.3
+                             * CAST(src_tokens * weight AS DOUBLE)
+                             / CAST(wt_tokens AS DOUBLE)) AS BIGINT) AS src_budget
+               FROM ps CROSS JOIN tot),
+        c AS (SELECT d.source, d.n_tokens, pb.src_budget,
+                     sum(d.n_tokens) OVER (PARTITION BY d.source
+                          ORDER BY d.h, d.doc_id ROWS UNBOUNDED PRECEDING)
+                       AS cum_tokens
+              FROM d JOIN pb USING (source))
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens_kept, src_budget
+        FROM c WHERE cum_tokens <= src_budget
+        GROUP BY source, src_budget"""
+
   /** q140's train-then-score pipeline as a reusable DataFrame:
     * (doc_id, y, quality) — 2 GD rounds from zero weights, the model
     * collected once (4 doubles), corpus scored by the quantized
     * sigmoid. q165's calibration bins consume it. */
+  /** q68's budget-mix chain over any (doc_id, source, n_tokens) input —
+    * factored so q171 runs the identical rule with BPE-denominated
+    * counts. Per-source budget = (30% of all tokens) · weighted-token
+    * share (floor keeps it integer-exact in any engine); the fill is
+    * the two-phase hex-prefix-bucket cumsum: interior buckets pass
+    * wholesale off a 256-row prefix-sum, only the boundary bucket pays
+    * a row-level window — no per-source corpus-wide sort. */
+  private def tokenBudgetMix(d0: DataFrame): DataFrame = {
+    val docs = d0.select(col("doc_id"), col("source"), col("n_tokens"),
+      md5(concat(lit("mix|"), col("doc_id").cast("string"))).as("h"),
+      when(regexp_extract(col("source"), "(\\d+)$", 1).cast("long") % 2 === 0,
+        lit(2L)).otherwise(lit(1L)).as("weight"))
+    val perSrcStats = docs.groupBy(col("source"), col("weight"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+    val totals = perSrcStats.agg(
+      sum(col("src_tokens")).as("total_tokens"),
+      sum(col("src_tokens") * col("weight")).as("wt_tokens"))
+    val perSrc = perSrcStats.crossJoin(broadcast(totals))
+      .select(col("source"),
+        floor(col("total_tokens").cast("double") * 0.3 *
+          (col("src_tokens") * col("weight")).cast("double") /
+          col("wt_tokens").cast("double")).as("src_budget"))
+    val W = org.apache.spark.sql.expressions.Window
+    // hex-prefix bucket: numeric order == lexicographic order of the
+    // prefix, so (bucket, h, doc_id) == the global (h, doc_id) order
+    val bucketed = docs.join(broadcast(perSrc), Seq("source"))
+      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("long"))
+    val bucketTotals = bucketed.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("b_tokens"))
+    // phase 1: prefix-sum the TINY per-bucket totals (≤ sources×256 rows)
+    val offsets = bucketTotals.withColumn("b_offset",
+      coalesce(sum(col("b_tokens")).over(
+        W.partitionBy(col("source")).orderBy(col("bucket"))
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    val withOff = bucketed.join(broadcast(offsets), Seq("source", "bucket"))
+    // phase 2: interior buckets pass wholesale; only the boundary
+    // bucket (straddling the budget) needs a row-level cumsum
+    val interior = withOff.filter(
+      col("b_offset") + col("b_tokens") <= col("src_budget"))
+    val boundaryKept = withOff.filter(
+      col("b_offset") < col("src_budget") &&
+        col("b_offset") + col("b_tokens") > col("src_budget"))
+      .withColumn("cum_tokens", col("b_offset") + sum(col("n_tokens")).over(
+        W.partitionBy(col("source"), col("bucket"))
+          .orderBy(col("h"), col("doc_id"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .filter(col("cum_tokens") <= col("src_budget"))
+      .drop("cum_tokens")
+    interior.unionByName(boundaryKept)
+      .groupBy(col("source"), col("src_budget"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+           sum(col("n_tokens")).as("tokens_kept"))
+      .select(col("source"), col("n_docs_kept"), col("tokens_kept"),
+              col("src_budget"))
+  }
+
   private def logRegScored(s: SparkSession, d: String): DataFrame = {
     val toks = graft.functions.TextFunctions.tokens(col("text"))
     val feats = Tables.load(s, d, "documents")
@@ -896,33 +953,12 @@ object CurationOps {
                    AS avg_logp
           FROM lp GROUP BY doc_id""",
 
-    "q68_token_budget_mix" ->
-      s"""WITH d AS (SELECT doc_id, source,
-                            CAST(len($toksSql) AS BIGINT) AS n_tokens,
-                            md5('mix|' || CAST(doc_id AS VARCHAR)) AS h,
-                            CASE WHEN CAST(regexp_extract(source, '(\\d+)$$', 1)
-                                           AS BIGINT) % 2 = 0
-                                 THEN 2 ELSE 1 END AS weight
-                     FROM documents),
-          ps AS (SELECT source, weight, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
-                 FROM d GROUP BY source, weight),
-          tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
-                         CAST(sum(src_tokens * weight) AS BIGINT) AS wt_tokens
-                  FROM ps),
-          pb AS (SELECT source,
-                        CAST(floor(CAST(total_tokens AS DOUBLE) * 0.3
-                               * CAST(src_tokens * weight AS DOUBLE)
-                               / CAST(wt_tokens AS DOUBLE)) AS BIGINT) AS src_budget
-                 FROM ps CROSS JOIN tot),
-          c AS (SELECT d.source, d.n_tokens, pb.src_budget,
-                       sum(d.n_tokens) OVER (PARTITION BY d.source
-                            ORDER BY d.h, d.doc_id ROWS UNBOUNDED PRECEDING)
-                         AS cum_tokens
-                FROM d JOIN pb USING (source))
-          SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept,
-                 CAST(sum(n_tokens) AS BIGINT) AS tokens_kept, src_budget
-          FROM c WHERE cum_tokens <= src_budget
-          GROUP BY source, src_budget""",
+    "q68_token_budget_mix" -> tokenBudgetMixSql(
+      s"SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tokens" +
+        " FROM documents"),
+
+    "q171_bpe_budget_mix" -> tokenBudgetMixSql(
+      TextOps.bpeByteCountsSql(nMerges = 8)),
 
     "q66_boilerplate" ->
       s"""WITH docs_e AS (${Tables.documentsWithEdgesSql}),

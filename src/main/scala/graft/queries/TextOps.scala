@@ -666,7 +666,16 @@ object TextOps {
         .select(col("bin"), col("n"), col("n_match"),
           expr("n_match * 1000000L div n").as("match_ppm"),
           expr("sum_win_e9 div n").as("mean_win_e9"))
-    })
+    }),
+
+    // BYTE-LEVEL BPE training (the production-tokenizer form of q80):
+    // GPT-2-style regex pre-tokenization, initial symbols = UTF-8
+    // bytes as hex pairs, 8 corpus-weighted merge rounds. Symbol "20"
+    // (the space byte) merging into word starts is the signature
+    // byte-level behavior worth seeing in the merge table.
+    "q170_bpe_byte_train" -> ((s, d) =>
+      graft.operators.Bpe.trainByteMerges(
+        Tables.load(s, d, "documents"), "text", nMerges = 8))
   )
 
   // RE2-compatible PII patterns shared by q56 and its oracle
@@ -682,27 +691,29 @@ object TextOps {
   /** One BPE training round in SQL: adjacency counts over syms{r-1},
     * the winning pair (ties on (a, b) ascending), greedy leftmost
     * non-overlapping merge selection, and the re-numbered syms{r}.
-    * Mirrors Bpe.trainMerges round-for-round. */
-  private def bpeRoundSql(r: Int): String = {
+    * Mirrors Bpe.trainMerges round-for-round — agnostic of how syms0
+    * was built, so the byte-level family (q170/q171) reuses it over
+    * hex-pair symbols unchanged. */
+  private[queries] def bpeRoundSql(r: Int): String = {
     val p = r - 1
-    s"""nx$r AS (SELECT word, wc, pos, sym,
+    s"""nx$r AS MATERIALIZED (SELECT word, wc, pos, sym,
                         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
                  FROM syms$p),
-        best$r AS (SELECT sym AS a, nxt AS b, CAST(sum(wc) AS BIGINT) AS cnt
+        best$r AS MATERIALIZED (SELECT sym AS a, nxt AS b, CAST(sum(wc) AS BIGINT) AS cnt
                    FROM nx$r WHERE nxt IS NOT NULL
                    GROUP BY sym, nxt
                    ORDER BY cnt DESC, a, b LIMIT 1),
-        cand$r AS (SELECT n.word, n.pos,
+        cand$r AS MATERIALIZED (SELECT n.word, n.pos,
                           row_number() OVER (PARTITION BY n.word
                                              ORDER BY n.pos) AS rn
                    FROM nx$r n, best$r b
                    WHERE n.sym = b.a AND n.nxt = b.b),
-        sel$r AS (SELECT word, pos FROM (
+        sel$r AS MATERIALIZED (SELECT word, pos FROM (
                     SELECT word, pos,
                            row_number() OVER (PARTITION BY word, pos - rn
                                               ORDER BY pos) AS rr
                     FROM cand$r) WHERE (rr - 1) % 2 = 0),
-        syms$r AS (SELECT word, wc,
+        syms$r AS MATERIALIZED (SELECT word, wc,
                           row_number() OVER (PARTITION BY word
                                              ORDER BY pos) AS pos,
                           sym
@@ -788,6 +799,46 @@ object TextOps {
     s"""WITH $minhashPrefixSql,
         ${minhashVerifySql("", "")}
         SELECT id_a, id_b, jaccard FROM pairs"""
+
+  /** [[graft.operators.Bpe.Gpt2PretokenRe]] as a DuckDB string literal
+    * (apostrophes doubled). */
+  private[queries] lazy val gpt2ReSql: String =
+    graft.operators.Bpe.Gpt2PretokenRe.replace("'", "''")
+
+  /** Byte-level BPE initial symbol table in SQL (no leading WITH):
+    * pretoken vocabulary → UTF-8 hex byte pairs. Mirrors
+    * Bpe.byteSyms0 (hex() is uppercase in both engines). */
+  private[queries] lazy val bpeByteSyms0Sql: String =
+    s"""w AS (SELECT word, CAST(count(*) AS BIGINT) AS wc
+              FROM (SELECT unnest(regexp_extract_all(text, '$gpt2ReSql')) AS word
+                    FROM documents)
+              GROUP BY word),
+        hxt AS (SELECT word, wc, hex(encode(word)) AS hx FROM w),
+        syms0 AS MATERIALIZED (SELECT word, wc, t2.i AS pos,
+                         substr(hx, CAST(t2.i AS INTEGER) * 2 - 1, 2) AS sym
+                  FROM hxt, unnest(range(1, length(hx) // 2 + 1)) AS t2(i))"""
+
+  /** Per-doc byte-level-BPE token counts in SQL, as a full
+    * parenthesizable (WITH … SELECT doc_id, source, n_tokens) block —
+    * the training chain's end state IS the applied vocabulary
+    * (Bpe.trainCore's replay property), so the piece table reads
+    * syms&lt;n&gt; directly. q171's oracle feeds it to the shared
+    * budget chain. */
+  private[queries] def bpeByteCountsSql(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map(bpeRoundSql).mkString(",\n          ")
+    s"""WITH $bpeByteSyms0Sql,
+        $rounds,
+        pieces AS (SELECT word, CAST(max(pos) AS BIGINT) AS n_pieces
+                   FROM syms$nMerges GROUP BY word),
+        pd AS (SELECT doc_id,
+                      unnest(regexp_extract_all(text, '$gpt2ReSql')) AS word
+               FROM documents),
+        agg AS (SELECT pd.doc_id, CAST(sum(p.n_pieces) AS BIGINT) AS n_tokens
+                FROM pd JOIN pieces p USING (word) GROUP BY pd.doc_id)
+        SELECT d.doc_id, d.source,
+               CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens
+        FROM documents d LEFT JOIN agg a USING (doc_id)"""
+  }
 
   /** The shared argmax tie-break over s_&lt;lang&gt; columns — q20 and
     * q167 use the identical ≥-chain, so the CASE is built once. */
@@ -1493,6 +1544,16 @@ object TextOps {
           SELECT bin, n, n_match,
                  CAST(n_match * 1000000 // n AS BIGINT) AS match_ppm,
                  CAST(sum_win_e9 // n AS BIGINT) AS mean_win_e9
-          FROM b"""
+          FROM b""",
+
+    "q170_bpe_byte_train" -> {
+      val rounds = (1 to 8).map(bpeRoundSql).mkString(",\n          ")
+      val out = (1 to 8).map(r =>
+        s"""SELECT CAST($r AS BIGINT) AS round, a AS sym_a, b AS sym_b,
+                   cnt AS pair_count FROM best$r""").mkString(" UNION ALL ")
+      s"""WITH $bpeByteSyms0Sql,
+          $rounds
+          $out"""
+    }
   )
 }

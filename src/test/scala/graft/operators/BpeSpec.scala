@@ -38,4 +38,31 @@ class BpeSpec extends AnyFunSuite {
     assert(pieces("abab") == Seq("abab"))
     assert(pieces("abc") == Seq("ab", "c"))
   }
+
+  test("byte-level: GPT-2 pretokens, hex-pair merges, replay == train end") {
+    // "the cat the car" pretokenizes to ["the", " cat", " the", " car"]
+    // — leading spaces attach (byte 0x20 participates in merges).
+    val docs = Seq((1L, "the cat the car")).toDF("doc_id", "text")
+    val merges = Bpe.trainByteMerges(docs, "text", nMerges = 2)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    // pairs over {74 68 65, 20 63 61 74, 20 74 68 65, 20 63 61 72}:
+    // (74,68)=2 (th), (68,65)=2 (he), (20,63)=2 (" c"), (63,61)=2,
+    // (61,74)=1, (20,74)=1, (61,72)=1 — tie on cnt=2 breaks to
+    // lexicographically smallest ("20","63"); then round 2 ties at 2
+    // again: ("2063","61") vs (74,68) vs (68,65) -> "2063"+"61".
+    assert(merges.head == ((1L, "20", "63", 2L)))
+    assert(merges(1) == ((2L, "2063", "61", 2L)))
+    // replaying the learned table reproduces the training-end pieces
+    val applied = Bpe.applyByteMerges(docs, "text",
+        merges.map(m => (m._2, m._3)))
+      .as[(String, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._4).toSeq).toMap
+    assert(applied(" cat") == Seq("206361", "74"))
+    assert(applied(" car") == Seq("206361", "72"))
+    assert(applied("the") == Seq("74", "68", "65"))
+    // per-doc count: 3 (the) + 2 ( cat) + 4 ( the) + 2 ( car) = 11
+    val counts = Bpe.byteTokenCounts(docs, "doc_id", "text", nMerges = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(counts(1L) == 11L)
+  }
 }
