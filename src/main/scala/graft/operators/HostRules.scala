@@ -76,6 +76,77 @@ object HostRules {
         coalesce(col("action"), lit(default)).as("action"))
   }
 
+  /** Registrable-domain (eTLD+1) extraction under PUBLIC-SUFFIX-LIST
+    * semantics (publicsuffix.org's algorithm): among the rules
+    * matching a host, an EXCEPTION rule (`!foo.bar`) prevails and
+    * names a public suffix one label shorter than itself; otherwise
+    * the LONGEST match wins — exact rules (`co.uk`) match themselves
+    * as a suffix, wildcard rules (`*.ck`) match any suffix whose
+    * parent is the rule's domain; with no match the default `*` rule
+    * applies (the top label is the public suffix). The registrable
+    * domain is the public suffix plus one label, NULL when the host
+    * IS a public suffix. Per-domain caps and host statistics keyed on
+    * raw hosts over-split (`a.blogspot.com` vs `b.blogspot.com` are
+    * different registrants; `cdn.example.com` vs `www.example.com`
+    * are the same) — eTLD+1 is the key that matches ownership.
+    *
+    * Scale shape: the same suffix-chain explode as
+    * [[longestSuffixMatch]] (≤ ~6 rows per host, and each row carries
+    * its PARENT suffix, which is what turns `*.`-wildcard rules into
+    * equi-join keys too — no per-pattern scans); three broadcast
+    * equi-joins against the rule table split by kind; winner by a
+    * per-host window over the handful of matches.
+    *
+    * @param pslRules rules in PSL syntax: `"com"`, `"co.uk"`,
+    *                 `"*.ck"`, `"!www.ck"`
+    * @return (idCol, hostCol, public_suffix, etld1 nullable) */
+  def registrableDomain(docs: DataFrame, idCol: String, hostCol: String,
+                        pslRules: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parsed = pslRules.map { r =>
+      if (r.startsWith("!")) (r.drop(1), "exception")
+      else if (r.startsWith("*.")) (r.drop(2), "wildcard")
+      else (r, "exact")
+    }.toDF("domain", "kind")
+    val parts = split(col(hostCol), "\\.")
+    val n = size(parts)
+    val sx = docs.select(col(idCol), n.as("n"),
+      posexplode(transform(sequence(lit(1), n),
+        i => struct(
+          array_join(slice(parts, i, n), ".").as("suffix"),
+          array_join(slice(parts, i + 1, n), ".").as("parent"))))
+        .as(Seq("p0", "sp")))
+      .select(col(idCol), col("n"), (col("p0") + 1).as("i"),
+        col("sp.suffix").as("suffix"), col("sp.parent").as("parent"))
+    def kind(k: String) = broadcast(parsed.filter(col("kind") === k))
+    // exception: the public suffix is the matched rule MINUS its
+    // leftmost label (n − i labels); prio 1 beats any length
+    val exc = sx.join(kind("exception"), col("suffix") === col("domain"))
+      .select(col(idCol), lit(1L).as("prio"),
+        (col("n") - col("i")).cast("long").as("ps_labels"))
+    val exa = sx.join(kind("exact"), col("suffix") === col("domain"))
+      .select(col(idCol), lit(0L).as("prio"),
+        (col("n") - col("i") + 1).cast("long").as("ps_labels"))
+    val wld = sx.join(kind("wildcard"), col("parent") === col("domain"))
+      .select(col(idCol), lit(0L).as("prio"),
+        (col("n") - col("i") + 1).cast("long").as("ps_labels"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("prio").desc, col("ps_labels").desc)
+    val best = exc.unionByName(exa).unionByName(wld)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(idCol), col("ps_labels"))
+    docs.join(best, Seq(idCol), "left")
+      .select(col(idCol), col(hostCol),
+        coalesce(col("ps_labels"), lit(1L)).as("ps"))
+      .select(col(idCol), col(hostCol),
+        array_join(slice(parts, (n - col("ps") + 1).cast("int"), n), ".")
+          .as("public_suffix"),
+        when(n >= col("ps") + 1,
+          array_join(slice(parts, (n - col("ps")).cast("int"), n), "."))
+          .as("etld1"))
+  }
+
   /** Stateless single-projection variant with IDENTICAL semantics:
     * the rule table rides in the plan as a map literal (right for
     * curated lists; [[longestSuffixMatch]]'s join is the

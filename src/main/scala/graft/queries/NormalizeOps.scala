@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{HostRules, TextNormalize, UrlCanon}
+import graft.operators.{HostRules, TextNormalize, TopK, UrlCanon}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -96,13 +96,59 @@ object NormalizeOps {
               .when(col("doc_id") % 4 === 2, "api").otherwise("img"),
             lit("/p"), (col("doc_id") % 5).cast("string"),
             lit("/x"), (col("doc_id") % 7).cast("string")).as("path")),
-        "doc_id", "path", rules = pathRules, default = "allow"))
+        "doc_id", "path", rules = pathRules, default = "allow")),
+
+    // Registrable-domain (eTLD+1) extraction under FULL public-suffix-
+    // list semantics: exception > longest (exact + wildcard) > the
+    // default one-label rule. The host fixture carves every rule kind
+    // out of (doc_id, source): exact multi-label suffix (example.org),
+    // plain TLD (.com), wildcard child (*.pages.org), the exception
+    // carved back out of it (!keep.pages.org), and a host that IS a
+    // public suffix (etld1 NULL).
+    "q172_etld1" -> ((s, d) =>
+      HostRules.registrableDomain(pslHosts(s, d), "doc_id", "host",
+        pslRules)),
+
+    // q91's per-domain cap re-keyed on the REGISTRABLE domain — the
+    // ownership-grain key (raw-host keying over-splits one
+    // registrant's subdomains; source keying under-splits shared
+    // platforms). Hosts that are themselves a public suffix bucket
+    // under that suffix. Same deterministic md5 order as q91.
+    "q173_domain_cap_etld1" -> ((s, d) => {
+      val keyed = HostRules.registrableDomain(pslHosts(s, d),
+          "doc_id", "host", pslRules)
+        .select(col("doc_id"),
+          coalesce(col("etld1"), col("public_suffix")).as("domain"))
+        .withColumn("nord",
+          -conv(substring(md5(concat(lit("cap|"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long").cast("double"))
+      TopK.perKeyDesc(keyed, "domain", "nord", "doc_id", k = 10)
+        .select(col("domain"), col("doc_id"), col("rank"))
+    })
   )
 
   /** The robots path rules shared by q166's query and oracle. */
   private[queries] val pathRules: Seq[(String, String)] = Seq(
     "/static" -> "disallow", "/static/p1" -> "allow",
     "/api" -> "disallow", "/docs/p2/x3" -> "disallow")
+
+  /** PSL rules shared by q172/q173's query and oracle — one of each
+    * kind, plus the exception carved out of the wildcard. */
+  private[queries] val pslRules: Seq[String] =
+    Seq("org", "com", "example.org", "*.pages.org", "!keep.pages.org")
+
+  /** The q172/q173 host fixture: five PSL shapes carved
+    * deterministically out of (doc_id, source) in both engines. */
+  private def pslHosts(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents").select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+          concat(lit("a."), col("source"), lit(".example.org")))
+        .when(col("doc_id") % 5 === 1, concat(col("source"), lit(".com")))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("x.y."), col("source"), lit(".pages.org")))
+        .when(col("doc_id") % 5 === 3, lit("b.keep.pages.org"))
+        .otherwise(lit("org")).as("host"))
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -274,6 +320,74 @@ object NormalizeOps {
           SELECT pd.doc_id, pd.path, pb.matched_rule,
                  coalesce(pb.action, 'allow') AS action
           FROM pd LEFT JOIN pb USING (doc_id)"""
-    }
+    },
+
+    "q172_etld1" -> etld1Sql,
+
+    "q173_domain_cap_etld1" ->
+      s"""WITH e AS ($etld1Sql),
+          d AS (SELECT doc_id, coalesce(etld1, public_suffix) AS domain,
+                 CAST('0x' || substr(md5('cap|' || CAST(doc_id AS VARCHAR)),
+                                     1, 8) AS BIGINT) AS hv
+                FROM e),
+          r AS (SELECT domain, doc_id,
+                 CAST(row_number() OVER (PARTITION BY domain
+                                         ORDER BY hv, doc_id) AS BIGINT) AS rank
+                FROM d)
+          SELECT domain, doc_id, rank FROM r WHERE rank <= 10"""
   )
+
+  /** q172's full PSL chain in SQL — mirrors
+    * [[graft.operators.HostRules.registrableDomain]]: suffix-chain
+    * explode with parent suffixes, three kind-split equi-joins,
+    * exception > longest, default one label. */
+  private lazy val etld1Sql: String = {
+    val values = pslRules.map { r =>
+      val (dom, kind) =
+        if (r.startsWith("!")) (r.drop(1), "exception")
+        else if (r.startsWith("*.")) (r.drop(2), "wildcard")
+        else (r, "exact")
+      s"('$dom', '$kind')"
+    }.mkString(",\n                  ")
+    s"""WITH hd AS (SELECT doc_id,
+               CASE doc_id % 5
+                 WHEN 0 THEN 'a.' || source || '.example.org'
+                 WHEN 1 THEN source || '.com'
+                 WHEN 2 THEN 'x.y.' || source || '.pages.org'
+                 WHEN 3 THEN 'b.keep.pages.org'
+                 ELSE 'org' END AS host
+             FROM documents),
+        hp AS (SELECT doc_id, host, string_split(host, '.') AS parts FROM hd),
+        sx AS (SELECT doc_id, len(parts) AS n, t.i AS i,
+                 array_to_string(parts[CAST(t.i AS INTEGER):], '.') AS suffix,
+                 array_to_string(parts[CAST(t.i AS INTEGER) + 1:], '.')
+                   AS parent
+               FROM hp, unnest(range(1, len(parts) + 1)) AS t(i)),
+        ru AS (SELECT * FROM (VALUES
+                $values) t(domain, kind)),
+        cand AS (
+          SELECT s.doc_id, 1 AS prio, CAST(s.n - s.i AS BIGINT) AS ps_labels
+          FROM sx s JOIN ru r ON r.kind = 'exception' AND s.suffix = r.domain
+          UNION ALL
+          SELECT s.doc_id, 0, CAST(s.n - s.i + 1 AS BIGINT)
+          FROM sx s JOIN ru r ON r.kind = 'exact' AND s.suffix = r.domain
+          UNION ALL
+          SELECT s.doc_id, 0, CAST(s.n - s.i + 1 AS BIGINT)
+          FROM sx s JOIN ru r ON r.kind = 'wildcard' AND s.parent = r.domain),
+        best AS (SELECT doc_id, ps_labels FROM (
+                   SELECT doc_id, ps_labels,
+                          row_number() OVER (PARTITION BY doc_id
+                            ORDER BY prio DESC, ps_labels DESC) AS rn
+                   FROM cand) WHERE rn = 1),
+        res AS (SELECT hp.doc_id, hp.host, hp.parts,
+                       len(hp.parts) AS n, coalesce(b.ps_labels, 1) AS ps
+                FROM hp LEFT JOIN best b USING (doc_id))
+        SELECT doc_id, host,
+               array_to_string(parts[CAST(n - ps + 1 AS INTEGER):], '.')
+                 AS public_suffix,
+               CASE WHEN n >= ps + 1
+                    THEN array_to_string(parts[CAST(n - ps AS INTEGER):], '.')
+                    ELSE NULL END AS etld1
+        FROM res"""
+  }
 }
