@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -68,6 +68,66 @@ object HostRules {
     // most specific rule
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos").desc)
     val best = sx.join(broadcast(ruleDf), col("prefix") === col("rule"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("rule").as("matched_rule"), col("action"))
+    docs.join(best, Seq(idCol), "left")
+      .select(col(idCol), col(pathCol), col("matched_rule"),
+        coalesce(col("action"), lit(default)).as("action"))
+  }
+
+  /** [[longestPathPrefixMatch]] extended with the robots.txt wildcard
+    * grammar (RFC 9309): rules may STAR whole segments (`/a/&#42;/c`)
+    * and/or END-ANCHOR with `$` (`/a/b$` matches only the exact
+    * path). Precedence follows the RFC's most-specific-match rule:
+    * longest literal-octet count wins, a literal segment beats a star
+    * at equal length, and an allow beats an equivalent disallow.
+    *
+    * Staying an EQUI-join under wildcards: instead of scanning rules
+    * per pattern, each PATH expands map-side into its segment-class
+    * forms — for every prefix length m, all 2^m literal/star segment
+    * substitutions, plus the `$`-anchored variant of each full-depth
+    * form. A rule (stored verbatim) then matches a path iff its text
+    * equals one generated key, so a million-rule robots corpus is
+    * still one broadcast/shuffle hash join. Fan-out is Σ 2^m ≈
+    * 2^(depth+1) per path — bounded by crawl-path depth (≤ ~126 rows
+    * at depth 6), the price of making the wildcard class joinable.
+    * Deviation from the RFC, documented: `*` here matches exactly one
+    * whole segment (the joinable class); a spanning `*` (multiple
+    * segments / intra-segment) would need per-rule offline expansion
+    * into this class. */
+  def robotsPathMatch(docs: DataFrame, idCol: String, pathCol: String,
+                      rules: Seq[(String, String)],
+                      default: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ruleDf = rules.toDF("rule", "action")
+    val parts = split(regexp_replace(col(pathCol), "^/", ""), "/")
+    val k = size(parts)
+    def masks(m: Column): Column =
+      sequence(lit(0L), pow(lit(2.0), m.cast("double")).cast("long") - 1)
+    def keyFor(m: Column, mask: Column): Column =
+      concat(lit("/"), array_join(transform(sequence(lit(1), m.cast("int")),
+        j => when(pmod((mask.cast("double") /
+              pow(lit(2.0), (j - 1).cast("double"))).cast("long"), lit(2)) === 1,
+            lit("*"))
+          .otherwise(element_at(parts, j))), "/"))
+    val expanded = docs.select(col(idCol), col(pathCol),
+      explode(flatten(transform(sequence(lit(1), k), m =>
+        transform(masks(m), mask =>
+          struct((m === k).as("full"), keyFor(m, mask).as("key"))))))
+        .as("e"))
+      .select(col(idCol), col("e.full").as("full"), col("e.key").as("key0"))
+    val probe = expanded.select(col(idCol),
+      explode(when(col("full"),
+          array(col("key0"), concat(col("key0"), lit("$"))))
+        .otherwise(array(col("key0")))).as("key"))
+    val litLen = length(translate(col("rule"), "*$", ""))
+    val nStars = length(col("rule")) - length(translate(col("rule"), "*", ""))
+    val w = Window.partitionBy(col(idCol)).orderBy(
+      litLen.desc, nStars.asc,
+      when(col("action") === "allow", 0).otherwise(1), col("rule"))
+    val best = probe.join(broadcast(ruleDf), col("key") === col("rule"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col(idCol), col("rule").as("matched_rule"), col("action"))

@@ -125,13 +125,43 @@ object NormalizeOps {
             .cast("long").cast("double"))
       TopK.perKeyDesc(keyed, "domain", "nord", "doc_id", k = 10)
         .select(col("domain"), col("doc_id"), col("rank"))
-    })
+    }),
+
+    // q166 under the ROBOTS WILDCARD grammar (RFC 9309): star
+    // segments and $ anchors, most-specific = longest literal octets,
+    // literal beats star at equal length, allow beats an equivalent
+    // disallow. The rule set exercises every feature: a star rule
+    // beaten by a longer literal, a star rule winning mid-path, an
+    // anchored allow carved out of a prefix disallow.
+    "q174_robots_wildcards" -> ((s, d) =>
+      HostRules.robotsPathMatch(
+        Tables.load(s, d, "documents").select(col("doc_id"),
+          concat(lit("/"),
+            when(col("doc_id") % 4 === 0, "docs")
+              .when(col("doc_id") % 4 === 1, "static")
+              .when(col("doc_id") % 4 === 2, "api").otherwise("img"),
+            lit("/p"), (col("doc_id") % 5).cast("string"),
+            lit("/x"), (col("doc_id") % 7).cast("string")).as("path")),
+        "doc_id", "path", rules = robotsRules, default = "allow"))
   )
 
   /** The robots path rules shared by q166's query and oracle. */
   private[queries] val pathRules: Seq[(String, String)] = Seq(
     "/static" -> "disallow", "/static/p1" -> "allow",
     "/api" -> "disallow", "/docs/p2/x3" -> "disallow")
+
+  /** The robots wildcard/anchor rules shared by q174's query and
+    * oracle. Scenarios: `/static/p2/...` hits both `/static` (lit 7)
+    * and the star-p2 rule (lit 4) — the literal wins; `/docs/p2/x3`
+    * hits the docs-star-x3 rule (lit 9) over star-p2 — the longer
+    * star rule wins; `/api/p0/x1` exactly hits the anchored allow
+    * carved out of the `/api` disallow; the img rule stars its middle
+    * segment. */
+  private[queries] val robotsRules: Seq[(String, String)] = Seq(
+    "/static" -> "disallow", "/static/p1" -> "allow",
+    "/*/p2" -> "disallow", "/docs/*/x3" -> "allow",
+    "/api" -> "disallow", "/api/p0/x1$" -> "allow",
+    "/img/*/x5" -> "disallow")
 
   /** PSL rules shared by q172/q173's query and oracle — one of each
     * kind, plus the exception carved out of the wildcard. */
@@ -315,6 +345,45 @@ object NormalizeOps {
                    row_number() OVER (PARTITION BY doc_id
                                       ORDER BY n_segs DESC) AS rn
                  FROM px JOIN pr ON px.prefix = pr.rule),
+          pb AS (SELECT doc_id, rule AS matched_rule, action FROM pm
+                 WHERE rn = 1)
+          SELECT pd.doc_id, pd.path, pb.matched_rule,
+                 coalesce(pb.action, 'allow') AS action
+          FROM pd LEFT JOIN pb USING (doc_id)"""
+    },
+
+    "q174_robots_wildcards" -> {
+      val values = robotsRules.map { case (r, a) => s"('$r', '$a')" }
+        .mkString(",\n                  ")
+      s"""WITH pd AS (SELECT doc_id,
+               '/' || (CASE doc_id % 4 WHEN 0 THEN 'docs' WHEN 1 THEN 'static'
+                       WHEN 2 THEN 'api' ELSE 'img' END)
+               || '/p' || CAST(doc_id % 5 AS VARCHAR)
+               || '/x' || CAST(doc_id % 7 AS VARCHAR) AS path
+               FROM documents),
+          pp AS (SELECT doc_id, path,
+                   string_split(regexp_replace(path, '^/', ''), '/') AS parts
+                 FROM pd),
+          px AS (SELECT doc_id, len(parts) AS n, t.m AS m,
+                   '/' || array_to_string(
+                     list_transform(range(1, CAST(t.m AS INTEGER) + 1),
+                       j -> CASE WHEN (s.mask >> CAST(j - 1 AS INTEGER)) & 1 = 1
+                                 THEN '*'
+                                 ELSE parts[CAST(j AS INTEGER)] END), '/')
+                     AS key0
+                 FROM pp, unnest(range(1, len(parts) + 1)) AS t(m),
+                      unnest(range(0, 1 << CAST(t.m AS INTEGER))) AS s(mask)),
+          pk AS (SELECT doc_id, key0 AS key FROM px
+                 UNION ALL
+                 SELECT doc_id, key0 || '$$' FROM px WHERE m = n),
+          pr AS (SELECT * FROM (VALUES
+                  $values) t(rule, action)),
+          pm AS (SELECT doc_id, rule, action,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY
+                     length(replace(replace(rule, '*', ''), '$$', '')) DESC,
+                     length(rule) - length(replace(rule, '*', '')) ASC,
+                     CASE WHEN action = 'allow' THEN 0 ELSE 1 END, rule) AS rn
+                 FROM pk JOIN pr ON pk.key = pr.rule),
           pb AS (SELECT doc_id, rule AS matched_rule, action FROM pm
                  WHERE rn = 1)
           SELECT pd.doc_id, pd.path, pb.matched_rule,
