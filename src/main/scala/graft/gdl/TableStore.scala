@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions.{col, desc, row_number}
   * atomicity (the reference's count-then-insert title check is likewise
   * unserialized, backend/datasets/create.py:32-39).
   *
+  * Object stores (rename = copy-then-delete, not atomic): construct
+  * with `pointerCommits = true` and the publish step becomes ONE
+  * create-exclusive write of a tiny `_commits/g<seq>` pointer file
+  * naming the in-place staged `_data-<uuid>` dir — the semantic an S3
+  * conditional PUT (If-None-Match: *) provides. The pointer name is
+  * the slot lock, so same-seq ties are structurally impossible in this
+  * mode. TableStorePointerSpec drives the whole protocol on a
+  * filesystem whose publish-level rename throws.
+  *
   * Scale: appends (the hot path — validation/asset rows) are pure file
   * additions, no read-modify-write; only the small catalog table pays
   * the full-rewrite `overwrite` path. Readers prune by listing, not by
@@ -98,7 +107,8 @@ class TableStore(spark: SparkSession, root: String,
                  gcGraceMs: Long = 10L * 60 * 1000,
                  partitioning: Map[String, Seq[String]] = TableStore.defaultPartitioning,
                  bloomColumns: Map[String, Seq[String]] = TableStore.defaultBloomColumns,
-                 bloomBitsPerFile: Int = 1 << 25) {
+                 bloomBitsPerFile: Int = 1 << 25,
+                 pointerCommits: Boolean = false) {
   require(bloomBitsPerFile > 0, "bloomBitsPerFile must be positive")
 
   private def layout(table: String): Seq[String] =
@@ -123,6 +133,53 @@ class TableStore(spark: SparkSession, root: String,
 
   private def tableDir(table: String) = new Path(root, table)
 
+  // ---- pointer-commit mode ------------------------------------------
+  // On object stores rename is copy-then-delete — neither atomic nor
+  // cheap — so the rename-claimed slot protocol breaks. With
+  // `pointerCommits` the PUBLISH step is instead one create-EXCLUSIVE
+  // write of a tiny pointer file `_commits/g<seq>` whose content names
+  // the staged data dir (`_data-<uuid>`, written in place, never
+  // renamed at the publish level). The pointer name IS the slot lock:
+  // same-seq ties are impossible (exactly one creator wins), so the
+  // rival-rank/withdraw machinery of the rename path is not needed.
+  // This is precisely the semantic S3 conditional PUT
+  // (If-None-Match: *) provides; HDFS/local create(overwrite=false)
+  // provides it natively. Data staging may still rename INTERNALLY
+  // (task committers inside the staged dir) — production S3 uses a
+  // rename-free committer there; the protocol's correctness only
+  // needs the publish step, which TableStorePointerSpec proves on a
+  // filesystem whose publish-level rename throws.
+
+  private def commitsDir(table: String) = new Path(tableDir(table), "_commits")
+
+  private def pointerPath(table: String, seq: Long) =
+    new Path(commitsDir(table), f"g$seq%07d")
+
+  /** Pointer files are immutable once created — cache forever. */
+  private val pointerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]
+
+  /** Read a pointer file → (kind, data-dir name); None when the file
+    * vanished (raced gc) or is a crashed writer's torn write. */
+  private def readPointer(f: FileSystem, p: Path): Option[(String, String)] = {
+    val k = p.toString
+    val cached = pointerCache.get(k)
+    if (cached != null) Some(cached)
+    else
+      try {
+        val in = f.open(p)
+        val content = try new String(in.readAllBytes(), "UTF-8")
+        finally in.close()
+        content.split("\n", 2) match {
+          case Array(kind, dir) if kind.nonEmpty && dir.nonEmpty =>
+            val v = (kind, dir)
+            pointerCache.put(k, v)
+            Some(v)
+          case _ => None
+        }
+      } catch { case _: java.io.IOException => None }
+  }
+
   /** Every generation-shaped entry on disk, same-seq DUPLICATES
     * included. Duplicates exist transiently: the atomic rename claims a
     * NAME, so two writers committing the same slot under different
@@ -135,7 +192,20 @@ class TableStore(spark: SparkSession, root: String,
   private def rawGenerations(table: String): Seq[(Long, String, Path)] = {
     val dir = tableDir(table)
     val f = fs(dir)
-    if (!f.exists(dir)) Seq.empty
+    if (pointerCommits) {
+      val cd = commitsDir(table)
+      if (!f.exists(cd)) Seq.empty
+      else f.listStatus(cd).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("g") &&
+          s.getPath.getName.stripPrefix("g").forall(_.isDigit))
+        .flatMap { s =>
+          readPointer(f, s.getPath).map { case (kind, dataName) =>
+            (s.getPath.getName.stripPrefix("g").toLong, kind,
+              new Path(dir, dataName))
+          }
+        }
+        .sortBy(g => (g._1, g._3.getName))
+    } else if (!f.exists(dir)) Seq.empty
     else f.listStatus(dir).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("g"))
       .flatMap { s =>
@@ -960,22 +1030,59 @@ class TableStore(spark: SparkSession, root: String,
     val dir = tableDir(table)
     val f = fs(dir)
     val cutoff = System.currentTimeMillis() - gcGraceMs
-    // same-slot losers (a racer that crashed between claiming a name
-    // and withdrawing it): invisible to every reader by the
-    // deterministic-winner rule, reclaimable once aged past the grace
-    val winners = gens.map(_._3.getName).toSet
-    rawGenerations(table).filterNot(g => winners(g._3.getName)).foreach { g =>
-      try {
-        if (f.getFileStatus(g._3).getModificationTime < cutoff)
-          f.delete(g._3, true)
-      } catch { case _: java.io.FileNotFoundException => () }
+    // a generation's age: in pointer mode the POINTER file's mtime is
+    // the commit instant (the data dir was staged earlier); in rename
+    // mode the dir mtime is the rename instant
+    def mtimeOf(g: (Long, String, Path)): Long =
+      f.getFileStatus(
+        if (pointerCommits) pointerPath(table, g._1) else g._3)
+        .getModificationTime
+    if (!pointerCommits) {
+      // same-slot losers (a racer that crashed between claiming a name
+      // and withdrawing it): invisible to every reader by the
+      // deterministic-winner rule, reclaimable once aged past the grace
+      val winners = gens.map(_._3.getName).toSet
+      rawGenerations(table).filterNot(g => winners(g._3.getName)).foreach { g =>
+        try {
+          if (f.getFileStatus(g._3).getModificationTime < cutoff)
+            f.delete(g._3, true)
+        } catch { case _: java.io.FileNotFoundException => () }
+      }
+    } else {
+      // pointer-mode strays: (a) torn pointers a crashed writer left
+      // (created but unparseable — cannot happen on a real conditional
+      // PUT, handled for the emulation); (b) staged `_data-` dirs whose
+      // writer died before claiming a slot. Both invisible to readers;
+      // reclaimable once aged.
+      val cd = commitsDir(table)
+      if (f.exists(cd)) f.listStatus(cd).foreach { s =>
+        val nm = s.getPath.getName
+        val parseable = nm.startsWith("g") &&
+          nm.stripPrefix("g").forall(_.isDigit) &&
+          readPointer(f, s.getPath).isDefined
+        if (!parseable && s.getModificationTime < cutoff)
+          try f.delete(s.getPath, false)
+          catch { case _: java.io.FileNotFoundException => () }
+      }
+      val referenced = rawGenerations(table).map(_._3.getName).toSet
+      if (f.exists(dir)) f.listStatus(dir)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("_data-"))
+        .foreach { s =>
+          if (!referenced(s.getPath.getName) && s.getModificationTime < cutoff)
+            try f.delete(s.getPath, true)
+            catch { case _: java.io.FileNotFoundException => () }
+        }
     }
     // a concurrent gc/compact may delete a generation between our
-    // listing and the stat — already-gone is success, not failure
+    // listing and the stat — already-gone is success, not failure.
+    // Pointer mode deletes the pointer FIRST (readers listing after
+    // never resolve the gen), then the data.
     def rm(g: (Long, String, Path)): Unit =
       try {
-        if (f.getFileStatus(g._3).getModificationTime < cutoff)
+        if (mtimeOf(g) < cutoff) {
+          if (pointerCommits) f.delete(pointerPath(table, g._1), false)
           f.delete(g._3, true)
+        }
       } catch { case _: java.io.FileNotFoundException => () }
     // full-superseded originals: like the fold-covered ones below,
     // reclaimable only once the SUPERSEDING full generation has itself
@@ -987,7 +1094,7 @@ class TableStore(spark: SparkSession, root: String,
     // win slot ties), silently losing every pre-comp row.
     if (lastFull > 0) {
       val fullOld =
-        try f.getFileStatus(gens(lastFull)._3).getModificationTime < cutoff
+        try mtimeOf(gens(lastFull)) < cutoff
         catch { case _: java.io.FileNotFoundException => false }
       if (fullOld) gens.take(lastFull).foreach(rm)
     }
@@ -998,13 +1105,13 @@ class TableStore(spark: SparkSession, root: String,
     // then they also keep serving mid-covered-range change-feed
     // checkpoints and time travel exactly.
     val folds = gens.flatMap(g =>
-      TableStore.foldStart(g._2).map(c => (c, g._1, g._3)))
-    folds.foreach { case (c, s, fp) =>
+      TableStore.foldStart(g._2).map(c => (c, g)))
+    folds.foreach { case (c, fg) =>
       val foldOld =
-        try f.getFileStatus(fp).getModificationTime < cutoff
+        try mtimeOf(fg) < cutoff
         catch { case _: java.io.FileNotFoundException => false }
       if (foldOld)
-        gens.filter(g => g._1 >= c && g._1 < s).foreach(rm)
+        gens.filter(g => g._1 >= c && g._1 < fg._1).foreach(rm)
     }
   }
 
@@ -1024,8 +1131,12 @@ class TableStore(spark: SparkSession, root: String,
     // writers clobber each other's files mid-write); the generation slot
     // is claimed by the atomic rename, retried under a fresh number if
     // another writer took it first — optimistic concurrency, like any
-    // log-structured table format's commit protocol
-    var tmp = new Path(dir, s"_tmp-${java.util.UUID.randomUUID().toString}")
+    // log-structured table format's commit protocol. In pointer mode
+    // the staged dir is already its FINAL name (never renamed): the
+    // slot is claimed by the create-exclusive pointer write instead.
+    var tmp = new Path(dir,
+      (if (pointerCommits) "_data-" else "_tmp-") +
+        java.util.UUID.randomUUID().toString)
     val partitionBy = layout(table)
     val writer = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
@@ -1042,6 +1153,50 @@ class TableStore(spark: SparkSession, root: String,
       finally out.close()
     }
     writeStats(table, tmp, f)
+    if (pointerCommits) {
+      var attempts = 0
+      while (true) {
+        attempts += 1
+        val next = generations(table).lastOption.map(_._1 + 1).getOrElse(0L)
+        if (expectedSeq.exists(_ != next)) {
+          f.delete(tmp, true)
+          return false
+        }
+        val ptr = pointerPath(table, next)
+        f.mkdirs(ptr.getParent)
+        val won =
+          try {
+            // create-exclusive IS the slot lock: exactly one writer can
+            // create this name, so same-seq ties cannot exist. A torn
+            // write after a successful create (crash mid-PUT emulation)
+            // leaves an unparseable pointer that readers skip and gc
+            // reclaims; on a real object store the pointer is one
+            // conditional PUT and cannot tear.
+            val out = f.create(ptr, false)
+            try out.write(s"$kind\n${tmp.getName}".getBytes("UTF-8"))
+            finally out.close()
+            true
+          } catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+            case _: java.io.IOException => false
+          }
+        if (won) {
+          if (isFullKind(kind)) gc(table)
+          return true
+        }
+        if (expectedSeq.isDefined) {
+          // the expected slot went to someone else — abandon, caller
+          // re-snapshots (identical semantics to the rename path)
+          f.delete(tmp, true)
+          return false
+        }
+        if (attempts >= 20) {
+          f.delete(tmp, true)
+          throw new IllegalStateException(
+            s"pointer commit failed after $attempts tries: $ptr")
+        }
+      }
+    }
     var attempts = 0
     var committed = -1L
     while (committed < 0) {
