@@ -18,15 +18,17 @@ import org.apache.spark.sql.functions._
   *    the vocabulary grows); x_b = bucket count / total trigrams
   *    (exact long counts, ONE double division — engine-bitwise), plus
   *    an x0 = 1 bias;
-  *  - training: one-vs-rest [[LogReg.train]] per language — full-batch
-  *    GD where each round is ONE map-side-combinable aggregate and the
-  *    model (buckets+1 doubles per language) lives on the driver;
+  *  - training: fused one-vs-rest [[LogReg.trainMulti]] — full-batch
+  *    GD where each round is ONE map-side-combinable aggregate covering
+  *    EVERY language's gradient (rounds corpus passes total, not
+  *    rounds·|langs|) and the model (buckets+1 doubles per language)
+  *    lives on the driver;
   *  - prediction: argmax of the per-language quantized sigmoids, with
   *    the same deterministic ≥-chain tie-break as the heuristic.
   *
   * Scale shape (100 TB): the feature table is per-doc sized and
-  * localCheckpoint'd ONCE — the 2·rounds·|langs| training aggregates
-  * and the final scoring pass all read materialized columns instead of
+  * localCheckpoint'd ONCE — the `rounds` fused training aggregates and
+  * the final scoring pass all read materialized columns instead of
   * re-hashing the corpus; scoring folds the collected weights into the
   * plan as literals (zero joins, map-only). Trigram hashing itself is
   * one staged map pass.
@@ -72,15 +74,16 @@ object LangId {
                  lr: Double = 0.5, rounds: Int = 2): DataFrame = {
     val dim = buckets + 1
     val feats = featurize(docs, idCol, textCol, langCol, buckets)
-      .localCheckpoint(eager = true) // read 2·rounds·|langs| + 1 times
+      .localCheckpoint(eager = true) // read rounds + 1 times
     val xs = (0 until dim).map(j => col(s"x$j"))
-    val ws = langs.map { l =>
-      val f = feats.select(
-        when(col("actual_lang") === l, 1.0).otherwise(0.0).as("y") +: xs: _*)
-      l -> LogReg.train(f, dim, lr, rounds)
-        .filter(col("round") === rounds).orderBy(col("j"))
-        .collect().map(_.getDouble(2)).toSeq // model-sized per language
-    }
+    // fused one-vs-rest: ONE aggregate per round covers every language
+    // (rounds corpus passes instead of rounds·|langs|), bitwise equal
+    // to per-language LogReg.train — see LogReg.trainMulti
+    val labeled = feats.select(
+      langs.indices.map(k =>
+        when(col("actual_lang") === langs(k), 1.0).otherwise(0.0)
+          .as(s"y_$k")) ++ xs: _*)
+    val ws = langs.zip(LogReg.trainMulti(labeled, langs.size, dim, lr, rounds))
     val scored = feats.select(
       Seq(col("doc_id"), col("actual_lang")) ++
         ws.map { case (l, w) => LogReg.score(w, xs).as(s"s_$l") }: _*)

@@ -58,6 +58,50 @@ object LogReg {
     hist.result().toDF("round", "j", "w")
   }
 
+  /** Fused one-vs-rest trainer: every class's gradient in ONE
+    * map-side-combinable aggregate per round — `rounds` corpus passes
+    * total instead of `classes·rounds`. Per-class weights are bitwise
+    * identical to running [[train]] once per class: the quantized
+    * sigmoid, the per-row 1e-12 gradient grid, and the driver update
+    * keep the exact expression shapes; fusion only shares the row scan.
+    *
+    * The per-class sigmoids are staged through ONE projection
+    * (`_p0.._p{k-1}`) so the classes·dim sum children stay flat
+    * (p_k − y_k)·x_j terms — the aggregate's generated update code is
+    * linear in classes·dim, well clear of the Janino method cliff that
+    * inlining classes·dim dot products would risk.
+    *
+    * @param feats one row per example with label columns
+    *              `y_0..y_{classes-1}` (each ∈ {0.0, 1.0}) and feature
+    *              columns `x0..x{dim-1}` (x0 = 1.0 bias)
+    * @return per-class final weight vectors, index-aligned with the
+    *         label columns
+    */
+  def trainMulti(feats: DataFrame, classes: Int, dim: Int, lr: Double,
+                 rounds: Int): Seq[Seq[Double]] = {
+    var ws = Array.fill(classes)(Array.fill(dim)(0.0))
+    for (_ <- 1 to rounds) {
+      val ps = (0 until classes).map { k =>
+        val z = (0 until dim).map(j => lit(ws(k)(j)) * col(s"x$j")).reduce(_ + _)
+        (floor(lit(1.0) / (lit(1.0) + exp(-z)) * 1e9).cast("long")
+          .cast("double") / 1e9).as(s"_p$k")
+      }
+      val staged = feats.select(
+        (0 until classes).map(k => col(s"y_$k")) ++
+          (0 until dim).map(j => col(s"x$j")) ++ ps: _*)
+      val aggs = count(lit(1)).as("n") +:
+        (for { k <- 0 until classes; j <- 0 until dim } yield
+          sum(floor((col(s"_p$k") - col(s"y_$k")) * col(s"x$j") * 1e12)
+            .cast("long")).as(s"g_${k}_$j"))
+      val row = staged.agg(aggs.head, aggs.tail: _*)
+        .collect()(0) // model-sized: 1 row of classes·dim longs
+      val n = row.getLong(0).toDouble
+      ws = Array.tabulate(classes)(k => Array.tabulate(dim)(j =>
+        ws(k)(j) - lr * (row.getLong(1 + k * dim + j).toDouble / 1e12 / n)))
+    }
+    ws.toSeq.map(_.toSeq)
+  }
+
   /** Scoring column for a trained weight vector: the quantized sigmoid
     * of the margin — same expression shape as training, so scores are
     * reproducible anywhere. */
