@@ -102,6 +102,52 @@ object HostRules {
     val spark = docs.sparkSession
     import spark.implicits._
     val ruleDf = rules.toDF("rule", "action")
+    val probe = wildcardProbe(docs, idCol, pathCol, carry = Nil)
+    val best = probe.join(broadcast(ruleDf), col("key") === col("rule"))
+      .withColumn("rn", row_number().over(robotsPrecedence(idCol)))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("rule").as("matched_rule"), col("action"))
+    docs.join(best, Seq(idCol), "left")
+      .select(col(idCol), col(pathCol), col("matched_rule"),
+        coalesce(col("action"), lit(default)).as("action"))
+  }
+
+  /** [[robotsPathMatch]] against a PER-HOST rule TABLE
+    * (host, rule, action) — the end-to-end form fed by
+    * [[Robots.selectRules]], where every host carries its own parsed
+    * robots rules. Identical wildcard grammar and precedence; the
+    * join adds `host` as a second equi-key, so at crawl scale both
+    * sides hash-partition by host (millions of hosts × dozens of
+    * rules is NOT broadcast-sized — the unhinted join lets Spark/AQE
+    * broadcast only when the parsed table actually fits). */
+  def robotsPathMatchAgainst(docs: DataFrame, idCol: String,
+                             hostCol: String, pathCol: String,
+                             hostRules: DataFrame,
+                             default: String): DataFrame = {
+    val probe = wildcardProbe(docs, idCol, pathCol, carry = Seq(hostCol))
+    // distinct rules-side name: the bodies often derive from the same
+    // relation as the docs (self-derived lineage), and a shared column
+    // name would trip the ambiguous-self-join check
+    val rules = hostRules.select(col("host").as("_rule_host"),
+      col("rule"), col("action"))
+    val best = probe.join(rules, col(hostCol) === col("_rule_host") &&
+        col("key") === col("rule"))
+      .withColumn("rn", row_number().over(robotsPrecedence(idCol)))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("rule").as("matched_rule"), col("action"))
+    docs.join(best, Seq(idCol), "left")
+      .select(col(idCol), col(hostCol), col(pathCol), col("matched_rule"),
+        coalesce(col("action"), lit(default)).as("action"))
+  }
+
+  /** The map-side wildcard-class key expansion shared by both robots
+    * matchers: for every prefix length m, all 2^m literal/star
+    * segment substitutions, plus the `$`-anchored variant of each
+    * full-depth form. `carry` columns ride along for composite join
+    * keys (the per-host matcher carries the host). */
+  private def wildcardProbe(docs: DataFrame, idCol: String,
+                            pathCol: String,
+                            carry: Seq[String]): DataFrame = {
     val parts = split(regexp_replace(col(pathCol), "^/", ""), "/")
     val k = size(parts)
     def masks(m: Column): Column =
@@ -112,28 +158,29 @@ object HostRules {
               pow(lit(2.0), (j - 1).cast("double"))).cast("long"), lit(2)) === 1,
             lit("*"))
           .otherwise(element_at(parts, j))), "/"))
-    val expanded = docs.select(col(idCol), col(pathCol),
+    val expanded = docs.select(col(idCol) +: carry.map(col) :+
       explode(flatten(transform(sequence(lit(1), k), m =>
         transform(masks(m), mask =>
           struct((m === k).as("full"), keyFor(m, mask).as("key"))))))
-        .as("e"))
-      .select(col(idCol), col("e.full").as("full"), col("e.key").as("key0"))
-    val probe = expanded.select(col(idCol),
+        .as("e"): _*)
+      .select(col(idCol) +: carry.map(col) :+
+        col("e.full").as("full") :+ col("e.key").as("key0"): _*)
+    expanded.select(col(idCol) +: carry.map(col) :+
       explode(when(col("full"),
           array(col("key0"), concat(col("key0"), lit("$"))))
-        .otherwise(array(col("key0")))).as("key"))
+        .otherwise(array(col("key0")))).as("key"): _*)
+  }
+
+  /** RFC 9309 most-specific-match precedence: longest literal octets,
+    * literal beats star at equal length, allow beats an equivalent
+    * disallow, rule text as the final deterministic tie-break. */
+  private def robotsPrecedence(idCol: String)
+      : org.apache.spark.sql.expressions.WindowSpec = {
     val litLen = length(translate(col("rule"), "*$", ""))
     val nStars = length(col("rule")) - length(translate(col("rule"), "*", ""))
-    val w = Window.partitionBy(col(idCol)).orderBy(
+    Window.partitionBy(col(idCol)).orderBy(
       litLen.desc, nStars.asc,
       when(col("action") === "allow", 0).otherwise(1), col("rule"))
-    val best = probe.join(broadcast(ruleDf), col("key") === col("rule"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("rule").as("matched_rule"), col("action"))
-    docs.join(best, Seq(idCol), "left")
-      .select(col(idCol), col(pathCol), col("matched_rule"),
-        coalesce(col("action"), lit(default)).as("action"))
   }
 
   /** Registrable-domain (eTLD+1) extraction under PUBLIC-SUFFIX-LIST

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** robots.txt END-TO-END: parse raw robots bodies into per-host rule
+  * tables and select the rule group governing a crawler's user-agent
+  * token (RFC 9309 §2.2.1), feeding
+  * [[HostRules.robotsPathMatchAgainst]] — so the full chain
+  * fetch → parse → group-select → wildcard path match runs inside the
+  * engine instead of assuming a pre-curated rule list.
+  *
+  * Reference scope note: the reference catalog crawls STAC trees, not
+  * the open web (`backend/populate_catalog/task.py` follows intra-
+  * catalog links only), so robots handling is beyond-reference
+  * pipeline capability, same family as the q148–q166 crawl hygiene.
+  *
+  * Parsing is ZERO-UDF — line explode, regexp directive extraction,
+  * and a per-host running-sum window for group ids — so the whole
+  * chain stays in whole-stage codegen and mirrors verbatim into the
+  * DuckDB oracle:
+  *  - lines: split on newline, strip `#` comments, trim;
+  *  - directives: `key : value` with key case-folded; only
+  *    `user-agent` / `allow` / `disallow` survive;
+  *  - groups (RFC 9309 §2.2.1): consecutive `user-agent` lines form
+  *    one start-of-group header block, so a group id is the running
+  *    count of user-agent lines whose PREVIOUS directive was not a
+  *    user-agent line;
+  *  - an empty rule value (`Disallow:` = allow everything) still
+  *    terminates a header block but emits no rule.
+  *
+  * Scale shape (100 TB of crawl): robots bodies are per-HOST sized
+  * (≤ 500 KiB by the RFC's parsing floor) and the explode fan-out is
+  * per-line; every window partitions by host, so parsing shuffles the
+  * body corpus once by host and nothing is ever corpus-wide. The
+  * selected rule table (host, rule, action) is exactly the join-ready
+  * shape the per-host wildcard matcher consumes.
+  */
+object Robots {
+
+  /** Parse robots bodies into directive rows
+    * (host, line_no, grp, k, v): k ∈ {user-agent, allow, disallow},
+    * grp numbering per RFC group semantics. Pure projection + one
+    * per-host window chain. */
+  def parseDirectives(bodies: DataFrame, hostCol: String,
+                      txtCol: String): DataFrame = {
+    val lines = bodies.select(col(hostCol).as("host"),
+        posexplode(split(col(txtCol), "\n")).as(Seq("line_no", "raw")))
+      .select(col("host"), col("line_no"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+      .filter(col("line").rlike("^[A-Za-z-]+\\s*:"))
+    val dv = lines.select(col("host"), col("line_no"),
+        lower(regexp_extract(col("line"), "^([A-Za-z-]+)\\s*:", 1)).as("k"),
+        trim(regexp_extract(col("line"), "^[A-Za-z-]+\\s*:\\s*(.*)$", 1))
+          .as("v"))
+      .filter(col("k").isin("user-agent", "allow", "disallow"))
+    val w = Window.partitionBy(col("host")).orderBy(col("line_no"))
+    dv.withColumn("st",
+        when(col("k") === "user-agent" &&
+          coalesce(lag(col("k"), 1).over(w), lit("")) =!= "user-agent", 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("st")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("st")
+  }
+
+  /** RFC 9309 group selection for one crawler product token: groups
+    * whose `User-agent` equals the token (case-insensitive) govern;
+    * only if NO group matches do the `*` groups apply; multiple
+    * matching groups merge. Returns the distinct governing rules
+    * (host, rule, action) with empty-value rules dropped. */
+  def selectRules(directives: DataFrame, uaToken: String): DataFrame = {
+    val ua = directives.filter(col("k") === "user-agent")
+      .groupBy(col("host"), col("grp"))
+      .agg(max(when(lower(col("v")) === uaToken.toLowerCase, 1L)
+          .otherwise(0L)).as("exact"),
+        max(when(col("v") === "*", 1L).otherwise(0L)).as("star"))
+    val hostHasExact = ua.groupBy(col("host"))
+      .agg(max(col("exact")).as("has_exact"))
+    val picked = ua.join(hostHasExact, Seq("host"))
+      .filter(when(col("has_exact") === 1L, col("exact") === 1L)
+        .otherwise(col("star") === 1L))
+      .select(col("host"), col("grp"))
+    directives.filter(col("k").isin("allow", "disallow") && col("v") =!= "")
+      .join(picked, Seq("host", "grp"))
+      .select(col("host"), col("v").as("rule"), col("k").as("action"))
+      .distinct()
+  }
+
+  /** The full chain: parse every body, select `uaToken`'s governing
+    * rules, wildcard-match each doc's path against ITS host's rules.
+    * Output: (idCol, hostCol, pathCol, matched_rule, action). */
+  def admit(docs: DataFrame, idCol: String, hostCol: String,
+            pathCol: String, bodies: DataFrame, bodyHostCol: String,
+            txtCol: String, uaToken: String,
+            default: String): DataFrame = {
+    val rules = selectRules(
+      parseDirectives(bodies, bodyHostCol, txtCol), uaToken)
+    HostRules.robotsPathMatchAgainst(docs, idCol, hostCol, pathCol,
+      rules, default)
+  }
+}

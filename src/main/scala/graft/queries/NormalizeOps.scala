@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{HostRules, TextNormalize, TopK, UrlCanon}
+import graft.operators.{HostRules, Robots, TextNormalize, TopK, UrlCanon}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -142,8 +142,80 @@ object NormalizeOps {
               .when(col("doc_id") % 4 === 2, "api").otherwise("img"),
             lit("/p"), (col("doc_id") % 5).cast("string"),
             lit("/x"), (col("doc_id") % 7).cast("string")).as("path")),
-        "doc_id", "path", rules = robotsRules, default = "allow"))
+        "doc_id", "path", rules = robotsRules, default = "allow")),
+
+    // robots.txt END-TO-END, stage 1: parse RAW per-host robots BODIES
+    // (comments, blank lines, multi-UA header blocks, an empty
+    // Disallow, wildcard/anchor rules) and select the group governing
+    // the crawler token per RFC 9309 — exact UA match beats *, star
+    // groups apply only when no group matches, matching groups merge.
+    // Zero-UDF: line explode + regexp directives + a per-host
+    // running-sum window for group ids (see Robots scaladoc).
+    "q175_robots_parse" -> ((s, d) =>
+      Robots.selectRules(
+        Robots.parseDirectives(robotsBodiesDf(s, d), "host", "robots"),
+        uaToken = "GraftBot")),
+
+    // Stage 2 capstone: the full fetch→parse→select→match chain —
+    // every doc's path wildcard-matched against ITS OWN host's parsed
+    // rules (a per-host rule TABLE, not a broadcast literal list; the
+    // join hash-partitions both sides by host at crawl scale).
+    "q176_robots_e2e" -> ((s, d) =>
+      Robots.admit(
+        Tables.load(s, d, "documents").select(col("doc_id"),
+          concat(col("source"), lit(".example.org")).as("host"),
+          concat(lit("/"),
+            when(col("doc_id") % 4 === 0, "docs")
+              .when(col("doc_id") % 4 === 1, "static")
+              .when(col("doc_id") % 4 === 2, "api").otherwise("img"),
+            lit("/p"), (col("doc_id") % 5).cast("string"),
+            lit("/x"), (col("doc_id") % 7).cast("string")).as("path")),
+        "doc_id", "host", "path",
+        robotsBodiesDf(s, d), "host", "robots",
+        uaToken = "GraftBot", default = "allow"))
   )
+
+  /** The four robots.txt body classes (host class = source number
+    * mod 4), shared verbatim with the oracle. Class 0: exact group
+    * + an ignored star group, comment + blank lines. Class 1: star
+    * group only — selection falls back to `*`. Class 2: a multi-UA
+    * header block (otherbot + graftbot share one group). Class 3: an
+    * empty `Disallow:` (allow-all, still terminates the header) plus
+    * a `$`-anchored allow carved out of a prefix disallow. */
+  private[queries] val robotsBodies: Seq[String] = Seq(
+    """# graft crawl policy
+      |User-agent: graftbot
+      |Disallow: /static
+      |Allow: /static/p1
+      |Disallow: /*/p2
+      |
+      |User-agent: *
+      |Disallow: /""".stripMargin,
+    """User-agent: *
+      |Disallow: /api
+      |Disallow: /img/*/x5""".stripMargin,
+    """User-agent: otherbot
+      |User-agent: graftbot
+      |Disallow: /docs
+      |Allow: /docs/*/x3
+      |
+      |User-agent: *
+      |Disallow: /""".stripMargin,
+    """User-agent: graftbot
+      |Disallow:
+      |Disallow: /api
+      |Allow: /api/p0/x1$""".stripMargin)
+
+  /** One robots body per distinct host, class-keyed on the source
+    * number — the q175/q176 fixture both engines derive identically. */
+  private def robotsBodiesDf(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .select(concat(col("source"), lit(".example.org")).as("host"),
+        expr("substring(source, 4)").cast("int").as("sn"))
+      .distinct()
+      .select(col("host"),
+        element_at(array(robotsBodies.map(lit): _*),
+          (pmod(col("sn"), lit(4)) + 1).cast("int")).as("robots"))
 
   /** The robots path rules shared by q166's query and oracle. */
   private[queries] val pathRules: Seq[(String, String)] = Seq(
@@ -391,6 +463,50 @@ object NormalizeOps {
           FROM pd LEFT JOIN pb USING (doc_id)"""
     },
 
+    "q175_robots_parse" ->
+      s"""WITH $robotsBodiesSql,
+          $robotsParseSql
+          SELECT host, rule, action FROM rules""",
+
+    // End-to-end: q174's probe expansion carrying the host, joined to
+    // the PARSED per-host rule table on (host, key) — same precedence.
+    "q176_robots_e2e" ->
+      s"""WITH $robotsBodiesSql,
+          $robotsParseSql,
+          pd AS (SELECT doc_id, source || '.example.org' AS host,
+               '/' || (CASE doc_id % 4 WHEN 0 THEN 'docs' WHEN 1 THEN 'static'
+                       WHEN 2 THEN 'api' ELSE 'img' END)
+               || '/p' || CAST(doc_id % 5 AS VARCHAR)
+               || '/x' || CAST(doc_id % 7 AS VARCHAR) AS path
+               FROM documents),
+          pp AS (SELECT doc_id, host, path,
+                   string_split(regexp_replace(path, '^/', ''), '/') AS parts
+                 FROM pd),
+          px AS (SELECT doc_id, host, len(parts) AS n, t.m AS m,
+                   '/' || array_to_string(
+                     list_transform(range(1, CAST(t.m AS INTEGER) + 1),
+                       j -> CASE WHEN (s.mask >> CAST(j - 1 AS INTEGER)) & 1 = 1
+                                 THEN '*'
+                                 ELSE parts[CAST(j AS INTEGER)] END), '/')
+                     AS key0
+                 FROM pp, unnest(range(1, len(parts) + 1)) AS t(m),
+                      unnest(range(0, 1 << CAST(t.m AS INTEGER))) AS s(mask)),
+          pk AS (SELECT doc_id, host, key0 AS key FROM px
+                 UNION ALL
+                 SELECT doc_id, host, key0 || '$$' FROM px WHERE m = n),
+          pm AS (SELECT doc_id, rule, action,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY
+                     length(replace(replace(rule, '*', ''), '$$', '')) DESC,
+                     length(rule) - length(replace(rule, '*', '')) ASC,
+                     CASE WHEN action = 'allow' THEN 0 ELSE 1 END, rule) AS rn
+                 FROM pk JOIN rules
+                   ON pk.host = rules.host AND pk.key = rules.rule),
+          pb AS (SELECT doc_id, rule AS matched_rule, action FROM pm
+                 WHERE rn = 1)
+          SELECT pd.doc_id, pd.host, pd.path, pb.matched_rule,
+                 coalesce(pb.action, 'allow') AS action
+          FROM pd LEFT JOIN pb USING (doc_id)""",
+
     "q172_etld1" -> etld1Sql,
 
     "q173_domain_cap_etld1" ->
@@ -405,6 +521,64 @@ object NormalizeOps {
                 FROM d)
           SELECT domain, doc_id, rank FROM r WHERE rank <= 10"""
   )
+
+  /** The q175/q176 robots-body fixture as a CTE `rb(host, robots)` —
+    * one body per distinct host, class = source number mod 4. */
+  private lazy val robotsBodiesSql: String =
+    s"""rb AS (SELECT DISTINCT source || '.example.org' AS host,
+               CASE CAST(substr(source, 4) AS INTEGER) % 4
+                 WHEN 0 THEN ${sqlLit(robotsBodies(0))}
+                 WHEN 1 THEN ${sqlLit(robotsBodies(1))}
+                 WHEN 2 THEN ${sqlLit(robotsBodies(2))}
+                 ELSE ${sqlLit(robotsBodies(3))} END AS robots
+             FROM documents)"""
+
+  /** The [[graft.operators.Robots]] parse + RFC 9309 group-selection
+    * chain in SQL: expects `rb(host, robots)`, yields
+    * `rules(host, rule, action)`. Mirrors parseDirectives/selectRules
+    * stage for stage (line explode → comment strip → directive
+    * extract → running-sum group ids → exact-beats-star selection →
+    * merged distinct rules, empty values dropped). */
+  private lazy val robotsParseSql: String =
+    """rl AS (SELECT host, string_split(robots, chr(10)) AS ls FROM rb),
+          ln AS (SELECT host, t.i AS line_no,
+                   trim(regexp_replace(ls[CAST(t.i AS INTEGER)], '#.*$', ''))
+                     AS line
+                 FROM rl, unnest(range(1, len(ls) + 1)) AS t(i)),
+          dv AS (SELECT host, line_no,
+                   lower(regexp_extract(line, '^([A-Za-z-]+)\s*:', 1)) AS k,
+                   trim(regexp_extract(line, '^[A-Za-z-]+\s*:\s*(.*)$', 1))
+                     AS v
+                 FROM ln WHERE regexp_matches(line, '^[A-Za-z-]+\s*:')),
+          dk AS (SELECT * FROM dv
+                 WHERE k IN ('user-agent', 'allow', 'disallow')),
+          gx AS (SELECT host, line_no, k, v,
+                   CASE WHEN k = 'user-agent' AND
+                        coalesce(lag(k) OVER (PARTITION BY host
+                                              ORDER BY line_no), '')
+                          <> 'user-agent'
+                        THEN 1 ELSE 0 END AS st
+                 FROM dk),
+          gg AS (SELECT host, line_no, k, v,
+                   sum(st) OVER (PARTITION BY host ORDER BY line_no
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS grp
+                 FROM gx),
+          ua AS (SELECT host, grp,
+                   max(CASE WHEN k = 'user-agent' AND lower(v) = 'graftbot'
+                            THEN 1 ELSE 0 END) AS is_exact,
+                   max(CASE WHEN k = 'user-agent' AND v = '*'
+                            THEN 1 ELSE 0 END) AS is_star
+                 FROM gg GROUP BY host, grp),
+          hx AS (SELECT host, max(is_exact) AS has_exact FROM ua
+                 GROUP BY host),
+          pick AS (SELECT ua.host, ua.grp FROM ua JOIN hx USING (host)
+                   WHERE CASE WHEN has_exact = 1 THEN is_exact = 1
+                              ELSE is_star = 1 END),
+          rules AS (SELECT DISTINCT gg.host, v AS rule, k AS action
+                    FROM gg JOIN pick
+                      ON gg.host = pick.host AND gg.grp = pick.grp
+                    WHERE k IN ('allow', 'disallow') AND v <> '')"""
 
   /** q172's full PSL chain in SQL — mirrors
     * [[graft.operators.HostRules.registrableDomain]]: suffix-chain

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge coverage for the robots.txt end-to-end chain beyond the
+  * q175/q176 fixture: CRLF bodies, directive-key casing, a host whose
+  * robots matches NEITHER the token nor `*` (no governing group → no
+  * rules → everything admitted by default), and group-merge when two
+  * separated groups both name the token. */
+class RobotsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rulesFor(body: String, ua: String = "GraftBot") =
+    Robots.selectRules(
+        Robots.parseDirectives(Seq(("h", body)).toDF("host", "robots"),
+          "host", "robots"), ua)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+
+  test("CRLF line endings and mixed directive-key casing parse clean") {
+    val body = "USER-AGENT: GRAFTBOT\r\ndisallow: /a\r\nALLOW: /a/b\r\n"
+    assert(rulesFor(body) == Set("/a" -> "disallow", "/a/b" -> "allow"))
+  }
+
+  test("no matching group at all yields zero rules") {
+    val body = "User-agent: zzzbot\nDisallow: /\n"
+    assert(rulesFor(body).isEmpty)
+  }
+
+  test("star group is ignored once any exact group exists") {
+    val body = "User-agent: *\nDisallow: /\n\nUser-agent: graftbot\nDisallow: /x\n"
+    assert(rulesFor(body) == Set("/x" -> "disallow"))
+  }
+
+  test("two separated exact groups merge their rules") {
+    val body = "User-agent: graftbot\nDisallow: /a\n\n" +
+      "User-agent: other\nDisallow: /b\n\n" +
+      "User-agent: graftbot\nDisallow: /c\n"
+    assert(rulesFor(body) == Set("/a" -> "disallow", "/c" -> "disallow"))
+  }
+
+  test("empty Disallow terminates a header block but emits no rule") {
+    // the second User-agent line follows a RULE line (the empty
+    // Disallow), so it starts a NEW group rather than joining the first
+    val body = "User-agent: graftbot\nDisallow:\n" +
+      "User-agent: other\nDisallow: /only-others\n"
+    assert(rulesFor(body).isEmpty)
+  }
+
+  test("end-to-end: a host with no governing group admits every path") {
+    val docs = Seq((1L, "h1", "/a/b"), (2L, "h2", "/a/b"))
+      .toDF("doc_id", "host", "path")
+    val bodies = Seq(
+      ("h1", "User-agent: graftbot\nDisallow: /a\n"),
+      ("h2", "User-agent: zzzbot\nDisallow: /\n")).toDF("host", "robots")
+    val v = Robots.admit(docs, "doc_id", "host", "path", bodies, "host",
+        "robots", "GraftBot", default = "allow")
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(v(1L) == "disallow") // h1's own /a prefix rule
+    assert(v(2L) == "allow")    // h2 has no governing group
+  }
+}
