@@ -37,21 +37,17 @@ object TextFunctions {
   def wordShingles(text: Column, n: Int): Column =
     wordShinglesFromTokens(tokens(text), n)
 
-  /** Distinct character n-gram shingles. Texts shorter than n yield an
-    * EMPTY array — without the guard, sequence(1, 0) = [1, 0] and
-    * substr's position-0 tolerance would silently emit partial
-    * "shingles", giving unrelated short docs spurious jaccard 1.0. */
+  /** Distinct character n-gram shingles — [[charNgrams]] deduplicated,
+    * so the short-text guard lives in exactly one place. */
   def charShingles(text: Column, n: Int): Column =
-    when(length(text) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(
-          sequence(lit(1), length(text) - (n - 1)),
-          i => substr(text, i, lit(n)))))
+    array_distinct(charNgrams(text, n))
 
   /** ALL character n-grams in order, duplicates kept — the hashed
-    * bag-of-ngrams feature primitive ([[graft.operators.LangId]]);
-    * same short-text guard as [[charShingles]] (texts shorter than n
-    * yield an EMPTY array, never partial grams). */
+    * bag-of-ngrams feature primitive ([[graft.operators.LangId]]).
+    * Texts shorter than n yield an EMPTY array — without the guard,
+    * sequence(1, 0) = [1, 0] and substr's position-0 tolerance would
+    * silently emit partial "grams", giving unrelated short docs
+    * spurious jaccard 1.0 downstream. */
   def charNgrams(text: Column, n: Int): Column =
     when(length(text) < n, array().cast("array<string>"))
       .otherwise(transform(

@@ -132,8 +132,18 @@ class Importer(spark: SparkSession, storageRoot: String) extends Serializable {
               }
               ok = true
             } finally {
-              if (ok) out.close()
-              else {
+              if (ok) {
+                // the SUCCESS path's close() is still a write (object-
+                // store streams flush on close): if it throws, the
+                // target is half-written and must not survive — delete
+                // it and let the close failure drive the retry/failure
+                // taxonomy like any other copy error
+                try out.close()
+                catch { case e: Exception =>
+                  try fs.delete(target, false) catch { case _: Exception => () }
+                  throw e
+                }
+              } else {
                 // a failed copy's close() can itself throw (flush-on-
                 // close object-store streams); swallow it so the
                 // half-written target is ALWAYS deleted and the

@@ -1164,21 +1164,62 @@ class TableStore(spark: SparkSession, root: String,
         }
         val ptr = pointerPath(table, next)
         f.mkdirs(ptr.getParent)
+        // Did OUR pointer land complete at this path? Decides every
+        // ambiguous failure below: a complete own pointer IS the
+        // commit (retrying would double-publish the same data dir
+        // under a second seq — duplicate rows now, silent row loss
+        // when gc reclaims one of them); anything else must leave the
+        // name free (or torn-and-reclaimable) before we retry, or the
+        // table wedges on our own debris.
+        def pointerIsMine: Boolean =
+          readPointer(f, ptr).exists(_._2 == tmp.getName)
         val won =
           try {
             // create-exclusive IS the slot lock: exactly one writer can
-            // create this name, so same-seq ties cannot exist. A torn
-            // write after a successful create (crash mid-PUT emulation)
-            // leaves an unparseable pointer that readers skip and gc
-            // reclaims; on a real object store the pointer is one
-            // conditional PUT and cannot tear.
+            // create this name, so same-seq ties cannot exist. On a
+            // real object store the whole pointer is ONE conditional
+            // PUT (cannot tear); the branches below exist for the
+            // filesystem emulation, where create/write/close are
+            // separate steps that can fail independently.
             val out = f.create(ptr, false)
-            try out.write(s"$kind\n${tmp.getName}".getBytes("UTF-8"))
-            finally out.close()
-            true
+            try {
+              out.write(s"$kind\n${tmp.getName}".getBytes("UTF-8"))
+              out.close()
+              true
+            } catch {
+              case e: java.io.IOException =>
+                // we own the name but the content may be absent, torn,
+                // or fully flushed (close() failing after flush)
+                if (pointerIsMine) true
+                else {
+                  try f.delete(ptr, false)
+                  catch { case _: java.io.IOException => () }
+                  if (pointerIsMine) true else { f.delete(tmp, true); throw e }
+                }
+            }
           } catch {
-            case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-            case _: java.io.IOException => false
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+              // the name exists: a rival's complete pointer (lost the
+              // race), or an unparseable torn one a crashed writer
+              // left — reclaim the torn name so retries can make
+              // progress instead of looping to the attempt cap
+              if (pointerIsMine) true
+              else {
+                if (readPointer(f, ptr).isEmpty)
+                  try f.delete(ptr, false)
+                  catch { case _: java.io.IOException => () }
+                false
+              }
+            case e: java.io.IOException =>
+              // ambiguous create failure: some filesystems signal an
+              // existing file this way instead of FileAlreadyExists
+              if (pointerIsMine) true
+              else if (f.exists(ptr)) {
+                if (readPointer(f, ptr).isEmpty)
+                  try f.delete(ptr, false)
+                  catch { case _: java.io.IOException => () }
+                false
+              } else { f.delete(tmp, true); throw e }
           }
         if (won) {
           if (isFullKind(kind)) gc(table)

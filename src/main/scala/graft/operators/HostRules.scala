@@ -141,27 +141,43 @@ object HostRules {
   }
 
   /** The map-side wildcard-class key expansion shared by both robots
-    * matchers: for every prefix length m, all 2^m literal/star
-    * segment substitutions, plus the `$`-anchored variant of each
-    * full-depth form. `carry` columns ride along for composite join
-    * keys (the per-host matcher carries the host). */
+    * matchers: for every prefix length m = 0..depth, all 2^m
+    * literal/star segment substitutions (m = 0 is the bare "/" key —
+    * `Disallow: /`, the most common robots rule, must match EVERY
+    * path, not just the literal root), plus the `$`-anchored variant
+    * of each full-depth form. `carry` columns ride along for
+    * composite join keys (the per-host matcher carries the host).
+    *
+    * `maxSegs` bounds the 2^m fan-out: a crawler-trap URL with dozens
+    * of segments would otherwise explode into millions of probe rows
+    * (and past ~31 segments overflow `sequence` outright), taking the
+    * whole stage down for one adversarial path. Segments beyond the
+    * cap generate only the capped prefix forms — a rule deeper than
+    * `maxSegs` segments can then never match, the documented price of
+    * bounding the worst case at 2^(maxSegs+1) rows per path. */
   private def wildcardProbe(docs: DataFrame, idCol: String,
-                            pathCol: String,
-                            carry: Seq[String]): DataFrame = {
+                            pathCol: String, carry: Seq[String],
+                            maxSegs: Int = 8): DataFrame = {
     val parts = split(regexp_replace(col(pathCol), "^/", ""), "/")
-    val k = size(parts)
+    val k = least(size(parts), lit(maxSegs))
+    val uncapped = size(parts) <= maxSegs
     def masks(m: Column): Column =
       sequence(lit(0L), pow(lit(2.0), m.cast("double")).cast("long") - 1)
     def keyFor(m: Column, mask: Column): Column =
-      concat(lit("/"), array_join(transform(sequence(lit(1), m.cast("int")),
-        j => when(pmod((mask.cast("double") /
-              pow(lit(2.0), (j - 1).cast("double"))).cast("long"), lit(2)) === 1,
-            lit("*"))
-          .otherwise(element_at(parts, j))), "/"))
+      // the m = 0 guard keeps sequence(1, 0) (a DESCENDING range in
+      // Spark, not an empty one) out of the transform — when() only
+      // evaluates the taken branch
+      when(m === 0, lit("/")).otherwise(
+        concat(lit("/"), array_join(transform(sequence(lit(1), m.cast("int")),
+          j => when(pmod((mask.cast("double") /
+                pow(lit(2.0), (j - 1).cast("double"))).cast("long"), lit(2)) === 1,
+              lit("*"))
+            .otherwise(element_at(parts, j))), "/")))
     val expanded = docs.select(col(idCol) +: carry.map(col) :+
-      explode(flatten(transform(sequence(lit(1), k), m =>
+      explode(flatten(transform(sequence(lit(0), k), m =>
         transform(masks(m), mask =>
-          struct((m === k).as("full"), keyFor(m, mask).as("key"))))))
+          struct((uncapped && m === k).as("full"),
+            keyFor(m, mask).as("key"))))))
         .as("e"): _*)
       .select(col(idCol) +: carry.map(col) :+
         col("e.full").as("full") :+ col("e.key").as("key0"): _*)

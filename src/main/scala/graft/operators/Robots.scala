@@ -45,8 +45,13 @@ object Robots {
     * per-host window chain. */
   def parseDirectives(bodies: DataFrame, hostCol: String,
                       txtCol: String): DataFrame = {
+    // \r is stripped BEFORE splitting (CRLF bodies are the norm on
+    // the web): relying on trim/regex to eat it would diverge between
+    // Java regex (where `$` matches before a trailing \r) and the
+    // oracle's RE2 (where it does not)
     val lines = bodies.select(col(hostCol).as("host"),
-        posexplode(split(col(txtCol), "\n")).as(Seq("line_no", "raw")))
+        posexplode(split(regexp_replace(col(txtCol), "\r", ""), "\n"))
+          .as(Seq("line_no", "raw")))
       .select(col("host"), col("line_no"),
         trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
       .filter(col("line").rlike("^[A-Za-z-]+\\s*:"))

@@ -178,7 +178,10 @@ object NormalizeOps {
   /** The four robots.txt body classes (host class = source number
     * mod 4), shared verbatim with the oracle. Class 0: exact group
     * + an ignored star group, comment + blank lines. Class 1: star
-    * group only — selection falls back to `*`. Class 2: a multi-UA
+    * group only — selection falls back to `*` — whose root
+    * `Disallow: /` pins the m=0 probe key (the most common robots
+    * rule must block EVERY path, `/docs` carved back out, a longer
+    * literal still winning matched_rule). Class 2: a multi-UA
     * header block (otherbot + graftbot share one group). Class 3: an
     * empty `Disallow:` (allow-all, still terminates the header) plus
     * a `$`-anchored allow carved out of a prefix disallow. */
@@ -192,7 +195,8 @@ object NormalizeOps {
       |User-agent: *
       |Disallow: /""".stripMargin,
     """User-agent: *
-      |Disallow: /api
+      |Disallow: /
+      |Allow: /docs
       |Disallow: /img/*/x5""".stripMargin,
     """User-agent: otherbot
       |User-agent: graftbot
@@ -437,13 +441,13 @@ object NormalizeOps {
                    string_split(regexp_replace(path, '^/', ''), '/') AS parts
                  FROM pd),
           px AS (SELECT doc_id, len(parts) AS n, t.m AS m,
-                   '/' || array_to_string(
+                   '/' || coalesce(array_to_string(
                      list_transform(range(1, CAST(t.m AS INTEGER) + 1),
                        j -> CASE WHEN (s.mask >> CAST(j - 1 AS INTEGER)) & 1 = 1
                                  THEN '*'
-                                 ELSE parts[CAST(j AS INTEGER)] END), '/')
+                                 ELSE parts[CAST(j AS INTEGER)] END), '/'), '')
                      AS key0
-                 FROM pp, unnest(range(1, len(parts) + 1)) AS t(m),
+                 FROM pp, unnest(range(0, len(parts) + 1)) AS t(m),
                       unnest(range(0, 1 << CAST(t.m AS INTEGER))) AS s(mask)),
           pk AS (SELECT doc_id, key0 AS key FROM px
                  UNION ALL
@@ -483,13 +487,13 @@ object NormalizeOps {
                    string_split(regexp_replace(path, '^/', ''), '/') AS parts
                  FROM pd),
           px AS (SELECT doc_id, host, len(parts) AS n, t.m AS m,
-                   '/' || array_to_string(
+                   '/' || coalesce(array_to_string(
                      list_transform(range(1, CAST(t.m AS INTEGER) + 1),
                        j -> CASE WHEN (s.mask >> CAST(j - 1 AS INTEGER)) & 1 = 1
                                  THEN '*'
-                                 ELSE parts[CAST(j AS INTEGER)] END), '/')
+                                 ELSE parts[CAST(j AS INTEGER)] END), '/'), '')
                      AS key0
-                 FROM pp, unnest(range(1, len(parts) + 1)) AS t(m),
+                 FROM pp, unnest(range(0, len(parts) + 1)) AS t(m),
                       unnest(range(0, 1 << CAST(t.m AS INTEGER))) AS s(mask)),
           pk AS (SELECT doc_id, host, key0 AS key FROM px
                  UNION ALL
@@ -540,7 +544,9 @@ object NormalizeOps {
     * extract → running-sum group ids → exact-beats-star selection →
     * merged distinct rules, empty values dropped). */
   private lazy val robotsParseSql: String =
-    """rl AS (SELECT host, string_split(robots, chr(10)) AS ls FROM rb),
+    """rl AS (SELECT host,
+                   string_split(replace(robots, chr(13), ''), chr(10)) AS ls
+                 FROM rb),
           ln AS (SELECT host, t.i AS line_no,
                    trim(regexp_replace(ls[CAST(t.i AS INTEGER)], '#.*$', ''))
                      AS line

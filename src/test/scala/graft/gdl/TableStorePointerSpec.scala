@@ -106,6 +106,20 @@ class TableStorePointerSpec extends AnyFunSuite {
     assert(ptrs.distinct.size == ptrs.size)
   }
 
+  test("a torn pointer at the next slot does not wedge appends") {
+    val root = newRoot("store-ptr-torn")
+    val store = new TableStore(spark, root, pointerCommits = true)
+    store.append("t", Seq(1).toDF("x"))
+    // a crashed writer's torn (unparseable) pointer already sits at
+    // the NEXT slot — too fresh for gc's grace, so the committer
+    // itself must reclaim the name instead of looping to its attempt
+    // cap against create-exclusive failures
+    val f = hadoopFs(root)
+    f.create(new Path(root, "t/_commits/g0000001"), true).close()
+    store.append("t", Seq(2).toDF("x"))
+    assert(store.read("t").get.as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
+
   test("gc reclaims aged orphan stages and torn pointers, never live data") {
     val root = newRoot("store-ptr-gc")
     val store = new TableStore(spark, root, gcGraceMs = 60L * 1000,

@@ -48,6 +48,33 @@ class RobotsSpec extends AnyFunSuite {
     assert(rulesFor(body).isEmpty)
   }
 
+  test("Disallow: / blocks every path, with a prefix carve-out") {
+    val docs = Seq((1L, "h", "/a/b/c"), (2L, "h", "/docs/x"), (3L, "h", "/"))
+      .toDF("doc_id", "host", "path")
+    val bodies = Seq(("h",
+      "User-agent: graftbot\nDisallow: /\nAllow: /docs\n"))
+      .toDF("host", "robots")
+    val v = Robots.admit(docs, "doc_id", "host", "path", bodies, "host",
+        "robots", "GraftBot", default = "allow")
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(v(1L) == "disallow") // the m=0 "/" probe key must exist
+    assert(v(2L) == "allow")    // longer literal carves the exception
+    assert(v(3L) == "disallow") // the literal root path itself
+  }
+
+  test("a crawler-trap path of 40 segments neither explodes nor errors") {
+    val deep = "/a" + (1 to 39).map(i => s"/s$i").mkString
+    val v = HostRules.robotsPathMatch(
+        Seq((1L, deep), (2L, "/b/c")).toDF("doc_id", "path"),
+        "doc_id", "path", rules = Seq("/a" -> "disallow"),
+        default = "allow")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // segments beyond the cap still generate the capped PREFIX forms,
+    // so shallow rules keep matching deep paths
+    assert(v(1L) == "disallow")
+    assert(v(2L) == "allow")
+  }
+
   test("end-to-end: a host with no governing group admits every path") {
     val docs = Seq((1L, "h1", "/a/b"), (2L, "h2", "/a/b"))
       .toDF("doc_id", "host", "path")
