@@ -187,6 +187,65 @@ object HostRules {
         .otherwise(array(col("key0")))).as("key"): _*)
   }
 
+  /** Projection-shaped per-row form of [[robotsPathMatchAgainst]]:
+    * the host's governing rules arrive as an ARRAY column
+    * (host → array&lt;struct&lt;rule,action&gt;&gt;, one equi-join on
+    * host upstream) and each row evaluates its own handful of rules
+    * directly — identical wildcard grammar and RFC 9309 precedence,
+    * but NO 2^depth key fan-out, no per-doc window, no shuffle after
+    * the host join. Being a pure projection it runs UNCHANGED on a
+    * stream with zero state (the [[longestSuffixMatchCols]]
+    * discipline; the robots streaming spec pins
+    * stream ≡ batch ≡ the join variant). Per-row cost is
+    * O(|rules| · depth) — the better shape when per-host rules are
+    * dozens deep; the join variant's key explosion wins when one
+    * shared literal list must hit rows that carry no rules column.
+    *
+    * @param rules array&lt;struct&lt;rule: string, action: string&gt;&gt;
+    * @return (matched_rule, action) columns */
+  def robotsPathMatchCols(path: Column, rules: Column, default: String,
+                          maxSegs: Int = 8): Seq[Column] = {
+    val parts = split(regexp_replace(path, "^/", ""), "/")
+    val k = size(parts)
+    val kCap = least(k, lit(maxSegs))
+    def litLen(rule: Column) = length(translate(rule, "*$", ""))
+    def nStars(rule: Column) =
+      length(rule) - length(translate(rule, "*", ""))
+    def actRank(a: Column) = when(a === "allow", 0).otherwise(1)
+    // a rule matches iff its text equals one of the join variant's
+    // generated probe keys — re-derived here per rule: segment-wise
+    // literal/star alignment over the rule's own depth, full-depth
+    // (and within the cap) when `$`-anchored, the bare "/" matching
+    // everything (the m=0 key). Rules not starting with "/" match no
+    // generated key, mirroring the join variant exactly.
+    def matches(r: Column): Column = {
+      val rule = r.getField("rule")
+      val anchored = rule.endsWith("$")
+      val core = regexp_replace(rule, "\\$$", "")
+      val rSegs = split(regexp_replace(core, "^/", ""), "/")
+      val m = size(rSegs)
+      val segsOk = forall(zip_with(rSegs, slice(parts, lit(1), m),
+        (a, b) => a === lit("*") || a === b), x => x)
+      rule.startsWith("/") &&
+        ((rule === "/") || (m <= kCap && (!anchored || m === k) && segsOk))
+    }
+    val best = aggregate(filter(rules, matches(_)),
+      lit(null).cast("struct<rule:string,action:string>"),
+      (acc, x) => {
+        val (xr, ar) = (x.getField("rule"), acc.getField("rule"))
+        val (xa, aa) = (actRank(x.getField("action")),
+          actRank(acc.getField("action")))
+        val better = acc.isNull ||
+          litLen(xr) > litLen(ar) ||
+          (litLen(xr) === litLen(ar) && (nStars(xr) < nStars(ar) ||
+            (nStars(xr) === nStars(ar) &&
+              (xa < aa || (xa === aa && xr < ar)))))
+        when(better, x).otherwise(acc)
+      })
+    Seq(best.getField("rule").as("matched_rule"),
+      coalesce(best.getField("action"), lit(default)).as("action"))
+  }
+
   /** RFC 9309 most-specific-match precedence: longest literal octets,
     * literal beats star at equal length, allow beats an equivalent
     * disallow, rule text as the final deterministic tie-break. */

@@ -105,4 +105,31 @@ object Robots {
     HostRules.robotsPathMatchAgainst(docs, idCol, hostCol, pathCol,
       rules, default)
   }
+
+  /** [[admit]] in the PROJECTION shape: the parsed rules collapse to
+    * ONE array row per host (sorted, so the artifact is
+    * deterministic), the docs pick up their host's array through a
+    * single equi-join, and the match itself is a pure per-row
+    * projection ([[HostRules.robotsPathMatchCols]] — no key fan-out,
+    * no per-doc window). Because everything downstream of the join is
+    * stateless, `docs` may be a STREAM: bodies/rules stay the static
+    * side of one stream-static join and each arriving doc gets its
+    * verdict independently (RobotsStreamSpec pins
+    * stream ≡ batch ≡ the join variant). Hosts with no governing
+    * rules carry a NULL array — matched to (NULL, default). */
+  def admitProjected(docs: DataFrame, idCol: String, hostCol: String,
+                     pathCol: String, bodies: DataFrame,
+                     bodyHostCol: String, txtCol: String, uaToken: String,
+                     default: String): DataFrame = {
+    val rules = selectRules(
+        parseDirectives(bodies, bodyHostCol, txtCol), uaToken)
+      .groupBy(col("host"))
+      .agg(sort_array(collect_list(struct(col("rule"), col("action"))))
+        .as("_rules"))
+      .withColumnRenamed("host", "_rule_host")
+    val matched =
+      HostRules.robotsPathMatchCols(col(pathCol), col("_rules"), default)
+    docs.join(rules, col(hostCol) === col("_rule_host"), "left")
+      .select(col(idCol) +: col(hostCol) +: col(pathCol) +: matched: _*)
+  }
 }

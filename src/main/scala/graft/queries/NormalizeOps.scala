@@ -161,19 +161,32 @@ object NormalizeOps {
     // rules (a per-host rule TABLE, not a broadcast literal list; the
     // join hash-partitions both sides by host at crawl scale).
     "q176_robots_e2e" -> ((s, d) =>
-      Robots.admit(
-        Tables.load(s, d, "documents").select(col("doc_id"),
-          concat(col("source"), lit(".example.org")).as("host"),
-          concat(lit("/"),
-            when(col("doc_id") % 4 === 0, "docs")
-              .when(col("doc_id") % 4 === 1, "static")
-              .when(col("doc_id") % 4 === 2, "api").otherwise("img"),
-            lit("/p"), (col("doc_id") % 5).cast("string"),
-            lit("/x"), (col("doc_id") % 7).cast("string")).as("path")),
-        "doc_id", "host", "path",
+      Robots.admit(robotsDocsDf(s, d), "doc_id", "host", "path",
+        robotsBodiesDf(s, d), "host", "robots",
+        uaToken = "GraftBot", default = "allow")),
+
+    // The PROJECTION-shaped end-to-end (the stream-safe form): rules
+    // collapse to one array row per host, the match is a pure per-row
+    // projection — provably identical results to q176 (same oracle
+    // text), but zero key fan-out and nothing stateful after the host
+    // join, so the same plan admits a crawl STREAM unchanged.
+    "q177_robots_projected" -> ((s, d) =>
+      Robots.admitProjected(robotsDocsDf(s, d), "doc_id", "host", "path",
         robotsBodiesDf(s, d), "host", "robots",
         uaToken = "GraftBot", default = "allow"))
   )
+
+  /** The q176/q177 doc fixture: q174's path classes plus the
+    * source-derived host. */
+  private def robotsDocsDf(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents").select(col("doc_id"),
+      concat(col("source"), lit(".example.org")).as("host"),
+      concat(lit("/"),
+        when(col("doc_id") % 4 === 0, "docs")
+          .when(col("doc_id") % 4 === 1, "static")
+          .when(col("doc_id") % 4 === 2, "api").otherwise("img"),
+        lit("/p"), (col("doc_id") % 5).cast("string"),
+        lit("/x"), (col("doc_id") % 7).cast("string")).as("path"))
 
   /** The four robots.txt body classes (host class = source number
     * mod 4), shared verbatim with the oracle. Class 0: exact group
@@ -474,7 +487,32 @@ object NormalizeOps {
 
     // End-to-end: q174's probe expansion carrying the host, joined to
     // the PARSED per-host rule table on (host, key) — same precedence.
-    "q176_robots_e2e" ->
+    "q176_robots_e2e" -> robotsE2eSql,
+
+    // The projection variant computes the IDENTICAL relation (proved
+    // ≡ in RobotsSpec) — one oracle text serves both, so an engine
+    // regression in either variant breaks its own hash.
+    "q177_robots_projected" -> robotsE2eSql,
+
+    "q172_etld1" -> etld1Sql,
+
+    "q173_domain_cap_etld1" ->
+      s"""WITH e AS ($etld1Sql),
+          d AS (SELECT doc_id, coalesce(etld1, public_suffix) AS domain,
+                 CAST('0x' || substr(md5('cap|' || CAST(doc_id AS VARCHAR)),
+                                     1, 8) AS BIGINT) AS hv
+                FROM e),
+          r AS (SELECT domain, doc_id,
+                 CAST(row_number() OVER (PARTITION BY domain
+                                         ORDER BY hv, doc_id) AS BIGINT) AS rank
+                FROM d)
+          SELECT domain, doc_id, rank FROM r WHERE rank <= 10"""
+  )
+
+  /** The q176/q177 shared oracle: q174's probe expansion carrying the
+    * host, joined to the PARSED per-host rule table on (host, key) —
+    * same precedence window. */
+  private lazy val robotsE2eSql: String =
       s"""WITH $robotsBodiesSql,
           $robotsParseSql,
           pd AS (SELECT doc_id, source || '.example.org' AS host,
@@ -509,22 +547,7 @@ object NormalizeOps {
                  WHERE rn = 1)
           SELECT pd.doc_id, pd.host, pd.path, pb.matched_rule,
                  coalesce(pb.action, 'allow') AS action
-          FROM pd LEFT JOIN pb USING (doc_id)""",
-
-    "q172_etld1" -> etld1Sql,
-
-    "q173_domain_cap_etld1" ->
-      s"""WITH e AS ($etld1Sql),
-          d AS (SELECT doc_id, coalesce(etld1, public_suffix) AS domain,
-                 CAST('0x' || substr(md5('cap|' || CAST(doc_id AS VARCHAR)),
-                                     1, 8) AS BIGINT) AS hv
-                FROM e),
-          r AS (SELECT domain, doc_id,
-                 CAST(row_number() OVER (PARTITION BY domain
-                                         ORDER BY hv, doc_id) AS BIGINT) AS rank
-                FROM d)
-          SELECT domain, doc_id, rank FROM r WHERE rank <= 10"""
-  )
+          FROM pd LEFT JOIN pb USING (doc_id)"""
 
   /** The q175/q176 robots-body fixture as a CTE `rb(host, robots)` —
     * one body per distinct host, class = source number mod 4. */

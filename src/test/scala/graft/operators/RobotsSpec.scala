@@ -75,6 +75,37 @@ class RobotsSpec extends AnyFunSuite {
     assert(v(2L) == "allow")
   }
 
+  test("projection variant ≡ join variant across the whole grammar") {
+    import org.apache.spark.sql.functions._
+    val rules = Seq("/static" -> "disallow", "/static/p1" -> "allow",
+      "/*/p2" -> "disallow", "/docs/*/x3" -> "allow",
+      "/api" -> "disallow", "/api/p0/x1$" -> "allow",
+      "/img/*/x5" -> "disallow", "/" -> "disallow", "/docs" -> "allow",
+      "no-slash" -> "disallow") // must match nothing in BOTH variants
+    val paths = (0 until 60).map { i =>
+      (i.toLong, "/" + Seq("docs", "static", "api", "img")(i % 4) +
+        s"/p${i % 5}/x${i % 7}")
+    } ++ Seq((100L, "/"), (101L, "/docs"),
+      (102L, "/a/b/c/d/e/f/g/h/i/j/k/l")) // past the expansion cap
+    val docs = paths.toDF("doc_id", "path").withColumn("host", lit("h"))
+    val hostRules = rules.toDF("rule", "action").withColumn("host", lit("h"))
+    val viaJoin = HostRules.robotsPathMatchAgainst(docs, "doc_id", "host",
+      "path", hostRules, default = "allow")
+    val arr = hostRules.groupBy(col("host"))
+      .agg(sort_array(collect_list(struct(col("rule"), col("action"))))
+        .as("_rules"))
+      .withColumnRenamed("host", "_rh")
+    val viaCols = docs.join(arr, col("host") === col("_rh"), "left")
+      .select(col("doc_id") +: col("host") +: col("path") +:
+        HostRules.robotsPathMatchCols(col("path"), col("_rules"),
+          default = "allow"): _*)
+    assert(viaJoin.exceptAll(viaCols).isEmpty &&
+      viaCols.exceptAll(viaJoin).isEmpty)
+    // and the root-disallow actually bites in both
+    val v = viaCols.collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(v(100L) == "disallow" && v(101L) == "allow")
+  }
+
   test("end-to-end: a host with no governing group admits every path") {
     val docs = Seq((1L, "h1", "/a/b"), (2L, "h2", "/a/b"))
       .toDF("doc_id", "host", "path")
