@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** sitemap.xml discovery + recrawl planning — the crawl-DISCOVERY
+  * complement to [[Robots]] admission: robots decides what a crawler
+  * MAY fetch, the sitemap tells it what exists and when it changed,
+  * and the recrawl plan decides what is WORTH fetching this cycle.
+  *
+  * Reference scope note: the reference walks STAC catalog links
+  * (`backend/populate_catalog/task.py`); sitemap discovery is the
+  * open-web sibling, beyond-reference like the q148–q177 crawl family.
+  *
+  * Parsing is ZERO-UDF over the `<url><loc/><lastmod/></url>` subset
+  * every real sitemap emits: `regexp_extract_all` over `<url>` blocks
+  * (`[\s\S]*?` spans newlines identically in Java regex and RE2, so
+  * the DuckDB oracle runs the same pattern), then per-block field
+  * extraction. Timestamps stay ISO-8601 DATE STRINGS — they compare
+  * lexicographically, so the staleness predicate is engine-exact with
+  * no timestamp-parsing parity risk.
+  *
+  * Scale shape (100 TB crawl): bodies are per-host sized (the RFC caps
+  * a sitemap file at 50k URLs) and the block explode is per-entry;
+  * the recrawl plan is ONE equi-join of the entry table against the
+  * crawl-state table on url — both sides hash-partition on url, the
+  * state table is exactly the frontier store's native layout. Nothing
+  * is corpus-wide; no windows at all. */
+object Sitemap {
+
+  /** Parse sitemap XML bodies into (host, url, lastmod) entries.
+    * Entries without a `<loc>` are dropped; a missing `<lastmod>` is
+    * NULL. Whitespace around values is stripped by the patterns. */
+  def parse(bodies: DataFrame, hostCol: String, xmlCol: String): DataFrame =
+    bodies.select(col(hostCol).as("host"),
+        explode(regexp_extract_all(col(xmlCol),
+          lit("<url>([\\s\\S]*?)</url>"), lit(1))).as("block"))
+      .select(col("host"),
+        regexp_extract(col("block"),
+          "<loc>\\s*([\\s\\S]*?)\\s*</loc>", 1).as("url"),
+        regexp_extract(col("block"),
+          "<lastmod>\\s*([\\s\\S]*?)\\s*</lastmod>", 1).as("_lm"))
+      .filter(col("url") =!= "")
+      .select(col("host"), col("url"),
+        when(col("_lm") === "", lit(null)).otherwise(col("_lm"))
+          .as("lastmod"))
+
+  /** Recrawl planner: sitemap entries × crawl state (url, last_fetch)
+    * → per-url status: `new` (never fetched), `stale` (lastmod after
+    * the last fetch — ISO date strings compare lexicographically),
+    * `fresh` otherwise; an entry with no lastmod on a fetched url is
+    * `fresh` (no change signal — the politeness default, a crawler
+    * re-verifies those on its own slower cycle). */
+  def recrawlPlan(entries: DataFrame, state: DataFrame): DataFrame =
+    entries.join(state.select(col("url"), col("last_fetch")),
+        Seq("url"), "left")
+      .select(col("host"), col("url"), col("lastmod"), col("last_fetch"),
+        when(col("last_fetch").isNull, "new")
+          .when(col("lastmod").isNotNull &&
+            col("lastmod") > col("last_fetch"), "stale")
+          .otherwise("fresh").as("status"))
+}

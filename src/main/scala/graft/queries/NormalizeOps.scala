@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{HostRules, Robots, TextNormalize, TopK, UrlCanon}
+import graft.operators.{HostRules, Robots, Sitemap, TextNormalize, TopK, UrlCanon}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -173,8 +173,63 @@ object NormalizeOps {
     "q177_robots_projected" -> ((s, d) =>
       Robots.admitProjected(robotsDocsDf(s, d), "doc_id", "host", "path",
         robotsBodiesDf(s, d), "host", "robots",
-        uaToken = "GraftBot", default = "allow"))
+        uaToken = "GraftBot", default = "allow")),
+
+    // sitemap.xml discovery — the crawl-DISCOVERY sibling of robots
+    // admission: <url> block explode + per-field extraction, zero
+    // UDFs, whitespace-stripping patterns, NULL for a missing
+    // <lastmod>. The fixture XML (one body per host, every 3rd entry
+    // dated) is derived identically in both engines.
+    "q178_sitemap_parse" -> ((s, d) =>
+      Sitemap.parse(sitemapBodiesDf(s, d), "host", "sitemap")),
+
+    // Recrawl planning: sitemap entries × crawl state on ONE url
+    // equi-join → new / stale / fresh per entry, with ISO date
+    // strings compared lexicographically (engine-exact, no timestamp
+    // parsing). Unfetched urls are 'new'; dated entries newer than
+    // their last fetch are 'stale'; undated fetched entries default
+    // 'fresh'.
+    "q179_recrawl_plan" -> ((s, d) =>
+      Sitemap.recrawlPlan(
+        Sitemap.parse(sitemapBodiesDf(s, d), "host", "sitemap"),
+        crawlStateDf(s, d)))
   )
+
+  /** The q178/q179 sitemap fixture: one XML body per host, 10 urls,
+    * every 3rd entry carrying a lastmod derived from (sn + i); loc
+    * values carry stray whitespace the parser must strip. */
+  private def sitemapBodiesDf(s: SparkSession, d: String): DataFrame =
+    hostsWithSn(s, d).select(col("host"), concat(
+      lit("<?xml version=\"1.0\"?>\n<urlset>\n"),
+      array_join(transform(sequence(lit(0), lit(9)), i =>
+        concat(lit("<url>\n  <loc> https://"), col("host"), lit("/p"),
+          i.cast("string"), lit(" </loc>\n"),
+          when(i % 3 === 0,
+            concat(lit("  <lastmod>2026-08-"),
+              lpad(((col("sn") + i) % 28 + 1).cast("string"), 2, "0"),
+              lit("</lastmod>\n"))).otherwise(lit("")),
+          lit("</url>"))), "\n"),
+      lit("\n</urlset>")).as("sitemap"))
+
+  /** The q179 crawl-state fixture: urls p0..p6 fetched (p7..p9 never
+    * — the 'new' class), last_fetch dates carved from (2·sn + 5·i) so
+    * dated entries split into stale and fresh. */
+  private def crawlStateDf(s: SparkSession, d: String): DataFrame =
+    hostsWithSn(s, d)
+      .select(col("host"), col("sn"),
+        explode(sequence(lit(0), lit(6))).as("i"))
+      .select(
+        concat(lit("https://"), col("host"), lit("/p"),
+          col("i").cast("string")).as("url"),
+        concat(lit("2026-08-"),
+          lpad(((col("sn") * 2 + col("i") * 5) % 28 + 1).cast("string"),
+            2, "0")).as("last_fetch"))
+
+  private def hostsWithSn(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .select(concat(col("source"), lit(".example.org")).as("host"),
+        expr("substring(source, 4)").cast("int").as("sn"))
+      .distinct()
 
   /** The q176/q177 doc fixture: q174's path classes plus the
     * source-derived host. */
@@ -226,13 +281,9 @@ object NormalizeOps {
   /** One robots body per distinct host, class-keyed on the source
     * number — the q175/q176 fixture both engines derive identically. */
   private def robotsBodiesDf(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "documents")
-      .select(concat(col("source"), lit(".example.org")).as("host"),
-        expr("substring(source, 4)").cast("int").as("sn"))
-      .distinct()
-      .select(col("host"),
-        element_at(array(robotsBodies.map(lit): _*),
-          (pmod(col("sn"), lit(4)) + 1).cast("int")).as("robots"))
+    hostsWithSn(s, d).select(col("host"),
+      element_at(array(robotsBodies.map(lit): _*),
+        (pmod(col("sn"), lit(4)) + 1).cast("int")).as("robots"))
 
   /** The robots path rules shared by q166's query and oracle. */
   private[queries] val pathRules: Seq[(String, String)] = Seq(
@@ -494,6 +545,24 @@ object NormalizeOps {
     // regression in either variant breaks its own hash.
     "q177_robots_projected" -> robotsE2eSql,
 
+    "q178_sitemap_parse" ->
+      s"""WITH $sitemapEntriesSql
+          SELECT host, url, lastmod FROM entries""",
+
+    "q179_recrawl_plan" ->
+      s"""WITH $sitemapEntriesSql,
+          st AS (SELECT 'https://' || host || '/p' || CAST(t.i AS VARCHAR)
+                   AS url,
+                 '2026-08-' || lpad(CAST((sn * 2 + t.i * 5) % 28 + 1
+                   AS VARCHAR), 2, '0') AS last_fetch
+                 FROM sm, unnest(range(0, 7)) AS t(i))
+          SELECT e.host, e.url, e.lastmod, st.last_fetch,
+                 CASE WHEN st.last_fetch IS NULL THEN 'new'
+                      WHEN e.lastmod IS NOT NULL
+                           AND e.lastmod > st.last_fetch THEN 'stale'
+                      ELSE 'fresh' END AS status
+          FROM entries e LEFT JOIN st USING (url)""",
+
     "q172_etld1" -> etld1Sql,
 
     "q173_domain_cap_etld1" ->
@@ -508,6 +577,35 @@ object NormalizeOps {
                 FROM d)
           SELECT domain, doc_id, rank FROM r WHERE rank <= 10"""
   )
+
+  /** The q178/q179 sitemap fixture + parse chain in SQL — mirrors
+    * [[graft.operators.Sitemap.parse]]: sm(host, sn) → XML assembly →
+    * block explode → field extraction → `entries(host, url, lastmod)`.
+    * Same regex class ([\s\S]*?) on both engines. */
+  private lazy val sitemapEntriesSql: String =
+    """sm AS (SELECT DISTINCT source || '.example.org' AS host,
+                 CAST(substr(source, 4) AS INTEGER) AS sn FROM documents),
+          sx AS (SELECT host,
+                 '<?xml version="1.0"?>' || chr(10) || '<urlset>' || chr(10)
+                 || array_to_string(list_transform(range(0, 10), i ->
+                   '<url>' || chr(10) || '  <loc> https://' || host || '/p'
+                   || CAST(i AS VARCHAR) || ' </loc>' || chr(10) ||
+                   (CASE WHEN i % 3 = 0 THEN '  <lastmod>2026-08-' ||
+                     lpad(CAST((sn + i) % 28 + 1 AS VARCHAR), 2, '0') ||
+                     '</lastmod>' || chr(10) ELSE '' END) || '</url>'),
+                   chr(10)) || chr(10) || '</urlset>' AS sitemap
+                 FROM sm),
+          bl AS (SELECT host, unnest(regexp_extract_all(sitemap,
+                   '<url>([\s\S]*?)</url>', 1)) AS block FROM sx),
+          ex AS (SELECT host,
+                   regexp_extract(block, '<loc>\s*([\s\S]*?)\s*</loc>', 1)
+                     AS url,
+                   regexp_extract(block,
+                     '<lastmod>\s*([\s\S]*?)\s*</lastmod>', 1) AS lm
+                 FROM bl),
+          entries AS (SELECT host, url,
+                        CASE WHEN lm = '' THEN NULL ELSE lm END AS lastmod
+                      FROM ex WHERE url <> '')"""
 
   /** The q176/q177 shared oracle: q174's probe expansion carrying the
     * host, joined to the PARSED per-host rule table on (host, key) —

@@ -65,4 +65,23 @@ class BpeSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(counts(1L) == 11L)
   }
+
+  test("byte pieces round-trip: unhex(join(pieces)) == word, non-ASCII") {
+    import org.apache.spark.sql.functions._
+    // multi-byte UTF-8 (é, ö, —) proves the hex-pair construction is
+    // exact for any byte string, the property that makes byte-level
+    // BPE total — no unknown-symbol escape hatch
+    val docs = Seq((1L, "héllo wörld — café héllo")).toDF("doc_id", "text")
+    val merges = Bpe.trainByteMerges(docs, "text", nMerges = 4)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+      .map(m => (m._2, m._3)).toSeq
+    val rt = Bpe.applyByteMerges(docs, "text", merges)
+      .groupBy(col("word"))
+      .agg(array_join(transform(array_sort(collect_list(
+        struct(col("pos"), col("sym")))), x => x.getField("sym")), "")
+        .as("hx"))
+      .select(col("word"), decode(unhex(col("hx")), "UTF-8").as("rt"))
+    assert(rt.count() > 0)
+    assert(rt.filter(col("rt") =!= col("word")).count() == 0)
+  }
 }
