@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{Bm25, Boilerplate, Decontaminate, Dsir, LogReg,
-  Retrieval, Similarity, TopK}
+  PreferencePairs, Retrieval, Similarity, TopK}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -413,6 +413,27 @@ object CurationOps {
       // from zero weights); any fixed threshold is engine-exact
       logRegScored(s, d).select(col("doc_id"), col("quality"),
         (col("quality") >= 0.4765).as("keep"))),
+
+    // Margin-based preference-PAIR mining — the reward-model / DPO
+    // data-construction step over q140's pointwise scores: inside
+    // each (source, shard) stratum the i-th best doc pairs with the
+    // i-th worst, kept when the gap clears 2e-3 on the 1e-9 grid
+    // (~the median stratum gap, so both verdicts stay live: 116 of
+    // 215 raw pairs survive at sf0.01). Shards are md5 buckets —
+    // window partitions are corpus/(sources·8), never corpus-wide —
+    // and gaps are exact long arithmetic (see PreferencePairs).
+    "q181_preference_pairs" -> ((s, d) => {
+      val scored = logRegScored(s, d)
+        .join(Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"),
+          floor(col("quality") * 1e9 + 0.5).cast("long").as("q9"))
+      PreferencePairs.mine(scored, "doc_id", "source", "q9",
+          nShards = 8, marginQ = 2000000L)
+        .select(col("stratum").as("source"), col("shard"),
+          col("pair_rank"), col("chosen_id"), col("rejected_id"),
+          col("gap_q").as("gap_q9"))
+    }),
 
     // Reliability diagram for the q93/q140 classifier — the eval that
     // tells you whether "quality 0.48" MEANS 48%: fixed-width percent
@@ -1173,6 +1194,32 @@ object CurationOps {
     "q140_quality_inference" ->
       s"""WITH sc AS ($logRegScoredSql)
           SELECT doc_id, quality, quality >= 0.4765 AS keep FROM sc""",
+
+    // Mirrors PreferencePairs.mine over the shared logRegScoredSql
+    // chain: md5 shard buckets, (q9 DESC, doc_id) rank, the
+    // best↔worst rank-symmetric match with the odd-n middle excluded
+    // (b.rb·2 ≤ n), margin inclusive.
+    "q181_preference_pairs" ->
+      s"""WITH sc AS ($logRegScoredSql),
+          d AS (SELECT doc_id, source FROM documents),
+          j AS (SELECT sc.doc_id, d.source,
+                  CAST(floor(quality * 1e9 + 0.5) AS BIGINT) AS q9,
+                  CAST('0x' || substr(md5('pp|' || CAST(sc.doc_id AS VARCHAR)),
+                       1, 8) AS BIGINT) % 8 AS shard
+                FROM sc JOIN d USING (doc_id)),
+          r AS (SELECT *,
+                  row_number() OVER (PARTITION BY source, shard
+                                     ORDER BY q9 DESC, doc_id) AS rb,
+                  count(*) OVER (PARTITION BY source, shard) AS n
+                FROM j)
+          SELECT b.source, CAST(b.shard AS BIGINT) AS shard,
+                 CAST(b.rb AS BIGINT) AS pair_rank,
+                 b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+                 b.q9 - w.q9 AS gap_q9
+          FROM r b JOIN r w
+            ON b.source = w.source AND b.shard = w.shard
+           AND w.rb = b.n - b.rb + 1
+          WHERE b.rb * 2 <= b.n AND b.q9 - w.q9 >= 2000000""",
 
     "q165_calibration" ->
       s"""WITH sc AS ($logRegScoredSql),

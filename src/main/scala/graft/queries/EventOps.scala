@@ -18,6 +18,7 @@ import org.apache.spark.sql.types.DecimalType
 object EventOps {
 
   private val gapUs = 30L * 60 * 1000 * 1000 // 30-minute session gap
+  private val ctxGapUs = 24L * 3600 * 1000 * 1000 // q182 chat-session gap
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Time-series gap fill + LOCF — densify each user's hourly series
@@ -131,6 +132,22 @@ object EventOps {
                  struct(col("ts_us"), col("event_id"), col("event_type")))),
                x => x.getField("event_type")), "->").as("trajectory"))
     }),
+
+    // Chat-format rendering + context-window truncation — the SFT
+    // serialization step after q161's assembly (see ChatRender): a
+    // 24 h gap (chat boundaries, not the 30-min analytics gap) so
+    // sessions get long enough that the 24-token budget truncates
+    // ~1/3 of them at every sf; per-turn token counts are DECLARED
+    // (1 + k mod 5 from the props payload — at 100 TB they come from
+    // the tokenizer, not the renderer). One shuffle end to end.
+    "q182_chat_render" -> ((s, d) =>
+      graft.operators.ChatRender.render(
+        Tables.load(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"), col("event_type"),
+            (lit(1L) + pmod(get_json_object(col("props"), "$.k")
+              .cast("long"), lit(5L))).as("turn_tokens")),
+        gapUs = ctxGapUs, budgetTokens = 24L)),
 
     // The BUILT-IN gap sessionization (Catalyst SessionWindow, the same
     // operator Structured Streaming uses for streaming sessions) next
@@ -519,6 +536,51 @@ object EventOps {
                  string_agg(event_type, '->' ORDER BY ts_us, event_id)
                    AS trajectory
           FROM c GROUP BY user_id, session_id""",
+
+    // Mirrors ChatRender.render: the q161 sessionize chain at the
+    // 24 h gap, a suffix token-sum window (newest first, boundary
+    // inclusive), row_number over the KEPT turns for the role
+    // alternation, string_agg in (ts, event_id) order ≡ the Spark
+    // side's array_sort + indexed transform. Every session keeps ≥ 1
+    // turn here (max turn 5 tokens < 24), so the inner join is total.
+    "q182_chat_render" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type,
+                            epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                            CAST(json_extract(props, '$$.k') AS BIGINT) AS k
+                     FROM events),
+          l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id) AS prev_us FROM e),
+          f AS (SELECT *, CASE WHEN prev_us IS NULL
+                                 OR ts_us - prev_us > $ctxGapUs
+                               THEN 1 ELSE 0 END AS new_s FROM l),
+          c AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id FROM f),
+          t AS (SELECT user_id, session_id, event_id, ts_us, event_type,
+                  1 + k % 5 AS turn_tokens FROM c),
+          sfx AS (SELECT *, sum(turn_tokens)
+                    OVER (PARTITION BY user_id, session_id
+                          ORDER BY ts_us DESC, event_id DESC
+                          ROWS UNBOUNDED PRECEDING) <= 24 AS keep
+                  FROM t),
+          kr AS (SELECT *, row_number()
+                   OVER (PARTITION BY user_id, session_id
+                         ORDER BY ts_us, event_id) AS ki
+                 FROM sfx WHERE keep),
+          agg AS (SELECT user_id, session_id,
+                    CAST(count(*) AS BIGINT) AS n_turns_kept,
+                    CAST(sum(turn_tokens) AS BIGINT) AS tokens_kept,
+                    string_agg(CASE WHEN ki % 2 = 1 THEN 'user: '
+                                    ELSE 'assistant: ' END || event_type,
+                               chr(10) ORDER BY ts_us, event_id) AS rendered
+                  FROM kr GROUP BY user_id, session_id),
+          tot AS (SELECT user_id, session_id,
+                    CAST(count(*) AS BIGINT) AS n_turns_total
+                  FROM sfx GROUP BY user_id, session_id)
+          SELECT t2.user_id, CAST(t2.session_id AS BIGINT) AS session_id,
+                 t2.n_turns_total, a.n_turns_kept, a.tokens_kept, a.rendered
+          FROM tot t2 JOIN agg a
+            ON t2.user_id = a.user_id AND t2.session_id = a.session_id""",
 
     "q36_salted_agg" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,

@@ -192,7 +192,53 @@ object NormalizeOps {
     "q179_recrawl_plan" -> ((s, d) =>
       Sitemap.recrawlPlan(
         Sitemap.parse(sitemapBodiesDf(s, d), "host", "sitemap"),
-        crawlStateDf(s, d)))
+        crawlStateDf(s, d))),
+
+    // Crawl-frontier SCHEDULING — the planning capstone that closes
+    // the crawl loop: sitemap discovery (q178) → recrawl triage
+    // (q179) → robots admission (q177's projection form) → per-host
+    // politeness budget. Priority is new-before-stale, then most
+    // recent change first, page number as the deterministic tie; the
+    // budget is the bounded TopK AGGREGATE (≤ k rows per host per
+    // mapper — never a corpus window), so the whole plan is
+    // equi-joins + one bounded agg: the 100 TB frontier shape.
+    // Blocked hosts (the star-only robots class) contribute zero
+    // fetches; the 4th slot only exists where a stale candidate
+    // survived admission, so both priority classes stay value-pinned
+    // (5 hosts carry ≥ 2 stale candidates — the recency ordering
+    // within 'stale' decides slot 4).
+    "q180_frontier_schedule" -> ((s, d) => {
+      val plan = Sitemap.recrawlPlan(
+        Sitemap.parse(sitemapBodiesDf(s, d), "host", "sitemap"),
+        crawlStateDf(s, d))
+      val cand = plan.filter(col("status") =!= "fresh")
+        .withColumn("path",
+          regexp_replace(col("url"), "^https://[^/]*", ""))
+      val rules = Robots.selectRules(
+          Robots.parseDirectives(robotsBodiesDf(s, d), "host", "robots"),
+          uaToken = "GraftBot")
+        .groupBy(col("host"))
+        .agg(sort_array(collect_list(struct(col("rule"), col("action"))))
+          .as("_rules"))
+        .withColumnRenamed("host", "_rh")
+      val matched =
+        HostRules.robotsPathMatchCols(col("path"), col("_rules"), "allow")
+      val adm = cand.join(rules, col("host") === col("_rh"), "left")
+        .select(col("host") +: col("url") +: col("status") +:
+          col("lastmod") +: matched: _*)
+        .filter(col("action") === "allow")
+      val pri = adm.select(col("host"),
+        (when(col("status") === "new", 100).otherwise(0) +
+          coalesce(substring(col("lastmod"), 9, 2).cast("int"), lit(0)))
+          .cast("double").as("ord"),
+        regexp_extract(col("url"), "/p(\\d+)$", 1).cast("long").as("tie"))
+      TopK.perKeyDesc(pri, "host", "ord", "tie", k = 4)
+        .select(col("host"),
+          concat(lit("https://"), col("host"), lit("/p"),
+            col("tie").cast("string")).as("url"),
+          when(col("ord") >= 100, "new").otherwise("stale").as("status"),
+          col("rank").as("fetch_order"))
+    })
   )
 
   /** The q178/q179 sitemap fixture: one XML body per host, 10 urls,
@@ -551,17 +597,70 @@ object NormalizeOps {
 
     "q179_recrawl_plan" ->
       s"""WITH $sitemapEntriesSql,
-          st AS (SELECT 'https://' || host || '/p' || CAST(t.i AS VARCHAR)
-                   AS url,
-                 '2026-08-' || lpad(CAST((sn * 2 + t.i * 5) % 28 + 1
-                   AS VARCHAR), 2, '0') AS last_fetch
-                 FROM sm, unnest(range(0, 7)) AS t(i))
+          $crawlStateSql
           SELECT e.host, e.url, e.lastmod, st.last_fetch,
                  CASE WHEN st.last_fetch IS NULL THEN 'new'
                       WHEN e.lastmod IS NOT NULL
                            AND e.lastmod > st.last_fetch THEN 'stale'
                       ELSE 'fresh' END AS status
           FROM entries e LEFT JOIN st USING (url)""",
+
+    // Frontier scheduling: the q179 plan CTEs, the q175 parse chain,
+    // and the q176 probe expansion (keyed by url) compose verbatim —
+    // a regression in ANY crawl stage breaks this capstone's hash as
+    // well as its own. The budget window mirrors TopK.perKeyDesc's
+    // (ord desc, tie asc) exactly.
+    "q180_frontier_schedule" ->
+      raw"""WITH $sitemapEntriesSql,
+          $crawlStateSql,
+          $robotsBodiesSql,
+          $robotsParseSql,
+          pl AS (SELECT e.host, e.url, e.lastmod,
+                   CASE WHEN st.last_fetch IS NULL THEN 'new'
+                        WHEN e.lastmod IS NOT NULL
+                             AND e.lastmod > st.last_fetch THEN 'stale'
+                        ELSE 'fresh' END AS status
+                 FROM entries e LEFT JOIN st USING (url)),
+          cd AS (SELECT host, url, lastmod, status,
+                   regexp_replace(url, '^https://[^/]*', '') AS path
+                 FROM pl WHERE status <> 'fresh'),
+          fp AS (SELECT url, host, path,
+                   string_split(regexp_replace(path, '^/', ''), '/') AS parts
+                 FROM cd),
+          fx AS (SELECT url, host, len(parts) AS n, t.m AS m,
+                   '/' || coalesce(array_to_string(
+                     list_transform(range(1, CAST(t.m AS INTEGER) + 1),
+                       j -> CASE WHEN (s.mask >> CAST(j - 1 AS INTEGER)) & 1 = 1
+                                 THEN '*'
+                                 ELSE parts[CAST(j AS INTEGER)] END), '/'), '')
+                     AS key0
+                 FROM fp, unnest(range(0, len(parts) + 1)) AS t(m),
+                      unnest(range(0, 1 << CAST(t.m AS INTEGER))) AS s(mask)),
+          fk AS (SELECT url, host, key0 AS key FROM fx
+                 UNION ALL
+                 SELECT url, host, key0 || '$$' FROM fx WHERE m = n),
+          fm AS (SELECT url, rule, action,
+                   row_number() OVER (PARTITION BY url ORDER BY
+                     length(replace(replace(rule, '*', ''), '$$', '')) DESC,
+                     length(rule) - length(replace(rule, '*', '')) ASC,
+                     CASE WHEN action = 'allow' THEN 0 ELSE 1 END, rule) AS rn
+                 FROM fk JOIN rules
+                   ON fk.host = rules.host AND fk.key = rules.rule),
+          fb AS (SELECT url, action FROM fm WHERE rn = 1),
+          adm AS (SELECT cd.* FROM cd LEFT JOIN fb USING (url)
+                  WHERE coalesce(fb.action, 'allow') = 'allow'),
+          pri AS (SELECT host, url, status,
+                   CAST((CASE WHEN status = 'new' THEN 100 ELSE 0 END)
+                        + coalesce(CAST(substr(lastmod, 9, 2) AS INTEGER), 0)
+                      AS DOUBLE) AS ord,
+                   CAST(regexp_extract(url, '/p(\d+)$$', 1) AS BIGINT) AS tie
+                  FROM adm),
+          rk AS (SELECT host, url, status,
+                   row_number() OVER (PARTITION BY host
+                                      ORDER BY ord DESC, tie) AS rn
+                 FROM pri)
+          SELECT host, url, status, CAST(rn AS BIGINT) AS fetch_order
+          FROM rk WHERE rn <= 4""",
 
     "q172_etld1" -> etld1Sql,
 
@@ -606,6 +705,15 @@ object NormalizeOps {
           entries AS (SELECT host, url,
                         CASE WHEN lm = '' THEN NULL ELSE lm END AS lastmod
                       FROM ex WHERE url <> '')"""
+
+  /** The q179/q180 crawl-state fixture as a CTE `st(url, last_fetch)`
+    * — mirrors [[crawlStateDf]]. */
+  private lazy val crawlStateSql: String =
+    """st AS (SELECT 'https://' || host || '/p' || CAST(t.i AS VARCHAR)
+                   AS url,
+                 '2026-08-' || lpad(CAST((sn * 2 + t.i * 5) % 28 + 1
+                   AS VARCHAR), 2, '0') AS last_fetch
+                 FROM sm, unnest(range(0, 7)) AS t(i))"""
 
   /** The q176/q177 shared oracle: q174's probe expansion carrying the
     * host, joined to the PARSED per-host rule table on (host, key) —
