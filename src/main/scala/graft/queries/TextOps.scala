@@ -246,6 +246,82 @@ object TextOps {
       Dedup.connectedComponents(pairs)
     }),
 
+    // Cluster-CANONICAL selection — the survivor policy a dedup
+    // rewrite actually applies: within each near-dup cluster keep the
+    // LONGEST member (most complete copy; ties → min doc_id), emit
+    // every doc with its verdict + the kept member it defers to.
+    // Singletons are their own cluster (coalesce to doc_id), so the
+    // output covers the WHOLE corpus and `keep` is the rewrite's
+    // filter column. The ranking window partitions by cluster —
+    // dup-cluster-sized (pairs/triples), never corpus-wide. The edge
+    // corpus's bit-identical pair pins the equal-length tie-break.
+    "q183_cluster_canonical" -> ((s, d) => {
+      val docs = Tables.documentsWithEdges(s, d)
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text")
+        .select(col("id_a"), col("id_b"))
+      val labeled = docs.select(col("doc_id"), col("n_chars"))
+        .join(Dedup.connectedComponents(pairs), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val wFull = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      labeled
+        .withColumn("keep", row_number().over(w) === 1)
+        .withColumn("kept_doc_id", first(col("doc_id")).over(wFull))
+        .select(col("doc_id"), col("cluster_id"), col("n_chars"),
+          col("keep"), col("kept_doc_id"))
+    }),
+
+    // Leakage-safe train/eval SPLIT: the unit of assignment is the
+    // near-dup CLUSTER, not the doc — a doc-level hash split puts
+    // near-identical copies on both sides and the eval set silently
+    // scores memorization. Split = md5 of the CLUSTER id (90/10), so
+    // every member inherits its cluster's side by construction; the
+    // naive doc-level split column rides along for q185's audit.
+    "q184_leakage_safe_split" -> ((s, d) => {
+      val docs = Tables.documentsWithEdges(s, d)
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text")
+        .select(col("id_a"), col("id_b"))
+      def side(tag: String, c: org.apache.spark.sql.Column) =
+        when(pmod(conv(substring(md5(concat(lit(tag), c.cast("string"))),
+          1, 8), 16, 10).cast("long"), lit(100L)) < 90L, "train")
+          .otherwise("eval")
+      docs.select(col("doc_id"))
+        .join(Dedup.connectedComponents(pairs), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .select(col("doc_id"), col("cluster_id"),
+          side("split|", col("cluster_id")).as("split"),
+          side("split|", col("doc_id")).as("naive_split"))
+    }),
+
+    // The leakage AUDIT (q139/q143 measurement-query class): how many
+    // multi-doc clusters STRADDLE the split under each policy, and
+    // how many eval docs have a train-side near-dup (the
+    // memorization-contamination count). Cluster-keyed split is
+    // straddle-free BY CONSTRUCTION — measured as a 0 in data, not
+    // claimed in a comment; the naive doc-hash split leaks.
+    "q185_split_leakage_audit" -> ((s, d) => {
+      val assigned = queries("q184_leakage_safe_split")(s, d)
+      val perCluster = assigned.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("split")).as("n_sides_cluster"),
+          countDistinct(col("naive_split")).as("n_sides_naive"),
+          sum(when(col("naive_split") === "eval", 1L).otherwise(0L))
+            .as("n_eval_naive"))
+        .filter(col("n_docs") > 1)
+      perCluster.agg(
+        count(lit(1)).as("n_multi_clusters"),
+        sum(when(col("n_sides_cluster") > 1, 1L).otherwise(0L))
+          .as("n_straddling_cluster_split"),
+        sum(when(col("n_sides_naive") > 1, 1L).otherwise(0L))
+          .as("n_straddling_naive_split"),
+        sum(when(col("n_sides_naive") > 1, col("n_eval_naive"))
+          .otherwise(0L)).as("n_contaminated_eval_docs_naive"))
+    }),
+
     // Incremental cluster maintenance: stored corpus clusters (doc_id
     // ≥ 100) + one batch's near-dup pairs (batch-internal exact +
     // batch-vs-corpus slot-agreement, q116's split) folded in with
@@ -800,6 +876,40 @@ object TextOps {
         ${minhashVerifySql("", "")}
         SELECT id_a, id_b, jaccard FROM pairs"""
 
+  /** q44's reachability closure over a `pairs(id_a, id_b)` CTE →
+    * `cl(doc_id, cluster_id)` — factored so q183/q184/q185 compose
+    * the identical closure (must sit under WITH RECURSIVE). */
+  private lazy val dupClosureSql: String =
+    """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION ALL
+                    SELECT id_b AS src, id_a AS dst FROM pairs),
+          nodes AS (SELECT DISTINCT src AS id FROM edges),
+          reach AS (
+            SELECT id AS src, id AS dst FROM nodes
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+          ),
+          cl AS (SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
+                 FROM reach GROUP BY src)"""
+
+  /** q184's split assignment over `cl` — whole-corpus labels
+    * (singletons coalesce to their own id), cluster-keyed split plus
+    * the naive doc-keyed split for the q185 audit. */
+  private lazy val splitAssignCtes: String =
+    s"""dl AS (${Tables.documentsWithEdgesSql}),
+          asg AS (SELECT doc_id, cluster_id,
+                    CASE WHEN CAST('0x' || substr(md5('split|' ||
+                           CAST(cluster_id AS VARCHAR)), 1, 8) AS BIGINT)
+                           % 100 < 90
+                         THEN 'train' ELSE 'eval' END AS split,
+                    CASE WHEN CAST('0x' || substr(md5('split|' ||
+                           CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                           % 100 < 90
+                         THEN 'train' ELSE 'eval' END AS naive_split
+                  FROM (SELECT dl.doc_id,
+                          coalesce(cl.cluster_id, dl.doc_id) AS cluster_id
+                        FROM dl LEFT JOIN cl ON dl.doc_id = cl.doc_id) a)"""
+
   /** [[graft.operators.Bpe.Gpt2PretokenRe]] as a DuckDB string literal
     * (apostrophes doubled). */
   private[queries] lazy val gpt2ReSql: String =
@@ -1178,17 +1288,60 @@ object TextOps {
 
     "q44_dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
-          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                    UNION ALL
-                    SELECT id_b AS src, id_a AS dst FROM pairs),
-          nodes AS (SELECT DISTINCT src AS id FROM edges),
-          reach AS (
-            SELECT id AS src, id AS dst FROM nodes
-            UNION
-            SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
-          )
-          SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
-          FROM reach GROUP BY src""",
+          $dupClosureSql
+          SELECT doc_id, cluster_id FROM cl""",
+
+    // Canonical selection mirrored over the SAME closure: coalesce
+    // singletons to their own id, rank per cluster by (n_chars DESC,
+    // doc_id), keeper = rank 1 / first_value over the full frame.
+    "q183_cluster_canonical" ->
+      s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+          $dupClosureSql,
+          dl AS (${Tables.documentsWithEdgesSql}),
+          lab AS (SELECT dl.doc_id, dl.n_chars,
+                    coalesce(cl.cluster_id, dl.doc_id) AS cluster_id
+                  FROM dl LEFT JOIN cl ON dl.doc_id = cl.doc_id),
+          rk AS (SELECT doc_id, cluster_id, n_chars,
+                   row_number() OVER (PARTITION BY cluster_id
+                     ORDER BY n_chars DESC, doc_id) AS rn,
+                   first_value(doc_id) OVER (PARTITION BY cluster_id
+                     ORDER BY n_chars DESC, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS kept_doc_id
+                 FROM lab)
+          SELECT doc_id, cluster_id, n_chars, rn = 1 AS keep, kept_doc_id
+          FROM rk""",
+
+    "q184_leakage_safe_split" ->
+      s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+          $dupClosureSql,
+          $splitAssignCtes
+          SELECT doc_id, cluster_id, split, naive_split FROM asg""",
+
+    // The audit aggregates over multi-doc clusters only; the
+    // cluster-keyed straddle count is a measured 0 (by construction),
+    // the naive doc-hash straddle/contamination counts are the
+    // leakage a doc-level split would ship.
+    "q185_split_leakage_audit" ->
+      s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+          $dupClosureSql,
+          $splitAssignCtes,
+          pc AS (SELECT cluster_id, count(*) AS n_docs,
+                   count(DISTINCT split) AS n_sides_cluster,
+                   count(DISTINCT naive_split) AS n_sides_naive,
+                   sum(CASE WHEN naive_split = 'eval' THEN 1 ELSE 0 END)
+                     AS n_eval_naive
+                 FROM asg GROUP BY cluster_id
+                 HAVING count(*) > 1)
+          SELECT CAST(count(*) AS BIGINT) AS n_multi_clusters,
+                 CAST(sum(CASE WHEN n_sides_cluster > 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_straddling_cluster_split,
+                 CAST(sum(CASE WHEN n_sides_naive > 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_straddling_naive_split,
+                 CAST(sum(CASE WHEN n_sides_naive > 1 THEN n_eval_naive
+                          ELSE 0 END) AS BIGINT)
+                   AS n_contaminated_eval_docs_naive
+          FROM pc""",
 
     "q130_export_manifest" ->
       """SELECT CAST(CAST('0x' || substr(md5('sh|' || CAST(doc_id AS VARCHAR)), 1, 4)
