@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming frontier cycles ≡ the batch schedule on the same
+  * candidates: each (cycle, host) emits its top-k exactly once at
+  * window close, the budget holds under backlog bigger than k, and a
+  * late-but-in-watermark candidate still wins its slot. */
+class FrontierStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+
+  test("stream cycles ≡ batch; budget holds; in-watermark late row competes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("frontier-src").toString
+    // cycle = 10 min. h1 has 5 candidates in cycle 0 (budget 3);
+    // h2 has 2; cycle 1 has fresh arrivals for both hosts.
+    val batch1 = Seq(
+      (ts(1), "h1", 100.0, 7L), (ts(2), "h1", 100.0, 8L),
+      (ts(3), "h1", 103.0, 9L), (ts(4), "h1", 12.0, 3L),
+      (ts(5), "h2", 100.0, 7L), (ts(6), "h2", 5.0, 0L),
+      (ts(11), "h1", 100.0, 17L))
+    // late-but-in-watermark: lands in cycle 0 AFTER cycle-1 rows exist
+    // (watermark = 10 min holds cycle 0 open), and its ord outranks
+    // the stale candidate already there
+    val batch2 = Seq((ts(7), "h1", 101.0, 5L), (ts(12), "h2", 100.0, 17L))
+    // sentinels push the watermark past every cycle so all close
+    val batch3 = Seq((ts(60), "hx", 1.0, 1L))
+    val batch4 = Seq((ts(61), "hx", 1.0, 2L))
+
+    def write(rows: Seq[(java.sql.Timestamp, String, Double, Long)]): Unit =
+      rows.toDF("ts", "host", "ord", "tie")
+        .write.mode("append").parquet(dir)
+
+    write(batch1)
+    val streamed = spark.readStream
+      .schema("ts TIMESTAMP, host STRING, ord DOUBLE, tie BIGINT")
+      .parquet(dir)
+    val q = FrontierStream.scheduleCycles(streamed, "10 minutes",
+        "10 minutes", k = 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("frontier_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      write(batch2); q.processAllAvailable()
+      write(batch3); q.processAllAvailable()
+      write(batch4); q.processAllAvailable()
+
+      val got = spark.table("frontier_out")
+        .filter(col("host") =!= "hx")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(2), r.getDouble(3),
+          r.getLong(4), r.getLong(5))).toSet
+
+      val all = (batch1 ++ batch2).toDF("ts", "host", "ord", "tie")
+      val want = FrontierStream.scheduleCyclesBatch(all, "10 minutes", 3)
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(2), r.getDouble(3),
+          r.getLong(4), r.getLong(5))).toSet
+      assert(got == want)
+
+      // budget: h1 cycle 0 had 6 candidates, exactly 3 scheduled,
+      // and the late 101.0 row beat the 100.0 ones on priority
+      val h1c0 = got.filter(g => g._2 == "h1" && g._1 == ts(0))
+      assert(h1c0.size == 3)
+      assert(h1c0.map(_._3) == Set(103.0, 101.0, 100.0))
+      // the 100.0 tie went to the lowest tie id (7)
+      assert(h1c0.find(_._3 == 100.0).get._4 == 7L)
+    } finally q.stop()
+  }
+}
