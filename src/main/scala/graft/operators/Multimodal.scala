@@ -181,6 +181,86 @@ object Multimodal {
       })
   }
 
+  /** Resize output row: input + output geometry, the ROUNDTRIPPED
+    * output raster's exact mean luma (computed from the re-decoded
+    * resized PNG, so the stats prove the re-encode is a real lossless
+    * image, not just the subsample arithmetic), and the re-encoded
+    * bytes. Quarantine: (-1 geometry, luma -1, empty media). */
+  final case class ResizedImage(
+      id: Long, format: String, w_in: Int, h_in: Int, w_out: Int,
+      h_out: Int, mean_luma_out_x1000: Long, media_out: Array[Byte])
+
+  /** REAL image RESIZE — the multimodal transform tier between decode
+    * and feature-extract: decode the container (any JDK-readable
+    * format), nearest-neighbor downsample band 0 by an integer
+    * `factor` (out(x,y) = in(x·f, y·f) — deterministic, no
+    * interpolation arithmetic to diverge on), re-encode as a REAL PNG
+    * with the JDK writer, then decode the re-encoded bytes AGAIN and
+    * report the roundtripped raster's stats — a silently lossy
+    * re-encode cannot hash-match. Undecodable input or geometry not
+    * divisible by the factor → quarantine row.
+    *
+    * Scale shape: partition-wise map (one codec pass per row, blobs
+    * never leave their partition, memory-cached ImageIO); the output
+    * binary is factor²× smaller — the standard thumbnail/training-
+    * resolution pass before feature extraction. */
+  def resizeImage(spark: SparkSession, media: DataFrame, idCol: String,
+                  binCol: String, factor: Int): Dataset[ResizedImage] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(binCol))
+      .filter(col(idCol).isNotNull)
+      .withColumn(binCol, coalesce(col(binCol), lit(Array.empty[Byte])))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        def bad(fmt: String) =
+          ResizedImage(id, fmt, -1, -1, -1, -1, -1L, Array.empty[Byte])
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) bad("unknown")
+          else {
+            val reader = readers.next()
+            val fmt = reader.getFormatName.toLowerCase
+            try {
+              reader.setInput(iis)
+              val img = reader.read(0)
+              val (w, h) = (img.getWidth, img.getHeight)
+              if (w % factor != 0 || h % factor != 0) bad(fmt)
+              else {
+                val (ow, oh) = (w / factor, h / factor)
+                val out = new java.awt.image.BufferedImage(
+                  ow, oh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+                var i = 0
+                while (i < ow * oh) {
+                  out.getRaster.setSample(i % ow, i / ow, 0,
+                    img.getRaster.getSample((i % ow) * factor,
+                      (i / ow) * factor, 0))
+                  i += 1
+                }
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(out, "png", bos)
+                val png = bos.toByteArray
+                // roundtrip: stats come from the re-DECODED output
+                val back = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(png))
+                var sum = 0L
+                var j = 0
+                while (j < ow * oh) {
+                  sum += back.getRaster.getSample(j % ow, j / ow, 0)
+                  j += 1
+                }
+                ResizedImage(id, fmt, w, h, ow, oh,
+                  sum * 1000L / (ow.toLong * oh), png)
+              }
+            } catch { case _: Exception => bad(fmt) }
+            finally reader.dispose()
+          }
+        } finally if (iis != null) iis.close()
+      })
+  }
+
   /** Real decoded-image perceptual-hash row: the 64-bit average hash
     * (aHash) split into four 16-bit bands (band b = hash bits
     * 16b..16b+15). Undecodable/foreign-geometry bytes → all bands -1

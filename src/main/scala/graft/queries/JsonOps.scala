@@ -96,6 +96,24 @@ object JsonOps {
       Multimodal.sampleVideoFrames(s, media, "id", "media", everyN = 2).toDF()
     }),
 
+    // REAL image RESIZE (the transform tier the multimodal contract
+    // lists between decode and feature-extract): 16×8 PNG → decode →
+    // nearest-neighbor 2× downsample → re-encode as a REAL PNG →
+    // re-DECODE the output and report ITS stats — the oracle
+    // re-derives the 8×4 subsampled luma straight from the text, so a
+    // lossy or shifted re-encode breaks the hash. Map-only; the
+    // output blob (dropped here: PNG byte length is zlib-dependent,
+    // not SQL-derivable) is factor²× smaller — the thumbnail /
+    // training-resolution pass.
+    "q186_image_resize" -> ((s, d) => {
+      val media = Multimodal.encodeGrayPng(s,
+        Tables.load(s, d, "documents"), "doc_id", "text", w = 16, h = 8)
+      Multimodal.resizeImage(s, media, "id", "media", factor = 2)
+        .toDF()
+        .select(col("id"), col("format"), col("w_in"), col("h_in"),
+          col("w_out"), col("h_out"), col("mean_luma_out_x1000"))
+    }),
+
     // Perceptual-hash image near-dup (the LAION-style multimodal
     // dedup): REAL PNG roundtrip → 64-bit aHash as 4×16-bit bands →
     // banded LSH candidate join → exact hamming ≤ 8. Runs over the
@@ -240,6 +258,24 @@ object JsonOps {
                  CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
                  CAST(list_reduce(list_prepend(0, ps), (x, y) -> x + y)
                       * 1000 // 128 AS BIGINT) AS mean_luma_x1000
+          FROM px""",
+
+    // The 8×4 nearest-neighbor subsample straight from the text:
+    // output pixel (x, y) = input pixel (2x, 2y) = text byte at
+    // 0-based index 32y + 2x (row-major 16-wide), space-padded.
+    "q186_image_resize" ->
+      """WITH px AS (SELECT doc_id,
+                list_transform(range(0, 32),
+                  j -> CASE WHEN 32 * (j // 8) + 2 * (j % 8) + 1 <= strlen(text)
+                            THEN ascii(substr(text,
+                              CAST(32 * (j // 8) + 2 * (j % 8) + 1 AS INTEGER), 1))
+                            ELSE 32 END) AS ps
+           FROM documents)
+          SELECT doc_id AS id, 'png' AS format,
+                 CAST(16 AS INTEGER) AS w_in, CAST(8 AS INTEGER) AS h_in,
+                 CAST(8 AS INTEGER) AS w_out, CAST(4 AS INTEGER) AS h_out,
+                 CAST(list_reduce(list_prepend(0, ps), (x, y) -> x + y)
+                      * 1000 // 32 AS BIGINT) AS mean_luma_out_x1000
           FROM px""",
 
     "q138_audio_decode" ->

@@ -35,6 +35,14 @@ class MultimodalFuzzSpec extends AnyFunSuite {
     assert(ah.length == blobs.size)
     assert(ah.forall(h => h.b0 == -1L ||
       (Seq(h.b0, h.b1, h.b2, h.b3).forall(b => b >= 0L && b <= 65535L))))
+    // resize shares the reader walk and adds subsample + re-encode +
+    // re-decode: one row per input, quarantine = -1 geometry with an
+    // EMPTY output blob (never a partial/corrupt re-encode)
+    val rz = Multimodal.resizeImage(spark, df, "id", "media", 2).collect()
+    assert(rz.length == blobs.size)
+    assert(rz.forall(r => (r.w_out == -1 && r.media_out.isEmpty) ||
+      (r.w_out > 0 && r.h_out > 0 && r.media_out.nonEmpty &&
+        r.mean_luma_out_x1000 >= 0L)))
     assert(Multimodal.decodeAudio(spark, df, "id", "media").count()
       == blobs.size)
     assert(Multimodal.sampleVideoFrames(spark, df, "id", "media", everyN = 2)

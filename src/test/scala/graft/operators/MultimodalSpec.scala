@@ -55,6 +55,33 @@ class MultimodalSpec extends AnyFunSuite {
       "truncated body keeps the sniffed format but decodes to the error row")
   }
 
+  test("resize: exact nearest-neighbor subsample, real PNG out, geometry gate") {
+    // 6×4 ramp raster: pixel (x,y) = 10x + y. factor 2 → 3×2 keeping
+    // (0,0),(2,0),(4,0),(0,2),(2,2),(4,2) = 0,20,40,2,22,42 — sum 126,
+    // mean_x1000 = 126*1000/6 = 21000
+    val ramp = encoded("png", grayImage(6, 4)((x, y) => 10 * x + y))
+    // bmp input proves the sniffer, not just the PNG path
+    val bmp = encoded("bmp", grayImage(6, 4)((x, y) => 10 * x + y))
+    // 5×4 is not divisible by 2 → geometry quarantine
+    val odd = encoded("png", grayImage(5, 4)((_, _) => 7))
+    val df = Seq((1L, ramp), (2L, bmp), (3L, odd),
+      (4L, Array[Byte](1, 2, 3))).toDF("id", "media")
+    val out = Multimodal.resizeImage(spark, df, "id", "media", 2)
+      .collect().map(r => r.id -> r).toMap
+    for (id <- Seq(1L, 2L)) {
+      val r = out(id)
+      assert((r.w_in, r.h_in, r.w_out, r.h_out) == (6, 4, 3, 2))
+      assert(r.mean_luma_out_x1000 == 21000L)
+      // the output is a REAL standalone PNG: decode it independently
+      val back = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.media_out))
+      assert(back.getWidth == 3 && back.getHeight == 2)
+      assert(back.getRaster.getSample(1, 1, 0) == 22)
+    }
+    assert(out(3L).w_out == -1 && out(3L).media_out.isEmpty)
+    assert(out(4L).format == "unknown" && out(4L).w_out == -1)
+  }
+
   test("jpeg decodes with exact dims and plausible luma (lossy codec)") {
     val img = grayImage(16, 16)((_, _) => 128)
     val media = Seq((1L, encoded("jpg", img))).toDF("id", "media")
