@@ -478,7 +478,16 @@ object Multimodal {
     * so the caller's general decoder handles it. Values match the
     * AudioSystem path bit-for-bit: frame_length = dataLen/blockAlign,
     * amplitude over ALL interleaved samples. */
-  private def parseWavPcm16(id: Long, bytes: Array[Byte]): Option[DecodedAudio] = {
+  private def parseWavPcm16(id: Long, bytes: Array[Byte]): Option[DecodedAudio] =
+    wavPcm16Payload(bytes).map { case (rate, channels, blockAlign, pcm) =>
+      DecodedAudio(id, rate, channels, pcm.length.toLong / blockAlign,
+        meanAbsAmplitude(pcm, pcm.length))
+    }
+
+  /** The RIFF/WAVE PCM16LE header walk shared by [[parseWavPcm16]] and
+    * [[audioFrameFeatures]] → (rate, channels, blockAlign, pcm bytes). */
+  private def wavPcm16Payload(
+      bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     def le16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
     def le32(o: Int) = (bytes(o) & 0xff).toLong | ((bytes(o + 1) & 0xff).toLong << 8) |
       ((bytes(o + 2) & 0xff).toLong << 16) | ((bytes(o + 3) & 0xff).toLong << 24)
@@ -513,8 +522,68 @@ object Multimodal {
     }
     if (rate < 0 || dataOff < 0 || channels <= 0 || blockAlign <= 0) return None
     val pcm = java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + dataLen.toInt)
-    Some(DecodedAudio(id, rate, channels, dataLen / blockAlign,
-      meanAbsAmplitude(pcm, pcm.length)))
+    Some((rate, channels, blockAlign, pcm))
+  }
+
+  /** Per-frame audio feature row; quarantine = frame_idx −1. */
+  final case class AudioFrameFeatures(
+      id: Long, frame_idx: Long, n_samples: Long, energy_sum_sq: Long,
+      peak_abs: Long, zero_crossings: Long)
+
+  /** Audio FEATURE EXTRACTION — the per-frame preprocessing pass
+    * between decode and modeling (VAD gating, loudness normalization,
+    * silence trimming all key on exactly these): window the PCM into
+    * fixed `frameLen`-sample frames and emit integer-exact features —
+    * energy (Σ s², the RMS numerator), peak |s|, and frame-local zero
+    * crossings (sign flips between adjacent samples; the crossing
+    * count restarts per frame so frames are independent — no
+    * cross-frame state, embarrassingly parallel at any scale). Only
+    * complete frames are emitted (a tail shorter than `frameLen` is
+    * dropped — the standard framing contract). All features are exact
+    * long arithmetic, so a SQL oracle re-derives them bit-for-bit.
+    * Totality: undecodable bytes → one quarantine row (frame_idx −1,
+    * n_samples −1); decodable audio SHORTER than one frame → one
+    * too-short row (frame_idx −1, n_samples 0) — never a silently
+    * dropped input. Partition-wise map; blobs stay in partition. */
+  def audioFrameFeatures(spark: SparkSession, media: DataFrame,
+                         idCol: String, binCol: String,
+                         frameLen: Int): Dataset[AudioFrameFeatures] = {
+    require(frameLen >= 2, s"frameLen must be >= 2, got $frameLen")
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(binCol))
+      .filter(col(idCol).isNotNull)
+      .withColumn(binCol, coalesce(col(binCol), lit(Array.empty[Byte])))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        wavPcm16Payload(bytes) match {
+          case None =>
+            Iterator.single(AudioFrameFeatures(id, -1L, -1L, -1L, -1L, -1L))
+          case Some((_, _, _, pcm)) if pcm.length / 2 < frameLen =>
+            Iterator.single(AudioFrameFeatures(id, -1L, 0L, -1L, -1L, -1L))
+          case Some((_, _, _, pcm)) =>
+            val n = pcm.length / 2
+            def sample(i: Int): Int = {
+              val v = (pcm(2 * i) & 0xff) | ((pcm(2 * i + 1) & 0xff) << 8)
+              if (v >= 0x8000) v - 0x10000 else v
+            }
+            (0 until n / frameLen).iterator.map { f =>
+              var energy = 0L; var peak = 0L; var zc = 0L
+              var i = 0
+              while (i < frameLen) {
+                val s = sample(f * frameLen + i)
+                energy += s.toLong * s
+                if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+                if (i > 0) {
+                  val prev = sample(f * frameLen + i - 1)
+                  if ((prev < 0) != (s < 0)) zc += 1
+                }
+                i += 1
+              }
+              AudioFrameFeatures(id, f.toLong, frameLen.toLong,
+                energy, peak, zc)
+            }
+        }
+      })
   }
 
   // ---- real frame container ("video") -------------------------------

@@ -83,6 +83,20 @@ object JsonOps {
       Multimodal.decodeAudio(s, media, "id", "media").toDF()
     }),
 
+    // Audio FEATURE EXTRACTION (the per-frame tier after q138's
+    // decode): 128-sample PCM → 4 × 32-sample frames → integer-exact
+    // energy (Σ s²), peak |s|, frame-local zero crossings. Sample i =
+    // (text byte − 96)·128, so the oracle re-derives every feature
+    // straight from the text — a single lost/shifted sample in the
+    // real WAV roundtrip breaks three columns at once.
+    "q187_audio_features" -> ((s, d) => {
+      val media = Multimodal.encodePcmWav(s,
+        Tables.load(s, d, "documents"), "doc_id", "text",
+        n = 128, sampleRate = 8000)
+      Multimodal.audioFrameFeatures(s, media, "id", "media",
+        frameLen = 32).toDF()
+    }),
+
     // REAL video container roundtrip (the q137/q138 discipline): docs
     // → length-prefixed concatenated-PNG "video" (16×8 frames, one per
     // 128-byte text chunk) → demux walks the prefixes, PNG-decodes
@@ -259,6 +273,41 @@ object JsonOps {
                  CAST(list_reduce(list_prepend(0, ps), (x, y) -> x + y)
                       * 1000 // 128 AS BIGINT) AS mean_luma_x1000
           FROM px""",
+
+    // Per-frame features re-derived from the text: s(i) =
+    // (byte_i − 96)·128, frames of 32; energy/peak/zero-crossings as
+    // exact list folds (zc counts sign flips between frame-local
+    // neighbors, negative = strictly below zero on both engines).
+    "q187_audio_features" ->
+      """WITH px AS (SELECT doc_id,
+                list_transform(range(1, 129),
+                  i -> CASE WHEN i <= strlen(text)
+                            THEN ascii(substr(text, CAST(i AS INTEGER), 1))
+                            ELSE 32 END) AS ps
+           FROM documents),
+          sm AS (SELECT doc_id,
+                list_transform(ps, b -> (b - 96) * 128) AS s
+           FROM px),
+          fr AS (SELECT doc_id, t.j AS frame_idx,
+                s[CAST(32 * t.j + 1 AS INTEGER):CAST(32 * t.j + 32 AS INTEGER)]
+                  AS f
+           FROM sm, unnest(range(0, 4)) AS t(j))
+          SELECT doc_id AS id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                 CAST(32 AS BIGINT) AS n_samples,
+                 CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(f, x -> CAST(x AS BIGINT) * x)),
+                      (a, b) -> a + b) AS BIGINT) AS energy_sum_sq,
+                 CAST(list_reduce(list_prepend(0,
+                        list_transform(f, x -> abs(x))),
+                      (a, b) -> CASE WHEN b > a THEN b ELSE a END)
+                   AS BIGINT) AS peak_abs,
+                 CAST(list_reduce(list_prepend(0,
+                        list_transform(range(2, 33),
+                          i -> CASE WHEN (f[CAST(i - 1 AS INTEGER)] < 0)
+                                    <> (f[CAST(i AS INTEGER)] < 0)
+                                    THEN 1 ELSE 0 END)),
+                      (a, b) -> a + b) AS BIGINT) AS zero_crossings
+          FROM fr""",
 
     // The 8×4 nearest-neighbor subsample straight from the text:
     // output pixel (x, y) = input pixel (2x, 2y) = text byte at

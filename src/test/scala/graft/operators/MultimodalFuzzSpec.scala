@@ -45,6 +45,13 @@ class MultimodalFuzzSpec extends AnyFunSuite {
         r.mean_luma_out_x1000 >= 0L)))
     assert(Multimodal.decodeAudio(spark, df, "id", "media").count()
       == blobs.size)
+    // frame features: ≥ 1 row per input (quarantine or frames), and
+    // never more frames than bytes allow
+    val af = Multimodal.audioFrameFeatures(spark, df, "id", "media", 32)
+      .collect().groupBy(_.id)
+    assert(af.size == blobs.size)
+    blobs.zipWithIndex.foreach { case (b, i) =>
+      assert(af(i.toLong).length <= math.max(1, b.length / 64)) }
     assert(Multimodal.sampleVideoFrames(spark, df, "id", "media", everyN = 2)
       .groupByKey(_.id).count().count() == blobs.size)
   }

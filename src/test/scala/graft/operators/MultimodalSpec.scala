@@ -111,6 +111,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bad(9L).sample_rate_hz == -1 && bad(10L).sample_rate_hz == -1)
   }
 
+  test("audio frame features: exact energy/peak/zc, tail dropped, junk quarantines") {
+    import org.apache.spark.sql.functions._
+    // 5 'docs': text chars chosen so samples = (byte-96)*128 have known
+    // signs: 'a'=97 → +128, ' '=32 → -8192. Pattern "a a a ..." flips
+    // sign every char → zc = frameLen-1 within a frame.
+    val flip = "a " * 40 // 80 chars → 128 samples space-padded
+    val const = "aaaa" * 32 // all +128, zc = 0
+    val docs = Seq((1L, flip), (2L, const)).toDF("doc_id", "text")
+    val media = Multimodal.encodePcmWav(spark, docs, "doc_id", "text",
+      n = 128, sampleRate = 8000)
+    val out = Multimodal.audioFrameFeatures(spark, media, "id", "media",
+        frameLen = 32)
+      .collect().groupBy(_.id)
+    assert(out(1L).length == 4 && out(2L).length == 4)
+    val f0 = out(1L).find(_.frame_idx == 0L).get
+    // frame 0 of flip: 16×(+128) + 16×(−8192), strict alternation
+    assert(f0.zero_crossings == 31L)
+    assert(f0.peak_abs == 8192L)
+    assert(f0.energy_sum_sq == 16L * 128 * 128 + 16L * 8192 * 8192)
+    val c0 = out(2L).find(_.frame_idx == 0L).get
+    assert(c0.zero_crossings == 0L && c0.peak_abs == 128L)
+    // a 40-sample WAV at frameLen 32 emits exactly 1 frame (tail dropped)
+    val short = Multimodal.encodePcmWav(spark,
+      Seq((3L, "x")).toDF("doc_id", "text"), "doc_id", "text",
+      n = 40, sampleRate = 8000)
+    assert(Multimodal.audioFrameFeatures(spark, short, "id", "media", 32)
+      .collect().length == 1)
+    // junk bytes → one quarantine row
+    val junk = Seq((4L, Array[Byte](9, 9, 9))).toDF("id", "media")
+    val q = Multimodal.audioFrameFeatures(spark, junk, "id", "media", 32)
+      .collect()
+    assert(q.length == 1 && q.head.frame_idx == -1L)
+  }
+
   test("crafted RIFF chunk size near 2^32 terminates and quarantines") {
     // chunk sizes are untrusted 32-bit fields: 0xFFFFFFF8 as an Int is
     // -8, so the old Int-arithmetic walk advanced by 8 + (-8) = 0 and
