@@ -634,25 +634,38 @@ object TextOps {
     // the RE2-portable '[^.!?]+[.!?]*' sentence pattern, trimmed, with
     // per-sentence token counts. Map-only end to end; empty docs have
     // no sentences and emit no rows (deterministically, both engines).
-    "q156_sentences" -> ((s, d) => {
-      import graft.functions.TextFunctions._
-      val docs = Tables.documentsWithEdges(s, d)
-      val dotted = docs.select(col("doc_id"), tokens(col("text")).as("_toks"))
-        .select(col("doc_id"),
+    "q156_sentences" -> ((s, d) =>
+      sentenceRows(s, d)
+        .withColumn("n_words",
+          size(graft.functions.TextFunctions.tokens(col("sent_text")))
+            .cast("long"))),
+
+    // C4-STYLE GLOBAL SENTENCE DEDUP — the famous "discard duplicated
+    // lines/spans across the whole corpus" rewrite: every distinct
+    // sentence keeps exactly its FIRST occurrence (min packed
+    // (doc_id, sent_idx) — exact integer order, engine-identical),
+    // all later occurrences are struck, and each doc is reassembled
+    // from its surviving sentences in order. Plan: the map-only q156
+    // segmentation, ONE sentence-keyed groupBy (min pack — map-side
+    // combinable), ONE equi-join back on the sentence key, one doc
+    // groupBy — at 100 TB both heavy sides hash-partition on the
+    // sentence text, nothing is broadcast, no windows. 884 of 4112
+    // sentence occurrences at sf0.01 are duplicates, so the rewrite
+    // is exercised corpus-wide, not just on the edge pair.
+    "q188_sentence_dedup" -> ((s, d) => {
+      val sp = sentenceRows(s, d)
+        .withColumn("pk", col("doc_id") * 1000000L + col("sent_idx"))
+      val keepers = sp.groupBy(col("sent_text"))
+        .agg(min(col("pk")).as("keep_pk"))
+      sp.join(keepers, Seq("sent_text"))
+        .withColumn("kept", col("pk") === col("keep_pk"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sents"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
           array_join(transform(
-            sequence(lit(1), greatest(size(col("_toks")), lit(1)), lit(7)),
-            st => concat(array_join(slice(col("_toks"), st, lit(7)), " "),
-              lit("."))), " ").as("dotted"))
-      dotted
-        .select(col("doc_id"),
-          posexplode(filter(transform(
-            regexp_extract_all(col("dotted"),
-              lit("[^.!?]+[.!?]*"), lit(0)),
-            x => trim(x)), x => x =!= ""))
-            .as(Seq("sent_idx", "sent_text")))
-        .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"),
-          col("sent_text"),
-          size(tokens(col("sent_text"))).cast("long").as("n_words"))
+            array_sort(collect_list(when(col("kept"),
+              struct(col("sent_idx"), col("sent_text"))))),
+            x => x.getField("sent_text")), " ").as("cleaned_text"))
     }),
 
     // N-gram novelty vs a reference corpus — the memorization / leak
@@ -753,6 +766,30 @@ object TextOps {
       graft.operators.Bpe.trainByteMerges(
         Tables.load(s, d, "documents"), "text", nMerges = 8))
   )
+
+  /** The q156 sentence relation (doc_id, sent_idx, sent_text) —
+    * factored so q188's global dedup consumes the identical
+    * segmentation. Map-only: dotted text derived in-plan, RE2-portable
+    * sentence regex, empty docs emit no rows. */
+  private def sentenceRows(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val docs = Tables.documentsWithEdges(s, d)
+    val dotted = docs.select(col("doc_id"), tokens(col("text")).as("_toks"))
+      .select(col("doc_id"),
+        array_join(transform(
+          sequence(lit(1), greatest(size(col("_toks")), lit(1)), lit(7)),
+          st => concat(array_join(slice(col("_toks"), st, lit(7)), " "),
+            lit("."))), " ").as("dotted"))
+    dotted
+      .select(col("doc_id"),
+        posexplode(filter(transform(
+          regexp_extract_all(col("dotted"),
+            lit("[^.!?]+[.!?]*"), lit(0)),
+          x => trim(x)), x => x =!= ""))
+          .as(Seq("sent_idx", "sent_text")))
+      .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"),
+        col("sent_text"))
+  }
 
   // RE2-compatible PII patterns shared by q56 and its oracle
   private val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -870,6 +907,30 @@ object TextOps {
         JOIN cnt$tag cb ON cb.doc_id = i.id_b
         WHERE CAST(i.n_inter AS DOUBLE)
                 / CAST(ca.n_sh + cb.n_sh - i.n_inter AS DOUBLE) >= 0.5)"""
+
+  /** The q156 segmentation chain as CTEs ending in
+    * `f(doc_id, sent_idx, sent_text)` — shared by q156 and q188. */
+  private lazy val sentencesChainSql: String =
+    s"""docs_e AS (${Tables.documentsWithEdgesSql}),
+          t AS (SELECT doc_id, $toksSql AS w FROM docs_e),
+          dt AS (SELECT doc_id,
+                        array_to_string(list_transform(
+                          range(1, greatest(len(w), 1) + 1, 7),
+                          st -> array_to_string(
+                                  w[CAST(st AS INTEGER)
+                                    : CAST(st + 6 AS INTEGER)], ' ')
+                                || '.'), ' ') AS dotted
+                 FROM t),
+          ra AS (SELECT doc_id,
+                        regexp_extract_all(dotted, '[^.!?]+[.!?]*') AS arr
+                 FROM dt),
+          raw AS (SELECT doc_id, t2.i - 1 AS sent_idx0,
+                         trim(arr[CAST(t2.i AS INTEGER)], ' ') AS sent_text
+                  FROM ra, unnest(range(1, len(arr) + 1)) AS t2(i)),
+          f AS (SELECT doc_id, sent_text,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY sent_idx0) - 1 AS sent_idx
+                FROM raw WHERE sent_text <> '')"""
 
   private lazy val minhashPairsSql: String =
     s"""WITH $minhashPrefixSql,
@@ -1546,30 +1607,32 @@ object TextOps {
 
   private def sparseCosineOracle: Map[String, String] = Map(
     "q156_sentences" ->
-      s"""WITH docs_e AS (${Tables.documentsWithEdgesSql}),
-          t AS (SELECT doc_id, $toksSql AS w FROM docs_e),
-          dt AS (SELECT doc_id,
-                        array_to_string(list_transform(
-                          range(1, greatest(len(w), 1) + 1, 7),
-                          st -> array_to_string(
-                                  w[CAST(st AS INTEGER)
-                                    : CAST(st + 6 AS INTEGER)], ' ')
-                                || '.'), ' ') AS dotted
-                 FROM t),
-          ra AS (SELECT doc_id,
-                        regexp_extract_all(dotted, '[^.!?]+[.!?]*') AS arr
-                 FROM dt),
-          raw AS (SELECT doc_id, t2.i - 1 AS sent_idx0,
-                         trim(arr[CAST(t2.i AS INTEGER)], ' ') AS sent_text
-                  FROM ra, unnest(range(1, len(arr) + 1)) AS t2(i)),
-          f AS (SELECT doc_id, sent_text,
-                       row_number() OVER (PARTITION BY doc_id
-                                          ORDER BY sent_idx0) - 1 AS sent_idx
-                FROM raw WHERE sent_text <> '')
+      s"""WITH $sentencesChainSql
           SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx, sent_text,
                  CAST(len(list_filter(string_split_regex(sent_text, '\\s+'),
                           x -> x <> '')) AS BIGINT) AS n_words
           FROM f""",
+
+    // Global first-occurrence-wins over the SAME segmentation chain:
+    // min packed (doc_id·1e6 + sent_idx) per sentence text, join
+    // back, reassemble per doc; cleaned_text '' when every sentence
+    // was seen earlier elsewhere (Spark array_join of the empty
+    // collect ≡ the coalesce here).
+    "q188_sentence_dedup" ->
+      s"""WITH $sentencesChainSql,
+          sp AS (SELECT doc_id, sent_idx, sent_text,
+                   doc_id * 1000000 + sent_idx AS pk FROM f),
+          k AS (SELECT sent_text, min(pk) AS keep_pk FROM sp
+                GROUP BY sent_text),
+          j AS (SELECT sp.doc_id, sp.sent_idx, sp.sent_text,
+                  sp.pk = k.keep_pk AS kept
+                FROM sp JOIN k ON sp.sent_text = k.sent_text)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sents,
+                 CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+                 coalesce(string_agg(CASE WHEN kept THEN sent_text END,
+                   ' ' ORDER BY sent_idx), '') AS cleaned_text
+          FROM j GROUP BY doc_id""",
 
     "q155_ngram_novelty" -> {
       val refIn = "('src0','src1','src2','src3','src4'," +
