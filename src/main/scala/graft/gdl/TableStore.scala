@@ -1029,6 +1029,11 @@ class TableStore(spark: SparkSession, root: String,
     val lastFull = gens.lastIndexWhere(g => isFullKind(g._2))
     val dir = tableDir(table)
     val f = fs(dir)
+    // INCLUSIVE age test (mtime <= cutoff ⇒ age >= grace): gcGraceMs
+    // is a MINIMUM age, and the strict form made gcGraceMs = 0
+    // non-deterministic — a generation superseded in the same
+    // millisecond as the sweep (fast box, in-commit gc) was never
+    // reclaimable in that sweep, which flaked the zero-grace specs
     val cutoff = System.currentTimeMillis() - gcGraceMs
     // a generation's age: in pointer mode the POINTER file's mtime is
     // the commit instant (the data dir was staged earlier); in rename
@@ -1044,7 +1049,7 @@ class TableStore(spark: SparkSession, root: String,
       val winners = gens.map(_._3.getName).toSet
       rawGenerations(table).filterNot(g => winners(g._3.getName)).foreach { g =>
         try {
-          if (f.getFileStatus(g._3).getModificationTime < cutoff)
+          if (f.getFileStatus(g._3).getModificationTime <= cutoff)
             f.delete(g._3, true)
         } catch { case _: java.io.FileNotFoundException => () }
       }
@@ -1060,7 +1065,7 @@ class TableStore(spark: SparkSession, root: String,
         val parseable = nm.startsWith("g") &&
           nm.stripPrefix("g").forall(_.isDigit) &&
           readPointer(f, s.getPath).isDefined
-        if (!parseable && s.getModificationTime < cutoff)
+        if (!parseable && s.getModificationTime <= cutoff)
           try f.delete(s.getPath, false)
           catch { case _: java.io.FileNotFoundException => () }
       }
@@ -1068,7 +1073,7 @@ class TableStore(spark: SparkSession, root: String,
       if (f.exists(dir)) f.listStatus(dir)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("_data-"))
         .foreach { s =>
-          if (!referenced(s.getPath.getName) && s.getModificationTime < cutoff)
+          if (!referenced(s.getPath.getName) && s.getModificationTime <= cutoff)
             try f.delete(s.getPath, true)
             catch { case _: java.io.FileNotFoundException => () }
         }
@@ -1079,7 +1084,7 @@ class TableStore(spark: SparkSession, root: String,
     // never resolve the gen), then the data.
     def rm(g: (Long, String, Path)): Unit =
       try {
-        if (mtimeOf(g) < cutoff) {
+        if (mtimeOf(g) <= cutoff) {
           if (pointerCommits) f.delete(pointerPath(table, g._1), false)
           f.delete(g._3, true)
         }
@@ -1094,7 +1099,7 @@ class TableStore(spark: SparkSession, root: String,
     // win slot ties), silently losing every pre-comp row.
     if (lastFull > 0) {
       val fullOld =
-        try mtimeOf(gens(lastFull)) < cutoff
+        try mtimeOf(gens(lastFull)) <= cutoff
         catch { case _: java.io.FileNotFoundException => false }
       if (fullOld) gens.take(lastFull).foreach(rm)
     }
@@ -1108,7 +1113,7 @@ class TableStore(spark: SparkSession, root: String,
       TableStore.foldStart(g._2).map(c => (c, g)))
     folds.foreach { case (c, fg) =>
       val foldOld =
-        try mtimeOf(fg) < cutoff
+        try mtimeOf(fg) <= cutoff
         catch { case _: java.io.FileNotFoundException => false }
       if (foldOld)
         gens.filter(g => g._1 >= c && g._1 < fg._1).foreach(rm)

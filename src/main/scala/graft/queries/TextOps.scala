@@ -653,8 +653,14 @@ object TextOps {
     // sentence occurrences at sf0.01 are duplicates, so the rewrite
     // is exercised corpus-wide, not just on the edge pair.
     "q188_sentence_dedup" -> ((s, d) => {
+      // packed-long envelope guard (the round-4 lesson): a doc with
+      // ≥ 1e6 sentences would silently mis-order the pack — fail
+      // loudly instead (assert_true is NULL on success, free in
+      // codegen)
       val sp = sentenceRows(s, d)
-        .withColumn("pk", col("doc_id") * 1000000L + col("sent_idx"))
+        .withColumn("pk", col("doc_id") * 1000000L + col("sent_idx") +
+          coalesce(expr("assert_true(sent_idx < 1000000)").cast("long"),
+            lit(0L)))
       val keepers = sp.groupBy(col("sent_text"))
         .agg(min(col("pk")).as("keep_pk"))
       sp.join(keepers, Seq("sent_text"))
