@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.gdl.TableStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Persistent EXACT-sentence dedup state — the incremental form of
+  * the q188 C4-style rewrite: the lake keeps, per distinct sentence,
+  * the packed position of its FIRST occurrence, and each arriving
+  * batch is struck against stored ∪ batch in O(batch + one equi-join)
+  * instead of re-deduplicating the corpus.
+  *
+  * The store is append-only rows (sent_key = md5(sentence),
+  * first_pk) whose read-side combine is MIN — min is commutative,
+  * associative and idempotent, so crash-replayed refreshes, duplicate
+  * appends, and out-of-order batches all converge to the same state
+  * with NO last-wins sequencing, rival ranks, or tombstones: the
+  * whole crash-safety argument is one algebraic property. (Contrast
+  * [[NearDupIndex]], whose signature rows force drop-if-present
+  * discipline.) [[compactKeys]] collapses the physical rows back to
+  * one per key when the append tail grows — value-identical by the
+  * same property.
+  *
+  * Scale shape: refresh appends only the batch's per-key minima
+  * (map-side combinable groupBy); strike is ONE sent_key equi-join of
+  * the batch against the stored mins — both sides hash-partition on
+  * the key at 100 TB, nothing broadcasts, no windows. Input contract:
+  * `pk` is a long encoding global first-occurrence order (the q188
+  * packed (doc·1e6 + idx) with its envelope guard).
+  */
+final class SentenceIndex(store: TableStore, name: String) {
+
+  private def table = s"${name}_sentmins"
+
+  private def keyed(sents: DataFrame): DataFrame =
+    sents.withColumn("sent_key", md5(col("sent_text")))
+
+  private def perKeyMin(sents: DataFrame): DataFrame =
+    keyed(sents).groupBy(col("sent_key"))
+      .agg(min(col("pk")).as("first_pk"))
+
+  /** Seed the index from a corpus sentence relation
+    * (pk long, sent_text). Overwrite = rebuild. */
+  def build(sents: DataFrame): Unit =
+    store.overwrite(table, perKeyMin(sents))
+
+  /** Fold one batch in — O(batch): append the batch's per-key minima;
+    * the min-combine read makes replay a no-op and ordering
+    * irrelevant. */
+  def refresh(sents: DataFrame): Unit = {
+    val mins = perKeyMin(sents)
+    if (!mins.isEmpty) store.append(table, mins)
+  }
+
+  /** The logical state: one (sent_key, first_pk) row per key. */
+  def storedMins(): DataFrame =
+    store.read(table).getOrElse(throw new IllegalStateException(
+      s"sentence index '$name' has no build"))
+      .groupBy(col("sent_key")).agg(min(col("first_pk")).as("first_pk"))
+
+  /** Ingest-time verdicts for a batch sentence relation
+    * (pk, sent_text, …): `kept` iff the row IS the first occurrence
+    * across stored ∪ batch. Does not mutate state — call [[refresh]]
+    * with the same batch to commit (either order; min-combine). */
+  def strike(sents: DataFrame): DataFrame = {
+    val b = keyed(sents)
+    val merged = b.groupBy(col("sent_key"))
+      .agg(min(col("pk")).as("_batch_min"))
+      .join(storedMins(), Seq("sent_key"), "left")
+      .select(col("sent_key"),
+        least(col("_batch_min"), coalesce(col("first_pk"),
+          col("_batch_min"))).as("_min_pk"))
+    b.join(merged, Seq("sent_key"))
+      .withColumn("kept", col("pk") === col("_min_pk"))
+      .drop("sent_key", "_min_pk")
+  }
+
+  /** Physically collapse the append tail to one row per key —
+    * value-identical (min-combine) but O(distinct keys) storage. */
+  def compactKeys(): Unit = store.overwrite(table, storedMins())
+}

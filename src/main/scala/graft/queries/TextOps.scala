@@ -674,6 +674,31 @@ object TextOps {
             x => x.getField("sent_text")), " ").as("cleaned_text"))
     }),
 
+    // INCREMENTAL sentence dedup — the online form of q188 (the
+    // q116/q127 discipline): the stored corpus (doc_id < 400 — the
+    // EARLIER pks, so stored-vs-batch strikes actually fire: 73 of
+    // 824 batch sentences struck at sf0.01) lives in a real
+    // SentenceIndex (SimulatedStore: materialized once, the bench
+    // times the increment), and the batch (doc_id ≥ 400 + the edge
+    // docs) is STRUCK against stored ∪ batch in O(batch + one
+    // equi-join).
+    // The oracle is the FROM-SCRATCH rule over the whole corpus
+    // restricted to batch rows — min-combine makes the incremental
+    // path provably value-equal to rebuilding, and the hash pins it.
+    "q189_sentence_dedup_incremental" -> ((s, d) => {
+      def packed(df: DataFrame) = df.withColumn("pk",
+        col("doc_id") * 1000000L + col("sent_idx") +
+          coalesce(expr("assert_true(sent_idx < 1000000)").cast("long"),
+            lit(0L)))
+      val store = SimulatedStore.tableStore(s, d, "q189_sentidx_v2") { st =>
+        new graft.operators.SentenceIndex(st, "sd").build(
+          packed(sentenceRows(s, d).filter(col("doc_id") < 400L)))
+      }
+      val idx = new graft.operators.SentenceIndex(store, "sd")
+      idx.strike(packed(sentenceRows(s, d).filter(col("doc_id") >= 400L)))
+        .select(col("doc_id"), col("sent_idx"), col("kept"))
+    }),
+
     // N-gram novelty vs a reference corpus — the memorization / leak
     // scan (Lee et al. 2022's n-gram view of train/test overlap,
     // doc-grained): for every CURRENT-split document, how many of its
@@ -1639,6 +1664,19 @@ object TextOps {
                  coalesce(string_agg(CASE WHEN kept THEN sent_text END,
                    ' ' ORDER BY sent_idx), '') AS cleaned_text
           FROM j GROUP BY doc_id""",
+
+    // The incremental path's pin IS the from-scratch rule: global
+    // first-occurrence verdicts, batch rows only.
+    "q189_sentence_dedup_incremental" ->
+      s"""WITH $sentencesChainSql,
+          sp AS (SELECT doc_id, sent_idx, sent_text,
+                   doc_id * 1000000 + sent_idx AS pk FROM f),
+          k AS (SELECT sent_text, min(pk) AS keep_pk FROM sp
+                GROUP BY sent_text)
+          SELECT sp.doc_id, CAST(sp.sent_idx AS BIGINT) AS sent_idx,
+                 sp.pk = k.keep_pk AS kept
+          FROM sp JOIN k ON sp.sent_text = k.sent_text
+          WHERE sp.doc_id >= 400""",
 
     "q155_ngram_novelty" -> {
       val refIn = "('src0','src1','src2','src3','src4'," +
