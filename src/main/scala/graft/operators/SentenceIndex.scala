@@ -78,4 +78,17 @@ final class SentenceIndex(store: TableStore, name: String) {
   /** Physically collapse the append tail to one row per key —
     * value-identical (min-combine) but O(distinct keys) storage. */
   def compactKeys(): Unit = store.overwrite(table, storedMins())
+
+  /** One streaming micro-batch: verdicts + commit. Because the state
+    * combine is MIN, strike-then-refresh and refresh-then-strike give
+    * identical verdicts (the batch's own minima are in the merge
+    * either way), and an at-least-once REPLAY of the same batch is a
+    * verdict-identical no-op — exactly-once semantics fall out of the
+    * algebra instead of a batch-id ledger. Use from foreachBatch:
+    * `b => sink(idx.ingestBatch(b))`. */
+  def ingestBatch(sents: DataFrame): DataFrame = {
+    val v = strike(sents).localCheckpoint(eager = true)
+    refresh(sents)
+    v
+  }
 }
