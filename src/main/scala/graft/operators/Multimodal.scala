@@ -144,6 +144,34 @@ object Multimodal {
       }).toDF("id", "media")
   }
 
+  /** Run `f(format, image)` under the sniffed ImageIO reader with the
+    * input stream closed and the reader disposed on EVERY path — the
+    * fd/tmp-file discipline every image decoder here shares (three
+    * hand-rolled copies of this walk had already drifted once: the
+    * plain-decode copy leaked its stream while the aHash copy closed
+    * it — ADVICE r8's leak, now fixed at the single site). `noReader`
+    * when no installed reader claims the bytes; `onError(fmt)` for a
+    * corrupt/truncated body behind a valid magic. */
+  private def withImage[A](bytes: Array[Byte])(noReader: => A)(
+      onError: String => A)(
+      f: (String, java.awt.image.BufferedImage) => A): A = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) noReader
+      else {
+        val reader = readers.next()
+        val fmt = reader.getFormatName.toLowerCase
+        try {
+          reader.setInput(iis)
+          f(fmt, reader.read(0))
+        } catch { case _: Exception => onError(fmt) }
+        finally reader.dispose()
+      }
+    } finally if (iis != null) iis.close()
+  }
+
   /** REAL image decode: sniff the container (png/jpeg/gif/bmp) from the
     * stream, decode the raster, and reduce band 0 to an exact integer
     * mean. Bytes no JDK reader claims → ("unknown", -1, -1, -1) — a
@@ -156,27 +184,16 @@ object Multimodal {
       .withColumn(binCol, coalesce(col(binCol), lit(Array.empty[Byte])))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) DecodedImage(id, "unknown", -1, -1, -1L)
-        else {
-          val reader = readers.next()
-          val fmt = reader.getFormatName.toLowerCase
-          try {
-            reader.setInput(iis)
-            val img = reader.read(0)
-            val (w, h) = (img.getWidth, img.getHeight)
-            var sum = 0L
-            var i = 0
-            while (i < w * h) {
-              sum += img.getRaster.getSample(i % w, i / w, 0)
-              i += 1
-            }
-            DecodedImage(id, fmt, w, h, sum * 1000L / (w.toLong * h))
-          } catch { // truncated/corrupt body behind a valid magic
-            case _: Exception => DecodedImage(id, fmt, -1, -1, -1L)
-          } finally reader.dispose()
+        withImage(bytes)(DecodedImage(id, "unknown", -1, -1, -1L))(
+          fmt => DecodedImage(id, fmt, -1, -1, -1L)) { (fmt, img) =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var i = 0
+          while (i < w * h) {
+            sum += img.getRaster.getSample(i % w, i / w, 0)
+            i += 1
+          }
+          DecodedImage(id, fmt, w, h, sum * 1000L / (w.toLong * h))
         }
       })
   }
@@ -215,49 +232,36 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) =>
         def bad(fmt: String) =
           ResizedImage(id, fmt, -1, -1, -1, -1, -1L, Array.empty[Byte])
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        try {
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) bad("unknown")
+        withImage(bytes)(bad("unknown"))(bad) { (fmt, img) =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          if (w % factor != 0 || h % factor != 0) bad(fmt)
           else {
-            val reader = readers.next()
-            val fmt = reader.getFormatName.toLowerCase
-            try {
-              reader.setInput(iis)
-              val img = reader.read(0)
-              val (w, h) = (img.getWidth, img.getHeight)
-              if (w % factor != 0 || h % factor != 0) bad(fmt)
-              else {
-                val (ow, oh) = (w / factor, h / factor)
-                val out = new java.awt.image.BufferedImage(
-                  ow, oh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-                var i = 0
-                while (i < ow * oh) {
-                  out.getRaster.setSample(i % ow, i / ow, 0,
-                    img.getRaster.getSample((i % ow) * factor,
-                      (i / ow) * factor, 0))
-                  i += 1
-                }
-                val bos = new java.io.ByteArrayOutputStream()
-                javax.imageio.ImageIO.write(out, "png", bos)
-                val png = bos.toByteArray
-                // roundtrip: stats come from the re-DECODED output
-                val back = javax.imageio.ImageIO.read(
-                  new java.io.ByteArrayInputStream(png))
-                var sum = 0L
-                var j = 0
-                while (j < ow * oh) {
-                  sum += back.getRaster.getSample(j % ow, j / ow, 0)
-                  j += 1
-                }
-                ResizedImage(id, fmt, w, h, ow, oh,
-                  sum * 1000L / (ow.toLong * oh), png)
-              }
-            } catch { case _: Exception => bad(fmt) }
-            finally reader.dispose()
+            val (ow, oh) = (w / factor, h / factor)
+            val out = new java.awt.image.BufferedImage(
+              ow, oh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            var i = 0
+            while (i < ow * oh) {
+              out.getRaster.setSample(i % ow, i / ow, 0,
+                img.getRaster.getSample((i % ow) * factor,
+                  (i / ow) * factor, 0))
+              i += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            val png = bos.toByteArray
+            // roundtrip: stats come from the re-DECODED output
+            val back = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(png))
+            var sum = 0L
+            var j = 0
+            while (j < ow * oh) {
+              sum += back.getRaster.getSample(j % ow, j / ow, 0)
+              j += 1
+            }
+            ResizedImage(id, fmt, w, h, ow, oh,
+              sum * 1000L / (ow.toLong * oh), png)
           }
-        } finally if (iis != null) iis.close()
+        }
       })
   }
 
@@ -288,46 +292,29 @@ object Multimodal {
       .withColumn(binCol, coalesce(col(binCol), lit(Array.empty[Byte])))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        // the stream must be closed on EVERY path (no-reader, corrupt,
-        // success): with ImageIO's default useCache=true it can be
-        // file-backed — an fd and a tmp file per row that executors
-        // exhaust long before GC finalizes them on a large corpus
-        try {
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) DecodedImageAHash(id, "unknown", -1L, -1L, -1L, -1L)
-        else {
-          val reader = readers.next()
-          val fmt = reader.getFormatName.toLowerCase
-          try {
-            reader.setInput(iis)
-            val img = reader.read(0)
-            val (w, h) = (img.getWidth, img.getHeight)
-            if (w.toLong * h != 128L) DecodedImageAHash(id, fmt, -1L, -1L, -1L, -1L)
-            else {
-              val p = new Array[Int](128)
-              var sum = 0L
-              var i = 0
-              while (i < 128) {
-                p(i) = img.getRaster.getSample(i % w, i / w, 0)
-                sum += p(i)
-                i += 1
-              }
-              val bands = new Array[Long](4)
-              var j = 0
-              while (j < 64) {
-                if (64L * (p(2 * j) + p(2 * j + 1)) > sum)
-                  bands(j / 16) |= 1L << (j % 16)
-                j += 1
-              }
-              DecodedImageAHash(id, fmt, bands(0), bands(1), bands(2), bands(3))
+        withImage(bytes)(DecodedImageAHash(id, "unknown", -1L, -1L, -1L, -1L))(
+          fmt => DecodedImageAHash(id, fmt, -1L, -1L, -1L, -1L)) { (fmt, img) =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          if (w.toLong * h != 128L) DecodedImageAHash(id, fmt, -1L, -1L, -1L, -1L)
+          else {
+            val p = new Array[Int](128)
+            var sum = 0L
+            var i = 0
+            while (i < 128) {
+              p(i) = img.getRaster.getSample(i % w, i / w, 0)
+              sum += p(i)
+              i += 1
             }
-          } catch { // truncated/corrupt body behind a valid magic
-            case _: Exception => DecodedImageAHash(id, fmt, -1L, -1L, -1L, -1L)
-          } finally reader.dispose()
+            val bands = new Array[Long](4)
+            var j = 0
+            while (j < 64) {
+              if (64L * (p(2 * j) + p(2 * j + 1)) > sum)
+                bands(j / 16) |= 1L << (j % 16)
+              j += 1
+            }
+            DecodedImageAHash(id, fmt, bands(0), bands(1), bands(2), bands(3))
+          }
         }
-        } finally if (iis != null) iis.close()
       })
   }
 
@@ -557,6 +544,13 @@ object Multimodal {
       .mapPartitions(_.flatMap { case (id, bytes) =>
         wavPcm16Payload(bytes) match {
           case None =>
+            Iterator.single(AudioFrameFeatures(id, -1L, -1L, -1L, -1L, -1L))
+          // MONO only: framing raw interleaved stereo samples would
+          // count L-vs-R sign flips as "crossings" and halve the real
+          // frame duration — wrong features, silently. Multi-channel
+          // quarantines like undecodable bytes until a de-interleave
+          // path exists.
+          case Some((_, ch, _, _)) if ch != 1 =>
             Iterator.single(AudioFrameFeatures(id, -1L, -1L, -1L, -1L, -1L))
           case Some((_, _, _, pcm)) if pcm.length / 2 < frameLen =>
             Iterator.single(AudioFrameFeatures(id, -1L, 0L, -1L, -1L, -1L))

@@ -46,10 +46,13 @@ final class SentenceIndex(store: TableStore, name: String) {
 
   /** Fold one batch in — O(batch): append the batch's per-key minima;
     * the min-combine read makes replay a no-op and ordering
-    * irrelevant. */
+    * irrelevant. The minima are persisted across the emptiness probe
+    * and the append so the batch aggregation runs once, not twice. */
   def refresh(sents: DataFrame): Unit = {
     val mins = perKeyMin(sents)
-    if (!mins.isEmpty) store.append(table, mins)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try { if (!mins.isEmpty) store.append(table, mins) }
+    finally mins.unpersist(blocking = false)
   }
 
   /** The logical state: one (sent_key, first_pk) row per key. */
@@ -61,18 +64,22 @@ final class SentenceIndex(store: TableStore, name: String) {
   /** Ingest-time verdicts for a batch sentence relation
     * (pk, sent_text, …): `kept` iff the row IS the first occurrence
     * across stored ∪ batch. Does not mutate state — call [[refresh]]
-    * with the same batch to commit (either order; min-combine). */
+    * with the same batch to commit (either order; min-combine).
+    * NULL sent_text is a legitimate (single) key: the joins are
+    * null-safe (`<=>`, the heavy-hitters lesson — a plain equi-join
+    * would silently drop every null-text row's verdict). */
   def strike(sents: DataFrame): DataFrame = {
     val b = keyed(sents)
     val merged = b.groupBy(col("sent_key"))
       .agg(min(col("pk")).as("_batch_min"))
-      .join(storedMins(), Seq("sent_key"), "left")
-      .select(col("sent_key"),
+      .join(storedMins().withColumnRenamed("sent_key", "_sk"),
+        col("sent_key") <=> col("_sk"), "left")
+      .select(col("sent_key").as("_mk"),
         least(col("_batch_min"), coalesce(col("first_pk"),
           col("_batch_min"))).as("_min_pk"))
-    b.join(merged, Seq("sent_key"))
+    b.join(merged, col("sent_key") <=> col("_mk"))
       .withColumn("kept", col("pk") === col("_min_pk"))
-      .drop("sent_key", "_min_pk")
+      .drop("sent_key", "_mk", "_min_pk")
   }
 
   /** Physically collapse the append tail to one row per key —
@@ -84,10 +91,15 @@ final class SentenceIndex(store: TableStore, name: String) {
     * identical verdicts (the batch's own minima are in the merge
     * either way), and an at-least-once REPLAY of the same batch is a
     * verdict-identical no-op — exactly-once semantics fall out of the
-    * algebra instead of a batch-id ledger. Use from foreachBatch:
-    * `b => sink(idx.ingestBatch(b))`. */
+    * algebra instead of a batch-id ledger. The returned verdicts are
+    * LAZY and safe to consume after the refresh for the same reason:
+    * re-reading the store post-append folds the batch's own minima
+    * into the merge, which changes nothing (no checkpoint needed — an
+    * eager one per micro-batch would leak executor blocks over a
+    * long-running stream, the NOTES cache-leak class). Use from
+    * foreachBatch: `b => sink(idx.ingestBatch(b))`. */
   def ingestBatch(sents: DataFrame): DataFrame = {
-    val v = strike(sents).localCheckpoint(eager = true)
+    val v = strike(sents)
     refresh(sents)
     v
   }

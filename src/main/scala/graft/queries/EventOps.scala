@@ -541,8 +541,12 @@ object EventOps {
     // 24 h gap, a suffix token-sum window (newest first, boundary
     // inclusive), row_number over the KEPT turns for the role
     // alternation, string_agg in (ts, event_id) order ≡ the Spark
-    // side's array_sort + indexed transform. Every session keeps ≥ 1
-    // turn here (max turn 5 tokens < 24), so the inner join is total.
+    // side's array_sort + indexed transform. The kept-side join is
+    // LEFT + coalesce so a session whose newest turn alone exceeded
+    // the budget would still emit (0 kept, '') exactly like the Spark
+    // side — total by construction, not by fixture accident; the
+    // tokens mirror pmod (((k % 5) + 5) % 5) so a negative payload
+    // could not split the engines either.
     "q182_chat_render" ->
       s"""WITH e AS (SELECT event_id, user_id, event_type,
                             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
@@ -557,7 +561,7 @@ object EventOps {
                             ORDER BY ts_us, event_id
                             ROWS UNBOUNDED PRECEDING) AS session_id FROM f),
           t AS (SELECT user_id, session_id, event_id, ts_us, event_type,
-                  1 + k % 5 AS turn_tokens FROM c),
+                  1 + ((k % 5) + 5) % 5 AS turn_tokens FROM c),
           sfx AS (SELECT *, sum(turn_tokens)
                     OVER (PARTITION BY user_id, session_id
                           ORDER BY ts_us DESC, event_id DESC
@@ -578,8 +582,11 @@ object EventOps {
                     CAST(count(*) AS BIGINT) AS n_turns_total
                   FROM sfx GROUP BY user_id, session_id)
           SELECT t2.user_id, CAST(t2.session_id AS BIGINT) AS session_id,
-                 t2.n_turns_total, a.n_turns_kept, a.tokens_kept, a.rendered
-          FROM tot t2 JOIN agg a
+                 t2.n_turns_total,
+                 coalesce(a.n_turns_kept, 0) AS n_turns_kept,
+                 coalesce(a.tokens_kept, 0) AS tokens_kept,
+                 coalesce(a.rendered, '') AS rendered
+          FROM tot t2 LEFT JOIN agg a
             ON t2.user_id = a.user_id AND t2.session_id = a.session_id""",
 
     "q36_salted_agg" ->

@@ -227,16 +227,21 @@ object NormalizeOps {
         .select(col("host") +: col("url") +: col("status") +:
           col("lastmod") +: matched: _*)
         .filter(col("action") === "allow")
+      // recency key = the FULL date as yyyymmdd (≤ 99991231 < 1e9 —
+      // exact in a double), not the bare day-of-month: a day-only key
+      // would rank 07-28 above 08-05 across a month boundary. The
+      // 1e9 new-flag stays strictly above any date.
       val pri = adm.select(col("host"),
-        (when(col("status") === "new", 100).otherwise(0) +
-          coalesce(substring(col("lastmod"), 9, 2).cast("int"), lit(0)))
+        (when(col("status") === "new", 1000000000L).otherwise(0L) +
+          coalesce(translate(col("lastmod"), "-", "").cast("long"), lit(0L)))
           .cast("double").as("ord"),
         regexp_extract(col("url"), "/p(\\d+)$", 1).cast("long").as("tie"))
       TopK.perKeyDesc(pri, "host", "ord", "tie", k = 4)
         .select(col("host"),
           concat(lit("https://"), col("host"), lit("/p"),
             col("tie").cast("string")).as("url"),
-          when(col("ord") >= 100, "new").otherwise("stale").as("status"),
+          when(col("ord") >= 1000000000L, "new").otherwise("stale")
+            .as("status"),
           col("rank").as("fetch_order"))
     })
   )
@@ -650,9 +655,9 @@ object NormalizeOps {
           adm AS (SELECT cd.* FROM cd LEFT JOIN fb USING (url)
                   WHERE coalesce(fb.action, 'allow') = 'allow'),
           pri AS (SELECT host, url, status,
-                   CAST((CASE WHEN status = 'new' THEN 100 ELSE 0 END)
-                        + coalesce(CAST(substr(lastmod, 9, 2) AS INTEGER), 0)
-                      AS DOUBLE) AS ord,
+                   CAST((CASE WHEN status = 'new' THEN 1000000000 ELSE 0 END)
+                        + coalesce(CAST(replace(lastmod, '-', '') AS BIGINT),
+                                   0) AS DOUBLE) AS ord,
                    CAST(regexp_extract(url, '/p(\d+)$$', 1) AS BIGINT) AS tie
                   FROM adm),
           rk AS (SELECT host, url, status,

@@ -26,22 +26,20 @@ object FrontierStream {
 
   def scheduleCycles(cands: DataFrame, cycle: String, watermark: String,
                      k: Int): DataFrame =
-    cands
-      .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), cycle).as("cycle"), col("host"))
-      .agg(graft.operators.TopK.topK(k)(col("ord"), col("tie")).as("top"))
-      .select(col("cycle.start").as("cycle_start"),
-        col("cycle.end").as("cycle_end"), col("host"),
-        posexplode(col("top")).as(Seq("pos", "e")))
-      .select(col("cycle_start"), col("cycle_end"), col("host"),
-        col("e.ord").as("ord"), col("e.tie").as("tie"),
-        (col("pos") + 1).cast("long").as("fetch_order"))
+    budgeted(cands.withWatermark("ts", watermark), cycle, k)
 
   /** The batch equivalent over the same candidate relation — what a
     * backfill over historical cycles runs, and the value pin for the
     * stream (FrontierStreamSpec asserts stream ≡ batch row-for-row). */
   def scheduleCyclesBatch(cands: DataFrame, cycle: String,
                           k: Int): DataFrame =
+    budgeted(cands, cycle, k)
+
+  // ONE aggregation chain for both entry points: the spec's
+  // stream ≡ batch pin is only meaningful if both run the same plan —
+  // a second copy would let them drift apart silently.
+  private def budgeted(cands: DataFrame, cycle: String,
+                       k: Int): DataFrame =
     cands
       .groupBy(window(col("ts"), cycle).as("cycle"), col("host"))
       .agg(graft.operators.TopK.topK(k)(col("ord"), col("tie")).as("top"))

@@ -143,6 +143,17 @@ class MultimodalSpec extends AnyFunSuite {
     val q = Multimodal.audioFrameFeatures(spark, junk, "id", "media", 32)
       .collect()
     assert(q.length == 1 && q.head.frame_idx == -1L)
+    // STEREO quarantines: raw interleaved framing would count L-vs-R
+    // sign flips as crossings — wrong features, not a partial answer
+    val mono = media.select("media").collect()(0).getAs[Array[Byte]](0)
+    val stereo = mono.clone()
+    stereo(22) = 2 // fmt channels (LE16 low byte)
+    stereo(32) = 4 // fmt blockAlign for 2ch × 16-bit
+    val s2 = Seq((5L, stereo)).toDF("id", "media")
+    val sq = Multimodal.audioFrameFeatures(spark, s2, "id", "media", 32)
+      .collect()
+    assert(sq.length == 1 && sq.head.frame_idx == -1L &&
+      sq.head.n_samples == -1L)
   }
 
   test("crafted RIFF chunk size near 2^32 terminates and quarantines") {

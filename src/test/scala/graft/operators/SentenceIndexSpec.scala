@@ -56,6 +56,22 @@ class SentenceIndexSpec extends AnyFunSuite {
     assert(v(5L) == true)   // batch pk BELOW the stored beta@11 wins
   }
 
+  test("NULL sent_text is one legitimate key, never a dropped verdict") {
+    val idx = fresh("nulls")
+    idx.build(sents(10L -> "alpha"))
+    val batch = Seq((20L, null), (21L, null), (22L, "alpha"))
+      .toDF("pk", "sent_text")
+    val v = idx.strike(batch).collect()
+      .map(r => r.getAs[Long]("pk") -> r.getAs[Boolean]("kept")).toMap
+    // a plain equi-join would have returned NO rows for pk 20/21
+    assert(v == Map(20L -> true, 21L -> false, 22L -> false))
+    idx.refresh(batch)
+    // the null key persists and keeps striking later batches
+    val v2 = idx.strike(Seq((30L, null)).toDF("pk", "sent_text"))
+      .collect().map(r => r.getAs[Boolean]("kept"))
+    assert(v2.toSeq == Seq(false))
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
