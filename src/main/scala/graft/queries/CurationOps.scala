@@ -435,6 +435,77 @@ object CurationOps {
           col("gap_q").as("gap_q9"))
     }),
 
+    // CORPUS DATA CARD — the per-source release sheet every corpus
+    // ships with, composed from FOUR spec'd chains in one query:
+    // volume (docs/chars/tokens), sentence-duplication rate (q188's
+    // first-occurrence rule), near-dup document rate (q183's
+    // cluster-canonical rule — non-keepers), and mean classifier
+    // quality (q140's scored chain; edge docs are unscored → NULL
+    // mean, guarded on both engines). Every rate is exact integer
+    // ppm; any regression in any composed family breaks this hash
+    // ALONGSIDE the family's own oracle (the q154/q164 capstone
+    // discipline, now spanning modules).
+    "q190_corpus_card" -> ((s, d) => {
+      import graft.functions.TextFunctions._
+      val W = org.apache.spark.sql.expressions.Window
+      val docs = Tables.documentsWithEdges(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+      val sp = graft.queries.TextOps.sentenceRows(s, d)
+        .withColumn("pk", col("doc_id") * 1000000L + col("sent_idx") +
+          coalesce(expr("assert_true(sent_idx < 1000000)").cast("long"),
+            lit(0L)))
+      val keepers = sp.groupBy(col("sent_text"))
+        .agg(min(col("pk")).as("keep_pk"))
+      val sd = sp.join(keepers, Seq("sent_text"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sents"),
+          sum(when(col("pk") =!= col("keep_pk"), 1L).otherwise(0L))
+            .as("n_struck"))
+      val pairs = graft.operators.Dedup
+        .minhashLsh(Tables.documentsWithEdges(s, d), "doc_id", "text")
+        .select(col("id_a"), col("id_b"))
+      val lab = docs.select(col("doc_id"), col("source"), col("n_chars"))
+        .join(graft.operators.Dedup.connectedComponents(pairs),
+          Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val dup = lab.withColumn("rn", row_number().over(
+          W.partitionBy(col("cluster_id"))
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .groupBy(col("source"))
+        .agg(sum(when(col("rn") > 1, 1L).otherwise(0L)).as("dup_docs"))
+      val qual = docs.select(col("doc_id"), col("source"))
+        .join(logRegScored(s, d), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_scored"),
+          sum(floor(col("quality") * 1e9 + 0.5).cast("long")).as("sum_q9"))
+      val sda = docs.select(col("doc_id"), col("source"))
+        .join(sd, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_sents")).as("n_sents"),
+          sum(col("n_struck")).as("n_struck"))
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars_total"),
+          sum(col("n_tokens")).as("tokens_total"))
+        .join(sda, Seq("source"), "left")
+        .join(dup, Seq("source"), "left")
+        .join(qual, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_chars_total"),
+          col("tokens_total"),
+          coalesce(col("n_sents"), lit(0L)).as("n_sents"),
+          coalesce(col("n_struck"), lit(0L)).as("n_struck"),
+          when(coalesce(col("n_sents"), lit(0L)) > 0L,
+            expr("n_struck * 1000000L div n_sents")).otherwise(0L)
+            .as("sent_dup_ppm"),
+          coalesce(col("dup_docs"), lit(0L)).as("dup_docs"),
+          expr("coalesce(dup_docs, 0L) * 1000000L div n_docs")
+            .as("dup_doc_ppm"),
+          coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+          when(coalesce(col("n_scored"), lit(0L)) > 0L,
+            expr("sum_q9 div n_scored")).as("mean_quality_e9"))
+    }),
+
     // Reliability diagram for the q93/q140 classifier — the eval that
     // tells you whether "quality 0.48" MEANS 48%: fixed-width percent
     // bins of the predicted score vs the observed positive rate.
@@ -1194,6 +1265,69 @@ object CurationOps {
     "q140_quality_inference" ->
       s"""WITH sc AS ($logRegScoredSql)
           SELECT doc_id, quality, quality >= 0.4765 AS keep FROM sc""",
+
+    // The data card composes the factored chains verbatim:
+    // sentencesChainSql (q156/q188), minhashPairsSql + dupClosureSql
+    // (q44/q183), logRegScoredSql (q140) — the inner chains keep
+    // their own CTE scopes, the outer joins are per-source.
+    "q190_corpus_card" ->
+      s"""WITH RECURSIVE ${graft.queries.TextOps.sentencesChainSql},
+          sp AS (SELECT doc_id, sent_text,
+                   doc_id * 1000000 + sent_idx AS pk FROM f),
+          kk AS (SELECT sent_text, min(pk) AS keep_pk FROM sp
+                 GROUP BY sent_text),
+          sd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sents,
+                   CAST(sum(CASE WHEN sp.pk <> kk.keep_pk THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_struck
+                 FROM sp JOIN kk ON sp.sent_text = kk.sent_text
+                 GROUP BY doc_id),
+          pairs AS (${graft.queries.TextOps.minhashPairsSql}),
+          ${graft.queries.TextOps.dupClosureSql},
+          lab AS (SELECT d.doc_id, d.source, d.n_chars,
+                    coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+                  FROM docs_e d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+          rk AS (SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY cluster_id
+                     ORDER BY n_chars DESC, doc_id) AS rn
+                 FROM lab),
+          dup AS (SELECT source,
+                    CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS dup_docs
+                  FROM rk GROUP BY source),
+          sc AS ($logRegScoredSql),
+          tok AS (SELECT doc_id, source, n_chars,
+                    CAST(len($toksSql) AS BIGINT) AS n_tokens
+                  FROM docs_e),
+          base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+                     CAST(sum(n_tokens) AS BIGINT) AS tokens_total
+                   FROM tok GROUP BY source),
+          sda AS (SELECT t.source,
+                    CAST(sum(sd.n_sents) AS BIGINT) AS n_sents,
+                    CAST(sum(sd.n_struck) AS BIGINT) AS n_struck
+                  FROM tok t JOIN sd ON t.doc_id = sd.doc_id
+                  GROUP BY t.source),
+          qual AS (SELECT t.source, CAST(count(*) AS BIGINT) AS n_scored,
+                     CAST(sum(CAST(floor(sc.quality * 1e9 + 0.5) AS BIGINT))
+                          AS BIGINT) AS sum_q9
+                   FROM tok t JOIN sc ON t.doc_id = sc.doc_id
+                   GROUP BY t.source)
+          SELECT b.source, b.n_docs, b.n_chars_total, b.tokens_total,
+                 coalesce(s.n_sents, 0) AS n_sents,
+                 coalesce(s.n_struck, 0) AS n_struck,
+                 CASE WHEN coalesce(s.n_sents, 0) > 0
+                      THEN s.n_struck * 1000000 // s.n_sents
+                      ELSE 0 END AS sent_dup_ppm,
+                 coalesce(d2.dup_docs, 0) AS dup_docs,
+                 coalesce(d2.dup_docs, 0) * 1000000 // b.n_docs
+                   AS dup_doc_ppm,
+                 coalesce(q.n_scored, 0) AS n_scored,
+                 CASE WHEN coalesce(q.n_scored, 0) > 0
+                      THEN q.sum_q9 // q.n_scored END AS mean_quality_e9
+          FROM base b
+          LEFT JOIN sda s ON b.source = s.source
+          LEFT JOIN dup d2 ON b.source = d2.source
+          LEFT JOIN qual q ON b.source = q.source""",
 
     // Mirrors PreferencePairs.mine over the shared logRegScoredSql
     // chain: md5 shard buckets, (q9 DESC, doc_id) rank, the

@@ -802,7 +802,7 @@ object TextOps {
     * factored so q188's global dedup consumes the identical
     * segmentation. Map-only: dotted text derived in-plan, RE2-portable
     * sentence regex, empty docs emit no rows. */
-  private def sentenceRows(s: SparkSession, d: String): DataFrame = {
+  private[queries] def sentenceRows(s: SparkSession, d: String): DataFrame = {
     import graft.functions.TextFunctions._
     val docs = Tables.documentsWithEdges(s, d)
     val dotted = docs.select(col("doc_id"), tokens(col("text")).as("_toks"))
@@ -941,7 +941,7 @@ object TextOps {
 
   /** The q156 segmentation chain as CTEs ending in
     * `f(doc_id, sent_idx, sent_text)` — shared by q156 and q188. */
-  private lazy val sentencesChainSql: String =
+  private[queries] lazy val sentencesChainSql: String =
     s"""docs_e AS (${Tables.documentsWithEdgesSql}),
           t AS (SELECT doc_id, $toksSql AS w FROM docs_e),
           dt AS (SELECT doc_id,
@@ -963,7 +963,7 @@ object TextOps {
                                           ORDER BY sent_idx0) - 1 AS sent_idx
                 FROM raw WHERE sent_text <> '')"""
 
-  private lazy val minhashPairsSql: String =
+  private[queries] lazy val minhashPairsSql: String =
     s"""WITH $minhashPrefixSql,
         ${minhashVerifySql("", "")}
         SELECT id_a, id_b, jaccard FROM pairs"""
@@ -971,7 +971,7 @@ object TextOps {
   /** q44's reachability closure over a `pairs(id_a, id_b)` CTE →
     * `cl(doc_id, cluster_id)` — factored so q183/q184/q185 compose
     * the identical closure (must sit under WITH RECURSIVE). */
-  private lazy val dupClosureSql: String =
+  private[queries] lazy val dupClosureSql: String =
     """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
                     UNION ALL
                     SELECT id_b AS src, id_a AS dst FROM pairs),
