@@ -674,6 +674,52 @@ object TextOps {
             x => x.getField("sent_text")), " ").as("cleaned_text"))
     }),
 
+    // C4's rule at its TRUE grain — duplicated THREE-SENTENCE SPANS
+    // (Raffel et al. 2020 discarded any three-sentence span occurring
+    // more than once; q188's sentence grain is the stricter cousin):
+    // spans are per-doc sliding windows (lead ×2 over the bounded
+    // per-doc window), first occurrence wins on the packed order, and
+    // every sentence covered by a NON-first duplicate span occurrence
+    // is struck (span occurrences overlap, so strikes go through a
+    // distinct position set). 114 span texts / 237 occurrences are
+    // duplicated at sf0.01 — corpus-live, not edge-only. The span
+    // groupBy and join hash-partition on the span text at 100 TB;
+    // everything else is per-doc windows.
+    "q191_span_dedup" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val st = sentenceRows(s, d)
+      val w = W.partitionBy(col("doc_id")).orderBy(col("sent_idx"))
+      // Spark concat_ws SKIPS nulls (DuckDB's || propagates them), so
+      // the tail rows are filtered on lead-2 BEFORE the span is built
+      val sp = st
+        .withColumn("s1", lead(col("sent_text"), 1).over(w))
+        .withColumn("s2", lead(col("sent_text"), 2).over(w))
+        .filter(col("s2").isNotNull)
+        .select(col("doc_id"), col("sent_idx"),
+          concat_ws("\n", col("sent_text"), col("s1"), col("s2"))
+            .as("span"),
+          (col("doc_id") * 1000000L + col("sent_idx") +
+            coalesce(expr("assert_true(sent_idx < 1000000)").cast("long"),
+              lit(0L))).as("pk"))
+      val k = sp.groupBy(col("span")).agg(min(col("pk")).as("keep_pk"))
+      val removed = sp.join(k, Seq("span"))
+        .filter(col("pk") =!= col("keep_pk"))
+        .select(col("doc_id"),
+          explode(sequence(col("sent_idx"), col("sent_idx") + 2))
+            .as("sent_idx"))
+        .distinct()
+        .withColumn("_rm", lit(true))
+      st.join(removed, Seq("doc_id", "sent_idx"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sents"),
+          greatest(count(lit(1)) - 2L, lit(0L)).as("n_spans"),
+          sum(when(col("_rm"), 1L).otherwise(0L)).as("n_sents_removed"),
+          array_join(transform(
+            array_sort(collect_list(when(col("_rm").isNull,
+              struct(col("sent_idx"), col("sent_text"))))),
+            x => x.getField("sent_text")), " ").as("cleaned_text"))
+    }),
+
     // INCREMENTAL sentence dedup — the online form of q188 (the
     // q116/q127 discipline): the stored corpus (doc_id < 400 — the
     // EARLIER pks, so stored-vs-batch strikes actually fire: 73 of
@@ -1664,6 +1710,37 @@ object TextOps {
                  coalesce(string_agg(CASE WHEN kept THEN sent_text END,
                    ' ' ORDER BY sent_idx), '') AS cleaned_text
           FROM j GROUP BY doc_id""",
+
+    // Span strikes mirrored exactly: NULL-propagating || matches the
+    // Spark side's lead-2 pre-filter; overlapping occurrences strike
+    // through one DISTINCT position set.
+    "q191_span_dedup" ->
+      s"""WITH $sentencesChainSql,
+          st AS (SELECT doc_id, sent_idx, sent_text FROM f),
+          sp0 AS (SELECT doc_id, sent_idx,
+                    sent_text || chr(10)
+                      || lead(sent_text, 1) OVER w || chr(10)
+                      || lead(sent_text, 2) OVER w AS span,
+                    doc_id * 1000000 + sent_idx AS pk
+                  FROM st
+                  WINDOW w AS (PARTITION BY doc_id ORDER BY sent_idx)),
+          sp AS (SELECT * FROM sp0 WHERE span IS NOT NULL),
+          kk AS (SELECT span, min(pk) AS keep_pk FROM sp GROUP BY span),
+          rm AS (SELECT DISTINCT sp.doc_id, sp.sent_idx + t.o AS sent_idx
+                 FROM sp
+                 JOIN kk ON sp.span = kk.span AND sp.pk <> kk.keep_pk,
+                      unnest(range(0, 3)) AS t(o)),
+          fl AS (SELECT st.doc_id, st.sent_idx, st.sent_text,
+                   rm.doc_id IS NOT NULL AS rmv
+                 FROM st LEFT JOIN rm
+                   ON st.doc_id = rm.doc_id AND st.sent_idx = rm.sent_idx)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sents,
+                 CAST(greatest(count(*) - 2, 0) AS BIGINT) AS n_spans,
+                 CAST(sum(CASE WHEN rmv THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_sents_removed,
+                 coalesce(string_agg(CASE WHEN NOT rmv THEN sent_text END,
+                   ' ' ORDER BY sent_idx), '') AS cleaned_text
+          FROM fl GROUP BY doc_id""",
 
     // The incremental path's pin IS the from-scratch rule: global
     // first-occurrence verdicts, batch rows only.
