@@ -155,29 +155,84 @@ class TableStore(spark: SparkSession, root: String,
   private def pointerPath(table: String, seq: Long) =
     new Path(commitsDir(table), f"g$seq%07d")
 
-  /** Pointer files are immutable once created — cache forever. */
+  /** Pointer files are immutable once created — cache forever. Safe
+    * because a pointer PATH is never reused with different content:
+    * slots are claimed create-exclusive, and seq never goes backwards
+    * (gc only deletes SUPERSEDED generations, so the newest — which
+    * the committer's `next` derives from — always survives). Entries
+    * for pointers gc deletes are evicted via [[deletePointerQuietly]]
+    * so a long-lived driver doesn't grow the map across generations. */
   private val pointerCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]
 
-  /** Read a pointer file → (kind, data-dir name); None when the file
-    * vanished (raced gc) or is a crashed writer's torn write. */
-  private def readPointer(f: FileSystem, p: Path): Option[(String, String)] = {
+  /** The four observable states of a pointer file. The distinction that
+    * matters for safety: [[PointerTorn]] (content read fine but is
+    * malformed — a crashed writer's torn emulation-mode write) is the
+    * ONLY reclaimable state, and only once aged past the gc grace.
+    * [[PointerUnreadable]] (the read itself failed after retries)
+    * proves nothing — the pointer may be a fully COMMITTED rival whose
+    * deletion would orphan acknowledged rows for gc to silently
+    * reclaim — so it is never deleted, by anyone. */
+  private sealed trait PointerRead
+  private final case class PointerOk(kind: String, dataDir: String)
+      extends PointerRead
+  private case object PointerTorn extends PointerRead
+  private case object PointerGone extends PointerRead
+  private case object PointerUnreadable extends PointerRead
+
+  /** Read a pointer file, distinguishing torn content from a failed
+    * read (transient IO errors are retried in place first). */
+  private def readPointerState(f: FileSystem, p: Path): PointerRead = {
     val k = p.toString
     val cached = pointerCache.get(k)
-    if (cached != null) Some(cached)
-    else
+    if (cached != null) return PointerOk(cached._1, cached._2)
+    var attempt = 0
+    while (attempt < 3) {
+      attempt += 1
       try {
         val in = f.open(p)
         val content = try new String(in.readAllBytes(), "UTF-8")
         finally in.close()
         content.split("\n", 2) match {
           case Array(kind, dir) if kind.nonEmpty && dir.nonEmpty =>
-            val v = (kind, dir)
-            pointerCache.put(k, v)
-            Some(v)
-          case _ => None
+            pointerCache.put(k, (kind, dir))
+            return PointerOk(kind, dir)
+          case _ => return PointerTorn
         }
-      } catch { case _: java.io.IOException => None }
+      } catch {
+        case _: java.io.FileNotFoundException => return PointerGone
+        case _: java.io.IOException =>
+          if (attempt < 3) Thread.sleep(5L * attempt)
+      }
+    }
+    PointerUnreadable
+  }
+
+  /** Option view for callers that only need a complete pointer; a
+    * vanished / torn / unreadable pointer all read as None (listing
+    * callers skip the entry — with the in-place retries above, an
+    * unreadable COMMITTED pointer skipping out of a listing needs a
+    * persistent, not transient, IO fault). */
+  private def readPointer(f: FileSystem, p: Path): Option[(String, String)] =
+    readPointerState(f, p) match {
+      case PointerOk(kind, dir) => Some((kind, dir))
+      case _                    => None
+    }
+
+  /** Has this pointer file sat on disk at least the gc grace period?
+    * (Same inclusive age test as [[gc]]; unknown mtime = not aged.) */
+  private def pointerAgedPastGrace(f: FileSystem, p: Path): Boolean =
+    try f.getFileStatus(p).getModificationTime <=
+      System.currentTimeMillis() - gcGraceMs
+    catch { case _: java.io.IOException => false }
+
+  /** Delete a pointer file best-effort and evict its cache entry. Only
+    * ever called on provably-torn pointers (or by gc on superseded
+    * generations) — never on a merely unreadable one. */
+  private def deletePointerQuietly(f: FileSystem, p: Path): Unit = {
+    try f.delete(p, false)
+    catch { case _: java.io.IOException => () }
+    pointerCache.remove(p.toString)
   }
 
   /** Every generation-shaped entry on disk, same-seq DUPLICATES
@@ -1060,23 +1115,44 @@ class TableStore(spark: SparkSession, root: String,
       // writer died before claiming a slot. Both invisible to readers;
       // reclaimable once aged.
       val cd = commitsDir(table)
-      if (f.exists(cd)) f.listStatus(cd).foreach { s =>
-        val nm = s.getPath.getName
-        val parseable = nm.startsWith("g") &&
-          nm.stripPrefix("g").forall(_.isDigit) &&
-          readPointer(f, s.getPath).isDefined
-        if (!parseable && s.getModificationTime <= cutoff)
-          try f.delete(s.getPath, false)
-          catch { case _: java.io.FileNotFoundException => () }
-      }
-      val referenced = rawGenerations(table).map(_._3.getName).toSet
-      if (f.exists(dir)) f.listStatus(dir)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("_data-"))
-        .foreach { s =>
-          if (!referenced(s.getPath.getName) && s.getModificationTime <= cutoff)
-            try f.delete(s.getPath, true)
-            catch { case _: java.io.FileNotFoundException => () }
+      // one state read per pointer, reused by both sweeps below
+      val ptrStates: Seq[(org.apache.hadoop.fs.FileStatus, PointerRead)] =
+        if (!f.exists(cd)) Seq.empty
+        else f.listStatus(cd).toSeq.map { s =>
+          val nm = s.getPath.getName
+          val st =
+            // a non-pointer-shaped stray is provably not a commit
+            // marker — same reclaim class as torn content
+            if (!(nm.startsWith("g") && nm.stripPrefix("g").forall(_.isDigit)))
+              PointerTorn
+            else readPointerState(f, s.getPath)
+          (s, st)
         }
+      // reclaim only what is PROVABLY not a commit marker (torn /
+      // non-pointer-shaped). An UNREADABLE pointer may be a committed
+      // one behind an IO fault — deleting it would orphan acknowledged
+      // rows — so it is left alone no matter how old.
+      ptrStates.foreach { case (s, st) =>
+        if (st == PointerTorn && s.getModificationTime <= cutoff)
+          deletePointerQuietly(f, s.getPath)
+      }
+      // The orphan `_data-` sweep is gated on EVERY pointer being
+      // readable: an unreadable pointer hides which data dir it
+      // references, so the `referenced` set below would be missing an
+      // entry and a committed generation's data would read as an
+      // orphan stage — reclaiming it is silent row loss. Skipping the
+      // sweep this round is always safe (strays just live longer).
+      if (!ptrStates.exists(_._2 == PointerUnreadable)) {
+        val referenced = rawGenerations(table).map(_._3.getName).toSet
+        if (f.exists(dir)) f.listStatus(dir)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("_data-"))
+          .foreach { s =>
+            if (!referenced(s.getPath.getName) &&
+                s.getModificationTime <= cutoff)
+              try f.delete(s.getPath, true)
+              catch { case _: java.io.FileNotFoundException => () }
+          }
+      }
     }
     // a concurrent gc/compact may delete a generation between our
     // listing and the stat — already-gone is success, not failure.
@@ -1085,7 +1161,7 @@ class TableStore(spark: SparkSession, root: String,
     def rm(g: (Long, String, Path)): Unit =
       try {
         if (mtimeOf(g) <= cutoff) {
-          if (pointerCommits) f.delete(pointerPath(table, g._1), false)
+          if (pointerCommits) deletePointerQuietly(f, pointerPath(table, g._1))
           f.delete(g._3, true)
         }
       } catch { case _: java.io.FileNotFoundException => () }
@@ -1160,9 +1236,22 @@ class TableStore(spark: SparkSession, root: String,
     writeStats(table, tmp, f)
     if (pointerCommits) {
       var attempts = 0
+      // Slot-skip floor. A young torn/unreadable pointer at the natural
+      // next slot is NEVER deleted inline: it may be a rival mid-write
+      // between create and close (the advertised HDFS/local targets
+      // tear exactly there), or a complete pointer behind a transient
+      // read fault — deleting either orphans acknowledged rows that gc
+      // later reclaims, i.e. silent loss. Free-kind commits instead
+      // claim the slot AFTER it: seq order alone carries the
+      // semantics (deltas commute; a later full/comp supersedes), so a
+      // hole in the seq line is benign, and gc reclaims the torn
+      // debris once aged. Only a torn pointer past the gc grace — the
+      // exact condition gc itself uses — is reclaimed in place.
+      var seqFloor = 0L
       while (true) {
         attempts += 1
-        val next = generations(table).lastOption.map(_._1 + 1).getOrElse(0L)
+        val next = math.max(seqFloor,
+          generations(table).lastOption.map(_._1 + 1).getOrElse(0L))
         if (expectedSeq.exists(_ != next)) {
           f.delete(tmp, true)
           return false
@@ -1178,6 +1267,20 @@ class TableStore(spark: SparkSession, root: String,
         // table wedges on our own debris.
         def pointerIsMine: Boolean =
           readPointer(f, ptr).exists(_._2 == tmp.getName)
+        // Lost the name to an EXISTING pointer that is not ours.
+        // Resolve by state: a complete rival is a plain lost race
+        // (recomputed `next` steps past it); a torn pointer aged past
+        // the gc grace is reclaimed exactly as gc would; anything
+        // younger or unreadable is left untouched and the slot is
+        // stepped over via the floor (see the loop header).
+        def stepPastBlockedSlot(): Unit =
+          readPointerState(f, ptr) match {
+            case PointerOk(_, _) => ()
+            case PointerGone     => () // vanished (raced gc): slot is free again
+            case PointerTorn if pointerAgedPastGrace(f, ptr) =>
+              deletePointerQuietly(f, ptr)
+            case _ => seqFloor = next + 1
+          }
         val won =
           try {
             // create-exclusive IS the slot lock: exactly one writer can
@@ -1195,36 +1298,37 @@ class TableStore(spark: SparkSession, root: String,
               case e: java.io.IOException =>
                 // we own the name but the content may be absent, torn,
                 // or fully flushed (close() failing after flush)
-                if (pointerIsMine) true
-                else {
-                  try f.delete(ptr, false)
-                  catch { case _: java.io.IOException => () }
-                  if (pointerIsMine) true else { f.delete(tmp, true); throw e }
+                readPointerState(f, ptr) match {
+                  case PointerOk(_, d) if d == tmp.getName => true
+                  case PointerTorn | PointerGone =>
+                    // our own torn write — the name is ours to reclaim
+                    deletePointerQuietly(f, ptr)
+                    if (pointerIsMine) true
+                    else { f.delete(tmp, true); throw e }
+                  case _ =>
+                    // read-back failed: the pointer may be COMPLETE
+                    // (write flushed before close failed). Deleting ptr
+                    // or tmp here could destroy a committed generation;
+                    // leave both and report the ambiguity — gc reclaims
+                    // the debris iff the pointer is genuinely torn.
+                    throw e
                 }
             }
           } catch {
             case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
               // the name exists: a rival's complete pointer (lost the
-              // race), or an unparseable torn one a crashed writer
-              // left — reclaim the torn name so retries can make
-              // progress instead of looping to the attempt cap
+              // race), a rival mid-write, or a crashed writer's torn
+              // debris — stepPastBlockedSlot keeps progress without
+              // ever deleting a pointer that might be (or become) a
+              // live commit marker
               if (pointerIsMine) true
-              else {
-                if (readPointer(f, ptr).isEmpty)
-                  try f.delete(ptr, false)
-                  catch { case _: java.io.IOException => () }
-                false
-              }
+              else { stepPastBlockedSlot(); false }
             case e: java.io.IOException =>
               // ambiguous create failure: some filesystems signal an
               // existing file this way instead of FileAlreadyExists
               if (pointerIsMine) true
-              else if (f.exists(ptr)) {
-                if (readPointer(f, ptr).isEmpty)
-                  try f.delete(ptr, false)
-                  catch { case _: java.io.IOException => () }
-                false
-              } else { f.delete(tmp, true); throw e }
+              else if (f.exists(ptr)) { stepPastBlockedSlot(); false }
+              else { f.delete(tmp, true); throw e }
           }
         if (won) {
           if (isFullKind(kind)) gc(table)

@@ -25,6 +25,24 @@ class NoPublishRenameFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem 
   }
 }
 
+/** A local filesystem that injects a persistent read fault on one
+  * file name — models a committed pointer a reader transiently (or
+  * lastingly) cannot open. The protocol invariant under test: an
+  * UNREADABLE pointer is never deleted by anyone (it may be a live
+  * commit marker), and commits/gc route around it instead. */
+object PoisonReadFileSystem { @volatile var poison: String = "" }
+class PoisonReadFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "noread"
+  override def getUri: java.net.URI = java.net.URI.create("noread:///")
+  override def open(p: Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    val poison = PoisonReadFileSystem.poison
+    if (poison.nonEmpty && p.getName == poison)
+      throw new java.io.IOException(s"injected read fault: $p")
+    super.open(p, bufferSize)
+  }
+}
+
 /** The pointer-commit protocol, driven end to end on the rename-free
   * filesystem: every row-visible operation (append, overwrite, merge,
   * fold, compact, time travel, change feed) must work with publish =
@@ -110,14 +128,80 @@ class TableStorePointerSpec extends AnyFunSuite {
     val root = newRoot("store-ptr-torn")
     val store = new TableStore(spark, root, pointerCommits = true)
     store.append("t", Seq(1).toDF("x"))
-    // a crashed writer's torn (unparseable) pointer already sits at
-    // the NEXT slot — too fresh for gc's grace, so the committer
-    // itself must reclaim the name instead of looping to its attempt
-    // cap against create-exclusive failures
+    // a torn (unparseable) pointer already sits at the NEXT slot — too
+    // fresh for the gc grace, so it might equally be a rival MID-WRITE
+    // about to complete. The committer must neither loop to its
+    // attempt cap NOR delete the young pointer (a completed rival's
+    // marker deleted = acknowledged rows orphaned): it steps OVER the
+    // slot and commits at the one after. Seq order carries the
+    // semantics, so the hole is benign; gc reclaims the debris once
+    // aged.
     val f = hadoopFs(root)
     f.create(new Path(root, "t/_commits/g0000001"), true).close()
     store.append("t", Seq(2).toDF("x"))
     assert(store.read("t").get.as[Int].collect().sorted.toSeq == Seq(1, 2))
+    assert(f.exists(new Path(root, "t/_commits/g0000001")),
+      "a YOUNG torn pointer must survive the commit untouched")
+    assert(f.exists(new Path(root, "t/_commits/g0000002")),
+      "the append must land on the slot after the blocked one")
+  }
+
+  test("an aged torn pointer at the next slot is reclaimed in place") {
+    val root = newRoot("store-ptr-torn-aged")
+    val store = new TableStore(spark, root, gcGraceMs = 60L * 1000,
+      pointerCommits = true)
+    store.append("t", Seq(1).toDF("x"))
+    val f = hadoopFs(root)
+    val local = root.stripPrefix("norename:")
+    f.create(new Path(root, "t/_commits/g0000001"), true).close()
+    assert(new java.io.File(s"$local/t/_commits/g0000001")
+      .setLastModified(System.currentTimeMillis() - 3600L * 1000))
+    // past the grace the pointer is provably a crashed writer's torn
+    // debris — the committer reclaims it (gc parity) and takes slot 1
+    store.append("t", Seq(2).toDF("x"))
+    assert(store.read("t").get.as[Int].collect().sorted.toSeq == Seq(1, 2))
+    val ptrs = f.listStatus(new Path(root, "t/_commits"))
+      .map(_.getPath.getName).toSet
+    assert(ptrs == Set("g0000000", "g0000001"),
+      s"aged torn slot must be reclaimed and reused, got $ptrs")
+  }
+
+  test("an unreadable pointer is never reclaimed; commits and gc step around it") {
+    val root = newRoot("store-ptr-noread").replace("norename:", "noread:")
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.noread.impl", classOf[PoisonReadFileSystem].getName)
+    PoisonReadFileSystem.poison = ""
+    val store = new TableStore(spark, root, gcGraceMs = 0L,
+      pointerCommits = true)
+    val f = hadoopFs(root)
+    try {
+      store.append("t", Seq(1).toDF("x")) // g0
+      store.append("t", Seq(2).toDF("x")) // g1 — fully committed
+      val g1data = {
+        val in = f.open(new Path(root, "t/_commits/g0000001"))
+        val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        s.split("\n", 2)(1)
+      }
+      // the committed g1 pointer now sits behind a persistent read
+      // fault — indistinguishable, to a reader, from torn. Nothing may
+      // delete it or the data it references, no matter how old
+      // (gcGraceMs = 0 makes EVERYTHING aged). A FRESH store instance
+      // is required: the committing store's pointer cache would mask
+      // the fault.
+      PoisonReadFileSystem.poison = "g0000001"
+      val cold = new TableStore(spark, root, gcGraceMs = 0L,
+        pointerCommits = true)
+      cold.append("t", Seq(3).toDF("x")) // must step past the slot
+      cold.gc("t")
+      assert(f.exists(new Path(root, "t/_commits/g0000001")),
+        "gc must never reclaim an unreadable pointer")
+      assert(f.exists(new Path(root, s"t/$g1data")),
+        "gc must never reclaim the data dir an unreadable pointer references")
+      // the fault heals → the hidden generation comes straight back
+      PoisonReadFileSystem.poison = ""
+      assert(new TableStore(spark, root, pointerCommits = true)
+        .read("t").get.as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    } finally PoisonReadFileSystem.poison = ""
   }
 
   test("gc reclaims aged orphan stages and torn pointers, never live data") {
