@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   * DuckDB oracle:
   *  - lines: split on newline, strip `#` comments, trim;
   *  - directives: `key : value` with key case-folded; only
-  *    `user-agent` / `allow` / `disallow` survive;
+  *    `user-agent` / `allow` / `disallow` / `crawl-delay` survive;
   *  - groups (RFC 9309 §2.2.1): consecutive `user-agent` lines form
   *    one start-of-group header block, so a group id is the running
   *    count of user-agent lines whose PREVIOUS directive was not a
@@ -40,9 +40,11 @@ import org.apache.spark.sql.functions._
 object Robots {
 
   /** Parse robots bodies into directive rows
-    * (host, line_no, grp, k, v): k ∈ {user-agent, allow, disallow},
-    * grp numbering per RFC group semantics. Pure projection + one
-    * per-host window chain. */
+    * (host, line_no, grp, k, v): k ∈ {user-agent, allow, disallow,
+    * crawl-delay}, grp numbering per RFC group semantics (a
+    * crawl-delay line terminates a user-agent header block exactly
+    * like a rule line does). Pure projection + one per-host window
+    * chain. */
   def parseDirectives(bodies: DataFrame, hostCol: String,
                       txtCol: String): DataFrame = {
     // \r is stripped BEFORE splitting (CRLF bodies are the norm on
@@ -59,7 +61,7 @@ object Robots {
         lower(regexp_extract(col("line"), "^([A-Za-z-]+)\\s*:", 1)).as("k"),
         trim(regexp_extract(col("line"), "^[A-Za-z-]+\\s*:\\s*(.*)$", 1))
           .as("v"))
-      .filter(col("k").isin("user-agent", "allow", "disallow"))
+      .filter(col("k").isin("user-agent", "allow", "disallow", "crawl-delay"))
     val w = Window.partitionBy(col("host")).orderBy(col("line_no"))
     dv.withColumn("st",
         when(col("k") === "user-agent" &&
@@ -70,12 +72,14 @@ object Robots {
       .drop("st")
   }
 
-  /** RFC 9309 group selection for one crawler product token: groups
-    * whose `User-agent` equals the token (case-insensitive) govern;
-    * only if NO group matches do the `*` groups apply; multiple
-    * matching groups merge. Returns the distinct governing rules
-    * (host, rule, action) with empty-value rules dropped. */
-  def selectRules(directives: DataFrame, uaToken: String): DataFrame = {
+  /** The groups governing `uaToken` per RFC 9309 §2.2.1: groups whose
+    * `User-agent` equals the token (case-insensitive) govern; only if
+    * NO group matches do the `*` groups apply; multiple matching
+    * groups merge. Shared by [[selectRules]] and [[selectCrawlDelay]]
+    * so both directive families resolve through ONE selection rule.
+    * Returns the governing (host, grp) pairs. */
+  private def pickedGroups(directives: DataFrame,
+                           uaToken: String): DataFrame = {
     val ua = directives.filter(col("k") === "user-agent")
       .groupBy(col("host"), col("grp"))
       .agg(max(when(lower(col("v")) === uaToken.toLowerCase, 1L)
@@ -83,14 +87,39 @@ object Robots {
         max(when(col("v") === "*", 1L).otherwise(0L)).as("star"))
     val hostHasExact = ua.groupBy(col("host"))
       .agg(max(col("exact")).as("has_exact"))
-    val picked = ua.join(hostHasExact, Seq("host"))
+    ua.join(hostHasExact, Seq("host"))
       .filter(when(col("has_exact") === 1L, col("exact") === 1L)
         .otherwise(col("star") === 1L))
       .select(col("host"), col("grp"))
+  }
+
+  /** RFC 9309 group selection for one crawler product token — see
+    * [[pickedGroups]] for the selection rule. Returns the distinct
+    * governing rules (host, rule, action) with empty-value rules
+    * dropped. */
+  def selectRules(directives: DataFrame, uaToken: String): DataFrame =
     directives.filter(col("k").isin("allow", "disallow") && col("v") =!= "")
-      .join(picked, Seq("host", "grp"))
+      .join(pickedGroups(directives, uaToken), Seq("host", "grp"))
       .select(col("host"), col("v").as("rule"), col("k").as("action"))
       .distinct()
+
+  /** The `Crawl-delay` governing `uaToken`, per host: same group
+    * selection as [[selectRules]] (exact-UA groups beat `*`, matching
+    * groups merge), non-numeric / non-positive values ignored, and the
+    * MAX across merged groups — the conservative read when two
+    * governing groups disagree. Crawl-delay is a de-facto extension
+    * (Bing/Yandex honor it; RFC 9309 leaves it out), so the parse is
+    * lenient but the consumption contract is exact: a host absent from
+    * the result has stated no delay. Output: (host, crawl_delay). */
+  def selectCrawlDelay(directives: DataFrame, uaToken: String): DataFrame = {
+    // try_cast, not cast: under ANSI a malformed delay value must read
+    // as "no delay stated", not kill the crawl-policy job
+    val delay = expr("try_cast(v AS double)")
+    directives.filter(col("k") === "crawl-delay" &&
+        delay.isNotNull && delay > 0)
+      .join(pickedGroups(directives, uaToken), Seq("host", "grp"))
+      .groupBy(col("host"))
+      .agg(max(expr("try_cast(v AS double)")).as("crawl_delay"))
   }
 
   /** The full chain: parse every body, select `uaToken`'s governing

@@ -133,15 +133,22 @@ object NormalizeOps {
     // disallow. The rule set exercises every feature: a star rule
     // beaten by a longer literal, a star rule winning mid-path, an
     // anchored allow carved out of a prefix disallow.
+    // Every 11th doc gets a 12-segment path that crosses the
+    // wildcardProbe maxSegs = 8 cap: the 9-segment allow rule is
+    // UNREACHABLE (probe keys stop at 8 segments), so those docs fall
+    // to the 1-segment /deep disallow — the capped semantics are
+    // value-pinned here because the oracle mirrors least(len, 8); an
+    // uncapped oracle would match the deeper allow and diverge.
     "q174_robots_wildcards" -> ((s, d) =>
       HostRules.robotsPathMatch(
         Tables.load(s, d, "documents").select(col("doc_id"),
-          concat(lit("/"),
-            when(col("doc_id") % 4 === 0, "docs")
-              .when(col("doc_id") % 4 === 1, "static")
-              .when(col("doc_id") % 4 === 2, "api").otherwise("img"),
-            lit("/p"), (col("doc_id") % 5).cast("string"),
-            lit("/x"), (col("doc_id") % 7).cast("string")).as("path")),
+          when(col("doc_id") % 11 === 0, lit(deepPath))
+            .otherwise(concat(lit("/"),
+              when(col("doc_id") % 4 === 0, "docs")
+                .when(col("doc_id") % 4 === 1, "static")
+                .when(col("doc_id") % 4 === 2, "api").otherwise("img"),
+              lit("/p"), (col("doc_id") % 5).cast("string"),
+              lit("/x"), (col("doc_id") % 7).cast("string"))).as("path")),
         "doc_id", "path", rules = robotsRules, default = "allow")),
 
     // robots.txt END-TO-END, stage 1: parse RAW per-host robots BODIES
@@ -207,44 +214,129 @@ object NormalizeOps {
     // survived admission, so both priority classes stay value-pinned
     // (5 hosts carry ≥ 2 stale candidates — the recency ordering
     // within 'stale' decides slot 4).
-    "q180_frontier_schedule" -> ((s, d) => {
-      val plan = Sitemap.recrawlPlan(
-        Sitemap.parse(sitemapBodiesDf(s, d), "host", "sitemap"),
-        crawlStateDf(s, d))
-      val cand = plan.filter(col("status") =!= "fresh")
-        .withColumn("path",
-          regexp_replace(col("url"), "^https://[^/]*", ""))
-      val rules = Robots.selectRules(
-          Robots.parseDirectives(robotsBodiesDf(s, d), "host", "robots"),
-          uaToken = "GraftBot")
-        .groupBy(col("host"))
-        .agg(sort_array(collect_list(struct(col("rule"), col("action"))))
-          .as("_rules"))
-        .withColumnRenamed("host", "_rh")
-      val matched =
-        HostRules.robotsPathMatchCols(col("path"), col("_rules"), "allow")
-      val adm = cand.join(rules, col("host") === col("_rh"), "left")
-        .select(col("host") +: col("url") +: col("status") +:
-          col("lastmod") +: matched: _*)
-        .filter(col("action") === "allow")
-      // recency key = the FULL date as yyyymmdd (≤ 99991231 < 1e9 —
-      // exact in a double), not the bare day-of-month: a day-only key
-      // would rank 07-28 above 08-05 across a month boundary. The
-      // 1e9 new-flag stays strictly above any date.
-      val pri = adm.select(col("host"),
-        (when(col("status") === "new", 1000000000L).otherwise(0L) +
-          coalesce(translate(col("lastmod"), "-", "").cast("long"), lit(0L)))
-          .cast("double").as("ord"),
-        regexp_extract(col("url"), "/p(\\d+)$", 1).cast("long").as("tie"))
-      TopK.perKeyDesc(pri, "host", "ord", "tie", k = 4)
-        .select(col("host"),
-          concat(lit("https://"), col("host"), lit("/p"),
-            col("tie").cast("string")).as("url"),
-          when(col("ord") >= 1000000000L, "new").otherwise("stale")
-            .as("status"),
+    "q180_frontier_schedule" -> ((s, d) =>
+      frontierSchedule(s, d, delayBudget = false)),
+
+    // q180 with robots `Crawl-delay` CONSUMED (the de-facto directive
+    // Bing/Yandex honor): the fixed per-host budget k becomes
+    // min(k, max(1, floor(cycleLen / delay))) for hosts whose
+    // governing group states a delay — class 0's 10s delay trims the
+    // budget to 3, class 2's 60s (longer than the 30s cycle) to the
+    // 1-fetch floor, class 3 (no delay) keeps the full k, and class
+    // 0's 1s star-group decoy must LOSE group selection or the budget
+    // snaps back to 4. The plan shape is unchanged: the delay table is
+    // one more host-keyed equi-join onto the bounded-TopK output —
+    // never a bigger aggregate, so the 100 TB frontier shape holds. */
+    "q192_frontier_crawl_delay" -> ((s, d) =>
+      frontierSchedule(s, d, delayBudget = true)),
+
+    // The politeness budget at the REGISTRABLE-DOMAIN grain: q180
+    // budgets per raw host, but one registrant's subdomains
+    // (www.src7.example.org and cdn.src7.example.org) share one crawl
+    // capacity — production crawlers key politeness on eTLD+1. The
+    // fixture gives every source TWO sub-hosts with 10 candidates
+    // each; the full PSL machinery (q172's registrableDomain, the
+    // example.org exact rule) folds both onto one domain key, and the
+    // bounded-TopK budget of 4 is EXHAUSTED JOINTLY — 20 candidates
+    // per domain compete for 4 slots across both hosts. Hosts that
+    // are themselves a public suffix bucket under the suffix
+    // (coalesce), same as q173. Scale shape: PSL explode is ≤6 rows
+    // per host, the budget stays the bounded aggregate — nothing
+    // corpus-wide.
+    "q193_frontier_etld1_budget" -> ((s, d) => {
+      val cand = hostsWithSn(s, d)
+        .select(col("host").as("base"), col("sn"),
+          explode(array(lit(0L), lit(1L))).as("si"))
+        .select(col("base"), col("sn"), col("si"),
+          explode(sequence(lit(0L), lit(9L))).as("i"))
+        .select(
+          (col("sn") * 100 + col("i") * 2 + col("si")).as("doc_id"),
+          concat(when(col("si") === 0, "www").otherwise("cdn"),
+            lit("."), col("base")).as("host"),
+          ((col("sn") * 3 + col("i") * 7 + col("si") * 13) % 50)
+            .cast("double").as("ord"),
+          (col("i") * 2 + col("si")).as("tie"))
+      val dom = HostRules.registrableDomain(
+          cand.select(col("doc_id"), col("host")),
+          "doc_id", "host", pslRules)
+        .select(col("doc_id"),
+          coalesce(col("etld1"), col("public_suffix")).as("domain"))
+      val pri = cand.join(dom, Seq("doc_id"))
+        .select(col("domain"), col("ord"), col("tie"))
+      // (sub, page) reconstruct from the tie packing: tie = 2·page+si
+      TopK.perKeyDesc(pri, "domain", "ord", "tie", k = 4)
+        .select(col("domain"),
+          concat(lit("https://"),
+            when(pmod(col("tie"), lit(2)) === 0, "www").otherwise("cdn"),
+            lit("."), col("domain"), lit("/p"),
+            expr("tie DIV 2").cast("string")).as("url"),
           col("rank").as("fetch_order"))
     })
   )
+
+  /** Seconds per politeness cycle assumed by the q192 budget — shared
+    * verbatim with the oracle. */
+  private[queries] val frontierCycleSecs = 30.0
+
+  /** The q180/q192 frontier chain: sitemap discovery → recrawl triage
+    * → robots admission (projection form) → per-host bounded-TopK
+    * budget; with `delayBudget` the governing Crawl-delay tightens
+    * each host's budget (see q192's comment). */
+  private def frontierSchedule(s: SparkSession, d: String,
+                               delayBudget: Boolean): DataFrame = {
+    val plan = Sitemap.recrawlPlan(
+      Sitemap.parse(sitemapBodiesDf(s, d), "host", "sitemap"),
+      crawlStateDf(s, d))
+    val cand = plan.filter(col("status") =!= "fresh")
+      .withColumn("path",
+        regexp_replace(col("url"), "^https://[^/]*", ""))
+    val directives =
+      Robots.parseDirectives(robotsBodiesDf(s, d), "host", "robots")
+    val rules = Robots.selectRules(directives, uaToken = "GraftBot")
+      .groupBy(col("host"))
+      .agg(sort_array(collect_list(struct(col("rule"), col("action"))))
+        .as("_rules"))
+      .withColumnRenamed("host", "_rh")
+    val matched =
+      HostRules.robotsPathMatchCols(col("path"), col("_rules"), "allow")
+    val adm = cand.join(rules, col("host") === col("_rh"), "left")
+      .select(col("host") +: col("url") +: col("status") +:
+        col("lastmod") +: matched: _*)
+      .filter(col("action") === "allow")
+    // recency key = the FULL date as yyyymmdd (≤ 99991231 < 1e9 —
+    // exact in a double), not the bare day-of-month: a day-only key
+    // would rank 07-28 above 08-05 across a month boundary. The
+    // 1e9 new-flag stays strictly above any date.
+    val pri = adm.select(col("host"),
+      (when(col("status") === "new", 1000000000L).otherwise(0L) +
+        coalesce(translate(col("lastmod"), "-", "").cast("long"), lit(0L)))
+        .cast("double").as("ord"),
+      regexp_extract(col("url"), "/p(\\d+)$", 1).cast("long").as("tie"))
+    val ranked = TopK.perKeyDesc(pri, "host", "ord", "tie", k = 4)
+      .select(col("host"),
+        concat(lit("https://"), col("host"), lit("/p"),
+          col("tie").cast("string")).as("url"),
+        when(col("ord") >= 1000000000L, "new").otherwise("stale")
+          .as("status"),
+        col("rank").as("fetch_order"))
+    if (!delayBudget) ranked
+    else {
+      val delays = Robots.selectCrawlDelay(directives, uaToken = "GraftBot")
+        .withColumnRenamed("host", "_dh")
+      // when(), not coalesce(least(greatest(...))): both Spark's and
+      // DuckDB's least/greatest SKIP nulls, so a missing delay would
+      // collapse to greatest(1, null) = 1 instead of the full budget
+      ranked.join(delays, col("host") === col("_dh"), "left")
+        .withColumn("budget",
+          when(col("crawl_delay").isNotNull,
+            least(lit(4L), greatest(lit(1L),
+              floor(lit(frontierCycleSecs) / col("crawl_delay")))))
+            .otherwise(lit(4L)))
+        .filter(col("fetch_order") <= col("budget"))
+        .select(col("host"), col("url"), col("status"), col("fetch_order"),
+          col("budget"))
+    }
+  }
 
   /** The q178/q179 sitemap fixture: one XML body per host, 10 urls,
     * every 3rd entry carrying a lastmod derived from (sn + i); loc
@@ -303,24 +395,35 @@ object NormalizeOps {
     * literal still winning matched_rule). Class 2: a multi-UA
     * header block (otherbot + graftbot share one group). Class 3: an
     * empty `Disallow:` (allow-all, still terminates the header) plus
-    * a `$`-anchored allow carved out of a prefix disallow. */
+    * a `$`-anchored allow carved out of a prefix disallow.
+    *
+    * Crawl-delays (consumed by q192): class 0 states 10s in the exact
+    * group and a 1s decoy in the star group that MUST lose group
+    * selection; class 1 states 15s in its star group (governing —
+    * no exact group); class 2 states 60s (longer than the cycle);
+    * class 3 states none. All delay lines sit at group END so the
+    * group numbering of q175–q180 is untouched. */
   private[queries] val robotsBodies: Seq[String] = Seq(
     """# graft crawl policy
       |User-agent: graftbot
       |Disallow: /static
       |Allow: /static/p1
       |Disallow: /*/p2
+      |Crawl-delay: 10
       |
       |User-agent: *
-      |Disallow: /""".stripMargin,
+      |Disallow: /
+      |Crawl-delay: 1""".stripMargin,
     """User-agent: *
       |Disallow: /
       |Allow: /docs
-      |Disallow: /img/*/x5""".stripMargin,
+      |Disallow: /img/*/x5
+      |Crawl-delay: 15""".stripMargin,
     """User-agent: otherbot
       |User-agent: graftbot
       |Disallow: /docs
       |Allow: /docs/*/x3
+      |Crawl-delay: 60
       |
       |User-agent: *
       |Disallow: /""".stripMargin,
@@ -352,7 +455,15 @@ object NormalizeOps {
     "/static" -> "disallow", "/static/p1" -> "allow",
     "/*/p2" -> "disallow", "/docs/*/x3" -> "allow",
     "/api" -> "disallow", "/api/p0/x1$" -> "allow",
-    "/img/*/x5" -> "disallow")
+    "/img/*/x5" -> "disallow",
+    // the cap probe pair: /deep matches within the 8-segment probe
+    // cap; the 9-segment allow rule sits BEYOND it and must never win
+    "/deep" -> "disallow",
+    "/deep/d1/d2/d3/d4/d5/d6/d7/d8" -> "allow")
+
+  /** The 12-segment q174 path that crosses the probe cap. */
+  private[queries] val deepPath: String =
+    "/deep" + (1 to 11).map(i => s"/d$i").mkString
 
   /** PSL rules shared by q172/q173's query and oracle — one of each
     * kind, plus the exception carved out of the wildcard. */
@@ -547,10 +658,12 @@ object NormalizeOps {
       val values = robotsRules.map { case (r, a) => s"('$r', '$a')" }
         .mkString(",\n                  ")
       s"""WITH pd AS (SELECT doc_id,
-               '/' || (CASE doc_id % 4 WHEN 0 THEN 'docs' WHEN 1 THEN 'static'
-                       WHEN 2 THEN 'api' ELSE 'img' END)
-               || '/p' || CAST(doc_id % 5 AS VARCHAR)
-               || '/x' || CAST(doc_id % 7 AS VARCHAR) AS path
+               CASE WHEN doc_id % 11 = 0 THEN '$deepPath'
+                    ELSE '/' || (CASE doc_id % 4 WHEN 0 THEN 'docs'
+                            WHEN 1 THEN 'static'
+                            WHEN 2 THEN 'api' ELSE 'img' END)
+                       || '/p' || CAST(doc_id % 5 AS VARCHAR)
+                       || '/x' || CAST(doc_id % 7 AS VARCHAR) END AS path
                FROM documents),
           pp AS (SELECT doc_id, path,
                    string_split(regexp_replace(path, '^/', ''), '/') AS parts
@@ -562,11 +675,11 @@ object NormalizeOps {
                                  THEN '*'
                                  ELSE parts[CAST(j AS INTEGER)] END), '/'), '')
                      AS key0
-                 FROM pp, unnest(range(0, len(parts) + 1)) AS t(m),
+                 FROM pp, unnest(range(0, least(len(parts), 8) + 1)) AS t(m),
                       unnest(range(0, 1 << CAST(t.m AS INTEGER))) AS s(mask)),
           pk AS (SELECT doc_id, key0 AS key FROM px
                  UNION ALL
-                 SELECT doc_id, key0 || '$$' FROM px WHERE m = n),
+                 SELECT doc_id, key0 || '$$' FROM px WHERE m = n AND n <= 8),
           pr AS (SELECT * FROM (VALUES
                   $values) t(rule, action)),
           pm AS (SELECT doc_id, rule, action,
@@ -616,6 +729,84 @@ object NormalizeOps {
     // well as its own. The budget window mirrors TopK.perKeyDesc's
     // (ord desc, tie asc) exactly.
     "q180_frontier_schedule" ->
+      s"""$frontierCoreSql
+          SELECT host, url, status, CAST(rn AS BIGINT) AS fetch_order
+          FROM rk WHERE rn <= 4""",
+
+    // q192: the q180 chain verbatim plus the Crawl-delay budget — the
+    // dl CTE reuses gg/pick from the parse chain (same group
+    // selection the rules use), budget = min(4, max(1, floor(30/delay)))
+    // with 4 the no-delay default; both the rank cap and the budget
+    // cap apply.
+    "q192_frontier_crawl_delay" ->
+      s"""$frontierCoreSql,
+          dl AS (SELECT gg.host AS host, max(try_cast(v AS DOUBLE)) AS delay
+                 FROM gg JOIN pick ON gg.host = pick.host
+                                  AND gg.grp = pick.grp
+                 WHERE k = 'crawl-delay' AND try_cast(v AS DOUBLE) > 0
+                 GROUP BY gg.host),
+          bj AS (SELECT rk.host, rk.url, rk.status, rk.rn,
+                   CASE WHEN dl.delay IS NOT NULL
+                        THEN least(4, greatest(1,
+                          CAST(floor(30.0 / dl.delay) AS BIGINT)))
+                        ELSE 4 END AS budget
+                 FROM rk LEFT JOIN dl USING (host))
+          SELECT host, url, status, CAST(rn AS BIGINT) AS fetch_order,
+                 CAST(budget AS BIGINT) AS budget
+          FROM bj WHERE rn <= 4 AND rn <= budget""",
+
+    // eTLD+1 budget: the q193 candidate fixture (two sub-hosts per
+    // source, tie = 2·page+si), the shared PSL chain for the domain
+    // key, one row_number window per domain mirroring the bounded
+    // TopK. `//` is DuckDB's truncating integer division — exact for
+    // the non-negative tie.
+    "q193_frontier_etld1_budget" ->
+      s"""WITH sm AS (SELECT DISTINCT source || '.example.org' AS base,
+                 CAST(substr(source, 4) AS INTEGER) AS sn FROM documents),
+          cd AS (SELECT sn * 100 + t.i * 2 + s.si AS doc_id,
+                   (CASE WHEN s.si = 0 THEN 'www' ELSE 'cdn' END)
+                     || '.' || base AS host,
+                   CAST((sn * 3 + t.i * 7 + s.si * 13) % 50 AS DOUBLE)
+                     AS ord,
+                   CAST(t.i * 2 + s.si AS BIGINT) AS tie
+                 FROM sm, unnest(range(0, 10)) AS t(i),
+                      (VALUES (0), (1)) AS s(si)),
+          hd AS (SELECT doc_id, host FROM cd),
+          $pslChainSql,
+          pri AS (SELECT coalesce(e.etld1, e.public_suffix) AS domain,
+                    cd.ord, cd.tie
+                  FROM eres e JOIN cd USING (doc_id)),
+          rk AS (SELECT domain, tie,
+                   row_number() OVER (PARTITION BY domain
+                                      ORDER BY ord DESC, tie) AS rn
+                 FROM pri)
+          SELECT domain,
+                 'https://' || (CASE WHEN tie % 2 = 0 THEN 'www'
+                                     ELSE 'cdn' END)
+                   || '.' || domain || '/p' || CAST(tie // 2 AS VARCHAR)
+                   AS url,
+                 CAST(rn AS BIGINT) AS fetch_order
+          FROM rk WHERE rn <= 4""",
+
+    "q172_etld1" -> etld1Sql,
+
+    "q173_domain_cap_etld1" ->
+      s"""WITH e AS ($etld1Sql),
+          d AS (SELECT doc_id, coalesce(etld1, public_suffix) AS domain,
+                 CAST('0x' || substr(md5('cap|' || CAST(doc_id AS VARCHAR)),
+                                     1, 8) AS BIGINT) AS hv
+                FROM e),
+          r AS (SELECT domain, doc_id,
+                 CAST(row_number() OVER (PARTITION BY domain
+                                         ORDER BY hv, doc_id) AS BIGINT) AS rank
+                FROM d)
+          SELECT domain, doc_id, rank FROM r WHERE rank <= 10"""
+  )
+
+  /** The shared q180/q192 frontier chain through `rk` (ranked
+    * admitted candidates) — one text, so a regression in any crawl
+    * stage breaks both capstones' hashes. */
+  private lazy val frontierCoreSql: String =
       raw"""WITH $sitemapEntriesSql,
           $crawlStateSql,
           $robotsBodiesSql,
@@ -639,11 +830,12 @@ object NormalizeOps {
                                  THEN '*'
                                  ELSE parts[CAST(j AS INTEGER)] END), '/'), '')
                      AS key0
-                 FROM fp, unnest(range(0, len(parts) + 1)) AS t(m),
+                 FROM fp, unnest(range(0, least(len(parts), 8) + 1)) AS t(m),
                       unnest(range(0, 1 << CAST(t.m AS INTEGER))) AS s(mask)),
           fk AS (SELECT url, host, key0 AS key FROM fx
                  UNION ALL
-                 SELECT url, host, key0 || '$$' FROM fx WHERE m = n),
+                 SELECT url, host, key0 || '$$' FROM fx
+                 WHERE m = n AND n <= 8),
           fm AS (SELECT url, rule, action,
                    row_number() OVER (PARTITION BY url ORDER BY
                      length(replace(replace(rule, '*', ''), '$$', '')) DESC,
@@ -663,24 +855,7 @@ object NormalizeOps {
           rk AS (SELECT host, url, status,
                    row_number() OVER (PARTITION BY host
                                       ORDER BY ord DESC, tie) AS rn
-                 FROM pri)
-          SELECT host, url, status, CAST(rn AS BIGINT) AS fetch_order
-          FROM rk WHERE rn <= 4""",
-
-    "q172_etld1" -> etld1Sql,
-
-    "q173_domain_cap_etld1" ->
-      s"""WITH e AS ($etld1Sql),
-          d AS (SELECT doc_id, coalesce(etld1, public_suffix) AS domain,
-                 CAST('0x' || substr(md5('cap|' || CAST(doc_id AS VARCHAR)),
-                                     1, 8) AS BIGINT) AS hv
-                FROM e),
-          r AS (SELECT domain, doc_id,
-                 CAST(row_number() OVER (PARTITION BY domain
-                                         ORDER BY hv, doc_id) AS BIGINT) AS rank
-                FROM d)
-          SELECT domain, doc_id, rank FROM r WHERE rank <= 10"""
-  )
+                 FROM pri)"""
 
   /** The q178/q179 sitemap fixture + parse chain in SQL — mirrors
     * [[graft.operators.Sitemap.parse]]: sm(host, sn) → XML assembly →
@@ -742,11 +917,12 @@ object NormalizeOps {
                                  THEN '*'
                                  ELSE parts[CAST(j AS INTEGER)] END), '/'), '')
                      AS key0
-                 FROM pp, unnest(range(0, len(parts) + 1)) AS t(m),
+                 FROM pp, unnest(range(0, least(len(parts), 8) + 1)) AS t(m),
                       unnest(range(0, 1 << CAST(t.m AS INTEGER))) AS s(mask)),
           pk AS (SELECT doc_id, host, key0 AS key FROM px
                  UNION ALL
-                 SELECT doc_id, host, key0 || '$$' FROM px WHERE m = n),
+                 SELECT doc_id, host, key0 || '$$' FROM px
+                 WHERE m = n AND n <= 8),
           pm AS (SELECT doc_id, rule, action,
                    row_number() OVER (PARTITION BY doc_id ORDER BY
                      length(replace(replace(rule, '*', ''), '$$', '')) DESC,
@@ -791,7 +967,8 @@ object NormalizeOps {
                      AS v
                  FROM ln WHERE regexp_matches(line, '^[A-Za-z-]+\s*:')),
           dk AS (SELECT * FROM dv
-                 WHERE k IN ('user-agent', 'allow', 'disallow')),
+                 WHERE k IN ('user-agent', 'allow', 'disallow',
+                             'crawl-delay')),
           gx AS (SELECT host, line_no, k, v,
                    CASE WHEN k = 'user-agent' AND
                         coalesce(lag(k) OVER (PARTITION BY host
@@ -820,11 +997,15 @@ object NormalizeOps {
                       ON gg.host = pick.host AND gg.grp = pick.grp
                     WHERE k IN ('allow', 'disallow') AND v <> '')"""
 
-  /** q172's full PSL chain in SQL — mirrors
-    * [[graft.operators.HostRules.registrableDomain]]: suffix-chain
-    * explode with parent suffixes, three kind-split equi-joins,
-    * exception > longest, default one label. */
-  private lazy val etld1Sql: String = {
+  /** The full PSL chain in SQL, parameterized over the host fixture —
+    * mirrors [[graft.operators.HostRules.registrableDomain]]:
+    * suffix-chain explode with parent suffixes, three kind-split
+    * equi-joins, exception > longest, default one label. Expects a
+    * CTE `hd(doc_id, host)`, yields
+    * `eres(doc_id, host, public_suffix, etld1)`. Shared by q172's
+    * oracle and q193's (the eTLD+1 budget grain), so the PSL
+    * machinery is pinned by both. */
+  private lazy val pslChainSql: String = {
     val values = pslRules.map { r =>
       val (dom, kind) =
         if (r.startsWith("!")) (r.drop(1), "exception")
@@ -832,15 +1013,7 @@ object NormalizeOps {
         else (r, "exact")
       s"('$dom', '$kind')"
     }.mkString(",\n                  ")
-    s"""WITH hd AS (SELECT doc_id,
-               CASE doc_id % 5
-                 WHEN 0 THEN 'a.' || source || '.example.org'
-                 WHEN 1 THEN source || '.com'
-                 WHEN 2 THEN 'x.y.' || source || '.pages.org'
-                 WHEN 3 THEN 'b.keep.pages.org'
-                 ELSE 'org' END AS host
-             FROM documents),
-        hp AS (SELECT doc_id, host, string_split(host, '.') AS parts FROM hd),
+    s"""hp AS (SELECT doc_id, host, string_split(host, '.') AS parts FROM hd),
         sx AS (SELECT doc_id, len(parts) AS n, t.i AS i,
                  array_to_string(parts[CAST(t.i AS INTEGER):], '.') AS suffix,
                  array_to_string(parts[CAST(t.i AS INTEGER) + 1:], '.')
@@ -864,13 +1037,26 @@ object NormalizeOps {
                    FROM cand) WHERE rn = 1),
         res AS (SELECT hp.doc_id, hp.host, hp.parts,
                        len(hp.parts) AS n, coalesce(b.ps_labels, 1) AS ps
-                FROM hp LEFT JOIN best b USING (doc_id))
-        SELECT doc_id, host,
+                FROM hp LEFT JOIN best b USING (doc_id)),
+        eres AS (SELECT doc_id, host,
                array_to_string(parts[CAST(n - ps + 1 AS INTEGER):], '.')
                  AS public_suffix,
                CASE WHEN n >= ps + 1
                     THEN array_to_string(parts[CAST(n - ps AS INTEGER):], '.')
                     ELSE NULL END AS etld1
-        FROM res"""
+        FROM res)"""
   }
+
+  /** q172's oracle: the PSL chain over its own host fixture. */
+  private lazy val etld1Sql: String =
+    s"""WITH hd AS (SELECT doc_id,
+               CASE doc_id % 5
+                 WHEN 0 THEN 'a.' || source || '.example.org'
+                 WHEN 1 THEN source || '.com'
+                 WHEN 2 THEN 'x.y.' || source || '.pages.org'
+                 WHEN 3 THEN 'b.keep.pages.org'
+                 ELSE 'org' END AS host
+             FROM documents),
+        $pslChainSql
+        SELECT doc_id, host, public_suffix, etld1 FROM eres"""
 }

@@ -35,18 +35,66 @@ object FrontierStream {
                           k: Int): DataFrame =
     budgeted(cands, cycle, k)
 
-  // ONE aggregation chain for both entry points: the spec's
+  /** [[scheduleCycles]] with robots `Crawl-delay` consumed — the same
+    * per-host rule the batch q192 applies: a host whose governing
+    * group states a delay gets budget
+    * min(k, max(1, floor(cycleSecs / delay))); hosts absent from
+    * `delays` keep the full k. `delays` (host, crawl_delay — the
+    * [[graft.operators.Robots.selectCrawlDelay]] shape) is the STATIC
+    * side of one stream-static equi-join BEFORE the aggregation, so
+    * the budget rides the group key (it is constant per host) and the
+    * streaming state stays ≤ k entries per (cycle, host) — the delay
+    * tightens what's EMITTED, never what's kept. */
+  def scheduleCyclesDelayed(cands: DataFrame, cycle: String,
+                            watermark: String, k: Int, delays: DataFrame,
+                            cycleSecs: Double): DataFrame =
+    budgetedDelayed(cands.withWatermark("ts", watermark), cycle, k,
+      delays, cycleSecs)
+
+  /** Batch pin for [[scheduleCyclesDelayed]] (stream ≡ batch, same
+    * chain). */
+  def scheduleCyclesDelayedBatch(cands: DataFrame, cycle: String, k: Int,
+                                 delays: DataFrame,
+                                 cycleSecs: Double): DataFrame =
+    budgetedDelayed(cands, cycle, k, delays, cycleSecs)
+
+  private def budgetedDelayed(cands: DataFrame, cycle: String, k: Int,
+                              delays: DataFrame,
+                              cycleSecs: Double): DataFrame = {
+    val d = delays.select(col("host").as("_dh"), col("crawl_delay"))
+    val withBudget = cands
+      .join(d, col("host") === col("_dh"), "left")
+      // when(), not coalesce(least(greatest(...))): Spark's
+      // least/greatest SKIP nulls (they return the extreme of the
+      // non-null operands), so a missing delay would collapse to
+      // greatest(1, null) = 1 instead of falling through to k
+      .withColumn("budget",
+        when(col("crawl_delay").isNotNull,
+          least(lit(k.toLong), greatest(lit(1L),
+            floor(lit(cycleSecs) / col("crawl_delay")))))
+          .otherwise(lit(k.toLong)))
+      .drop("_dh", "crawl_delay")
+    budgeted(withBudget, cycle, k, extraKeys = Seq("budget"))
+      .filter(col("fetch_order") <= col("budget"))
+  }
+
+  // ONE aggregation chain for all entry points: the spec's
   // stream ≡ batch pin is only meaningful if both run the same plan —
-  // a second copy would let them drift apart silently.
-  private def budgeted(cands: DataFrame, cycle: String,
-                       k: Int): DataFrame =
+  // a second copy would let them drift apart silently. `extraKeys`
+  // must be functionally dependent on host (the delay budget is) so
+  // they refine nothing — they just ride through the aggregation.
+  private def budgeted(cands: DataFrame, cycle: String, k: Int,
+                       extraKeys: Seq[String] = Nil): DataFrame =
     cands
-      .groupBy(window(col("ts"), cycle).as("cycle"), col("host"))
+      .groupBy(window(col("ts"), cycle).as("cycle") +: col("host") +:
+        extraKeys.map(col): _*)
       .agg(graft.operators.TopK.topK(k)(col("ord"), col("tie")).as("top"))
-      .select(col("cycle.start").as("cycle_start"),
-        col("cycle.end").as("cycle_end"), col("host"),
-        posexplode(col("top")).as(Seq("pos", "e")))
-      .select(col("cycle_start"), col("cycle_end"), col("host"),
-        col("e.ord").as("ord"), col("e.tie").as("tie"),
-        (col("pos") + 1).cast("long").as("fetch_order"))
+      .select(col("cycle.start").as("cycle_start") +:
+        col("cycle.end").as("cycle_end") +: col("host") +:
+        extraKeys.map(col) :+
+        posexplode(col("top")).as(Seq("pos", "e")): _*)
+      .select(col("cycle_start") +: col("cycle_end") +: col("host") +:
+        extraKeys.map(col) :+
+        col("e.ord").as("ord") :+ col("e.tie").as("tie") :+
+        (col("pos") + 1).cast("long").as("fetch_order"): _*)
 }

@@ -18,6 +18,55 @@ class RobotsSpec extends AnyFunSuite {
           "host", "robots"), ua)
       .collect().map(r => (r.getString(1), r.getString(2))).toSet
 
+  private def delayFor(body: String, ua: String = "GraftBot") =
+    Robots.selectCrawlDelay(
+        Robots.parseDirectives(Seq(("h", body)).toDF("host", "robots"),
+          "host", "robots"), ua)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      .get("h")
+
+  test("crawl-delay: exact-UA group beats the star group's decoy") {
+    val body = """User-agent: graftbot
+                 |Disallow: /a
+                 |Crawl-delay: 10
+                 |
+                 |User-agent: *
+                 |Crawl-delay: 1""".stripMargin
+    assert(delayFor(body).contains(10.0))
+    // the star value governs a token with no exact group
+    assert(delayFor(body, ua = "otherbot").contains(1.0))
+  }
+
+  test("crawl-delay: merged exact groups take the conservative max") {
+    val body = """User-agent: graftbot
+                 |Crawl-delay: 2
+                 |
+                 |User-agent: graftbot
+                 |Crawl-delay: 7""".stripMargin
+    assert(delayFor(body).contains(7.0))
+  }
+
+  test("crawl-delay: malformed / non-positive values read as unstated") {
+    assert(delayFor("User-agent: graftbot\nCrawl-delay: fast\n").isEmpty)
+    assert(delayFor("User-agent: graftbot\nCrawl-delay: -3\n").isEmpty)
+    assert(delayFor("User-agent: graftbot\nCrawl-delay: 0\n").isEmpty)
+    // fractional delays are legal (Yandex documents them)
+    assert(delayFor("User-agent: graftbot\nCrawl-delay: 0.5\n")
+      .contains(0.5))
+  }
+
+  test("crawl-delay line terminates a user-agent header block") {
+    // RFC 9309 §2.2.1: any non-UA line ends the header block, so the
+    // second UA opens a NEW group — graftbot's group must NOT inherit
+    // the star group's delay or rules
+    val body = """User-agent: *
+                 |Crawl-delay: 30
+                 |User-agent: graftbot
+                 |Disallow: /g""".stripMargin
+    assert(delayFor(body).isEmpty)
+    assert(rulesFor(body) == Set("/g" -> "disallow"))
+  }
+
   test("CRLF line endings and mixed directive-key casing parse clean") {
     val body = "USER-AGENT: GRAFTBOT\r\ndisallow: /a\r\nALLOW: /a/b\r\n"
     assert(rulesFor(body) == Set("/a" -> "disallow", "/a/b" -> "allow"))

@@ -72,4 +72,56 @@ class FrontierStreamSpec extends AnyFunSuite {
       assert(h1c0.find(_._3 == 100.0).get._4 == 7L)
     } finally q.stop()
   }
+
+  test("crawl-delay budgets: stream ≡ batch, per-host caps hold") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("frontier-cd").toString
+    // cycle = 10 min (600 s), k = 3. Delays: h1 300 s → budget 2;
+    // h3 1200 s (> cycle) → the 1-fetch floor; h2 states none → full 3.
+    val delays = Seq(("h1", 300.0), ("h3", 1200.0))
+      .toDF("host", "crawl_delay")
+    val rows = Seq(
+      (ts(1), "h1", 10.0, 1L), (ts(2), "h1", 20.0, 2L),
+      (ts(3), "h1", 30.0, 3L), (ts(4), "h1", 40.0, 4L),
+      (ts(5), "h2", 10.0, 1L), (ts(6), "h2", 20.0, 2L),
+      (ts(7), "h2", 30.0, 3L), (ts(8), "h2", 40.0, 4L),
+      (ts(2), "h3", 10.0, 1L), (ts(4), "h3", 20.0, 2L),
+      (ts(6), "h3", 30.0, 3L))
+    val sentinel = Seq((ts(60), "hx", 1.0, 1L), (ts(61), "hx", 1.0, 2L))
+
+    def write(rs: Seq[(java.sql.Timestamp, String, Double, Long)]): Unit =
+      rs.toDF("ts", "host", "ord", "tie")
+        .write.mode("append").parquet(dir)
+
+    write(rows)
+    val streamed = spark.readStream
+      .schema("ts TIMESTAMP, host STRING, ord DOUBLE, tie BIGINT")
+      .parquet(dir)
+    val q = FrontierStream.scheduleCyclesDelayed(streamed, "10 minutes",
+        "10 minutes", k = 3, delays, cycleSecs = 600.0)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("frontier_cd_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      sentinel.grouped(1).foreach { s => write(s); q.processAllAvailable() }
+
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getTimestamp(0), r.getString(2), r.getDouble(4),
+          r.getLong(5), r.getLong(6))
+      val got = spark.table("frontier_cd_out")
+        .filter(col("host") =!= "hx").collect().map(key).toSet
+      val want = FrontierStream.scheduleCyclesDelayedBatch(
+          rows.toDF("ts", "host", "ord", "tie"), "10 minutes", 3,
+          delays, 600.0)
+        .collect().map(key).toSet
+      assert(got == want)
+      // budgets: h1 capped at 2 (highest-ord pair), h2 full k = 3,
+      // h3 floored at 1 despite 3 candidates
+      val perHost = got.groupBy(_._2).view.mapValues(_.size).toMap
+      assert(perHost == Map("h1" -> 2, "h2" -> 3, "h3" -> 1))
+      assert(got.filter(_._2 == "h1").map(_._3) == Set(40.0, 30.0))
+      assert(got.filter(_._2 == "h3").map(_._3) == Set(30.0))
+    } finally q.stop()
+  }
 }
