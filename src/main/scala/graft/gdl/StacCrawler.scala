@@ -8,18 +8,27 @@ import scala.collection.mutable
 /** STAC metadata-graph crawler ≙ STACDatasetValidator
   * (/root/reference/backend/check_stac_metadata/utils.py:51-130).
   *
-  * DFS pre-order recursion with a traversed-URL cycle guard, exactly
-  * mirroring the reference so item indices (METADATA_ITEM_INDEX#i /
+  * DFS pre-order with a traversed-URL cycle guard, exactly mirroring
+  * the reference's recursion so item indices (METADATA_ITEM_INDEX#i /
   * DATA_ITEM_INDEX#i) are assigned in the same discovery order
   * (SURVEY §7.4 risk #3): metadata URL appended after its doc validates,
-  * assets appended per doc, links recursed last.
+  * assets appended per doc, links walked last. The walk itself is an
+  * EXPLICIT-STACK worklist, not JVM recursion (the reference recurses,
+  * utils.py:126-130) — an adversarially deep link chain must exhaust
+  * the [[StacCrawler.DefaultMaxDocs]] cap, never the driver's stack.
   *
   * Metadata graphs are small (the reference recurses in one Lambda's
   * memory, 60 s cap); the asset fan-out — the actual 100 TB surface —
-  * is distributed in [[ChecksumValidator]]. Any traversal error is
-  * recorded as a validation row and aborts the crawl WITHOUT emitting
-  * asset rows (utils.py:78-82: errors are swallowed after recording and
-  * the save loop is skipped).
+  * is distributed in [[ChecksumValidator]]. Past `maxDocs` documents
+  * the crawl records a failure row and aborts like any traversal
+  * error: the right tool for a graph that size is the distributed
+  * path ([[graft.sources.StacSource.readDocs]] → `validateDocs` for
+  * the checks, [[graft.operators.GraphBfs.reachableFrom]] over
+  * `StacSource.edges` for reachability — StacSourceSpec pins it equal
+  * to the crawler's traversal set). Any traversal error is recorded
+  * as a validation row and aborts the crawl WITHOUT emitting asset
+  * rows (utils.py:78-82: errors are swallowed after recording and the
+  * save loop is skipped).
   */
 final case class CrawlOutput(
     metadata: Seq[ProcessingAssetRow],
@@ -27,7 +36,16 @@ final case class CrawlOutput(
     validations: Seq[ValidationRow],
     aborted: Boolean)
 
-class StacCrawler(reader: UrlReader) {
+object StacCrawler {
+  /** Driver-memory guard on the visited set (and therefore on the
+    * explicit DFS stack, which never outgrows it). Generous for real
+    * STAC catalogs — the reference's whole crawl fits one Lambda —
+    * while bounding what a crawler-trap graph can cost the driver. */
+  val DefaultMaxDocs: Int = 100000
+}
+
+class StacCrawler(reader: UrlReader,
+                  maxDocs: Int = StacCrawler.DefaultMaxDocs) {
 
   private class Abort extends RuntimeException
 
@@ -75,7 +93,23 @@ class StacCrawler(reader: UrlReader) {
       out.node.get
     }
 
-    def validate(url: String): Unit = { // utils.py:99-130
+    // One frame per document whose links are still being walked:
+    // (links array, cursor, the doc's own URL for href resolution).
+    // LIFO stack + per-frame cursor replays the reference recursion's
+    // order exactly — visit node, then its links left to right, each
+    // unvisited link visited depth-first before the next sibling.
+    final class Frame(val links: JsonNode, val parentUrl: String) {
+      var i: Int = 0
+    }
+    val stack = mutable.ArrayDeque.empty[Frame]
+
+    def visit(url: String): Unit = { // utils.py:99-124, sans recursion
+      if (traversed.size >= maxDocs) {
+        record(url, Check.TraversalCap, Result.Failed,
+          Map("message" -> (s"Metadata graph exceeds $maxDocs documents; " +
+            "validate it with the distributed path (StacSource + GraphBfs)")))
+        throw new Abort
+      }
       traversed += url
       val doc = getObject(url)
       val stacType = StacValidator.typeOf(doc).getOrElse("")
@@ -96,19 +130,25 @@ class StacCrawler(reader: UrlReader) {
         }
       }
       val links = doc.get("links")
-      if (links != null && links.isArray) {
-        var i = 0
-        while (i < links.size()) {
-          val next = resolve(links.get(i).get("href").asText, url)
-          if (!traversed(next)) validate(next)
-          i += 1
-        }
-      }
+      if (links != null && links.isArray && links.size() > 0)
+        stack.append(new Frame(links, url))
     }
 
     val aborted =
-      try { validate(metadataUrl); false }
-      catch { case _: Abort => true }
+      try {
+        visit(metadataUrl)
+        while (stack.nonEmpty) { // utils.py:126-130, iterative
+          val top = stack.last
+          if (top.i >= top.links.size()) { stack.removeLast(); () }
+          else {
+            val next = resolve(top.links.get(top.i).get("href").asText,
+              top.parentUrl)
+            top.i += 1
+            if (!traversed(next)) visit(next)
+          }
+        }
+        false
+      } catch { case _: Abort => true }
 
     if (aborted) CrawlOutput(Nil, Nil, validations.toSeq, aborted = true)
     else CrawlOutput(

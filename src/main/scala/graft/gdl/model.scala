@@ -66,6 +66,9 @@ object Check {
   val NonS3Url = "not an s3 url"
   /** Engine extension (USAGE.md:76-79 contract, SURVEY O-24). */
   val InconsistentMultihash = "inconsistent multihash"
+  /** Engine extension: the crawler's visited-set cap tripped — the
+    * graph needs the distributed path (StacSource + GraphBfs). */
+  val TraversalCap = "metadata graph too large"
 }
 
 /** Result values ≙ backend/validation_results_model.py ValidationResult. */
