@@ -393,7 +393,11 @@ object Multimodal {
     * AudioSystem.write's per-call provider lookup contends across 32
     * encode threads the same way the decode side did (sf1: 19 s → 9 s
     * from the decode fast path alone; the encode was the remainder). */
-  private def wavPcm16Mono(pcm: Array[Byte], sampleRate: Int): Array[Byte] = {
+  private def wavPcm16Mono(pcm: Array[Byte], sampleRate: Int): Array[Byte] =
+    wavPcm16(pcm, sampleRate, channels = 1)
+
+  private def wavPcm16(pcm: Array[Byte], sampleRate: Int,
+                       channels: Int): Array[Byte] = {
     val out = new Array[Byte](44 + pcm.length)
     def put32(o: Int, v: Long): Unit = {
       out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
@@ -405,12 +409,39 @@ object Multimodal {
     def tag(o: Int, s: String): Unit =
       s.zipWithIndex.foreach { case (c, i) => out(o + i) = c.toByte }
     tag(0, "RIFF"); put32(4, 36L + pcm.length); tag(8, "WAVE")
-    tag(12, "fmt "); put32(16, 16L); put16(20, 1); put16(22, 1)
-    put32(24, sampleRate.toLong); put32(28, sampleRate.toLong * 2)
-    put16(32, 2); put16(34, 16)
+    tag(12, "fmt "); put32(16, 16L); put16(20, 1); put16(22, channels)
+    put32(24, sampleRate.toLong); put32(28, sampleRate.toLong * 2 * channels)
+    put16(32, 2 * channels); put16(34, 16)
     tag(36, "data"); put32(40, pcm.length.toLong)
     System.arraycopy(pcm, 0, out, 44, pcm.length)
     out
+  }
+
+  /** Stereo sibling of [[encodePcmWav]]: channel 0 sample i =
+    * (byte_i − 96)·128 (the mono rule), channel 1 sample i =
+    * (byte_i − 96)·64 — distinct per-channel amplitudes, so a channel
+    * swap or a stride bug in the de-interleave breaks the oracle.
+    * Frames are interleaved [L0 R0 L1 R1 …], `n` frames per channel. */
+  def encodePcmWavStereo(spark: SparkSession, docs: DataFrame,
+                         idCol: String, textCol: String, n: Int,
+                         sampleRate: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), encode(col(textCol), "UTF-8"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val pcm = new Array[Byte](4 * n)
+        var i = 0
+        while (i < n) {
+          val l = (textByte(bytes, i) - 96) * 128
+          val r = (textByte(bytes, i) - 96) * 64
+          pcm(4 * i) = (l & 0xff).toByte
+          pcm(4 * i + 1) = (l >> 8).toByte
+          pcm(4 * i + 2) = (r & 0xff).toByte
+          pcm(4 * i + 3) = (r >> 8).toByte
+          i += 1
+        }
+        (id, wavPcm16(pcm, sampleRate, channels = 2))
+      }).toDF("id", "media")
   }
 
   /** REAL audio decode: parse the container header (rate, channels,
@@ -512,10 +543,11 @@ object Multimodal {
     Some((rate, channels, blockAlign, pcm))
   }
 
-  /** Per-frame audio feature row; quarantine = frame_idx −1. */
+  /** Per-frame audio feature row; quarantine = frame_idx −1 (and
+    * channel −1, since no channel applies). Mono audio is channel 0. */
   final case class AudioFrameFeatures(
-      id: Long, frame_idx: Long, n_samples: Long, energy_sum_sq: Long,
-      peak_abs: Long, zero_crossings: Long)
+      id: Long, channel: Long, frame_idx: Long, n_samples: Long,
+      energy_sum_sq: Long, peak_abs: Long, zero_crossings: Long)
 
   /** Audio FEATURE EXTRACTION — the per-frame preprocessing pass
     * between decode and modeling (VAD gating, loudness normalization,
@@ -528,10 +560,20 @@ object Multimodal {
     * complete frames are emitted (a tail shorter than `frameLen` is
     * dropped — the standard framing contract). All features are exact
     * long arithmetic, so a SQL oracle re-derives them bit-for-bit.
-    * Totality: undecodable bytes → one quarantine row (frame_idx −1,
-    * n_samples −1); decodable audio SHORTER than one frame → one
-    * too-short row (frame_idx −1, n_samples 0) — never a silently
-    * dropped input. Partition-wise map; blobs stay in partition. */
+    *
+    * Multi-channel PCM is DE-INTERLEAVED: channel c of C reads samples
+    * at interleaved positions i·C + c, and every channel frames
+    * independently (channel 0 of a mono file ≡ the old mono output,
+    * bit for bit). Framing raw interleaved samples instead would count
+    * L-vs-R sign flips as "crossings" and halve the real frame
+    * duration — wrong features, silently.
+    *
+    * Totality: undecodable bytes OR a blockAlign that contradicts
+    * 16-bit × channels → one quarantine row (channel −1, frame_idx −1,
+    * n_samples −1); decodable audio SHORTER than one frame per channel
+    * → one too-short row (channel −1, frame_idx −1, n_samples 0) —
+    * never a silently dropped input. Partition-wise map; blobs stay in
+    * partition. */
   def audioFrameFeatures(spark: SparkSession, media: DataFrame,
                          idCol: String, binCol: String,
                          frameLen: Int): Dataset[AudioFrameFeatures] = {
@@ -544,37 +586,41 @@ object Multimodal {
       .mapPartitions(_.flatMap { case (id, bytes) =>
         wavPcm16Payload(bytes) match {
           case None =>
-            Iterator.single(AudioFrameFeatures(id, -1L, -1L, -1L, -1L, -1L))
-          // MONO only: framing raw interleaved stereo samples would
-          // count L-vs-R sign flips as "crossings" and halve the real
-          // frame duration — wrong features, silently. Multi-channel
-          // quarantines like undecodable bytes until a de-interleave
-          // path exists.
-          case Some((_, ch, _, _)) if ch != 1 =>
-            Iterator.single(AudioFrameFeatures(id, -1L, -1L, -1L, -1L, -1L))
-          case Some((_, _, _, pcm)) if pcm.length / 2 < frameLen =>
-            Iterator.single(AudioFrameFeatures(id, -1L, 0L, -1L, -1L, -1L))
-          case Some((_, _, _, pcm)) =>
-            val n = pcm.length / 2
-            def sample(i: Int): Int = {
-              val v = (pcm(2 * i) & 0xff) | ((pcm(2 * i + 1) & 0xff) << 8)
+            Iterator.single(
+              AudioFrameFeatures(id, -1L, -1L, -1L, -1L, -1L, -1L))
+          // truly malformed: the container's own blockAlign disagrees
+          // with 16-bit × channels, so the interleaving stride is
+          // unknowable — quarantine, don't guess
+          case Some((_, ch, ba, _)) if ba != 2 * ch =>
+            Iterator.single(
+              AudioFrameFeatures(id, -1L, -1L, -1L, -1L, -1L, -1L))
+          case Some((_, ch, _, pcm)) if (pcm.length / 2) / ch < frameLen =>
+            Iterator.single(
+              AudioFrameFeatures(id, -1L, -1L, 0L, -1L, -1L, -1L))
+          case Some((_, ch, _, pcm)) =>
+            val perCh = (pcm.length / 2) / ch
+            def sample(c: Int, i: Int): Int = {
+              val o = 2 * (i * ch + c)
+              val v = (pcm(o) & 0xff) | ((pcm(o + 1) & 0xff) << 8)
               if (v >= 0x8000) v - 0x10000 else v
             }
-            (0 until n / frameLen).iterator.map { f =>
-              var energy = 0L; var peak = 0L; var zc = 0L
-              var i = 0
-              while (i < frameLen) {
-                val s = sample(f * frameLen + i)
-                energy += s.toLong * s
-                if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
-                if (i > 0) {
-                  val prev = sample(f * frameLen + i - 1)
-                  if ((prev < 0) != (s < 0)) zc += 1
+            (0 until ch).iterator.flatMap { c =>
+              (0 until perCh / frameLen).iterator.map { f =>
+                var energy = 0L; var peak = 0L; var zc = 0L
+                var i = 0
+                while (i < frameLen) {
+                  val s = sample(c, f * frameLen + i)
+                  energy += s.toLong * s
+                  if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+                  if (i > 0) {
+                    val prev = sample(c, f * frameLen + i - 1)
+                    if ((prev < 0) != (s < 0)) zc += 1
+                  }
+                  i += 1
                 }
-                i += 1
+                AudioFrameFeatures(id, c.toLong, f.toLong, frameLen.toLong,
+                  energy, peak, zc)
               }
-              AudioFrameFeatures(id, f.toLong, frameLen.toLong,
-                energy, peak, zc)
             }
         }
       })

@@ -97,6 +97,21 @@ object JsonOps {
         frameLen = 32).toDF()
     }),
 
+    // q187 over STEREO input: the encoder interleaves two channels
+    // with distinct amplitude rules (L = (b−96)·128, R = (b−96)·64),
+    // and the feature pass DE-INTERLEAVES — channel c reads samples
+    // i·C + c, frames independently per channel (8 rows per doc: 2
+    // channels × 4 frames). A channel swap, stride bug, or
+    // interleaved framing (the pre-round-10 quarantine rationale)
+    // breaks energy/peak on every row. Same partition-wise shape.
+    "q194_audio_features_stereo" -> ((s, d) => {
+      val media = Multimodal.encodePcmWavStereo(s,
+        Tables.load(s, d, "documents"), "doc_id", "text",
+        n = 128, sampleRate = 8000)
+      Multimodal.audioFrameFeatures(s, media, "id", "media",
+        frameLen = 32).toDF()
+    }),
+
     // REAL video container roundtrip (the q137/q138 discipline): docs
     // → length-prefixed concatenated-PNG "video" (16×8 frames, one per
     // 128-byte text chunk) → demux walks the prefixes, PNG-decodes
@@ -292,7 +307,44 @@ object JsonOps {
                 s[CAST(32 * t.j + 1 AS INTEGER):CAST(32 * t.j + 32 AS INTEGER)]
                   AS f
            FROM sm, unnest(range(0, 4)) AS t(j))
-          SELECT doc_id AS id, CAST(frame_idx AS BIGINT) AS frame_idx,
+          SELECT doc_id AS id, CAST(0 AS BIGINT) AS channel,
+                 CAST(frame_idx AS BIGINT) AS frame_idx,
+                 CAST(32 AS BIGINT) AS n_samples,
+                 CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(f, x -> CAST(x AS BIGINT) * x)),
+                      (a, b) -> a + b) AS BIGINT) AS energy_sum_sq,
+                 CAST(list_reduce(list_prepend(0,
+                        list_transform(f, x -> abs(x))),
+                      (a, b) -> CASE WHEN b > a THEN b ELSE a END)
+                   AS BIGINT) AS peak_abs,
+                 CAST(list_reduce(list_prepend(0,
+                        list_transform(range(2, 33),
+                          i -> CASE WHEN (f[CAST(i - 1 AS INTEGER)] < 0)
+                                    <> (f[CAST(i AS INTEGER)] < 0)
+                                    THEN 1 ELSE 0 END)),
+                      (a, b) -> a + b) AS BIGINT) AS zero_crossings
+          FROM fr""",
+
+    // The stereo variant: per (channel, amp) the SAME folds over
+    // s(i) = (b−96)·amp — channel 0 amp 128, channel 1 amp 64. 8 rows
+    // per doc.
+    "q194_audio_features_stereo" ->
+      """WITH px AS (SELECT doc_id,
+                list_transform(range(1, 129),
+                  i -> CASE WHEN i <= strlen(text)
+                            THEN ascii(substr(text, CAST(i AS INTEGER), 1))
+                            ELSE 32 END) AS ps
+           FROM documents),
+          chs AS (SELECT * FROM (VALUES (0, 128), (1, 64)) t(c, amp)),
+          sm AS (SELECT doc_id, c,
+                list_transform(ps, b -> (b - 96) * amp) AS s
+           FROM px, chs),
+          fr AS (SELECT doc_id, c, t.j AS frame_idx,
+                s[CAST(32 * t.j + 1 AS INTEGER):CAST(32 * t.j + 32 AS INTEGER)]
+                  AS f
+           FROM sm, unnest(range(0, 4)) AS t(j))
+          SELECT doc_id AS id, CAST(c AS BIGINT) AS channel,
+                 CAST(frame_idx AS BIGINT) AS frame_idx,
                  CAST(32 AS BIGINT) AS n_samples,
                  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
                         list_transform(f, x -> CAST(x AS BIGINT) * x)),

@@ -143,17 +143,42 @@ class MultimodalSpec extends AnyFunSuite {
     val q = Multimodal.audioFrameFeatures(spark, junk, "id", "media", 32)
       .collect()
     assert(q.length == 1 && q.head.frame_idx == -1L)
-    // STEREO quarantines: raw interleaved framing would count L-vs-R
-    // sign flips as crossings — wrong features, not a partial answer
-    val mono = media.select("media").collect()(0).getAs[Array[Byte]](0)
+    // STEREO de-interleaves: reinterpreting doc 1's 128 mono samples
+    // ("a a a…" ×40, space-padded: +128/−8192 alternating through
+    // sample 79, then −8192) as 2ch × 64 puts every 'a' on channel 0
+    // and every space on channel 1. Channel 1 must be pure −8192 (zc
+    // 0 — interleaved framing would show zc 31 like the mono frame
+    // above); channel 0 frame 0 is pure +128 and frame 1 crosses into
+    // the padding exactly once — the stride AND the frame boundary
+    // are both value-pinned per channel.
+    val mono = media.filter(col("id") === 1L)
+      .select("media").collect()(0).getAs[Array[Byte]](0)
     val stereo = mono.clone()
     stereo(22) = 2 // fmt channels (LE16 low byte)
     stereo(32) = 4 // fmt blockAlign for 2ch × 16-bit
     val s2 = Seq((5L, stereo)).toDF("id", "media")
     val sq = Multimodal.audioFrameFeatures(spark, s2, "id", "media", 32)
       .collect()
-    assert(sq.length == 1 && sq.head.frame_idx == -1L &&
-      sq.head.n_samples == -1L)
+    assert(sq.length == 4) // 2 channels × 2 frames of 32 from 64/ch
+    def frame(c: Long, f: Long) =
+      sq.find(r => r.channel == c && r.frame_idx == f).get
+    assert(frame(0L, 0L).energy_sum_sq == 32L * 128 * 128 &&
+      frame(0L, 0L).peak_abs == 128L && frame(0L, 0L).zero_crossings == 0L)
+    assert(frame(0L, 1L).energy_sum_sq ==
+      8L * 128 * 128 + 24L * 8192 * 8192 &&
+      frame(0L, 1L).zero_crossings == 1L)
+    assert(Seq(0L, 1L).forall { f =>
+      frame(1L, f).energy_sum_sq == 32L * 8192 * 8192 &&
+      frame(1L, f).zero_crossings == 0L })
+    // a blockAlign that CONTRADICTS 16-bit × channels is truly
+    // malformed — the stride is unknowable, so it quarantines
+    val bad = mono.clone()
+    bad(22) = 2 // claims stereo but leaves blockAlign = 2
+    val bq = Multimodal.audioFrameFeatures(spark,
+        Seq((6L, bad)).toDF("id", "media"), "id", "media", 32)
+      .collect()
+    assert(bq.length == 1 && bq.head.frame_idx == -1L &&
+      bq.head.n_samples == -1L && bq.head.channel == -1L)
   }
 
   test("crafted RIFF chunk size near 2^32 terminates and quarantines") {
