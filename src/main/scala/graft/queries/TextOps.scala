@@ -322,6 +322,65 @@ object TextOps {
           .otherwise(0L)).as("n_contaminated_eval_docs_naive"))
     }),
 
+    // The STORED-CLOSURE policy family: q183/q184/q185 recompute the
+    // MinHash-LSH + connected-components chain per query (deliberate
+    // for oracle composability — VERDICT r9 "What's wrong" #3); these
+    // variants READ the NearDupIndex's maintained cluster table
+    // instead (SimulatedStore: built once, the bench times the policy
+    // query alone — one parquet scan + cluster-bounded windows). The
+    // oracles are literally q183/q184/q185's texts, so stored ≡
+    // from-scratch is hash-pinned, not claimed.
+    "q196_cluster_canonical_stored" -> ((s, d) => {
+      val docs = Tables.documentsWithEdges(s, d)
+      val labeled = docs.select(col("doc_id"), col("n_chars"))
+        .join(storedClusterLabels(s, d), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val wFull = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      labeled
+        .withColumn("keep", row_number().over(w) === 1)
+        .withColumn("kept_doc_id", first(col("doc_id")).over(wFull))
+        .select(col("doc_id"), col("cluster_id"), col("n_chars"),
+          col("keep"), col("kept_doc_id"))
+    }),
+
+    "q197_leakage_split_stored" -> ((s, d) => {
+      val docs = Tables.documentsWithEdges(s, d)
+      def side(tag: String, c: org.apache.spark.sql.Column) =
+        when(pmod(conv(substring(md5(concat(lit(tag), c.cast("string"))),
+          1, 8), 16, 10).cast("long"), lit(100L)) < 90L, "train")
+          .otherwise("eval")
+      docs.select(col("doc_id"))
+        .join(storedClusterLabels(s, d), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .select(col("doc_id"), col("cluster_id"),
+          side("split|", col("cluster_id")).as("split"),
+          side("split|", col("doc_id")).as("naive_split"))
+    }),
+
+    "q198_leakage_audit_stored" -> ((s, d) => {
+      val assigned = queries("q197_leakage_split_stored")(s, d)
+      val perCluster = assigned.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("split")).as("n_sides_cluster"),
+          countDistinct(col("naive_split")).as("n_sides_naive"),
+          sum(when(col("naive_split") === "eval", 1L).otherwise(0L))
+            .as("n_eval_naive"))
+        .filter(col("n_docs") > 1)
+      perCluster.agg(
+        count(lit(1)).as("n_multi_clusters"),
+        sum(when(col("n_sides_cluster") > 1, 1L).otherwise(0L))
+          .as("n_straddling_cluster_split"),
+        sum(when(col("n_sides_naive") > 1, 1L).otherwise(0L))
+          .as("n_straddling_naive_split"),
+        sum(when(col("n_sides_naive") > 1, col("n_eval_naive"))
+          .otherwise(0L)).as("n_contaminated_eval_docs_naive"))
+    }),
+
     // Incremental cluster maintenance: stored corpus clusters (doc_id
     // ≥ 100) + one batch's near-dup pairs (batch-internal exact +
     // batch-vs-corpus slot-agreement, q116's split) folded in with
@@ -745,6 +804,31 @@ object TextOps {
         .select(col("doc_id"), col("sent_idx"), col("kept"))
     }),
 
+    // INCREMENTAL span dedup — q191's C4 grain in the q189 shape: the
+    // stored corpus (doc_id < 400) lives in a SpanIndex (hashed
+    // sliding 3-sentence windows, same min-combine state as the
+    // sentence index — spans never cross documents, so a batch of
+    // whole docs derives all its spans locally), and the batch
+    // (doc_id ≥ 400) gets per-sentence removal verdicts in
+    // O(batch + one span-key equi-join). The oracle is the
+    // FROM-SCRATCH q191 rule over the whole corpus restricted to
+    // batch rows — incremental ≡ rebuild by the min-combine algebra,
+    // and the hash pins it.
+    "q195_span_dedup_incremental" -> ((s, d) => {
+      def packed(df: DataFrame) = df.withColumn("pk",
+        col("doc_id") * 1000000L + col("sent_idx") +
+          coalesce(expr("assert_true(sent_idx < 1000000)").cast("long"),
+            lit(0L)))
+      val store = SimulatedStore.tableStore(s, d, "q195_spanidx_v1") { st =>
+        new graft.operators.SpanIndex(st, "sd").build(
+          packed(sentenceRows(s, d).filter(col("doc_id") < 400L)))
+      }
+      val idx = new graft.operators.SpanIndex(store, "sd")
+      idx.strikeSentences(
+          packed(sentenceRows(s, d).filter(col("doc_id") >= 400L)))
+        .select(col("doc_id"), col("sent_idx"), col("removed"))
+    }),
+
     // N-gram novelty vs a reference corpus — the memorization / leak
     // scan (Lee et al. 2022's n-gram view of train/test overlap,
     // doc-grained): for every CURRENT-split document, how many of its
@@ -848,6 +932,22 @@ object TextOps {
     * factored so q188's global dedup consumes the identical
     * segmentation. Map-only: dotted text derived in-plan, RE2-portable
     * sentence regex, empty docs emit no rows. */
+  /** The maintained dup-closure the q196–q198 policy variants read: a
+    * NearDupIndex over the edge-augmented corpus with its cluster
+    * table built once (SimulatedStore — materialized on first touch,
+    * so the bench times the policy query, not the closure). Same
+    * (shingleN, k, bands, threshold) defaults as the inline
+    * q183–q185 chain, which is what makes the shared oracles exact. */
+  private def storedClusterLabels(s: SparkSession, d: String): DataFrame = {
+    val store = SimulatedStore.tableStore(s, d, "q196_dupidx_v1") { st =>
+      val i = new graft.operators.NearDupIndex(st, "dup")
+      val corpus = Tables.documentsWithEdges(s, d)
+      i.build(corpus, "doc_id", "text")
+      i.buildClusters(corpus, "doc_id", "text")
+    }
+    new graft.operators.NearDupIndex(store, "dup").clusters()
+  }
+
   private[queries] def sentenceRows(s: SparkSession, d: String): DataFrame = {
     import graft.functions.TextFunctions._
     val docs = Tables.documentsWithEdges(s, d)
@@ -1047,6 +1147,55 @@ object TextOps {
                   FROM (SELECT dl.doc_id,
                           coalesce(cl.cluster_id, dl.doc_id) AS cluster_id
                         FROM dl LEFT JOIN cl ON dl.doc_id = cl.doc_id) a)"""
+
+  /** The q183/q196 canonical-selection oracle — ONE text for the
+    * from-scratch and stored-closure engine paths. */
+  private lazy val clusterCanonicalOracleSql: String =
+    s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+          $dupClosureSql,
+          dl AS (${Tables.documentsWithEdgesSql}),
+          lab AS (SELECT dl.doc_id, dl.n_chars,
+                    coalesce(cl.cluster_id, dl.doc_id) AS cluster_id
+                  FROM dl LEFT JOIN cl ON dl.doc_id = cl.doc_id),
+          rk AS (SELECT doc_id, cluster_id, n_chars,
+                   row_number() OVER (PARTITION BY cluster_id
+                     ORDER BY n_chars DESC, doc_id) AS rn,
+                   first_value(doc_id) OVER (PARTITION BY cluster_id
+                     ORDER BY n_chars DESC, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS kept_doc_id
+                 FROM lab)
+          SELECT doc_id, cluster_id, n_chars, rn = 1 AS keep, kept_doc_id
+          FROM rk"""
+
+  /** The q184/q197 split-assignment oracle (one text, two paths). */
+  private lazy val leakageSplitOracleSql: String =
+    s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+          $dupClosureSql,
+          $splitAssignCtes
+          SELECT doc_id, cluster_id, split, naive_split FROM asg"""
+
+  /** The q185/q198 leakage-audit oracle (one text, two paths). */
+  private lazy val leakageAuditOracleSql: String =
+    s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+          $dupClosureSql,
+          $splitAssignCtes,
+          pc AS (SELECT cluster_id, count(*) AS n_docs,
+                   count(DISTINCT split) AS n_sides_cluster,
+                   count(DISTINCT naive_split) AS n_sides_naive,
+                   sum(CASE WHEN naive_split = 'eval' THEN 1 ELSE 0 END)
+                     AS n_eval_naive
+                 FROM asg GROUP BY cluster_id
+                 HAVING count(*) > 1)
+          SELECT CAST(count(*) AS BIGINT) AS n_multi_clusters,
+                 CAST(sum(CASE WHEN n_sides_cluster > 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_straddling_cluster_split,
+                 CAST(sum(CASE WHEN n_sides_naive > 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_straddling_naive_split,
+                 CAST(sum(CASE WHEN n_sides_naive > 1 THEN n_eval_naive
+                          ELSE 0 END) AS BIGINT)
+                   AS n_contaminated_eval_docs_naive
+          FROM pc"""
 
   /** [[graft.operators.Bpe.Gpt2PretokenRe]] as a DuckDB string literal
     * (apostrophes doubled). */
@@ -1432,54 +1581,23 @@ object TextOps {
     // Canonical selection mirrored over the SAME closure: coalesce
     // singletons to their own id, rank per cluster by (n_chars DESC,
     // doc_id), keeper = rank 1 / first_value over the full frame.
-    "q183_cluster_canonical" ->
-      s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
-          $dupClosureSql,
-          dl AS (${Tables.documentsWithEdgesSql}),
-          lab AS (SELECT dl.doc_id, dl.n_chars,
-                    coalesce(cl.cluster_id, dl.doc_id) AS cluster_id
-                  FROM dl LEFT JOIN cl ON dl.doc_id = cl.doc_id),
-          rk AS (SELECT doc_id, cluster_id, n_chars,
-                   row_number() OVER (PARTITION BY cluster_id
-                     ORDER BY n_chars DESC, doc_id) AS rn,
-                   first_value(doc_id) OVER (PARTITION BY cluster_id
-                     ORDER BY n_chars DESC, doc_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND UNBOUNDED FOLLOWING) AS kept_doc_id
-                 FROM lab)
-          SELECT doc_id, cluster_id, n_chars, rn = 1 AS keep, kept_doc_id
-          FROM rk""",
+    "q183_cluster_canonical" -> clusterCanonicalOracleSql,
 
-    "q184_leakage_safe_split" ->
-      s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
-          $dupClosureSql,
-          $splitAssignCtes
-          SELECT doc_id, cluster_id, split, naive_split FROM asg""",
+    "q184_leakage_safe_split" -> leakageSplitOracleSql,
 
     // The audit aggregates over multi-doc clusters only; the
     // cluster-keyed straddle count is a measured 0 (by construction),
     // the naive doc-hash straddle/contamination counts are the
     // leakage a doc-level split would ship.
-    "q185_split_leakage_audit" ->
-      s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
-          $dupClosureSql,
-          $splitAssignCtes,
-          pc AS (SELECT cluster_id, count(*) AS n_docs,
-                   count(DISTINCT split) AS n_sides_cluster,
-                   count(DISTINCT naive_split) AS n_sides_naive,
-                   sum(CASE WHEN naive_split = 'eval' THEN 1 ELSE 0 END)
-                     AS n_eval_naive
-                 FROM asg GROUP BY cluster_id
-                 HAVING count(*) > 1)
-          SELECT CAST(count(*) AS BIGINT) AS n_multi_clusters,
-                 CAST(sum(CASE WHEN n_sides_cluster > 1 THEN 1 ELSE 0 END)
-                      AS BIGINT) AS n_straddling_cluster_split,
-                 CAST(sum(CASE WHEN n_sides_naive > 1 THEN 1 ELSE 0 END)
-                      AS BIGINT) AS n_straddling_naive_split,
-                 CAST(sum(CASE WHEN n_sides_naive > 1 THEN n_eval_naive
-                          ELSE 0 END) AS BIGINT)
-                   AS n_contaminated_eval_docs_naive
-          FROM pc""",
+    "q185_split_leakage_audit" -> leakageAuditOracleSql,
+
+    // The STORED-closure policy variants compute the IDENTICAL
+    // relations from the maintained cluster table instead of
+    // recomputing LSH+CC — one oracle text per pair (the q176/q177
+    // discipline), so either path regressing breaks its own hash.
+    "q196_cluster_canonical_stored" -> clusterCanonicalOracleSql,
+    "q197_leakage_split_stored" -> leakageSplitOracleSql,
+    "q198_leakage_audit_stored" -> leakageAuditOracleSql,
 
     "q130_export_manifest" ->
       """SELECT CAST(CAST('0x' || substr(md5('sh|' || CAST(doc_id AS VARCHAR)), 1, 4)
@@ -1754,6 +1872,31 @@ object TextOps {
                  sp.pk = k.keep_pk AS kept
           FROM sp JOIN k ON sp.sent_text = k.sent_text
           WHERE sp.doc_id >= 400""",
+
+    // Incremental span dedup's pin IS q191's from-scratch rule (global
+    // span minima, overlapping strikes through a distinct position
+    // set), restricted to batch rows.
+    "q195_span_dedup_incremental" ->
+      s"""WITH $sentencesChainSql,
+          st AS (SELECT doc_id, sent_idx, sent_text FROM f),
+          sp0 AS (SELECT doc_id, sent_idx,
+                    sent_text || chr(10)
+                      || lead(sent_text, 1) OVER w || chr(10)
+                      || lead(sent_text, 2) OVER w AS span,
+                    doc_id * 1000000 + sent_idx AS pk
+                  FROM st
+                  WINDOW w AS (PARTITION BY doc_id ORDER BY sent_idx)),
+          sp AS (SELECT * FROM sp0 WHERE span IS NOT NULL),
+          kk AS (SELECT span, min(pk) AS keep_pk FROM sp GROUP BY span),
+          rm AS (SELECT DISTINCT sp.doc_id, sp.sent_idx + t.o AS sent_idx
+                 FROM sp
+                 JOIN kk ON sp.span = kk.span AND sp.pk <> kk.keep_pk,
+                      unnest(range(0, 3)) AS t(o))
+          SELECT st.doc_id, CAST(st.sent_idx AS BIGINT) AS sent_idx,
+                 rm.doc_id IS NOT NULL AS removed
+          FROM st LEFT JOIN rm
+            ON st.doc_id = rm.doc_id AND st.sent_idx = rm.sent_idx
+          WHERE st.doc_id >= 400""",
 
     "q155_ngram_novelty" -> {
       val refIn = "('src0','src1','src2','src3','src4'," +
