@@ -304,6 +304,56 @@ final class NearDupIndex(store: TableStore, name: String,
     delta
   }
 
+  /** [[refreshClusters]] with EXACT cross verification — the variant a
+    * maintained corpus card needs to stay hash-pinnable against
+    * from-scratch oracles. The estimator path ([[query]]'s
+    * slot-agreement) never touches corpus text but can disagree with
+    * exact Jaccard on borderline pairs; here the banded candidate set
+    * (batch bands ⋈ stored bands — the identical collision set a
+    * from-scratch LSH over the union corpus produces, because the
+    * minhash functions are deterministic across batches) is verified
+    * by re-shingling ONLY the candidate corpus docs, fetched from
+    * `corpusText` by id. Cost: O(batch + candidates) — one
+    * candidate-bounded text fetch buys pair-set equality with
+    * [[Dedup.minhashLsh]] over the whole corpus, so incremental
+    * clusters ≡ from-scratch clusters value-exactly, not just
+    * approximately. Same replay discipline as [[refreshClusters]]
+    * (already-indexed ids dropped). */
+  def refreshClustersExact(batch: DataFrame, idCol: String, textCol: String,
+                           corpusText: DataFrame,
+                           threshold: Double = 0.5): DataFrame = {
+    val epoch = requireEpoch()
+    val fresh = batch
+      .join(required(epoch, "bands").select(col("doc_id").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+      .localCheckpoint(eager = true)
+    val sh = Dedup.shingleRows(fresh, idCol, textCol, shingleN)
+      .localCheckpoint(eager = true)
+    val bb = Dedup.lshBands(Dedup.minhashSignatures(sh, k), bands, k / bands)
+      .localCheckpoint(eager = true)
+    val cand = bb.select(col("band"), col("band_key"), col("doc_id").as("id_a"))
+      .join(required(epoch, "bands")
+          .select(col("band"), col("band_key"), col("doc_id").as("id_b")),
+        Seq("band", "band_key"))
+      .select(col("id_a"), col("id_b")).distinct()
+      .localCheckpoint(eager = true)
+    val candCorpus = corpusText
+      .join(cand.select(col("id_b").as("_cid")).distinct(),
+        col(idCol) === col("_cid"))
+      .select(col(idCol), col(textCol))
+    val cross = Dedup.verifyJaccard(
+        cand, sh.unionByName(
+          Dedup.shingleRows(candCorpus, idCol, textCol, shingleN)),
+        threshold)
+      .select(col("id_a"), col("id_b"))
+    val internal = Dedup.minhashLshFrom(sh, bb, threshold)
+      .select(col("id_a"), col("id_b"))
+    val delta = Dedup.mergeClustersDelta(clusters(), cross.union(internal))
+    if (!delta.isEmpty)
+      store.append(t(epoch, "clusters"), stamp(delta, nextClusterSeq(epoch)))
+    delta
+  }
+
   /** One-call batch ingest: cluster maintenance first (see
     * [[refreshClusters]] for why the order is load-bearing), then the
     * signature/band index append ([[refresh]]). Retrying a crashed
