@@ -122,6 +122,28 @@ object Robots {
       .agg(max(expr("try_cast(v AS double)")).as("crawl_delay"))
   }
 
+  /** `Sitemap:` declarations per host — the discovery hook robots.txt
+    * carries (sitemaps.org protocol; RFC 9309 treats it as an "other
+    * record"): sitemap lines are GROUP-INDEPENDENT, applying regardless
+    * of user-agent, so they are extracted by a direct line scan that
+    * never touches the group machinery (group numbering for the rule
+    * directives is provably unaffected — this function shares only the
+    * line-explode stage). Values must be absolute URLs per the
+    * protocol; relative values are dropped. Output: (host,
+    * sitemap_url), distinct. */
+  def sitemapDirectives(bodies: DataFrame, hostCol: String,
+                        txtCol: String): DataFrame =
+    bodies.select(col(hostCol).as("host"),
+        explode(split(regexp_replace(col(txtCol), "\r", ""), "\n")).as("raw"))
+      .select(col("host"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+      .filter(lower(col("line")).rlike("^sitemap\\s*:"))
+      .select(col("host"),
+        trim(regexp_extract(col("line"), "^[A-Za-z-]+\\s*:\\s*(.*)$", 1))
+          .as("sitemap_url"))
+      .filter(col("sitemap_url").rlike("^[a-z][a-z0-9+.-]*://"))
+      .distinct()
+
   /** The full chain: parse every body, select `uaToken`'s governing
     * rules, wildcard-match each doc's path against ITS host's rules.
     * Output: (idCol, hostCol, pathCol, matched_rule, action). */

@@ -271,6 +271,86 @@ object NormalizeOps {
             lit("."), col("domain"), lit("/p"),
             expr("tie DIV 2").cast("string")).as("url"),
           col("rank").as("fetch_order"))
+    }),
+
+    // Robots `Sitemap:` discovery — the hook that CLOSES the crawl
+    // loop (robots tells the crawler where the sitemap lives; q178
+    // then parses what it fetched): classes 0/2 declare their host's
+    // sitemap, classes 1/3 don't, so the declaring-hosts-only entry
+    // list is observable, not vacuous. The directive is extracted by
+    // a group-independent line scan (sitemaps.org semantics), so the
+    // q175–q192 group numbering is untouched by the new fixture lines.
+    "q200_robots_sitemap_discovery" -> ((s, d) => {
+      val declared = Robots.sitemapDirectives(
+          robotsBodiesDf(s, d), "host", "robots")
+        .withColumnRenamed("host", "_sh")
+      Sitemap.parse(sitemapBodiesDf(s, d), "host", "sitemap")
+        .join(declared, col("host") === col("_sh") &&
+          col("sitemap_url") ===
+            concat(lit("https://"), col("host"), lit("/sitemap.xml")))
+        .select(col("host"), col("sitemap_url"), col("url"), col("lastmod"))
+    }),
+
+    // The politeness CAPSTONE: the q193 eTLD+1 budget grain and the
+    // q192 Crawl-delay rule composed — candidates from two sub-hosts
+    // per domain, each sub-host carrying its robots body (class =
+    // sn % 4, so delays 10/15/60/none), the domain's effective delay
+    // = MAX over its member hosts (conservative: the slowest host's
+    // politeness governs the registrant), budget =
+    // min(4, max(1, floor(30/delay))) shared across the whole domain.
+    // Every stage is the already-pinned machinery (PSL chain, RFC 9309
+    // group selection, bounded TopK) — this query pins their
+    // COMPOSITION.
+    "q201_frontier_domain_delay" -> ((s, d) => {
+      val cand = hostsWithSn(s, d)
+        .select(col("host").as("base"), col("sn"),
+          explode(array(lit(0L), lit(1L))).as("si"))
+        .select(col("base"), col("sn"), col("si"),
+          explode(sequence(lit(0L), lit(9L))).as("i"))
+        .select(
+          (col("sn") * 100 + col("i") * 2 + col("si")).as("doc_id"),
+          concat(when(col("si") === 0, "www").otherwise("cdn"),
+            lit("."), col("base")).as("host"),
+          col("sn"),
+          ((col("sn") * 3 + col("i") * 7 + col("si") * 13) % 50)
+            .cast("double").as("ord"),
+          (col("i") * 2 + col("si")).as("tie"))
+      val dom = HostRules.registrableDomain(
+          cand.select(col("doc_id"), col("host")),
+          "doc_id", "host", pslRules)
+        .select(col("doc_id"),
+          coalesce(col("etld1"), col("public_suffix")).as("domain"))
+      // per-sub-host robots bodies, same class rule as robotsBodiesDf
+      val bodies = cand.select(col("host"), col("sn")).distinct()
+        .select(col("host"),
+          element_at(array(robotsBodies.map(lit): _*),
+            (pmod(col("sn"), lit(4)) + 1).cast("int")).as("robots"))
+      val delays = Robots.selectCrawlDelay(
+          Robots.parseDirectives(bodies, "host", "robots"),
+          uaToken = "GraftBot")
+        .withColumnRenamed("host", "_dh")
+      val domDelay = cand.select(col("doc_id"), col("host"))
+        .join(dom, Seq("doc_id"))
+        .join(delays, col("host") === col("_dh"), "left")
+        .groupBy(col("domain"))
+        .agg(max(col("crawl_delay")).as("delay"))
+        .withColumn("budget",
+          when(col("delay").isNotNull,
+            least(lit(4L), greatest(lit(1L),
+              floor(lit(frontierCycleSecs) / col("delay")))))
+            .otherwise(lit(4L)))
+        .withColumnRenamed("domain", "_bd")
+      val pri = cand.join(dom, Seq("doc_id"))
+        .select(col("domain"), col("ord"), col("tie"))
+      TopK.perKeyDesc(pri, "domain", "ord", "tie", k = 4)
+        .join(domDelay, col("domain") === col("_bd"))
+        .filter(col("rank") <= col("budget"))
+        .select(col("domain"),
+          concat(lit("https://"),
+            when(pmod(col("tie"), lit(2)) === 0, "www").otherwise("cdn"),
+            lit("."), col("domain"), lit("/p"),
+            expr("tie DIV 2").cast("string")).as("url"),
+          col("rank").as("fetch_order"), col("budget"))
     })
   )
 
@@ -433,11 +513,21 @@ object NormalizeOps {
       |Allow: /api/p0/x1$""".stripMargin)
 
   /** One robots body per distinct host, class-keyed on the source
-    * number — the q175/q176 fixture both engines derive identically. */
+    * number — the q175/q176 fixture both engines derive identically.
+    * Classes 0 and 2 additionally declare their host's sitemap
+    * (`Sitemap:` is host-dependent, so it is appended here rather
+    * than living in the class literals); the directive parser drops
+    * the line before the group window on both engines, so every
+    * group-based query is untouched — only q200 consumes it. */
   private def robotsBodiesDf(s: SparkSession, d: String): DataFrame =
     hostsWithSn(s, d).select(col("host"),
-      element_at(array(robotsBodies.map(lit): _*),
-        (pmod(col("sn"), lit(4)) + 1).cast("int")).as("robots"))
+      concat(
+        element_at(array(robotsBodies.map(lit): _*),
+          (pmod(col("sn"), lit(4)) + 1).cast("int")),
+        when(pmod(col("sn"), lit(4)).isin(0, 2),
+          concat(lit("\nSitemap: https://"), col("host"),
+            lit("/sitemap.xml")))
+          .otherwise(lit(""))).as("robots"))
 
   /** The robots path rules shared by q166's query and oracle. */
   private[queries] val pathRules: Seq[(String, String)] = Seq(
@@ -788,6 +878,90 @@ object NormalizeOps {
                  CAST(rn AS BIGINT) AS fetch_order
           FROM rk WHERE rn <= 4""",
 
+    // Sitemap discovery: the group-independent line scan mirrored —
+    // only hosts whose robots body declares the sitemap contribute
+    // entries (classes 0/2).
+    "q200_robots_sitemap_discovery" ->
+      s"""WITH $robotsBodiesSql,
+          $sitemapEntriesSql,
+          dl AS (SELECT host,
+                   trim(regexp_extract(l.line, '^[A-Za-z-]+\\s*:\\s*(.*)$$', 1))
+                     AS sitemap_url
+                 FROM (SELECT host,
+                         trim(regexp_replace(
+                           unnest(string_split(replace(robots, chr(13), ''),
+                                               chr(10))), '#.*$$', '')) AS line
+                       FROM rb) l
+                 WHERE regexp_matches(lower(l.line), '^sitemap\\s*:')),
+          ds AS (SELECT DISTINCT host, sitemap_url FROM dl
+                 WHERE regexp_matches(sitemap_url, '^[a-z][a-z0-9+.-]*://'))
+          SELECT e.host, ds.sitemap_url, e.url, e.lastmod
+          FROM entries e JOIN ds
+            ON e.host = ds.host
+           AND ds.sitemap_url = 'https://' || e.host || '/sitemap.xml'""",
+
+    // The politeness capstone: PSL domain key + per-sub-host robots
+    // parse + conservative MAX delay per domain + the shared bounded
+    // budget — the q193 chain with dl/dd/bg spliced in. The parse
+    // chain (robotsParseSql) expects rb(host, robots); here rb is the
+    // SUB-host fixture.
+    "q201_frontier_domain_delay" ->
+      s"""WITH sm AS (SELECT DISTINCT source || '.example.org' AS base,
+                 CAST(substr(source, 4) AS INTEGER) AS sn FROM documents),
+          cd AS (SELECT sn * 100 + t.i * 2 + s.si AS doc_id,
+                   (CASE WHEN s.si = 0 THEN 'www' ELSE 'cdn' END)
+                     || '.' || base AS host,
+                   sn,
+                   CAST((sn * 3 + t.i * 7 + s.si * 13) % 50 AS DOUBLE)
+                     AS ord,
+                   CAST(t.i * 2 + s.si AS BIGINT) AS tie
+                 FROM sm, unnest(range(0, 10)) AS t(i),
+                      (VALUES (0), (1)) AS s(si)),
+          hd AS (SELECT doc_id, host FROM cd),
+          $pslChainSql,
+          rb AS (SELECT DISTINCT host,
+                   CASE sn % 4
+                     WHEN 0 THEN ${sqlLit(robotsBodies(0))}
+                     WHEN 1 THEN ${sqlLit(robotsBodies(1))}
+                     WHEN 2 THEN ${sqlLit(robotsBodies(2))}
+                     ELSE ${sqlLit(robotsBodies(3))} END AS robots
+                 FROM cd),
+          $robotsParseSql,
+          dl AS (SELECT gg.host AS host, max(try_cast(v AS DOUBLE)) AS delay
+                 FROM gg JOIN pick ON gg.host = pick.host
+                                  AND gg.grp = pick.grp
+                 WHERE k = 'crawl-delay' AND try_cast(v AS DOUBLE) > 0
+                 GROUP BY gg.host),
+          dd AS (SELECT e.dom AS domain, max(dl.delay) AS delay
+                 FROM (SELECT eres.doc_id,
+                         coalesce(eres.etld1, eres.public_suffix) AS dom,
+                         eres.host
+                       FROM eres) e
+                 LEFT JOIN dl ON e.host = dl.host
+                 GROUP BY e.dom),
+          bg AS (SELECT domain,
+                   CASE WHEN delay IS NOT NULL
+                        THEN least(4, greatest(1,
+                          CAST(floor(30.0 / delay) AS BIGINT)))
+                        ELSE 4 END AS budget
+                 FROM dd),
+          pri AS (SELECT coalesce(e2.etld1, e2.public_suffix) AS domain,
+                    cd.ord, cd.tie
+                  FROM eres e2 JOIN cd USING (doc_id)),
+          rk AS (SELECT domain, tie,
+                   row_number() OVER (PARTITION BY domain
+                                      ORDER BY ord DESC, tie) AS rn
+                 FROM pri)
+          SELECT rk.domain,
+                 'https://' || (CASE WHEN tie % 2 = 0 THEN 'www'
+                                     ELSE 'cdn' END)
+                   || '.' || rk.domain || '/p' || CAST(tie // 2 AS VARCHAR)
+                   AS url,
+                 CAST(rn AS BIGINT) AS fetch_order,
+                 CAST(bg.budget AS BIGINT) AS budget
+          FROM rk JOIN bg ON rk.domain = bg.domain
+          WHERE rn <= 4 AND rn <= bg.budget""",
+
     "q172_etld1" -> etld1Sql,
 
     "q173_domain_cap_etld1" ->
@@ -940,11 +1114,16 @@ object NormalizeOps {
     * one body per distinct host, class = source number mod 4. */
   private lazy val robotsBodiesSql: String =
     s"""rb AS (SELECT DISTINCT source || '.example.org' AS host,
-               CASE CAST(substr(source, 4) AS INTEGER) % 4
+               (CASE CAST(substr(source, 4) AS INTEGER) % 4
                  WHEN 0 THEN ${sqlLit(robotsBodies(0))}
                  WHEN 1 THEN ${sqlLit(robotsBodies(1))}
                  WHEN 2 THEN ${sqlLit(robotsBodies(2))}
-                 ELSE ${sqlLit(robotsBodies(3))} END AS robots
+                 ELSE ${sqlLit(robotsBodies(3))} END)
+               || (CASE WHEN CAST(substr(source, 4) AS INTEGER) % 4
+                             IN (0, 2)
+                        THEN chr(10) || 'Sitemap: https://'
+                             || source || '.example.org' || '/sitemap.xml'
+                        ELSE '' END) AS robots
              FROM documents)"""
 
   /** The [[graft.operators.Robots]] parse + RFC 9309 group-selection

@@ -67,6 +67,26 @@ class RobotsSpec extends AnyFunSuite {
     assert(rulesFor(body) == Set("/g" -> "disallow"))
   }
 
+  test("sitemap directives: group-independent, absolute-only, case-folded") {
+    val body = """User-agent: graftbot
+                 |Disallow: /a
+                 |SITEMAP: https://h.example/s1.xml  # trailing comment
+                 |
+                 |User-agent: otherbot
+                 |sitemap: https://h.example/s2.xml
+                 |Sitemap: /relative/dropped.xml
+                 |Sitemap: ftp://h.example/s3.xml""".stripMargin
+    val urls = Robots.sitemapDirectives(
+        Seq(("h", body)).toDF("host", "robots"), "host", "robots")
+      .collect().map(_.getString(1)).toSet
+    // both groups' declarations surface (group-independent), the
+    // relative value is dropped, ftp scheme is still a scheme
+    assert(urls == Set("https://h.example/s1.xml",
+      "https://h.example/s2.xml", "ftp://h.example/s3.xml"))
+    // and the rule parse is untouched by the sitemap lines
+    assert(rulesFor(body) == Set("/a" -> "disallow"))
+  }
+
   test("CRLF line endings and mixed directive-key casing parse clean") {
     val body = "USER-AGENT: GRAFTBOT\r\ndisallow: /a\r\nALLOW: /a/b\r\n"
     assert(rulesFor(body) == Set("/a" -> "disallow", "/a/b" -> "allow"))
