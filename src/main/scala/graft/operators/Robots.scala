@@ -113,10 +113,14 @@ object Robots {
     * the result has stated no delay. Output: (host, crawl_delay). */
   def selectCrawlDelay(directives: DataFrame, uaToken: String): DataFrame = {
     // try_cast, not cast: under ANSI a malformed delay value must read
-    // as "no delay stated", not kill the crawl-policy job
+    // as "no delay stated", not kill the crawl-policy job. The isnan
+    // guard is load-bearing: Spark ORDERS NaN above every double, so
+    // `NaN > 0` is TRUE in SQL (fuzz-caught) — without it a
+    // "Crawl-delay: nan" line becomes a NaN delay that poisons the
+    // budget arithmetic downstream.
     val delay = expr("try_cast(v AS double)")
     directives.filter(col("k") === "crawl-delay" &&
-        delay.isNotNull && delay > 0)
+        delay.isNotNull && !isnan(delay) && delay > 0)
       .join(pickedGroups(directives, uaToken), Seq("host", "grp"))
       .groupBy(col("host"))
       .agg(max(expr("try_cast(v AS double)")).as("crawl_delay"))

@@ -834,6 +834,7 @@ object NormalizeOps {
                  FROM gg JOIN pick ON gg.host = pick.host
                                   AND gg.grp = pick.grp
                  WHERE k = 'crawl-delay' AND try_cast(v AS DOUBLE) > 0
+                   AND NOT isnan(try_cast(v AS DOUBLE))
                  GROUP BY gg.host),
           bj AS (SELECT rk.host, rk.url, rk.status, rk.rn,
                    CASE WHEN dl.delay IS NOT NULL
@@ -931,6 +932,7 @@ object NormalizeOps {
                  FROM gg JOIN pick ON gg.host = pick.host
                                   AND gg.grp = pick.grp
                  WHERE k = 'crawl-delay' AND try_cast(v AS DOUBLE) > 0
+                   AND NOT isnan(try_cast(v AS DOUBLE))
                  GROUP BY gg.host),
           dd AS (SELECT e.dom AS domain, max(dl.delay) AS delay
                  FROM (SELECT eres.doc_id,

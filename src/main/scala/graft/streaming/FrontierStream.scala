@@ -44,7 +44,13 @@ object FrontierStream {
     * side of one stream-static equi-join BEFORE the aggregation, so
     * the budget rides the group key (it is constant per host) and the
     * streaming state stays ≤ k entries per (cycle, host) — the delay
-    * tightens what's EMITTED, never what's kept. */
+    * tightens what's EMITTED, never what's kept.
+    *
+    * Domain-grain politeness (the batch q201 rule) is the same call
+    * with `host` pre-mapped to the registrable domain
+    * ([[graft.operators.HostRules.registrableDomain]] — a stateless
+    * projection/static join, stream-safe) and `delays` keyed by
+    * domain (max over member hosts, the conservative read). */
   def scheduleCyclesDelayed(cands: DataFrame, cycle: String,
                             watermark: String, k: Int, delays: DataFrame,
                             cycleSecs: Double): DataFrame =

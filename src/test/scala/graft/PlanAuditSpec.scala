@@ -108,4 +108,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"c12, c1 and vocab-size tables should broadcast: ${r.broadcastJoins}")
     assert(r.cartesianProducts == 0)
   }
+
+  // Round-10 amortization pin: the stored-closure policy query must
+  // READ the maintained label table, not re-derive it — its plan is
+  // structurally smaller than the from-scratch twin's (no shingle
+  // explode, no LSH band self-join, no CC iteration leaves), and the
+  // label scan itself is visible by its column shape.
+
+  test("q196 reads the maintained cluster table; q183 re-derives it") {
+    val stored = audited("q196_cluster_canonical_stored")
+    assert(stored.cartesianProducts == 0)
+    assert(stored.scans.exists(_.readColumns.toSet ==
+      Set("doc_id", "cluster_id", "upd_seq")),
+      s"expected the (doc_id, cluster_id, upd_seq) label scan: " +
+        s"${stored.scans.map(_.readColumns)}")
+    // exactly two file sources: the label table and the docs relation
+    // (the from-scratch twin's LSH+CC subtree hides behind checkpoint
+    // leaves at audit time, so a scan-count comparison against it is
+    // meaningless — the shape pin is the label scan + nothing else)
+    assert(stored.scans.size == 2,
+      s"stored path must scan labels + docs only: " +
+        s"${stored.scans.map(_.source)}")
+  }
 }

@@ -19,8 +19,9 @@ class CrawlParseFuzzSpec extends AnyFunSuite {
   import spark.implicits._
 
   private val validRobots =
-    "# c\r\nUser-agent: graftbot\nDisallow: /a\nAllow: /a/b$\n\n" +
-      "User-agent: *\nDisallow: /\n"
+    "# c\r\nUser-agent: graftbot\nDisallow: /a\nAllow: /a/b$\n" +
+      "Crawl-delay: 2\n\nUser-agent: *\nDisallow: /\n" +
+      "Sitemap: https://h/x.xml\n"
   private val validSitemap =
     "<?xml version=\"1.0\"?>\n<urlset>\n<url>\n  <loc> https://h/a </loc>\n" +
       "  <lastmod>2026-08-10</lastmod>\n</url>\n" +
@@ -35,6 +36,13 @@ class CrawlParseFuzzSpec extends AnyFunSuite {
     assert(dv.count() <=
       df.select(sum(size(split(col("body"), "\n")))).collect()(0).getLong(0))
     Robots.selectRules(dv, "GraftBot").collect() // total, finite
+    // crawl-delay: total, ≤ one row per host, values strictly positive
+    val delays = Robots.selectCrawlDelay(dv, "GraftBot").collect()
+    assert(delays.length <= bodies.size)
+    assert(delays.forall(_.getDouble(1) > 0))
+    // sitemap declarations: total, ≤ one row per input line
+    assert(Robots.sitemapDirectives(df, "host", "body").count() <=
+      df.select(sum(size(split(col("body"), "\n")))).collect()(0).getLong(0))
     val docs = bodies.indices.map(i => (i.toLong, s"h$i", "/a/b/c"))
       .toDF("doc_id", "host", "path")
     assert(Robots.admit(docs, "doc_id", "host", "path", df, "host",
@@ -68,6 +76,11 @@ class CrawlParseFuzzSpec extends AnyFunSuite {
       "User-agent: *\nUser-agent: *\nUser-agent: *",
       "Disallow: /\nUser-agent: *", ":", "::", "a:b:c\nUser-agent: x",
       "User-agent: graftbot\n" + ("Disallow: /a\n" * 200),
+      "Crawl-delay:", "Crawl-delay: -1\nUser-agent: *",
+      "User-agent: *\ncrawl-delay: 1e309", // Infinity: positive, total
+      "User-agent: *\nCrawl-delay: nan\nCrawl-delay: fast",
+      "Sitemap:", "Sitemap: notaurl", "SITEMAP: ::::",
+      "sitemap: https://h/x\nsitemap: https://h/x", // distinct-collapsed
       "<url>", "</url><url>", "<url><loc></loc></url>",
       "<url><loc><loc>nested</loc></loc></url>",
       "<urlset>" + ("<url><loc>u</loc></url>" * 300) + "</urlset>",
