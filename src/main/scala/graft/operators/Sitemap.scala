@@ -30,20 +30,43 @@ object Sitemap {
 
   /** Parse sitemap XML bodies into (host, url, lastmod) entries.
     * Entries without a `<loc>` are dropped; a missing `<lastmod>` is
-    * NULL. Whitespace around values is stripped by the patterns. */
-  def parse(bodies: DataFrame, hostCol: String, xmlCol: String): DataFrame =
-    bodies.select(col(hostCol).as("host"),
+    * NULL. Whitespace around values is stripped by the patterns.
+    * `carry` columns ride through unchanged (the index-expansion path
+    * keeps each child sitemap's own URL next to its entries). */
+  def parse(bodies: DataFrame, hostCol: String, xmlCol: String,
+            carry: Seq[String] = Nil): DataFrame =
+    parseBlocks(bodies, hostCol, xmlCol, tag = "url", carry)
+
+  /** Parse sitemap INDEX bodies (`<sitemapindex><sitemap>` — the
+    * sitemaps.org nesting for sites past the 50k-URL/50 MB per-file
+    * caps) into (host, url, lastmod), where `url` is a CHILD sitemap
+    * to fetch and `lastmod` its declared change date (NULL when
+    * absent — same recrawl semantics as page entries, so
+    * [[recrawlPlan]] works unchanged for deciding which child
+    * sitemaps are worth re-fetching this cycle). The `<sitemap>` block
+    * tag cannot over-match the `<sitemapindex>` opener: the pattern
+    * requires the immediate `>`. */
+  def parseIndex(bodies: DataFrame, hostCol: String,
+                 xmlCol: String): DataFrame =
+    parseBlocks(bodies, hostCol, xmlCol, tag = "sitemap", Nil)
+
+  /** The shared zero-UDF block walk: explode `<tag>` blocks, extract
+    * loc/lastmod per block. */
+  private def parseBlocks(bodies: DataFrame, hostCol: String,
+                          xmlCol: String, tag: String,
+                          carry: Seq[String]): DataFrame =
+    bodies.select(col(hostCol).as("host") +: carry.map(col) :+
         explode(regexp_extract_all(col(xmlCol),
-          lit("<url>([\\s\\S]*?)</url>"), lit(1))).as("block"))
-      .select(col("host"),
+          lit(s"<$tag>([\\s\\S]*?)</$tag>"), lit(1))).as("block"): _*)
+      .select(col("host") +: carry.map(col) :+
         regexp_extract(col("block"),
-          "<loc>\\s*([\\s\\S]*?)\\s*</loc>", 1).as("url"),
+          "<loc>\\s*([\\s\\S]*?)\\s*</loc>", 1).as("url") :+
         regexp_extract(col("block"),
-          "<lastmod>\\s*([\\s\\S]*?)\\s*</lastmod>", 1).as("_lm"))
+          "<lastmod>\\s*([\\s\\S]*?)\\s*</lastmod>", 1).as("_lm"): _*)
       .filter(col("url") =!= "")
-      .select(col("host"), col("url"),
+      .select(col("host") +: carry.map(col) :+ col("url") :+
         when(col("_lm") === "", lit(null)).otherwise(col("_lm"))
-          .as("lastmod"))
+          .as("lastmod"): _*)
 
   /** Recrawl planner: sitemap entries × crawl state (url, last_fetch)
     * → per-url status: `new` (never fetched), `stale` (lastmod after

@@ -87,7 +87,14 @@ final class SpanIndex(store: TableStore, name: String, spanLen: Int = 3) {
 
   /** One streaming micro-batch: sentence verdicts + commit — the
     * [[SentenceIndex.ingestBatch]] contract at span grain (verdicts
-    * are replay-stable by the same min-combine algebra). */
+    * are replay-stable by the same min-combine algebra).
+    *
+    * The whole-documents-per-batch input contract is LOAD-BEARING
+    * here: a source that can tear one document's sentences across
+    * micro-batches (e.g. a file stream over multi-part writes) leaves
+    * the torn halves' spans unformed on both sides of the split —
+    * batch boundaries must be document-atomic (one file per logical
+    * batch, or a doc-complete upstream grouping). */
   def ingestBatch(sents: DataFrame): DataFrame = {
     val v = strikeSentences(sents)
     refresh(sents)

@@ -273,6 +273,32 @@ object NormalizeOps {
           col("rank").as("fetch_order"))
     }),
 
+    // Sitemap INDEX expansion — the sitemaps.org nesting for sites
+    // past the 50k-URL per-file cap: parse the index's <sitemap>
+    // blocks (child 0 dated, child 1 not — the recrawl-relevant
+    // distinction), join each child URL to its fetched body on
+    // (host, child url), and parse the children's page entries with
+    // the child URL carried alongside. Two bounded block explodes +
+    // one equi-join; nothing corpus-wide.
+    "q202_sitemap_index" -> ((s, d) => {
+      val children = Sitemap.parseIndex(
+          sitemapIndexDf(s, d), "host", "sitemap_index")
+        .select(col("host"), col("url").as("child_url"),
+          col("lastmod").as("child_lastmod"))
+      // join on both keys with distinct rhs names (the self-join
+      // ambiguity trap — both sides derive from hostsWithSn)
+      val kids = childSitemapsDf(s, d)
+        .withColumnRenamed("host", "_ch")
+        .withColumnRenamed("child_url", "_cu")
+      Sitemap.parse(
+          children.join(kids, col("host") === col("_ch") &&
+            col("child_url") === col("_cu"))
+            .select(col("host"), col("child_url"), col("child_lastmod"),
+              col("sitemap")),
+          "host", "sitemap",
+          carry = Seq("child_url", "child_lastmod"))
+    }),
+
     // Robots `Sitemap:` discovery — the hook that CLOSES the crawl
     // loop (robots tells the crawler where the sitemap lives; q178
     // then parses what it fetched): classes 0/2 declare their host's
@@ -417,6 +443,45 @@ object NormalizeOps {
           col("budget"))
     }
   }
+
+  /** The q202 sitemap-INDEX fixture: one index body per host listing
+    * two child sitemaps (child 0 carries a lastmod, child 1 doesn't),
+    * plus the child bodies keyed by (host, child url) — 5 urls each,
+    * every 2nd dated from (sn + 3c + 5i). Both derived identically by
+    * the oracle. */
+  private def sitemapIndexDf(s: SparkSession, d: String): DataFrame =
+    hostsWithSn(s, d).select(col("host"), concat(
+      lit("<?xml version=\"1.0\"?>\n<sitemapindex>\n"),
+      array_join(transform(sequence(lit(0), lit(1)), c =>
+        concat(lit("<sitemap>\n  <loc> https://"), col("host"), lit("/s"),
+          c.cast("string"), lit(".xml </loc>\n"),
+          when(c === 0,
+            concat(lit("  <lastmod>2026-07-"),
+              lpad(((col("sn") % 28) + 1).cast("string"), 2, "0"),
+              lit("</lastmod>\n"))).otherwise(lit("")),
+          lit("</sitemap>"))), "\n"),
+      lit("\n</sitemapindex>")).as("sitemap_index"))
+
+  private def childSitemapsDf(s: SparkSession, d: String): DataFrame =
+    hostsWithSn(s, d)
+      .select(col("host"), col("sn"),
+        explode(sequence(lit(0), lit(1))).as("c"))
+      .select(col("host"),
+        concat(lit("https://"), col("host"), lit("/s"),
+          col("c").cast("string"), lit(".xml")).as("child_url"),
+        concat(
+          lit("<?xml version=\"1.0\"?>\n<urlset>\n"),
+          array_join(transform(sequence(lit(0), lit(4)), i =>
+            concat(lit("<url>\n  <loc>https://"), col("host"), lit("/c"),
+              col("c").cast("string"), lit("p"), i.cast("string"),
+              lit("</loc>\n"),
+              when(i % 2 === 0,
+                concat(lit("  <lastmod>2026-08-"),
+                  lpad(((col("sn") + col("c") * 3 + i * 5) % 28 + 1)
+                    .cast("string"), 2, "0"),
+                  lit("</lastmod>\n"))).otherwise(lit("")),
+              lit("</url>"))), "\n"),
+          lit("\n</urlset>")).as("sitemap"))
 
   /** The q178/q179 sitemap fixture: one XML body per host, 10 urls,
     * every 3rd entry carrying a lastmod derived from (sn + i); loc
@@ -878,6 +943,69 @@ object NormalizeOps {
                    AS url,
                  CAST(rn AS BIGINT) AS fetch_order
           FROM rk WHERE rn <= 4""",
+
+    // Sitemap index: the same block-walk chain at both levels —
+    // <sitemap> blocks from the index (the pattern's immediate '>'
+    // keeps <sitemapindex> from over-matching), children joined on
+    // (host, child url), <url> blocks from the child bodies with the
+    // child's url/lastmod carried through.
+    "q202_sitemap_index" ->
+      raw"""WITH sm AS (SELECT DISTINCT source || '.example.org' AS host,
+                 CAST(substr(source, 4) AS INTEGER) AS sn FROM documents),
+          ix AS (SELECT host,
+                 '<?xml version="1.0"?>' || chr(10) || '<sitemapindex>'
+                 || chr(10)
+                 || array_to_string(list_transform(range(0, 2), c ->
+                   '<sitemap>' || chr(10) || '  <loc> https://' || host
+                   || '/s' || CAST(c AS VARCHAR) || '.xml </loc>' || chr(10)
+                   || (CASE WHEN c = 0 THEN '  <lastmod>2026-07-' ||
+                        lpad(CAST((sn % 28) + 1 AS VARCHAR), 2, '0') ||
+                        '</lastmod>' || chr(10) ELSE '' END)
+                   || '</sitemap>'), chr(10))
+                 || chr(10) || '</sitemapindex>' AS xml
+                 FROM sm),
+          cb AS (SELECT host, sn, t.c AS c,
+                   'https://' || host || '/s' || CAST(t.c AS VARCHAR)
+                     || '.xml' AS child_url,
+                   '<?xml version="1.0"?>' || chr(10) || '<urlset>'
+                   || chr(10)
+                   || array_to_string(list_transform(range(0, 5), i ->
+                     '<url>' || chr(10) || '  <loc>https://' || host
+                     || '/c' || CAST(t.c AS VARCHAR) || 'p'
+                     || CAST(i AS VARCHAR) || '</loc>' || chr(10)
+                     || (CASE WHEN i % 2 = 0 THEN '  <lastmod>2026-08-' ||
+                          lpad(CAST((sn + t.c * 3 + i * 5) % 28 + 1
+                            AS VARCHAR), 2, '0') ||
+                          '</lastmod>' || chr(10) ELSE '' END)
+                     || '</url>'), chr(10))
+                   || chr(10) || '</urlset>' AS sitemap
+                 FROM sm, unnest(range(0, 2)) AS t(c)),
+          ib AS (SELECT host, unnest(regexp_extract_all(xml,
+                   '<sitemap>([\s\S]*?)</sitemap>', 1)) AS block FROM ix),
+          ch AS (SELECT host,
+                   regexp_extract(block, '<loc>\s*([\s\S]*?)\s*</loc>', 1)
+                     AS child_url,
+                   regexp_extract(block,
+                     '<lastmod>\s*([\s\S]*?)\s*</lastmod>', 1) AS clm
+                 FROM ib),
+          chx AS (SELECT host, child_url,
+                    CASE WHEN clm = '' THEN NULL ELSE clm END
+                      AS child_lastmod
+                  FROM ch WHERE child_url <> ''),
+          jb AS (SELECT chx.host, chx.child_url, chx.child_lastmod,
+                   unnest(regexp_extract_all(cb.sitemap,
+                     '<url>([\s\S]*?)</url>', 1)) AS block
+                 FROM chx JOIN cb ON chx.host = cb.host
+                                 AND chx.child_url = cb.child_url),
+          ex AS (SELECT host, child_url, child_lastmod,
+                   regexp_extract(block, '<loc>\s*([\s\S]*?)\s*</loc>', 1)
+                     AS url,
+                   regexp_extract(block,
+                     '<lastmod>\s*([\s\S]*?)\s*</lastmod>', 1) AS lm
+                 FROM jb)
+          SELECT host, child_url, child_lastmod, url,
+                 CASE WHEN lm = '' THEN NULL ELSE lm END AS lastmod
+          FROM ex WHERE url <> ''""",
 
     // Sitemap discovery: the group-independent line scan mirrored —
     // only hosts whose robots body declares the sitemap contribute

@@ -51,4 +51,33 @@ class SitemapSpec extends AnyFunSuite {
       "https://h/b" -> "fresh",
       "https://h/c" -> "new"))
   }
+
+  test("parseIndex: <sitemap> blocks only, opener never over-matched") {
+    val idx = """<?xml version="1.0"?>
+                |<sitemapindex>
+                |<sitemap>
+                |  <loc> https://h/s0.xml </loc>
+                |  <lastmod>2026-07-01</lastmod>
+                |</sitemap>
+                |<sitemap><loc>https://h/s1.xml</loc></sitemap>
+                |<sitemap><lastmod>2026-07-02</lastmod></sitemap>
+                |</sitemapindex>""".stripMargin
+    val got = Sitemap.parseIndex(
+        Seq(("h", idx)).toDF("host", "xml"), "host", "xml")
+      .collect()
+      .map(r => r.getString(1) -> Option(r.getString(2))).toSet
+    // the loc-less third block drops; <sitemapindex> itself is NOT a
+    // block (its opener has no immediate '>' after "<sitemap")
+    assert(got == Set(
+      "https://h/s0.xml" -> Some("2026-07-01"),
+      "https://h/s1.xml" -> None))
+    // same entry shape ⇒ recrawlPlan triages child sitemaps unchanged
+    val plan = Sitemap.recrawlPlan(
+      Sitemap.parseIndex(Seq(("h", idx)).toDF("host", "xml"),
+        "host", "xml"),
+      Seq(("https://h/s0.xml", "2026-06-15")).toDF("url", "last_fetch"))
+      .collect().map(r => r.getString(1) -> r.getString(4)).toMap
+    assert(plan == Map("https://h/s0.xml" -> "stale",
+      "https://h/s1.xml" -> "new"))
+  }
 }

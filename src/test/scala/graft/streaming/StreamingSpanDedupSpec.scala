@@ -27,9 +27,15 @@ class StreamingSpanDedupSpec extends AnyFunSuite {
       .toDF("doc_id", "sent_idx", "sent_text", "pk"))
 
     val got = scala.collection.mutable.Map.empty[(Long, Long), Boolean]
+    // ONE part file per logical batch: SpanIndex's input contract is
+    // WHOLE documents per micro-batch (spans derive from per-doc
+    // windows), and a multi-file write lets the file source split one
+    // document's sentences across micro-batches — the torn halves
+    // never form their spans (caught as a flake in the full-suite
+    // run: doc 60's duplicate span intermittently went unstruck)
     def writeBatch(rows: Seq[(Long, Long, String, Long)]): Unit =
       rows.toDF("doc_id", "sent_idx", "sent_text", "pk")
-        .write.mode("append").parquet(dir)
+        .coalesce(1).write.mode("append").parquet(dir)
 
     writeBatch(doc(1L, "a", "b", "c", "d")) // spans abc, bcd — all first
     val q = spark.readStream
