@@ -34,11 +34,13 @@ import org.apache.spark.sql.functions._
   *    O(labeled docs) with cluster-bounded windows, never a corpus
   *    text re-scan.
   *
-  * Refresh is at-most-once per batch: drive it from the source
-  * table's change feed with a checkpoint (`readChangesSince`, the
-  * IncrementalAggSpec poll), not from raw re-reads — the additive
-  * tables double-count a replayed batch (only the two index families
-  * are replay-idempotent by algebra).
+  * Delivery contracts: [[refresh]] is at-most-once per batch (drive
+  * it from the source table's change feed with a checkpoint — the
+  * IncrementalAggSpec poll — since its additive appends double-count
+  * a replay); [[refreshBatch]]/[[ingestStream]] are at-LEAST-once
+  * safe — batch-id-keyed MERGEs make the additive tables a fixpoint
+  * under replay, matching the algebra the two index families already
+  * have.
   *
   * Input contract (build/refresh): docs (doc_id, source, n_chars,
   * text). `sentences(docs)` → (doc_id, sent_idx, sent_text);
@@ -102,7 +104,8 @@ final class CorpusCard(store: TableStore, name: String,
   /** Seed all state from the initial corpus. */
   def build(docs: DataFrame): Unit = {
     val d = docs.localCheckpoint(eager = true)
-    store.overwrite(baseT, baseDelta(d, firstBatch = true))
+    store.overwrite(baseT, baseDelta(d, firstBatch = true)
+      .withColumn("batch_id", lit(-1L)))
     store.overwrite(metaT, docMeta(d))
     sentIdx.build(packed(sentences(d)))
     dupIdx.build(d, "doc_id", "text")
@@ -120,12 +123,57 @@ final class CorpusCard(store: TableStore, name: String,
     *   from it, candidate-bounded, never a full scan) */
   def refresh(docs: DataFrame, corpusText: DataFrame): Unit = {
     val d = docs.localCheckpoint(eager = true)
-    store.append(baseT, baseDelta(d, firstBatch = false))
+    store.append(baseT, baseDelta(d, firstBatch = false)
+      .withColumn("batch_id", lit(null).cast("long")))
     store.append(metaT, docMeta(d))
     sentIdx.refresh(packed(sentences(d)))
     dupIdx.refreshClustersExact(d, "doc_id", "text", corpusText)
     dupIdx.refresh(d, "doc_id", "text")
   }
+
+  /** [[refresh]] under an AT-LEAST-ONCE delivery contract (streaming
+    * foreachBatch, retried pollers): `batchId` keys the additive
+    * tables' rows, and the writes are row-level MERGEs instead of
+    * appends — a replayed batch recomputes the IDENTICAL delta (the
+    * two indices answer with the same verdicts by their min-combine /
+    * drop-if-present algebra) and merges it onto itself, so every
+    * state table is a fixpoint under replay at ANY crash point. The
+    * indices were already replay-idempotent; this closes the additive
+    * families, making the whole card exactly-once from algebra, not
+    * from a ledger. */
+  def refreshBatch(docs: DataFrame, corpusText: DataFrame,
+                   batchId: Long): Unit = {
+    val d = docs.localCheckpoint(eager = true)
+    store.merge(baseT,
+      baseDelta(d, firstBatch = false)
+        .withColumn("batch_id", lit(batchId)),
+      keyCols = Seq("source", "batch_id"))
+    store.merge(metaT, docMeta(d), keyCols = Seq("doc_id"))
+    sentIdx.refresh(packed(sentences(d)))
+    dupIdx.refreshClustersExact(d, "doc_id", "text", corpusText)
+    dupIdx.refresh(d, "doc_id", "text")
+  }
+
+  /** Streaming ingest: each micro-batch lands in the SOURCE table and
+    * folds into the card, exactly-once under foreachBatch replay (see
+    * [[refreshBatch]]). `sourceTable` is appended here so the exact
+    * cross-verification reads a corpus that already contains every
+    * PRIOR batch — the single-writer discipline a streaming ingest
+    * pipeline has anyway. */
+  def ingestStream(stream: DataFrame, sourceStore: TableStore,
+                   sourceTable: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val d = batch.select(col("doc_id"), col("source"),
+            col("n_chars"), col("text")).localCheckpoint(eager = true)
+          // replay-safe source append: merge on the doc key
+          sourceStore.merge(sourceTable, d, keyCols = Seq("doc_id"))
+          refreshBatch(d, sourceStore.read(sourceTable).get, batchId)
+        }
+      }
 
   /** The current card — q190's exact output shape, one row per
     * source, from maintained state only: a groupBy-sum over the
