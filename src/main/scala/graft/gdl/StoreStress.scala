@@ -140,6 +140,52 @@ object StoreStress {
     timed("full read after fold (count)") {
       println(s"""{"post_fold_count":${store.read("t").get.count()}}""")
     }
+
+    // Contended readers during pointer flips: 4 reader threads loop
+    // read().count() while one writer interleaves appends, folds and
+    // compactions (pointer-commit mode; gc grace at its default — the
+    // grace period IS the contract that lets in-flight readers keep
+    // resolving, so zero-grace concurrent reads are out of contract).
+    // Invariants: no reader ever throws, and every observed count is
+    // monotone non-decreasing per reader (append-only table ⇒ every
+    // committed snapshot's count grows; a dip would mean a read
+    // resolved a half-superseded chain).
+    val flip = new TableStore(spark, s"$work/flip",
+      partitioning = Map.empty, bloomColumns = Map.empty,
+      pointerCommits = true)
+    flip.append("t", Seq(0L).toDF("v"))
+    timed("contended readers during pointer flips") {
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val failures = new java.util.concurrent.atomic.AtomicLong(0)
+      val dips = new java.util.concurrent.atomic.AtomicLong(0)
+      val reads = new java.util.concurrent.atomic.AtomicLong(0)
+      val readers = (0 until 4).map { _ =>
+        new Thread(() => {
+          var last = 0L
+          while (!stop.get()) {
+            try {
+              val c = flip.read("t").get.count()
+              reads.incrementAndGet()
+              if (c < last) dips.incrementAndGet()
+              last = math.max(last, c)
+            } catch { case _: Throwable => failures.incrementAndGet() }
+          }
+        })
+      }
+      readers.foreach(_.start())
+      (1 to 12).foreach { i =>
+        flip.append("t", Seq.fill(100)(i.toLong).toDF("v"))
+        if (i % 3 == 0) flip.foldDeltas("t")
+        if (i % 4 == 0) flip.compact("t")
+      }
+      stop.set(true)
+      readers.foreach(_.join(60000))
+      println(s"""{"flip_reads":${reads.get()},"flip_failures":${failures.get()},""" +
+        s""""flip_count_dips":${dips.get()},"flip_final":${flip.read("t").get.count()}}""")
+      require(failures.get() == 0 && dips.get() == 0,
+        s"contended readers saw ${failures.get()} failures, ${dips.get()} dips")
+      require(flip.read("t").get.count() == 1201L)
+    }
     spark.stop()
   }
 }

@@ -181,13 +181,19 @@ class TableStore(spark: SparkSession, root: String,
   private case object PointerUnreadable extends PointerRead
 
   /** Read a pointer file, distinguishing torn content from a failed
-    * read (transient IO errors are retried in place first). */
+    * read. Transient IO errors are retried with bounded EXPONENTIAL
+    * backoff + jitter (2·2^k ms ± jitter, 4 tries ≈ ≤ 40 ms total):
+    * this sits on the driver's read path under contention, where the
+    * old fixed 5·k ms ladder synchronized colliding readers into
+    * retry convoys — jitter decorrelates them, and the cap keeps a
+    * persistent fault's worst case under one scheduler tick. */
   private def readPointerState(f: FileSystem, p: Path): PointerRead = {
     val k = p.toString
     val cached = pointerCache.get(k)
     if (cached != null) return PointerOk(cached._1, cached._2)
+    val maxAttempts = 4
     var attempt = 0
-    while (attempt < 3) {
+    while (attempt < maxAttempts) {
       attempt += 1
       try {
         val in = f.open(p)
@@ -202,10 +208,38 @@ class TableStore(spark: SparkSession, root: String,
       } catch {
         case _: java.io.FileNotFoundException => return PointerGone
         case _: java.io.IOException =>
-          if (attempt < 3) Thread.sleep(5L * attempt)
+          if (attempt < maxAttempts) {
+            val base = 2L << attempt // 4, 8, 16 ms
+            Thread.sleep(base / 2 +
+              java.util.concurrent.ThreadLocalRandom.current().nextLong(base))
+          }
       }
     }
     PointerUnreadable
+  }
+
+  /** Does any pointer-shaped commit entry at seq ≤ `tail` read as
+    * [[PointerUnreadable]]? Such an entry may be a fully COMMITTED
+    * generation hidden behind a read fault — [[generations]] silently
+    * omits it — so any operation whose commit would SUPERSEDE the
+    * chain at or below `tail` (compact's `comp`, [[foldDeltas]]'s
+    * fold, gc's supersede sweeps) must abort and retry later: a
+    * snapshot taken without the hidden rows that then outranks them
+    * turns a transient read fault into permanent row loss the moment
+    * the fault heals. Mirrors the orphan-`_data-` sweep gate in
+    * [[gc]]. Torn/gone pointers are fine (provably not commits);
+    * rename mode has no pointers, so the gate trivially passes. */
+  private def unreadableAtOrBelow(table: String, tail: Long): Boolean = {
+    if (!pointerCommits) return false
+    val cd = commitsDir(table)
+    val f = fs(cd)
+    f.exists(cd) && f.listStatus(cd).exists { s =>
+      val nm = s.getPath.getName
+      s.isFile && nm.startsWith("g") &&
+        nm.stripPrefix("g").forall(_.isDigit) &&
+        nm.stripPrefix("g").toLong <= tail &&
+        readPointerState(f, s.getPath) == PointerUnreadable
+    }
   }
 
   /** Option view for callers that only need a complete pointer; a
@@ -996,6 +1030,12 @@ class TableStore(spark: SparkSession, root: String,
       attempts += 1
       val gens = liveGenerations(table)
       if (gens.isEmpty) done = true
+      // an unreadable pointer at or below the snapshot tail may hide a
+      // COMMITTED generation this snapshot lacks; committing a comp
+      // above it would permanently supersede the hidden rows once the
+      // fault heals (see unreadableAtOrBelow). Skip — compaction is
+      // best-effort and a later append's auto-compact retries it.
+      else if (unreadableAtOrBelow(table, gens.last._1)) done = true
       else done =
         // kind "comp": contains the whole table but changed no data, so
         // incremental readers (readChangesSince) skip it
@@ -1045,6 +1085,10 @@ class TableStore(spark: SparkSession, root: String,
       val run = gens.drop(lastFull + 1).reverse
         .takeWhile(_._2 == "delta").reverse
       if (run.size < 2) return false
+      // same hidden-generation gate as compact: a fold covering the
+      // range [run.head, gens.last] would supersede (and gc would
+      // reclaim) an unreadable-but-committed delta inside it
+      if (unreadableAtOrBelow(table, gens.last._1)) return false
       val done =
         try commit(table, binPacked(readGenerations(run), run),
           f"fold${run.head._1}%07d",
@@ -1097,6 +1141,11 @@ class TableStore(spark: SparkSession, root: String,
       f.getFileStatus(
         if (pointerCommits) pointerPath(table, g._1) else g._3)
         .getModificationTime
+    // set in the pointer branch below; gates the supersede sweeps at
+    // the end — an unreadable pointer may hide a committed generation
+    // `gens` doesn't show, and reclaiming "superseded" chains around a
+    // hidden generation destroys the evidence manual recovery needs
+    var anyUnreadable = false
     if (!pointerCommits) {
       // same-slot losers (a racer that crashed between claiming a name
       // and withdrawing it): invisible to every reader by the
@@ -1136,13 +1185,14 @@ class TableStore(spark: SparkSession, root: String,
         if (st == PointerTorn && s.getModificationTime <= cutoff)
           deletePointerQuietly(f, s.getPath)
       }
+      anyUnreadable = ptrStates.exists(_._2 == PointerUnreadable)
       // The orphan `_data-` sweep is gated on EVERY pointer being
       // readable: an unreadable pointer hides which data dir it
       // references, so the `referenced` set below would be missing an
       // entry and a committed generation's data would read as an
       // orphan stage — reclaiming it is silent row loss. Skipping the
       // sweep this round is always safe (strays just live longer).
-      if (!ptrStates.exists(_._2 == PointerUnreadable)) {
+      if (!anyUnreadable) {
         val referenced = rawGenerations(table).map(_._3.getName).toSet
         if (f.exists(dir)) f.listStatus(dir)
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("_data-"))
@@ -1173,7 +1223,15 @@ class TableStore(spark: SparkSession, root: String,
     // in-commit gc destroy the pre-comp chain inside the window where
     // a racing append could still steal the comp's slot (free kinds
     // win slot ties), silently losing every pre-comp row.
-    if (lastFull > 0) {
+    // Both supersede sweeps are additionally gated on every pointer
+    // being readable (anyUnreadable): with a hidden committed
+    // generation possibly interleaved in the chain, "superseded by
+    // the full/fold" cannot be trusted — the superseding snapshot was
+    // itself built without the hidden rows (compact/foldDeltas now
+    // refuse in that state, but a comp committed by an older writer,
+    // or just before the fault, must not trigger reclamation around
+    // the hidden slot). Skipping a sweep is always safe.
+    if (lastFull > 0 && !anyUnreadable) {
       val fullOld =
         try mtimeOf(gens(lastFull)) <= cutoff
         catch { case _: java.io.FileNotFoundException => false }
@@ -1185,7 +1243,7 @@ class TableStore(spark: SparkSession, root: String,
     // that listed just before the fold must still resolve). Until
     // then they also keep serving mid-covered-range change-feed
     // checkpoints and time travel exactly.
-    val folds = gens.flatMap(g =>
+    val folds = if (anyUnreadable) Seq.empty else gens.flatMap(g =>
       TableStore.foldStart(g._2).map(c => (c, g)))
     folds.foreach { case (c, fg) =>
       val foldOld =

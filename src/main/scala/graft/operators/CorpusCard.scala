@@ -34,13 +34,16 @@ import org.apache.spark.sql.functions._
   *    O(labeled docs) with cluster-bounded windows, never a corpus
   *    text re-scan.
   *
-  * Delivery contracts: [[refresh]] is at-most-once per batch (drive
-  * it from the source table's change feed with a checkpoint — the
-  * IncrementalAggSpec poll — since its additive appends double-count
-  * a replay); [[refreshBatch]]/[[ingestStream]] are at-LEAST-once
-  * safe — batch-id-keyed MERGEs make the additive tables a fixpoint
-  * under replay, matching the algebra the two index families already
-  * have.
+  * Delivery contract: [[refreshBatch]]/[[ingestStream]] are the ONLY
+  * fold-in paths, and both are at-LEAST-once safe — batch-id-keyed
+  * MERGEs make the additive tables a fixpoint under replay, matching
+  * the algebra the two index families already have. The caller
+  * supplies the batch key (a streaming batchId, a change-feed
+  * checkpoint seq — anything stable under replay of the same delta).
+  * An earlier plain-append `refresh` was removed: a violated
+  * at-most-once assumption double-counted volume/quality silently,
+  * and a caller who HAS at-most-once delivery loses nothing by
+  * keying the batch.
   *
   * Input contract (build/refresh): docs (doc_id, source, n_chars,
   * text). `sentences(docs)` → (doc_id, sent_idx, sent_text);
@@ -112,35 +115,22 @@ final class CorpusCard(store: TableStore, name: String,
     dupIdx.buildClusters(d, "doc_id", "text")
   }
 
-  /** Fold one NEW batch in (at-most-once; see class doc). Order is
-    * load-bearing like [[NearDupIndex.ingest]]: verdicts and cluster
-    * deltas are computed against the PRE-batch state, then the
-    * indices absorb the batch.
+  /** Fold one batch in under an AT-LEAST-ONCE delivery contract
+    * (streaming foreachBatch, retried pollers): `batchId` keys the
+    * additive tables' rows, and the writes are row-level MERGEs
+    * instead of appends — a replayed batch recomputes the IDENTICAL
+    * delta (the two indices answer with the same verdicts by their
+    * min-combine / drop-if-present algebra) and merges it onto
+    * itself, so every state table is a fixpoint under replay at ANY
+    * crash point: exactly-once from algebra, not from a ledger.
+    * Order is load-bearing like [[NearDupIndex.ingest]]: verdicts and
+    * cluster deltas are computed against the PRE-batch state, then
+    * the indices absorb the batch.
     *
     * @param corpusText the CURRENT full corpus relation (the source
     *   table the change feed reads from; including the batch is fine —
     *   exact verification only ever fetches pre-batch candidate ids
     *   from it, candidate-bounded, never a full scan) */
-  def refresh(docs: DataFrame, corpusText: DataFrame): Unit = {
-    val d = docs.localCheckpoint(eager = true)
-    store.append(baseT, baseDelta(d, firstBatch = false)
-      .withColumn("batch_id", lit(null).cast("long")))
-    store.append(metaT, docMeta(d))
-    sentIdx.refresh(packed(sentences(d)))
-    dupIdx.refreshClustersExact(d, "doc_id", "text", corpusText)
-    dupIdx.refresh(d, "doc_id", "text")
-  }
-
-  /** [[refresh]] under an AT-LEAST-ONCE delivery contract (streaming
-    * foreachBatch, retried pollers): `batchId` keys the additive
-    * tables' rows, and the writes are row-level MERGEs instead of
-    * appends — a replayed batch recomputes the IDENTICAL delta (the
-    * two indices answer with the same verdicts by their min-combine /
-    * drop-if-present algebra) and merges it onto itself, so every
-    * state table is a fixpoint under replay at ANY crash point. The
-    * indices were already replay-idempotent; this closes the additive
-    * families, making the whole card exactly-once from algebra, not
-    * from a ledger. */
   def refreshBatch(docs: DataFrame, corpusText: DataFrame,
                    batchId: Long): Unit = {
     val d = docs.localCheckpoint(eager = true)

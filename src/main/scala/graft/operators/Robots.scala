@@ -12,9 +12,20 @@ import org.apache.spark.sql.functions._
   * engine instead of assuming a pre-curated rule list.
   *
   * Reference scope note: the reference catalog crawls STAC trees, not
-  * the open web (`backend/populate_catalog/task.py` follows intra-
-  * catalog links only), so robots handling is beyond-reference
+  * the open web (`backend/check_stac_metadata/utils.py:99-130` walks
+  * intra-catalog links only), so robots handling is beyond-reference
   * pipeline capability, same family as the q148–q166 crawl hygiene.
+  *
+  * Behavior change (round 10), for anyone re-parsing an existing
+  * robots corpus: `crawl-delay` joined the surviving directive set,
+  * so a Crawl-delay line sitting BETWEEN two consecutive User-agent
+  * lines now terminates the first header block (the second UA opens a
+  * NEW group) where it previously merged both UAs into one block.
+  * This follows the Bing/Yandex reading (crawl-delay is a group
+  * member, so it ends a header block like any rule line); Google's
+  * parser instead skips unknown/ignored keys without terminating the
+  * block. Group numbering for such bodies differs from pre-r10 output
+  * by design; RobotsSpec pins the chosen semantics.
   *
   * Parsing is ZERO-UDF — line explode, regexp directive extraction,
   * and a per-host running-sum window for group ids — so the whole

@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * and the recrawl plan decides what is WORTH fetching this cycle.
   *
   * Reference scope note: the reference walks STAC catalog links
-  * (`backend/populate_catalog/task.py`); sitemap discovery is the
-  * open-web sibling, beyond-reference like the q148–q177 crawl family.
+  * (`backend/check_stac_metadata/utils.py:99-130`); sitemap discovery
+  * is the open-web sibling, beyond-reference like the q148–q177 crawl
+  * family.
   *
   * Parsing is ZERO-UDF over the `<url><loc/><lastmod/></url>` subset
   * every real sitemap emits: `regexp_extract_all` over `<url>` blocks
@@ -67,6 +68,60 @@ object Sitemap {
       .select(col("host") +: carry.map(col) :+ col("url") :+
         when(col("_lm") === "", lit(null)).otherwise(col("_lm"))
           .as("lastmod"): _*)
+
+  /** Expand NESTED sitemap indexes to page entries — sitemaps.org
+    * allows index-of-index, and real site roots point at a tiered
+    * tree. `bodies` is the fetched sitemap corpus keyed by
+    * (host, url); `roots` the per-host entry points (e.g. from
+    * [[Robots.sitemapDirectives]] discovery). The walk is the
+    * [[GraphBfs]] frontier discipline: each round joins the frontier
+    * to its bodies, extracts `<sitemap>` children, and anti-joins the
+    * VISITED set — a child pointing back up the tree (the crawler-trap
+    * cycle) is absorbed, never refetched, never looped on. Depth is
+    * capped at `maxDepth` rounds: an index nested deeper stays
+    * unexpanded (its pages are absent from the output — the bounded
+    * alternative to an adversarial infinite tier chain; q205's cyclic
+    * fixture would hang an unguarded walk, so the guard is
+    * value-pinned). Finally every visited body parses as a URLSET —
+    * index bodies contribute zero `<url>` blocks, so no kind flag is
+    * needed — with its own sitemap URL carried beside its entries.
+    *
+    * Scale shape: ≤ `maxDepth` rounds of (frontier ⋈ bodies) equi-joins
+    * + one leaf parse; both sides hash-partition on (host, url),
+    * frontiers are localCheckpointed so the lineage stays one round
+    * deep. Nothing corpus-wide; the visited set is sitemap-count
+    * sized, not page-count sized.
+    *
+    * @return (host, sitemap_url, url, lastmod) page entries */
+  def expandIndexes(bodies: DataFrame, hostCol: String, urlCol: String,
+                    xmlCol: String, roots: DataFrame,
+                    maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, s"need maxDepth >= 1, got $maxDepth")
+    val b = bodies.select(col(hostCol).as("_bh"), col(urlCol).as("_bu"),
+      col(xmlCol).as("_bx"))
+    var visited = roots.select(col("host"), col("url")).distinct()
+      .localCheckpoint(eager = true)
+    var frontier = visited
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      val fetched = frontier.join(b,
+          col("host") === col("_bh") && col("url") === col("_bu"))
+        .select(col("host"), col("_bx").as("xml"))
+      val children = parseIndex(fetched, "host", "xml")
+        .select(col("host"), col("url")).distinct()
+      // the cycle guard: only never-seen children survive
+      val fresh = children.join(visited, Seq("host", "url"), "left_anti")
+        .localCheckpoint(eager = true)
+      visited = visited.unionByName(fresh).localCheckpoint(eager = true)
+      frontier = fresh
+      depth += 1
+    }
+    val leafBodies = visited.join(b,
+        col("host") === col("_bh") && col("url") === col("_bu"))
+      .select(col("host"), col("url").as("sitemap_url"),
+        col("_bx").as("xml"))
+    parse(leafBodies, "host", "xml", carry = Seq("sitemap_url"))
+  }
 
   /** Recrawl planner: sitemap entries × crawl state (url, last_fetch)
     * → per-url status: `new` (never fetched), `stale` (lastmod after

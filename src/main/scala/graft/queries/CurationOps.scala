@@ -527,7 +527,8 @@ object CurationOps {
       val store = SimulatedStore.tableStore(s, d, "q199_card_v1") { st =>
         val card = mk(st)
         card.build(docs.filter(col("doc_id") < 400L))
-        card.refresh(docs.filter(col("doc_id") >= 400L), docs)
+        card.refreshBatch(docs.filter(col("doc_id") >= 400L), docs,
+          batchId = 0L)
       }
       mk(store).card()
     }),

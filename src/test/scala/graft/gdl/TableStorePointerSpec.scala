@@ -204,6 +204,55 @@ class TableStorePointerSpec extends AnyFunSuite {
     } finally PoisonReadFileSystem.poison = ""
   }
 
+  test("compact/fold refuse to supersede a hidden (unreadable) generation") {
+    // The slot-skip floor lets appends commit ABOVE a committed-but-
+    // unreadable pointer, which generations() silently omits. A
+    // compaction (or fold) snapshotting that state would lack the
+    // hidden generation's acknowledged rows, and its full-kind commit
+    // would permanently outrank them once the fault heals — silent row
+    // loss. Both must refuse while any pointer at or below the
+    // snapshot tail is unreadable; the rows must come back on heal.
+    val root = newRoot("store-ptr-noread-comp").replace("norename:", "noread:")
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.noread.impl", classOf[PoisonReadFileSystem].getName)
+    PoisonReadFileSystem.poison = ""
+    val store = new TableStore(spark, root, gcGraceMs = 0L,
+      pointerCommits = true)
+    val f = hadoopFs(root)
+    try {
+      store.append("t", Seq(1).toDF("x")) // g0
+      store.append("t", Seq(2).toDF("x")) // g1 — fully committed
+      PoisonReadFileSystem.poison = "g0000001"
+      // cold stores: the committing store's pointer cache would mask
+      // the fault (and with the hidden gen in its snapshot, compacting
+      // WOULD be safe — the gate keys off visibility, not the fault)
+      def cold() = new TableStore(spark, root, gcGraceMs = 0L,
+        pointerCommits = true)
+      val c = cold()
+      c.append("t", Seq(3).toDF("x")) // steps past the blocked slot → g2
+      // the visible chain is [g0, g2]; a comp/fold above it would hide
+      // g1's rows forever
+      c.compact("t")
+      assert(!cold().history("t").exists(_._2 == "comp"),
+        "compact must refuse while a pointer below the tail is unreadable")
+      assert(!cold().foldDeltas("t"),
+        "foldDeltas must refuse while a pointer below the tail is unreadable")
+      c.gc("t")
+      assert(f.exists(new Path(root, "t/_commits/g0000001")))
+      // fault heals → every acknowledged row is still there
+      PoisonReadFileSystem.poison = ""
+      assert(cold().read("t").get.as[Int].collect().sorted.toSeq
+        == Seq(1, 2, 3))
+      // and with the chain fully readable again, compaction proceeds
+      // and preserves everything
+      val healed = cold()
+      healed.compact("t")
+      assert(healed.history("t").last._2 == "comp")
+      assert(healed.read("t").get.as[Int].collect().sorted.toSeq
+        == Seq(1, 2, 3))
+    } finally PoisonReadFileSystem.poison = ""
+  }
+
   test("gc reclaims aged orphan stages and torn pointers, never live data") {
     val root = newRoot("store-ptr-gc")
     val store = new TableStore(spark, root, gcGraceMs = 60L * 1000,

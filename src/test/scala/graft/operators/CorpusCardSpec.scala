@@ -67,7 +67,9 @@ class CorpusCardSpec extends AnyFunSuite {
         val d = delta.select(col("doc_id"), col("source"),
           col("n_chars"), col("text"))
         if (first) card.build(d)
-        else card.refresh(d, store.read("docs").get)
+        // the change-feed checkpoint seq IS the batch key: a replayed
+        // poll of the same window merges onto itself
+        else card.refreshBatch(d, store.read("docs").get, batchId = until)
       }
       checkpoint = until
     }
