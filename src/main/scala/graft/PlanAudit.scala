@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.{FileSourceScanExec, GenerateExec, SparkPlan, WholeStageCodegenExec}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
 
@@ -21,13 +21,14 @@ final case class PlanReport(scans: Seq[ScanAudit],
                             wholeStageCodegen: Boolean,
                             broadcastJoins: Int,
                             shuffleJoins: Int,
-                            cartesianProducts: Int) {
+                            cartesianProducts: Int,
+                            generates: Int) {
   def render: String = {
     val scanLines = scans.map(s =>
       s"  scan ${s.source}: read=[${s.readColumns.mkString(",")}] pushed=${s.pushedFilters}")
     val head = s"-- audit: codegen=$wholeStageCodegen" +
       s" broadcastJoins=$broadcastJoins shuffleJoins=$shuffleJoins" +
-      s" cartesian=$cartesianProducts"
+      s" cartesian=$cartesianProducts generates=$generates"
     (head +: scanLines).mkString("\n")
   }
 }
@@ -59,7 +60,8 @@ object PlanAudit {
                        n.isInstanceOf[BroadcastNestedLoopJoinExec]),
       nodes.count(n => n.isInstanceOf[SortMergeJoinExec] ||
                        n.isInstanceOf[ShuffledHashJoinExec]),
-      nodes.count(_.isInstanceOf[CartesianProductExec]))
+      nodes.count(_.isInstanceOf[CartesianProductExec]),
+      nodes.count(_.isInstanceOf[GenerateExec]))
   }
 
   /** Pre-order traversal that descends through the AQE wrapper and

@@ -83,15 +83,18 @@ object HostRules {
     * longest literal-octet count wins, a literal segment beats a star
     * at equal length, and an allow beats an equivalent disallow.
     *
-    * Staying an EQUI-join under wildcards: instead of scanning rules
-    * per pattern, each PATH expands map-side into its segment-class
-    * forms — for every prefix length m, all 2^m literal/star segment
-    * substitutions, plus the `$`-anchored variant of each full-depth
-    * form. A rule (stored verbatim) then matches a path iff its text
-    * equals one generated key, so a million-rule robots corpus is
-    * still one broadcast/shuffle hash join. Fan-out is Σ 2^m ≈
-    * 2^(depth+1) per path — bounded by crawl-path depth (≤ ~126 rows
-    * at depth 6), the price of making the wildcard class joinable.
+    * A SHARED literal rule list needs no join at all: the rules ride
+    * in the plan as an array literal and every row evaluates them
+    * directly via [[robotsPathMatchCols]] — a pure projection,
+    * O(|rules| · depth) per row, zero key fan-out, zero shuffle,
+    * stream-safe. (This replaced the [[wildcardProbe]] key-expansion
+    * join here: for ~dozens of shared rules the projection is
+    * strictly cheaper, and a deep crawler-trap path cost the probe
+    * 2^(maxSegs+1) ≈ 512 rows where the projection pays |rules|
+    * comparisons.) The probe join remains the right shape when the
+    * rules are a TABLE too large for a plan literal — that path is
+    * [[robotsPathMatchAgainst]]. Capped-depth semantics are identical
+    * to the probe form and value-pinned by q174's oracle.
     * Deviation from the RFC, documented: `*` here matches exactly one
     * whole segment (the joinable class); a spanning `*` (multiple
     * segments / intra-segment) would need per-rule offline expansion
@@ -99,17 +102,10 @@ object HostRules {
   def robotsPathMatch(docs: DataFrame, idCol: String, pathCol: String,
                       rules: Seq[(String, String)],
                       default: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val ruleDf = rules.toDF("rule", "action")
-    val probe = wildcardProbe(docs, idCol, pathCol, carry = Nil)
-    val best = probe.join(broadcast(ruleDf), col("key") === col("rule"))
-      .withColumn("rn", row_number().over(robotsPrecedence(idCol)))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("rule").as("matched_rule"), col("action"))
-    docs.join(best, Seq(idCol), "left")
-      .select(col(idCol), col(pathCol), col("matched_rule"),
-        coalesce(col("action"), lit(default)).as("action"))
+    val ruleArr = array(rules.map { case (r, a) =>
+      struct(lit(r).as("rule"), lit(a).as("action")) }: _*)
+    docs.select(col(idCol) +: col(pathCol) +:
+      robotsPathMatchCols(col(pathCol), ruleArr, default): _*)
   }
 
   /** [[robotsPathMatch]] against a PER-HOST rule TABLE
@@ -197,9 +193,11 @@ object HostRules {
     * stream with zero state (the [[longestSuffixMatchCols]]
     * discipline; the robots streaming spec pins
     * stream ≡ batch ≡ the join variant). Per-row cost is
-    * O(|rules| · depth) — the better shape when per-host rules are
-    * dozens deep; the join variant's key explosion wins when one
-    * shared literal list must hit rows that carry no rules column.
+    * O(|rules| · depth) — the right shape both per-host (rules arrive
+    * as an array column) and for a shared literal list
+    * ([[robotsPathMatch]] inlines the list as an array literal); the
+    * probe join earns its 2^depth key explosion only when the rules
+    * are an unbounded TABLE ([[robotsPathMatchAgainst]]).
     *
     * @param rules array&lt;struct&lt;rule: string, action: string&gt;&gt;
     * @return (matched_rule, action) columns */
@@ -327,6 +325,49 @@ object HostRules {
         when(n >= col("ps") + 1,
           array_join(slice(parts, (n - col("ps")).cast("int"), n), "."))
           .as("etld1"))
+  }
+
+  /** Stateless single-projection form of [[registrableDomain]] with
+    * IDENTICAL PSL semantics (exception > longest exact/wildcard >
+    * the default one-label rule): the rule lists ride in the plan as
+    * IN-set literals and the per-suffix scores fold through one
+    * `transform` + `array_max` — no explode, no join, no window, so
+    * the projection runs UNCHANGED on a stream with zero state (the
+    * domain-grain frontier stream keys politeness on it). Each
+    * suffix position i scores `prio·1000 + ps_labels` (an exception
+    * match carries prio 1 and names a suffix one label shorter than
+    * itself; labels never approach 1000), so lexicographic
+    * (prio, labels) max is one integer max. The curated-PSL-list
+    * assumption is the same as [[longestSuffixMatchCols]]'s; the
+    * join form remains the unbounded-rule-table path.
+    * HostRulesSpec pins cols ≡ join variant over every rule kind.
+    *
+    * @return (public_suffix, etld1 nullable) columns */
+  def registrableDomainCols(host: Column,
+                            pslRules: Seq[String]): Seq[Column] = {
+    val exc = pslRules.filter(_.startsWith("!")).map(_.drop(1))
+    val wld = pslRules.filter(_.startsWith("*.")).map(_.drop(2))
+    val exa = pslRules.filterNot(r => r.startsWith("!") || r.startsWith("*."))
+    def inSet(c: Column, xs: Seq[String]): Column =
+      if (xs.isEmpty) lit(false) else c.isInCollection(xs)
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    val scores = transform(sequence(lit(1), n), i => {
+      val suffix = array_join(slice(parts, i, n), ".")
+      val parent = array_join(slice(parts, i + 1, n), ".")
+      when(inSet(suffix, exc), lit(1000L) + (n - i).cast("long"))
+        .otherwise(when(inSet(suffix, exa) || inSet(parent, wld),
+          (n - i + 1).cast("long")))
+    })
+    // array_max skips null entries (non-matching positions); null iff
+    // nothing matched → the default one-label public suffix
+    val ps = coalesce(pmod(array_max(scores), lit(1000L)), lit(1L))
+    Seq(
+      array_join(slice(parts, (n - ps + 1).cast("int"), n), ".")
+        .as("public_suffix"),
+      when(n >= ps + 1,
+        array_join(slice(parts, (n - ps).cast("int"), n), "."))
+        .as("etld1"))
   }
 
   /** Stateless single-projection variant with IDENTICAL semantics:

@@ -134,11 +134,14 @@ object NormalizeOps {
     // beaten by a longer literal, a star rule winning mid-path, an
     // anchored allow carved out of a prefix disallow.
     // Every 11th doc gets a 12-segment path that crosses the
-    // wildcardProbe maxSegs = 8 cap: the 9-segment allow rule is
-    // UNREACHABLE (probe keys stop at 8 segments), so those docs fall
+    // maxSegs = 8 depth cap: the 9-segment allow rule is UNREACHABLE
+    // (rules deeper than the cap never match), so those docs fall
     // to the 1-segment /deep disallow — the capped semantics are
     // value-pinned here because the oracle mirrors least(len, 8); an
     // uncapped oracle would match the deeper allow and diverge.
+    // Plan shape: the shared rule list rides as an array literal and
+    // the match is a pure projection (robotsPathMatchCols) — no key
+    // fan-out, no join, no window (PlanAuditSpec pins this).
     "q174_robots_wildcards" -> ((s, d) =>
       HostRules.robotsPathMatch(
         Tables.load(s, d, "documents").select(col("doc_id"),
@@ -377,7 +380,162 @@ object NormalizeOps {
             lit("."), col("domain"), lit("/p"),
             expr("tie DIV 2").cast("string")).as("url"),
           col("rank").as("fetch_order"), col("budget"))
-    })
+    }),
+
+    // q201 STREAM-FED (VERDICT r10 #2): the same candidates arrive as
+    // an event-time STREAM in two 30 s politeness cycles (pages 0–4 →
+    // cycle 0, 5–9 → cycle 1); the registrable domain is a
+    // stream-side PROJECTION (registrableDomainCols — zero state, no
+    // PSL join on the stream), the domain-keyed Crawl-delays are the
+    // STATIC side of one stream-static join, and the shared eTLD+1
+    // budget is the bounded-TopK aggregate per (cycle, domain),
+    // emitted exactly once at window close under the watermark. The
+    // oracle recomputes the whole relation in DuckDB — the STREAM
+    // itself is hash-pinned, not just spec-compared to batch
+    // (FrontierStreamSpec additionally pins stream ≡ batch at this
+    // grain). Scale shape: streaming state is ≤ k rows per
+    // (cycle, domain) — candidate backlog never accumulates.
+    "q203_frontier_domain_stream" -> ((s, d) => {
+      val base = 1735689600L // 2025-01-01T00:00:00Z, divisible by 30
+      val cand = hostsWithSn(s, d)
+        .select(col("host").as("base"), col("sn"),
+          explode(array(lit(0L), lit(1L))).as("si"))
+        .select(col("base"), col("sn"), col("si"),
+          explode(sequence(lit(0L), lit(9L))).as("i"))
+        .select(
+          timestamp_seconds(lit(base) +
+            when(col("i") < 5, 0L).otherwise(30L) +
+            pmod(col("i"), lit(5)) * 5 + col("si")).as("ts"),
+          concat(when(col("si") === 0, "www").otherwise("cdn"),
+            lit("."), col("base")).as("host"),
+          col("sn"),
+          ((col("sn") * 3 + col("i") * 7 + col("si") * 13) % 50)
+            .cast("double").as("ord"),
+          (col("i") * 2 + col("si")).as("tie"))
+      // domain-keyed delays (static side): per-sub-host robots parse →
+      // governing Crawl-delay → conservative MAX per domain, exactly
+      // q201's rule; hosts without a delay leave their domain at the
+      // full budget via the left join inside scheduleCyclesDelayed
+      val bodies = cand.select(col("host"), col("sn")).distinct()
+        .select(col("host"),
+          element_at(array(robotsBodies.map(lit): _*),
+            (pmod(col("sn"), lit(4)) + 1).cast("int")).as("robots"))
+      // materialized eagerly: the STATIC side of a stream-static join
+      // re-executes every micro-batch, and this one is a whole robots
+      // parse chain — localCheckpoint truncates it to its domain-count
+      // result (the shape a real frontier keeps as a maintained table)
+      val domDelays = Robots.selectCrawlDelay(
+          Robots.parseDirectives(bodies, "host", "robots"),
+          uaToken = "GraftBot")
+        .select(HostRules.registrableDomainCols(col("host"), pslRules) :+
+          col("crawl_delay"): _*)
+        .select(coalesce(col("etld1"), col("public_suffix")).as("host"),
+          col("crawl_delay"))
+        .groupBy(col("host")).agg(max(col("crawl_delay")).as("crawl_delay"))
+        .localCheckpoint(eager = true)
+      // feed the stream from a file source. Micro-batch 1 carries the
+      // candidates PLUS a first far-future sentinel (the watermark
+      // advances at batch END, so nothing is late and both cycles'
+      // windows are behind the watermark after it); micro-batch 2's
+      // second sentinel triggers their append-mode emission. Streaming
+      // state partitions are pinned low for the stream's lifetime —
+      // the fixture's (cycle, domain) key space is tiny and 32 state
+      // tasks per micro-batch would be pure scheduler overhead (on a
+      // real crawl frontier this knob sizes to the cluster instead).
+      val tmp = java.nio.file.Files.createTempDirectory("q203-src").toString
+      import s.implicits._
+      def sentinel(j: Int) =
+        Seq((new java.sql.Timestamp((base + 3600 + j) * 1000L),
+          "zz.sentinel", 0.0, 0L)).toDF("ts", "host", "ord", "tie")
+      cand.select(col("ts"), col("host"), col("ord"), col("tie"))
+        .unionByName(sentinel(1))
+        .write.mode("append").parquet(tmp)
+      val stream = s.readStream
+        .schema("ts TIMESTAMP, host STRING, ord DOUBLE, tie BIGINT")
+        .parquet(tmp)
+      val withDom = stream.select(col("ts") +: col("ord") +: col("tie") +:
+          HostRules.registrableDomainCols(col("host"), pslRules): _*)
+        .select(col("ts"),
+          coalesce(col("etld1"), col("public_suffix")).as("host"),
+          col("ord"), col("tie"))
+      val qn = "q203_out_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val shufKey = "spark.sql.shuffle.partitions"
+      val shufOld = s.conf.get(shufKey)
+      val q =
+        try {
+          s.conf.set(shufKey, "4") // captured at stream start
+          graft.streaming.FrontierStream.scheduleCyclesDelayed(
+              withDom, "30 seconds", "30 seconds", k = 4, domDelays,
+              cycleSecs = frontierCycleSecs)
+            .writeStream.outputMode("append")
+            .format("memory").queryName(qn).start()
+        } finally s.conf.set(shufKey, shufOld)
+      try {
+        q.processAllAvailable()
+        sentinel(2).write.mode("append").parquet(tmp)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(qn).filter(col("host") =!= "sentinel.zz" &&
+          !col("host").startsWith("zz."))
+        .select(
+          ((unix_timestamp(col("cycle_start")) - base) / 30)
+            .cast("long").as("cycle"),
+          col("host").as("domain"),
+          concat(lit("https://"),
+            when(pmod(col("tie"), lit(2)) === 0, "www").otherwise("cdn"),
+            lit("."), col("host"), lit("/p"),
+            expr("tie DIV 2").cast("string")).as("url"),
+          col("fetch_order"), col("budget"))
+    }),
+
+    // WARC-shape archive ingest (VERDICT r10 #3): documents are packed
+    // into record-framed archive blobs (one per source — header lines
+    // + BE32 length-prefixed payload, the Multimodal demux discipline)
+    // and extracted back partition-wise. Every 13th record is written
+    // WITHOUT its required Target-URI header: the extractor must
+    // QUARANTINE it (status 'corrupt', url NULL) while keeping every
+    // field the intact framing still proves — payload hash included —
+    // so quarantine-not-drop is value-pinned, not claimed. The oracle
+    // recomputes the whole relation from `documents` directly (the
+    // round-trip through bytes must be invisible).
+    "q204_archive_extract" -> ((s, d) => {
+      val recs = Tables.load(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          when(col("doc_id") % 13 =!= 0,
+            concat(lit("https://"), col("source"), lit(".example.org/d"),
+              col("doc_id").cast("string"))).as("url"),
+          concat(lit("2026-08-"),
+            lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0"),
+            lit("T00:00:00Z")).as("fetch_ts"),
+          when(col("doc_id") % 2 === 0, "text/html").otherwise("text/plain")
+            .as("mime"),
+          encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
+      val archives = graft.sources.CrawlArchive.encode(s, recs,
+        "source", "doc_id", "url", "fetch_ts", "mime", "payload")
+      graft.sources.CrawlArchive.extract(s, archives, "archive", "bytes")
+        .toDF()
+        .select(col("archive"), col("rec_idx"), col("status"), col("url"),
+          col("fetch_ts"), col("mime"), col("n_bytes"),
+          md5(col("body")).as("body_md5"))
+    }),
+
+    // Nested sitemap-INDEX expansion (VERDICT r10 #8): q202 expands
+    // one tier; sitemaps.org allows index-of-index. The fixture is a
+    // two-tier tree per host — root index → {sub-index s0 (dated),
+    // leaf s1} → s0 lists {sA, sB, AND the root again} — so the
+    // bounded frontier walk must absorb the CYCLE (an unguarded walk
+    // hangs; a guard that drops too much loses sA/sB's pages). The
+    // oracle constructs the expected leaf entries directly: the walk's
+    // termination, cycle guard, and carry discipline are all pinned by
+    // the hash.
+    "q205_sitemap_index_nested" -> ((s, d) =>
+      Sitemap.expandIndexes(nestedSitemapBodies(s, d), "host", "url",
+        "xml",
+        hostsWithSn(s, d).select(col("host"),
+          concat(lit("https://"), col("host"), lit("/sitemap_index.xml"))
+            .as("url")),
+        maxDepth = 4))
   )
 
   /** Seconds per politeness cycle assumed by the q192 budget — shared
@@ -442,6 +600,60 @@ object NormalizeOps {
         .select(col("host"), col("url"), col("status"), col("fetch_order"),
           col("budget"))
     }
+  }
+
+  /** The q205 NESTED sitemap fixture: one (host, url, xml) row per
+    * sitemap file — a root index pointing at a sub-index (s0, dated)
+    * and a leaf (s1); the sub-index lists two more leaves (sA, sB)
+    * and points BACK at the root (the cycle the expansion guard must
+    * absorb). Leaves carry 4 urls each, every 2nd dated from
+    * (sn + 3l + 5i). Derived identically by the oracle. */
+  private def nestedSitemapBodies(s: SparkSession, d: String): DataFrame = {
+    val hs = hostsWithSn(s, d)
+    def smBlock(path: String,
+                dated: Option[org.apache.spark.sql.Column])
+        : org.apache.spark.sql.Column = concat(
+      lit("<sitemap>\n  <loc> https://"), col("host"), lit(path),
+      lit(" </loc>\n"),
+      dated.map(dt => concat(lit("  <lastmod>2026-07-"),
+        lpad(dt.cast("string"), 2, "0"), lit("</lastmod>\n")))
+        .getOrElse(lit("")),
+      lit("</sitemap>"))
+    val root = hs.select(col("host"),
+      concat(lit("https://"), col("host"), lit("/sitemap_index.xml"))
+        .as("url"),
+      concat(lit("<?xml version=\"1.0\"?>\n<sitemapindex>\n"),
+        smBlock("/s0.xml", Some((col("sn") % 28) + 1)), lit("\n"),
+        smBlock("/s1.xml", None),
+        lit("\n</sitemapindex>")).as("xml"))
+    val sub = hs.select(col("host"),
+      concat(lit("https://"), col("host"), lit("/s0.xml")).as("url"),
+      concat(lit("<?xml version=\"1.0\"?>\n<sitemapindex>\n"),
+        smBlock("/sA.xml", None), lit("\n"),
+        smBlock("/sB.xml", None), lit("\n"),
+        smBlock("/sitemap_index.xml", None),
+        lit("\n</sitemapindex>")).as("xml"))
+    val leaves = hs
+      .select(col("host"), col("sn"),
+        explode(array(lit(0), lit(1), lit(2))).as("l"))
+      .select(col("host"), col("sn"), col("l"),
+        element_at(array(lit("s1"), lit("sA"), lit("sB")), col("l") + 1)
+          .as("name"))
+      .select(col("host"),
+        concat(lit("https://"), col("host"), lit("/"), col("name"),
+          lit(".xml")).as("url"),
+        concat(lit("<?xml version=\"1.0\"?>\n<urlset>\n"),
+          array_join(transform(sequence(lit(0), lit(3)), i =>
+            concat(lit("<url>\n  <loc>https://"), col("host"), lit("/"),
+              col("name"), lit("/p"), i.cast("string"), lit("</loc>\n"),
+              when(i % 2 === 0,
+                concat(lit("  <lastmod>2026-08-"),
+                  lpad(((col("sn") + col("l") * 3 + i * 5) % 28 + 1)
+                    .cast("string"), 2, "0"),
+                  lit("</lastmod>\n"))).otherwise(lit("")),
+              lit("</url>"))), "\n"),
+          lit("\n</urlset>")).as("xml"))
+    root.unionByName(sub).unionByName(leaves)
   }
 
   /** The q202 sitemap-INDEX fixture: one index body per host listing
@@ -1091,6 +1303,120 @@ object NormalizeOps {
                  CAST(bg.budget AS BIGINT) AS budget
           FROM rk JOIN bg ON rk.domain = bg.domain
           WHERE rn <= 4 AND rn <= bg.budget""",
+
+    // The stream-fed capstone recomputed relationally: the q201 chain
+    // with the candidate set split into two politeness cycles (pages
+    // 0-4 → cycle 0, 5-9 → cycle 1) and the rank window partitioned
+    // by (domain, cycle) — the bounded budget resets per cycle, which
+    // is exactly what the streaming window aggregation computes.
+    "q203_frontier_domain_stream" ->
+      s"""WITH sm AS (SELECT DISTINCT source || '.example.org' AS base,
+                 CAST(substr(source, 4) AS INTEGER) AS sn FROM documents),
+          cd AS (SELECT sn * 100 + t.i * 2 + s.si AS doc_id,
+                   (CASE WHEN s.si = 0 THEN 'www' ELSE 'cdn' END)
+                     || '.' || base AS host,
+                   sn,
+                   CAST(CASE WHEN t.i < 5 THEN 0 ELSE 1 END AS BIGINT)
+                     AS cycle,
+                   CAST((sn * 3 + t.i * 7 + s.si * 13) % 50 AS DOUBLE)
+                     AS ord,
+                   CAST(t.i * 2 + s.si AS BIGINT) AS tie
+                 FROM sm, unnest(range(0, 10)) AS t(i),
+                      (VALUES (0), (1)) AS s(si)),
+          hd AS (SELECT doc_id, host FROM cd),
+          $pslChainSql,
+          rb AS (SELECT DISTINCT host,
+                   CASE sn % 4
+                     WHEN 0 THEN ${sqlLit(robotsBodies(0))}
+                     WHEN 1 THEN ${sqlLit(robotsBodies(1))}
+                     WHEN 2 THEN ${sqlLit(robotsBodies(2))}
+                     ELSE ${sqlLit(robotsBodies(3))} END AS robots
+                 FROM cd),
+          $robotsParseSql,
+          dl AS (SELECT gg.host AS host, max(try_cast(v AS DOUBLE)) AS delay
+                 FROM gg JOIN pick ON gg.host = pick.host
+                                  AND gg.grp = pick.grp
+                 WHERE k = 'crawl-delay' AND try_cast(v AS DOUBLE) > 0
+                   AND NOT isnan(try_cast(v AS DOUBLE))
+                 GROUP BY gg.host),
+          dd AS (SELECT e.dom AS domain, max(dl.delay) AS delay
+                 FROM (SELECT eres.doc_id,
+                         coalesce(eres.etld1, eres.public_suffix) AS dom,
+                         eres.host
+                       FROM eres) e
+                 LEFT JOIN dl ON e.host = dl.host
+                 GROUP BY e.dom),
+          bg AS (SELECT domain,
+                   CASE WHEN delay IS NOT NULL
+                        THEN least(4, greatest(1,
+                          CAST(floor(30.0 / delay) AS BIGINT)))
+                        ELSE 4 END AS budget
+                 FROM dd),
+          pri AS (SELECT coalesce(e2.etld1, e2.public_suffix) AS domain,
+                    cd.cycle, cd.ord, cd.tie
+                  FROM eres e2 JOIN cd USING (doc_id)),
+          rk AS (SELECT domain, cycle, tie,
+                   row_number() OVER (PARTITION BY domain, cycle
+                                      ORDER BY ord DESC, tie) AS rn
+                 FROM pri)
+          SELECT rk.cycle, rk.domain,
+                 'https://' || (CASE WHEN tie % 2 = 0 THEN 'www'
+                                     ELSE 'cdn' END)
+                   || '.' || rk.domain || '/p' || CAST(tie // 2 AS VARCHAR)
+                   AS url,
+                 CAST(rn AS BIGINT) AS fetch_order,
+                 CAST(bg.budget AS BIGINT) AS budget
+          FROM rk JOIN bg ON rk.domain = bg.domain
+          WHERE rn <= 4 AND rn <= bg.budget""",
+
+    // Archive round-trip: the oracle never touches the container bytes
+    // — it recomputes every extracted field (the %13 quarantine class
+    // included) straight from `documents`, so any demux defect (lost
+    // record, shifted framing, mangled payload) breaks the hash.
+    "q204_archive_extract" ->
+      """WITH r AS (SELECT source AS archive,
+               CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                    - 1 AS BIGINT) AS rec_idx,
+               CASE WHEN doc_id % 13 = 0 THEN 'corrupt' ELSE 'ok' END
+                 AS status,
+               CASE WHEN doc_id % 13 = 0 THEN NULL
+                    ELSE 'https://' || source || '.example.org/d'
+                         || CAST(doc_id AS VARCHAR) END AS url,
+               '2026-08-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                 || 'T00:00:00Z' AS fetch_ts,
+               CASE WHEN doc_id % 2 = 0 THEN 'text/html'
+                    ELSE 'text/plain' END AS mime,
+               CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+                 AS n_bytes,
+               md5(coalesce(text, '')) AS body_md5
+             FROM documents)
+          SELECT archive, rec_idx, status, url, fetch_ts, mime, n_bytes,
+                 body_md5
+          FROM r""",
+
+    // Nested expansion: the oracle builds the EXPECTED leaf-entry set
+    // directly (3 leaves × 4 pages per host) — if the walk loops on
+    // the cycle it never terminates, if the guard over-drops, sA/sB
+    // pages go missing, if visited dedup fails, rows duplicate; all
+    // three break this compare.
+    "q205_sitemap_index_nested" ->
+      """WITH sm AS (SELECT DISTINCT source || '.example.org' AS host,
+                 CAST(substr(source, 4) AS INTEGER) AS sn FROM documents),
+          lf AS (SELECT host, sn, t.l AS l,
+                   CASE t.l WHEN 0 THEN 's1' WHEN 1 THEN 'sA'
+                        ELSE 'sB' END AS name
+                 FROM sm, unnest(range(0, 3)) AS t(l)),
+          ex AS (SELECT host,
+                   'https://' || host || '/' || name || '.xml'
+                     AS sitemap_url,
+                   'https://' || host || '/' || name || '/p'
+                     || CAST(i.i AS VARCHAR) AS url,
+                   CASE WHEN i.i % 2 = 0
+                        THEN '2026-08-' || lpad(CAST((sn + l * 3 + i.i * 5)
+                          % 28 + 1 AS VARCHAR), 2, '0')
+                        ELSE NULL END AS lastmod
+                 FROM lf, unnest(range(0, 4)) AS i(i))
+          SELECT host, sitemap_url, url, lastmod FROM ex""",
 
     "q172_etld1" -> etld1Sql,
 

@@ -1,0 +1,170 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Record-framed crawl-archive ingest — the WARC-shaped container a
+  * Common-Crawl-fed pipeline reads first: one archive blob carries
+  * many fetched responses, each a textual header (`Key: value` lines,
+  * blank-line terminated — the WARC/HTTP header shape) followed by a
+  * length-prefixed binary payload, so a reader seeks record-to-record
+  * without decoding payloads it skips.
+  *
+  * Reference scope note: the reference ingests staged files listed by
+  * a manifest (`backend/import_asset_file/task.py`,
+  * `backend/import_metadata_file/task.py`), never a record-framed
+  * archive; this is beyond-reference pipeline capability. The demux discipline is [[graft.operators.Multimodal]]'s
+  * frame container (Multimodal.scala GVID demux): magic + count header,
+  * per-record length prefix, quarantine-don't-throw.
+  *
+  * Corruption contract (the open-web reality, fuzz-pinned):
+  *  - bad magic / truncated container header → ONE quarantine row
+  *    (`rec_idx` −1, status `corrupt_container`) — the blob is never
+  *    silently dropped;
+  *  - a record whose header parses but misses the required
+  *    `Target-URI` → status `corrupt`, url NULL, everything the
+  *    framing still proves (mime, timestamp, payload bytes) KEPT —
+  *    quarantined means kept-for-forensics, not dropped;
+  *  - a framing break (no blank line in bound, length prefix running
+  *    past the buffer) → one status `truncated` row for the rest of
+  *    the blob — after a broken length there is no trustworthy resync.
+  *
+  * Scale shape (100 TB of archives): reading is partition-wise
+  * `mapPartitions` — one pass per blob, zero shuffle, payload bytes
+  * never leave their partition; an archive row maps 1:1 to an archive
+  * FILE at production scale, so parallelism = file count exactly like
+  * any binary-file source. Total, never throws on hostile bytes
+  * (CrawlArchiveFuzzSpec drives mutations + every-prefix truncation).
+  */
+object CrawlArchive {
+
+  /** One extracted record (or quarantine marker — see class doc). */
+  final case class ArchiveRecord(
+      archive: String, rec_idx: Long, status: String,
+      url: String, fetch_ts: String, mime: String,
+      n_bytes: Long, body: Array[Byte])
+
+  private val Magic = Array[Byte]('G', 'A', 'R', 'C')
+  /** Header scan bound: a blank line must appear within this many
+    * bytes of the record start or the framing is declared broken
+    * (WARC caps header blocks the same way in practice). */
+  private val MaxHeaderBytes = 8192
+
+  /** Assemble archives: one blob per `groupCol` value, records in
+    * ascending `idCol` order, each `(url, fetch_ts, mime, payload)`
+    * written as header + BE32 length prefix + payload. Fixture/egress
+    * helper — bounded per group, one encoder per group row. */
+  def encode(spark: SparkSession, recs: DataFrame, groupCol: String,
+             idCol: String, urlCol: String, tsCol: String, mimeCol: String,
+             payloadCol: String): DataFrame = {
+    import spark.implicits._
+    recs
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col(idCol).cast("long").as("id"),
+        col(urlCol).as("url"), col(tsCol).as("ts"),
+        col(mimeCol).as("mime"), col(payloadCol).as("payload"))))
+        .as("recs"))
+      .as[(String, Seq[(Long, String, String, String, Array[Byte])])]
+      .map { case (g, rs) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write(Magic)
+        bos.write(be32(rs.size))
+        rs.foreach { case (_, url, ts, mime, payload) =>
+          val hdr = new StringBuilder()
+          // a NULL url models a crawler that lost the request line —
+          // the record is framed fine but misses the required field
+          if (url != null) hdr.append(s"Target-URI: $url\n")
+          hdr.append(s"Fetch-Ts: $ts\n")
+          hdr.append(s"Content-Type: $mime\n")
+          hdr.append("\n")
+          bos.write(hdr.toString.getBytes("UTF-8"))
+          bos.write(be32(payload.length))
+          bos.write(payload)
+        }
+        (g, bos.toByteArray)
+      }.toDF("archive", "bytes")
+  }
+
+  /** Demux an archive column into record rows (see corruption
+    * contract above). Partition-wise, no shuffle; total on any input. */
+  def extract(spark: SparkSession, archives: DataFrame, archiveCol: String,
+              binCol: String): Dataset[ArchiveRecord] = {
+    import spark.implicits._
+    archives.select(col(archiveCol).cast("string"),
+        coalesce(col(binCol), lit(Array.empty[Byte])))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (g, bytes) => demux(g, bytes) })
+  }
+
+  private def be32(v: Int): Array[Byte] = Array(
+    (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  /** Pure per-blob demux — also the fuzz harness entry point. */
+  private[sources] def demux(g: String,
+                             bytes: Array[Byte]): Seq[ArchiveRecord] = {
+    def rd32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    if (bytes.length < 8 || !Magic.indices.forall(i => bytes(i) == Magic(i)))
+      return Seq(ArchiveRecord(g, -1L, "corrupt_container",
+        null, null, null, -1L, null))
+    val nRecs = rd32(4)
+    val out = Seq.newBuilder[ArchiveRecord]
+    var off = 8L
+    var idx = 0L
+    var broken = false
+    while (idx < nRecs && !broken) {
+      // header: scan for the blank line within the bound
+      val hEnd = blankLineAt(bytes, off)
+      if (hEnd < 0) broken = true
+      else {
+        val hdr = new String(bytes, off.toInt, (hEnd - off).toInt, "UTF-8")
+        val fields = hdr.linesIterator
+          .flatMap { l =>
+            val i = l.indexOf(':')
+            if (i <= 0) None
+            else Some(l.substring(0, i).trim.toLowerCase ->
+              l.substring(i + 1).trim)
+          }.toMap
+        val bodyOff = hEnd + 1 // past the blank line's \n
+        if (bodyOff + 4 > bytes.length) broken = true
+        else {
+          val len = rd32(bodyOff.toInt)
+          val start = bodyOff + 4
+          if (len < 0 || start + len > bytes.length) broken = true
+          else {
+            val body = java.util.Arrays.copyOfRange(
+              bytes, start.toInt, (start + len).toInt)
+            val url = fields.get("target-uri").orNull
+            out += ArchiveRecord(g, idx,
+              if (url == null) "corrupt" else "ok",
+              url, fields.get("fetch-ts").orNull,
+              fields.get("content-type").orNull, len, body)
+            off = start + len
+            idx += 1
+          }
+        }
+      }
+    }
+    if (broken)
+      out += ArchiveRecord(g, idx, "truncated", null, null, null, -1L, null)
+    out.result()
+  }
+
+  /** Offset of the `\n` that ends the header's blank line (i.e. the
+    * second of "\n\n"), or −1 when none within [[MaxHeaderBytes]] /
+    * the buffer. CRLF headers normalize: a "\r\n\r\n" also ends. */
+  private def blankLineAt(bytes: Array[Byte], from: Long): Long = {
+    val limit = math.min(bytes.length.toLong, from + MaxHeaderBytes)
+    var i = from
+    while (i < limit) {
+      if (bytes(i.toInt) == '\n') {
+        if (i + 1 < limit && bytes((i + 1).toInt) == '\n') return i + 1
+        if (i + 2 < limit && bytes((i + 1).toInt) == '\r' &&
+            bytes((i + 2).toInt) == '\n') return i + 2
+      }
+      i += 1
+    }
+    -1L
+  }
+}

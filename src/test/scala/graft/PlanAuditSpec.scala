@@ -115,6 +115,22 @@ class PlanAuditSpec extends AnyFunSuite {
   // explode, no LSH band self-join, no CC iteration leaves), and the
   // label scan itself is visible by its column shape.
 
+  // Round-11 pin: shared-literal-rule robots matching is a pure
+  // projection — the r10 wildcardProbe shape paid 2^(maxSegs+1) probe
+  // rows per deep path (q174 regressed 4.4× when the fixture gained
+  // 12-segment paths). No join, no explode, no window may reappear.
+
+  test("q174 robots wildcard match is a no-explode projection") {
+    val r = audited("q174_robots_wildcards")
+    assert(r.generates == 0,
+      s"shared-rule match must not key-expand: ${r.generates} Generate nodes")
+    assert(r.broadcastJoins + r.shuffleJoins + r.cartesianProducts == 0,
+      "shared-rule match must not join at all")
+    assert(r.wholeStageCodegen)
+    assert(r.scans.forall(_.readColumns.toSet == Set("doc_id")),
+      s"scan must prune to doc_id only: ${r.scans.map(_.readColumns)}")
+  }
+
   test("q196 reads the maintained cluster table; q183 re-derives it") {
     val stored = audited("q196_cluster_canonical_stored")
     assert(stored.cartesianProducts == 0)

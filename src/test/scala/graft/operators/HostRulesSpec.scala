@@ -72,6 +72,38 @@ class HostRulesSpec extends AnyFunSuite {
     assert(v(6L) == ("/static", "disallow"))   // exact-path match
   }
 
+  test("PSL projection variant ≡ join variant over every rule kind") {
+    import org.apache.spark.sql.functions.col
+    // exact multi-label, plain TLD, wildcard child, the exception
+    // carved back out of it — the q172 rule census
+    val psl = Seq("com", "org", "co.uk", "*.pages.org", "!keep.pages.org")
+    val hosts = Seq(
+      1L -> "example.org",            // exact TLD → etld1 example.org
+      2L -> "www.example.org",
+      3L -> "shop.co.uk",             // multi-label exact
+      4L -> "a.b.shop.co.uk",
+      5L -> "proj.pages.org",         // wildcard: proj.pages.org IS a ps
+      6L -> "site.proj.pages.org",
+      7L -> "keep.pages.org",         // exception: ps = pages.org
+      8L -> "www.keep.pages.org",
+      9L -> "org",                    // host IS a public suffix → etld1 NULL
+      10L -> "unlisted.zz",           // default * rule: top label is ps
+      11L -> "zz").toDF("id", "host")
+    val joined = HostRules.registrableDomain(hosts, "id", "host", psl)
+    val exprd = hosts.select(col("id") +: col("host") +:
+      HostRules.registrableDomainCols(col("host"), psl): _*)
+    assert(joined.exceptAll(exprd).isEmpty && exprd.exceptAll(joined).isEmpty)
+    // spot-pin the semantics, not just the equivalence
+    val v = exprd.collect()
+      .map(r => r.getLong(0) -> (r.getString(2), Option(r.getString(3)))).toMap
+    assert(v(1L) == ("org", Some("example.org")))
+    assert(v(5L) == ("proj.pages.org", None))
+    assert(v(6L) == ("proj.pages.org", Some("site.proj.pages.org")))
+    assert(v(7L) == ("pages.org", Some("keep.pages.org")))
+    assert(v(9L) == ("org", None))
+    assert(v(10L) == ("zz", Some("unlisted.zz")))
+  }
+
   test("the stateless projection variant agrees with the join variant") {
     val hosts = Seq(
       1L -> "example.org", 2L -> "x.example.org", 3L -> "good.example.org",

@@ -80,4 +80,54 @@ class SitemapSpec extends AnyFunSuite {
     assert(plan == Map("https://h/s0.xml" -> "stale",
       "https://h/s1.xml" -> "new"))
   }
+
+  private def urlset(urls: String*): String =
+    "<urlset>\n" + urls.map(u => s"<url><loc>$u</loc></url>").mkString("\n") +
+      "\n</urlset>"
+  private def index(children: String*): String =
+    "<sitemapindex>\n" +
+      children.map(c => s"<sitemap><loc>$c</loc></sitemap>").mkString("\n") +
+      "\n</sitemapindex>"
+
+  test("expandIndexes: cycles absorbed, self-loops too, no duplicates") {
+    // root → {a, root (self-loop)}; a → {root (back-edge), leaf}
+    val bodies = Seq(
+      ("h", "https://h/root.xml", index("https://h/a.xml",
+        "https://h/root.xml")),
+      ("h", "https://h/a.xml", index("https://h/root.xml",
+        "https://h/leaf.xml")),
+      ("h", "https://h/leaf.xml", urlset("https://h/p0", "https://h/p1")))
+      .toDF("host", "url", "xml")
+    val roots = Seq(("h", "https://h/root.xml")).toDF("host", "url")
+    val got = Sitemap.expandIndexes(bodies, "host", "url", "xml", roots,
+        maxDepth = 5)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(got.sorted.toSeq == Seq(
+      ("https://h/leaf.xml", "https://h/p0"),
+      ("https://h/leaf.xml", "https://h/p1")))
+  }
+
+  test("expandIndexes: depth cap leaves deeper tiers unexpanded") {
+    // chain root → i1 → i2 → leaf: maxDepth 2 discovers i1 and i2 but
+    // never OPENS i2, so the leaf's pages stay absent; maxDepth 3 gets
+    // them. An unfetched child (i1 missing from bodies) just yields
+    // nothing — a crawler that hasn't fetched it yet loses no rows
+    // elsewhere.
+    val bodies = Seq(
+      ("h", "https://h/root.xml", index("https://h/i1.xml")),
+      ("h", "https://h/i1.xml", index("https://h/i2.xml")),
+      ("h", "https://h/i2.xml", index("https://h/leaf.xml")),
+      ("h", "https://h/leaf.xml", urlset("https://h/p0")))
+      .toDF("host", "url", "xml")
+    val roots = Seq(("h", "https://h/root.xml")).toDF("host", "url")
+    def pages(depth: Int) =
+      Sitemap.expandIndexes(bodies, "host", "url", "xml", roots, depth)
+        .collect().map(_.getString(2)).toSeq
+    assert(pages(2).isEmpty)
+    assert(pages(3) == Seq("https://h/p0"))
+    // missing body: drop i1's body — the walk stops there, total
+    val partial = bodies.filter(col("url") =!= "https://h/i1.xml")
+    assert(Sitemap.expandIndexes(partial, "host", "url", "xml", roots,
+      maxDepth = 5).count() == 0L)
+  }
 }

@@ -124,4 +124,65 @@ class FrontierStreamSpec extends AnyFunSuite {
       assert(got.filter(_._2 == "h3").map(_._3) == Set(30.0))
     } finally q.stop()
   }
+
+  test("domain grain: stream ≡ batch, subdomains share one eTLD+1 budget") {
+    import graft.operators.HostRules
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("frontier-dom").toString
+    val psl = Seq("org")
+    // one registrant, two sub-hosts, 6 candidates in one cycle: the
+    // domain-keyed 300 s delay (cycle 600 s) trims the SHARED budget
+    // to 2 — the per-host grain would have scheduled up to 3 each.
+    // other.org has no delay and keeps the full k = 3.
+    val delays = Seq(("site.org", 300.0)).toDF("host", "crawl_delay")
+    val rows = Seq(
+      (ts(1), "www.site.org", 10.0, 1L), (ts(2), "cdn.site.org", 20.0, 2L),
+      (ts(3), "www.site.org", 30.0, 3L), (ts(4), "cdn.site.org", 40.0, 4L),
+      (ts(5), "www.site.org", 50.0, 5L), (ts(6), "cdn.site.org", 60.0, 6L),
+      (ts(1), "www.other.org", 10.0, 1L), (ts(2), "www.other.org", 20.0, 2L),
+      (ts(3), "cdn.other.org", 30.0, 3L), (ts(4), "cdn.other.org", 40.0, 4L))
+    val sentinel = Seq((ts(60), "zz.zz", 1.0, 1L), (ts(61), "zz.zz", 1.0, 2L))
+
+    def write(rs: Seq[(java.sql.Timestamp, String, Double, Long)]): Unit =
+      rs.toDF("ts", "host", "ord", "tie").write.mode("append").parquet(dir)
+
+    // the domain key is a stream-side PROJECTION — no join, no state
+    def domained(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("ts") +: col("ord") +: col("tie") +:
+          HostRules.registrableDomainCols(col("host"), psl): _*)
+        .select(col("ts"),
+          coalesce(col("etld1"), col("public_suffix")).as("host"),
+          col("ord"), col("tie"))
+
+    write(rows)
+    val streamed = spark.readStream
+      .schema("ts TIMESTAMP, host STRING, ord DOUBLE, tie BIGINT")
+      .parquet(dir)
+    val q = FrontierStream.scheduleCyclesDelayed(domained(streamed),
+        "10 minutes", "10 minutes", k = 3, delays, cycleSecs = 600.0)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("frontier_dom_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      sentinel.grouped(1).foreach { s => write(s); q.processAllAvailable() }
+
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getTimestamp(0), r.getString(2), r.getDouble(4),
+          r.getLong(5), r.getLong(6))
+      val got = spark.table("frontier_dom_out")
+        .filter(col("host") =!= "zz").collect().map(key).toSet
+      val want = FrontierStream.scheduleCyclesDelayedBatch(
+          domained(rows.toDF("ts", "host", "ord", "tie")),
+          "10 minutes", 3, delays, 600.0)
+        .collect().map(key).toSet
+      assert(got == want)
+      // the budget is shared at the DOMAIN grain: 6 site.org
+      // candidates from two sub-hosts → exactly 2 scheduled (the two
+      // highest ords, one from each sub-host); other.org keeps k = 3
+      val perDom = got.groupBy(_._2).view.mapValues(_.size).toMap
+      assert(perDom == Map("site.org" -> 2, "other.org" -> 3))
+      assert(got.filter(_._2 == "site.org").map(_._3) == Set(60.0, 50.0))
+    } finally q.stop()
+  }
 }
