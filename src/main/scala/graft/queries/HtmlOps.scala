@@ -123,6 +123,57 @@ object HtmlOps {
           (col("action") === "allow" &&
             col("doc_id") === col("keeper_doc_id") &&
             col("n_tokens_clean") >= 5L).as("admitted"))
+    }),
+
+    // The Common-Crawl-shaped INGEST capstone: record-framed archives
+    // (q204's CrawlArchive fixture, %13 quarantine class included) →
+    // partition-wise demux → per-record page extraction (q148/q149
+    // chain) → clean-token floor (q152) → per-archive ingest report.
+    // Quarantined records are COUNTED, never admitted and never
+    // dropped — the report a 100 TB archive-fed run emits per crawl
+    // dump. The oracle recomputes everything from `documents` without
+    // touching bytes, so the archive round-trip must be invisible all
+    // the way through the extraction stack, not just at q204's field
+    // grain.
+    "q206_archive_ingest_report" -> ((s, d) => {
+      import graft.operators.TextNormalize
+      import graft.sources.CrawlArchive
+      val recs0 = Tables.load(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          when(col("doc_id") % 13 =!= 0,
+            concat(lit("https://"), col("source"), lit(".example.org/d"),
+              col("doc_id").cast("string"))).as("url"),
+          concat(lit("2026-08-"),
+            lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0"),
+            lit("T00:00:00Z")).as("fetch_ts"),
+          when(col("doc_id") % 2 === 0, "text/html").otherwise("text/plain")
+            .as("mime"),
+          encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
+      val archives = CrawlArchive.encode(s, recs0, "source", "doc_id",
+        "url", "fetch_ts", "mime", "payload")
+      val recs = CrawlArchive.extract(s, archives, "archive", "bytes")
+        .toDF()
+        .select(
+          concat(col("archive"), lit("#"), col("rec_idx").cast("string"))
+            .as("rid"),
+          col("archive"), col("status"),
+          decode(col("body"), "UTF-8").as("text"))
+      val toks = HtmlExtract.extractMain(
+          HtmlExtract.syntheticHtml(recs, "rid", "text"), "doc_id", "html")
+        .select(col("doc_id").as("rid"),
+          graft.functions.TextFunctions
+            .tokenCount(TextNormalize.cleanText(col("main_text")))
+            .as("n_tokens_clean"))
+      recs.join(toks, Seq("rid"))
+        .groupBy(col("archive"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("status") === "ok", 1L).otherwise(0L)).as("n_ok"),
+          sum(when(col("status") =!= "ok", 1L).otherwise(0L))
+            .as("n_quarantined"),
+          sum(when(col("status") === "ok" && col("n_tokens_clean") >= 5L,
+            1L).otherwise(0L)).as("n_admitted"),
+          sum(when(col("status") === "ok" && col("n_tokens_clean") >= 5L,
+            col("n_tokens_clean")).otherwise(0L)).as("tokens_admitted"))
     })
   )
 
@@ -336,6 +387,47 @@ object HtmlOps {
           FROM kw
           LEFT JOIN hb USING (doc_id)
           JOIN tok USING (doc_id)"""
+    },
+
+    // The archive-fed report recomputed WITHOUT the container: the
+    // q149 extraction chain + q152 clean tokens straight over
+    // `documents`, with the %13 quarantine class as a CASE — any
+    // demux defect that survives q204's field grain (payload mangled
+    // in a way that changes extraction, a record misattributed to the
+    // wrong archive) breaks this hash.
+    "q206_archive_ingest_report" -> {
+      val cleanTok =
+        s"""CAST(len(list_filter(string_split_regex(
+              ${NormalizeOps.cleanSql("coalesce(a.main_text, '')")},
+              '\\s+'), x -> x <> '')) AS BIGINT)"""
+      s"""WITH srcdocs AS (SELECT doc_id, coalesce(text, '') AS text
+                           FROM documents),
+          $blocksChainSql,
+          agg AS (SELECT doc_id,
+                         coalesce(string_agg(
+                           CASE WHEN is_good THEN block_text END, ' '
+                           ORDER BY block_idx), '') AS main_text
+                  FROM blk GROUP BY doc_id),
+          tok AS (SELECT sd.doc_id, $cleanTok AS n_tokens_clean
+                  FROM srcdocs sd LEFT JOIN agg a USING (doc_id)),
+          j AS (SELECT d.source AS archive,
+                       CASE WHEN d.doc_id % 13 = 0 THEN 'corrupt'
+                            ELSE 'ok' END AS status,
+                       t.n_tokens_clean
+                FROM documents d JOIN tok t USING (doc_id))
+          SELECT archive,
+                 CAST(count(*) AS BIGINT) AS n_records,
+                 CAST(sum(CASE WHEN status = 'ok' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_ok,
+                 CAST(sum(CASE WHEN status <> 'ok' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_quarantined,
+                 CAST(sum(CASE WHEN status = 'ok'
+                               AND n_tokens_clean >= 5 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_admitted,
+                 CAST(sum(CASE WHEN status = 'ok' AND n_tokens_clean >= 5
+                               THEN n_tokens_clean ELSE 0 END)
+                      AS BIGINT) AS tokens_admitted
+          FROM j GROUP BY archive"""
     }
   )
 }

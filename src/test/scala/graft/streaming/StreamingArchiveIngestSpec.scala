@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.gdl.TableStore
+import graft.sinks.DeadLetter
+import graft.sources.CrawlArchive
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Archive dumps arriving as a STREAM: each micro-batch of (archive,
+  * bytes) blobs demuxes partition-wise, ok records MERGE into a record
+  * table keyed (archive, rec_idx) and quarantine rows route through the
+  * replay-guarded dead-letter path — so the whole ingest is
+  * exactly-once under foreachBatch replay, and the stored table equals
+  * the batch extraction of the same blobs. The shape a Common-Crawl
+  * feed runs: blobs land in object storage, the stream tails the
+  * listing, nothing is dropped and nothing double-counts. */
+class StreamingArchiveIngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def fixture: DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("a", 1L, "https://a/x", "2026-08-01", "text/html", "alpha doc"),
+      ("a", 2L, null, "2026-08-02", "text/plain", "lost uri"),
+      ("b", 3L, "https://b/y", "2026-08-03", "text/html", "beta doc"),
+      ("c", 4L, "https://c/z", "2026-08-04", "text/plain", "gamma doc"))
+      .toDF("src", "id", "url", "ts", "mime", "txt")
+      .withColumn("payload", encode(col("txt"), "UTF-8"))
+  }
+
+  test("stream ≡ batch; quarantine routed; replayed batch is a no-op") {
+    val root = java.nio.file.Files
+      .createTempDirectory("arc-stream").toString
+    val store = new TableStore(spark, root, partitioning = Map.empty,
+      bloomColumns = Map.empty)
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("arc-src").toString
+
+    // the foreachBatch body — factored so the replay test can call it
+    // directly with a repeated batchId
+    def ingest(batch: DataFrame, batchId: Long): Unit = {
+      val recs = CrawlArchive.extract(spark, batch, "archive", "bytes")
+        .toDF()
+        .select(col("archive"), col("rec_idx"), col("status"), col("url"),
+          col("fetch_ts"), col("mime"), col("n_bytes"),
+          md5(col("body")).as("body_md5"))
+        .localCheckpoint(eager = true)
+      val clean = DeadLetter.quarantineBatch(store, "arc_dlq",
+        source = "arc", batchId = batchId, recs,
+        rules = Seq("not_ok" -> (col("status") =!= "ok")))
+      // merge key (archive, rec_idx): a replayed micro-batch rewrites
+      // the identical rows onto themselves — a fixpoint
+      store.merge("arc_records", clean, Seq("archive", "rec_idx"))
+    }
+
+    // two micro-batches: archives {a} then {b, c}
+    val arcs = CrawlArchive.encode(spark, fixture, "src", "id", "url",
+      "ts", "mime", "payload").localCheckpoint(eager = true)
+    arcs.filter(col("archive") === "a")
+      .write.mode("append").parquet(srcDir)
+    val stream = spark.readStream
+      .schema("archive STRING, bytes BINARY").parquet(srcDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (!b.isEmpty) ingest(b.localCheckpoint(eager = true), id)
+      }
+      .start()
+    try {
+      stream.processAllAvailable()
+      arcs.filter(col("archive") =!= "a")
+        .write.mode("append").parquet(srcDir)
+      stream.processAllAvailable()
+    } finally stream.stop()
+
+    // stream-fed table ≡ batch extraction of the same blobs (ok rows)
+    val want = CrawlArchive.extract(spark, arcs, "archive", "bytes")
+      .toDF()
+      .filter(col("status") === "ok")
+      .select(col("archive"), col("rec_idx"), col("status"), col("url"),
+        col("fetch_ts"), col("mime"), col("n_bytes"),
+        md5(col("body")).as("body_md5"))
+    val got = store.read("arc_records").get
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.count() == 3)
+
+    // the url-less record is in the dead-letter queue, payload intact
+    val dlq = store.read("arc_dlq").get.collect()
+    assert(dlq.length == 1)
+    assert(dlq.head.getAs[String]("reason") == "not_ok")
+    assert(dlq.head.getAs[String]("payload").contains("corrupt"))
+
+    // replaying a completed micro-batch changes nothing: the merge is
+    // a fixpoint and the dlq append is batch-id guarded
+    val before = (got.count(), store.read("arc_dlq").get.count())
+    ingest(arcs.filter(col("archive") === "a"), batchId = 0L)
+    val after = (store.read("arc_records").get.count(),
+      store.read("arc_dlq").get.count())
+    assert(before == after, s"replay must be a no-op: $before vs $after")
+  }
+}
