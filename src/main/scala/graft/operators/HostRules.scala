@@ -95,10 +95,11 @@ object HostRules {
     * rules are a TABLE too large for a plan literal — that path is
     * [[robotsPathMatchAgainst]]. Capped-depth semantics are identical
     * to the probe form and value-pinned by q174's oracle.
-    * Deviation from the RFC, documented: `*` here matches exactly one
-    * whole segment (the joinable class); a spanning `*` (multiple
-    * segments / intra-segment) would need per-rule offline expansion
-    * into this class. */
+    * Grammar note: `*` here matches exactly one whole segment — the
+    * joinable subclass shared with the probe form; the FULL RFC
+    * grammar (spanning / intra-segment `*`) is
+    * [[robotsPathMatchRfc]], whose per-rule LIKE evaluation has no
+    * joinable key shape but also no depth cap. */
   def robotsPathMatch(docs: DataFrame, idCol: String, pathCol: String,
                       rules: Seq[(String, String)],
                       default: String): DataFrame = {
@@ -227,7 +228,21 @@ object HostRules {
       rule.startsWith("/") &&
         ((rule === "/") || (m <= kCap && (!anchored || m === k) && segsOk))
     }
-    val best = aggregate(filter(rules, matches(_)),
+    val best = mostSpecific(filter(rules, matches(_)))
+    Seq(best.getField("rule").as("matched_rule"),
+      coalesce(best.getField("action"), lit(default)).as("action"))
+  }
+
+  /** The RFC 9309 precedence fold over an array of matched
+    * (rule, action) structs — longest literal octets, fewer stars,
+    * allow over disallow, rule text — shared by every projection-form
+    * matcher. One integer-comparison aggregate, no sort. */
+  private def mostSpecific(matched: Column): Column = {
+    def litLen(rule: Column) = length(translate(rule, "*$", ""))
+    def nStars(rule: Column) =
+      length(rule) - length(translate(rule, "*", ""))
+    def actRank(a: Column) = when(a === "allow", 0).otherwise(1)
+    aggregate(matched,
       lit(null).cast("struct<rule:string,action:string>"),
       (acc, x) => {
         val (xr, ar) = (x.getField("rule"), acc.getField("rule"))
@@ -240,8 +255,55 @@ object HostRules {
               (xa < aa || (xa === aa && xr < ar)))))
         when(better, x).otherwise(acc)
       })
+  }
+
+  /** FULL RFC 9309 wildcard matching: `*` matches ANY character
+    * sequence — spanning path segments and partial segments alike —
+    * and `$` anchors the rule to the end of the path; an un-anchored
+    * rule matches any path it prefixes. This is the grammar the RFC
+    * actually specifies; [[robotsPathMatchCols]]'s whole-segment `*`
+    * is the JOINABLE subclass of it (the shape that turns a rule
+    * TABLE into equi-join keys), and q174/q207 pin the two
+    * side-by-side. Each rule compiles to a SQL LIKE pattern — literal
+    * `%`/`_`/`\` escaped, `*` → `%`, a trailing `%` unless anchored
+    * (LIKE full-matches, so the prefix semantics come from that
+    * trailing `%`) — evaluated per row: O(|rules| · |path|), no key
+    * fan-out, NO depth cap (nothing explodes, so a crawler-trap path
+    * costs its own length and rules deeper than 8 segments match
+    * fine), stateless and stream-safe like every projection matcher.
+    *
+    * @param rules array&lt;struct&lt;rule: string, action: string&gt;&gt;
+    * @return (matched_rule, action) columns */
+  def robotsPathMatchRfcCols(path: Column, rules: Column,
+                             default: String): Seq[Column] = {
+    import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
+    def matches(r: Column): Column = {
+      val rule = r.getField("rule")
+      val anchored = rule.endsWith("$")
+      val core = regexp_replace(rule, "\\$$", "")
+      val body = replace(replace(replace(replace(
+        core, lit("\\"), lit("\\\\")), lit("%"), lit("\\%")),
+        lit("_"), lit("\\_")), lit("*"), lit("%"))
+      val pat = when(anchored, body).otherwise(concat(body, lit("%")))
+      rule.startsWith("/") &&
+        column(org.apache.spark.sql.catalyst.expressions.Like(
+          expression(path), expression(pat), '\\'))
+    }
+    val best = mostSpecific(filter(rules, matches(_)))
     Seq(best.getField("rule").as("matched_rule"),
       coalesce(best.getField("action"), lit(default)).as("action"))
+  }
+
+  /** [[robotsPathMatch]]'s sibling under the FULL RFC grammar — the
+    * shared literal rule list as an array-literal projection through
+    * [[robotsPathMatchRfcCols]]. */
+  def robotsPathMatchRfc(docs: DataFrame, idCol: String, pathCol: String,
+                         rules: Seq[(String, String)],
+                         default: String): DataFrame = {
+    val ruleArr = array(rules.map { case (r, a) =>
+      struct(lit(r).as("rule"), lit(a).as("action")) }: _*)
+    docs.select(col(idCol) +: col(pathCol) +:
+      robotsPathMatchRfcCols(col(pathCol), ruleArr, default): _*)
   }
 
   /** RFC 9309 most-specific-match precedence: longest literal octets,

@@ -535,7 +535,32 @@ object NormalizeOps {
         hostsWithSn(s, d).select(col("host"),
           concat(lit("https://"), col("host"), lit("/sitemap_index.xml"))
             .as("url")),
-        maxDepth = 4))
+        maxDepth = 4)),
+
+    // q174 under the FULL RFC 9309 grammar: `*` spans segments and
+    // partial segments (each rule compiles to an escaped LIKE
+    // pattern), `$` end-anchors, and there is NO depth cap — the
+    // 12-segment crawler-trap path now legitimately reaches the
+    // 9-segment allow rule q174's capped class cannot (the two
+    // semantics are pinned side by side). The %13 path hits a rule
+    // whose literal `_` must NOT wildcard (LIKE-escaping observable:
+    // the %17 path would match it un-escaped and must stay
+    // default-allow). Shapes exercised: an intra-segment star
+    // (/static*1), a spanning star (/docs*x3), a leading star
+    // (/*/p2), an anchored exact (/api/p0/x1$).
+    "q207_robots_rfc_wildcards" -> ((s, d) =>
+      HostRules.robotsPathMatchRfc(
+        Tables.load(s, d, "documents").select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, lit(deepPath))
+            .when(col("doc_id") % 13 === 0, lit("/a_b/p1"))
+            .when(col("doc_id") % 17 === 0, lit("/axb/p1"))
+            .otherwise(concat(lit("/"),
+              when(col("doc_id") % 4 === 0, "docs")
+                .when(col("doc_id") % 4 === 1, "static")
+                .when(col("doc_id") % 4 === 2, "api").otherwise("img"),
+              lit("/p"), (col("doc_id") % 5).cast("string"),
+              lit("/x"), (col("doc_id") % 7).cast("string"))).as("path")),
+        "doc_id", "path", rules = rfcRules, default = "allow"))
   )
 
   /** Seconds per politeness cycle assumed by the q192 budget — shared
@@ -831,6 +856,21 @@ object NormalizeOps {
   /** The 12-segment q174 path that crosses the probe cap. */
   private[queries] val deepPath: String =
     "/deep" + (1 to 11).map(i => s"/d$i").mkString
+
+  /** The q207 FULL-RFC rule set (spanning/intra-segment stars,
+    * anchors, a literal underscore), shared verbatim with the oracle.
+    * The deep-path allow pair deliberately mirrors q174's so the
+    * capped-vs-uncapped divergence is pinned by BOTH hashes. */
+  private[queries] val rfcRules: Seq[(String, String)] = Seq(
+    "/static" -> "disallow",
+    "/static*1" -> "allow",   // intra/spanning star beats /static where a '1' follows
+    "/*/p2" -> "disallow",    // leading star spans the first segment(s)
+    "/docs*x3" -> "allow",    // spanning star across segments
+    "/api" -> "disallow", "/api/p0/x1$" -> "allow",
+    "/img/*/x5" -> "disallow",
+    "/deep" -> "disallow",
+    "/deep/d1/d2/d3/d4/d5/d6/d7/d8" -> "allow", // reachable here: no cap
+    "/a_b" -> "disallow")     // '_' is a literal octet, never a wildcard
 
   /** PSL rules shared by q172/q173's query and oracle — one of each
     * kind, plus the exception carved out of the wildcard. */
@@ -1393,6 +1433,51 @@ object NormalizeOps {
           SELECT archive, rec_idx, status, url, fetch_ts, mime, n_bytes,
                  body_md5
           FROM r""",
+
+    // Full-RFC wildcards: each rule compiles to the SAME escaped LIKE
+    // pattern in both engines (escape \ % _, star → %, trailing %
+    // unless $-anchored; LIKE full-matches so prefix semantics come
+    // from the trailing %), same precedence window as q174.
+    "q207_robots_rfc_wildcards" -> {
+      val values = rfcRules.map { case (r, a) => s"('$r', '$a')" }
+        .mkString(",\n                  ")
+      raw"""WITH pd AS (SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN '$deepPath'
+                    WHEN doc_id % 13 = 0 THEN '/a_b/p1'
+                    WHEN doc_id % 17 = 0 THEN '/axb/p1'
+                    ELSE '/' || (CASE doc_id % 4 WHEN 0 THEN 'docs'
+                            WHEN 1 THEN 'static'
+                            WHEN 2 THEN 'api' ELSE 'img' END)
+                       || '/p' || CAST(doc_id % 5 AS VARCHAR)
+                       || '/x' || CAST(doc_id % 7 AS VARCHAR) END AS path
+               FROM documents),
+          pr AS (SELECT rule, action,
+                   CASE WHEN rule LIKE '%$$'
+                        THEN substr(rule, 1, length(rule) - 1)
+                        ELSE rule END AS core,
+                   (rule LIKE '%$$') AS anch
+                 FROM (VALUES
+                  $values) t(rule, action)
+                 WHERE rule LIKE '/%'),
+          pp AS (SELECT rule, action, anch,
+                   replace(replace(replace(replace(core,
+                     '\', '\\'), '%', '\%'), '_', '\_'), '*', '%') AS body
+                 FROM pr),
+          pm AS (SELECT doc_id, rule, action,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY
+                     length(replace(replace(rule, '*', ''), '$$', '')) DESC,
+                     length(rule) - length(replace(rule, '*', '')) ASC,
+                     CASE WHEN action = 'allow' THEN 0 ELSE 1 END, rule)
+                     AS rn
+                 FROM pd JOIN pp
+                   ON pd.path LIKE (CASE WHEN anch THEN body
+                                         ELSE body || '%' END) ESCAPE '\'),
+          pb AS (SELECT doc_id, rule AS matched_rule, action FROM pm
+                 WHERE rn = 1)
+          SELECT pd.doc_id, pd.path, pb.matched_rule,
+                 coalesce(pb.action, 'allow') AS action
+          FROM pd LEFT JOIN pb USING (doc_id)"""
+    },
 
     // Nested expansion: the oracle builds the EXPECTED leaf-entry set
     // directly (3 leaves × 4 pages per host) — if the walk loops on

@@ -131,6 +131,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"scan must prune to doc_id only: ${r.scans.map(_.readColumns)}")
   }
 
+  test("q207 full-RFC robots match keeps the same no-explode shape") {
+    val r = audited("q207_robots_rfc_wildcards")
+    assert(r.generates == 0 &&
+      r.broadcastJoins + r.shuffleJoins + r.cartesianProducts == 0,
+      "per-rule LIKE evaluation must stay a pure projection")
+    assert(r.wholeStageCodegen)
+  }
+
   test("q196 reads the maintained cluster table; q183 re-derives it") {
     val stored = audited("q196_cluster_canonical_stored")
     assert(stored.cartesianProducts == 0)

@@ -144,6 +144,32 @@ class RobotsSpec extends AnyFunSuite {
     assert(v(2L) == "allow")
   }
 
+  test("full-RFC grammar: spanning stars, literal underscore, no cap") {
+    val rules = Seq(
+      "/a" -> "disallow", "/a*z" -> "allow",   // star spans segments
+      "/w_p" -> "disallow",                     // _ is a literal octet
+      "/q/r$" -> "allow", "/q" -> "disallow",   // anchored exact
+      "/deep" -> "disallow",
+      "/deep/d1/d2/d3/d4/d5/d6/d7/d8" -> "allow")
+    val deep = "/deep" + (1 to 11).map(i => s"/d$i").mkString
+    val v = HostRules.robotsPathMatchRfc(
+        Seq(1L -> "/a/b/c/z", 2L -> "/a/b/c", 3L -> "/w_p/x",
+          4L -> "/wxp/x", 5L -> "/q/r", 6L -> "/q/r/s",
+          7L -> deep).toDF("doc_id", "path"),
+        "doc_id", "path", rules, default = "allow")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getString(2)).getOrElse("-"), r.getString(3))).toMap
+    assert(v(1L) == ("/a*z", "allow"))  // star crossed two segments
+    assert(v(2L) == ("/a", "disallow")) // no z → only the prefix rule
+    assert(v(3L) == ("/w_p", "disallow"))
+    assert(v(4L) == ("-", "allow"))     // _ must NOT wildcard onto x
+    assert(v(5L) == ("/q/r$", "allow")) // anchored exact match
+    assert(v(6L) == ("/q", "disallow")) // anchor rejects the longer path
+    // NO depth cap: the 9-segment rule prefixes the 12-segment path
+    assert(v(7L) == ("/deep/d1/d2/d3/d4/d5/d6/d7/d8", "allow"))
+  }
+
   test("projection variant ≡ join variant across the whole grammar") {
     import org.apache.spark.sql.functions._
     val rules = Seq("/static" -> "disallow", "/static/p1" -> "allow",
