@@ -198,4 +198,29 @@ object Robots {
     docs.join(rules, col(hostCol) === col("_rule_host"), "left")
       .select(col(idCol) +: col(hostCol) +: col(pathCol) +: matched: _*)
   }
+
+  /** [[admitProjected]] under the FULL RFC 9309 grammar
+    * ([[HostRules.robotsPathMatchRfcCols]]): rules are BYTE-prefix
+    * matches — `Disallow: /static` governs `/static-archive` too —
+    * `*` spans segments and partial segments, `$` end-anchors, and
+    * there is no depth cap. This is what Google's open-sourced parser
+    * computes; the segment-aligned class ([[admit]]/[[admitProjected]])
+    * is the joinable approximation whose divergences q208 pins
+    * explicitly. Same plan shape: one host equi-join, then a pure
+    * projection — stream-safe, state-free. */
+  def admitRfc(docs: DataFrame, idCol: String, hostCol: String,
+               pathCol: String, bodies: DataFrame,
+               bodyHostCol: String, txtCol: String, uaToken: String,
+               default: String): DataFrame = {
+    val rules = selectRules(
+        parseDirectives(bodies, bodyHostCol, txtCol), uaToken)
+      .groupBy(col("host"))
+      .agg(sort_array(collect_list(struct(col("rule"), col("action"))))
+        .as("_rules"))
+      .withColumnRenamed("host", "_rule_host")
+    val matched =
+      HostRules.robotsPathMatchRfcCols(col(pathCol), col("_rules"), default)
+    docs.join(rules, col(hostCol) === col("_rule_host"), "left")
+      .select(col(idCol) +: col(hostCol) +: col(pathCol) +: matched: _*)
+  }
 }

@@ -560,7 +560,30 @@ object NormalizeOps {
                 .when(col("doc_id") % 4 === 2, "api").otherwise("img"),
               lit("/p"), (col("doc_id") % 5).cast("string"),
               lit("/x"), (col("doc_id") % 7).cast("string"))).as("path")),
-        "doc_id", "path", rules = rfcRules, default = "allow"))
+        "doc_id", "path", rules = rfcRules, default = "allow")),
+
+    // The RFC end-to-end: fetch → parse → group-select → FULL-grammar
+    // match against each doc's OWN host's rules (Robots.admitRfc —
+    // same parse chain and host join as q176/q177, the matcher
+    // swapped). Two path classes pin the grammar differences against
+    // the segment-aligned e2e: the %19 '/static-archive' class is a
+    // BYTE-prefix hit ('Disallow: /static' governs it under the RFC,
+    // not under segment alignment), and the %11 deep path has no cap.
+    "q208_robots_rfc_e2e" -> ((s, d) =>
+      Robots.admitRfc(
+        Tables.load(s, d, "documents").select(col("doc_id"),
+          concat(col("source"), lit(".example.org")).as("host"),
+          when(col("doc_id") % 19 === 0, lit("/static-archive/p9"))
+            .when(col("doc_id") % 11 === 0, lit(deepPath))
+            .otherwise(concat(lit("/"),
+              when(col("doc_id") % 4 === 0, "docs")
+                .when(col("doc_id") % 4 === 1, "static")
+                .when(col("doc_id") % 4 === 2, "api").otherwise("img"),
+              lit("/p"), (col("doc_id") % 5).cast("string"),
+              lit("/x"), (col("doc_id") % 7).cast("string"))).as("path")),
+        "doc_id", "host", "path",
+        robotsBodiesDf(s, d), "host", "robots",
+        uaToken = "GraftBot", default = "allow"))
   )
 
   /** Seconds per politeness cycle assumed by the q192 budget — shared
@@ -1478,6 +1501,44 @@ object NormalizeOps {
                  coalesce(pb.action, 'allow') AS action
           FROM pd LEFT JOIN pb USING (doc_id)"""
     },
+
+    // RFC e2e: the shared parse/group-selection chain feeding the
+    // escaped-LIKE match per (doc.host = rule.host) — the '/'-prefix
+    // filter mirrors the matcher's startsWith guard.
+    "q208_robots_rfc_e2e" ->
+      raw"""WITH $robotsBodiesSql,
+          $robotsParseSql,
+          pd AS (SELECT doc_id, source || '.example.org' AS host,
+               CASE WHEN doc_id % 19 = 0 THEN '/static-archive/p9'
+                    WHEN doc_id % 11 = 0 THEN '$deepPath'
+                    ELSE '/' || (CASE doc_id % 4 WHEN 0 THEN 'docs'
+                            WHEN 1 THEN 'static'
+                            WHEN 2 THEN 'api' ELSE 'img' END)
+                       || '/p' || CAST(doc_id % 5 AS VARCHAR)
+                       || '/x' || CAST(doc_id % 7 AS VARCHAR) END AS path
+               FROM documents),
+          rr AS (SELECT host, rule, action,
+                   (rule LIKE '%$$') AS anch,
+                   replace(replace(replace(replace(
+                     CASE WHEN rule LIKE '%$$'
+                          THEN substr(rule, 1, length(rule) - 1)
+                          ELSE rule END,
+                     '\', '\\'), '%', '\%'), '_', '\_'), '*', '%') AS body
+                 FROM rules WHERE rule LIKE '/%'),
+          pm AS (SELECT doc_id, rule, action,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY
+                     length(replace(replace(rule, '*', ''), '$$', '')) DESC,
+                     length(rule) - length(replace(rule, '*', '')) ASC,
+                     CASE WHEN action = 'allow' THEN 0 ELSE 1 END, rule)
+                     AS rn
+                 FROM pd JOIN rr ON pd.host = rr.host
+                   AND pd.path LIKE (CASE WHEN anch THEN body
+                                          ELSE body || '%' END) ESCAPE '\'),
+          pb AS (SELECT doc_id, rule AS matched_rule, action FROM pm
+                 WHERE rn = 1)
+          SELECT pd.doc_id, pd.host, pd.path, pb.matched_rule,
+                 coalesce(pb.action, 'allow') AS action
+          FROM pd LEFT JOIN pb USING (doc_id)""",
 
     // Nested expansion: the oracle builds the EXPECTED leaf-entry set
     // directly (3 leaves × 4 pages per host) — if the walk loops on

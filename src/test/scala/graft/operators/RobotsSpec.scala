@@ -170,6 +170,23 @@ class RobotsSpec extends AnyFunSuite {
     assert(v(7L) == ("/deep/d1/d2/d3/d4/d5/d6/d7/d8", "allow"))
   }
 
+  test("RFC e2e: byte-prefix governs where segment alignment doesn't") {
+    val docs = Seq((1L, "h", "/static-archive/p9"), (2L, "h", "/static/p3"))
+      .toDF("doc_id", "host", "path")
+    val bodies = Seq(("h", "User-agent: graftbot\nDisallow: /static\n"))
+      .toDF("host", "robots")
+    def verdicts(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    val rfc = verdicts(Robots.admitRfc(docs, "doc_id", "host", "path",
+      bodies, "host", "robots", "GraftBot", "allow"))
+    val seg = verdicts(Robots.admitProjected(docs, "doc_id", "host", "path",
+      bodies, "host", "robots", "GraftBot", "allow"))
+    // the RFC reads Disallow: /static as a BYTE prefix (Google's
+    // parser semantics); the joinable segment class does not
+    assert(rfc(1L) == "disallow" && seg(1L) == "allow")
+    assert(rfc(2L) == "disallow" && seg(2L) == "disallow")
+  }
+
   test("projection variant ≡ join variant across the whole grammar") {
     import org.apache.spark.sql.functions._
     val rules = Seq("/static" -> "disallow", "/static/p1" -> "allow",
