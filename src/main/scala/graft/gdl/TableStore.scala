@@ -235,7 +235,10 @@ class TableStore(spark: SparkSession, root: String,
     val f = fs(cd)
     f.exists(cd) && f.listStatus(cd).exists { s =>
       val nm = s.getPath.getName
-      s.isFile && nm.startsWith("g") &&
+      // nm must carry a NON-EMPTY digit suffix: a file named exactly
+      // "g" passes forall on the empty string and then "".toLong
+      // throws, crashing the sweep this gate protects
+      s.isFile && nm.length > 1 && nm.startsWith("g") &&
         nm.stripPrefix("g").forall(_.isDigit) &&
         nm.stripPrefix("g").toLong <= tail &&
         readPointerState(f, s.getPath) == PointerUnreadable

@@ -233,10 +233,14 @@ object HostRules {
       coalesce(best.getField("action"), lit(default)).as("action"))
   }
 
-  /** The RFC 9309 precedence fold over an array of matched
+  /** The SEGMENT-grammar precedence fold over an array of matched
     * (rule, action) structs — longest literal octets, fewer stars,
-    * allow over disallow, rule text — shared by every projection-form
-    * matcher. One integer-comparison aggregate, no sort. */
+    * allow over disallow, rule text — shared by the whole-segment-`*`
+    * projection matchers (the joinable subclass, where a star always
+    * stands for exactly one segment so literal-octet count is the
+    * natural specificity). The FULL-RFC matcher ranks by total
+    * pattern octets instead ([[mostSpecificRfc]]). One
+    * integer-comparison aggregate, no sort. */
   private def mostSpecific(matched: Column): Column = {
     def litLen(rule: Column) = length(translate(rule, "*$", ""))
     def nStars(rule: Column) =
@@ -257,6 +261,33 @@ object HostRules {
       })
   }
 
+  /** RFC 9309 §2.2.2 most-specific-match fold for the FULL wildcard
+    * grammar: "the most octets" — rank by TOTAL pattern length (the
+    * trailing `$` anchor excluded; stars count, exactly what Google's
+    * open-sourced parser computes), allow over an equal-length
+    * disallow, rule text as the deterministic final tie-break. This
+    * deliberately differs from [[mostSpecific]]'s literal-octet rank:
+    * under the full grammar `Allow: /page*` (6 octets) outranks
+    * `Disallow: /page` (5) on `/page1` — the RFC/Google verdict is
+    * allow, where a literal-octets rank would flip it. */
+  private def mostSpecificRfc(matched: Column): Column = {
+    def effLen(rule: Column) =
+      length(rule) - when(rule.endsWith("$"), 1).otherwise(0)
+    def actRank(a: Column) = when(a === "allow", 0).otherwise(1)
+    aggregate(matched,
+      lit(null).cast("struct<rule:string,action:string>"),
+      (acc, x) => {
+        val (xr, ar) = (x.getField("rule"), acc.getField("rule"))
+        val (xa, aa) = (actRank(x.getField("action")),
+          actRank(acc.getField("action")))
+        val better = acc.isNull ||
+          effLen(xr) > effLen(ar) ||
+          (effLen(xr) === effLen(ar) &&
+            (xa < aa || (xa === aa && xr < ar)))
+        when(better, x).otherwise(acc)
+      })
+  }
+
   /** FULL RFC 9309 wildcard matching: `*` matches ANY character
     * sequence — spanning path segments and partial segments alike —
     * and `$` anchors the rule to the end of the path; an un-anchored
@@ -271,6 +302,11 @@ object HostRules {
     * fan-out, NO depth cap (nothing explodes, so a crawler-trap path
     * costs its own length and rules deeper than 8 segments match
     * fine), stateless and stream-safe like every projection matcher.
+    * Precedence is the RFC's §2.2.2 "most octets" rank
+    * ([[mostSpecificRfc]]): total pattern length minus a trailing
+    * `$`, allow winning length ties — NOT the segment subclass's
+    * literal-octet rank, and the two verdicts observably differ
+    * (`Allow: /page*` vs `Disallow: /page` on `/page1` → allow here).
     *
     * @param rules array&lt;struct&lt;rule: string, action: string&gt;&gt;
     * @return (matched_rule, action) columns */
@@ -289,7 +325,7 @@ object HostRules {
         column(org.apache.spark.sql.catalyst.expressions.Like(
           expression(path), expression(pat), '\\'))
     }
-    val best = mostSpecific(filter(rules, matches(_)))
+    val best = mostSpecificRfc(filter(rules, matches(_)))
     Seq(best.getField("rule").as("matched_rule"),
       coalesce(best.getField("action"), lit(default)).as("action"))
   }

@@ -95,11 +95,14 @@ object Sitemap {
     * @return (host, sitemap_url, url, lastmod) page entries */
   def expandIndexes(bodies: DataFrame, hostCol: String, urlCol: String,
                     xmlCol: String, roots: DataFrame,
-                    maxDepth: Int): DataFrame = {
+                    maxDepth: Int, rootHostCol: String = "host",
+                    rootUrlCol: String = "url"): DataFrame = {
     require(maxDepth >= 1, s"need maxDepth >= 1, got $maxDepth")
     val b = bodies.select(col(hostCol).as("_bh"), col(urlCol).as("_bu"),
       col(xmlCol).as("_bx"))
-    var visited = roots.select(col("host"), col("url")).distinct()
+    var visited = roots
+      .select(col(rootHostCol).as("host"), col(rootUrlCol).as("url"))
+      .distinct()
       .localCheckpoint(eager = true)
     var frontier = visited
     var depth = 0

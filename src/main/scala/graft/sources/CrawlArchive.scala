@@ -73,9 +73,9 @@ object CrawlArchive {
           val hdr = new StringBuilder()
           // a NULL url models a crawler that lost the request line —
           // the record is framed fine but misses the required field
-          if (url != null) hdr.append(s"Target-URI: $url\n")
-          hdr.append(s"Fetch-Ts: $ts\n")
-          hdr.append(s"Content-Type: $mime\n")
+          if (url != null) hdr.append(s"Target-URI: ${hdrSafe(url)}\n")
+          hdr.append(s"Fetch-Ts: ${hdrSafe(ts)}\n")
+          hdr.append(s"Content-Type: ${hdrSafe(mime)}\n")
           hdr.append("\n")
           bos.write(hdr.toString.getBytes("UTF-8"))
           bos.write(be32(payload.length))
@@ -95,6 +95,16 @@ object CrawlArchive {
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (g, bytes) => demux(g, bytes) })
   }
+
+  /** Header values travel on single `Key: value` lines — a CR/LF (or
+    * a blank-line sequence) inside a value would silently break the
+    * framing for every later record in the blob, degrading them all
+    * to one `truncated` quarantine row. Fold any newline run to a
+    * single space so the encode→extract round-trip invariant holds
+    * for hostile metadata; a null stays null (the field is simply
+    * absent and the record quarantines per the contract). */
+  private def hdrSafe(v: String): String =
+    if (v == null) null else v.replaceAll("[\\r\\n]+", " ")
 
   private def be32(v: Int): Array[Byte] = Array(
     (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)

@@ -71,4 +71,79 @@ class RfcMatchFuzzSpec extends AnyFunSuite {
     // the corpus must actually exercise the matching branch
     assert(matches > 100, s"fixture too rejecting: only $matches matches")
   }
+
+  /** Independent precedence reference — RFC 9309 §2.2.2 "most
+    * octets" as Google's parser computes it: total pattern length
+    * (trailing `$` excluded, stars counted), allow over an
+    * equal-length disallow, rule text as the final tie-break. */
+  private def refBest(rules: Seq[(String, String)],
+                      path: String): Option[(String, String)] = {
+    val hit = rules.filter { case (r, _) => refMatch(r, path) }
+    if (hit.isEmpty) None
+    else Some(hit.minBy { case (r, a) =>
+      (-(r.length - (if (r.endsWith("$")) 1 else 0)),
+        if (a == "allow") 0 else 1, r) })
+  }
+
+  test("multi-rule precedence ≡ most-octets reference (Google flip incl.)") {
+    import spark.implicits._
+    val ruleChars = "/ab1*$_%\\".toCharArray
+    val pathChars = "/ab1_%\\$".toCharArray
+    val rnd = new scala.util.Random(777)
+    def randStr(cs: Array[Char], maxLen: Int): String =
+      (0 until rnd.nextInt(maxLen + 1)).map(_ => cs(rnd.nextInt(cs.length)))
+        .mkString
+    val cases = (0 until 400).map { i =>
+      val path = "/" + randStr(pathChars, 10)
+      val nRules = 3 + rnd.nextInt(6)
+      val rules = (0 until nRules).map { j =>
+        // bias toward rules derived from the path so several rules
+        // MATCH the same path and precedence actually decides
+        val r =
+          if (j % 2 == 0 && path.length > 1) {
+            val cut = 1 + rnd.nextInt(path.length - 1)
+            val base = path.take(cut)
+            rnd.nextInt(4) match {
+              case 0 => base
+              case 1 => base + "*"
+              case 2 => "/" + "*" + base.drop(1 + rnd.nextInt(base.length))
+              case _ => path + "$"
+            }
+          } else "/" + randStr(ruleChars, 8)
+        (r, if (rnd.nextBoolean()) "allow" else "disallow")
+      }
+      (i.toLong, path, rules)
+    } :+
+      // the ADVICE flip case verbatim: Google/RFC verdict is ALLOW
+      (400L, "/page1", Seq("/page" -> "disallow", "/page*" -> "allow"))
+    val got = cases.toDF("id", "path", "rules")
+      .select(col("id"),
+        HostRules.robotsPathMatchRfcCols(col("path"),
+          transform(col("rules"), r =>
+            struct(r.getField("_1").as("rule"),
+              r.getField("_2").as("action"))),
+          default = "allow")(0),
+        HostRules.robotsPathMatchRfcCols(col("path"),
+          transform(col("rules"), r =>
+            struct(r.getField("_1").as("rule"),
+              r.getField("_2").as("action"))),
+          default = "allow")(1))
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getString(2))))
+      .toMap
+    var decided = 0
+    cases.foreach { case (id, path, rules) =>
+      val want = refBest(rules, path)
+      val wantRule = want.map(_._1)
+      val wantAct = want.map(_._2).getOrElse("allow")
+      if (rules.count { case (r, _) => refMatch(r, path) } > 1) decided += 1
+      assert(got(id) == ((wantRule, wantAct)),
+        s"precedence divergence on path='$path' rules=$rules: " +
+          s"engine=${got(id)} ref=($wantRule, $wantAct)")
+    }
+    // the corpus must actually exercise contested precedence
+    assert(decided > 100, s"fixture too sparse: only $decided contested")
+    // and the flip case must land on the RFC/Google verdict
+    assert(got(400L) == ((Some("/page*"), "allow")))
+  }
 }

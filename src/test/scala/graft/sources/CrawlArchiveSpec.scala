@@ -50,6 +50,31 @@ class CrawlArchiveSpec extends AnyFunSuite {
     }
   }
 
+  test("newline-bearing header values never break framing downstream") {
+    import spark.implicits._
+    // hostile metadata: a url carrying \n, \r\n, and a blank-line
+    // sequence — unescaped these would shift the framing and degrade
+    // every LATER record in the blob to one 'truncated' row
+    val recs = Seq(
+      ("h", 1L, "https://h/a\nInjected: x", "2026-08-01", "text/html", "r1"),
+      ("h", 2L, "https://h/b\r\n\r\nGARC", "2026\n-08-02", "text/\nplain", "r2"),
+      ("h", 3L, "https://h/c", "2026-08-03", "text/plain", "r3"))
+      .toDF("src", "id", "url", "ts", "mime", "txt")
+      .withColumn("payload", encode(col("txt"), "UTF-8"))
+    val arc = CrawlArchive.encode(spark, recs, "src", "id", "url", "ts",
+      "mime", "payload")
+    val rows = CrawlArchive.extract(spark, arc, "archive", "bytes")
+      .collect().sortBy(_.rec_idx)
+    // every record survives as ok — framing held; newline runs fold
+    // to single spaces in the carried values
+    assert(rows.map(_.status).toSeq == Seq("ok", "ok", "ok"))
+    assert(rows(0).url == "https://h/a Injected: x")
+    assert(rows(1).url == "https://h/b GARC" &&
+      rows(1).fetch_ts == "2026 -08-02" && rows(1).mime == "text/ plain")
+    assert(rows(2).url == "https://h/c" &&
+      new String(rows(2).body, "UTF-8") == "r3")
+  }
+
   test("framing break mid-archive → prior records kept, rest truncated") {
     val arc = CrawlArchive.encode(spark, fixture.filter(col("src") === "a"),
         "src", "id", "url", "ts", "mime", "payload")
