@@ -313,17 +313,22 @@ object HostRules {
   def robotsPathMatchRfcCols(path: Column, rules: Column,
                              default: String): Seq[Column] = {
     import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
+    // RFC 9309 §2.2.2: rule and path compare as NORMALIZED octets —
+    // `%2f` vs `%2F` vs an encoded unreserved char must not split the
+    // verdict (UrlCanon.percentNormalize, the RFC 3986 §6.2.2.2 rank;
+    // precedence still ranks on the RAW rule's octet count)
+    val pathN = UrlCanon.percentNormalize(path)
     def matches(r: Column): Column = {
       val rule = r.getField("rule")
       val anchored = rule.endsWith("$")
-      val core = regexp_replace(rule, "\\$$", "")
+      val core = UrlCanon.percentNormalize(regexp_replace(rule, "\\$$", ""))
       val body = replace(replace(replace(replace(
         core, lit("\\"), lit("\\\\")), lit("%"), lit("\\%")),
         lit("_"), lit("\\_")), lit("*"), lit("%"))
       val pat = when(anchored, body).otherwise(concat(body, lit("%")))
       rule.startsWith("/") &&
         column(org.apache.spark.sql.catalyst.expressions.Like(
-          expression(path), expression(pat), '\\'))
+          expression(pathN), expression(pat), '\\'))
     }
     val best = mostSpecificRfc(filter(rules, matches(_)))
     Seq(best.getField("rule").as("matched_rule"),

@@ -9,6 +9,13 @@ import org.apache.spark.sql.functions._
   * canonical URL is the natural partition/dedup key downstream.
   *
   * Canonical form, applied in order:
+  *   0. percent-encoding normalization (RFC 3986 §6.2.2.1–.2):
+  *      uppercase the hex digits of every `%xx` octet and DECODE the
+  *      octets encoding unreserved characters (ALPHA / DIGIT /
+  *      `-._~`) — `/a%2fb`, `/a%2Fb` and `%41` vs `A` otherwise
+  *      split canonical keys that name the same resource; reserved
+  *      octets (`%2F` itself included) stay encoded because decoding
+  *      them would CHANGE the URL's structure;
   *   1. drop the fragment (`#…` is client-side only);
   *   2. lowercase the scheme and authority (host names are
   *      case-insensitive; the path is NOT touched);
@@ -36,8 +43,40 @@ object UrlCanon {
   /** Tracking-parameter prefixes dropped by step 5. */
   val TrackingPrefixes: Seq[String] = Seq("utm_", "fbclid=", "gclid=")
 
+  /** RFC 3986 §6.2.2.2 percent-encoding octet normalization as a pure
+    * builtin projection: the string splits at every `%` (a U+0001
+    * sentinel marks the cuts — U+0001 is illegal in URLs and is
+    * stripped first, so hostile input can't forge a cut), then each
+    * `%xx` head either DECODES (unreserved octet: ALPHA / DIGIT /
+    * `-._~`) or re-emits with UPPERCASED hex; malformed sequences
+    * (`%`, `%4`, `%4g`) pass through untouched — there is nothing
+    * valid to normalize. Idempotent: decoded characters carry no `%`,
+    * uppercased hex re-uppercases, and `%25` (the encoded `%` itself,
+    * reserved) never decodes — so one pass is a fixpoint. Every step
+    * is split/transform/conv/char — codegen'd, map-only, and mirrored
+    * verbatim by the DuckDB oracle chain. */
+  def percentNormalize(u: Column): Column = {
+    val segs = split(regexp_replace(regexp_replace(u, "\u0001", ""),
+      "%", "\u0001%"), "\u0001")
+    val normed = transform(segs, seg => {
+      val hexRaw = seg.substr(lit(2), lit(2))
+      val hexUp = upper(hexRaw)
+      val isPct = seg.startsWith("%") && length(seg) >= 3 &&
+        hexUp.rlike("^[0-9A-F]{2}$")
+      val code = conv(hexUp, 16, 10).cast("int")
+      val unreserved = (code >= 65 && code <= 90) ||
+        (code >= 97 && code <= 122) || (code >= 48 && code <= 57) ||
+        code.isin(45, 46, 95, 126)
+      val rest = seg.substr(lit(4), length(seg))
+      when(!isPct, seg).otherwise(
+        when(unreserved, concat(char(code), rest))
+          .otherwise(concat(lit("%"), hexUp, rest)))
+    })
+    array_join(normed, "")
+  }
+
   def canonicalize(url: Column): Column = {
-    val noFrag = regexp_replace(url, "#.*$", "")
+    val noFrag = regexp_replace(percentNormalize(url), "#.*$", "")
     // lowercase ONLY scheme://authority — regexp_extract("") on a
     // non-matching (schemeless) string yields "", so garbage input
     // degrades to its own lowercased-empty prefix, never an error

@@ -174,6 +174,80 @@ object HtmlOps {
             1L).otherwise(0L)).as("n_admitted"),
           sum(when(col("status") === "ok" && col("n_tokens_clean") >= 5L,
             col("n_tokens_clean")).otherwise(0L)).as("tokens_admitted"))
+    }),
+
+    // HTTP response envelopes (VERDICT r11 #2): q206's fixture stores
+    // mime in the ARCHIVE header; real WARC `response` records embed
+    // the full HTTP status line + headers before the body, so here
+    // every payload is a complete HTTP response and mime/charset/
+    // admission truth comes from the ENVELOPE (HttpEnvelope.extract),
+    // with the archive's own Content-Type a constant application/http.
+    // Five classes pin the parse: %13 bare document (env `none`), %17
+    // junk status line (env `malformed`, whole payload kept), %7 a
+    // NON-2xx (404 — extraction runs, admission refuses) carrying a
+    // duplicate Content-Type header (first-wins pinned), %5 a
+    // charset-DECLARED class whose body is UTF-16BE — decoding it as
+    // UTF-8 would mangle every token, so the token counts prove the
+    // declared charset flowed through extraction — and the rest plain
+    // 200s with mime split by %2. Admission = envelope ok ∧ 2xx ∧
+    // text/* ∧ clean-token floor.
+    "q210_http_envelope_ingest" -> ((s, d) => {
+      import graft.operators.TextNormalize
+      import graft.sources.{CrawlArchive, HttpEnvelope}
+      val txt = coalesce(col("text"), lit(""))
+      def env(statusLine: String, ct: org.apache.spark.sql.Column,
+              extraHdr: String = "") =
+        encode(concat(lit(statusLine + "\r\nContent-Type: "), ct,
+          lit("\r\n" + extraHdr + "\r\n")), "UTF-8")
+      val recs0 = Tables.load(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".example.org/d"),
+            col("doc_id").cast("string")).as("url"),
+          lit("2026-08-01T00:00:00Z").as("fetch_ts"),
+          lit("application/http").as("mime"),
+          when(col("doc_id") % 13 === 0, encode(txt, "UTF-8"))
+            .when(col("doc_id") % 17 === 0,
+              encode(concat(lit("HTTP/x "), txt), "UTF-8"))
+            .when(col("doc_id") % 7 === 0,
+              concat(env("HTTP/1.1 404 Not Found", lit("text/html"),
+                  extraHdr = "Content-Type: text/plain\r\n"),
+                encode(txt, "UTF-8")))
+            .when(col("doc_id") % 5 === 0,
+              concat(env("HTTP/1.1 200 OK",
+                  lit("text/html; charset=utf-16be")),
+                encode(txt, "UTF-16BE")))
+            .otherwise(
+              concat(env("HTTP/1.1 200 OK",
+                  when(col("doc_id") % 2 === 0, "text/html")
+                    .otherwise("text/plain")),
+                encode(txt, "UTF-8"))).as("payload"))
+      val archives = CrawlArchive.encode(s, recs0, "source", "doc_id",
+        "url", "fetch_ts", "mime", "payload")
+      val recs = CrawlArchive.extract(s, archives, "archive", "bytes")
+        .toDF()
+        .select(
+          concat(col("archive"), lit("#"), col("rec_idx").cast("string"))
+            .as("rid"),
+          col("archive"), col("rec_idx"), col("body"))
+      val envd = HttpEnvelope.extract(s, recs, "rid", "body").toDF()
+        .select(col("id").as("rid"), col("env_status"), col("http_status"),
+          col("content_type"), col("charset"), col("body_text"))
+      val toks = HtmlExtract.extractMain(
+          HtmlExtract.syntheticHtml(envd, "rid", "body_text"),
+          "doc_id", "html")
+        .select(col("doc_id").as("rid"),
+          graft.functions.TextFunctions
+            .tokenCount(TextNormalize.cleanText(col("main_text")))
+            .as("n_tokens_clean"))
+      recs.select(col("rid"), col("archive"), col("rec_idx"))
+        .join(envd, Seq("rid")).join(toks, Seq("rid"))
+        .select(col("archive"), col("rec_idx"), col("env_status"),
+          col("http_status"), col("content_type"), col("charset"),
+          col("n_tokens_clean"),
+          (col("env_status") === "ok" &&
+            col("http_status").between(200, 299) &&
+            col("content_type").startsWith("text/") &&
+            col("n_tokens_clean") >= 5L).as("admitted"))
     })
   )
 
@@ -428,6 +502,59 @@ object HtmlOps {
                                THEN n_tokens_clean ELSE 0 END)
                       AS BIGINT) AS tokens_admitted
           FROM j GROUP BY archive"""
+    },
+
+    // Envelope-aware ingest recomputed WITHOUT the container or the
+    // envelope bytes: every field derives from the class arithmetic
+    // and the extraction chain over the ORIGINAL text — so envelope
+    // framing, the duplicate-header first-wins rule, and the UTF-16BE
+    // declared-charset decode must all be invisible; a body decoded
+    // with the wrong charset would shred every token count.
+    "q210_http_envelope_ingest" -> {
+      val cleanTok =
+        s"""CAST(len(list_filter(string_split_regex(
+              ${NormalizeOps.cleanSql("coalesce(a.main_text, '')")},
+              '\\s+'), x -> x <> '')) AS BIGINT)"""
+      s"""WITH src AS (SELECT doc_id, source,
+               CASE WHEN doc_id % 13 = 0 THEN 'none'
+                    WHEN doc_id % 17 = 0 THEN 'malformed'
+                    ELSE 'ok' END AS env_status,
+               CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0 THEN NULL
+                    WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS http_status,
+               CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0 THEN NULL
+                    WHEN doc_id % 7 = 0 THEN 'text/html'
+                    WHEN doc_id % 5 = 0 THEN 'text/html'
+                    WHEN doc_id % 2 = 0 THEN 'text/html'
+                    ELSE 'text/plain' END AS content_type,
+               CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0
+                      OR doc_id % 7 = 0 THEN NULL
+                    WHEN doc_id % 5 = 0 THEN 'utf-16be'
+                    ELSE NULL END AS charset,
+               CASE WHEN doc_id % 13 = 0 THEN coalesce(text, '')
+                    WHEN doc_id % 17 = 0 THEN 'HTTP/x ' || coalesce(text, '')
+                    ELSE coalesce(text, '') END AS text
+             FROM documents),
+          srcdocs AS (SELECT doc_id, text FROM src),
+          $blocksChainSql,
+          agg AS (SELECT doc_id,
+                         coalesce(string_agg(
+                           CASE WHEN is_good THEN block_text END, ' '
+                           ORDER BY block_idx), '') AS main_text
+                  FROM blk GROUP BY doc_id),
+          tok AS (SELECT sd.doc_id, $cleanTok AS n_tokens_clean
+                  FROM srcdocs sd LEFT JOIN agg a USING (doc_id))
+          SELECT s.source AS archive,
+                 CAST(row_number() OVER (PARTITION BY s.source
+                                         ORDER BY s.doc_id) - 1 AS BIGINT)
+                   AS rec_idx,
+                 s.env_status,
+                 CAST(s.http_status AS BIGINT) AS http_status,
+                 s.content_type, s.charset, t.n_tokens_clean,
+                 (s.env_status = 'ok'
+                  AND s.http_status BETWEEN 200 AND 299
+                  AND s.content_type LIKE 'text/%'
+                  AND t.n_tokens_clean >= 5) AS admitted
+          FROM src s JOIN tok t USING (doc_id)"""
     }
   )
 }

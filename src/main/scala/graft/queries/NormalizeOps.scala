@@ -53,6 +53,10 @@ object NormalizeOps {
         when(q === 3, "Example.COM").otherwise("example.com"),
         when(q === 2, ":443").otherwise(""),
         lit("/p/"), t.cast("string"),
+        // percent-dirt: %34 decodes ('4', digit), %2f uppercases but
+        // STAYS encoded (reserved slash), %5a decodes ('Z') from
+        // lowercase hex → canonical '/e4%2FZ' (RFC 3986 §6.2.2.2)
+        when(t % 9 === 0, "/e%34%2f%5a").otherwise(""),
         when(q === 4, "/").otherwise(""),
         when(t % 4 === 1, "?utm_source=feed")
           .when(t % 4 === 2, "?b=2&a=1&utm_campaign=x")
@@ -548,9 +552,14 @@ object NormalizeOps {
     // the %17 path would match it un-escaped and must stay
     // default-allow). Shapes exercised: an intra-segment star
     // (/static*1), a spanning star (/docs*x3), a leading star
-    // (/*/p2), an anchored exact (/api/p0/x1$), and the %23 '/page1'
+    // (/*/p2), an anchored exact (/api/p0/x1$), the %23 '/page1'
     // precedence-flip class ('Allow: /page*' outranks
-    // 'Disallow: /page' under the RFC most-octets rank).
+    // 'Disallow: /page' under the RFC most-octets rank), and the two
+    // RFC 9309 §2.2.2 octet-normalization classes: %29
+    // '/%73tatic/p1' decodes to /static/p1 (an encoded UNRESERVED
+    // octet must not dodge the rules) and %31 '/a%2fb/x' must hit the
+    // '/a%2Fb' rule — hex case never splits the comparison, while the
+    // reserved %2F itself stays encoded.
     "q207_robots_rfc_wildcards" -> ((s, d) =>
       HostRules.robotsPathMatchRfc(
         Tables.load(s, d, "documents").select(col("doc_id"),
@@ -558,6 +567,8 @@ object NormalizeOps {
             .when(col("doc_id") % 13 === 0, lit("/a_b/p1"))
             .when(col("doc_id") % 17 === 0, lit("/axb/p1"))
             .when(col("doc_id") % 23 === 0, lit("/page1"))
+            .when(col("doc_id") % 29 === 0, lit("/%73tatic/p1"))
+            .when(col("doc_id") % 31 === 0, lit("/a%2fb/x"))
             .otherwise(concat(lit("/"),
               when(col("doc_id") % 4 === 0, "docs")
                 .when(col("doc_id") % 4 === 1, "static")
@@ -587,7 +598,50 @@ object NormalizeOps {
               lit("/x"), (col("doc_id") % 7).cast("string"))).as("path")),
         "doc_id", "host", "path",
         robotsBodiesDf(s, d), "host", "robots",
-        uaToken = "GraftBot", default = "allow"))
+        uaToken = "GraftBot", default = "allow")),
+
+    // Gzip archive members (VERDICT r11 #1): real crawl dumps store
+    // each record's payload as its OWN gzip member, so q204's fixture
+    // is rebuilt with every %3 record compressed member-wise and the
+    // %13 class POISONED — a payload opening with the gzip magic
+    // (1f 8b) whose remainder is not a gzip stream. The demuxer must
+    // inflate the members invisibly (body/n_bytes = inflated payload,
+    // hash-pinned against uncompressed `documents` text) and
+    // quarantine the poisoned class as `corrupt_gzip` with the RAW
+    // bytes kept — body_pin prefixes the preserved magic's hex so
+    // kept-not-dropped is value-pinned. Later records in the same
+    // archive stay `ok`: a broken member never desynchronizes the
+    // walk (framing is by compressed length).
+    "q209_archive_gzip_members" -> ((s, d) => {
+      val payload = encode(coalesce(col("text"), lit("")), "UTF-8")
+      val recs = Tables.load(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".example.org/d"),
+            col("doc_id").cast("string")).as("url"),
+          concat(lit("2026-08-"),
+            lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0"),
+            lit("T00:00:00Z")).as("fetch_ts"),
+          when(col("doc_id") % 2 === 0, "text/html").otherwise("text/plain")
+            .as("mime"),
+          when(col("doc_id") % 13 === 0,
+              concat(lit(Array[Byte](0x1f.toByte, 0x8b.toByte)), payload))
+            .otherwise(payload).as("payload"),
+          (col("doc_id") % 3 === 0 && col("doc_id") % 13 =!= 0).as("gz"))
+      val archives = graft.sources.CrawlArchive.encode(s, recs,
+        "source", "doc_id", "url", "fetch_ts", "mime", "payload",
+        gzipIfCol = Some("gz"))
+      graft.sources.CrawlArchive.extract(s, archives, "archive", "bytes")
+        .toDF()
+        .select(col("archive"), col("rec_idx"), col("status"), col("url"),
+          col("mime"), col("n_bytes"),
+          // quarantined members pin (preserved magic hex) ++ md5(rest);
+          // intact members pin md5(inflated payload) — this DuckDB
+          // build's md5 is VARCHAR-only, so the magic bytes ride as hex
+          when(col("status") === "corrupt_gzip",
+              concat(hex(substring(col("body"), 1, 2)),
+                md5(expr("substring(body, 3, 2147483647)"))))
+            .otherwise(md5(col("body"))).as("body_pin"))
+    })
   )
 
   /** Seconds per politeness cycle assumed by the q192 budget — shared
@@ -901,7 +955,10 @@ object NormalizeOps {
     // the precedence-flip pair (RFC most-octets vs literal-octets):
     // on /page1 the 6-octet 'Allow: /page*' outranks the 5-octet
     // 'Disallow: /page' — a literal-octet rank would flip the verdict
-    "/page" -> "disallow", "/page*" -> "allow")
+    "/page" -> "disallow", "/page*" -> "allow",
+    // §2.2.2 octet comparison: the %31 path spells this %2F in
+    // lowercase hex — raw string compare would miss it
+    "/a%2Fb" -> "disallow")
 
   /** PSL rules shared by q172/q173's query and oracle — one of each
     * kind, plus the exception carved out of the wildcard. */
@@ -944,13 +1001,41 @@ object NormalizeOps {
       TextNormalize.PunctFoldTable)
   }
 
+  /** RFC 3986 §6.2.2.2 percent-octet normalization over `x`,
+    * mirroring [[graft.operators.UrlCanon.percentNormalize]] move for
+    * move: chr(1)-sentinel split at every `%`, decode unreserved
+    * octets (ALPHA / DIGIT / `-._~`), uppercase the hex of the rest,
+    * pass malformed `%`-heads through untouched. Shared by the canon
+    * chain (step 0) and the RFC robots oracles (§2.2.2 path/rule
+    * octet comparison). */
+  private[queries] def pctNormSql(x: String): String = {
+    val code = "CAST('0x' || upper(substr(s, 2, 2)) AS INTEGER)"
+    s"""coalesce(array_to_string(list_transform(
+          string_split(replace(replace($x, chr(1), ''),
+            '%', chr(1) || '%'), chr(1)),
+          s -> CASE
+            WHEN starts_with(s, '%') AND length(s) >= 3
+                 AND regexp_matches(upper(substr(s, 2, 2)),
+                                    '^[0-9A-F]{2}$$')
+            THEN CASE WHEN ($code BETWEEN 65 AND 90)
+                        OR ($code BETWEEN 97 AND 122)
+                        OR ($code BETWEEN 48 AND 57)
+                        OR $code IN (45, 46, 95, 126)
+                      THEN chr($code) || substr(s, 4)
+                      ELSE '%' || upper(substr(s, 2, 2)) || substr(s, 4)
+                 END
+            ELSE s END), ''), $x)"""
+  }
+
   /** The q159 canonicalization chain as a composable CTE list: expects
     * a CTE `ud(doc_id, url)`, yields `c(doc_id, url, canonical_url)`.
     * Splice as `WITH ud AS (...), $urlCanonChainSql SELECT ... FROM c`.
     * The q164 crawl-admission capstone embeds it unchanged. */
-  private[queries] val urlCanonChainSql: String =
-    """s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u
-                 FROM ud),
+  private[queries] lazy val urlCanonChainSql: String =
+    s"""s0 AS (SELECT doc_id, url, ${pctNormSql("url")} AS u0 FROM ud),
+          """ +
+    """s1 AS (SELECT doc_id, url, regexp_replace(u0, '#.*$', '') AS u
+                 FROM s0),
           s2 AS (SELECT doc_id, url,
                    lower(regexp_extract(u, '^([^/?#]*://[^/?#]*)', 1))
                    || regexp_replace(u, '^[^/?#]*://[^/?#]*', '') AS u
@@ -1033,6 +1118,8 @@ object NormalizeOps {
                        THEN 'Example.COM' ELSE 'example.com' END)
               || (CASE WHEN (doc_id // 100) = 2 THEN ':443' ELSE '' END)
               || '/p/' || CAST(doc_id % 100 AS VARCHAR)
+              || (CASE WHEN (doc_id % 100) % 9 = 0
+                       THEN '/e%34%2f%5a' ELSE '' END)
               || (CASE WHEN (doc_id // 100) = 4 THEN '/' ELSE '' END)
               || (CASE (doc_id % 100) % 4
                     WHEN 1 THEN '?utm_source=feed'
@@ -1465,6 +1552,31 @@ object NormalizeOps {
                  body_md5
           FROM r""",
 
+    // Gzip-member round-trip: the oracle recomputes every field from
+    // `documents` WITHOUT compressing anything — compression must be
+    // invisible (inflated n_bytes, md5 of the original text) and the
+    // %13 poisoned class must surface as corrupt_gzip with the raw
+    // 1f 8b prefix provably preserved ('1F8B' || md5(text)).
+    "q209_archive_gzip_members" ->
+      """WITH r AS (SELECT source AS archive,
+               CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                    - 1 AS BIGINT) AS rec_idx,
+               CASE WHEN doc_id % 13 = 0 THEN 'corrupt_gzip' ELSE 'ok' END
+                 AS status,
+               'https://' || source || '.example.org/d'
+                 || CAST(doc_id AS VARCHAR) AS url,
+               CASE WHEN doc_id % 2 = 0 THEN 'text/html'
+                    ELSE 'text/plain' END AS mime,
+               CAST(octet_length(encode(coalesce(text, '')))
+                    + CASE WHEN doc_id % 13 = 0 THEN 2 ELSE 0 END
+                    AS BIGINT) AS n_bytes,
+               CASE WHEN doc_id % 13 = 0
+                    THEN '1F8B' || md5(coalesce(text, ''))
+                    ELSE md5(coalesce(text, '')) END AS body_pin
+             FROM documents)
+          SELECT archive, rec_idx, status, url, mime, n_bytes, body_pin
+          FROM r""",
+
     // Full-RFC wildcards: each rule compiles to the SAME escaped LIKE
     // pattern in both engines (escape \ % _, star → %, trailing %
     // unless $-anchored; LIKE full-matches so prefix semantics come
@@ -1475,29 +1587,35 @@ object NormalizeOps {
     "q207_robots_rfc_wildcards" -> {
       val values = rfcRules.map { case (r, a) => s"('$r', '$a')" }
         .mkString(",\n                  ")
-      raw"""WITH pd AS (SELECT doc_id,
+      raw"""WITH pd0 AS (SELECT doc_id,
                CASE WHEN doc_id % 11 = 0 THEN '$deepPath'
                     WHEN doc_id % 13 = 0 THEN '/a_b/p1'
                     WHEN doc_id % 17 = 0 THEN '/axb/p1'
                     WHEN doc_id % 23 = 0 THEN '/page1'
+                    WHEN doc_id % 29 = 0 THEN '/%73tatic/p1'
+                    WHEN doc_id % 31 = 0 THEN '/a%2fb/x'
                     ELSE '/' || (CASE doc_id % 4 WHEN 0 THEN 'docs'
                             WHEN 1 THEN 'static'
                             WHEN 2 THEN 'api' ELSE 'img' END)
                        || '/p' || CAST(doc_id % 5 AS VARCHAR)
                        || '/x' || CAST(doc_id % 7 AS VARCHAR) END AS path
                FROM documents),
+          pd AS (SELECT doc_id, path, ${pctNormSql("path")} AS pathn
+                 FROM pd0),
           pr AS (SELECT rule, action,
                    CASE WHEN rule LIKE '%$$'
                         THEN substr(rule, 1, length(rule) - 1)
-                        ELSE rule END AS core,
+                        ELSE rule END AS core0,
                    (rule LIKE '%$$') AS anch
                  FROM (VALUES
                   $values) t(rule, action)
                  WHERE rule LIKE '/%'),
+          prn AS (SELECT rule, action, anch, ${pctNormSql("core0")} AS core
+                  FROM pr),
           pp AS (SELECT rule, action, anch,
                    replace(replace(replace(replace(core,
                      '\', '\\'), '%', '\%'), '_', '\_'), '*', '%') AS body
-                 FROM pr),
+                 FROM prn),
           pm AS (SELECT doc_id, rule, action,
                    row_number() OVER (PARTITION BY doc_id ORDER BY
                      length(rule) - (CASE WHEN rule LIKE '%$$'
@@ -1505,8 +1623,8 @@ object NormalizeOps {
                      CASE WHEN action = 'allow' THEN 0 ELSE 1 END, rule)
                      AS rn
                  FROM pd JOIN pp
-                   ON pd.path LIKE (CASE WHEN anch THEN body
-                                         ELSE body || '%' END) ESCAPE '\'),
+                   ON pd.pathn LIKE (CASE WHEN anch THEN body
+                                          ELSE body || '%' END) ESCAPE '\'),
           pb AS (SELECT doc_id, rule AS matched_rule, action FROM pm
                  WHERE rn = 1)
           SELECT pd.doc_id, pd.path, pb.matched_rule,
@@ -1520,7 +1638,7 @@ object NormalizeOps {
     "q208_robots_rfc_e2e" ->
       raw"""WITH $robotsBodiesSql,
           $robotsParseSql,
-          pd AS (SELECT doc_id, source || '.example.org' AS host,
+          pd0 AS (SELECT doc_id, source || '.example.org' AS host,
                CASE WHEN doc_id % 19 = 0 THEN '/static-archive/p9'
                     WHEN doc_id % 11 = 0 THEN '$deepPath'
                     ELSE '/' || (CASE doc_id % 4 WHEN 0 THEN 'docs'
@@ -1529,14 +1647,18 @@ object NormalizeOps {
                        || '/p' || CAST(doc_id % 5 AS VARCHAR)
                        || '/x' || CAST(doc_id % 7 AS VARCHAR) END AS path
                FROM documents),
-          rr AS (SELECT host, rule, action,
+          pd AS (SELECT doc_id, host, path, ${pctNormSql("path")} AS pathn
+                 FROM pd0),
+          rr0 AS (SELECT host, rule, action,
                    (rule LIKE '%$$') AS anch,
-                   replace(replace(replace(replace(
-                     CASE WHEN rule LIKE '%$$'
-                          THEN substr(rule, 1, length(rule) - 1)
-                          ELSE rule END,
-                     '\', '\\'), '%', '\%'), '_', '\_'), '*', '%') AS body
+                   ${pctNormSql("CASE WHEN rule LIKE '%$' THEN " +
+                     "substr(rule, 1, length(rule) - 1) ELSE rule END")}
+                     AS core
                  FROM rules WHERE rule LIKE '/%'),
+          rr AS (SELECT host, rule, action, anch,
+                   replace(replace(replace(replace(core,
+                     '\', '\\'), '%', '\%'), '_', '\_'), '*', '%') AS body
+                 FROM rr0),
           pm AS (SELECT doc_id, rule, action,
                    row_number() OVER (PARTITION BY doc_id ORDER BY
                      length(rule) - (CASE WHEN rule LIKE '%$$'
@@ -1544,8 +1666,8 @@ object NormalizeOps {
                      CASE WHEN action = 'allow' THEN 0 ELSE 1 END, rule)
                      AS rn
                  FROM pd JOIN rr ON pd.host = rr.host
-                   AND pd.path LIKE (CASE WHEN anch THEN body
-                                          ELSE body || '%' END) ESCAPE '\'),
+                   AND pd.pathn LIKE (CASE WHEN anch THEN body
+                                           ELSE body || '%' END) ESCAPE '\'),
           pb AS (SELECT doc_id, rule AS matched_rule, action FROM pm
                  WHERE rn = 1)
           SELECT pd.doc_id, pd.host, pd.path, pb.matched_rule,

@@ -17,6 +17,16 @@ import org.apache.spark.sql.functions._
   * frame container (Multimodal.scala GVID demux): magic + count header,
   * per-record length prefix, quarantine-don't-throw.
   *
+  * Gzip members: real crawl dumps (Common Crawl's WARCs) compress
+  * each record's payload as its OWN gzip member, so a reader inflates
+  * record-by-record without decompressing the records it skips. The
+  * demuxer sniffs the per-record gzip magic (`1f 8b`) and inflates
+  * with a bounded buffer ([[MaxInflatedBytes]] — the zip-bomb guard);
+  * compression is invisible to the caller: `body`/`n_bytes` are the
+  * INFLATED payload. The length prefix frames the COMPRESSED bytes,
+  * so a broken member never desynchronizes the walk — later records
+  * still extract.
+  *
   * Corruption contract (the open-web reality, fuzz-pinned):
   *  - bad magic / truncated container header → ONE quarantine row
   *    (`rec_idx` −1, status `corrupt_container`) — the blob is never
@@ -25,6 +35,12 @@ import org.apache.spark.sql.functions._
   *    `Target-URI` → status `corrupt`, url NULL, everything the
   *    framing still proves (mime, timestamp, payload bytes) KEPT —
   *    quarantined means kept-for-forensics, not dropped;
+  *  - a payload that declares gzip (leading `1f 8b`) but fails to
+  *    inflate — truncated stream, mangled deflate data, or inflated
+  *    size past the bound → status `corrupt_gzip`, the RAW compressed
+  *    bytes kept (`n_bytes` = framed length) — quarantine, never
+  *    throw, and the walk resyncs at the next record because framing
+  *    is by compressed length;
   *  - a framing break (no blank line in bound, length prefix running
   *    past the buffer) → one status `truncated` row for the rest of
   *    the blob — after a broken length there is no trustworthy resync.
@@ -49,27 +65,40 @@ object CrawlArchive {
     * bytes of the record start or the framing is declared broken
     * (WARC caps header blocks the same way in practice). */
   private val MaxHeaderBytes = 8192
+  /** Per-record inflate bound (1 GiB): a gzip member claiming to
+    * inflate past this is quarantined as `corrupt_gzip` rather than
+    * allowed to take the executor down — the zip-bomb guard every
+    * hostile-input decompressor needs. */
+  private val MaxInflatedBytes = 1L << 30
 
   /** Assemble archives: one blob per `groupCol` value, records in
     * ascending `idCol` order, each `(url, fetch_ts, mime, payload)`
     * written as header + BE32 length prefix + payload. Fixture/egress
-    * helper — bounded per group, one encoder per group row. */
+    * helper — bounded per group, one encoder per group row.
+    * `gzipIfCol` (optional boolean column) selects records whose
+    * payload is written as its own gzip MEMBER — the per-record
+    * compression real crawl dumps use; the length prefix then frames
+    * the compressed bytes. */
   def encode(spark: SparkSession, recs: DataFrame, groupCol: String,
              idCol: String, urlCol: String, tsCol: String, mimeCol: String,
-             payloadCol: String): DataFrame = {
+             payloadCol: String,
+             gzipIfCol: Option[String] = None): DataFrame = {
     import spark.implicits._
+    val gz = gzipIfCol.map(c => col(c).cast("boolean")).getOrElse(lit(false))
     recs
       .groupBy(col(groupCol))
       .agg(sort_array(collect_list(struct(col(idCol).cast("long").as("id"),
         col(urlCol).as("url"), col(tsCol).as("ts"),
-        col(mimeCol).as("mime"), col(payloadCol).as("payload"))))
+        col(mimeCol).as("mime"), col(payloadCol).as("payload"),
+        gz.as("gz"))))
         .as("recs"))
-      .as[(String, Seq[(Long, String, String, String, Array[Byte])])]
+      .as[(String, Seq[(Long, String, String, String, Array[Byte], Boolean)])]
       .map { case (g, rs) =>
         val bos = new java.io.ByteArrayOutputStream()
         bos.write(Magic)
         bos.write(be32(rs.size))
-        rs.foreach { case (_, url, ts, mime, payload) =>
+        rs.foreach { case (_, url, ts, mime, payload0, gzFlag) =>
+          val payload = if (gzFlag) gzipBytes(payload0) else payload0
           val hdr = new StringBuilder()
           // a NULL url models a crawler that lost the request line —
           // the record is framed fine but misses the required field
@@ -84,6 +113,33 @@ object CrawlArchive {
         (g, bos.toByteArray)
       }.toDF("archive", "bytes")
   }
+
+  private def gzipBytes(raw: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(raw); gz.close()
+    bos.toByteArray
+  }
+
+  /** Bounded gzip inflate: None on ANY defect — bad/truncated stream,
+    * trailing-garbage IO error, or inflated size past `cap`. Total on
+    * hostile bytes; never throws. */
+  private def inflate(bytes: Array[Byte], cap: Long): Option[Array[Byte]] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      var n = in.read(buf)
+      var over = false
+      while (n >= 0 && !over) {
+        total += n
+        if (total > cap) over = true
+        else { out.write(buf, 0, n); n = in.read(buf) }
+      }
+      if (over) None else Some(out.toByteArray)
+    } catch { case _: java.io.IOException => None }
 
   /** Demux an archive column into record rows (see corruption
     * contract above). Partition-wise, no shuffle; total on any input. */
@@ -143,13 +199,26 @@ object CrawlArchive {
           val start = bodyOff + 4
           if (len < 0 || start + len > bytes.length) broken = true
           else {
-            val body = java.util.Arrays.copyOfRange(
+            val raw = java.util.Arrays.copyOfRange(
               bytes, start.toInt, (start + len).toInt)
             val url = fields.get("target-uri").orNull
-            out += ArchiveRecord(g, idx,
+            val ts = fields.get("fetch-ts").orNull
+            val mime = fields.get("content-type").orNull
+            // per-record gzip member sniff: `1f 8b` opens the payload
+            // → bounded inflate; a broken member quarantines with the
+            // raw bytes KEPT, and never breaks the walk — the length
+            // prefix frames the COMPRESSED bytes
+            val isGzip = raw.length >= 2 && raw(0) == 0x1f.toByte &&
+              (raw(1) & 0xff) == 0x8b
+            out += (if (isGzip) inflate(raw, MaxInflatedBytes) match {
+              case Some(body) => ArchiveRecord(g, idx,
+                if (url == null) "corrupt" else "ok",
+                url, ts, mime, body.length.toLong, body)
+              case None => ArchiveRecord(g, idx, "corrupt_gzip",
+                url, ts, mime, len, raw)
+            } else ArchiveRecord(g, idx,
               if (url == null) "corrupt" else "ok",
-              url, fields.get("fetch-ts").orNull,
-              fields.get("content-type").orNull, len, body)
+              url, ts, mime, len, raw))
             off = start + len
             idx += 1
           }

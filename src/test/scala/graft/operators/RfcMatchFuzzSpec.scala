@@ -17,24 +17,55 @@ import org.scalatest.funsuite.AnyFunSuite
 class RfcMatchFuzzSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  /** Independent reference: RFC 9309 match as greedy regex. */
+  /** Independent §2.2.2 octet normalization: sequential scan (NOT the
+    * engine's sentinel-split formulation) — uppercase valid `%xx`
+    * hex, decode unreserved octets, pass malformed heads through. */
+  private def refPctNorm(s: String): String = {
+    def isHex(c: Char) =
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+    def unreserved(code: Int) =
+      (code >= 'A' && code <= 'Z') || (code >= 'a' && code <= 'z') ||
+        (code >= '0' && code <= '9') ||
+        code == '-' || code == '.' || code == '_' || code == '~'
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 2 < s.length &&
+          isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
+        val hx = s.substring(i + 1, i + 3)
+        val code = Integer.parseInt(hx, 16)
+        if (unreserved(code)) sb.append(code.toChar)
+        else { sb.append('%'); sb.append(hx.toUpperCase) }
+        i += 3
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    // the engine strips U+0001 (its split sentinel; illegal in URLs)
+    sb.toString.replace("\u0001", "")
+  }
+
+  /** Independent reference: RFC 9309 match as greedy regex over
+    * octet-NORMALIZED rule core and path (§2.2.2). */
   private def refMatch(rule: String, path: String): Boolean = {
     if (!rule.startsWith("/")) return false
     val anchored = rule.endsWith("$")
-    val core = if (anchored) rule.dropRight(1) else rule
+    val core = refPctNorm(if (anchored) rule.dropRight(1) else rule)
     // split keeps empty literals ("-1") so "/a**b" and trailing stars
     // keep their semantics; quote() makes every literal octet literal
     val rx = core.split("\\*", -1)
       .map(s => if (s.isEmpty) "" else java.util.regex.Pattern.quote(s))
       .mkString(".*")
-    val m = java.util.regex.Pattern.compile("(?s)" + rx).matcher(path)
+    val m = java.util.regex.Pattern.compile("(?s)" + rx)
+      .matcher(refPctNorm(path))
     if (anchored) m.matches() else m.lookingAt()
   }
 
   test("LIKE-compiled matcher ≡ regex reference over hostile alphabets") {
     import spark.implicits._
-    val ruleChars = "/ab1*$_%\\".toCharArray
-    val pathChars = "/ab1_%\\$".toCharArray
+    // '4'/'7' make random "%xx" runs hit REAL hex pairs on both the
+    // decode branch (%41→'A', %7a→'z', %74→'t') and the
+    // uppercase-keep branch (%ab→%AB) — the §2.2.2 normalization path
+    val ruleChars = "/ab147*$_%\\".toCharArray
+    val pathChars = "/ab147_%\\$".toCharArray
     val rnd = new scala.util.Random(4242)
     def randStr(cs: Array[Char], maxLen: Int): String =
       (0 until rnd.nextInt(maxLen + 1)).map(_ => cs(rnd.nextInt(cs.length)))
@@ -87,8 +118,8 @@ class RfcMatchFuzzSpec extends AnyFunSuite {
 
   test("multi-rule precedence ≡ most-octets reference (Google flip incl.)") {
     import spark.implicits._
-    val ruleChars = "/ab1*$_%\\".toCharArray
-    val pathChars = "/ab1_%\\$".toCharArray
+    val ruleChars = "/ab147*$_%\\".toCharArray
+    val pathChars = "/ab147_%\\$".toCharArray
     val rnd = new scala.util.Random(777)
     def randStr(cs: Array[Char], maxLen: Int): String =
       (0 until rnd.nextInt(maxLen + 1)).map(_ => cs(rnd.nextInt(cs.length)))

@@ -48,6 +48,26 @@ class UrlCanonSpec extends AnyFunSuite {
       == "https://example.com/p/2?a=1&b=2")
   }
 
+  test("percent-octet normalization (RFC 3986 §6.2.2.2)") {
+    // unreserved octets DECODE: %41 'A', %7a 'z' (lowercase hex too),
+    // %34 '4', %5F '_', %7E '~'
+    assert(canon("https://example.com/%41%7a%34%5F%7E") ==
+      "https://example.com/Az4_~")
+    // reserved octets stay encoded, hex UPPERCASED — /a%2fb and
+    // /a%2Fb name the same resource and must share a canonical key
+    assert(canon("https://example.com/a%2fb") == "https://example.com/a%2Fb")
+    assert(canon("https://example.com/a%2Fb") == "https://example.com/a%2Fb")
+    // %25 (encoded '%') never decodes — decoding would re-expose a
+    // '%' and break idempotence
+    assert(canon("https://example.com/x%25y") == "https://example.com/x%25y")
+    // malformed sequences pass through untouched
+    assert(canon("https://example.com/x%4") == "https://example.com/x%4")
+    assert(canon("https://example.com/x%4g/%") == "https://example.com/x%4g/%")
+    // normalization applies to the query too, BEFORE param sorting
+    assert(canon("https://example.com/a?x=%6a&b=1") ==
+      "https://example.com/a?b=1&x=j")
+  }
+
   test("idempotent over every fixture") {
     val fixtures = Seq(
       "https://example.com/p/1#sec", "HTTPS://EXAMPLE.COM/Path",
@@ -55,7 +75,9 @@ class UrlCanonSpec extends AnyFunSuite {
       "http://example.com:80/a", "https://example.com/a?b=2&a=1",
       "https://example.com/a?utm_source=x", "https://example.com/a/",
       "HTTPS://www.Example.COM:443/p/2/?b=2&a=1&utm_campaign=x#top",
-      "https://example.com/", "not a url at all")
+      "https://example.com/", "not a url at all",
+      "https://example.com/%41%7a%2f%25%4g%", "%de%ad%be%ef",
+      "https://example.com/a?x=%6a&utm_source=%41")
     fixtures.foreach { u =>
       val once = canon(u)
       assert(canon(once) == once, s"not idempotent for: $u")

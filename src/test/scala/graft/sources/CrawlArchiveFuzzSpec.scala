@@ -13,14 +13,21 @@ import org.scalatest.funsuite.AnyFunSuite
   * class that finds off-by-one framing edges random bytes never hit. */
 class CrawlArchiveFuzzSpec extends AnyFunSuite {
 
-  private def valid(nRecs: Int): Array[Byte] = {
+  private def valid(nRecs: Int, gzipEvery: Int = 0): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     bos.write(Array[Byte]('G', 'A', 'R', 'C'))
     def be32(v: Int) = Array(
       (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
     bos.write(be32(nRecs))
     (0 until nRecs).foreach { i =>
-      val payload = ("payload-" * (i + 1)).getBytes("UTF-8")
+      val raw = ("payload-" * (i + 1)).getBytes("UTF-8")
+      val payload =
+        if (gzipEvery > 0 && i % gzipEvery == 0) {
+          val b = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(b)
+          gz.write(raw); gz.close()
+          b.toByteArray
+        } else raw
       bos.write((s"Target-URI: https://h/p$i\nFetch-Ts: 2026-08-0${i % 9 + 1}\n" +
         s"Content-Type: text/plain\n\n").getBytes("UTF-8"))
       bos.write(be32(payload.length))
@@ -50,11 +57,16 @@ class CrawlArchiveFuzzSpec extends AnyFunSuite {
     val recIdx = rows.filter(_.rec_idx >= 0).map(_.rec_idx)
     assert(recIdx == recIdx.sorted && recIdx.distinct == recIdx)
     rows.foreach { r =>
-      assert(Set("ok", "corrupt", "truncated", "corrupt_container")(r.status))
+      assert(Set("ok", "corrupt", "truncated", "corrupt_container",
+        "corrupt_gzip")(r.status))
       if (r.status == "ok") {
         assert(r.url != null && r.n_bytes >= 0 &&
           r.body.length == r.n_bytes)
       }
+      // a quarantined gzip member keeps its RAW compressed bytes
+      if (r.status == "corrupt_gzip")
+        assert(r.body != null && r.body.length == r.n_bytes &&
+          r.body(0) == 0x1f.toByte && (r.body(1) & 0xff) == 0x8b)
     }
   }
 
@@ -90,5 +102,44 @@ class CrawlArchiveFuzzSpec extends AnyFunSuite {
     // and the untouched archive parses fully ok
     val rows = CrawlArchive.demux("z", base)
     assert(rows.size == 3 && rows.forall(_.status == "ok"))
+  }
+
+  test("mutated gzip members quarantine as corrupt_gzip, never derail") {
+    val base = valid(4, gzipEvery = 2) // records 0 and 2 compressed
+    // untouched: compression must be invisible
+    val clean = CrawlArchive.demux("z", base)
+    assert(clean.size == 4 && clean.forall(_.status == "ok"))
+    assert(new String(clean(2).body, "UTF-8") == "payload-" * 3)
+    val rnd = new scala.util.Random(1234)
+    var sawCorruptGzip = false
+    (1 to 400).foreach { _ =>
+      val m = base.clone()
+      val k = 1 + rnd.nextInt(3)
+      (0 until k).foreach { _ =>
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      }
+      check(m)
+      val rows = CrawlArchive.demux("z", m)
+      if (rows.exists(_.status == "corrupt_gzip")) {
+        sawCorruptGzip = true
+        // a broken member must never take its SUCCESSORS down: with
+        // the declared count intact (a mutation can also hit the
+        // count field), a corrupt_gzip row before the last record
+        // still leaves later record rows present — framing is by
+        // compressed length, so the walk resyncs
+        val declaredIntact =
+          java.util.Arrays.equals(java.util.Arrays.copyOfRange(m, 4, 8),
+            java.util.Arrays.copyOfRange(base, 4, 8))
+        if (declaredIntact) {
+          val idxs = rows.filter(_.rec_idx >= 0).map(_.rec_idx)
+          rows.filter(r => r.status == "corrupt_gzip" && r.rec_idx < 3)
+            .foreach(r => assert(idxs.exists(_ > r.rec_idx),
+              s"member ${r.rec_idx} corrupt_gzip but no successor rows"))
+        }
+      }
+    }
+    assert(sawCorruptGzip, "the mutation battery never hit a gzip member")
+    // and truncation across the gzip-member archive stays total
+    (0 to base.length).foreach(n => check(java.util.Arrays.copyOf(base, n)))
   }
 }
