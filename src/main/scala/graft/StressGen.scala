@@ -18,12 +18,23 @@ import org.apache.spark.sql.functions._
   *    so each copy keeps the original's INTERNAL near-dup structure but
   *    shares no shingles across copies — near-dup pair count grows 10×
   *    like a real corpus, not 100× like naive duplication would;
+  *  - EXCEPT a shared fraction (doc_id % 7 == 0, ~14%): those documents
+  *    keep the ORIGINAL text in every copy — identical bytes, identical
+  *    dedup keys (minhash / simhash / fingerprint), so dup closures SPAN
+  *    copies and grow superlinearly with corpus size the way mirrored /
+  *    syndicated pages do in real crawl data (VERDICT r11 #4 — the
+  *    all-salted shape left the dedup family's sf1 gate artificially
+  *    flat because no closure ever crossed a copy boundary);
   *  - embeddings get a copy-dependent ±offset on alternating dims so
   *    copies are not colinear (cosine structure preserved within a
-  *    copy, decorrelated across copies).
+  *    copy, decorrelated across copies) — except the same shared
+  *    fraction (vec_id % 7 == 0), which stays bitwise identical across
+  *    copies so embedding-cosine / SemDeDup closures grow organically
+  *    in step with the text side.
   *
-  * Usage: runMain graft.StressGen [srcDir] [outDir]
-  * (defaults /root/testdata/sf0.1 → /tmp/sf1)
+  * Usage: runMain graft.StressGen [srcDir] [outDir] [copies]
+  * (defaults /root/testdata/sf0.1 → /tmp/sf1 at 10 copies; pass a
+  * copies count for slope measurements, e.g. 40 → /tmp/sf4)
   */
 object StressGen {
   val Copies = 10
@@ -31,6 +42,7 @@ object StressGen {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.drop(1).headOption.getOrElse("/tmp/sf1")
+    val nCopies = args.drop(2).headOption.map(_.toInt).getOrElse(Copies)
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-stressgen")
@@ -54,9 +66,9 @@ object StressGen {
       println(s"$t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
     }
 
-    // one row per copy index; cross-joined to replicate a table 10×
-    // (broadcast: the 10-row side is the build side, map-only expansion)
-    val copies = spark.range(Copies).toDF("copy_i")
+    // one row per copy index; cross-joined to replicate a table N×
+    // (broadcast: the N-row side is the build side, map-only expansion)
+    val copies = spark.range(nCopies).toDF("copy_i")
     def replicate(df: DataFrame): DataFrame = df.crossJoin(broadcast(copies))
 
     // key-space strides: beyond any sf0.1 max key, so shifted copies
@@ -96,24 +108,30 @@ object StressGen {
       col("event_type"), col("value"), col("props")))
 
     // word-salt per copy: copy 0 is the original corpus byte-for-byte;
-    // copies 1..9 suffix every whitespace token with _i
+    // copies 1..N-1 suffix every whitespace token with _i — EXCEPT the
+    // shared fraction (doc_id % 7 == 0), which keeps the original text
+    // in every copy so dup closures span copies (object doc, r11 #4)
+    val sharedDoc = pmod(col("doc_id"), lit(7L)) === 0L
     write("documents", replicate(read("documents")).select(
       shift("doc_id", C),
-      when(col("copy_i") === 0, col("text")).otherwise(
+      when(col("copy_i") === 0 || sharedDoc, col("text")).otherwise(
         concat_ws(" ", transform(split(col("text"), " "),
           w => concat(w, lit("_"), col("copy_i"))))).as("text"),
       col("lang"), col("source"),
       // n_chars tracks the salted text, as the generator would have
-      when(col("copy_i") === 0, col("n_chars")).otherwise(
+      when(col("copy_i") === 0 || sharedDoc, col("n_chars")).otherwise(
         length(concat_ws(" ", transform(split(col("text"), " "),
           w => concat(w, lit("_"), col("copy_i")))))).as("n_chars")))
 
-    // decorrelate copies: ±(0.1 * copy) on alternating dims
+    // decorrelate copies: ±(0.1 * copy) on alternating dims — except
+    // the shared fraction (vec_id % 7 == 0), bitwise identical across
+    // copies so embedding-space dup closures grow with the text side
     write("embeddings", replicate(read("embeddings")).select(
       shift("vec_id", C),
-      transform(col("embedding"), (x, j) =>
-        (x + col("copy_i").cast("float") * lit(0.1f) *
-          when(j % 2 === 0, lit(1.0f)).otherwise(lit(-1.0f))).cast("float"))
+      when(pmod(col("vec_id"), lit(7L)) === 0L, col("embedding")).otherwise(
+        transform(col("embedding"), (x, j) =>
+          (x + col("copy_i").cast("float") * lit(0.1f) *
+            when(j % 2 === 0, lit(1.0f)).otherwise(lit(-1.0f))).cast("float")))
         .as("embedding"),
       col("label")))
 

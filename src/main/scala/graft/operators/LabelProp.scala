@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Synchronous label propagation — community detection on the engine's
@@ -13,10 +12,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one round = one equi-join (edges ⋈ labels on the
   * neighbour end) + a (node, label) count aggregate + a per-node
-  * argmax window whose partition size is bounded by the node's
-  * distinct-neighbour-label count (≤ degree) — never a global sort.
-  * Labels are localCheckpointed per round so plan depth stays O(1)
-  * across iterations (the KMeans/PageRank discipline).
+  * `min_by` argmax over the deterministic (-cnt, label) order — a
+  * hash aggregate with map-side partial combine, which replaced the
+  * original row_number window (same semantics, but no per-node sort
+  * and no separate window shuffle stage; the window was the largest
+  * per-round fixed cost at toy scale, VERDICT r11 #6). Labels are
+  * localCheckpointed per round so plan depth stays O(1) across
+  * iterations (the KMeans/PageRank discipline).
   *
   * @param edges both-orientation edge list (src, dst) — callers union
   *              the reverse orientation for undirected graphs
@@ -33,12 +35,14 @@ object LabelProp {
       val counts = edges.join(labels, edges("dst") === labels("node"))
         .select(edges("src").as("node"), col("label"))
         .groupBy(col("node"), col("label")).agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("node"))
-        .orderBy(col("cnt").desc, col("label"))
+      // argmax by (cnt desc, label asc) == min_by over (-cnt, label):
+      // struct ordering compares fields left to right, so the highest
+      // count wins and ties go to the smallest label — identical to
+      // the row_number window this replaced, minus its per-node sort
       labels = counts
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("label"))
+        .groupBy(col("node"))
+        .agg(min_by(col("label"),
+          struct((-col("cnt")).as("nc"), col("label").as("lb"))).as("label"))
         .localCheckpoint()
     }
     labels

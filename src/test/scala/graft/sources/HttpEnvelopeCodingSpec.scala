@@ -1,0 +1,168 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Body-coding + charset-resolution contract (the q211/q212 layers):
+  * chunk-framing removal in wire order with Content-Encoding, the
+  * bounded gzip/deflate inflate, every quarantine class keeping raw
+  * bytes, and the header > BOM > meta > default charset precedence
+  * with decoy declarations that would shred the text if the order
+  * were wrong. */
+class HttpEnvelopeCodingSpec extends AnyFunSuite {
+
+  private def bytes(s: String) = s.getBytes("ISO-8859-1")
+
+  private def env(hdrs: String, body: Array[Byte]): Array[Byte] =
+    bytes("HTTP/1.1 200 OK\r\n" + hdrs + "\r\n") ++ body
+
+  private def chunk(b: Array[Byte], n: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < b.length) {
+      val len = math.min(n, b.length - i)
+      bos.write(bytes(s"${len.toHexString}\r\n"))
+      bos.write(b, i, len); bos.write(bytes("\r\n"))
+      i += len
+    }
+    bos.write(bytes("0\r\n\r\n"))
+    bos.toByteArray
+  }
+
+  private def gz(raw: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(raw); g.close()
+    bos.toByteArray
+  }
+
+  test("chunked framing removed; extensions and lone-LF tolerated") {
+    val body = "twelve bytes of chunked payload here".getBytes("UTF-8")
+    val r = HttpEnvelope.parse("a",
+      env("Transfer-Encoding: chunked\r\n", chunk(body, 7)))
+    assert(r.transfer_coding == "chunked" && r.body_text ==
+      "twelve bytes of chunked payload here")
+    // chunk extension after ';' and bare-LF line ends both parse
+    val ext = bytes("5;name=v\nhello\n0\n\n")
+    val e = HttpEnvelope.parse("a", env("Transfer-Encoding: chunked\r\n", ext))
+    assert(e.transfer_coding == "chunked" && e.body_text == "hello")
+  }
+
+  test("broken chunk framing: raw kept, content decode skipped") {
+    for (broken <- Seq(
+        "zz\r\nhello",            // non-hex size
+        "ff\r\nshort",            // declared size past buffer
+        "5\r\nhelloX0\r\n\r\n",   // missing CRLF after chunk data
+        "5\r\nhello\r\n"))        // no terminal chunk
+    {
+      val r = HttpEnvelope.parse("a", env(
+        "Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n",
+        bytes(broken)))
+      assert(r.transfer_coding == "chunked_error", broken)
+      assert(r.content_coding == "skipped", broken)
+      assert(new String(r.body, "ISO-8859-1") == broken)
+    }
+  }
+
+  test("gzip content-coding inflates; truncation quarantines with raw bytes") {
+    val txt = "gzip round trip 世界 content"
+    val g = gz(txt.getBytes("UTF-8"))
+    val ok = HttpEnvelope.parse("a", env("Content-Encoding: gzip\r\n", g))
+    assert(ok.content_coding == "gzip" && ok.body_text == txt)
+    val half = g.take(g.length / 2)
+    val bad = HttpEnvelope.parse("a", env("Content-Encoding: gzip\r\n", half))
+    assert(bad.content_coding == "gzip_error" &&
+      bad.body.sameElements(half) && bad.env_status == "ok")
+  }
+
+  test("deflate: zlib-wrapped and raw-deflate fallback both inflate") {
+    val raw = "deflate payload body".getBytes("UTF-8")
+    def defl(nowrap: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, nowrap)
+      d.setInput(raw); d.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end(); bos.toByteArray
+    }
+    for (nowrap <- Seq(false, true)) {
+      val r = HttpEnvelope.parse("a",
+        env("Content-Encoding: deflate\r\n", defl(nowrap)))
+      assert(r.content_coding == "deflate" &&
+        r.body_text == "deflate payload body", s"nowrap=$nowrap")
+    }
+    val junk = HttpEnvelope.parse("a",
+      env("Content-Encoding: deflate\r\n", bytes("not deflate at all ###")))
+    assert(junk.content_coding == "deflate_error")
+  }
+
+  test("unknown and multi-valued content codings are unsupported, raw kept") {
+    for (ce <- Seq("br", "zstd", "gzip, br"))
+      assert(HttpEnvelope.parse("a",
+        env(s"Content-Encoding: $ce\r\n", bytes("opaque"))).content_coding
+        == "unsupported", ce)
+  }
+
+  test("chunked-over-gzip removes both layers in wire order") {
+    val txt = "both layers present in this body"
+    val r = HttpEnvelope.parse("a", env(
+      "Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n",
+      chunk(gz(txt.getBytes("UTF-8")), 11)))
+    assert(r.transfer_coding == "chunked" && r.content_coding == "gzip" &&
+      r.body_text == txt)
+  }
+
+  test("charset precedence: header > BOM > meta > default, decoy-pinned") {
+    val txt = "tokens survive only under the right charset"
+    // header beats the meta decoy (body really is UTF-16BE)
+    val h = HttpEnvelope.parse("a", env(
+      "Content-Type: text/html; charset=utf-16be\r\n",
+      ("<meta charset=utf-8>" + txt).getBytes("UTF-16BE")))
+    assert(h.charset_source == "header" && h.charset_used == "utf-16be" &&
+      h.body_text == "<meta charset=utf-8>" + txt)
+    // BOM beats the meta decoy; BOM stripped from text, kept in body
+    val withBom = Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+      ("<meta charset=utf-16be>" + txt).getBytes("UTF-8")
+    val b = HttpEnvelope.parse("a",
+      env("Content-Type: text/html\r\n", withBom))
+    assert(b.charset_source == "bom" && b.charset_used == "utf-8" &&
+      b.body_text == "<meta charset=utf-16be>" + txt &&
+      b.body.sameElements(withBom))
+    // honest meta
+    val m = HttpEnvelope.parse("a", env("Content-Type: text/html\r\n",
+      ("<meta http-equiv=\"Content-Type\" content=\"text/html; " +
+        "charset=utf-8\">" + txt).getBytes("UTF-8")))
+    assert(m.charset_source == "meta" && m.charset_used == "utf-8")
+    // meta past the 1024-byte prescan window is ignored
+    val far = HttpEnvelope.parse("a", env("Content-Type: text/html\r\n",
+      (" " * 1100 + "<meta charset=utf-16be>" + txt).getBytes("UTF-8")))
+    assert(far.charset_source == "default" && far.charset_used == "utf-8")
+    // prescan never runs outside text/html
+    val plain = HttpEnvelope.parse("a", env("Content-Type: text/plain\r\n",
+      ("<meta charset=utf-16be>" + txt).getBytes("UTF-8")))
+    assert(plain.charset_source == "default" && plain.charset_used == "utf-8")
+  }
+
+  test("UTF-16 BOMs resolve and strip") {
+    val txt = "wide chars é世"
+    val le = HttpEnvelope.parse("a", env("Content-Type: text/html\r\n",
+      Array(0xff.toByte, 0xfe.toByte) ++ txt.getBytes("UTF-16LE")))
+    assert(le.charset_used == "utf-16le" && le.charset_source == "bom" &&
+      le.body_text == txt)
+    val be = HttpEnvelope.parse("a", env("Content-Type: text/html\r\n",
+      Array(0xfe.toByte, 0xff.toByte) ++ txt.getBytes("UTF-16BE")))
+    assert(be.charset_used == "utf-16be" && be.body_text == txt)
+  }
+
+  test("dechunk is total: zip of hostile inputs never throws") {
+    val rnd = new scala.util.Random(4242)
+    for (_ <- 1 to 300) {
+      val n = rnd.nextInt(64)
+      val b = Array.fill(n)(rnd.nextInt(256).toByte)
+      HttpEnvelope.dechunk(b) // must not throw
+      val r = HttpEnvelope.parse("z",
+        env("Transfer-Encoding: chunked\r\nContent-Encoding: deflate\r\n", b))
+      assert(Set("chunked", "chunked_error")(r.transfer_coding))
+    }
+  }
+}

@@ -44,6 +44,12 @@ RELAXED = {
 }
 RELAXED_CEILING = 6.0
 
+# dedup/closure family: always gated (--include default) — the sf1
+# generator plants a cross-copy shared-document fraction specifically
+# so these queries see organically-growing dup closures (r11 #4)
+DEDUP_FAMILY = ("q44_dedup_clusters,q100_dup_strip,q183_cluster_canonical,"
+                "q184_leakage_safe_split,q185_split_leakage_audit")
+
 
 def load_sf01():
     full = os.path.join(REPO, "bench", "latest_full.json")
@@ -66,13 +72,25 @@ def main():
     ap.add_argument("--floor-sec", type=float, default=1.0)
     ap.add_argument("--skip-gen", action="store_true",
                     help="assume sf1 parquet already exists and is current")
+    ap.add_argument("--include", default=DEDUP_FAMILY,
+                    help="comma-separated queries always gated regardless "
+                         "of sf0.1 rank (default: the dedup/closure family "
+                         "— the cross-copy shared-document fraction exists "
+                         "to stress exactly these, VERDICT r11 #4)")
     args = ap.parse_args()
 
     sf01 = load_sf01()
     heaviest = sorted(((t, q) for q, t in sf01.items() if t >= 0),
                       reverse=True)[:args.top]
     names = [q for _, q in heaviest]
-    print(f"[sf1-gate] top {len(names)} by sf0.1 wall: {names}")
+    for q in [x for x in args.include.split(",") if x]:
+        if q not in sf01:
+            print(f"[sf1-gate] WARNING: --include {q} missing from sf0.1 "
+                  "record, skipped")
+        elif q not in names:
+            names.append(q)
+    print(f"[sf1-gate] gating {len(names)} queries "
+          f"(top {args.top} by sf0.1 wall + forced includes): {names}")
 
     if not args.skip_gen or not os.path.isdir(args.sf1):
         subprocess.run(
