@@ -36,8 +36,11 @@ object PageRank {
   def run(edges: DataFrame, damping: Double, iters: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // nodes feeds BOTH the count aggregate and the base projection —
+    // persisted or the union+distinct shuffle runs once per consumer
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nRow = nodes.agg(count(lit(1)).cast("double").as("n"))
     // round-invariant: outdegree folded into the edge table once
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
@@ -52,6 +55,12 @@ object PageRank {
         ((lit(1.0) - lit(damping)) / col("n")).as("tele"),
         (lit(1.0) / col("n")).as("rank0"))
       .localCheckpoint()
+    // setup tables e/nodes are fully consumed once eod + base are
+    // materialized; force both, then release the setup state so the
+    // rounds (and the rest of a bench session) don't carry it
+    eod.count()
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
     var ranks = base.select(col("id"), col("rank0").as("rank"))
     for (_ <- 1 to iters) {
       val contrib = eod
@@ -68,7 +77,6 @@ object PageRank {
         .localCheckpoint() // node-sized; flattens per-round lineage
     }
     val out = ranks
-    e.unpersist(blocking = false)
     eod.unpersist(blocking = false)
     out
   }

@@ -640,8 +640,45 @@ object CurationOps {
             .when(col("mean_q") >=
               coalesce(col("cut_mid"), lit(Long.MaxValue)), lit("middle"))
             .otherwise(lit("head")).as("ppl_bucket"))
-    })
+    }),
+
+    // Training-export tier 1/3 — concatenate-and-chunk sequence
+    // packing (the GPT-style data prep): per-source token tape cut
+    // into 128-token sequences, one row per (document × overlapped
+    // sequence) with in-sequence and absolute spans. Runs over the
+    // edge corpus so the zero-token rule is pinned: empty and
+    // whitespace-only docs occupy NO tape and emit NO segment.
+    "q213_sequence_pack" -> ((s, d) =>
+      graft.operators.SequencePack.chunk(packTape(s, d),
+        "source", "doc_id", "n_tok", 128L)),
+
+    // Training-export tier 2/3 — per-source packing report: fill
+    // ratio in exact ppm (only the final sequence of a stream can be
+    // short) and boundary crossings (#segments − #docs).
+    "q214_packing_stats" -> ((s, d) =>
+      graft.operators.SequencePack.stats(
+        graft.operators.SequencePack.chunk(packTape(s, d),
+          "source", "doc_id", "n_tok", 128L),
+        "source", "doc_id", 128L)),
+
+    // Training-export tier 3/3 — shard manifest: sequences grouped
+    // 16-per-shard per source; the export writer's unit of work and
+    // the resume/verify ledger (a shard re-export must land
+    // byte-identical, so every manifest row is value-exact).
+    "q215_shard_manifest" -> ((s, d) =>
+      graft.operators.SequencePack.shardManifest(
+        graft.operators.SequencePack.chunk(packTape(s, d),
+          "source", "doc_id", "n_tok", 128L),
+        "source", "doc_id", 16L))
   )
+
+  /** Shared input for the q213–q215 export tier: the edge corpus with
+    * whitespace token counts (null text → 0 tokens → no tape). */
+  private def packTape(s: SparkSession, d: String): DataFrame =
+    Tables.documentsWithEdges(s, d)
+      .select(col("source"), col("doc_id"),
+        graft.functions.TextFunctions
+          .tokenCount(coalesce(col("text"), lit(""))).as("n_tok"))
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -1303,8 +1340,69 @@ object CurationOps {
     // CorpusCard's lake state (built over docs < 400, one refresh
     // folding the rest) — one oracle text for both paths, so
     // incremental ≡ from-scratch is hash-pinned per run.
-    "q199_corpus_card_stored" -> corpusCardOracleSql
+    "q199_corpus_card_stored" -> corpusCardOracleSql,
+
+    // Packing tier: running-sum tape per source, inclusive
+    // generate_series over the overlapped sequence range — the same
+    // integer arithmetic as SequencePack.chunk, zero floats anywhere.
+    "q213_sequence_pack" ->
+      s"""WITH $packTapeSql
+          SELECT source, doc_id, CAST(g.s AS BIGINT) AS seq_idx,
+                 greatest(tok_begin - g.s * 128, 0) AS seg_begin,
+                 least(tok_end - g.s * 128, 128) AS seg_end,
+                 tok_begin, tok_end
+          FROM sp, unnest(generate_series(tok_begin // 128,
+                                          (tok_end - 1) // 128)) AS g(s)""",
+
+    "q214_packing_stats" ->
+      s"""WITH $packTapeSql,
+          seg AS (SELECT source, doc_id, g.s AS seq_idx, tok_end
+                  FROM sp, unnest(generate_series(tok_begin // 128,
+                    (tok_end - 1) // 128)) AS g(s))
+          SELECT source,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                 CAST(count(*) AS BIGINT) AS n_segments,
+                 CAST(max(seq_idx) + 1 AS BIGINT) AS n_seqs,
+                 CAST(max(tok_end) AS BIGINT) AS total_tokens,
+                 CAST(max(tok_end) * 1000000 //
+                      ((max(seq_idx) + 1) * 128) AS BIGINT) AS fill_ppm,
+                 CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+                   AS n_crossings
+          FROM seg GROUP BY source""",
+
+    "q215_shard_manifest" ->
+      s"""WITH $packTapeSql,
+          seg AS (SELECT source, doc_id, g.s AS seq_idx,
+                         greatest(tok_begin - g.s * 128, 0) AS seg_begin,
+                         least(tok_end - g.s * 128, 128) AS seg_end
+                  FROM sp, unnest(generate_series(tok_begin // 128,
+                    (tok_end - 1) // 128)) AS g(s))
+          SELECT source, CAST(seq_idx // 16 AS BIGINT) AS shard_idx,
+                 CAST(count(DISTINCT seq_idx) AS BIGINT) AS n_seqs,
+                 CAST(count(*) AS BIGINT) AS n_segments,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                 CAST(sum(seg_end - seg_begin) AS BIGINT) AS n_tokens,
+                 CAST(min(seq_idx) AS BIGINT) AS first_seq,
+                 CAST(max(seq_idx) AS BIGINT) AS last_seq
+          FROM seg GROUP BY source, seq_idx // 16"""
   ) ++ oraclesTail
+
+  /** q213–q215's shared tape CTE: token counts over the edge corpus,
+    * per-source running sum, zero-token docs dropped from the tape. */
+  private lazy val packTapeSql: String =
+    s"""docs_e AS (${graft.Tables.documentsWithEdgesSql}),
+        t AS (SELECT source, doc_id,
+                CAST(len(list_filter(string_split_regex(
+                  coalesce(text, ''), '\\s+'), x -> x <> ''))
+                  AS BIGINT) AS n_tok
+              FROM docs_e),
+        c AS (SELECT source, doc_id, n_tok,
+                CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS tok_end
+              FROM t),
+        sp AS (SELECT source, doc_id, tok_end - n_tok AS tok_begin, tok_end
+               FROM c WHERE n_tok > 0)"""
 
   private lazy val corpusCardOracleSql: String =
       s"""WITH RECURSIVE ${graft.queries.TextOps.sentencesChainSql},
