@@ -57,6 +57,47 @@ object SequencePack {
         col("tok_begin"), col("tok_end"))
   }
 
+  /** Incremental packing: lay a NEW batch of documents on the tape
+    * starting from each stream's stored end offset — the maintained
+    * form of [[chunk]] for a growing corpus (the SentenceIndex /
+    * SpanIndex discipline applied to the export tier). Because the
+    * tape is append-only and a document's spans depend only on the
+    * offsets BEFORE it, incremental ≡ from-scratch by construction:
+    * appending batches in `orderCol` order emits exactly the segment
+    * rows a full repack would, so shard manifests stay stable and a
+    * re-export of an old shard is byte-identical. `offsets` is the
+    * per-stream ledger (streamCol, tape_end) — stream-count sized, a
+    * broadcast join; absent streams start a fresh tape at 0. Cost is
+    * O(batch): one window over the batch, one broadcast join, no
+    * touch of already-packed data. */
+  def appendChunk(batch: DataFrame, offsets: DataFrame, streamCol: String,
+                  orderCol: String, nTokCol: String,
+                  seqLen: Long): DataFrame = {
+    val w = Window.partitionBy(col(streamCol)).orderBy(col(orderCol))
+    batch
+      .join(broadcast(offsets.select(col(streamCol),
+        col("tape_end").as("_base"))), Seq(streamCol), "left")
+      .withColumn("_base", coalesce(col("_base"), lit(0L)))
+      .withColumn("tok_end", col("_base") + sum(col(nTokCol)).over(w))
+      .withColumn("tok_begin", col("tok_end") - col(nTokCol))
+      .filter(col(nTokCol) > 0L)
+      .withColumn("seq_idx",
+        explode(sequence(expr(s"tok_begin div $seqLen"),
+          expr(s"(tok_end - 1) div $seqLen"))))
+      .select(col(streamCol), col(orderCol), col("seq_idx"),
+        greatest(col("tok_begin") - col("seq_idx") * seqLen, lit(0L))
+          .as("seg_begin"),
+        least(col("tok_end") - col("seq_idx") * seqLen, lit(seqLen))
+          .as("seg_end"),
+        col("tok_begin"), col("tok_end"))
+  }
+
+  /** The per-stream ledger [[appendChunk]] consumes, derived from
+    * already-emitted segments: (streamCol, tape_end). */
+  def tapeOffsets(segments: DataFrame, streamCol: String): DataFrame =
+    segments.groupBy(col(streamCol))
+      .agg(max(col("tok_end")).as("tape_end"))
+
   /** Per-stream packing report: documents/segments/sequences, total
     * tokens, fill ratio in exact ppm (only the LAST sequence of a
     * stream can be short), and boundary crossings (each extra

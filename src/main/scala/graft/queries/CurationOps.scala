@@ -669,7 +669,24 @@ object CurationOps {
       graft.operators.SequencePack.shardManifest(
         graft.operators.SequencePack.chunk(packTape(s, d),
           "source", "doc_id", "n_tok", 128L),
-        "source", "doc_id", 16L))
+        "source", "doc_id", 16L)),
+
+    // Training-export tier, MAINTAINED form: the stored corpus
+    // (doc_id < 400) is already packed; the batch (everything else,
+    // edge docs included) appends to each stream's stored tape_end
+    // ledger in O(batch). The oracle is the FROM-SCRATCH q213 rule
+    // restricted to batch rows — append-only tape makes incremental
+    // ≡ full repack by construction, and this pins it by hash (the
+    // q189/q195 incremental-index discipline on the export tier).
+    "q216_sequence_pack_incremental" -> ((s, d) => {
+      import graft.operators.SequencePack
+      val tape = packTape(s, d)
+      val offsets = SequencePack.tapeOffsets(
+        SequencePack.chunk(tape.filter(col("doc_id") < 400L),
+          "source", "doc_id", "n_tok", 128L), "source")
+      SequencePack.appendChunk(tape.filter(col("doc_id") >= 400L),
+        offsets, "source", "doc_id", "n_tok", 128L)
+    })
   )
 
   /** Shared input for the q213–q215 export tier: the edge corpus with
@@ -1384,7 +1401,19 @@ object CurationOps {
                  CAST(sum(seg_end - seg_begin) AS BIGINT) AS n_tokens,
                  CAST(min(seq_idx) AS BIGINT) AS first_seq,
                  CAST(max(seq_idx) AS BIGINT) AS last_seq
-          FROM seg GROUP BY source, seq_idx // 16"""
+          FROM seg GROUP BY source, seq_idx // 16""",
+
+    // Incremental ≡ from-scratch on an append-only tape: the batch's
+    // segments are exactly the full-tape segments of batch docs.
+    "q216_sequence_pack_incremental" ->
+      s"""WITH $packTapeSql
+          SELECT source, doc_id, CAST(g.s AS BIGINT) AS seq_idx,
+                 greatest(tok_begin - g.s * 128, 0) AS seg_begin,
+                 least(tok_end - g.s * 128, 128) AS seg_end,
+                 tok_begin, tok_end
+          FROM sp, unnest(generate_series(tok_begin // 128,
+                                          (tok_end - 1) // 128)) AS g(s)
+          WHERE doc_id >= 400"""
   ) ++ oraclesTail
 
   /** q213–q215's shared tape CTE: token counts over the edge corpus,

@@ -74,6 +74,24 @@ class SequencePackSpec extends AnyFunSuite {
     }
   }
 
+  test("appendChunk ≡ from-scratch on every split point, fresh streams at 0") {
+    val rnd = new scala.util.Random(907)
+    val rows = (1L to 60L).map(i =>
+      ("s" + (i % 4), i, rnd.nextInt(25).toLong))
+    val L = 16L
+    val full = pack(rows, L).collect().map(_.toSeq).toSet
+    for (split <- Seq(0L, 17L, 30L, 59L)) {
+      val stored = rows.filter(_._2 <= split)
+      val batch = rows.filter(_._2 > split)
+      val offsets = SequencePack.tapeOffsets(pack(stored, L), "src")
+      val inc = SequencePack.appendChunk(
+          batch.toDF("src", "id", "n"), offsets, "src", "id", "n", L)
+        .collect().map(_.toSeq).toSet
+      val expected = full.filter(_(1).asInstanceOf[Long] > split)
+      assert(inc == expected, s"split=$split")
+    }
+  }
+
   test("shard manifest partitions the sequence range") {
     val seg = pack((1L to 40L).map(i => ("s", i, 10L)), 16L)
     val m = SequencePack.shardManifest(seg, "src", "id", 4L)
