@@ -257,7 +257,11 @@ object RelationalOps {
         .localCheckpoint()
       val undirected = cs.union(cs.select(col("dst").as("src"),
                                           col("src").as("dst")))
-      graft.operators.PageRank.run(undirected, damping = 0.85, iters = 2)
+      // cs is distinct and its key spaces are disjoint, so the union
+      // is already deduped + reversal-closed and reads from the
+      // checkpoint — the operator skips its defensive distinct
+      graft.operators.PageRank.run(undirected, damping = 0.85, iters = 2,
+        bothOrientations = true)
     }),
 
     // Triangle enumeration over the co-ordered-parts graph — the
