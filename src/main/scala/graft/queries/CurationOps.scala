@@ -686,6 +686,26 @@ object CurationOps {
           "source", "doc_id", "n_tok", 128L), "source")
       SequencePack.appendChunk(tape.filter(col("doc_id") >= 400L),
         offsets, "source", "doc_id", "n_tok", 128L)
+    }),
+
+    // Export capstone: the packing tier fed by the TRAINED tokenizer —
+    // byte-BPE (q170's 8 corpus-weighted merges) supplies real token
+    // counts, the tape is cut into 512-token sequences and
+    // manifested 16/shard. A regression in BPE training, the
+    // GPT-2-style pre-tokenization, OR the packing arithmetic breaks
+    // this hash alongside its own family's (the q190 composition
+    // discipline applied to the export tier).
+    "q217_bpe_packed_export" -> ((s, d) => {
+      import graft.operators.SequencePack
+      val docs = Tables.load(s, d, "documents")
+      val counts = docs.select(col("doc_id"), col("source"))
+        .join(graft.operators.Bpe.byteTokenCounts(
+          docs, "doc_id", "text", nMerges = 8), Seq("doc_id"))
+        .select(col("source"), col("doc_id"),
+          col("n_bpe_tokens").as("n_tok"))
+      SequencePack.shardManifest(
+        SequencePack.chunk(counts, "source", "doc_id", "n_tok", 512L),
+        "source", "doc_id", 16L)
     })
   )
 
@@ -1413,7 +1433,32 @@ object CurationOps {
                  tok_begin, tok_end
           FROM sp, unnest(generate_series(tok_begin // 128,
                                           (tok_end - 1) // 128)) AS g(s)
-          WHERE doc_id >= 400"""
+          WHERE doc_id >= 400""",
+
+    // BPE-fed packing: the q170/q171 byte-BPE counts chain spliced as
+    // the tape's token source, then the q215 manifest arithmetic.
+    "q217_bpe_packed_export" ->
+      s"""WITH bc AS (${graft.queries.TextOps.bpeByteCountsSql(nMerges = 8)}),
+          c AS (SELECT source, doc_id, n_tokens AS n_tok,
+                  CAST(sum(n_tokens) OVER (PARTITION BY source
+                    ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS tok_end
+                FROM bc),
+          sp AS (SELECT source, doc_id, tok_end - n_tok AS tok_begin, tok_end
+                 FROM c WHERE n_tok > 0),
+          seg AS (SELECT source, doc_id, g.s AS seq_idx,
+                         greatest(tok_begin - g.s * 512, 0) AS seg_begin,
+                         least(tok_end - g.s * 512, 512) AS seg_end
+                  FROM sp, unnest(generate_series(tok_begin // 512,
+                    (tok_end - 1) // 512)) AS g(s))
+          SELECT source, CAST(seq_idx // 16 AS BIGINT) AS shard_idx,
+                 CAST(count(DISTINCT seq_idx) AS BIGINT) AS n_seqs,
+                 CAST(count(*) AS BIGINT) AS n_segments,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                 CAST(sum(seg_end - seg_begin) AS BIGINT) AS n_tokens,
+                 CAST(min(seq_idx) AS BIGINT) AS first_seq,
+                 CAST(max(seq_idx) AS BIGINT) AS last_seq
+          FROM seg GROUP BY source, seq_idx // 16"""
   ) ++ oraclesTail
 
   /** q213–q215's shared tape CTE: token counts over the edge corpus,
