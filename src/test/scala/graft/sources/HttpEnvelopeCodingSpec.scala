@@ -154,6 +154,27 @@ class HttpEnvelopeCodingSpec extends AnyFunSuite {
     assert(be.charset_used == "utf-16be" && be.body_text == txt)
   }
 
+  test("every-prefix truncation of a chunked+gzip envelope is total") {
+    // the CrawlArchive battery applied to the coding layers: every
+    // prefix of a fully-valid wire payload must parse without
+    // throwing, and any prefix long enough to contain the complete
+    // chunk framing must still decode it (truncation after the
+    // terminal chunk only loses ignorable bytes)
+    val txt = "prefix truncation survives every cut point"
+    val full = env(
+      "Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n",
+      chunk(gz(txt.getBytes("UTF-8")), 9))
+    for (n <- 0 to full.length) {
+      val r = HttpEnvelope.parse("p", full.take(n))
+      assert(Set("ok", "malformed", "none")(r.env_status), s"cut $n")
+      if (n == full.length)
+        assert(r.transfer_coding == "chunked" && r.content_coding == "gzip"
+          && r.body_text == txt)
+      else if (r.env_status == "ok")
+        assert(Set("chunked", "chunked_error")(r.transfer_coding), s"cut $n")
+    }
+  }
+
   test("dechunk is total: zip of hostile inputs never throws") {
     val rnd = new scala.util.Random(4242)
     for (_ <- 1 to 300) {
