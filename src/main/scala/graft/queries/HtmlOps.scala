@@ -371,6 +371,65 @@ object HtmlOps {
             col("http_status").between(200, 299) &&
             col("content_type").startsWith("text/") &&
             col("n_tokens_clean") >= 5L).as("admitted"))
+    }),
+
+    // Content-Length framing (q210/q211/q212's fourth sibling): the
+    // header frames the wire body for non-chunked messages. Six
+    // classes: %13 exact, %7 declared < available (stored captures
+    // carry connection junk past the entity — the junk would ADD a
+    // token if not trimmed, so token counts pin the cut), %5 declared
+    // > available (`short_body`: capture lost bytes; kept whole,
+    // admission refuses), %3 non-numeric (`invalid`), %2 chunked WITH
+    // a declared length (`superseded` — RFC 9112 §6.3 rule 3; the
+    // declared value is smaller than the chunk-framed wire body, so
+    // an implementation that applied it anyway would cut the terminal
+    // chunk and break the hash), else none. All-column fixture — no
+    // typed map needed.
+    "q218_content_length" -> ((s, d) => {
+      import graft.operators.TextNormalize
+      import graft.sources.HttpEnvelope
+      val txt = coalesce(col("text"), lit(""))
+      val bodyB = encode(txt, "UTF-8")
+      val blen = length(bodyB)
+      val junk = encode(lit(" ###trailing-capture-junk###"), "UTF-8")
+      val base = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+      def hdr(extra: org.apache.spark.sql.Column) =
+        encode(concat(lit(base), extra, lit("\r\n")), "UTF-8")
+      def clH(v: org.apache.spark.sql.Column) =
+        concat(lit("Content-Length: "), v.cast("string"), lit("\r\n"))
+      val payload =
+        when(col("doc_id") % 13 === 0, concat(hdr(clH(blen)), bodyB))
+          .when(col("doc_id") % 7 === 0,
+            concat(hdr(clH(blen)), bodyB, junk))
+          .when(col("doc_id") % 5 === 0,
+            concat(hdr(clH(blen + 1000)), bodyB))
+          .when(col("doc_id") % 3 === 0,
+            concat(hdr(lit("Content-Length: xyz\r\n")), bodyB))
+          .when(col("doc_id") % 2 === 0,
+            concat(hdr(concat(lit("Transfer-Encoding: chunked\r\n"),
+                clH(blen))),
+              encode(concat(hex(blen), lit("\r\n")), "UTF-8"), bodyB,
+              encode(lit("\r\n0\r\n\r\n"), "UTF-8")))
+          .otherwise(concat(hdr(lit("")), bodyB))
+      val recs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), payload.as("payload"))
+      val envd = HttpEnvelope.extract(s, recs, "doc_id", "payload").toDF()
+      val toks = HtmlExtract.extractMain(
+          HtmlExtract.syntheticHtml(envd, "id", "body_text"), "doc_id", "html")
+        .select(col("doc_id").as("id"),
+          graft.functions.TextFunctions
+            .tokenCount(TextNormalize.cleanText(col("main_text")))
+            .as("n_tokens_clean"))
+      envd.join(toks, Seq("id"))
+        .select(col("id").cast("long").as("doc_id"), col("env_status"),
+          col("length_status"), col("transfer_coding"),
+          col("n_tokens_clean"),
+          (col("env_status") === "ok" &&
+            col("http_status").between(200, 299) &&
+            col("content_type").startsWith("text/") &&
+            col("n_tokens_clean") >= 5L &&
+            !col("length_status").isin("invalid", "short_body"))
+            .as("admitted"))
     })
   )
 
@@ -828,6 +887,46 @@ object HtmlOps {
                  s.charset_source, s.content_type, t.n_tokens_clean,
                  (s.content_type LIKE 'text/%'
                   AND t.n_tokens_clean >= 5) AS admitted
+          FROM src s JOIN tok t USING (doc_id)"""
+    },
+
+    // Content-Length recomputed from class arithmetic: every class's
+    // body_text is exactly the original text — the trimmed class
+    // because the junk is cut, the chunked class because the framing
+    // is removed and the declared length superseded — so one token
+    // chain covers all six; length_status and the admission rule are
+    // the pinned surface.
+    "q218_content_length" -> {
+      val cleanTok =
+        s"""CAST(len(list_filter(string_split_regex(
+              ${NormalizeOps.cleanSql("coalesce(a.main_text, '')")},
+              '\\s+'), x -> x <> '')) AS BIGINT)"""
+      s"""WITH src AS (SELECT doc_id, coalesce(text, '') AS text,
+               CASE WHEN doc_id % 13 = 0 THEN 'exact'
+                    WHEN doc_id % 7 = 0 THEN 'trimmed'
+                    WHEN doc_id % 5 = 0 THEN 'short_body'
+                    WHEN doc_id % 3 = 0 THEN 'invalid'
+                    WHEN doc_id % 2 = 0 THEN 'superseded'
+                    ELSE 'none' END AS length_status,
+               CASE WHEN doc_id % 13 = 0 OR doc_id % 7 = 0
+                      OR doc_id % 5 = 0 OR doc_id % 3 = 0 THEN 'none'
+                    WHEN doc_id % 2 = 0 THEN 'chunked'
+                    ELSE 'none' END AS transfer_coding
+             FROM documents),
+          srcdocs AS (SELECT doc_id, text FROM src),
+          $blocksChainSql,
+          agg AS (SELECT doc_id,
+                         coalesce(string_agg(
+                           CASE WHEN is_good THEN block_text END, ' '
+                           ORDER BY block_idx), '') AS main_text
+                  FROM blk GROUP BY doc_id),
+          tok AS (SELECT sd.doc_id, $cleanTok AS n_tokens_clean
+                  FROM srcdocs sd LEFT JOIN agg a USING (doc_id))
+          SELECT s.doc_id, 'ok' AS env_status, s.length_status,
+                 s.transfer_coding, t.n_tokens_clean,
+                 (t.n_tokens_clean >= 5
+                  AND s.length_status NOT IN ('invalid', 'short_body'))
+                   AS admitted
           FROM src s JOIN tok t USING (doc_id)"""
     }
   )

@@ -38,6 +38,19 @@ import org.apache.spark.sql.functions._
   * continuation lines (deprecated, RFC 7230 §3.2.4) are read as
   * ordinary `key: value` lines, never joined.
   *
+  * Content-Length framing (`ok` envelopes only; RFC 9110 §8.6 /
+  * 9112 §6.3): when `Transfer-Encoding: chunked` is absent and a
+  * valid decimal `Content-Length` is declared, the header frames
+  * the wire body — `exact` when it equals the available bytes,
+  * `trimmed` when smaller (stored captures carry connection junk
+  * past the entity; the excess is dropped BEFORE content decoding,
+  * which is what makes a gzip body with trailing garbage decodable
+  * at all), `short_body` when larger (the capture lost bytes —
+  * everything present is KEPT, quarantine-not-drop, and admission
+  * refuses the row). A non-numeric value is `invalid` (kept whole),
+  * chunked messages mark a declared length `superseded` (RFC 9112
+  * §6.3 rule 3: Transfer-Encoding wins), no header is `none`.
+  *
   * Body codings (`ok` envelopes only; the wire order, outermost
   * first — RFC 9112 §6.1 / RFC 9110 §8.4):
   *  1. `Transfer-Encoding` listing `chunked` → the hex-size chunk
@@ -76,7 +89,7 @@ object HttpEnvelope {
   final case class EnvelopeRecord(
       id: String, env_status: String, http_status: Option[Long],
       headers: Map[String, String], content_type: String, charset: String,
-      transfer_coding: String, content_coding: String,
+      length_status: String, transfer_coding: String, content_coding: String,
       charset_used: String, charset_source: String,
       body: Array[Byte], body_text: String)
 
@@ -116,10 +129,10 @@ object HttpEnvelope {
       bytes(1) == 'T' && bytes(2) == 'T' && bytes(3) == 'P' && bytes(4) == '/'
     if (!httpPrefix)
       return EnvelopeRecord(id, "none", None, Map.empty, null, null,
-        "none", "none", "utf-8", "default",
+        "none", "none", "none", "utf-8", "default",
         bytes, new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
     def malformed = EnvelopeRecord(id, "malformed", None, Map.empty,
-      null, null, "none", "none", "utf-8", "default", bytes,
+      null, null, "none", "none", "none", "utf-8", "default", bytes,
       new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
     val hEnd = blankLineAt(bytes)
     if (hEnd < 0) return malformed
@@ -150,14 +163,29 @@ object HttpEnvelope {
     val bodyStart = hEnd + blankLen(bytes, hEnd)
     val raw = java.util.Arrays.copyOfRange(bytes, bodyStart, bytes.length)
 
-    // 1. transfer coding (outermost on the wire): remove chunk framing
+    // 1a. Content-Length framing (non-chunked only — RFC 9112 §6.3)
     val chunkedDeclared = headers.get("transfer-encoding")
       .exists(_.split(",").exists(_.trim.equalsIgnoreCase("chunked")))
+    val cl = headers.get("content-length").map(_.trim)
+    val (framed, lengthStatus) =
+      if (chunkedDeclared) (raw, if (cl.isDefined) "superseded" else "none")
+      else cl match {
+        case None => (raw, "none")
+        case Some(v) if v.nonEmpty && v.length <= 18 && v.forall(_.isDigit) =>
+          val n = v.toLong
+          if (n == raw.length) (raw, "exact")
+          else if (n < raw.length)
+            (java.util.Arrays.copyOfRange(raw, 0, n.toInt), "trimmed")
+          else (raw, "short_body") // capture lost bytes; keep what's there
+        case Some(_) => (raw, "invalid")
+      }
+
+    // 1b. transfer coding (outermost on the wire): remove chunk framing
     val (afterTransfer, transferCoding) =
-      if (!chunkedDeclared) (raw, "none")
-      else dechunk(raw) match {
+      if (!chunkedDeclared) (framed, "none")
+      else dechunk(framed) match {
         case Some(b) => (b, "chunked")
-        case None => (raw, "chunked_error")
+        case None => (framed, "chunked_error")
       }
 
     // 2. content coding — skipped entirely after a framing error
@@ -206,8 +234,8 @@ object HttpEnvelope {
       }
     val text = new String(body, bomLen, body.length - bomLen, cs)
     EnvelopeRecord(id, "ok", Some(status), headers, contentType, charset,
-      transferCoding, contentCoding, cs.name().toLowerCase, csSource,
-      body, text)
+      lengthStatus, transferCoding, contentCoding,
+      cs.name().toLowerCase, csSource, body, text)
   }
 
   /** Remove RFC 9112 §7.1 chunk framing: `hex-size[;ext]\r\n data

@@ -175,6 +175,37 @@ class HttpEnvelopeCodingSpec extends AnyFunSuite {
     }
   }
 
+  test("Content-Length frames the body; chunked supersedes it") {
+    val txt = "entity body here"
+    val junk = " ###connection junk###"
+    def cl(n: Any, body: String) = HttpEnvelope.parse("a",
+      env(s"Content-Length: $n\r\n", bytes(body)))
+    val exact = cl(txt.length, txt)
+    assert(exact.length_status == "exact" && exact.body_text == txt)
+    val trimmed = cl(txt.length, txt + junk)
+    assert(trimmed.length_status == "trimmed" && trimmed.body_text == txt)
+    val short = cl(txt.length + 500, txt)
+    assert(short.length_status == "short_body" && short.body_text == txt)
+    val bad = cl("12abc", txt)
+    assert(bad.length_status == "invalid" && bad.body_text == txt)
+    assert(HttpEnvelope.parse("a", env("\r\n".drop(2), bytes(txt)))
+      .length_status == "none")
+    // trim happens BEFORE content decoding: gzip + trailing junk
+    val g = gz(txt.getBytes("UTF-8"))
+    val gj = HttpEnvelope.parse("a", env(
+      s"Content-Encoding: gzip\r\nContent-Length: ${g.length}\r\n",
+      g ++ bytes(junk)))
+    assert(gj.length_status == "trimmed" && gj.content_coding == "gzip" &&
+      gj.body_text == txt)
+    // chunked wins (RFC 9112 §6.3 rule 3): the declared length would
+    // cut the terminal chunk if applied
+    val ch = HttpEnvelope.parse("a", env(
+      s"Transfer-Encoding: chunked\r\nContent-Length: ${txt.length}\r\n",
+      chunk(txt.getBytes("UTF-8"), 7)))
+    assert(ch.length_status == "superseded" &&
+      ch.transfer_coding == "chunked" && ch.body_text == txt)
+  }
+
   test("dechunk is total: zip of hostile inputs never throws") {
     val rnd = new scala.util.Random(4242)
     for (_ <- 1 to 300) {
