@@ -46,8 +46,11 @@ object LabelProp {
       .localCheckpoint()
     // one node-sized aggregate decides the argmax strategy for the run
     val bounds = labels.agg(min(col("node")), max(col("node"))).head()
+    // getAs[Number]: integer-keyed edge lists stay accepted (getLong
+    // on an IntegerType row throws ClassCastException at runtime)
     val packed = !bounds.isNullAt(0) &&
-      bounds.getLong(0) >= 0L && bounds.getLong(1) < LabelCap
+      bounds.getAs[Number](0).longValue >= 0L &&
+      bounds.getAs[Number](1).longValue < LabelCap
     for (_ <- 1 to iters) {
       val counts = edges.join(labels, edges("dst") === labels("node"))
         .select(edges("src").as("node"), col("label"))

@@ -41,7 +41,11 @@ object SequencePack {
     * the document's absolute tape span. */
   def chunk(docs: DataFrame, streamCol: String, orderCol: String,
             nTokCol: String, seqLen: Long): DataFrame = {
+    // ROWS framing, not the default RANGE: duplicate orderCol values
+    // inside a stream must not share (double-count) a tape span, and
+    // the oracle's cumsum is ROWS UNBOUNDED PRECEDING
     val w = Window.partitionBy(col(streamCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .withColumn("tok_end", sum(col(nTokCol)).over(w))
       .withColumn("tok_begin", col("tok_end") - col(nTokCol))
@@ -74,6 +78,7 @@ object SequencePack {
                   orderCol: String, nTokCol: String,
                   seqLen: Long): DataFrame = {
     val w = Window.partitionBy(col(streamCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     batch
       .join(broadcast(offsets.select(col(streamCol),
         col("tape_end").as("_base"))), Seq(streamCol), "left")
@@ -111,8 +116,11 @@ object SequencePack {
         max(col("tok_end")).as("total_tokens"))
       .select(col(streamCol), col("n_docs"), col("n_segments"),
         col("n_seqs"), col("total_tokens"),
-        expr(s"total_tokens * 1000000L div (n_seqs * $seqLen)")
-          .as("fill_ppm"),
+        // decimal(38,0) multiply: long arithmetic silently overflows
+        // past ~9.2e12 tokens per stream — plausible at 100 TB if a
+        // caller skips the shard-the-stream discipline
+        expr("cast(total_tokens as decimal(38,0)) * 1000000" +
+          s" div (n_seqs * $seqLen)").as("fill_ppm"),
         (col("n_segments") - col("n_docs")).as("n_crossings"))
 
   /** Shard manifest: sequences grouped into fixed-count shards per
