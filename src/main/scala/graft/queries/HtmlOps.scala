@@ -430,6 +430,77 @@ object HtmlOps {
             col("n_tokens_clean") >= 5L &&
             !col("length_status").isin("invalid", "short_body"))
             .as("admitted"))
+    }),
+
+    // Coding CHAINS (q211's extension — RFC 9110 §8.4 multi-valued
+    // lists): Content-Encoding chains decode right-to-left (the
+    // last-listed coding was applied last, so it comes off first),
+    // Transfer-Encoding gzip-over-chunked de-frames then inflates,
+    // and any list that can't be FULLY decoded quarantines
+    // (`unsupported`) instead of passing compressed bytes off as
+    // text. Classes by doc_id arithmetic (first match wins, oracle
+    // CASE mirrors the order): %13 TE `gzip, chunked` (both layers
+    // removed → `gzip+chunked`), %11 chunked-not-last (`unsupported`
+    // — RFC 9112 §6.1 requires chunked last), %7 TE `br, chunked`
+    // (`unsupported` — undecodable member; the CE header must NOT be
+    // applied past the defect), %5 CE `gzip, gzip` (double inflate →
+    // `gzip+gzip`), %3 CE `deflate, gzip` (gzip off first →
+    // `deflate+gzip`), %2 TE `gzip, chunked` with a broken inner
+    // gzip (valid de-chunk, then a stream defect → `transfer_error`,
+    // framed bytes kept), else plain. Quarantined rows emit NULL
+    // tokens and never admit.
+    "q222_coding_chains" -> ((s, d) => {
+      import graft.operators.TextNormalize
+      import graft.sources.HttpEnvelope
+      import s.implicits._
+      val payloads = Tables.load(s, d, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val u8 = text.getBytes("UTF-8")
+          val ctH = "Content-Type: text/html\r\n"
+          val body: (String, Array[Byte]) =
+            if (id % 13 == 0)
+              (ctH + "Transfer-Encoding: gzip, chunked\r\n",
+                chunkB(gzB(u8), 64))
+            else if (id % 11 == 0)
+              (ctH + "Transfer-Encoding: chunked, gzip\r\n" +
+                "Content-Encoding: gzip\r\n", u8)
+            else if (id % 7 == 0)
+              (ctH + "Transfer-Encoding: br, chunked\r\n" +
+                "Content-Encoding: gzip\r\n", u8)
+            else if (id % 5 == 0)
+              (ctH + "Content-Encoding: gzip, gzip\r\n", gzB(gzB(u8)))
+            else if (id % 3 == 0)
+              (ctH + "Content-Encoding: deflate, gzip\r\n",
+                gzB(deflB(u8)))
+            else if (id % 2 == 0) {
+              val g = gzB(u8)
+              (ctH + "Transfer-Encoding: gzip, chunked\r\n",
+                chunkB(g.take(g.length / 2), 64))
+            } else (ctH, u8)
+          (id, httpB(body._1, body._2))
+        }.toDF("doc_id", "payload")
+      val envd = HttpEnvelope.extract(s, payloads, "doc_id", "payload").toDF()
+      val clean =
+        col("transfer_coding").isin("none", "chunked", "gzip+chunked") &&
+          col("content_coding")
+            .isin("none", "gzip", "deflate", "gzip+gzip", "deflate+gzip")
+      val toks = HtmlExtract.extractMain(
+          HtmlExtract.syntheticHtml(envd, "id", "body_text"), "doc_id", "html")
+        .select(col("doc_id").as("id"),
+          graft.functions.TextFunctions
+            .tokenCount(TextNormalize.cleanText(col("main_text")))
+            .as("toks"))
+      envd.join(toks, Seq("id"))
+        .select(col("id").cast("long").as("doc_id"), col("env_status"),
+          col("http_status"), col("content_type"),
+          col("transfer_coding"), col("content_coding"),
+          when(clean, col("toks")).as("n_tokens_clean"),
+          coalesce(col("env_status") === "ok" &&
+            col("http_status").between(200, 299) &&
+            col("content_type").startsWith("text/") &&
+            when(clean, col("toks")) >= 5L, lit(false)).as("admitted"))
     })
   )
 
@@ -927,6 +998,60 @@ object HtmlOps {
                  (t.n_tokens_clean >= 5
                   AND s.length_status NOT IN ('invalid', 'short_body'))
                    AS admitted
+          FROM src s JOIN tok t USING (doc_id)"""
+    },
+
+    // Coding chains recomputed without any bytes: chain labels from
+    // class arithmetic (CASE order mirrors the Spark when-chain),
+    // token counts from the ORIGINAL text for fully-decoded classes —
+    // so right-to-left chain decoding must be invisible — and NULL
+    // for quarantined classes on both engines.
+    "q222_coding_chains" -> {
+      val cleanTok =
+        s"""CAST(len(list_filter(string_split_regex(
+              ${NormalizeOps.cleanSql("coalesce(a.main_text, '')")},
+              '\\s+'), x -> x <> '')) AS BIGINT)"""
+      s"""WITH src AS (SELECT doc_id, coalesce(text, '') AS text,
+               CASE WHEN doc_id % 13 = 0 THEN 'gzip+chunked'
+                    WHEN doc_id % 11 = 0 THEN 'unsupported'
+                    WHEN doc_id % 7 = 0 THEN 'unsupported'
+                    WHEN doc_id % 5 = 0 THEN 'none'
+                    WHEN doc_id % 3 = 0 THEN 'none'
+                    WHEN doc_id % 2 = 0 THEN 'transfer_error'
+                    ELSE 'none' END AS transfer_coding,
+               CASE WHEN doc_id % 13 = 0 THEN 'none'
+                    WHEN doc_id % 11 = 0 THEN 'skipped'
+                    WHEN doc_id % 7 = 0 THEN 'skipped'
+                    WHEN doc_id % 5 = 0 THEN 'gzip+gzip'
+                    WHEN doc_id % 3 = 0 THEN 'deflate+gzip'
+                    WHEN doc_id % 2 = 0 THEN 'skipped'
+                    ELSE 'none' END AS content_coding
+             FROM documents),
+          srcdocs AS (SELECT doc_id, text FROM src),
+          $blocksChainSql,
+          agg AS (SELECT doc_id,
+                         coalesce(string_agg(
+                           CASE WHEN is_good THEN block_text END, ' '
+                           ORDER BY block_idx), '') AS main_text
+                  FROM blk GROUP BY doc_id),
+          tok AS (SELECT sd.doc_id, $cleanTok AS n_tokens_clean
+                  FROM srcdocs sd LEFT JOIN agg a USING (doc_id))
+          SELECT s.doc_id, 'ok' AS env_status,
+                 CAST(200 AS BIGINT) AS http_status,
+                 'text/html' AS content_type,
+                 s.transfer_coding, s.content_coding,
+                 CASE WHEN s.transfer_coding
+                          IN ('none', 'chunked', 'gzip+chunked')
+                       AND s.content_coding IN ('none', 'gzip', 'deflate',
+                                                'gzip+gzip', 'deflate+gzip')
+                      THEN t.n_tokens_clean END AS n_tokens_clean,
+                 coalesce(CASE WHEN s.transfer_coding
+                                   IN ('none', 'chunked', 'gzip+chunked')
+                                AND s.content_coding
+                                    IN ('none', 'gzip', 'deflate',
+                                        'gzip+gzip', 'deflate+gzip')
+                               THEN t.n_tokens_clean END >= 5,
+                   false) AS admitted
           FROM src s JOIN tok t USING (doc_id)"""
     }
   )

@@ -39,32 +39,43 @@ import org.apache.spark.sql.functions._
   * ordinary `key: value` lines, never joined.
   *
   * Content-Length framing (`ok` envelopes only; RFC 9110 §8.6 /
-  * 9112 §6.3): when `Transfer-Encoding: chunked` is absent and a
-  * valid decimal `Content-Length` is declared, the header frames
-  * the wire body — `exact` when it equals the available bytes,
+  * 9112 §6.3): when no `Transfer-Encoding` is declared and a valid
+  * decimal `Content-Length` is declared (leading zeros stripped —
+  * valid decimal syntax), the header frames the wire body — `exact`
+  * when it equals the available bytes,
   * `trimmed` when smaller (stored captures carry connection junk
   * past the entity; the excess is dropped BEFORE content decoding,
   * which is what makes a gzip body with trailing garbage decodable
   * at all), `short_body` when larger (the capture lost bytes —
   * everything present is KEPT, quarantine-not-drop, and admission
-  * refuses the row). A non-numeric value is `invalid` (kept whole),
-  * chunked messages mark a declared length `superseded` (RFC 9112
-  * §6.3 rule 3: Transfer-Encoding wins), no header is `none`.
+  * refuses the row). A non-numeric value is `invalid` (kept whole);
+  * any declared Transfer-Encoding marks a declared length
+  * `superseded` (RFC 9112 §6.3 rule 3: TE wins), no header is `none`.
   *
   * Body codings (`ok` envelopes only; the wire order, outermost
   * first — RFC 9112 §6.1 / RFC 9110 §8.4):
-  *  1. `Transfer-Encoding` listing `chunked` → the hex-size chunk
-  *     framing is removed (`transfer_coding` `chunked`); any framing
-  *     defect — bad size line, short data, missing terminator — keeps
-  *     the RAW body (`chunked_error`, quarantine-not-drop) and skips
-  *     content decoding (`content_coding` `skipped`: bytes past a
-  *     broken framing aren't trustworthy input to a decompressor);
-  *  2. `Content-Encoding` `gzip`/`x-gzip` → bounded inflate (the
-  *     [[CrawlArchive]] zip-bomb guard, shared implementation);
-  *     `deflate` → zlib inflate with the raw-deflate fallback real
-  *     broken servers require; a stream defect keeps the raw bytes
-  *     (`gzip_error`/`deflate_error`); any other/multi-valued coding
-  *     → `unsupported`, raw kept. `identity`/absent → `none`.
+  *  1. `Transfer-Encoding` must end with `chunked` (RFC 9112 §6.1)
+  *     → the hex-size chunk framing is removed, then any codings
+  *     listed before it decode right-to-left (TE gzip-over-chunked:
+  *     `gzip, chunked` → de-chunk, then inflate — `transfer_coding`
+  *     `gzip+chunked`). Framing defects — bad size line, short data,
+  *     missing terminator — keep the RAW body (`chunked_error`,
+  *     quarantine-not-drop); a post-de-chunk coding defect keeps the
+  *     framed bytes (`transfer_error`); a list with `chunked` not
+  *     last or an undecodable coding is `unsupported` (the body is
+  *     NOT plain bytes — passing it through as text would admit
+  *     garbage). All three skip content decoding (`content_coding`
+  *     `skipped`: bytes past a broken framing aren't trustworthy
+  *     input to a decompressor);
+  *  2. `Content-Encoding` chains decode right-to-left (the
+  *     last-listed coding was applied last): `gzip`/`x-gzip` →
+  *     bounded inflate (the [[CrawlArchive]] zip-bomb guard, shared
+  *     implementation); `deflate` → zlib inflate with the raw-deflate
+  *     fallback real broken servers require; `gzip, gzip` →
+  *     `gzip+gzip`. A stream defect keeps the raw wire bytes
+  *     (`gzip_error`/`deflate_error` of the failing coding); a chain
+  *     with any unknown coding → `unsupported`, raw kept.
+  *     `identity`/absent → `none`.
   *
   * Charset resolution for `body_text` (the HTML5 prescan precedence,
   * pinned by q212's decoy-shred classes): header `charset=` param >
@@ -163,51 +174,67 @@ object HttpEnvelope {
     val bodyStart = hEnd + blankLen(bytes, hEnd)
     val raw = java.util.Arrays.copyOfRange(bytes, bodyStart, bytes.length)
 
-    // 1a. Content-Length framing (non-chunked only — RFC 9112 §6.3)
-    val chunkedDeclared = headers.get("transfer-encoding")
-      .exists(_.split(",").exists(_.trim.equalsIgnoreCase("chunked")))
+    // 1a. Content-Length framing (RFC 9112 §6.3 rule 3: ANY declared
+    // Transfer-Encoding supersedes a declared length)
+    val teTokens = headers.get("transfer-encoding").toSeq
+      .flatMap(_.split(",")).map(_.trim.toLowerCase)
+      .filter(t => t.nonEmpty && t != "identity") // identity is a no-op
     val cl = headers.get("content-length").map(_.trim)
     val (framed, lengthStatus) =
-      if (chunkedDeclared) (raw, if (cl.isDefined) "superseded" else "none")
+      if (teTokens.nonEmpty) (raw, if (cl.isDefined) "superseded" else "none")
       else cl match {
         case None => (raw, "none")
-        case Some(v) if v.nonEmpty && v.length <= 18 && v.forall(_.isDigit) =>
-          val n = v.toLong
-          if (n == raw.length) (raw, "exact")
-          else if (n < raw.length)
-            (java.util.Arrays.copyOfRange(raw, 0, n.toInt), "trimmed")
-          else (raw, "short_body") // capture lost bytes; keep what's there
+        case Some(v) if v.nonEmpty && v.forall(_.isDigit) =>
+          // leading zeros are valid decimal syntax: strip before the
+          // overflow guard so '000...0123' frames like '123'
+          val t = v.dropWhile(_ == '0')
+          if (t.length > 18) (raw, "invalid") // genuinely out of range
+          else {
+            val n = if (t.isEmpty) 0L else t.toLong
+            if (n == raw.length) (raw, "exact")
+            else if (n < raw.length)
+              (java.util.Arrays.copyOfRange(raw, 0, n.toInt), "trimmed")
+            else (raw, "short_body") // capture lost bytes; keep what's there
+          }
         case Some(_) => (raw, "invalid")
       }
 
-    // 1b. transfer coding (outermost on the wire): remove chunk framing
+    // 1b. transfer codings (outermost on the wire): chunked must be
+    // LAST (RFC 9112 §6.1); codings before it decode right-to-left
+    // after de-framing (TE gzip-over-chunked). A list with chunked
+    // not last, or any coding we can't decode, is quarantined as
+    // `unsupported` — never passed through as if it were plain bytes.
     val (afterTransfer, transferCoding) =
-      if (!chunkedDeclared) (framed, "none")
+      if (teTokens.isEmpty) (framed, "none")
+      else if (teTokens.last != "chunked" ||
+               !teTokens.init.forall(SupportedCodings))
+        (framed, "unsupported")
       else dechunk(framed) match {
-        case Some(b) => (b, "chunked")
         case None => (framed, "chunked_error")
+        case Some(b0) =>
+          decodeChain(teTokens.init, b0) match {
+            case Right(b) =>
+              (b, teTokens.map(canonCoding).mkString("+"))
+            case Left(_) => (framed, "transfer_error")
+          }
       }
 
-    // 2. content coding — skipped entirely after a framing error
+    // 2. content codings — skipped entirely after a transfer defect;
+    // multi-valued chains decode right-to-left (RFC 9110 §8.4: the
+    // last-listed coding was applied last, so it comes off first)
+    val ceTokens = headers.get("content-encoding").toSeq
+      .flatMap(_.split(",")).map(_.trim.toLowerCase)
+      .filter(t => t.nonEmpty && t != "identity")
     val (body, contentCoding) =
-      if (transferCoding == "chunked_error") (afterTransfer, "skipped")
-      else headers.get("content-encoding").map(_.trim.toLowerCase) match {
-        case None | Some("") | Some("identity") => (afterTransfer, "none")
-        case Some("gzip") | Some("x-gzip") =>
-          CrawlArchive.inflate(afterTransfer, MaxBodyBytes) match {
-            case Some(b) => (b, "gzip")
-            case None => (afterTransfer, "gzip_error")
-          }
-        case Some("deflate") =>
-          // zlib-wrapped per the RFC; raw-deflate fallback for the
-          // widely-deployed servers that send it bare
-          inflateZlib(afterTransfer, MaxBodyBytes, nowrap = false)
-            .orElse(inflateZlib(afterTransfer, MaxBodyBytes, nowrap = true))
-          match {
-            case Some(b) => (b, "deflate")
-            case None => (afterTransfer, "deflate_error")
-          }
-        case Some(_) => (afterTransfer, "unsupported")
+      if (transferCoding == "chunked_error" ||
+          transferCoding == "transfer_error" ||
+          transferCoding == "unsupported") (afterTransfer, "skipped")
+      else if (ceTokens.isEmpty) (afterTransfer, "none")
+      else if (!ceTokens.forall(SupportedCodings))
+        (afterTransfer, "unsupported") // raw kept, never guessed
+      else decodeChain(ceTokens, afterTransfer) match {
+        case Right(b) => (b, ceTokens.map(canonCoding).mkString("+"))
+        case Left(t) => (afterTransfer, canonCoding(t) + "_error")
       }
 
     // 3. charset resolution: header > BOM > meta prescan (html) > utf-8
@@ -236,6 +263,39 @@ object HttpEnvelope {
     EnvelopeRecord(id, "ok", Some(status), headers, contentType, charset,
       lengthStatus, transferCoding, contentCoding,
       cs.name().toLowerCase, csSource, body, text)
+  }
+
+  /** Codings [[decodeChain]] can remove; anything else quarantines. */
+  private val SupportedCodings = Set("gzip", "x-gzip", "deflate")
+
+  /** `x-gzip` is gzip's deprecated alias (RFC 9110 §8.4.1.3) — one
+    * label so reports never split a class on the alias. */
+  private def canonCoding(t: String): String =
+    if (t == "x-gzip") "gzip" else t
+
+  /** Decode a coding list right-to-left (the last-listed coding was
+    * applied last on the wire, so it comes off first). Right(bytes)
+    * on success; Left(failing token) on the first stream defect —
+    * the caller keeps the ORIGINAL bytes, quarantine-not-guess. */
+  private def decodeChain(tokens: Seq[String],
+                          b0: Array[Byte]): Either[String, Array[Byte]] = {
+    var cur = b0
+    for (t <- tokens.reverse) {
+      val out = t match {
+        case "gzip" | "x-gzip" => CrawlArchive.inflate(cur, MaxBodyBytes)
+        case "deflate" =>
+          // zlib-wrapped per the RFC; raw-deflate fallback for the
+          // widely-deployed servers that send it bare
+          inflateZlib(cur, MaxBodyBytes, nowrap = false)
+            .orElse(inflateZlib(cur, MaxBodyBytes, nowrap = true))
+        case _ => None // unreachable: callers pre-filter on SupportedCodings
+      }
+      out match {
+        case Some(x) => cur = x
+        case None => return Left(t)
+      }
+    }
+    Right(cur)
   }
 
   /** Remove RFC 9112 §7.1 chunk framing: `hex-size[;ext]\r\n data

@@ -206,6 +206,87 @@ class HttpEnvelopeCodingSpec extends AnyFunSuite {
       ch.transfer_coding == "chunked" && ch.body_text == txt)
   }
 
+  test("TE gzip-over-chunked: de-chunk then inflate, one label") {
+    val txt = "transfer-coded gzip under chunked framing"
+    val r = HttpEnvelope.parse("a", env(
+      "Transfer-Encoding: gzip, chunked\r\n",
+      chunk(gz(txt.getBytes("UTF-8")), 13)))
+    assert(r.transfer_coding == "gzip+chunked" && r.body_text == txt)
+    // x-gzip is gzip's alias — canonical label, same decode
+    val x = HttpEnvelope.parse("a", env(
+      "Transfer-Encoding: x-gzip, chunked\r\n",
+      chunk(gz(txt.getBytes("UTF-8")), 13)))
+    assert(x.transfer_coding == "gzip+chunked" && x.body_text == txt)
+    // and the declared length is superseded by ANY transfer coding
+    assert(HttpEnvelope.parse("a", env(
+      "Transfer-Encoding: gzip, chunked\r\nContent-Length: 3\r\n",
+      chunk(gz(txt.getBytes("UTF-8")), 13))).length_status == "superseded")
+  }
+
+  test("TE lists we can't decode quarantine as unsupported, not plain") {
+    val payload = bytes("opaque transfer-coded bytes")
+    // unknown coding before chunked; chunked not last; no chunked at all
+    for (te <- Seq("br, chunked", "chunked, gzip", "gzip", "zstd")) {
+      val r = HttpEnvelope.parse("a",
+        env(s"Transfer-Encoding: $te\r\nContent-Encoding: gzip\r\n", payload))
+      assert(r.transfer_coding == "unsupported", te)
+      assert(r.content_coding == "skipped", te) // never inflate past a defect
+      assert(r.body.sameElements(payload), te)
+    }
+    // identity is a no-op member: 'identity, chunked' is just chunked
+    val id = HttpEnvelope.parse("a", env(
+      "Transfer-Encoding: identity, chunked\r\n",
+      chunk(bytes("hello body"), 4)))
+    assert(id.transfer_coding == "chunked" && id.body_text == "hello body")
+  }
+
+  test("TE coding defect after valid de-chunk: transfer_error, framed kept") {
+    val g = gz("truncated under the framing".getBytes("UTF-8"))
+    val framed = chunk(g.take(g.length / 2), 16) // valid chunks, broken gzip
+    val r = HttpEnvelope.parse("a",
+      env("Transfer-Encoding: gzip, chunked\r\n", framed))
+    assert(r.transfer_coding == "transfer_error" &&
+      r.content_coding == "skipped" && r.body.sameElements(framed))
+  }
+
+  test("Content-Encoding chains decode right-to-left") {
+    val txt = "double compressed body survives the chain"
+    val double = gz(gz(txt.getBytes("UTF-8")))
+    val r = HttpEnvelope.parse("a",
+      env("Content-Encoding: gzip, gzip\r\n", double))
+    assert(r.content_coding == "gzip+gzip" && r.body_text == txt)
+    // deflate applied first, then gzip: listed 'deflate, gzip', so the
+    // gzip layer comes off first
+    def defl(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end(); bos.toByteArray
+    }
+    val mixed = gz(defl(txt.getBytes("UTF-8")))
+    val m = HttpEnvelope.parse("a",
+      env("Content-Encoding: deflate, gzip\r\n", mixed))
+    assert(m.content_coding == "deflate+gzip" && m.body_text == txt)
+    // a defect mid-chain keeps the RAW wire bytes, labels the failure
+    val notDouble = gz(txt.getBytes("UTF-8")) // inner layer missing
+    val bad = HttpEnvelope.parse("a",
+      env("Content-Encoding: gzip, gzip\r\n", notDouble))
+    assert(bad.content_coding == "gzip_error" &&
+      bad.body.sameElements(notDouble))
+  }
+
+  test("Content-Length leading zeros are valid decimal syntax") {
+    val txt = "entity body here"
+    def cl(v: String, body: String) = HttpEnvelope.parse("a",
+      env(s"Content-Length: $v\r\n", bytes(body)))
+    assert(cl("0" * 18 + txt.length.toString, txt).length_status == "exact")
+    assert(cl("0" * 25, "").length_status == "exact") // declared zero
+    // 19 SIGNIFICANT digits is genuinely out of range
+    assert(cl("1234567890123456789", txt).length_status == "invalid")
+  }
+
   test("dechunk is total: zip of hostile inputs never throws") {
     val rnd = new scala.util.Random(4242)
     for (_ <- 1 to 300) {
