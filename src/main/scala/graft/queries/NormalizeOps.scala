@@ -641,6 +641,78 @@ object NormalizeOps {
               concat(hex(substring(col("body"), 1, 2)),
                 md5(expr("substring(body, 3, 2147483647)"))))
             .otherwise(md5(col("body"))).as("body_pin"))
+    }),
+
+    // Real WARC/1.0 read mode (VERDICT r12 #1): q209 reads the
+    // GARC-shaped container; this fixture is REAL-format WARC — one
+    // gzip member per record wrapping `WARC/1.0` version line +
+    // WARC-Type/Target-URI/Date/Content-Type headers +
+    // Content-Length-framed payload + CRLF CRLF, the Common-Crawl
+    // layout. Per doc: a `response` record whose payload is a FULL
+    // HTTP response (status line %2-split 200/404 — mime truth comes
+    // from HttpEnvelope, reused on ok responses), plus a `request`
+    // record when %3 and a `metadata` record when %5. Quarantine
+    // classes: %7 POISONED member (gzip magic + zeros — undecodable;
+    // `corrupt_gzip`, raw span kept and hex-pinned, walk RESYNCS so
+    // later records stay ok), %13 missing WARC-Target-URI
+    // (`corrupt`, everything the header proves kept). The oracle
+    // recomputes every field — record order, framing lengths, payload
+    // md5s, envelope status — from class arithmetic without touching
+    // a byte of WARC.
+    "q219_warc_read" -> ((s, d) => {
+      import graft.sources.{CrawlArchive, HttpEnvelope}
+      import s.implicits._
+      val recs = Tables.load(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          coalesce(col("text"), lit("")).as("text"))
+        .as[(String, Long, String)]
+        .flatMap { case (src, id, text) =>
+          val url = s"https://$src.example.org/d$id"
+          val date = f"2026-08-${id % 28 + 1}%02dT00:00:00Z"
+          val statusLine =
+            if (id % 2 == 0) "HTTP/1.1 404 Not Found" else "HTTP/1.1 200 OK"
+          val http = (statusLine + "\r\nContent-Type: text/html\r\n\r\n")
+            .getBytes("UTF-8") ++ text.getBytes("UTF-8")
+          val resp = (src, id * 4, "response",
+            if (id % 13 == 0) null else url, date,
+            "application/http; msgtype=response", http, id % 7 == 0)
+          val req =
+            if (id % 3 == 0) Seq((src, id * 4 + 1, "request", url, date,
+              "application/http; msgtype=request",
+              (s"GET /d$id HTTP/1.1\r\nHost: $src.example.org\r\n\r\n")
+                .getBytes("UTF-8"), false))
+            else Nil
+          val meta =
+            if (id % 5 == 0) Seq((src, id * 4 + 2, "metadata", url, date,
+              "application/warc-fields",
+              s"fetched-from: seed\nparent: d$id\n".getBytes("UTF-8"),
+              false))
+            else Nil
+          Seq(resp) ++ req ++ meta
+        }.toDF("src", "rid", "rtype", "url", "ts", "ct", "payload", "poison")
+      val archives = CrawlArchive.encodeWarc(s, recs, "src", "rid",
+        "rtype", "url", "ts", "ct", "payload",
+        poisonIfCol = Some("poison"))
+      val w = CrawlArchive.extractWarc(s, archives, "archive", "bytes")
+        .toDF()
+        .withColumn("eid",
+          concat(col("archive"), lit("#"), col("rec_idx").cast("string")))
+      // mime/status truth for ok responses comes from the envelope —
+      // the q210 discipline running on real-WARC payloads unchanged
+      val env = HttpEnvelope.extract(s,
+          w.filter(col("status") === "ok" && col("rec_type") === "response")
+            .select(col("eid"), col("body")), "eid", "body")
+        .toDF()
+        .select(col("id").as("eid"),
+          col("http_status").as("http_status"),
+          col("content_type").as("env_content_type"))
+      w.join(env, Seq("eid"), "left")
+        .select(col("archive"), col("rec_idx"), col("status"),
+          col("rec_type"), col("url"), col("warc_date"),
+          col("warc_content_type"), col("n_bytes"),
+          col("http_status"), col("env_content_type"),
+          when(col("status") === "corrupt_gzip", hex(col("body")))
+            .otherwise(md5(col("body"))).as("body_pin"))
     })
   )
 
@@ -1576,6 +1648,77 @@ object NormalizeOps {
              FROM documents)
           SELECT archive, rec_idx, status, url, mime, n_bytes, body_pin
           FROM r""",
+
+    // Real-WARC read recomputed without a byte of WARC: record order
+    // (response, +request %3, +metadata %5 per doc), quarantine
+    // classes (%7 poisoned member = 40 constant bytes hex-pinned,
+    // %13 missing Target-URI), framing lengths and payload md5s from
+    // the reconstructed payload STRINGS, and the envelope's verdict
+    // (status %2-split 404/200) for ok responses.
+    "q219_warc_read" ->
+      """WITH c AS (SELECT chr(13) || chr(10) AS rn),
+          docs AS (SELECT doc_id, source, coalesce(text, '') AS text
+                   FROM documents),
+          pay AS (SELECT d.*,
+               (CASE WHEN d.doc_id % 2 = 0 THEN 'HTTP/1.1 404 Not Found'
+                     ELSE 'HTTP/1.1 200 OK' END)
+                 || c.rn || 'Content-Type: text/html' || c.rn || c.rn
+                 || d.text AS resp_payload,
+               'GET /d' || CAST(d.doc_id AS VARCHAR) || ' HTTP/1.1'
+                 || c.rn || 'Host: ' || d.source || '.example.org'
+                 || c.rn || c.rn AS req_payload,
+               'fetched-from: seed' || chr(10) || 'parent: d'
+                 || CAST(d.doc_id AS VARCHAR) || chr(10) AS meta_payload,
+               'https://' || d.source || '.example.org/d'
+                 || CAST(d.doc_id AS VARCHAR) AS url0,
+               '2026-08-' || lpad(CAST(d.doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                 || 'T00:00:00Z' AS date0
+             FROM docs d, c),
+          recs AS (
+            SELECT source AS archive, doc_id, 0 AS sub,
+                   CASE WHEN doc_id % 7 = 0 THEN 'corrupt_gzip'
+                        WHEN doc_id % 13 = 0 THEN 'corrupt'
+                        ELSE 'ok' END AS status,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE 'response' END AS rec_type,
+                   CASE WHEN doc_id % 7 = 0 OR doc_id % 13 = 0 THEN NULL
+                        ELSE url0 END AS url,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL ELSE date0 END
+                     AS warc_date,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE 'application/http; msgtype=response' END
+                     AS warc_content_type,
+                   CASE WHEN doc_id % 7 = 0 THEN CAST(40 AS BIGINT)
+                        ELSE CAST(octet_length(encode(resp_payload))
+                                  AS BIGINT) END AS n_bytes,
+                   CASE WHEN doc_id % 7 = 0 OR doc_id % 13 = 0 THEN NULL
+                        WHEN doc_id % 2 = 0 THEN CAST(404 AS BIGINT)
+                        ELSE CAST(200 AS BIGINT) END AS http_status,
+                   CASE WHEN doc_id % 7 = 0 OR doc_id % 13 = 0 THEN NULL
+                        ELSE 'text/html' END AS env_content_type,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN '1F8B08' || repeat('0', 74)
+                        ELSE md5(resp_payload) END AS body_pin
+            FROM pay
+            UNION ALL
+            SELECT source, doc_id, 1, 'ok', 'request', url0, date0,
+                   'application/http; msgtype=request',
+                   CAST(octet_length(encode(req_payload)) AS BIGINT),
+                   NULL, NULL, md5(req_payload)
+            FROM pay WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT source, doc_id, 2, 'ok', 'metadata', url0, date0,
+                   'application/warc-fields',
+                   CAST(octet_length(encode(meta_payload)) AS BIGINT),
+                   NULL, NULL, md5(meta_payload)
+            FROM pay WHERE doc_id % 5 = 0)
+          SELECT archive,
+                 CAST(row_number() OVER (PARTITION BY archive
+                                         ORDER BY doc_id, sub) - 1
+                      AS BIGINT) AS rec_idx,
+                 status, rec_type, url, warc_date, warc_content_type,
+                 n_bytes, http_status, env_content_type, body_pin
+          FROM recs""",
 
     // Full-RFC wildcards: each rule compiles to the SAME escaped LIKE
     // pattern in both engines (escape \ % _, star → %, trailing %

@@ -232,6 +232,301 @@ object CrawlArchive {
     out.result()
   }
 
+  // ---- WARC/1.0 read mode (ISO 28500 / the Common Crawl layout) ----
+
+  /** One extracted WARC record (or quarantine marker). Field names
+    * mirror the WARC header keys: `rec_type` = `WARC-Type`, `url` =
+    * `WARC-Target-URI`, `warc_date` = `WARC-Date`,
+    * `warc_content_type` = the record-level `Content-Type` (for a
+    * `response` record that is `application/http; msgtype=response` —
+    * the HTTP envelope INSIDE the body is [[HttpEnvelope]]'s job). */
+  final case class WarcRecord(
+      archive: String, rec_idx: Long, status: String,
+      rec_type: String, url: String, warc_date: String,
+      warc_content_type: String, n_bytes: Long, body: Array[Byte])
+
+  /** Demux real WARC archives — the format dispatch next to
+    * [[extract]]'s GARC container: `WARC/` leading bytes → plain
+    * concatenated records; gzip leading bytes → one gzip MEMBER per
+    * record (the real Common-Crawl layout: header + payload wrapped
+    * together, member boundaries located exactly via the deflate
+    * stream end + CRC/ISIZE trailer check); anything else → one
+    * `corrupt_container` row.
+    *
+    * Quarantine taxonomy (the [[extract]] contract, same labels):
+    *  - a POISONED member (gzip magic, undecodable stream, or a bad
+    *    CRC/length trailer) → `corrupt_gzip`, the raw compressed span
+    *    KEPT, and the walk RESYNCS at the next member magic — member
+    *    framing means one bad record never costs the archive;
+    *  - a record missing its required `WARC-Target-URI` (all types
+    *    but `warcinfo`) or its `WARC-Type` → `corrupt`, everything
+    *    the header still proves kept;
+    *  - a missing/invalid `Content-Length`, or one running past the
+    *    available bytes → `truncated` (kept-what's-there); in plain
+    *    mode this ends the walk (no trustworthy resync — exactly the
+    *    GARC rule), in member mode the walk continues to the next
+    *    member.
+    *
+    * Scale shape: identical to [[extract]] — partition-wise
+    * `mapPartitions`, zero shuffle, one pass; an archive row maps to
+    * an archive file. Total on hostile bytes (fuzz battery). */
+  def extractWarc(spark: SparkSession, archives: DataFrame,
+                  archiveCol: String, binCol: String): Dataset[WarcRecord] = {
+    import spark.implicits._
+    archives.select(col(archiveCol).cast("string"),
+        coalesce(col(binCol), lit(Array.empty[Byte])))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (g, bytes) => demuxWarc(g, bytes) })
+  }
+
+  /** Assemble a real-format WARC fixture: one archive per `groupCol`,
+    * records in ascending `idCol` order, each
+    * `WARC/1.0` version line + headers + Content-Length-framed
+    * payload + CRLF CRLF separator — wrapped as its OWN gzip member
+    * when `gzipMembers` (the Common-Crawl layout) or concatenated
+    * plain. A null `urlCol` omits `WARC-Target-URI` (the required-
+    * field quarantine class); `poisonIfCol` replaces the whole member
+    * with gzip-magic-then-zeros — undecodable, resyncable, byte-
+    * deterministic (fixtures pin its hex). */
+  def encodeWarc(spark: SparkSession, recs: DataFrame, groupCol: String,
+                 idCol: String, typeCol: String, urlCol: String,
+                 tsCol: String, ctCol: String, payloadCol: String,
+                 poisonIfCol: Option[String] = None,
+                 gzipMembers: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val poison =
+      poisonIfCol.map(c => col(c).cast("boolean")).getOrElse(lit(false))
+    recs
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col(idCol).cast("long").as("id"),
+        col(typeCol).as("rtype"), col(urlCol).as("url"), col(tsCol).as("ts"),
+        col(ctCol).as("ct"), col(payloadCol).as("payload"),
+        poison.as("poison")))).as("recs"))
+      .as[(String,
+        Seq[(Long, String, String, String, String, Array[Byte], Boolean)])]
+      .map { case (g, rs) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        rs.foreach { case (id, rtype, url, ts, ct, payload, poisoned) =>
+          if (poisoned) bos.write(PoisonMember)
+          else {
+            val hdr = new StringBuilder()
+            hdr.append("WARC/1.0\r\n")
+            hdr.append(s"WARC-Type: ${hdrSafe(rtype)}\r\n")
+            if (url != null) hdr.append(s"WARC-Target-URI: ${hdrSafe(url)}\r\n")
+            hdr.append(s"WARC-Date: ${hdrSafe(ts)}\r\n")
+            hdr.append(s"WARC-Record-ID: <urn:id:$id>\r\n")
+            hdr.append(s"Content-Type: ${hdrSafe(ct)}\r\n")
+            hdr.append(s"Content-Length: ${payload.length}\r\n\r\n")
+            val rec = hdr.toString.getBytes("UTF-8") ++ payload ++
+              "\r\n\r\n".getBytes("UTF-8")
+            bos.write(if (gzipMembers) gzipBytes(rec) else rec)
+          }
+        }
+        (g, bos.toByteArray)
+      }.toDF("archive", "bytes")
+  }
+
+  /** A poisoned member: gzip magic + deflate method byte, then zeros
+    * — fails to inflate, contains no false resync magic, and is
+    * byte-deterministic so fixtures can pin its hex. */
+  private[sources] val PoisonMember: Array[Byte] =
+    Array[Byte](0x1f.toByte, 0x8b.toByte, 0x08.toByte) ++
+      Array.fill[Byte](37)(0)
+
+  /** Pure per-blob WARC demux — also the fuzz harness entry point. */
+  private[sources] def demuxWarc(g: String,
+                                 bytes: Array[Byte]): Seq[WarcRecord] = {
+    val isWarc = bytes.length >= 5 && bytes(0) == 'W' && bytes(1) == 'A' &&
+      bytes(2) == 'R' && bytes(3) == 'C' && bytes(4) == '/'
+    val isGz = bytes.length >= 2 && bytes(0) == 0x1f.toByte &&
+      (bytes(1) & 0xff) == 0x8b
+    if (isWarc) warcPlainWalk(g, bytes)
+    else if (isGz) warcMemberWalk(g, bytes)
+    else Seq(WarcRecord(g, -1L, "corrupt_container",
+      null, null, null, null, -1L, null))
+  }
+
+  /** Member-per-record walk: exact member boundaries from the deflate
+    * stream end + trailer; a broken member quarantines its span and
+    * resyncs at the next member magic. */
+  private def warcMemberWalk(g: String,
+                             bytes: Array[Byte]): Seq[WarcRecord] = {
+    val out = Seq.newBuilder[WarcRecord]
+    var off = 0
+    var idx = 0L
+    while (off < bytes.length) {
+      val member =
+        if (off + 2 <= bytes.length && bytes(off) == 0x1f.toByte &&
+            (bytes(off + 1) & 0xff) == 0x8b)
+          gzipMemberEnd(bytes, off, MaxInflatedBytes)
+        else None
+      member match {
+        case Some((body, next)) =>
+          out += parseWarcAt(g, idx, body, 0)._1
+          off = next
+        case None =>
+          // resync: scan past this offset for the next member magic
+          // (1f 8b 08); the skipped span is kept, never dropped
+          var j = off + 1
+          while (j + 3 <= bytes.length &&
+            !(bytes(j) == 0x1f.toByte && (bytes(j + 1) & 0xff) == 0x8b &&
+              bytes(j + 2) == 0x08.toByte)) j += 1
+          val end = if (j + 3 <= bytes.length) j else bytes.length
+          out += WarcRecord(g, idx, "corrupt_gzip", null, null, null, null,
+            (end - off).toLong,
+            java.util.Arrays.copyOfRange(bytes, off, end))
+          off = end
+      }
+      idx += 1
+    }
+    out.result()
+  }
+
+  /** Concatenated plain records: Content-Length is the ONLY resync,
+    * so a framing defect ends the walk with a terminal `truncated`
+    * row — the GARC rule. */
+  private def warcPlainWalk(g: String,
+                            bytes: Array[Byte]): Seq[WarcRecord] = {
+    val out = Seq.newBuilder[WarcRecord]
+    var off = 0L
+    var idx = 0L
+    var broken = false
+    while (off < bytes.length && !broken) {
+      val (rec, next) = parseWarcAt(g, idx, bytes, off.toInt)
+      out += rec
+      if (next < 0) broken = true
+      else {
+        // consume the record separator (two CRLFs; tolerant of bare
+        // LFs) — the next record starts with 'W', never a newline
+        var p = next
+        while (p < bytes.length && (bytes(p) == '\r' || bytes(p) == '\n'))
+          p += 1
+        off = p
+      }
+      idx += 1
+    }
+    out.result()
+  }
+
+  /** Parse one WARC record at `off`. Returns the record and the
+    * offset just past its body, or −1 when the framing is
+    * untrustworthy (bad version line, no blank line in bound,
+    * missing/invalid Content-Length, body past the buffer). */
+  private def parseWarcAt(g: String, idx: Long, bytes: Array[Byte],
+                          off: Int): (WarcRecord, Int) = {
+    def rest = java.util.Arrays.copyOfRange(bytes, off, bytes.length)
+    val versionOk = off + 5 <= bytes.length && bytes(off) == 'W' &&
+      bytes(off + 1) == 'A' && bytes(off + 2) == 'R' &&
+      bytes(off + 3) == 'C' && bytes(off + 4) == '/'
+    if (!versionOk)
+      return (WarcRecord(g, idx, "corrupt", null, null, null, null,
+        (bytes.length - off).toLong, rest), -1)
+    val hEnd = blankLineAt(bytes, off.toLong)
+    if (hEnd < 0)
+      return (WarcRecord(g, idx, "truncated", null, null, null, null,
+        (bytes.length - off).toLong, rest), -1)
+    val head = new String(bytes, off, (hEnd - off).toInt, "UTF-8")
+    // first-wins lowercased header fold — the HttpEnvelope discipline
+    val fields = head.linesIterator.drop(1)
+      .foldLeft(Map.empty[String, String]) { (acc, l) =>
+        val i = l.indexOf(':')
+        if (i <= 0) acc
+        else {
+          val k = l.substring(0, i).trim.toLowerCase
+          if (acc.contains(k)) acc else acc + (k -> l.substring(i + 1).trim)
+        }
+      }
+    val rtype = fields.get("warc-type").map(_.toLowerCase).orNull
+    val url = fields.get("warc-target-uri").orNull
+    val date = fields.get("warc-date").orNull
+    val ct = fields.get("content-type").orNull
+    val bodyStart = (hEnd + 1).toInt
+    val clen = fields.get("content-length").map(_.trim) match {
+      case Some(v) if v.nonEmpty && v.forall(_.isDigit) &&
+        v.dropWhile(_ == '0').length <= 18 =>
+        Some(if (v.dropWhile(_ == '0').isEmpty) 0L
+             else v.dropWhile(_ == '0').toLong)
+      case _ => None
+    }
+    clen match {
+      case None =>
+        (WarcRecord(g, idx, "truncated", rtype, url, date, ct,
+          (bytes.length - bodyStart).toLong,
+          java.util.Arrays.copyOfRange(bytes, bodyStart, bytes.length)), -1)
+      case Some(n) if bodyStart + n > bytes.length =>
+        (WarcRecord(g, idx, "truncated", rtype, url, date, ct,
+          (bytes.length - bodyStart).toLong,
+          java.util.Arrays.copyOfRange(bytes, bodyStart, bytes.length)), -1)
+      case Some(n) =>
+        val body = java.util.Arrays.copyOfRange(
+          bytes, bodyStart, bodyStart + n.toInt)
+        val status =
+          if (rtype == null) "corrupt"
+          else if (url == null && rtype != "warcinfo") "corrupt"
+          else "ok"
+        (WarcRecord(g, idx, status, rtype, url, date, ct, n, body),
+          bodyStart + n.toInt)
+    }
+  }
+
+  /** Inflate ONE gzip member starting at `off` and locate its exact
+    * end: manual header parse (FEXTRA/FNAME/FCOMMENT/FHCRC), raw
+    * Inflater bounded by `cap`, then the CRC32 + ISIZE trailer
+    * VERIFIED — a lying trailer is a poisoned member, not a record.
+    * None on any defect; never throws. */
+  private[sources] def gzipMemberEnd(b: Array[Byte], off: Int,
+      cap: Long): Option[(Array[Byte], Int)] = {
+    if (off + 10 > b.length || b(off) != 0x1f.toByte ||
+        (b(off + 1) & 0xff) != 0x8b || b(off + 2) != 0x08.toByte)
+      return None
+    val flg = b(off + 3) & 0xff
+    var p = off + 10
+    if ((flg & 4) != 0) { // FEXTRA: 2-byte LE length + payload
+      if (p + 2 > b.length) return None
+      p += 2 + ((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8))
+      if (p > b.length) return None
+    }
+    if ((flg & 8) != 0) { // FNAME: NUL-terminated
+      while (p < b.length && b(p) != 0) p += 1
+      p += 1; if (p > b.length) return None
+    }
+    if ((flg & 16) != 0) { // FCOMMENT: NUL-terminated
+      while (p < b.length && b(p) != 0) p += 1
+      p += 1; if (p > b.length) return None
+    }
+    if ((flg & 2) != 0) { p += 2; if (p > b.length) return None } // FHCRC
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(b, p, b.length - p)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch { case _: java.util.zip.DataFormatException => return None }
+        if (n == 0) {
+          if (!inf.finished()) return None // truncated / dictionary demand
+        } else {
+          total += n
+          if (total > cap) return None
+          out.write(buf, 0, n)
+        }
+      }
+      val used = inf.getBytesRead.toInt
+      val tEnd = p + used + 8
+      if (tEnd > b.length) return None
+      val body = out.toByteArray
+      val crc = new java.util.zip.CRC32()
+      crc.update(body)
+      def le32(o: Int): Long = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      if (le32(p + used) != crc.getValue ||
+          le32(p + used + 4) != (body.length & 0xffffffffL)) None
+      else Some((body, tEnd))
+    } finally inf.end()
+  }
+
   /** Offset of the `\n` that ends the header's blank line (i.e. the
     * second of "\n\n"), or −1 when none within [[MaxHeaderBytes]] /
     * the buffer. CRLF headers normalize: a "\r\n\r\n" also ends. */
