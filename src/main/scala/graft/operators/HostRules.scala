@@ -312,39 +312,82 @@ object HostRules {
     * @return (matched_rule, action) columns */
   def robotsPathMatchRfcCols(path: Column, rules: Column,
                              default: String): Seq[Column] = {
+    // compatibility form: compile per evaluation — prefer the hoisted
+    // [[robotsPathMatchRfcCompiledCols]] + [[compileRfcPatternCol]]
+    // on a rules RELATION (the r12 q207/q208 floor cost was exactly
+    // this per-(path,rule) normalization)
+    val compiled = transform(rules, r => struct(
+      r.getField("rule").as("rule"), r.getField("action").as("action"),
+      compileRfcPatternCol(r.getField("rule")).as("pat")))
+    robotsPathMatchRfcCompiledCols(
+      UrlCanon.percentNormalize(path), compiled, default)
+  }
+
+  /** Compile ONE rule to its escaped LIKE pattern — Column form for a
+    * rules relation (one evaluation per rule ROW, hoisted off the
+    * per-path match): normalize percent-octets (RFC 9309 §2.2.2 —
+    * `%2f` vs `%2F` vs an encoded unreserved char must not split the
+    * verdict; precedence still ranks on the RAW rule's octets),
+    * escape `\` `%` `_`, `*` → `%`, trailing `%` unless `$`-anchored
+    * (LIKE full-matches, so prefix semantics come from that `%`). */
+  def compileRfcPatternCol(rule: Column): Column = {
+    val anchored = rule.endsWith("$")
+    val core = UrlCanon.percentNormalize(regexp_replace(rule, "\\$$", ""))
+    val body = replace(replace(replace(replace(
+      core, lit("\\"), lit("\\\\")), lit("%"), lit("\\%")),
+      lit("_"), lit("\\_")), lit("*"), lit("%"))
+    when(anchored, body).otherwise(concat(body, lit("%")))
+  }
+
+  /** Driver-side twin of [[compileRfcPatternCol]] for LITERAL rule
+    * lists — compiles on the driver, so the array-literal projection
+    * ships finished patterns (RobotsSpec pins the twins equal). */
+  def compileRfcPatternStr(rule: String): String = {
+    val anchored = rule.endsWith("$")
+    val core = UrlCanon.percentNormalizeStr(
+      if (anchored) rule.dropRight(1) else rule)
+    val body = core.replace("\\", "\\\\").replace("%", "\\%")
+      .replace("_", "\\_").replace("*", "%")
+    if (anchored) body else body + "%"
+  }
+
+  /** The RFC matcher over PRE-COMPILED rules: `rules` is
+    * array&lt;struct&lt;rule, action, pat&gt;&gt; (from
+    * [[compileRfcPatternCol]]/[[compileRfcPatternStr]]) and `pathN`
+    * the ALREADY-normalized path — project
+    * `UrlCanon.percentNormalize(path)` as its own column first so it
+    * evaluates once per row, not once per rule.
+    * @return (matched_rule, action) columns */
+  def robotsPathMatchRfcCompiledCols(pathN: Column, rules: Column,
+                                     default: String): Seq[Column] = {
     import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
-    // RFC 9309 §2.2.2: rule and path compare as NORMALIZED octets —
-    // `%2f` vs `%2F` vs an encoded unreserved char must not split the
-    // verdict (UrlCanon.percentNormalize, the RFC 3986 §6.2.2.2 rank;
-    // precedence still ranks on the RAW rule's octet count)
-    val pathN = UrlCanon.percentNormalize(path)
-    def matches(r: Column): Column = {
-      val rule = r.getField("rule")
-      val anchored = rule.endsWith("$")
-      val core = UrlCanon.percentNormalize(regexp_replace(rule, "\\$$", ""))
-      val body = replace(replace(replace(replace(
-        core, lit("\\"), lit("\\\\")), lit("%"), lit("\\%")),
-        lit("_"), lit("\\_")), lit("*"), lit("%"))
-      val pat = when(anchored, body).otherwise(concat(body, lit("%")))
-      rule.startsWith("/") &&
+    def matches(r: Column): Column =
+      r.getField("rule").startsWith("/") &&
         column(org.apache.spark.sql.catalyst.expressions.Like(
-          expression(pathN), expression(pat), '\\'))
-    }
-    val best = mostSpecificRfc(filter(rules, matches(_)))
+          expression(pathN), expression(r.getField("pat")), '\\'))
+    // strip `pat` before the precedence fold — its accumulator is the
+    // bare (rule, action) struct
+    val best = mostSpecificRfc(transform(filter(rules, matches(_)),
+      r => struct(r.getField("rule").as("rule"),
+        r.getField("action").as("action"))))
     Seq(best.getField("rule").as("matched_rule"),
       coalesce(best.getField("action"), lit(default)).as("action"))
   }
 
   /** [[robotsPathMatch]]'s sibling under the FULL RFC grammar — the
-    * shared literal rule list as an array-literal projection through
-    * [[robotsPathMatchRfcCols]]. */
+    * shared literal rule list compiled ON THE DRIVER
+    * ([[compileRfcPatternStr]]), so per row the only work left is
+    * one path normalization plus the LIKE evaluations. */
   def robotsPathMatchRfc(docs: DataFrame, idCol: String, pathCol: String,
                          rules: Seq[(String, String)],
                          default: String): DataFrame = {
     val ruleArr = array(rules.map { case (r, a) =>
-      struct(lit(r).as("rule"), lit(a).as("action")) }: _*)
-    docs.select(col(idCol) +: col(pathCol) +:
-      robotsPathMatchRfcCols(col(pathCol), ruleArr, default): _*)
+      struct(lit(r).as("rule"), lit(a).as("action"),
+        lit(compileRfcPatternStr(r)).as("pat")) }: _*)
+    docs
+      .withColumn("_path_n", UrlCanon.percentNormalize(col(pathCol)))
+      .select(col(idCol) +: col(pathCol) +:
+        robotsPathMatchRfcCompiledCols(col("_path_n"), ruleArr, default): _*)
   }
 
   /** RFC 9309 most-specific-match precedence: longest literal octets,

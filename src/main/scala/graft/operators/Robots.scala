@@ -212,15 +212,22 @@ object Robots {
                pathCol: String, bodies: DataFrame,
                bodyHostCol: String, txtCol: String, uaToken: String,
                default: String): DataFrame = {
+    // patterns compile on the RULES relation — once per (host, rule),
+    // not once per (path row × rule); the path normalizes once per
+    // row as its own projected column
     val rules = selectRules(
         parseDirectives(bodies, bodyHostCol, txtCol), uaToken)
+      .withColumn("pat", HostRules.compileRfcPatternCol(col("rule")))
       .groupBy(col("host"))
-      .agg(sort_array(collect_list(struct(col("rule"), col("action"))))
-        .as("_rules"))
+      .agg(sort_array(collect_list(
+        struct(col("rule"), col("action"), col("pat")))).as("_rules"))
       .withColumnRenamed("host", "_rule_host")
-    val matched =
-      HostRules.robotsPathMatchRfcCols(col(pathCol), col("_rules"), default)
-    docs.join(rules, col(hostCol) === col("_rule_host"), "left")
+    val matched = HostRules.robotsPathMatchRfcCompiledCols(
+      col("_path_n"), col("_rules"), default)
+    docs
+      .withColumn("_path_n",
+        graft.operators.UrlCanon.percentNormalize(col(pathCol)))
+      .join(rules, col(hostCol) === col("_rule_host"), "left")
       .select(col(idCol) +: col(hostCol) +: col(pathCol) +: matched: _*)
   }
 }

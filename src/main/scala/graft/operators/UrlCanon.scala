@@ -56,6 +56,15 @@ object UrlCanon {
     * is split/transform/conv/char — codegen'd, map-only, and mirrored
     * verbatim by the DuckDB oracle chain. */
   def percentNormalize(u: Column): Column = {
+    // fast path: a string with no `%` and no sentinel maps to itself
+    // (strip is a no-op, the split yields one non-% segment, the join
+    // restores it) -- most paths/URLs take this branch, and CaseWhen
+    // evaluates lazily so they skip the regexp/transform chain
+    when(instr(u, "%") === 0 && instr(u, "\u0001") === 0, u)
+      .otherwise(percentNormalizeFull(u))
+  }
+
+  private def percentNormalizeFull(u: Column): Column = {
     val segs = split(regexp_replace(regexp_replace(u, "\u0001", ""),
       "%", "\u0001%"), "\u0001")
     val normed = transform(segs, seg => {
@@ -73,6 +82,32 @@ object UrlCanon {
           .otherwise(concat(lit("%"), hexUp, rest)))
     })
     array_join(normed, "")
+  }
+
+  /** Driver-side twin of [[percentNormalize]] for LITERAL strings —
+    * lets rule-table compilation happen ONCE on the driver instead of
+    * per evaluated row (the q207 hoist). Must stay value-identical to
+    * the Column chain; UrlCanonSpec pins the equivalence on the fuzz
+    * corpus. */
+  def percentNormalizeStr(u: String): String = {
+    val segs = u.replace("\u0001", "")
+      .replace("%", "\u0001%").split("\u0001", -1)
+    // ASCII-only hex test — Character.digit also accepts Unicode
+    // digits, which the Column chain's [0-9A-F] rlike does not
+    def isHex(c: Char) = (c >= '0' && c <= '9') ||
+      (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+    segs.map { seg =>
+      if (seg.startsWith("%") && seg.length >= 3 &&
+          isHex(seg.charAt(1)) && isHex(seg.charAt(2))) {
+        val hex = seg.substring(1, 3).toUpperCase
+        val code = Integer.parseInt(hex, 16)
+        val unreserved = (code >= 'A' && code <= 'Z') ||
+          (code >= 'a' && code <= 'z') || (code >= '0' && code <= '9') ||
+          code == '-' || code == '.' || code == '_' || code == '~'
+        if (unreserved) code.toChar.toString + seg.substring(3)
+        else "%" + hex + seg.substring(3)
+      } else seg
+    }.mkString("")
   }
 
   def canonicalize(url: Column): Column = {

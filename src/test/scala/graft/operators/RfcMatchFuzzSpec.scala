@@ -177,4 +177,34 @@ class RfcMatchFuzzSpec extends AnyFunSuite {
     // and the flip case must land on the RFC/Google verdict
     assert(got(400L) == ((Some("/page*"), "allow")))
   }
+
+  test("driver-side compile twins ≡ Column chains on hostile strings") {
+    import spark.implicits._
+    // the r13 hoist ships DRIVER-compiled patterns for literal rule
+    // lists (compileRfcPatternStr / percentNormalizeStr) — any
+    // divergence from the Column chains would silently split the
+    // verdict between admitRfc (relation compile) and
+    // robotsPathMatchRfc (driver compile)
+    val chars = "/ab147*$_%\\~.-".toCharArray
+    val rnd = new scala.util.Random(1414)
+    def randStr(maxLen: Int): String =
+      (0 until rnd.nextInt(maxLen + 1)).map(_ => chars(rnd.nextInt(chars.length)))
+        .mkString
+    val edge = Seq("", "%", "%4", "%4g", "%41", "%7a", "%2f", "%2F",
+      "%25", "%255A", "a%", "%%41", "%41%42", "/ab", "%0001",
+      "*$", "$", "/*$", "\\%_")
+    val inputs = (edge ++ (0 until 400).map(_ => randStr(12)))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val rows = inputs.toDF("id", "s")
+      .select(col("id"), UrlCanon.percentNormalize(col("s")).as("pn"),
+        HostRules.compileRfcPatternCol(col("s")).as("pat"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    inputs.foreach { case (id, s) =>
+      assert(rows(id)._1 == UrlCanon.percentNormalizeStr(s),
+        s"percentNormalize twin divergence on '$s'")
+      assert(rows(id)._2 == HostRules.compileRfcPatternStr(s),
+        s"compileRfcPattern twin divergence on '$s'")
+    }
+  }
 }
