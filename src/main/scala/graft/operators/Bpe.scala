@@ -163,8 +163,22 @@ object Bpe {
     * broadcast piece table. Output: (doc_id, n_bpe_tokens) — empty
     * docs report 0. */
   def byteTokenCounts(docs: DataFrame, idCol: String, textCol: String,
-                      nMerges: Int): DataFrame = {
-    val (_, fin) = trainCore(byteSyms0(docs, textCol), nMerges)
+                      nMerges: Int): DataFrame =
+    countsFromPieces(docs, idCol, textCol,
+      trainCore(byteSyms0(docs, textCol), nMerges)._2)
+
+  /** [[byteTokenCounts]] from a STORED merge table instead of a fresh
+    * training run ([[ModelStore.loadBpe]]): replay the merges against
+    * the corpus vocabulary, then the same broadcast-piece-table count
+    * pass — value-identical to training-then-counting on the training
+    * corpus (the trainCore replay property), at apply cost. */
+  def byteTokenCountsWith(docs: DataFrame, idCol: String, textCol: String,
+                          merges: Seq[(String, String)]): DataFrame =
+    countsFromPieces(docs, idCol, textCol,
+      applyCore(byteSyms0(docs, textCol), merges))
+
+  private def countsFromPieces(docs: DataFrame, idCol: String,
+                               textCol: String, fin: DataFrame): DataFrame = {
     val pieces = fin.groupBy(col("word"))
       .agg(max(col("pos")).cast("long").as("n_pieces"))
     docs.select(col(idCol).as("doc_id"),

@@ -66,27 +66,32 @@ object LangId {
             .as(s"x$b")): _*)
   }
 
-  /** Train one-vs-rest and score the whole corpus.
-    * Output: (doc_id, actual_lang, s_&lt;lang&gt; per language,
-    * predicted, is_match). */
-  def trainScore(docs: DataFrame, idCol: String, textCol: String,
-                 langCol: String, langs: Seq[String], buckets: Int = 16,
-                 lr: Double = 0.5, rounds: Int = 2): DataFrame = {
+  /** Train one-vs-rest on a featurized corpus: one fused aggregate
+    * per round covers every language (rounds corpus passes instead of
+    * rounds·|langs|), bitwise equal to per-language LogReg.train —
+    * see LogReg.trainMulti. Returns buckets+1 doubles per language. */
+  private def trainOn(feats: DataFrame, langs: Seq[String], buckets: Int,
+                      lr: Double, rounds: Int): Seq[Seq[Double]] = {
     val dim = buckets + 1
-    val feats = featurize(docs, idCol, textCol, langCol, buckets)
-      .localCheckpoint(eager = true) // read rounds + 1 times
     val xs = (0 until dim).map(j => col(s"x$j"))
-    // fused one-vs-rest: ONE aggregate per round covers every language
-    // (rounds corpus passes instead of rounds·|langs|), bitwise equal
-    // to per-language LogReg.train — see LogReg.trainMulti
     val labeled = feats.select(
       langs.indices.map(k =>
         when(col("actual_lang") === langs(k), 1.0).otherwise(0.0)
           .as(s"y_$k")) ++ xs: _*)
-    val ws = langs.zip(LogReg.trainMulti(labeled, langs.size, dim, lr, rounds))
+    LogReg.trainMulti(labeled, langs.size, dim, lr, rounds)
+  }
+
+  /** Score a featurized corpus with the given weights: the quantized
+    * sigmoids per language, argmax with the deterministic ≥-chain
+    * tie-break (language ORDER is part of the model). */
+  private def scoreFeats(feats: DataFrame, langs: Seq[String],
+                         weights: Seq[Seq[Double]],
+                         buckets: Int): DataFrame = {
+    val xs = (0 until buckets + 1).map(j => col(s"x$j"))
     val scored = feats.select(
       Seq(col("doc_id"), col("actual_lang")) ++
-        ws.map { case (l, w) => LogReg.score(w, xs).as(s"s_$l") }: _*)
+        langs.zip(weights).map { case (l, w) =>
+          LogReg.score(w, xs).as(s"s_$l") }: _*)
     val pred = langs.init.foldRight(lit(langs.last)) { case (l, rest) =>
       val ge = langs.filter(_ != l)
         .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
@@ -94,5 +99,39 @@ object LangId {
     }
     scored.withColumn("predicted", pred)
       .withColumn("is_match", col("predicted") === col("actual_lang"))
+  }
+
+  /** Train and return just the model — the exportable artifact
+    * ([[ModelStore.exportLangId]] persists it, [[scoreWith]] replays
+    * it). */
+  def train(docs: DataFrame, idCol: String, textCol: String,
+            langCol: String, langs: Seq[String], buckets: Int = 16,
+            lr: Double = 0.5, rounds: Int = 2): Seq[Seq[Double]] = {
+    val feats = featurize(docs, idCol, textCol, langCol, buckets)
+      .localCheckpoint(eager = true) // read `rounds` times
+    trainOn(feats, langs, buckets, lr, rounds)
+  }
+
+  /** Score with a STORED model: one featurize pass, zero training
+    * aggregates — eval/calibration consumers read the artifact
+    * instead of re-fitting it (hash-identical: parquet round-trips
+    * the weight doubles bit-exactly). */
+  def scoreWith(docs: DataFrame, idCol: String, textCol: String,
+                langCol: String, langs: Seq[String],
+                weights: Seq[Seq[Double]], buckets: Int = 16): DataFrame =
+    scoreFeats(featurize(docs, idCol, textCol, langCol, buckets),
+      langs, weights, buckets)
+
+  /** Train one-vs-rest and score the whole corpus (fused: the
+    * checkpointed feature table feeds training AND scoring).
+    * Output: (doc_id, actual_lang, s_&lt;lang&gt; per language,
+    * predicted, is_match). */
+  def trainScore(docs: DataFrame, idCol: String, textCol: String,
+                 langCol: String, langs: Seq[String], buckets: Int = 16,
+                 lr: Double = 0.5, rounds: Int = 2): DataFrame = {
+    val feats = featurize(docs, idCol, textCol, langCol, buckets)
+      .localCheckpoint(eager = true) // read rounds + 1 times
+    scoreFeats(feats, langs, trainOn(feats, langs, buckets, lr, rounds),
+      buckets)
   }
 }

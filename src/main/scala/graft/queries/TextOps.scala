@@ -882,6 +882,19 @@ object TextOps {
       graft.operators.LangId.trainScore(Tables.load(s, d, "documents"),
         "doc_id", "text", "lang", langMarkers.map(_._1))),
 
+    // STORED-MODEL scoring (VERDICT r12 #3 — the stored-closure
+    // q196 discipline applied to models): q167 trains AND scores;
+    // this query scores with the PERSISTED artifact
+    // (ModelStore.exportLangId / loadBpe-style manifest+fingerprint
+    // validation) and must hash-match q167's from-scratch output —
+    // parquet round-trips the weight doubles bit-exactly, so the
+    // shared oracle is the strongest possible stored≡fresh pin.
+    "q221_langid_stored" -> ((s, d) => {
+      val m = storedLangIdModel(s, d)
+      graft.operators.LangId.scoreWith(Tables.load(s, d, "documents"),
+        "doc_id", "text", "lang", m.langs, m.weights, m.buckets)
+    }),
+
     // Measured accuracy, trained vs heuristic, one combinable aggregate
     // each. On THIS unsignaled synthetic corpus (per-lang token
     // distributions are flat) the trained model learns the class
@@ -893,8 +906,12 @@ object TextOps {
         scored.agg(count(lit(1)).as("n"),
             sum(when(col("is_match"), 1L).otherwise(0L)).as("n_correct"))
           .select(lit(m).as("method"), col("n"), col("n_correct"))
-      acc(graft.operators.LangId.trainScore(Tables.load(s, d, "documents"),
-            "doc_id", "text", "lang", langMarkers.map(_._1)),
+      // eval reads the STORED model (r12 #3): same weights bit-exact,
+      // so the oracle is unchanged — the bench stops paying a second
+      // from-scratch training for the same artifact
+      val m = storedLangIdModel(s, d)
+      acc(graft.operators.LangId.scoreWith(Tables.load(s, d, "documents"),
+            "doc_id", "text", "lang", m.langs, m.weights, m.buckets),
           "trained_trigram_logreg")
         .unionByName(acc(langidHeuristic(s, d), "marker_heuristic"))
         .withColumn("correct_ppm", expr("n_correct * 1000000L div n"))
@@ -905,8 +922,10 @@ object TextOps {
     // map-combinable fixed-bin aggregate, means on the quantized grid.
     "q169_langid_calibration" -> ((s, d) => {
       val langs = langMarkers.map(_._1)
-      graft.operators.LangId.trainScore(Tables.load(s, d, "documents"),
-          "doc_id", "text", "lang", langs)
+      // calibration also reads the stored model (r12 #3)
+      val m = storedLangIdModel(s, d)
+      graft.operators.LangId.scoreWith(Tables.load(s, d, "documents"),
+          "doc_id", "text", "lang", m.langs, m.weights, m.buckets)
         .select(col("is_match"),
           greatest(langs.map(l => col(s"s_$l")): _*).as("win"))
         .groupBy(floor(col("win") * 100).cast("long").as("bin"))
@@ -925,8 +944,48 @@ object TextOps {
     // byte-level behavior worth seeing in the merge table.
     "q170_bpe_byte_train" -> ((s, d) =>
       graft.operators.Bpe.trainByteMerges(
-        Tables.load(s, d, "documents"), "text", nMerges = 8))
+        Tables.load(s, d, "documents"), "text", nMerges = 8)),
+
+    // Tokenizer ARTIFACT round-trip (VERDICT r12 #2): the q170 merge
+    // table persists through ModelStore (rows + manifest with a
+    // content fingerprint, load-validated), and an encode that
+    // replays the STORED merges must reproduce trainByteMerges' own
+    // end-state segmentation exactly — the oracle recomputes the
+    // training chain from scratch in SQL, so any drift between the
+    // stored artifact and the live trainer breaks the hash. Output is
+    // the full piece table (word, wc, pos, sym) + the manifest's
+    // round count.
+    "q220_bpe_stored_encode" -> ((s, d) => {
+      val store = SimulatedStore.tableStore(s, d, "q220_bpe8_v1") { st =>
+        graft.operators.ModelStore.exportBpe(st, "bpe8",
+          graft.operators.Bpe.trainByteMerges(
+            Tables.load(s, d, "documents"), "text", nMerges = 8))
+      }
+      val model = graft.operators.ModelStore.loadBpe(store, "bpe8", s)
+      graft.operators.Bpe.applyByteMerges(
+          Tables.load(s, d, "documents"), "text", model.merges)
+        .select(col("word"), col("wc"), col("pos"), col("sym"),
+          lit(model.nMerges).as("model_rounds"))
+    })
   )
+
+  /** The persisted langid classifier q168/q169/q221 read (r12 #3):
+    * trained once per corpus (SimulatedStore — materialized on first
+    * touch, so benches time SCORING, not training), exported with a
+    * fingerprinted manifest, load-validated. q167 keeps training from
+    * scratch — it IS the training query, and a trainer regression
+    * still breaks its oracle. */
+  private def storedLangIdModel(
+      s: SparkSession, d: String): graft.operators.ModelStore.LangIdModel = {
+    val langs = langMarkers.map(_._1)
+    val store = SimulatedStore.tableStore(s, d, "q221_langid_v1") { st =>
+      graft.operators.ModelStore.exportLangId(st, "langid", langs,
+        graft.operators.LangId.train(Tables.load(s, d, "documents"),
+          "doc_id", "text", "lang", langs),
+        buckets = 16, s)
+    }
+    graft.operators.ModelStore.loadLangId(store, "langid", s)
+  }
 
   /** The q156 sentence relation (doc_id, sent_idx, sent_text) —
     * factored so q188's global dedup consumes the identical
@@ -2034,6 +2093,24 @@ object TextOps {
       s"""WITH $bpeByteSyms0Sql,
           $rounds
           $out"""
-    }
+    },
+
+    // Stored-model encode ≡ from-scratch training end state: the
+    // oracle re-runs the full training chain and reads syms8 — the
+    // Spark side replays the PERSISTED merges, so a stale or
+    // corrupted artifact (or a replay/training divergence) breaks
+    // this hash.
+    "q220_bpe_stored_encode" -> {
+      val rounds = (1 to 8).map(bpeRoundSql).mkString(",\n          ")
+      s"""WITH $bpeByteSyms0Sql,
+          $rounds
+          SELECT word, wc, CAST(pos AS BIGINT) AS pos, sym,
+                 CAST(8 AS BIGINT) AS model_rounds
+          FROM syms8"""
+    },
+
+    // Stored-model scoring ≡ q167's from-scratch oracle verbatim —
+    // the strongest stored≡fresh pin available.
+    "q221_langid_stored" -> langIdScoredSql
   )
 }
