@@ -579,9 +579,12 @@ object CurationOps {
     // whitespace-vs-BPE ratio on this corpus).
     "q171_bpe_budget_mix" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
+      // replays the STORED q220 artifact (r12 #3): apply cost, not 8
+      // sequential training rounds; values identical by q220's pin
       tokenBudgetMix(docs.select(col("doc_id"), col("source"))
-        .join(graft.operators.Bpe.byteTokenCounts(
-          docs, "doc_id", "text", nMerges = 8), Seq("doc_id"))
+        .join(graft.operators.Bpe.byteTokenCountsWith(
+          docs, "doc_id", "text", TextOps.storedBpe8(s, d).merges),
+          Seq("doc_id"))
         .select(col("doc_id"), col("source"),
           col("n_bpe_tokens").as("n_tokens")))
     }),
@@ -698,9 +701,13 @@ object CurationOps {
     "q217_bpe_packed_export" -> ((s, d) => {
       import graft.operators.SequencePack
       val docs = Tables.load(s, d, "documents")
+      // stored-tokenizer replay (r12 #3) — the capstone still breaks
+      // on a BPE/pretokenization regression through q220's stored ≡
+      // scratch pin plus q170's from-scratch oracle
       val counts = docs.select(col("doc_id"), col("source"))
-        .join(graft.operators.Bpe.byteTokenCounts(
-          docs, "doc_id", "text", nMerges = 8), Seq("doc_id"))
+        .join(graft.operators.Bpe.byteTokenCountsWith(
+          docs, "doc_id", "text", TextOps.storedBpe8(s, d).merges),
+          Seq("doc_id"))
         .select(col("source"), col("doc_id"),
           col("n_bpe_tokens").as("n_tok"))
       SequencePack.shardManifest(

@@ -956,18 +956,30 @@ object TextOps {
     // the full piece table (word, wc, pos, sym) + the manifest's
     // round count.
     "q220_bpe_stored_encode" -> ((s, d) => {
-      val store = SimulatedStore.tableStore(s, d, "q220_bpe8_v1") { st =>
-        graft.operators.ModelStore.exportBpe(st, "bpe8",
-          graft.operators.Bpe.trainByteMerges(
-            Tables.load(s, d, "documents"), "text", nMerges = 8))
-      }
-      val model = graft.operators.ModelStore.loadBpe(store, "bpe8", s)
+      val model = storedBpe8(s, d)
       graft.operators.Bpe.applyByteMerges(
           Tables.load(s, d, "documents"), "text", model.merges)
         .select(col("word"), col("wc"), col("pos"), col("sym"),
           lit(model.nMerges).as("model_rounds"))
     })
   )
+
+  /** The persisted byte-BPE tokenizer (8 merges on `documents`) that
+    * q220 round-trips and the downstream consumers (q171 budget mix,
+    * q217 packed export) replay instead of re-training — trained once
+    * per corpus, exported with a fingerprinted manifest,
+    * load-validated. q170 keeps training from scratch (it IS the
+    * training query) and q220 pins stored ≡ scratch, so a trainer
+    * regression still breaks oracles. */
+  private[queries] def storedBpe8(
+      s: SparkSession, d: String): graft.operators.ModelStore.BpeModel = {
+    val store = SimulatedStore.tableStore(s, d, "q220_bpe8_v1") { st =>
+      graft.operators.ModelStore.exportBpe(st, "bpe8",
+        graft.operators.Bpe.trainByteMerges(
+          Tables.load(s, d, "documents"), "text", nMerges = 8))
+    }
+    graft.operators.ModelStore.loadBpe(store, "bpe8", s)
+  }
 
   /** The persisted langid classifier q168/q169/q221 read (r12 #3):
     * trained once per corpus (SimulatedStore — materialized on first
