@@ -501,6 +501,53 @@ object HtmlOps {
             col("http_status").between(200, 299) &&
             col("content_type").startsWith("text/") &&
             when(clean, col("toks")) >= 5L, lit(false)).as("admitted"))
+    }),
+
+    // The Common-Crawl-shaped chain END TO END on the real format:
+    // q219's WARC fixture → extractWarc (member demux + quarantine) →
+    // HttpEnvelope on ok `response` payloads (status/mime truth) →
+    // HtmlExtract main-text → clean-token admission → the q206-style
+    // per-archive ingest report, UNCHANGED on top of the new read
+    // mode. The oracle recomposes every count from class arithmetic +
+    // the independent DuckDB extraction chain — so a drift anywhere
+    // in demux, envelope, extraction or admission shifts a report
+    // cell.
+    "q223_warc_ingest_report" -> ((s, d) => {
+      import graft.operators.TextNormalize
+      import graft.sources.{CrawlArchive, HttpEnvelope}
+      val w = CrawlArchive.extractWarc(s, NormalizeOps.warcArchives(s, d),
+          "archive", "bytes").toDF()
+        .withColumn("eid",
+          concat(col("archive"), lit("#"), col("rec_idx").cast("string")))
+      val env = HttpEnvelope.extract(s,
+          w.filter(col("status") === "ok" && col("rec_type") === "response")
+            .select(col("eid"), col("body")), "eid", "body").toDF()
+      val toks = HtmlExtract.extractMain(
+          HtmlExtract.syntheticHtml(env, "id", "body_text"),
+          "doc_id", "html")
+        .select(col("doc_id").as("id"),
+          graft.functions.TextFunctions
+            .tokenCount(TextNormalize.cleanText(col("main_text")))
+            .as("toks"))
+      val scored = env.select(col("id"), col("http_status"),
+          col("content_type"))
+        .join(toks, Seq("id"))
+        .select(col("id").as("eid"),
+          (col("http_status").between(200, 299) &&
+            col("content_type").startsWith("text/") &&
+            col("toks") >= 5L).as("admitted"),
+          col("toks"))
+      w.join(scored, Seq("eid"), "left")
+        .groupBy(col("archive"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("status") === "ok", 1L).otherwise(0L)).as("n_ok"),
+          sum(when(col("status") =!= "ok", 1L).otherwise(0L))
+            .as("n_quarantined"),
+          sum(when(col("rec_type") === "response" &&
+            col("status") === "ok", 1L).otherwise(0L)).as("n_responses"),
+          sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+          sum(when(col("admitted"), col("toks")).otherwise(0L))
+            .as("tokens_admitted"))
     })
   )
 
@@ -1053,6 +1100,60 @@ object HtmlOps {
                                THEN t.n_tokens_clean END >= 5,
                    false) AS admitted
           FROM src s JOIN tok t USING (doc_id)"""
+    },
+
+    // End-to-end report recomposed from class arithmetic: per doc a
+    // response (poisoned %7 / corrupt %13 / ok, 404 when %2) plus
+    // request %3 and metadata %5 rows; token counts from the
+    // independent extraction chain over the ORIGINAL text (a clean
+    // envelope decode is invisible); report cells are sums per
+    // archive.
+    "q223_warc_ingest_report" -> {
+      val cleanTok =
+        s"""CAST(len(list_filter(string_split_regex(
+              ${NormalizeOps.cleanSql("coalesce(a.main_text, '')")},
+              '\\s+'), x -> x <> '')) AS BIGINT)"""
+      s"""WITH srcdocs AS (SELECT doc_id, coalesce(text, '') AS text
+                           FROM documents),
+          $blocksChainSql,
+          agg AS (SELECT doc_id,
+                         coalesce(string_agg(
+                           CASE WHEN is_good THEN block_text END, ' '
+                           ORDER BY block_idx), '') AS main_text
+                  FROM blk GROUP BY doc_id),
+          tok AS (SELECT sd.doc_id, $cleanTok AS toks
+                  FROM srcdocs sd LEFT JOIN agg a USING (doc_id)),
+          cls AS (SELECT d.doc_id, d.source,
+                    CASE WHEN d.doc_id % 7 = 0 THEN 'corrupt_gzip'
+                         WHEN d.doc_id % 13 = 0 THEN 'corrupt'
+                         ELSE 'ok' END AS rstatus,
+                    (d.doc_id % 2 <> 0) AS is200, t.toks
+                  FROM documents d JOIN tok t USING (doc_id)),
+          recs AS (
+            SELECT source, rstatus AS status, TRUE AS is_resp,
+                   (rstatus = 'ok' AND is200 AND toks >= 5) AS admitted,
+                   CASE WHEN rstatus = 'ok' AND is200 AND toks >= 5
+                        THEN toks ELSE 0 END AS atoks
+            FROM cls
+            UNION ALL
+            SELECT source, 'ok', FALSE, FALSE, 0 FROM cls
+            WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT source, 'ok', FALSE, FALSE, 0 FROM cls
+            WHERE doc_id % 5 = 0)
+          SELECT source AS archive,
+                 CAST(count(*) AS BIGINT) AS n_records,
+                 CAST(sum(CASE WHEN status = 'ok' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_ok,
+                 CAST(sum(CASE WHEN status <> 'ok' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_quarantined,
+                 CAST(sum(CASE WHEN is_resp AND status = 'ok'
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_responses,
+                 CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_admitted,
+                 CAST(sum(atoks) AS BIGINT) AS tokens_admitted
+          FROM recs GROUP BY source"""
     }
   )
 }

@@ -661,39 +661,8 @@ object NormalizeOps {
     // a byte of WARC.
     "q219_warc_read" -> ((s, d) => {
       import graft.sources.{CrawlArchive, HttpEnvelope}
-      import s.implicits._
-      val recs = Tables.load(s, d, "documents")
-        .select(col("source"), col("doc_id"),
-          coalesce(col("text"), lit("")).as("text"))
-        .as[(String, Long, String)]
-        .flatMap { case (src, id, text) =>
-          val url = s"https://$src.example.org/d$id"
-          val date = f"2026-08-${id % 28 + 1}%02dT00:00:00Z"
-          val statusLine =
-            if (id % 2 == 0) "HTTP/1.1 404 Not Found" else "HTTP/1.1 200 OK"
-          val http = (statusLine + "\r\nContent-Type: text/html\r\n\r\n")
-            .getBytes("UTF-8") ++ text.getBytes("UTF-8")
-          val resp = (src, id * 4, "response",
-            if (id % 13 == 0) null else url, date,
-            "application/http; msgtype=response", http, id % 7 == 0)
-          val req =
-            if (id % 3 == 0) Seq((src, id * 4 + 1, "request", url, date,
-              "application/http; msgtype=request",
-              (s"GET /d$id HTTP/1.1\r\nHost: $src.example.org\r\n\r\n")
-                .getBytes("UTF-8"), false))
-            else Nil
-          val meta =
-            if (id % 5 == 0) Seq((src, id * 4 + 2, "metadata", url, date,
-              "application/warc-fields",
-              s"fetched-from: seed\nparent: d$id\n".getBytes("UTF-8"),
-              false))
-            else Nil
-          Seq(resp) ++ req ++ meta
-        }.toDF("src", "rid", "rtype", "url", "ts", "ct", "payload", "poison")
-      val archives = CrawlArchive.encodeWarc(s, recs, "src", "rid",
-        "rtype", "url", "ts", "ct", "payload",
-        poisonIfCol = Some("poison"))
-      val w = CrawlArchive.extractWarc(s, archives, "archive", "bytes")
+      val w = CrawlArchive.extractWarc(s, warcArchives(s, d),
+          "archive", "bytes")
         .toDF()
         .withColumn("eid",
           concat(col("archive"), lit("#"), col("rec_idx").cast("string")))
@@ -715,6 +684,49 @@ object NormalizeOps {
             .otherwise(md5(col("body"))).as("body_pin"))
     })
   )
+
+  /** The real-format WARC fixture shared by q219 (per-record read
+    * pin) and q223 (the end-to-end ingest report): one archive per
+    * source; per doc a `response` record whose payload is a full HTTP
+    * response (%2-split 404/200), plus `request` (%3) and `metadata`
+    * (%5) records; %7 responses POISONED member-wise, %13 missing
+    * Target-URI. Everything class-arithmetic so oracles recompute it
+    * without touching a byte of WARC. */
+  private[queries] def warcArchives(s: SparkSession,
+                                    d: String): DataFrame = {
+    import graft.sources.CrawlArchive
+    import s.implicits._
+    val recs = Tables.load(s, d, "documents")
+      .select(col("source"), col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"))
+      .as[(String, Long, String)]
+      .flatMap { case (src, id, text) =>
+        val url = s"https://$src.example.org/d$id"
+        val date = f"2026-08-${id % 28 + 1}%02dT00:00:00Z"
+        val statusLine =
+          if (id % 2 == 0) "HTTP/1.1 404 Not Found" else "HTTP/1.1 200 OK"
+        val http = (statusLine + "\r\nContent-Type: text/html\r\n\r\n")
+          .getBytes("UTF-8") ++ text.getBytes("UTF-8")
+        val resp = (src, id * 4, "response",
+          if (id % 13 == 0) null else url, date,
+          "application/http; msgtype=response", http, id % 7 == 0)
+        val req =
+          if (id % 3 == 0) Seq((src, id * 4 + 1, "request", url, date,
+            "application/http; msgtype=request",
+            (s"GET /d$id HTTP/1.1\r\nHost: $src.example.org\r\n\r\n")
+              .getBytes("UTF-8"), false))
+          else Nil
+        val meta =
+          if (id % 5 == 0) Seq((src, id * 4 + 2, "metadata", url, date,
+            "application/warc-fields",
+            s"fetched-from: seed\nparent: d$id\n".getBytes("UTF-8"),
+            false))
+          else Nil
+        Seq(resp) ++ req ++ meta
+      }.toDF("src", "rid", "rtype", "url", "ts", "ct", "payload", "poison")
+    CrawlArchive.encodeWarc(s, recs, "src", "rid",
+      "rtype", "url", "ts", "ct", "payload", poisonIfCol = Some("poison"))
+  }
 
   /** Seconds per politeness cycle assumed by the q192 budget — shared
     * verbatim with the oracle. */
