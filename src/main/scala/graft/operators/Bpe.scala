@@ -188,6 +188,65 @@ object Bpe {
       .agg(sum(coalesce(col("n_pieces"), lit(0L))).as("n_bpe_tokens"))
   }
 
+  /** The GPT-2-style vocabulary id map a merge table induces: ids
+    * 0–255 are the raw bytes (a byte-level tokenizer needs no UNK),
+    * and the symbol minted by merge round r gets id 255 + r. Two
+    * rounds CAN mint the same symbol string (different pair splits of
+    * one concatenation) — the earliest round's id wins, exactly one
+    * id per distinct token string. Driver-side: the vocabulary is a
+    * model artifact, not data. */
+  def vocabIds(merges: Seq[(String, String)]): Seq[(String, Long)] = {
+    val m = scala.collection.mutable.LinkedHashMap[String, Long]()
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      val s = a + b
+      if (!m.contains(s)) m(s) = 256L + i
+    }
+    m.toSeq
+  }
+
+  /** Per-document TOKEN-ID streams under a learned byte-level merge
+    * table — what a trainer actually consumes: (doc_id, tok_idx,
+    * token_id) with `tok_idx` the document-global position (pretokens
+    * in order, pieces in order inside each pretoken) and `token_id`
+    * from [[vocabIds]] (single-byte pieces take their byte value).
+    * Lossless by construction: ids → symbols → unhex → UTF-8
+    * reconstructs the pretoken concatenation exactly (BpeSpec pins
+    * the round-trip, non-ASCII included).
+    *
+    * Scale shape: replay runs on the VOCABULARY (bounded by the
+    * language); per-doc assembly is one broadcast join of the piece
+    * table against the corpus scan, a per-doc running-sum window for
+    * the offsets (partitioned by doc — no global sort), and a bounded
+    * explode. The id map is a merges-sized broadcast. */
+  def encodeIds(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fin = applyCore(byteSyms0(docs, textCol), merges)
+    val pieceArr = fin.groupBy(col("word"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("sym"))))
+        .as("ps"))
+      .select(col("word"),
+        transform(col("ps"), p => p.getField("sym")).as("syms"),
+        size(col("ps")).cast("long").as("np"))
+    val vocab = vocabIds(merges).toDF("sym", "vid")
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("w_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(pretokens(col(textCol))).as(Seq("w_idx", "word")))
+      .join(broadcast(pieceArr), Seq("word"))
+      .withColumn("base", coalesce(sum(col("np")).over(wDoc), lit(0L)))
+      .select(col("doc_id"), col("base"),
+        posexplode(col("syms")).as(Seq("p0", "sym")))
+      .join(broadcast(vocab), Seq("sym"), "left")
+      .select(col("doc_id"),
+        (col("base") + col("p0") + 1L).as("tok_idx"),
+        // unmerged single-byte pieces carry their byte value
+        coalesce(col("vid"), conv(col("sym"), 16, 10).cast("long"))
+          .as("token_id"))
+  }
+
   /** Replay `merges` in round order against `syms0`. Same positional
     * machinery as training, so applying a table to its own training
     * corpus yields exactly the training-end state. */

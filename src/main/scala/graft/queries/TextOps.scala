@@ -961,6 +961,21 @@ object TextOps {
           Tables.load(s, d, "documents"), "text", model.merges)
         .select(col("word"), col("wc"), col("pos"), col("sym"),
           lit(model.nMerges).as("model_rounds"))
+    }),
+
+    // TOKEN-ID export — what a trainer actually consumes: per-doc
+    // (tok_idx, token_id) streams under the stored tokenizer, ids
+    // 0–255 the raw bytes (byte-level BPE has no UNK) and 255+r the
+    // symbol minted by merge round r (earliest round wins a string
+    // tie). The replay property makes the filtered-corpus encode join
+    // exactly the full-corpus training end state, and the id stream
+    // is losslessly decodable (BpeSpec pins ids → bytes → text).
+    // %9 keeps the exploded output verify-sized.
+    "q224_bpe_token_ids" -> ((s, d) => {
+      val model = storedBpe8(s, d)
+      graft.operators.Bpe.encodeIds(
+        Tables.load(s, d, "documents").filter(col("doc_id") % 9 === 0),
+        "doc_id", "text", model.merges)
     })
   )
 
@@ -2123,6 +2138,43 @@ object TextOps {
 
     // Stored-model scoring ≡ q167's from-scratch oracle verbatim —
     // the strongest stored≡fresh pin available.
-    "q221_langid_stored" -> langIdScoredSql
+    "q221_langid_stored" -> langIdScoredSql,
+
+    // Token ids recomputed from the full training chain: the id map
+    // from the per-round best tables (255 + min round per minted
+    // string), per-doc offsets from a running sum over pretoken
+    // order, byte ids straight from the hex.
+    "q224_bpe_token_ids" -> {
+      val rounds = (1 to 8).map(bpeRoundSql).mkString(",\n          ")
+      val mg = (1 to 8).map(r =>
+        s"SELECT $r AS round, a, b FROM best$r").mkString(" UNION ALL ")
+      s"""WITH $bpeByteSyms0Sql,
+          $rounds,
+          mg AS ($mg),
+          vocab AS (SELECT a || b AS sym,
+                           CAST(255 + min(round) AS BIGINT) AS vid
+                    FROM mg GROUP BY a || b),
+          pw AS (SELECT doc_id,
+                        regexp_extract_all(coalesce(text, ''),
+                                           '$gpt2ReSql') AS ws
+                 FROM documents WHERE doc_id % 9 = 0),
+          pd AS (SELECT doc_id, CAST(t.i AS BIGINT) AS w_idx,
+                        ws[CAST(t.i AS INTEGER)] AS word
+                 FROM pw, unnest(range(1, len(ws) + 1)) AS t(i)),
+          np AS (SELECT word, CAST(max(pos) AS BIGINT) AS np
+                 FROM syms8 GROUP BY word),
+          o AS (SELECT p.doc_id, p.w_idx, p.word,
+                       coalesce(sum(n.np) OVER (
+                         PARTITION BY p.doc_id ORDER BY p.w_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS base
+                FROM pd p JOIN np n USING (word)),
+          tk AS (SELECT o.doc_id, o.base + s.pos AS tok_idx, s.sym
+                 FROM o JOIN syms8 s USING (word))
+          SELECT t.doc_id, CAST(t.tok_idx AS BIGINT) AS tok_idx,
+                 coalesce(v.vid, CAST('0x' || t.sym AS BIGINT))
+                   AS token_id
+          FROM tk t LEFT JOIN vocab v USING (sym)"""
+    }
   )
 }

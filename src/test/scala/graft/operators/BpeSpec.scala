@@ -84,4 +84,35 @@ class BpeSpec extends AnyFunSuite {
     assert(rt.count() > 0)
     assert(rt.filter(col("rt") =!= col("word")).count() == 0)
   }
+
+  test("token-id streams decode losslessly back to the document text") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "héllo wörld — café héllo again"),
+      (2L, "the cat sat on the mat, the cat sat"),
+      (3L, "")).toDF("doc_id", "text")
+    val merges = Bpe.trainByteMerges(docs, "text", nMerges = 5)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+      .map(m => (m._2, m._3)).toSeq
+    val ids = Bpe.encodeIds(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect()
+    // tok_idx is a contiguous 1..n stream per doc
+    ids.groupBy(_._1).foreach { case (_, rows) =>
+      val idxs = rows.map(_._2).sorted
+      assert(idxs.sameElements(1L to idxs.length))
+    }
+    assert(!ids.exists(_._1 == 3L)) // empty doc: no tokens
+    // inverse vocabulary: id -> symbol (byte ids are their hex pair)
+    val inv = Bpe.vocabIds(merges).map(_.swap).toMap
+    def sym(id: Long): String =
+      inv.getOrElse(id, { assert(id < 256); f"$id%02X" })
+    for ((doc, text) <- Seq(1L -> "héllo wörld — café héllo again",
+                            2L -> "the cat sat on the mat, the cat sat")) {
+      val hx = ids.filter(_._1 == doc).sortBy(_._2)
+        .map(r => sym(r._3)).mkString("")
+      val bytes = hx.grouped(2)
+        .map(h => Integer.parseInt(h, 16).toByte).toArray
+      assert(new String(bytes, "UTF-8") == text, s"doc $doc")
+    }
+  }
 }
