@@ -154,4 +154,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"stored path must scan labels + docs only: " +
         s"${stored.scans.map(_.source)}")
   }
+
+  test("q219 WARC read: partition-wise demux, no cartesian, pruned scan") {
+    val r = audited("q219_warc_read")
+    assert(r.cartesianProducts == 0)
+    // the fixture + demux chain reads exactly (source, doc_id, text)
+    assert(r.scans.exists(_.readColumns.toSet ==
+      Set("source", "doc_id", "text")),
+      s"documents scan not pruned: ${r.scans.map(_.readColumns)}")
+  }
+
+  test("q224 token-id export: piece table and vocab ride broadcasts") {
+    val r = audited("q224_bpe_token_ids")
+    assert(r.cartesianProducts == 0)
+    assert(r.broadcastJoins >= 2,
+      s"piece table + id map must broadcast: ${r.broadcastJoins}")
+  }
 }
