@@ -107,6 +107,64 @@ object Dedup {
     verifyJaccard(cand, sh, threshold)
   }
 
+  /** Near-dup cluster labels with EXACT-IDENTITY COLLAPSE — the
+    * text-side twin of [[embeddingDupClusters]], and the shape that
+    * survives a real web corpus: exact duplicates arrive as huge
+    * cliques (the organic-dup stress corpus grows 100-copy cliques),
+    * and the direct [[minhashLsh]] candidate join materializes
+    * Θ(dup²) rows per clique before verification — the canonical
+    * dedup scale killer. Here bit-identical texts (md5 key) collapse
+    * to one representative (min id), the LSH + Jaccard-verify + CC
+    * chain runs over REPRESENTATIVES only, and members re-enter as
+    * rep-rooted star edges — linear in members.
+    *
+    * Value-equal to `connectedComponents(minhashLsh(docs))` by the
+    * quotient-graph argument: identical texts have identical shingle
+    * sets, hence identical signatures/bands and identical verify
+    * verdicts against any third doc, so contracting identity groups
+    * preserves components; labels agree because every member id ≥ its
+    * group's rep, so a component's global min id IS the min over its
+    * reps. Shingle-less docs (under n tokens) are excluded from
+    * groups — they can never band, so the direct plan never emits
+    * them, identical or not (the [[embeddingDupClusters]] zero-vector
+    * rule, text-side). DedupSpec pins the equality, cliques and
+    * shingle-less classes included.
+    * Output: (doc_id, cluster_id), the [[connectedComponents]]
+    * contract. */
+  def textDupClusters(docs: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, k: Int = 8, bands: Int = 2,
+                      threshold: Double = 0.5): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = docs.select(col(idCol).as("doc_id"),
+        md5(col(textCol)).as("_fp"))
+      .join(sh.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+    val groups = keyed.groupBy(col("_fp"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("grp_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val memb = keyed.join(groups, Seq("_fp"))
+      .select(col("doc_id"), col("rep"), col("grp_n"))
+    val shRep = sh.join(groups.select(col("rep").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandDf = lshBands(minhashSignatures(shRep, k), bands, k / bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repPairs = minhashLshFrom(shRep, bandDf, threshold)
+      .select(col("id_a"), col("id_b"))
+    val repCC = connectedComponents(repPairs)
+      .select(col("doc_id").as("rep"), col("cluster_id"))
+    val out = memb.join(repCC, Seq("rep"), "left")
+      .filter(col("cluster_id").isNotNull || col("grp_n") >= 2L)
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
+      .localCheckpoint(eager = true)
+    sh.unpersist(blocking = false)
+    groups.unpersist(blocking = false)
+    shRep.unpersist(blocking = false)
+    bandDf.unpersist(blocking = false)
+    out
+  }
+
   /** (id_a, id_b, n_inter, n_a, n_b) for candidate pairs from shingle
     * rows — the shared core of every set-overlap verifier. The
     * composite-key equi-join (id_b, shingle) makes the hash join emit

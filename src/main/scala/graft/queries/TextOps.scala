@@ -240,11 +240,15 @@ object TextOps {
 
     // Duplicate-cluster canonicalization: MinHash-LSH pairs → connected
     // components → (doc, cluster) with the min id as canonical.
-    "q44_dedup_clusters" -> ((s, d) => {
-      val pairs = Dedup.minhashLsh(Tables.documentsWithEdges(s, d), "doc_id", "text")
-        .select(col("id_a"), col("id_b"))
-      Dedup.connectedComponents(pairs)
-    }),
+    "q44_dedup_clusters" -> ((s, d) =>
+      // identity-collapsed (r13): exact-dup cliques contract to one
+      // representative before the LSH candidate join — the direct
+      // pairs→CC plan materializes Θ(dup²) candidate rows per clique,
+      // which is what broke at sf10 under organic dups (100-copy
+      // cliques). Value-equal by the quotient argument (DedupSpec);
+      // the oracle still recomputes the full pair graph from scratch.
+      Dedup.textDupClusters(Tables.documentsWithEdges(s, d),
+        "doc_id", "text")),
 
     // Cluster-CANONICAL selection — the survivor policy a dedup
     // rewrite actually applies: within each near-dup cluster keep the
@@ -257,10 +261,10 @@ object TextOps {
     // corpus's bit-identical pair pins the equal-length tie-break.
     "q183_cluster_canonical" -> ((s, d) => {
       val docs = Tables.documentsWithEdges(s, d)
-      val pairs = Dedup.minhashLsh(docs, "doc_id", "text")
-        .select(col("id_a"), col("id_b"))
+      // identity-collapsed labels (r13, the q44 switch) — same values
       val labeled = docs.select(col("doc_id"), col("n_chars"))
-        .join(Dedup.connectedComponents(pairs), Seq("doc_id"), "left")
+        .join(Dedup.textDupClusters(docs, "doc_id", "text"),
+          Seq("doc_id"), "left")
         .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("cluster_id"))

@@ -224,4 +224,38 @@ class DedupSpec extends AnyFunSuite {
       .filter(col("n") > 1).count()
     assert(rows == 0L)
   }
+
+  test("textDupClusters (identity collapse) equals the naive pairs->CC plan") {
+    val near1 = "the quick brown fox jumps over the lazy dog tonight"
+    val near2 = "the quick brown fox jumps over the lazy dog today ok"
+    val clique = "identical copies of this exact document text appear many times"
+    val bridge = "identical copies of this exact document text appear many here"
+    val docs = (Seq(
+      (1L, near1), (2L, near2), // near-dup pair, not identical
+      (30L, clique), (31L, clique), (32L, clique), (33L, clique),
+      (34L, clique), // 5-clique of bit-identical texts
+      (40L, bridge), // near-dups the clique through shared shingles
+      (50L, "completely different text about mountains and rivers flowing"),
+      // identical SHORT texts (< 3 tokens -> zero shingles): the
+      // direct plan can never band them, so the collapse must not
+      // invent a cluster for them either
+      (60L, "hi there"), (61L, "hi there"),
+      (70L, "")) // empty
+      ).toDF("doc_id", "text")
+    val naive = Dedup.connectedComponents(
+        Dedup.minhashLsh(docs, "doc_id", "text")
+          .select(col("id_a"), col("id_b")))
+      .as[(Long, Long)].collect().toSet
+    val collapsed = Dedup.textDupClusters(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(collapsed == naive,
+      s"collapse diverged:\n naive=$naive\n collapsed=$collapsed")
+    // sanity on the fixture itself: the clique IS clustered, the
+    // shingle-less identical pair is NOT
+    assert(naive.exists(_._1 == 30L) && naive.exists(_._1 == 34L))
+    assert(!collapsed.exists(r => r._1 == 60L || r._1 == 61L || r._1 == 70L))
+    // and the clique members all share one cluster label
+    val lbl = collapsed.filter(r => r._1 >= 30L && r._1 <= 34L).map(_._2)
+    assert(lbl.size == 1)
+  }
 }
