@@ -1140,7 +1140,10 @@ object HtmlOps {
             WHERE doc_id % 3 = 0
             UNION ALL
             SELECT source, 'ok', FALSE, FALSE, 0 FROM cls
-            WHERE doc_id % 5 = 0)
+            WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT source, 'ok', FALSE, FALSE, 0 FROM cls
+            WHERE doc_id % 11 = 0)
           SELECT source AS archive,
                  CAST(count(*) AS BIGINT) AS n_records,
                  CAST(sum(CASE WHEN status = 'ok' THEN 1 ELSE 0 END)

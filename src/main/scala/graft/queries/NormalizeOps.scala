@@ -678,7 +678,8 @@ object NormalizeOps {
       w.join(env, Seq("eid"), "left")
         .select(col("archive"), col("rec_idx"), col("status"),
           col("rec_type"), col("url"), col("warc_date"),
-          col("warc_content_type"), col("n_bytes"),
+          col("warc_content_type"), col("warc_refers_to"),
+          col("n_bytes"),
           col("http_status"), col("env_content_type"),
           when(col("status") === "corrupt_gzip", hex(col("body")))
             .otherwise(md5(col("body"))).as("body_pin"))
@@ -688,10 +689,12 @@ object NormalizeOps {
   /** The real-format WARC fixture shared by q219 (per-record read
     * pin) and q223 (the end-to-end ingest report): one archive per
     * source; per doc a `response` record whose payload is a full HTTP
-    * response (%2-split 404/200), plus `request` (%3) and `metadata`
-    * (%5) records; %7 responses POISONED member-wise, %13 missing
-    * Target-URI. Everything class-arithmetic so oracles recompute it
-    * without touching a byte of WARC. */
+    * response (%2-split 404/200), plus `request` (%3), `metadata`
+    * (%5) and `revisit` (%11 — Common Crawl's URL-level dup pointer,
+    * headers-only payload, `WARC-Refers-To-Target-URI` set) records;
+    * %7 responses POISONED member-wise, %13 missing Target-URI.
+    * Everything class-arithmetic so oracles recompute it without
+    * touching a byte of WARC. */
   private[queries] def warcArchives(s: SparkSession,
                                     d: String): DataFrame = {
     import graft.sources.CrawlArchive
@@ -709,23 +712,31 @@ object NormalizeOps {
           .getBytes("UTF-8") ++ text.getBytes("UTF-8")
         val resp = (src, id * 4, "response",
           if (id % 13 == 0) null else url, date,
-          "application/http; msgtype=response", http, id % 7 == 0)
+          "application/http; msgtype=response", http, id % 7 == 0,
+          null: String)
         val req =
           if (id % 3 == 0) Seq((src, id * 4 + 1, "request", url, date,
             "application/http; msgtype=request",
             (s"GET /d$id HTTP/1.1\r\nHost: $src.example.org\r\n\r\n")
-              .getBytes("UTF-8"), false))
+              .getBytes("UTF-8"), false, null: String))
           else Nil
         val meta =
           if (id % 5 == 0) Seq((src, id * 4 + 2, "metadata", url, date,
             "application/warc-fields",
             s"fetched-from: seed\nparent: d$id\n".getBytes("UTF-8"),
-            false))
+            false, null: String))
           else Nil
-        Seq(resp) ++ req ++ meta
-      }.toDF("src", "rid", "rtype", "url", "ts", "ct", "payload", "poison")
+        val rev =
+          if (id % 11 == 0) Seq((src, id * 4 + 3, "revisit", url, date,
+            "application/http; msgtype=response",
+            "HTTP/1.1 200 OK\r\n\r\n".getBytes("UTF-8"), false, url))
+          else Nil
+        Seq(resp) ++ req ++ meta ++ rev
+      }.toDF("src", "rid", "rtype", "url", "ts", "ct", "payload",
+        "poison", "refers")
     CrawlArchive.encodeWarc(s, recs, "src", "rid",
-      "rtype", "url", "ts", "ct", "payload", poisonIfCol = Some("poison"))
+      "rtype", "url", "ts", "ct", "payload", poisonIfCol = Some("poison"),
+      refersToCol = Some("refers"))
   }
 
   /** Seconds per politeness cycle assumed by the q192 budget — shared
@@ -1681,6 +1692,7 @@ object NormalizeOps {
                  || c.rn || c.rn AS req_payload,
                'fetched-from: seed' || chr(10) || 'parent: d'
                  || CAST(d.doc_id AS VARCHAR) || chr(10) AS meta_payload,
+               'HTTP/1.1 200 OK' || c.rn || c.rn AS rev_payload,
                'https://' || d.source || '.example.org/d'
                  || CAST(d.doc_id AS VARCHAR) AS url0,
                '2026-08-' || lpad(CAST(d.doc_id % 28 + 1 AS VARCHAR), 2, '0')
@@ -1700,6 +1712,7 @@ object NormalizeOps {
                    CASE WHEN doc_id % 7 = 0 THEN NULL
                         ELSE 'application/http; msgtype=response' END
                      AS warc_content_type,
+                   NULL AS warc_refers_to,
                    CASE WHEN doc_id % 7 = 0 THEN CAST(40 AS BIGINT)
                         ELSE CAST(octet_length(encode(resp_payload))
                                   AS BIGINT) END AS n_bytes,
@@ -1714,22 +1727,29 @@ object NormalizeOps {
             FROM pay
             UNION ALL
             SELECT source, doc_id, 1, 'ok', 'request', url0, date0,
-                   'application/http; msgtype=request',
+                   'application/http; msgtype=request', NULL,
                    CAST(octet_length(encode(req_payload)) AS BIGINT),
                    NULL, NULL, md5(req_payload)
             FROM pay WHERE doc_id % 3 = 0
             UNION ALL
             SELECT source, doc_id, 2, 'ok', 'metadata', url0, date0,
-                   'application/warc-fields',
+                   'application/warc-fields', NULL,
                    CAST(octet_length(encode(meta_payload)) AS BIGINT),
                    NULL, NULL, md5(meta_payload)
-            FROM pay WHERE doc_id % 5 = 0)
+            FROM pay WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT source, doc_id, 3, 'ok', 'revisit', url0, date0,
+                   'application/http; msgtype=response', url0,
+                   CAST(octet_length(encode(rev_payload)) AS BIGINT),
+                   NULL, NULL, md5(rev_payload)
+            FROM pay WHERE doc_id % 11 = 0)
           SELECT archive,
                  CAST(row_number() OVER (PARTITION BY archive
                                          ORDER BY doc_id, sub) - 1
                       AS BIGINT) AS rec_idx,
                  status, rec_type, url, warc_date, warc_content_type,
-                 n_bytes, http_status, env_content_type, body_pin
+                 warc_refers_to, n_bytes, http_status, env_content_type,
+                 body_pin
           FROM recs""",
 
     // Full-RFC wildcards: each rule compiles to the SAME escaped LIKE

@@ -243,7 +243,8 @@ object CrawlArchive {
   final case class WarcRecord(
       archive: String, rec_idx: Long, status: String,
       rec_type: String, url: String, warc_date: String,
-      warc_content_type: String, n_bytes: Long, body: Array[Byte])
+      warc_content_type: String, warc_refers_to: String,
+      n_bytes: Long, body: Array[Byte])
 
   /** Demux real WARC archives — the format dispatch next to
     * [[extract]]'s GARC container: `WARC/` leading bytes → plain
@@ -292,27 +293,34 @@ object CrawlArchive {
                  idCol: String, typeCol: String, urlCol: String,
                  tsCol: String, ctCol: String, payloadCol: String,
                  poisonIfCol: Option[String] = None,
-                 gzipMembers: Boolean = true): DataFrame = {
+                 gzipMembers: Boolean = true,
+                 refersToCol: Option[String] = None): DataFrame = {
     import spark.implicits._
     val poison =
       poisonIfCol.map(c => col(c).cast("boolean")).getOrElse(lit(false))
+    val refersTo =
+      refersToCol.map(col).getOrElse(lit(null).cast("string"))
     recs
       .groupBy(col(groupCol))
       .agg(sort_array(collect_list(struct(col(idCol).cast("long").as("id"),
         col(typeCol).as("rtype"), col(urlCol).as("url"), col(tsCol).as("ts"),
         col(ctCol).as("ct"), col(payloadCol).as("payload"),
-        poison.as("poison")))).as("recs"))
+        poison.as("poison"), refersTo.as("refers")))).as("recs"))
       .as[(String,
-        Seq[(Long, String, String, String, String, Array[Byte], Boolean)])]
+        Seq[(Long, String, String, String, String, Array[Byte], Boolean,
+          String)])]
       .map { case (g, rs) =>
         val bos = new java.io.ByteArrayOutputStream()
-        rs.foreach { case (id, rtype, url, ts, ct, payload, poisoned) =>
+        rs.foreach { case (id, rtype, url, ts, ct, payload, poisoned,
+                           refers) =>
           if (poisoned) bos.write(PoisonMember)
           else {
             val hdr = new StringBuilder()
             hdr.append("WARC/1.0\r\n")
             hdr.append(s"WARC-Type: ${hdrSafe(rtype)}\r\n")
             if (url != null) hdr.append(s"WARC-Target-URI: ${hdrSafe(url)}\r\n")
+            if (refers != null)
+              hdr.append(s"WARC-Refers-To-Target-URI: ${hdrSafe(refers)}\r\n")
             hdr.append(s"WARC-Date: ${hdrSafe(ts)}\r\n")
             hdr.append(s"WARC-Record-ID: <urn:id:$id>\r\n")
             hdr.append(s"Content-Type: ${hdrSafe(ct)}\r\n")
@@ -343,7 +351,7 @@ object CrawlArchive {
     if (isWarc) warcPlainWalk(g, bytes)
     else if (isGz) warcMemberWalk(g, bytes)
     else Seq(WarcRecord(g, -1L, "corrupt_container",
-      null, null, null, null, -1L, null))
+      null, null, null, null, null, -1L, null))
   }
 
   /** Member-per-record walk: exact member boundaries from the deflate
@@ -372,8 +380,8 @@ object CrawlArchive {
             !(bytes(j) == 0x1f.toByte && (bytes(j + 1) & 0xff) == 0x8b &&
               bytes(j + 2) == 0x08.toByte)) j += 1
           val end = if (j + 3 <= bytes.length) j else bytes.length
-          out += WarcRecord(g, idx, "corrupt_gzip", null, null, null, null,
-            (end - off).toLong,
+          out += WarcRecord(g, idx, "corrupt_gzip",
+            null, null, null, null, null, (end - off).toLong,
             java.util.Arrays.copyOfRange(bytes, off, end))
           off = end
       }
@@ -419,11 +427,11 @@ object CrawlArchive {
       bytes(off + 1) == 'A' && bytes(off + 2) == 'R' &&
       bytes(off + 3) == 'C' && bytes(off + 4) == '/'
     if (!versionOk)
-      return (WarcRecord(g, idx, "corrupt", null, null, null, null,
+      return (WarcRecord(g, idx, "corrupt", null, null, null, null, null,
         (bytes.length - off).toLong, rest), -1)
     val hEnd = blankLineAt(bytes, off.toLong)
     if (hEnd < 0)
-      return (WarcRecord(g, idx, "truncated", null, null, null, null,
+      return (WarcRecord(g, idx, "truncated", null, null, null, null, null,
         (bytes.length - off).toLong, rest), -1)
     val head = new String(bytes, off, (hEnd - off).toInt, "UTF-8")
     // first-wins lowercased header fold — the HttpEnvelope discipline
@@ -440,6 +448,8 @@ object CrawlArchive {
     val url = fields.get("warc-target-uri").orNull
     val date = fields.get("warc-date").orNull
     val ct = fields.get("content-type").orNull
+    // the revisit-record dedup pointer (Common Crawl's URL-level dups)
+    val refersTo = fields.get("warc-refers-to-target-uri").orNull
     val bodyStart = (hEnd + 1).toInt
     val clen = fields.get("content-length").map(_.trim) match {
       case Some(v) if v.nonEmpty && v.forall(_.isDigit) &&
@@ -450,11 +460,11 @@ object CrawlArchive {
     }
     clen match {
       case None =>
-        (WarcRecord(g, idx, "truncated", rtype, url, date, ct,
+        (WarcRecord(g, idx, "truncated", rtype, url, date, ct, refersTo,
           (bytes.length - bodyStart).toLong,
           java.util.Arrays.copyOfRange(bytes, bodyStart, bytes.length)), -1)
       case Some(n) if bodyStart + n > bytes.length =>
-        (WarcRecord(g, idx, "truncated", rtype, url, date, ct,
+        (WarcRecord(g, idx, "truncated", rtype, url, date, ct, refersTo,
           (bytes.length - bodyStart).toLong,
           java.util.Arrays.copyOfRange(bytes, bodyStart, bytes.length)), -1)
       case Some(n) =>
@@ -464,8 +474,8 @@ object CrawlArchive {
           if (rtype == null) "corrupt"
           else if (url == null && rtype != "warcinfo") "corrupt"
           else "ok"
-        (WarcRecord(g, idx, status, rtype, url, date, ct, n, body),
-          bodyStart + n.toInt)
+        (WarcRecord(g, idx, status, rtype, url, date, ct, refersTo,
+          n, body), bodyStart + n.toInt)
     }
   }
 

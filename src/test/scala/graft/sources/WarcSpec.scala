@@ -118,6 +118,20 @@ class WarcSpec extends AnyFunSuite {
       new String(rs.head.body, "UTF-8") == "only this much")
   }
 
+  test("revisit records surface the dedup pointer") {
+    // Common Crawl's URL-level dedup: a revisit record names the
+    // ORIGINAL capture via WARC-Refers-To-Target-URI and carries a
+    // headers-only payload
+    val arc = gz(rec("revisit", "http://a/dup", bytes("HTTP/1.1 200 OK\r\n\r\n"),
+      extraHdr = "WARC-Refers-To-Target-URI: http://a/original\r\n")) ++
+      gz(rec("response", "http://a/x", bytes("normal body")))
+    val rs = CrawlArchive.demuxWarc("w", arc)
+    assert(rs(0).status == "ok" && rs(0).rec_type == "revisit")
+    assert(rs(0).url == "http://a/dup")
+    assert(rs(0).warc_refers_to == "http://a/original")
+    assert(rs(1).warc_refers_to == null)
+  }
+
   test("non-WARC bytes are one corrupt_container row") {
     for (junk <- Seq("not an archive at all", "GARC junk", ""))
       assert(CrawlArchive.demuxWarc("w", bytes(junk)).map(_.status)
