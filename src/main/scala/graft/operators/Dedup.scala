@@ -149,8 +149,12 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandDf = lshBands(minhashSignatures(shRep, k), bands, k / bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // checkpoint BEFORE the CC loop — pointer jumping re-reads its
+    // edge list every round, and an unmaterialized LSH+verify chain
+    // would re-run per round (minhashLsh checkpoints its own output
+    // for exactly this reason)
     val repPairs = minhashLshFrom(shRep, bandDf, threshold)
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b")).localCheckpoint(eager = true)
     val repCC = connectedComponents(repPairs)
       .select(col("doc_id").as("rep"), col("cluster_id"))
     val out = memb.join(repCC, Seq("rep"), "left")
