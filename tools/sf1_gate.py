@@ -49,6 +49,13 @@ RELAXED = {
     "q139_lsh_recall", "q151_semantic_decontam_production_recall",
     "q170_bpe_byte_train", "q171_bpe_budget_mix",
     "q44_dedup_clusters", "q183_cluster_canonical",
+    # closure-chain COMPOSERS (r13): q184 splits on the dup-closure
+    # labels and q190 composes that family among its four — both see
+    # the same organically-superlinear closure input as q44/q183, plus
+    # the identity-collapse premium that keeps sf10 alive (SCALE.md
+    # round-13: the direct plan FAILED at sf10; collapsed costs
+    # ~+10-50% at toy scales as the insurance)
+    "q184_leakage_safe_split", "q190_corpus_card",
 }
 RELAXED_CEILING = 6.0
 
