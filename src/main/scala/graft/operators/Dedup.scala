@@ -136,9 +136,13 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     val sh = shingleRows(docs, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keyed = docs.select(col(idCol).as("doc_id"),
-        md5(col(textCol)).as("_fp"))
-      .join(sh.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+    // "has shingles" is a MAP-SIDE predicate (shingles nonempty ⟺
+    // ≥ shingleN tokens — TextFunctions.wordShinglesFromTokens's
+    // short-doc guard), not a semi-join against the shingle relation
+    val keyed = docs
+      .filter(size(graft.functions.TextFunctions.tokens(col(textCol)))
+        >= shingleN)
+      .select(col(idCol).as("doc_id"), md5(col(textCol)).as("_fp"))
     val groups = keyed.groupBy(col("_fp"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("grp_n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
