@@ -134,8 +134,6 @@ object Dedup {
   def textDupClusters(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, k: Int = 8, bands: Int = 2,
                       threshold: Double = 0.5): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // "has shingles" is a MAP-SIDE predicate (shingles nonempty ⟺
     // ≥ shingleN tokens — TextFunctions.wordShinglesFromTokens's
     // short-doc guard), not a semi-join against the shingle relation
@@ -148,8 +146,16 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val memb = keyed.join(groups, Seq("_fp"))
       .select(col("doc_id"), col("rep"), col("grp_n"))
-    val shRep = sh.join(groups.select(col("rep").as("doc_id")),
-        Seq("doc_id"), "left_semi")
+    // shingle ONLY representatives: semi-join the doc relation (one
+    // row per doc) to reps first, then tokenize — vs shingling the
+    // whole corpus and semi-joining the much larger shingle relation
+    // (~one row per token) against reps just to discard every
+    // non-representative's shingles (r13 ADVICE)
+    val shRep = shingleRows(
+        docs.select(col(idCol).as("doc_id"), col(textCol))
+          .join(groups.select(col("rep").as("doc_id")),
+            Seq("doc_id"), "left_semi"),
+        "doc_id", textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandDf = lshBands(minhashSignatures(shRep, k), bands, k / bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -166,7 +172,6 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
       .localCheckpoint(eager = true)
-    sh.unpersist(blocking = false)
     groups.unpersist(blocking = false)
     shRep.unpersist(blocking = false)
     bandDf.unpersist(blocking = false)

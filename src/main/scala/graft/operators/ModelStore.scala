@@ -117,6 +117,12 @@ object ModelStore {
                    spark: SparkSession): Unit = {
     import spark.implicits._
     require(langs.size == weights.size)
+    // the order round-trips through a comma-joined manifest string: a
+    // comma inside a code (or an empty token) would silently corrupt
+    // the list on load's split and mis-order argmax tie-breaks later
+    require(langs.forall(l => l.nonEmpty && !l.contains(",")),
+      s"langid export $name: language codes must be non-empty and " +
+        s"comma-free, got ${langs.mkString("[", ", ", "]")}")
     val rows = langs.zip(weights).flatMap { case (l, w) =>
       w.zipWithIndex.map { case (wj, j) => (l, j.toLong, wj) } }
     store.overwrite(s"${name}_rows", rows.toDF("lang", "j", "w"))

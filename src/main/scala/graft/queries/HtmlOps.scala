@@ -258,7 +258,8 @@ object HtmlOps {
     // chunk framing (`chunked_error`, content decode SKIPPED), %13
     // chunked-over-gzip (both layers removed in wire order), %3
     // chunked, %5 gzip, %7 truncated gzip stream (`gzip_error`), %17
-    // Content-Encoding `br` (`unsupported` — raw kept, never guessed),
+    // Content-Encoding `br` (`br_unsupported` — raw kept, never
+    // guessed; br/zstd priced apart from the generic bucket, r13 #4),
     // %19 zlib deflate, else plain. Decoding must be INVISIBLE: clean
     // classes' token counts hash against the original text; coding-
     // error rows emit NULL tokens (you don't extract from garbage) and
@@ -442,8 +443,8 @@ object HtmlOps {
     // CASE mirrors the order): %13 TE `gzip, chunked` (both layers
     // removed → `gzip+chunked`), %11 chunked-not-last (`unsupported`
     // — RFC 9112 §6.1 requires chunked last), %7 TE `br, chunked`
-    // (`unsupported` — undecodable member; the CE header must NOT be
-    // applied past the defect), %5 CE `gzip, gzip` (double inflate →
+    // (`br_unsupported` — undecodable member, priced as brotli loss;
+    // the CE header must NOT be applied past the defect), %5 CE `gzip, gzip` (double inflate →
     // `gzip+gzip`), %3 CE `deflate, gzip` (gzip off first →
     // `deflate+gzip`), %2 TE `gzip, chunked` with a broken inner
     // gzip (valid de-chunk, then a stream defect → `transfer_error`,
@@ -917,7 +918,7 @@ object HtmlOps {
                     WHEN doc_id % 3 = 0 THEN 'none'
                     WHEN doc_id % 5 = 0 THEN 'gzip'
                     WHEN doc_id % 7 = 0 THEN 'gzip_error'
-                    WHEN doc_id % 17 = 0 THEN 'unsupported'
+                    WHEN doc_id % 17 = 0 THEN 'br_unsupported'
                     WHEN doc_id % 19 = 0 THEN 'deflate'
                     ELSE 'none' END AS content_coding,
                CASE WHEN doc_id % 2 = 0 THEN 'text/html'
@@ -1061,7 +1062,7 @@ object HtmlOps {
       s"""WITH src AS (SELECT doc_id, coalesce(text, '') AS text,
                CASE WHEN doc_id % 13 = 0 THEN 'gzip+chunked'
                     WHEN doc_id % 11 = 0 THEN 'unsupported'
-                    WHEN doc_id % 7 = 0 THEN 'unsupported'
+                    WHEN doc_id % 7 = 0 THEN 'br_unsupported'
                     WHEN doc_id % 5 = 0 THEN 'none'
                     WHEN doc_id % 3 = 0 THEN 'none'
                     WHEN doc_id % 2 = 0 THEN 'transfer_error'

@@ -258,7 +258,10 @@ object CrawlArchive {
     *  - a POISONED member (gzip magic, undecodable stream, or a bad
     *    CRC/length trailer) → `corrupt_gzip`, the raw compressed span
     *    KEPT, and the walk RESYNCS at the next member magic — member
-    *    framing means one bad record never costs the archive;
+    *    framing means one bad record never costs the archive; a span
+    *    that doesn't even open with gzip magic (junk spliced BETWEEN
+    *    members) → `foreign`, same keep-and-resync, distinct label —
+    *    the two defect classes price differently in ingest reports;
     *  - a record missing its required `WARC-Target-URI` (all types
     *    but `warcinfo`) or its `WARC-Type` → `corrupt`, everything
     *    the header still proves kept;
@@ -374,13 +377,19 @@ object CrawlArchive {
           off = next
         case None =>
           // resync: scan past this offset for the next member magic
-          // (1f 8b 08); the skipped span is kept, never dropped
+          // (1f 8b 08); the skipped span is kept, never dropped. A
+          // span that doesn't even open with gzip magic is FOREIGN
+          // bytes (junk spliced between members) — labeled apart from
+          // a genuinely undecodable gzip member so ingest reports
+          // don't conflate the two defect classes.
+          val gzHere = off + 2 <= bytes.length && bytes(off) == 0x1f.toByte &&
+            (bytes(off + 1) & 0xff) == 0x8b
           var j = off + 1
           while (j + 3 <= bytes.length &&
             !(bytes(j) == 0x1f.toByte && (bytes(j + 1) & 0xff) == 0x8b &&
               bytes(j + 2) == 0x08.toByte)) j += 1
           val end = if (j + 3 <= bytes.length) j else bytes.length
-          out += WarcRecord(g, idx, "corrupt_gzip",
+          out += WarcRecord(g, idx, if (gzHere) "corrupt_gzip" else "foreign",
             null, null, null, null, null, (end - off).toLong,
             java.util.Arrays.copyOfRange(bytes, off, end))
           off = end

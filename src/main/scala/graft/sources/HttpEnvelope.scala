@@ -74,7 +74,12 @@ import org.apache.spark.sql.functions._
   *     fallback real broken servers require; `gzip, gzip` →
   *     `gzip+gzip`. A stream defect keeps the raw wire bytes
   *     (`gzip_error`/`deflate_error` of the failing coding); a chain
-  *     with any unknown coding → `unsupported`, raw kept.
+  *     with any coding we can't decode quarantines with the raw
+  *     bytes kept — `br_unsupported`/`zstd_unsupported` when the
+  *     first-to-come-off undecodable coding is brotli/zstd (zstd
+  *     also recognized by its frame magic on a mislabeled outermost
+  *     token), generic `unsupported` otherwise — so ingest reports
+  *     can price the modern-web (`br`-heavy) loss share per class.
   *     `identity`/absent → `none`.
   *
   * Charset resolution for `body_text` (the HTML5 prescan precedence,
@@ -206,9 +211,12 @@ object HttpEnvelope {
     // `unsupported` — never passed through as if it were plain bytes.
     val (afterTransfer, transferCoding) =
       if (teTokens.isEmpty) (framed, "none")
-      else if (teTokens.last != "chunked" ||
-               !teTokens.init.forall(SupportedCodings))
-        (framed, "unsupported")
+      else if (teTokens.last != "chunked")
+        (framed, "unsupported") // framing violation, not a coding gap
+      else if (!teTokens.init.forall(SupportedCodings))
+        // the bytes at hand are chunk-framed, so no payload sniff —
+        // the declared token names the class (br/zstd priced apart)
+        (framed, unsupportedLabel(teTokens.init, null))
       else dechunk(framed) match {
         case None => (framed, "chunked_error")
         case Some(b0) =>
@@ -228,10 +236,12 @@ object HttpEnvelope {
     val (body, contentCoding) =
       if (transferCoding == "chunked_error" ||
           transferCoding == "transfer_error" ||
-          transferCoding == "unsupported") (afterTransfer, "skipped")
+          transferCoding.endsWith("unsupported")) (afterTransfer, "skipped")
       else if (ceTokens.isEmpty) (afterTransfer, "none")
       else if (!ceTokens.forall(SupportedCodings))
-        (afterTransfer, "unsupported") // raw kept, never guessed
+        // raw kept, never guessed; br/zstd named so ingest reports
+        // can price the modern-web loss share (r13 VERDICT #4)
+        (afterTransfer, unsupportedLabel(ceTokens, afterTransfer))
       else decodeChain(ceTokens, afterTransfer) match {
         case Right(b) => (b, ceTokens.map(canonCoding).mkString("+"))
         case Left(t) => (afterTransfer, canonCoding(t) + "_error")
@@ -267,6 +277,36 @@ object HttpEnvelope {
 
   /** Codings [[decodeChain]] can remove; anything else quarantines. */
   private val SupportedCodings = Set("gzip", "x-gzip", "deflate")
+
+  /** Quarantine label for an undecodable coding list: the FIRST
+    * coding that would come off (right-to-left — the last-listed one
+    * was applied last on the wire) and can't names the class, with
+    * `br`/`zstd` distinguished from the generic bucket so q223-style
+    * ingest reports can price the modern-web loss share (a large
+    * real-crawl fraction is `Content-Encoding: br`) instead of
+    * folding it into one `unsupported` cell. `bytes` — when non-null
+    * and the failing coding is the outermost one, i.e. the bytes at
+    * hand are IN that coding — lets zstd's frame magic
+    * (`28 B5 2F FD` little-endian, RFC 8878 §3.1.1) reclassify a
+    * mislabeled token; brotli has no magic, so its class rests on
+    * the declared token alone. */
+  private def unsupportedLabel(tokens: Seq[String],
+                               bytes: Array[Byte]): String = {
+    val bad = tokens.reverse.find(t => !SupportedCodings(t)).getOrElse("")
+    bad match {
+      case "br" => "br_unsupported"
+      case "zstd" => "zstd_unsupported"
+      case _ =>
+        if (bytes != null && tokens.nonEmpty && tokens.last == bad &&
+            isZstdFrame(bytes)) "zstd_unsupported"
+        else "unsupported"
+    }
+  }
+
+  /** zstd frame magic `0xFD2FB528` stored little-endian. */
+  private def isZstdFrame(b: Array[Byte]): Boolean =
+    b.length >= 4 && b(0) == 0x28.toByte && b(1) == 0xb5.toByte &&
+      b(2) == 0x2f.toByte && b(3) == 0xfd.toByte
 
   /** `x-gzip` is gzip's deprecated alias (RFC 9110 §8.4.1.3) — one
     * label so reports never split a class on the alias. */

@@ -97,10 +97,28 @@ class HttpEnvelopeCodingSpec extends AnyFunSuite {
   }
 
   test("unknown and multi-valued content codings are unsupported, raw kept") {
-    for (ce <- Seq("br", "zstd", "gzip, br"))
-      assert(HttpEnvelope.parse("a",
-        env(s"Content-Encoding: $ce\r\n", bytes("opaque"))).content_coding
-        == "unsupported", ce)
+    // the first-to-come-off (last-listed) undecodable coding names
+    // the class: br/zstd priced apart from the generic bucket
+    for ((ce, lbl) <- Seq("br" -> "br_unsupported",
+        "zstd" -> "zstd_unsupported", "gzip, br" -> "br_unsupported",
+        "br, gzip2" -> "unsupported", "compress" -> "unsupported")) {
+      val r = HttpEnvelope.parse("a",
+        env(s"Content-Encoding: $ce\r\n", bytes("opaque")))
+      assert(r.content_coding == lbl, ce)
+      assert(r.body.sameElements(bytes("opaque")), ce)
+    }
+    // a mislabeled outermost token still prices as zstd when the
+    // bytes carry zstd's frame magic (28 B5 2F FD)
+    val zs = Array(0x28, 0xb5, 0x2f, 0xfd, 0x01, 0x02).map(_.toByte)
+    assert(HttpEnvelope.parse("a",
+      env("Content-Encoding: x-zstd\r\n", zs)).content_coding
+      == "zstd_unsupported")
+    // ...but NOT when the failing coding is an INNER one — the bytes
+    // at hand are in the (supported) outermost coding, so the magic
+    // says nothing about the undecodable inner token
+    assert(HttpEnvelope.parse("a",
+      env("Content-Encoding: x-zstd, gzip\r\n", zs)).content_coding
+      == "unsupported")
   }
 
   test("chunked-over-gzip removes both layers in wire order") {
@@ -225,11 +243,16 @@ class HttpEnvelopeCodingSpec extends AnyFunSuite {
 
   test("TE lists we can't decode quarantine as unsupported, not plain") {
     val payload = bytes("opaque transfer-coded bytes")
-    // unknown coding before chunked; chunked not last; no chunked at all
-    for (te <- Seq("br, chunked", "chunked, gzip", "gzip", "zstd")) {
+    // unknown coding before chunked (br/zstd named); chunked not
+    // last and no-chunked-at-all are framing violations → generic
+    for ((te, lbl) <- Seq("br, chunked" -> "br_unsupported",
+        "zstd, chunked" -> "zstd_unsupported",
+        "compress, chunked" -> "unsupported",
+        "chunked, gzip" -> "unsupported", "gzip" -> "unsupported",
+        "zstd" -> "unsupported")) {
       val r = HttpEnvelope.parse("a",
         env(s"Transfer-Encoding: $te\r\nContent-Encoding: gzip\r\n", payload))
-      assert(r.transfer_coding == "unsupported", te)
+      assert(r.transfer_coding == lbl, te)
       assert(r.content_coding == "skipped", te) // never inflate past a defect
       assert(r.body.sameElements(payload), te)
     }

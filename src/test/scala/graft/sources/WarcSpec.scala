@@ -109,6 +109,61 @@ class WarcSpec extends AnyFunSuite {
     assert(member(1).url == "http://a/3")
   }
 
+  test("foreign junk between members: distinct label, keep, resync") {
+    val p1 = bytes("before the junk")
+    val p3 = bytes("after the junk")
+    val junk = bytes("<html>not gzip at all, plain text splice</html>")
+    val arc = gz(rec("response", "http://a/1", p1)) ++ junk ++
+      gz(rec("response", "http://a/3", p3))
+    val rs = CrawlArchive.demuxWarc("w", arc)
+    assert(rs.map(_.status) == Seq("ok", "foreign", "ok"))
+    assert(rs(1).body.sameElements(junk)) // kept, never dropped
+    assert(rs(2).url == "http://a/3" && rs(2).body.sameElements(p3))
+    assert(rs(1).n_bytes == junk.length)
+  }
+
+  test("embedded member magic inside a poison span: walk total, ok stable") {
+    // a hostile corrupt span CONTAINING the resync trigram 1f 8b 08 —
+    // the scan false-starts there, yielding extra corrupt rows, but
+    // the walk must stay total and the ok records byte-stable
+    val p1 = bytes("good one")
+    val p3 = bytes("good two")
+    val embedded = Array[Byte](0x1f.toByte, 0x8b.toByte, 0x08.toByte) ++
+      bytes("garbage that CRC-fails")
+    val poison = bytes("JUNKJUNK") ++ embedded ++ bytes("more junk")
+    val arc = gz(rec("response", "http://a/1", p1)) ++ poison ++
+      gz(rec("response", "http://a/3", p3))
+    val rs = CrawlArchive.demuxWarc("w", arc)
+    // ok records identical to the clean archive's
+    val oks = rs.filter(_.status == "ok")
+    assert(oks.map(_.url) == Seq("http://a/1", "http://a/3"))
+    assert(oks(0).body.sameElements(p1) && oks(1).body.sameElements(p3))
+    // every non-ok row keeps its span; spans tile the poison exactly
+    val quarantined = rs.filter(_.status != "ok")
+    assert(quarantined.nonEmpty && quarantined.forall(_.body != null))
+    assert(quarantined.map(_.body.length).sum == poison.length)
+    // first span opens with foreign bytes, the false-start with magic
+    assert(quarantined.head.status == "foreign")
+    assert(quarantined.tail.forall(_.status == "corrupt_gzip"))
+  }
+
+  test("poison span tiling under many embedded magics stays total") {
+    // several magics inside one junk region: each false resync start
+    // must consume at least one byte (no infinite loop) and the
+    // concatenation of all quarantined spans equals the junk region
+    val magic = Array[Byte](0x1f.toByte, 0x8b.toByte, 0x08.toByte)
+    val junk = bytes("x") ++ magic ++ bytes("ab") ++ magic ++
+      bytes("c") ++ magic
+    val tail = gz(rec("response", "http://a/9", bytes("survivor")))
+    val rs = CrawlArchive.demuxWarc("w",
+      gz(rec("response", "http://a/0", bytes("head"))) ++ junk ++ tail)
+    val oks = rs.filter(_.status == "ok")
+    assert(oks.map(_.url) == Seq("http://a/0", "http://a/9"))
+    val quarantined = rs.filter(_.status != "ok")
+    assert(quarantined.map(_.body.length).sum == junk.length)
+    assert(quarantined.flatMap(_.body).toSeq == junk.toSeq) // exact tiling
+  }
+
   test("declared length past the member body keeps what's there") {
     val hdr = bytes("WARC/1.0\r\nWARC-Type: response\r\n" +
       "WARC-Target-URI: http://a/1\r\nWARC-Date: d\r\n" +

@@ -37,25 +37,16 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # round-structured / yardstick queries: 6.0x ceiling (see module doc).
-# q44/q183 are the connected-component CHAIN members the doc already
-# names: against the organically-duplicated sf1 (StressGen's cross-copy
-# shared fraction) their INPUT grows superlinearly by design --
-# identical-text pairs measured 8 at sf0.1 vs 32,255 at sf1 (4,000x
-# pair growth on 10x data; every shared group is a 10-copy clique) --
-# so a 3.7-5.8x wall is the closure machinery ABSORBING a 400x-beyond-
-# proportional blowup, not a plan regression (SCALE.md round-12 table).
+# The closure family (q44/q183/q184/q190) left this set in r14: after
+# the r13 identity-collapse + map-side-shingles shaves, all four fit
+# the STANDARD 3.0x ceiling at sf1 even against the organically-
+# superlinear duplicate input (SCALE.md round-13 post-shave addendum:
+# q44 9.7 s, q183 9.6 s, q184 5.9 s, q190 10.9 s) — keeping them
+# relaxed would let a future closure regression hide under 6.0x.
 RELAXED = {
     "q81_pagerank", "q99_label_prop", "q100_dup_strip",
     "q139_lsh_recall", "q151_semantic_decontam_production_recall",
     "q170_bpe_byte_train", "q171_bpe_budget_mix",
-    "q44_dedup_clusters", "q183_cluster_canonical",
-    # closure-chain COMPOSERS (r13): q184 splits on the dup-closure
-    # labels and q190 composes that family among its four — both see
-    # the same organically-superlinear closure input as q44/q183, plus
-    # the identity-collapse premium that keeps sf10 alive (SCALE.md
-    # round-13: the direct plan FAILED at sf10; collapsed costs
-    # ~+10-50% at toy scales as the insurance)
-    "q184_leakage_safe_split", "q190_corpus_card",
 }
 RELAXED_CEILING = 6.0
 
