@@ -38,7 +38,13 @@ object SequencePack {
   /** One row per (document × overlapped sequence): `seq_idx` is the
     * stream-local sequence ordinal, `seg_begin`/`seg_end` the token
     * span INSIDE that sequence ([begin, end)), `tok_begin`/`tok_end`
-    * the document's absolute tape span. */
+    * the document's absolute tape span.
+    *
+    * CONTRACT: `orderCol` must be UNIQUE within each stream (callers
+    * pass a document id). The ROWS-framed running sum gives tied rows
+    * distinct, non-overlapping tape spans, but WHICH tied row gets
+    * which span follows Spark's partition-internal order — ties would
+    * make per-row spans (and downstream shard hashes) run-dependent. */
   def chunk(docs: DataFrame, streamCol: String, orderCol: String,
             nTokCol: String, seqLen: Long): DataFrame = {
     // ROWS framing, not the default RANGE: duplicate orderCol values
@@ -122,6 +128,93 @@ object SequencePack {
         expr("cast(total_tokens as decimal(38,0)) * 1000000" +
           s" div (n_seqs * $seqLen)").as("fill_ppm"),
         (col("n_segments") - col("n_docs")).as("n_crossings"))
+
+  /** Fixed-length TOKEN-ID sequences from per-document id streams —
+    * the trainer-consumable tape, and the last hop of the tokenizer
+    * chain: [[graft.operators.Bpe.encodeIds]] emits (doc, tok_idx,
+    * token_id) per document; this lays those documents head-to-tail
+    * on a per-stream tape (the [[chunk]] discipline applied to actual
+    * ids, not counts) and cuts it into `seqLen`-token sequences, with
+    * the FINAL partial sequence of each stream padded to length with
+    * an explicit `padId`. A training job memory-maps exactly this:
+    * every sequence is `seqLen` cells, documents cross sequence
+    * boundaries, and each cell still knows which document it came
+    * from (pad cells carry a NULL doc).
+    *
+    * `ids`: (docCol, posCol, idColName) with `posCol` 1-based and
+    * contiguous per document (the [[graft.operators.Bpe.encodeIds]]
+    * contract). `streams`: one row per document mapping `docCol` →
+    * `streamCol`; a document with no id rows (empty text) occupies no
+    * tape, exactly like [[chunk]]'s zero-token rule. `docCol` must be
+    * unique per stream — it is the tape order ([[chunk]]'s
+    * determinism contract).
+    *
+    * Output: (streamCol, seq_idx, seq_pos, token_id, doc_id) — one
+    * row per tape cell, `seq_pos` ∈ [0, seqLen), `doc_id` NULL on pad
+    * cells. Exploded-to-scalar rather than array-typed so the rows
+    * are oracle-comparable and writers can re-window them into
+    * whatever batch shape the trainer wants.
+    *
+    * Scale shape (100 TB): one per-doc count aggregate, ONE running-
+    * sum window per stream partition (linear scan, no global sort),
+    * one shuffle join of the id stream against the doc-sized offset
+    * relation on the doc key, and a stream-count-sized pad explode.
+    * The id stream never moves through a window — only the doc-level
+    * offsets do. */
+  def packIdTape(ids: DataFrame, docCol: String, posCol: String,
+                 idColName: String, streams: DataFrame, streamCol: String,
+                 seqLen: Long, padId: Long): DataFrame = {
+    val nTok = ids.groupBy(col(docCol)).agg(count(lit(1)).as("_n"))
+    val w = Window.partitionBy(col(streamCol)).orderBy(col(docCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val based = streams.select(col(docCol), col(streamCol))
+      .join(nTok, Seq(docCol)) // inner: zero-token docs occupy no tape
+      .withColumn("_end", sum(col("_n")).over(w))
+      .withColumn("_base", col("_end") - col("_n"))
+    val body = ids.join(based.select(col(docCol), col(streamCol),
+        col("_base")), Seq(docCol))
+      .withColumn("_tape", col("_base") + col(posCol) - 1L)
+      .select(col(streamCol), expr(s"_tape div ${seqLen}L").as("seq_idx"),
+        expr(s"_tape % ${seqLen}L").as("seq_pos"),
+        col(idColName).cast("long").as("token_id"),
+        col(docCol).cast("long").as("doc_id"))
+    val pads = based.groupBy(col(streamCol))
+      .agg(max(col("_end")).as("_total"))
+      .withColumn("_to",
+        expr(s"((_total + ${seqLen - 1}L) div ${seqLen}L) * ${seqLen}L"))
+      .filter(col("_to") > col("_total"))
+      .select(col(streamCol),
+        explode(sequence(col("_total"), col("_to") - 1L)).as("_tape"))
+      .select(col(streamCol), expr(s"_tape div ${seqLen}L").as("seq_idx"),
+        expr(s"_tape % ${seqLen}L").as("seq_pos"),
+        lit(padId).as("token_id"), lit(null).cast("long").as("doc_id"))
+    body.unionByName(pads)
+  }
+
+  /** Shard manifest over the ID TAPE itself (the [[packIdTape]]
+    * output), not over token counts: per (stream, shard) the sequence
+    * range, cell/pad/doc counts AND a content checksum — the sum of
+    * 48-bit md5 integers over `seq_idx|seq_pos|token_id` — so the
+    * manifest pins the actual ids on the tape. A re-export of a shard
+    * must land byte-identical; with [[shardManifest]] a swapped pair
+    * of equal-length documents would slip through a count-only
+    * manifest, here it breaks the checksum. Commutative sum → exact
+    * and order-free on any engine (the q128 48-bit md5 discipline). */
+  def idShardManifest(tape: DataFrame, streamCol: String,
+                      seqsPerShard: Long): DataFrame =
+    tape
+      .withColumn("shard_idx", expr(s"seq_idx div ${seqsPerShard}L"))
+      .withColumn("_h",
+        conv(substring(md5(concat_ws("|", col("seq_idx"), col("seq_pos"),
+          col("token_id"))), 1, 12), 16, 10).cast("long"))
+      .groupBy(col(streamCol), col("shard_idx"))
+      .agg(count_distinct(col("seq_idx")).as("n_seqs"),
+        count(lit(1)).as("n_cells"),
+        sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("n_pad"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(col("seq_idx")).as("first_seq"),
+        max(col("seq_idx")).as("last_seq"),
+        sum(col("_h")).as("id_checksum"))
 
   /** Shard manifest: sequences grouped into fixed-count shards per
     * stream — the export writer's unit of work and the resume/verify

@@ -980,8 +980,40 @@ object TextOps {
       graft.operators.Bpe.encodeIds(
         Tables.load(s, d, "documents").filter(col("doc_id") % 9 === 0),
         "doc_id", "text", model.merges)
-    })
+    }),
+
+    // PACKED TOKEN-ID TRAINING TAPE — the chain's last hop (r13 #1):
+    // q224's per-doc id streams laid head-to-tail per source and cut
+    // into fixed 64-token sequences, final partial sequence padded
+    // with the explicit pad id (−1), every cell carrying its source
+    // doc (NULL on pads). One row per tape cell so the oracle can
+    // recompute the whole tape from the id stream by window
+    // arithmetic; a trainer writer re-windows these rows into
+    // memory-mapped batches. BpeSpec pins the cross-boundary decode
+    // round-trip (ids → bytes → text across a doc boundary).
+    "q225_token_id_tape" -> ((s, d) => tokenIdTape(s, d)),
+
+    // Shard manifests over the ID TAPE itself (not token counts):
+    // 4 sequences per shard, with the commutative 48-bit-md5 content
+    // checksum — a re-export must land byte-identical, and a swapped
+    // pair of equal-length docs that fools every count breaks the
+    // checksum.
+    "q229_id_shard_manifest" -> ((s, d) =>
+      graft.operators.SequencePack.idShardManifest(
+        tokenIdTape(s, d), "source", seqsPerShard = 4L))
   )
+
+  /** q225/q229's shared tape: the stored tokenizer's id streams over
+    * every 9th doc (q224's corpus), packed at seqLen 64 / pad −1. */
+  private def tokenIdTape(s: SparkSession, d: String): DataFrame = {
+    val model = storedBpe8(s, d)
+    val docs = Tables.load(s, d, "documents").filter(col("doc_id") % 9 === 0)
+    graft.operators.SequencePack.packIdTape(
+      graft.operators.Bpe.encodeIds(docs, "doc_id", "text", model.merges),
+      "doc_id", "tok_idx", "token_id",
+      docs.select(col("doc_id"), col("source")), "source",
+      seqLen = 64L, padId = -1L)
+  }
 
   /** The persisted byte-BPE tokenizer (8 merges on `documents`) that
     * q220 round-trips and the downstream consumers (q171 budget mix,
@@ -2148,11 +2180,98 @@ object TextOps {
     // from the per-round best tables (255 + min round per minted
     // string), per-doc offsets from a running sum over pretoken
     // order, byte ids straight from the hex.
-    "q224_bpe_token_ids" -> {
-      val rounds = (1 to 8).map(bpeRoundSql).mkString(",\n          ")
-      val mg = (1 to 8).map(r =>
-        s"SELECT $r AS round, a, b FROM best$r").mkString(" UNION ALL ")
-      s"""WITH $bpeByteSyms0Sql,
+    "q224_bpe_token_ids" -> bpeTokenIdsSql,
+
+    // The packed tape recomputed from the q224 id stream by window
+    // arithmetic alone: per-doc counts, a per-source running sum for
+    // the doc bases, tape position = base + tok_idx - 1 cut at 64,
+    // and the explicit pad tail per stream.
+    "q225_token_id_tape" ->
+      s"""WITH ids AS ($bpeTokenIdsSql),
+          d AS (SELECT doc_id, source FROM documents WHERE doc_id % 9 = 0),
+          n AS (SELECT i.doc_id, min(d.source) AS source,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM ids i JOIN d USING (doc_id) GROUP BY i.doc_id),
+          b AS (SELECT doc_id, source,
+                       sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n AS base
+                FROM n),
+          body AS (SELECT b.source,
+                          CAST((b.base + i.tok_idx - 1) // 64 AS BIGINT)
+                            AS seq_idx,
+                          CAST((b.base + i.tok_idx - 1) % 64 AS BIGINT)
+                            AS seq_pos,
+                          i.token_id, i.doc_id
+                   FROM ids i JOIN b USING (doc_id)),
+          tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS total
+                  FROM n GROUP BY source),
+          pads AS (SELECT source, CAST(g.t // 64 AS BIGINT) AS seq_idx,
+                          CAST(g.t % 64 AS BIGINT) AS seq_pos,
+                          CAST(-1 AS BIGINT) AS token_id,
+                          CAST(NULL AS BIGINT) AS doc_id
+                   FROM tot,
+                        unnest(generate_series(total,
+                          ((total + 63) // 64) * 64 - 1)) AS g(t)
+                   WHERE total % 64 <> 0)
+          SELECT * FROM body UNION ALL SELECT * FROM pads""",
+
+    // The id-tape shard manifest recomposed from the same tape CTE:
+    // counts, ranges and the commutative 48-bit-md5 content checksum
+    // per (source, shard) — a swapped pair of equal-length docs
+    // passes every count and breaks the checksum on both engines.
+    "q229_id_shard_manifest" ->
+      s"""WITH ids AS ($bpeTokenIdsSql),
+          d AS (SELECT doc_id, source FROM documents WHERE doc_id % 9 = 0),
+          n AS (SELECT i.doc_id, min(d.source) AS source,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM ids i JOIN d USING (doc_id) GROUP BY i.doc_id),
+          b AS (SELECT doc_id, source,
+                       sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n AS base
+                FROM n),
+          body AS (SELECT b.source,
+                          CAST((b.base + i.tok_idx - 1) // 64 AS BIGINT)
+                            AS seq_idx,
+                          CAST((b.base + i.tok_idx - 1) % 64 AS BIGINT)
+                            AS seq_pos,
+                          i.token_id, i.doc_id
+                   FROM ids i JOIN b USING (doc_id)),
+          tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS total
+                  FROM n GROUP BY source),
+          pads AS (SELECT source, CAST(g.t // 64 AS BIGINT) AS seq_idx,
+                          CAST(g.t % 64 AS BIGINT) AS seq_pos,
+                          CAST(-1 AS BIGINT) AS token_id,
+                          CAST(NULL AS BIGINT) AS doc_id
+                   FROM tot,
+                        unnest(generate_series(total,
+                          ((total + 63) // 64) * 64 - 1)) AS g(t)
+                   WHERE total % 64 <> 0),
+          tape AS (SELECT * FROM body UNION ALL SELECT * FROM pads)
+          SELECT source, CAST(seq_idx // 4 AS BIGINT) AS shard_idx,
+                 CAST(count(DISTINCT seq_idx) AS BIGINT) AS n_seqs,
+                 CAST(count(*) AS BIGINT) AS n_cells,
+                 CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_pad,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                 CAST(min(seq_idx) AS BIGINT) AS first_seq,
+                 CAST(max(seq_idx) AS BIGINT) AS last_seq,
+                 CAST(sum(CAST('0x' || substr(md5(
+                        CAST(seq_idx AS VARCHAR) || '|' ||
+                        CAST(seq_pos AS VARCHAR) || '|' ||
+                        CAST(token_id AS VARCHAR)), 1, 12) AS BIGINT))
+                      AS BIGINT) AS id_checksum
+          FROM tape GROUP BY source, seq_idx // 4"""
+  )
+
+  /** The q224 token-id oracle — also the tape CTE q225/q229 window
+    * over: the full 8-round training chain, the minted-id map
+    * (255 + min round per string), per-doc offsets from a pretoken-
+    * order running sum, byte ids straight from the hex. */
+  private lazy val bpeTokenIdsSql: String = {
+    val rounds = (1 to 8).map(bpeRoundSql).mkString(",\n          ")
+    val mg = (1 to 8).map(r =>
+      s"SELECT $r AS round, a, b FROM best$r").mkString(" UNION ALL ")
+    s"""WITH $bpeByteSyms0Sql,
           $rounds,
           mg AS ($mg),
           vocab AS (SELECT a || b AS sym,
@@ -2179,6 +2298,5 @@ object TextOps {
                  coalesce(v.vid, CAST('0x' || t.sym AS BIGINT))
                    AS token_id
           FROM tk t LEFT JOIN vocab v USING (sym)"""
-    }
-  )
+  }
 }

@@ -170,4 +170,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(r.broadcastJoins >= 2,
       s"piece table + id map must broadcast: ${r.broadcastJoins}")
   }
+
+  test("q225 packed id tape: no cartesian, keeps q224's broadcasts") {
+    val r = audited("q225_token_id_tape")
+    assert(r.cartesianProducts == 0)
+    // the encode chain's piece table + id map still broadcast; the
+    // tape join (id stream x doc offsets) is a keyed shuffle join
+    assert(r.broadcastJoins >= 2,
+      s"piece table + id map must broadcast: ${r.broadcastJoins}")
+  }
 }

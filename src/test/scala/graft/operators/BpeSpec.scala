@@ -115,4 +115,47 @@ class BpeSpec extends AnyFunSuite {
       assert(new String(bytes, "UTF-8") == text, s"doc $doc")
     }
   }
+
+  test("packed id tape decodes back to text across a doc boundary") {
+    import org.apache.spark.sql.functions._
+    val t1 = "héllo wörld from the first document here"
+    val t2 = "the second document carries on the tape"
+    val docs = Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+    val merges = Bpe.trainByteMerges(docs, "text", nMerges = 4)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+      .map(m => (m._2, m._3)).toSeq
+    val tape = SequencePack.packIdTape(
+        Bpe.encodeIds(docs, "doc_id", "text", merges),
+        "doc_id", "tok_idx", "token_id",
+        docs.select(col("doc_id"), lit("s").as("src")), "src",
+        seqLen = 8L, padId = -1L)
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+      .sortBy(r => (r._2, r._3))
+    // every sequence is exactly 8 cells, positions 0..7
+    tape.groupBy(_._2).foreach { case (_, cells) =>
+      assert(cells.map(_._3).sorted.sameElements(0L to 7L))
+    }
+    // the boundary sequence carries cells of BOTH documents
+    assert(tape.groupBy(_._2).values
+      .exists(c => c.flatMap(_._5).distinct.length == 2))
+    // pads: only in the final sequence's tail, pad id, NULL doc
+    val pads = tape.filter(_._5.isEmpty)
+    assert(pads.nonEmpty && pads.forall(_._4 == -1L))
+    assert(pads.map(_._2).distinct.sameElements(Array(tape.map(_._2).max)))
+    // the non-pad tape, read in (seq_idx, seq_pos) order, decodes to
+    // doc1's bytes followed by doc2's — the trainer's view round-trips
+    val inv = Bpe.vocabIds(merges).map(_.swap).toMap
+    def sym(id: Long): String =
+      inv.getOrElse(id, { assert(id < 256); f"$id%02X" })
+    val hx = tape.filter(_._5.nonEmpty).map(r => sym(r._4)).mkString("")
+    val bytes = hx.grouped(2)
+      .map(h => Integer.parseInt(h, 16).toByte).toArray
+    assert(new String(bytes, "UTF-8") == t1 + t2)
+    // and per-doc reassembly matches each source text exactly
+    for ((doc, text) <- Seq(1L -> t1, 2L -> t2)) {
+      val dhx = tape.filter(_._5.contains(doc)).map(r => sym(r._4)).mkString("")
+      val db = dhx.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+      assert(new String(db, "UTF-8") == text, s"doc $doc")
+    }
+  }
 }

@@ -104,4 +104,53 @@ class SequencePackSpec extends AnyFunSuite {
     for ((shard, first, last) <- bounds)
       assert(first >= shard * 4 && last < (shard + 1) * 4)
   }
+
+  test("packIdTape: hand-checked cells, pad tail, independent streams") {
+    // stream a: doc 1 ids [10,11,12], doc 3 ids [20,21] → tape
+    // 10 11 12 20 21 over L=4 → seq0 = 10 11 12 20, seq1 = 21 P P P;
+    // stream b: doc 2 ids [30..33] → exactly one full seq, NO pads;
+    // doc 4 maps to stream a but has no ids → occupies no tape
+    val ids = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L),
+      (3L, 1L, 20L), (3L, 2L, 21L),
+      (2L, 1L, 30L), (2L, 2L, 31L), (2L, 3L, 32L), (2L, 4L, 33L))
+      .toDF("doc", "pos", "tid")
+    val streams = Seq((1L, "a"), (3L, "a"), (2L, "b"), (4L, "a"))
+      .toDF("doc", "st")
+    val tape = SequencePack.packIdTape(ids, "doc", "pos", "tid",
+        streams, "st", seqLen = 4L, padId = -9L)
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+      .sortBy(r => (r._1, r._2, r._3)).toSeq
+    assert(tape == Seq(
+      ("a", 0L, 0L, 10L, Some(1L)), ("a", 0L, 1L, 11L, Some(1L)),
+      ("a", 0L, 2L, 12L, Some(1L)), ("a", 0L, 3L, 20L, Some(3L)),
+      ("a", 1L, 0L, 21L, Some(3L)), ("a", 1L, 1L, -9L, None),
+      ("a", 1L, 2L, -9L, None), ("a", 1L, 3L, -9L, None),
+      ("b", 0L, 0L, 30L, Some(2L)), ("b", 0L, 1L, 31L, Some(2L)),
+      ("b", 0L, 2L, 32L, Some(2L)), ("b", 0L, 3L, 33L, Some(2L))))
+  }
+
+  test("idShardManifest pins tape content, not just counts") {
+    val ids = (1L to 24L).map(i => (i % 3 + 1, (i - 1) / 3 + 1, i * 7))
+      .toDF("doc", "pos", "tid")
+    val streams = Seq((1L, "s"), (2L, "s"), (3L, "s")).toDF("doc", "st")
+    val tape = SequencePack.packIdTape(ids, "doc", "pos", "tid",
+      streams, "st", seqLen = 4L, padId = -1L)
+    val m = SequencePack.idShardManifest(tape, "st", seqsPerShard = 2L)
+      .orderBy("shard_idx").collect()
+    // 24 ids over L=4 → 6 full seqs → 3 shards of 2, zero pads
+    assert(m.length == 3)
+    assert(m.map(_.getLong(2)).sum == 6L) // n_seqs
+    assert(m.map(_.getLong(3)).sum == 24L) // n_cells
+    assert(m.forall(_.getLong(4) == 0L)) // n_pad
+    // a swapped pair of SAME-length docs passes the counts but must
+    // break the checksum: exchange two token ids on the tape
+    val swapped = tape.withColumn("token_id",
+      when(col("token_id") === 7L, lit(14L))
+        .when(col("token_id") === 14L, lit(7L))
+        .otherwise(col("token_id")))
+    val m2 = SequencePack.idShardManifest(swapped, "st", 2L)
+      .orderBy("shard_idx").collect()
+    assert(m2.map(_.getLong(2)).sum == 6L && m2.map(_.getLong(3)).sum == 24L)
+    assert(m.map(_.getLong(8)).toSeq != m2.map(_.getLong(8)).toSeq)
+  }
 }
