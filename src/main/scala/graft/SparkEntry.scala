@@ -36,7 +36,8 @@ object SparkEntry {
       graft.queries.JsonOps.queries ++
       graft.queries.CurationOps.queries ++
       graft.queries.HtmlOps.queries ++
-      graft.queries.NormalizeOps.queries
+      graft.queries.NormalizeOps.queries ++
+      graft.queries.GeoOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check.
@@ -52,7 +53,8 @@ object SparkEntry {
       graft.queries.JsonOps.oracles ++
       graft.queries.CurationOps.oracles ++
       graft.queries.HtmlOps.oracles ++
-      graft.queries.NormalizeOps.oracles)
+      graft.queries.NormalizeOps.oracles ++
+      graft.queries.GeoOps.oracles)
       .map { case (k, sql) =>
         k -> s"SELECT * FROM ($sql) AS graft_q ORDER BY ALL NULLS FIRST"
       }

@@ -1,0 +1,217 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Wkb
+import graft.operators.Geometry
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Geometry-tier queries (the north star's spatial step): WKB
+  * point/polygon columns, exact point-in-polygon and
+  * polygon-intersects grid joins. Fixtures are deterministic rhombi
+  * (convex simple quads with four independent quadrant extents) and
+  * points derived from part/supplier/customer keys by modular
+  * arithmetic — the q105 discipline — so DuckDB recomputes the same
+  * vertices and verifies with the direct θ-join + the SAME integer
+  * sign formulas. The grid is execution strategy, never semantics. */
+object GeoOps {
+
+  /** Rhombus vertex arrays (CCW, no closing repeat) from an integer
+    * key: center (k·53 % 2000, k·71 % 2000), quadrant extents
+    * 5 + k mod {17,13,11,19} — four independent extents so the shape
+    * varies and no polygon is degenerate (extents ≥ 5 > 0). */
+  private def partPolys(s: SparkSession, d: String): DataFrame = {
+    val k = col("p_partkey")
+    val cx = k * 53L % 2000L
+    val cy = k * 71L % 2000L
+    val (ea, eb, ec, ed) =
+      (lit(5L) + k % 17L, lit(5L) + k % 13L, lit(5L) + k % 11L,
+        lit(5L) + k % 19L)
+    Tables.load(s, d, "part").select(k.as("poly_id"),
+      array(cx + ea, cx, cx - ec, cx).as("xs"),
+      array(cy, cy + eb, cy, cy - ed).as("ys"))
+  }
+
+  /** Supplier rhombi — larger extents (7 + k mod {29,23,31,37}) so the
+    * intersect join has real work at every sf. */
+  private def supplierPolys(s: SparkSession, d: String): DataFrame = {
+    val k = col("s_suppkey")
+    val cx = k * 97L % 2000L
+    val cy = k * 41L % 2000L
+    val (ea, eb, ec, ed) =
+      (lit(7L) + k % 29L, lit(7L) + k % 23L, lit(7L) + k % 31L,
+        lit(7L) + k % 37L)
+    Tables.load(s, d, "supplier").select(k.as("b_id"),
+      array(cx + ea, cx, cx - ec, cx).as("bxs"),
+      array(cy, cy + eb, cy, cy - ed).as("bys"))
+  }
+
+  private def toDouble(a: Column): Column = transform(a, v => v.cast("double"))
+  private def toLong(a: Column): Column = transform(a, v => v.cast("long"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // POINT-IN-POLYGON grid join through a WKB ROUND-TRIP: part
+    // rhombi encode to little-endian WKB Polygons (ring closed per
+    // spec) and decode back in-plan — integer-valued doubles are
+    // exact, so the codec is invisible to the hash and a corrupt
+    // encode/decode breaks the oracle. Candidates from bbox grid
+    // cells (a point lives in exactly one cell — no dedup pass),
+    // verdicts from the exact integer ray cast.
+    "q227_point_in_polygon" -> ((s, d) => {
+      val polys = partPolys(s, d)
+        .select(col("poly_id"),
+          Wkb.encode(toDouble(col("xs")), toDouble(col("ys"))).as("wkb"))
+        .select(col("poly_id"), Wkb.decode(col("wkb")).as("g"))
+        .select(col("poly_id"), toLong(col("g.xs")).as("xs"),
+          toLong(col("g.ys")).as("ys"))
+      val points = Tables.load(s, d, "customer").select(
+        col("c_custkey").as("p_id"),
+        (col("c_custkey") * 13L % 2000L).as("px"),
+        (col("c_custkey") * 29L % 2000L).as("py"))
+      Geometry.pointInPolygonJoin(points, polys, cell = 32L)
+    }),
+
+    // POLYGON-INTERSECTS grid join (boundary touch counts): part
+    // rhombi vs the larger supplier rhombi — bbox cell candidates,
+    // reference-point dedup (pure filter, no distinct), then the
+    // complete edge-pair + containment predicate in exact integer
+    // sign arithmetic.
+    "q228_polygon_intersects" -> ((s, d) =>
+      Geometry.polygonIntersectJoin(
+        partPolys(s, d).select(col("poly_id").as("a_id"),
+          col("xs").as("axs"), col("ys").as("ays")),
+        supplierPolys(s, d), cell = 64L))
+  )
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  /** Exact integer sign formulas, shared text between both oracles so
+    * the SQL provably computes what [[Geometry]] computes. */
+  private def orientSql(ax: String, ay: String, bx: String, by: String,
+                        cx: String, cy: String): String =
+    s"(($bx - $ax) * ($cy - $ay) - ($by - $ay) * ($cx - $ax))"
+
+  private def onSegSql(ax: String, ay: String, bx: String, by: String,
+                       px: String, py: String): String =
+    s"""(least($ax, $bx) <= $px AND $px <= greatest($ax, $bx)
+         AND least($ay, $by) <= $py AND $py <= greatest($ay, $by))"""
+
+  private def segIntSql(p1x: String, p1y: String, p2x: String, p2y: String,
+                        q1x: String, q1y: String, q2x: String,
+                        q2y: String): String = {
+    val o1 = orientSql(p1x, p1y, p2x, p2y, q1x, q1y)
+    val o2 = orientSql(p1x, p1y, p2x, p2y, q2x, q2y)
+    val o3 = orientSql(q1x, q1y, q2x, q2y, p1x, p1y)
+    val o4 = orientSql(q1x, q1y, q2x, q2y, p2x, p2y)
+    s"""(((($o1 > 0 AND $o2 < 0) OR ($o1 < 0 AND $o2 > 0))
+          AND (($o3 > 0 AND $o4 < 0) OR ($o3 < 0 AND $o4 > 0)))
+        OR ($o1 = 0 AND ${onSegSql(p1x, p1y, p2x, p2y, q1x, q1y)})
+        OR ($o2 = 0 AND ${onSegSql(p1x, p1y, p2x, p2y, q2x, q2y)})
+        OR ($o3 = 0 AND ${onSegSql(q1x, q1y, q2x, q2y, p1x, p1y)})
+        OR ($o4 = 0 AND ${onSegSql(q1x, q1y, q2x, q2y, p2x, p2y)}))"""
+  }
+
+  /** One ray-cast crossing term for edge (x1,y1)→(x2,y2) vs the
+    * upward ray from (px,py) — cross-multiplied, division-free. */
+  private def crossSql(px: String, py: String, x1: String, y1: String,
+                       x2: String, y2: String): String =
+    s"""((($y1 > $py) <> ($y2 > $py)) AND
+        (CASE WHEN $y2 > $y1
+              THEN ($px - $x1) * ($y2 - $y1) < ($py - $y1) * ($x2 - $x1)
+              ELSE ($px - $x1) * ($y2 - $y1) > ($py - $y1) * ($x2 - $x1)
+         END))"""
+
+  /** part rhombi as per-vertex rows + edges + bboxes (CTE text). */
+  private val partVertsSql: String =
+    """pa AS (SELECT p_partkey AS a_id,
+             p_partkey * 53 % 2000 AS cx, p_partkey * 71 % 2000 AS cy,
+             5 + p_partkey % 17 AS ea, 5 + p_partkey % 13 AS eb,
+             5 + p_partkey % 11 AS ec, 5 + p_partkey % 19 AS ed
+           FROM part),
+       va AS (SELECT a_id, 0 AS vi, cx + ea AS x, cy AS y FROM pa
+         UNION ALL SELECT a_id, 1, cx, cy + eb FROM pa
+         UNION ALL SELECT a_id, 2, cx - ec, cy FROM pa
+         UNION ALL SELECT a_id, 3, cx, cy - ed FROM pa),
+       eda AS (SELECT l.a_id, l.x AS x1, l.y AS y1, r.x AS x2, r.y AS y2
+               FROM va l JOIN va r ON l.a_id = r.a_id
+                                  AND r.vi = (l.vi + 1) % 4),
+       bba AS (SELECT a_id, min(x) AS ax0, max(x) AS ax1,
+                      min(y) AS ay0, max(y) AS ay1
+               FROM va GROUP BY a_id)"""
+
+  private val supplierVertsSql: String =
+    """pb AS (SELECT s_suppkey AS b_id,
+             s_suppkey * 97 % 2000 AS cx, s_suppkey * 41 % 2000 AS cy,
+             7 + s_suppkey % 29 AS ea, 7 + s_suppkey % 23 AS eb,
+             7 + s_suppkey % 31 AS ec, 7 + s_suppkey % 37 AS ed
+           FROM supplier),
+       vb AS (SELECT b_id, 0 AS vi, cx + ea AS x, cy AS y FROM pb
+         UNION ALL SELECT b_id, 1, cx, cy + eb FROM pb
+         UNION ALL SELECT b_id, 2, cx - ec, cy FROM pb
+         UNION ALL SELECT b_id, 3, cx, cy - ed FROM pb),
+       edb AS (SELECT l.b_id, l.x AS x1, l.y AS y1, r.x AS x2, r.y AS y2
+               FROM vb l JOIN vb r ON l.b_id = r.b_id
+                                  AND r.vi = (l.vi + 1) % 4),
+       bbb AS (SELECT b_id, min(x) AS bx0, max(x) AS bx1,
+                      min(y) AS by0, max(y) AS by1
+               FROM vb GROUP BY b_id)"""
+
+  def oracles: Map[String, String] = Map(
+    // Direct θ-join: bbox prefilter, then the identical ray-cast
+    // parity over the recomputed vertices — the WKB round-trip and
+    // the grid must both be invisible.
+    "q227_point_in_polygon" ->
+      s"""WITH $partVertsSql,
+          pt AS (SELECT c_custkey AS p_id,
+                        c_custkey * 13 % 2000 AS px,
+                        c_custkey * 29 % 2000 AS py FROM customer),
+          cand AS (SELECT b.a_id AS poly_id, t.p_id, t.px, t.py
+                   FROM bba b JOIN pt t
+                     ON t.px BETWEEN b.ax0 AND b.ax1
+                    AND t.py BETWEEN b.ay0 AND b.ay1),
+          cr AS (SELECT c.poly_id, c.p_id
+                 FROM cand c JOIN eda e ON e.a_id = c.poly_id
+                 WHERE ${crossSql("c.px", "c.py",
+                   "e.x1", "e.y1", "e.x2", "e.y2")}),
+          par AS (SELECT poly_id, p_id FROM cr
+                  GROUP BY poly_id, p_id HAVING count(*) % 2 = 1)
+          SELECT CAST(poly_id AS BIGINT) AS poly_id,
+                 CAST(p_id AS BIGINT) AS p_id
+          FROM par""",
+
+    // Direct θ-join on the bboxes, then the same complete predicate:
+    // any edge pair intersects (collinear/endpoint touches included)
+    // OR either polygon contains the other's first vertex.
+    "q228_polygon_intersects" ->
+      s"""WITH $partVertsSql,
+          $supplierVertsSql,
+          cand AS (SELECT a.a_id, b.b_id
+                   FROM bba a JOIN bbb b
+                     ON a.ax0 <= b.bx1 AND b.bx0 <= a.ax1
+                    AND a.ay0 <= b.by1 AND b.by0 <= a.ay1),
+          ecross AS (SELECT DISTINCT c.a_id, c.b_id
+                     FROM cand c
+                       JOIN eda ea ON ea.a_id = c.a_id
+                       JOIN edb eb ON eb.b_id = c.b_id
+                     WHERE ${segIntSql("ea.x1", "ea.y1", "ea.x2", "ea.y2",
+                       "eb.x1", "eb.y1", "eb.x2", "eb.y2")}),
+          binA AS (SELECT c.a_id, c.b_id
+                   FROM cand c
+                     JOIN pb ON pb.b_id = c.b_id
+                     JOIN eda e ON e.a_id = c.a_id
+                   WHERE ${crossSql("(pb.cx + pb.ea)", "pb.cy",
+                     "e.x1", "e.y1", "e.x2", "e.y2")}
+                   GROUP BY c.a_id, c.b_id HAVING count(*) % 2 = 1),
+          ainB AS (SELECT c.a_id, c.b_id
+                   FROM cand c
+                     JOIN pa ON pa.a_id = c.a_id
+                     JOIN edb e ON e.b_id = c.b_id
+                   WHERE ${crossSql("(pa.cx + pa.ea)", "pa.cy",
+                     "e.x1", "e.y1", "e.x2", "e.y2")}
+                   GROUP BY c.a_id, c.b_id HAVING count(*) % 2 = 1)
+          SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id
+          FROM (SELECT a_id, b_id FROM ecross
+                UNION SELECT a_id, b_id FROM binA
+                UNION SELECT a_id, b_id FROM ainB) u"""
+  )
+}

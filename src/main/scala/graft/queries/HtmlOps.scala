@@ -504,6 +504,66 @@ object HtmlOps {
             when(clean, col("toks")) >= 5L, lit(false)).as("admitted"))
     }),
 
+    // CODING-LOSS REPORT (r13 #4's payoff): the modern-web loss share
+    // priced per class — brotli and zstd quarantines are first-class
+    // report rows, not folded into one `unsupported` cell. Classes by
+    // doc_id arithmetic (first match wins, oracle CASE mirrors):
+    // %13 CE `br` (`br_unsupported` by token), %11 CE `zstd` with a
+    // real zstd frame magic (`zstd_unsupported` by token), %7 a
+    // MISLABELED token (`x-custom`) over zstd-magic bytes
+    // (`zstd_unsupported` by sniff — the magic is the signal), %5 TE
+    // `br, chunked` (transfer-level `br_unsupported`), %3 CE
+    // `compress` (generic `unsupported`), %2 CE gzip (decodes —
+    // `clean`), else plain. Report: per (source, loss_class) doc
+    // count + exact ppm share of the source.
+    "q226_coding_loss_report" -> ((s, d) => {
+      import graft.sources.HttpEnvelope
+      import s.implicits._
+      val payloads = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("text"), lit("")).as("text"))
+        .as[(Long, String, String)]
+        .map { case (id, src, text) =>
+          val u8 = text.getBytes("UTF-8")
+          val ctH = "Content-Type: text/html\r\n"
+          val zs = Array(0x28, 0xb5, 0x2f, 0xfd).map(_.toByte)
+          val body: (String, Array[Byte]) =
+            if (id % 13 == 0) (ctH + "Content-Encoding: br\r\n", u8)
+            else if (id % 11 == 0)
+              (ctH + "Content-Encoding: zstd\r\n", zs ++ u8)
+            else if (id % 7 == 0)
+              (ctH + "Content-Encoding: x-custom\r\n", zs ++ u8)
+            else if (id % 5 == 0)
+              (ctH + "Transfer-Encoding: br, chunked\r\n", chunkB(u8, 64))
+            else if (id % 3 == 0)
+              (ctH + "Content-Encoding: compress\r\n", u8)
+            else if (id % 2 == 0)
+              (ctH + "Content-Encoding: gzip\r\n", gzB(u8))
+            else (ctH, u8)
+          (id, src, httpB(body._1, body._2))
+        }.toDF("doc_id", "source", "payload")
+      val envd = HttpEnvelope.extract(s,
+          payloads.select(col("doc_id"), col("payload")),
+          "doc_id", "payload").toDF()
+        .join(payloads.select(col("doc_id").cast("string").as("id"),
+          col("source")), Seq("id"))
+      val lossClass =
+        when(col("transfer_coding") === "br_unsupported" ||
+          col("content_coding") === "br_unsupported", "br")
+        .when(col("transfer_coding") === "zstd_unsupported" ||
+          col("content_coding") === "zstd_unsupported", "zstd")
+        .when(col("transfer_coding") === "unsupported" ||
+          col("content_coding") === "unsupported", "other")
+        .otherwise("clean")
+      val cls = envd.groupBy(col("source"), lossClass.as("loss_class"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = cls.groupBy(col("source"))
+        .agg(sum(col("n_docs")).as("_tot"))
+      cls.join(broadcast(tot), Seq("source"))
+        .select(col("source"), col("loss_class"), col("n_docs"),
+          expr("n_docs * 1000000L div _tot").as("share_ppm"))
+    }),
+
     // The Common-Crawl-shaped chain END TO END on the real format:
     // q219's WARC fixture → extractWarc (member demux + quarantine) →
     // HttpEnvelope on ok `response` payloads (status/mime truth) →
@@ -1102,6 +1162,28 @@ object HtmlOps {
                    false) AS admitted
           FROM src s JOIN tok t USING (doc_id)"""
     },
+
+    // Loss shares recomputed from class arithmetic alone — the engine
+    // must classify every synthesized payload (token-named br/zstd,
+    // magic-sniffed mislabeled zstd, TE-level br, generic compress,
+    // decodable gzip) into exactly the priced class.
+    "q226_coding_loss_report" ->
+      s"""WITH cls AS (SELECT source,
+               CASE WHEN doc_id % 13 = 0 THEN 'br'
+                    WHEN doc_id % 11 = 0 THEN 'zstd'
+                    WHEN doc_id % 7 = 0 THEN 'zstd'
+                    WHEN doc_id % 5 = 0 THEN 'br'
+                    WHEN doc_id % 3 = 0 THEN 'other'
+                    ELSE 'clean' END AS loss_class
+             FROM documents),
+          g AS (SELECT source, loss_class,
+                       CAST(count(*) AS BIGINT) AS n_docs
+                FROM cls GROUP BY source, loss_class),
+          t AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS tot
+                FROM g GROUP BY source)
+          SELECT g.source, g.loss_class, g.n_docs,
+                 CAST(g.n_docs * 1000000 // t.tot AS BIGINT) AS share_ppm
+          FROM g JOIN t USING (source)""",
 
     // End-to-end report recomposed from class arithmetic: per doc a
     // response (poisoned %7 / corrupt %13 / ok, 404 when %2) plus

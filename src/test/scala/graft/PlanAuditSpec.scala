@@ -171,6 +171,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"piece table + id map must broadcast: ${r.broadcastJoins}")
   }
 
+  test("q227/q228 geometry joins: grid equi-joins, zero cartesians") {
+    val pip = audited("q227_point_in_polygon")
+    assert(pip.cartesianProducts == 0)
+    assert(pip.scans.exists(_.source.contains("part")) &&
+      pip.scans.exists(_.source.contains("customer")))
+    // the part scan reads only the key the fixture derives from
+    assert(pip.scans.filter(_.source.contains("part"))
+      .forall(_.readColumns.toSet == Set("p_partkey")),
+      s"part scan not pruned: ${pip.scans.map(s => s.source -> s.readColumns)}")
+    val ix = audited("q228_polygon_intersects")
+    assert(ix.cartesianProducts == 0)
+  }
+
   test("q225 packed id tape: no cartesian, keeps q224's broadcasts") {
     val r = audited("q225_token_id_tape")
     assert(r.cartesianProducts == 0)
