@@ -129,6 +129,37 @@ object Geometry {
       pointInPolygon(element_at(xsA, 1), element_at(ysA, 1), xsB, ysB)
   }
 
+  /** Twice the signed shoelace area of a vertex ring — exact integer
+    * (st_area's exact twin: divide by 2.0 only at the presentation
+    * edge). Positive for counter-clockwise rings. */
+  def polygonArea2(xs: Column, ys: Column): Column = {
+    val n = size(xs)
+    aggregate(sequence(lit(0), n - 1), lit(0L), (acc, i) => {
+      val j = (i + 1) % n
+      acc + element_at(xs, i + 1) * element_at(ys, j + 1) -
+        element_at(xs, j + 1) * element_at(ys, i + 1)
+    })
+  }
+
+  /** Exact centroid NUMERATORS (6·A·cx, 6·A·cy) of a vertex ring —
+    * the standard polygon-centroid formula kept in integers: the true
+    * centroid is (cx_num / (3·area2), cy_num / (3·area2)); emitting
+    * the numerators keeps the column oracle-exact on any engine and
+    * lets the caller choose the rounding. */
+  def polygonCentroidNum(xs: Column, ys: Column): Column = {
+    val n = size(xs)
+    def term(csel: (Column, Column) => Column): Column =
+      aggregate(sequence(lit(0), n - 1), lit(0L), (acc, i) => {
+        val j = (i + 1) % n
+        val cross = element_at(xs, i + 1) * element_at(ys, j + 1) -
+          element_at(xs, j + 1) * element_at(ys, i + 1)
+        acc + csel(
+          element_at(xs, i + 1) + element_at(xs, j + 1),
+          element_at(ys, i + 1) + element_at(ys, j + 1)) * cross
+      })
+    struct(term((sx, _) => sx).as("cx_num"), term((_, sy) => sy).as("cy_num"))
+  }
+
   // ---- grid joins ----------------------------------------------------
 
   /** Point-in-polygon join: which points fall inside which polygons.

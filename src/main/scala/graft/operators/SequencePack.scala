@@ -147,7 +147,11 @@ object SequencePack {
     * `streamCol`; a document with no id rows (empty text) occupies no
     * tape, exactly like [[chunk]]'s zero-token rule. `docCol` must be
     * unique per stream — it is the tape order ([[chunk]]'s
-    * determinism contract).
+    * determinism contract). `eosId` (optional): append one document-
+    * separator cell after each non-empty document's last token — the
+    * GPT-pretraining delimiter a trainer needs to mask cross-document
+    * attention; the EOS cell is attributed to ITS document (pads stay
+    * NULL-doc).
     *
     * Output: (streamCol, seq_idx, seq_pos, token_id, doc_id) — one
     * row per tape cell, `seq_pos` ∈ [0, seqLen), `doc_id` NULL on pad
@@ -163,21 +167,32 @@ object SequencePack {
     * offsets do. */
   def packIdTape(ids: DataFrame, docCol: String, posCol: String,
                  idColName: String, streams: DataFrame, streamCol: String,
-                 seqLen: Long, padId: Long): DataFrame = {
-    val nTok = ids.groupBy(col(docCol)).agg(count(lit(1)).as("_n"))
-    val w = Window.partitionBy(col(streamCol)).orderBy(col(docCol))
+                 seqLen: Long, padId: Long,
+                 eosId: Option[Long] = None): DataFrame = {
+    // with an EOS separator (the GPT-pretraining document delimiter),
+    // every non-empty doc contributes one extra trailing cell — the
+    // EOS is attributed to ITS document, unlike pads (NULL doc)
+    val raw = ids.select(col(docCol).as("_doc"),
+      col(posCol).cast("long").as("_pos"),
+      col(idColName).cast("long").as("_tid"))
+    val cells = eosId.fold(raw)(e =>
+      raw.unionByName(raw.groupBy(col("_doc"))
+        .agg((max(col("_pos")) + 1L).as("_pos"))
+        .select(col("_doc"), col("_pos"), lit(e).as("_tid"))))
+    val nTok = cells.groupBy(col("_doc")).agg(count(lit(1)).as("_n"))
+    val w = Window.partitionBy(col(streamCol)).orderBy(col("_doc"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val based = streams.select(col(docCol), col(streamCol))
-      .join(nTok, Seq(docCol)) // inner: zero-token docs occupy no tape
+    val based = streams.select(col(docCol).as("_doc"), col(streamCol))
+      .join(nTok, Seq("_doc")) // inner: zero-token docs occupy no tape
       .withColumn("_end", sum(col("_n")).over(w))
       .withColumn("_base", col("_end") - col("_n"))
-    val body = ids.join(based.select(col(docCol), col(streamCol),
-        col("_base")), Seq(docCol))
-      .withColumn("_tape", col("_base") + col(posCol) - 1L)
+    val body = cells.join(based.select(col("_doc"), col(streamCol),
+        col("_base")), Seq("_doc"))
+      .withColumn("_tape", col("_base") + col("_pos") - 1L)
       .select(col(streamCol), expr(s"_tape div ${seqLen}L").as("seq_idx"),
         expr(s"_tape % ${seqLen}L").as("seq_pos"),
-        col(idColName).cast("long").as("token_id"),
-        col(docCol).cast("long").as("doc_id"))
+        col("_tid").as("token_id"),
+        col("_doc").cast("long").as("doc_id"))
     val pads = based.groupBy(col(streamCol))
       .agg(max(col("_end")).as("_total"))
       .withColumn("_to",

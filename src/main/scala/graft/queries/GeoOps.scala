@@ -80,7 +80,22 @@ object GeoOps {
       Geometry.polygonIntersectJoin(
         partPolys(s, d).select(col("poly_id").as("a_id"),
           col("xs").as("axs"), col("ys").as("ays")),
-        supplierPolys(s, d), cell = 64L))
+        supplierPolys(s, d), cell = 64L)),
+
+    // EXACT polygon metrics (st_area/st_centroid's integer twins):
+    // twice the shoelace area (positive — the fixtures are CCW), the
+    // 6·A-scaled centroid numerators (division deferred to the
+    // presentation edge so the column stays engine-exact), and the
+    // bbox extents. Map-only: one projection over the polygon scan.
+    "q230_polygon_metrics" -> ((s, d) =>
+      partPolys(s, d)
+        .withColumn("_c",
+          Geometry.polygonCentroidNum(col("xs"), col("ys")))
+        .select(col("poly_id"),
+          Geometry.polygonArea2(col("xs"), col("ys")).as("area2"),
+          col("_c.cx_num").as("cx_num"), col("_c.cy_num").as("cy_num"),
+          (array_max(col("xs")) - array_min(col("xs"))).as("bbox_w"),
+          (array_max(col("ys")) - array_min(col("ys"))).as("bbox_h")))
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -212,6 +227,26 @@ object GeoOps {
           SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id
           FROM (SELECT a_id, b_id FROM ecross
                 UNION SELECT a_id, b_id FROM binA
-                UNION SELECT a_id, b_id FROM ainB) u"""
+                UNION SELECT a_id, b_id FROM ainB) u""",
+
+    // Shoelace terms and centroid numerators summed over the edge
+    // relation — the identical integer formulas.
+    "q230_polygon_metrics" ->
+      s"""WITH $partVertsSql,
+          sh AS (SELECT l.a_id,
+                        CAST(sum(l.x * r.y - r.x * l.y) AS BIGINT) AS area2,
+                        CAST(sum((l.x + r.x) * (l.x * r.y - r.x * l.y))
+                             AS BIGINT) AS cx_num,
+                        CAST(sum((l.y + r.y) * (l.x * r.y - r.x * l.y))
+                             AS BIGINT) AS cy_num
+                 FROM va l JOIN va r ON l.a_id = r.a_id
+                                    AND r.vi = (l.vi + 1) % 4
+                 GROUP BY l.a_id),
+          ext AS (SELECT a_id, CAST(max(x) - min(x) AS BIGINT) AS bbox_w,
+                         CAST(max(y) - min(y) AS BIGINT) AS bbox_h
+                  FROM va GROUP BY a_id)
+          SELECT CAST(sh.a_id AS BIGINT) AS poly_id, area2, cx_num, cy_num,
+                 bbox_w, bbox_h
+          FROM sh JOIN ext ON sh.a_id = ext.a_id"""
   )
 }

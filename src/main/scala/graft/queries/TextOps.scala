@@ -1000,19 +1000,28 @@ object TextOps {
     // checksum.
     "q229_id_shard_manifest" -> ((s, d) =>
       graft.operators.SequencePack.idShardManifest(
-        tokenIdTape(s, d), "source", seqsPerShard = 4L))
+        tokenIdTape(s, d), "source", seqsPerShard = 4L)),
+
+    // The EOS-delimited tape (trainer reality: cross-document
+    // attention is masked at the separator): one EOS cell (id 999,
+    // attributed to its doc — pads stay NULL-doc) after each
+    // non-empty document, same 64-cell sequences and pad tail.
+    "q231_token_id_tape_eos" -> ((s, d) =>
+      tokenIdTape(s, d, eosId = Some(999L)))
   )
 
-  /** q225/q229's shared tape: the stored tokenizer's id streams over
-    * every 9th doc (q224's corpus), packed at seqLen 64 / pad −1. */
-  private def tokenIdTape(s: SparkSession, d: String): DataFrame = {
+  /** q225/q229/q231's shared tape: the stored tokenizer's id streams
+    * over every 9th doc (q224's corpus), packed at seqLen 64 /
+    * pad −1, optionally EOS-delimited. */
+  private def tokenIdTape(s: SparkSession, d: String,
+                          eosId: Option[Long] = None): DataFrame = {
     val model = storedBpe8(s, d)
     val docs = Tables.load(s, d, "documents").filter(col("doc_id") % 9 === 0)
     graft.operators.SequencePack.packIdTape(
       graft.operators.Bpe.encodeIds(docs, "doc_id", "text", model.merges),
       "doc_id", "tok_idx", "token_id",
       docs.select(col("doc_id"), col("source")), "source",
-      seqLen = 64L, padId = -1L)
+      seqLen = 64L, padId = -1L, eosId = eosId)
   }
 
   /** The persisted byte-BPE tokenizer (8 merges on `documents`) that
@@ -2187,32 +2196,20 @@ object TextOps {
     // the doc bases, tape position = base + tok_idx - 1 cut at 64,
     // and the explicit pad tail per stream.
     "q225_token_id_tape" ->
-      s"""WITH ids AS ($bpeTokenIdsSql),
-          d AS (SELECT doc_id, source FROM documents WHERE doc_id % 9 = 0),
-          n AS (SELECT i.doc_id, min(d.source) AS source,
-                       CAST(count(*) AS BIGINT) AS n
-                FROM ids i JOIN d USING (doc_id) GROUP BY i.doc_id),
-          b AS (SELECT doc_id, source,
-                       sum(n) OVER (PARTITION BY source ORDER BY doc_id
-                                    ROWS UNBOUNDED PRECEDING) - n AS base
-                FROM n),
-          body AS (SELECT b.source,
-                          CAST((b.base + i.tok_idx - 1) // 64 AS BIGINT)
-                            AS seq_idx,
-                          CAST((b.base + i.tok_idx - 1) % 64 AS BIGINT)
-                            AS seq_pos,
-                          i.token_id, i.doc_id
-                   FROM ids i JOIN b USING (doc_id)),
-          tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS total
-                  FROM n GROUP BY source),
-          pads AS (SELECT source, CAST(g.t // 64 AS BIGINT) AS seq_idx,
-                          CAST(g.t % 64 AS BIGINT) AS seq_pos,
-                          CAST(-1 AS BIGINT) AS token_id,
-                          CAST(NULL AS BIGINT) AS doc_id
-                   FROM tot,
-                        unnest(generate_series(total,
-                          ((total + 63) // 64) * 64 - 1)) AS g(t)
-                   WHERE total % 64 <> 0)
+      s"""WITH ${tapeCtesSql(s"ids AS ($bpeTokenIdsSql)")}
+          SELECT * FROM body UNION ALL SELECT * FROM pads""",
+
+    // The EOS-delimited tape: one document-separator cell (id 999,
+    // attributed to its doc) after each non-empty document — the
+    // identical window arithmetic over the ids+EOS stream.
+    "q231_token_id_tape_eos" ->
+      s"""WITH ${tapeCtesSql(
+        s"""ids0 AS ($bpeTokenIdsSql),
+          ids AS (SELECT doc_id, tok_idx, token_id FROM ids0
+                  UNION ALL
+                  SELECT doc_id, CAST(max(tok_idx) + 1 AS BIGINT),
+                         CAST(999 AS BIGINT)
+                  FROM ids0 GROUP BY doc_id)""")}
           SELECT * FROM body UNION ALL SELECT * FROM pads""",
 
     // The id-tape shard manifest recomposed from the same tape CTE:
@@ -2220,32 +2217,7 @@ object TextOps {
     // per (source, shard) — a swapped pair of equal-length docs
     // passes every count and breaks the checksum on both engines.
     "q229_id_shard_manifest" ->
-      s"""WITH ids AS ($bpeTokenIdsSql),
-          d AS (SELECT doc_id, source FROM documents WHERE doc_id % 9 = 0),
-          n AS (SELECT i.doc_id, min(d.source) AS source,
-                       CAST(count(*) AS BIGINT) AS n
-                FROM ids i JOIN d USING (doc_id) GROUP BY i.doc_id),
-          b AS (SELECT doc_id, source,
-                       sum(n) OVER (PARTITION BY source ORDER BY doc_id
-                                    ROWS UNBOUNDED PRECEDING) - n AS base
-                FROM n),
-          body AS (SELECT b.source,
-                          CAST((b.base + i.tok_idx - 1) // 64 AS BIGINT)
-                            AS seq_idx,
-                          CAST((b.base + i.tok_idx - 1) % 64 AS BIGINT)
-                            AS seq_pos,
-                          i.token_id, i.doc_id
-                   FROM ids i JOIN b USING (doc_id)),
-          tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS total
-                  FROM n GROUP BY source),
-          pads AS (SELECT source, CAST(g.t // 64 AS BIGINT) AS seq_idx,
-                          CAST(g.t % 64 AS BIGINT) AS seq_pos,
-                          CAST(-1 AS BIGINT) AS token_id,
-                          CAST(NULL AS BIGINT) AS doc_id
-                   FROM tot,
-                        unnest(generate_series(total,
-                          ((total + 63) // 64) * 64 - 1)) AS g(t)
-                   WHERE total % 64 <> 0),
+      s"""WITH ${tapeCtesSql(s"ids AS ($bpeTokenIdsSql)")},
           tape AS (SELECT * FROM body UNION ALL SELECT * FROM pads)
           SELECT source, CAST(seq_idx // 4 AS BIGINT) AS shard_idx,
                  CAST(count(DISTINCT seq_idx) AS BIGINT) AS n_seqs,
@@ -2263,8 +2235,39 @@ object TextOps {
           FROM tape GROUP BY source, seq_idx // 4"""
   )
 
-  /** The q224 token-id oracle — also the tape CTE q225/q229 window
-    * over: the full 8-round training chain, the minted-id map
+  /** The tape CTE chain (doc counts → per-source bases → body cells →
+    * pad tail) over any `ids` relation (doc_id, tok_idx, token_id) —
+    * shared by q225/q229/q231 so the three oracles can't drift. */
+  private def tapeCtesSql(idsDef: String): String =
+    s"""$idsDef,
+          d AS (SELECT doc_id, source FROM documents WHERE doc_id % 9 = 0),
+          n AS (SELECT i.doc_id, min(d.source) AS source,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM ids i JOIN d USING (doc_id) GROUP BY i.doc_id),
+          b AS (SELECT doc_id, source,
+                       sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n AS base
+                FROM n),
+          body AS (SELECT b.source,
+                          CAST((b.base + i.tok_idx - 1) // 64 AS BIGINT)
+                            AS seq_idx,
+                          CAST((b.base + i.tok_idx - 1) % 64 AS BIGINT)
+                            AS seq_pos,
+                          i.token_id, i.doc_id
+                   FROM ids i JOIN b USING (doc_id)),
+          tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS total
+                  FROM n GROUP BY source),
+          pads AS (SELECT source, CAST(g.t // 64 AS BIGINT) AS seq_idx,
+                          CAST(g.t % 64 AS BIGINT) AS seq_pos,
+                          CAST(-1 AS BIGINT) AS token_id,
+                          CAST(NULL AS BIGINT) AS doc_id
+                   FROM tot,
+                        unnest(generate_series(total,
+                          ((total + 63) // 64) * 64 - 1)) AS g(t)
+                   WHERE total % 64 <> 0)"""
+
+  /** The q224 token-id oracle — also the tape CTE q225/q229/q231
+    * window over: the full 8-round training chain, the minted-id map
     * (255 + min round per string), per-doc offsets from a pretoken-
     * order running sum, byte ids straight from the hex. */
   private lazy val bpeTokenIdsSql: String = {

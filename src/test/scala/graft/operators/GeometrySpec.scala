@@ -121,6 +121,31 @@ class GeometrySpec extends AnyFunSuite {
     assert(!polysInt(sx, sy, Seq(12L, 20L, 20L, 12L), Seq(12L, 12L, 20L, 20L)))
   }
 
+  test("shoelace area2 and centroid numerators: hand-checked squares") {
+    val df = Seq(
+      // CCW 10×10 square at origin: A=100 → area2=200; centroid (5,5)
+      // → numerators 6·A·c = 3000
+      (1L, Seq(0L, 10L, 10L, 0L), Seq(0L, 0L, 10L, 10L)),
+      // right triangle (0,0)(4,0)(0,3): A=6 → area2=12; centroid
+      // (4/3, 1) → cx_num = 6·6·4/3 = 48, cy_num = 36
+      (2L, Seq(0L, 4L, 0L), Seq(0L, 0L, 3L))
+    ).toDF("id", "xs", "ys")
+    val got = df
+      .withColumn("c", Geometry.polygonCentroidNum(col("xs"), col("ys")))
+      .select(col("id"), Geometry.polygonArea2(col("xs"), col("ys")),
+        col("c.cx_num"), col("c.cy_num"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 200L, 3000L, 3000L)))
+    assert(got(1) == ((2L, 12L, 48L, 36L)))
+    // clockwise ring: area2 flips sign, centroid numerators with it —
+    // the ratio (true centroid) is orientation-independent
+    val cw = Seq((3L, Seq(0L, 0L, 10L, 10L), Seq(0L, 10L, 10L, 0L)))
+      .toDF("id", "xs", "ys")
+      .select(Geometry.polygonArea2(col("xs"), col("ys")).as("a"))
+      .head().getLong(0)
+    assert(cw == -200L)
+  }
+
   // ---- joins ≡ brute force -------------------------------------------
 
   /** Deterministic corpus: the q227/q228 rhombus family at small n. */

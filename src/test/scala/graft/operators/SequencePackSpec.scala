@@ -129,6 +129,23 @@ class SequencePackSpec extends AnyFunSuite {
       ("b", 0L, 2L, 32L, Some(2L)), ("b", 0L, 3L, 33L, Some(2L))))
   }
 
+  test("packIdTape with an EOS separator: one cell per doc, doc-attributed") {
+    // doc 1 ids [10,11,12], doc 3 ids [20,21], EOS=99, L=4:
+    // tape = 10 11 12 E | 20 21 E P  (EOS carries its doc, pad NULL)
+    val ids = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L),
+      (3L, 1L, 20L), (3L, 2L, 21L)).toDF("doc", "pos", "tid")
+    val streams = Seq((1L, "a"), (3L, "a")).toDF("doc", "st")
+    val tape = SequencePack.packIdTape(ids, "doc", "pos", "tid",
+        streams, "st", seqLen = 4L, padId = -1L, eosId = Some(99L))
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+      .sortBy(r => (r._2, r._3)).toSeq
+    assert(tape == Seq(
+      ("a", 0L, 0L, 10L, Some(1L)), ("a", 0L, 1L, 11L, Some(1L)),
+      ("a", 0L, 2L, 12L, Some(1L)), ("a", 0L, 3L, 99L, Some(1L)),
+      ("a", 1L, 0L, 20L, Some(3L)), ("a", 1L, 1L, 21L, Some(3L)),
+      ("a", 1L, 2L, 99L, Some(3L)), ("a", 1L, 3L, -1L, None)))
+  }
+
   test("idShardManifest pins tape content, not just counts") {
     val ids = (1L to 24L).map(i => (i % 3 + 1, (i - 1) / 3 + 1, i * 7))
       .toDF("doc", "pos", "tid")
