@@ -86,12 +86,22 @@ object Geometry {
       (o4 === 0 && onSeg(q1x, q1y, q2x, q2y, p2x, p2y))
   }
 
+  import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
+
   /** Upward ray cast over a vertex ring (`xs`/`ys` parallel
     * array<long>, no closing repeat): odd crossing parity ⟺ inside.
     * The edge-crossing test cross-multiplies the ray/edge
-    * intersection — exact, no division. */
+    * intersection — exact, no division. Backed by the native
+    * [[graft.functions.PointInPolygonExpr]] loop; [[pointInPolygonHof]]
+    * is the formula's higher-order-function twin kept for the
+    * differential spec. */
   def pointInPolygon(px: Column, py: Column, xs: Column,
-                     ys: Column): Column = {
+                     ys: Column): Column =
+    column(graft.functions.PointInPolygonExpr(expression(px.cast("long")),
+      expression(py.cast("long")), expression(xs), expression(ys)))
+
+  private[operators] def pointInPolygonHof(px: Column, py: Column, xs: Column,
+                                           ys: Column): Column = {
     val n = size(xs)
     val crossings = filter(sequence(lit(0), n - 1), i => {
       val j = (i + 1) % n
@@ -108,9 +118,20 @@ object Geometry {
 
   /** Do two simple polygons (vertex rings, no closing repeat)
     * intersect — boundary touch included? See the object doc for the
-    * completeness argument. */
+    * completeness argument. Backed by the native
+    * [[graft.functions.PolygonsIntersectExpr]] loop (the q228 join
+    * evaluates up to |A|·|B| edge-pair tests per candidate — per-
+    * element interpreted lambdas dominated that profile);
+    * [[polygonsIntersectHof]] is the formula's higher-order twin kept
+    * for the differential spec. */
   def polygonsIntersect(xsA: Column, ysA: Column, xsB: Column,
-                        ysB: Column): Column = {
+                        ysB: Column): Column =
+    column(graft.functions.PolygonsIntersectExpr(expression(xsA),
+      expression(ysA), expression(xsB), expression(ysB)))
+
+  private[operators] def polygonsIntersectHof(xsA: Column, ysA: Column,
+                                              xsB: Column,
+                                              ysB: Column): Column = {
     val nA = size(xsA)
     val nB = size(xsB)
     val edgeCross = exists(sequence(lit(0), nA - 1), i => {
@@ -125,8 +146,8 @@ object Geometry {
       })
     })
     edgeCross ||
-      pointInPolygon(element_at(xsB, 1), element_at(ysB, 1), xsA, ysA) ||
-      pointInPolygon(element_at(xsA, 1), element_at(ysA, 1), xsB, ysB)
+      pointInPolygonHof(element_at(xsB, 1), element_at(ysB, 1), xsA, ysA) ||
+      pointInPolygonHof(element_at(xsA, 1), element_at(ysA, 1), xsB, ysB)
   }
 
   /** Twice the signed shoelace area of a vertex ring — exact integer

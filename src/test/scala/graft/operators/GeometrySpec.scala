@@ -146,6 +146,36 @@ class GeometrySpec extends AnyFunSuite {
     assert(cw == -200L)
   }
 
+  test("native predicates ≡ their higher-order-function twins") {
+    // the HOF forms ARE the formulas the Scaladoc argues about; the
+    // native loops must agree on every pair of a varied corpus
+    // (touching, containing, overlapping, disjoint — the rhombi tile
+    // a small window so all classes occur)
+    val polys = rhombi(40, (53, 71), 5).toDF("id", "xs", "ys")
+    val a = polys.select(col("id").as("aid"), col("xs").as("xa"),
+      col("ys").as("ya"))
+    val b = rhombi(25, (97, 41), 7).toDF("id", "xs", "ys")
+      .select(col("id").as("bid"), col("xs").as("xb"), col("ys").as("yb"))
+    val diff = a.crossJoin(b)
+      .select(
+        Geometry.polygonsIntersect(col("xa"), col("ya"),
+          col("xb"), col("yb")).as("native"),
+        Geometry.polygonsIntersectHof(col("xa"), col("ya"),
+          col("xb"), col("yb")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0L)
+    val pts = (1 to 120).map(i =>
+      (i * 13L % 200L, i * 29L % 200L)).toDF("px", "py")
+    val pipDiff = pts.crossJoin(polys)
+      .select(
+        Geometry.pointInPolygon(col("px"), col("py"),
+          col("xs"), col("ys")).as("native"),
+        Geometry.pointInPolygonHof(col("px"), col("py"),
+          col("xs"), col("ys")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(pipDiff == 0L)
+  }
+
   // ---- joins ≡ brute force -------------------------------------------
 
   /** Deterministic corpus: the q227/q228 rhombus family at small n. */
