@@ -85,6 +85,29 @@ object GeomPred {
     pointInPolygon(xsB(0), ysB(0), xsA, ysA) ||
       pointInPolygon(xsA(0), ysA(0), xsB, ysB)
   }
+
+  /** Is polygon A PROPERLY within polygon B — strictly inside, no
+    * boundary contact? No edge pair may touch (else A reaches B's
+    * boundary) and A's first vertex must be inside; with no boundary
+    * contact, one vertex decides the whole polygon. */
+  def polygonWithin(xsA: Array[Long], ysA: Array[Long],
+                    xsB: Array[Long], ysB: Array[Long]): Boolean = {
+    val nA = xsA.length
+    val nB = xsB.length
+    var i = 0
+    while (i < nA) {
+      val i2 = if (i == nA - 1) 0 else i + 1
+      var j = 0
+      while (j < nB) {
+        val j2 = if (j == nB - 1) 0 else j + 1
+        if (segmentsIntersect(xsA(i), ysA(i), xsA(i2), ysA(i2),
+            xsB(j), ysB(j), xsB(j2), ysB(j2))) return false
+        j += 1
+      }
+      i += 1
+    }
+    pointInPolygon(xsA(0), ysA(0), xsB, ysB)
+  }
 }
 
 /** `point_in_polygon(px, py, xs, ys)` over long coords. */
@@ -110,6 +133,40 @@ case class PointInPolygonExpr(first: Expression, second: Expression,
       ys.asInstanceOf[ArrayData].toLongArray())
 
   override def prettyName: String = "point_in_polygon"
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression,
+      newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
+}
+
+/** `polygon_within(xsA, ysA, xsB, ysB)`: A properly within B. */
+case class PolygonWithinExpr(first: Expression, second: Expression,
+                             third: Expression, fourth: Expression)
+    extends QuaternaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _),
+            ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"polygon_within needs four array<long> inputs, got $other")
+    }
+
+  override protected def nullSafeEval(xa: Any, ya: Any, xb: Any,
+                                      yb: Any): Any =
+    GeomPred.polygonWithin(
+      xa.asInstanceOf[ArrayData].toLongArray(),
+      ya.asInstanceOf[ArrayData].toLongArray(),
+      xb.asInstanceOf[ArrayData].toLongArray(),
+      yb.asInstanceOf[ArrayData].toLongArray())
+
+  override def prettyName: String = "polygon_within"
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression,

@@ -129,6 +129,15 @@ object Geometry {
     column(graft.functions.PolygonsIntersectExpr(expression(xsA),
       expression(ysA), expression(xsB), expression(ysB)))
 
+  /** Is polygon A PROPERLY within B — strictly inside, no boundary
+    * contact? No edge pair may touch and A's first vertex must be
+    * inside B; with no boundary contact, one vertex decides the whole
+    * polygon (ST_Within's strict form, exact in integers). */
+  def polygonWithin(xsA: Column, ysA: Column, xsB: Column,
+                    ysB: Column): Column =
+    column(graft.functions.PolygonWithinExpr(expression(xsA),
+      expression(ysA), expression(xsB), expression(ysB)))
+
   private[operators] def polygonsIntersectHof(xsA: Column, ysA: Column,
                                               xsB: Column,
                                               ysB: Column): Column = {
@@ -225,6 +234,34 @@ object Geometry {
     * the bbox intersection's top-left cell (the
     * [[SpatialJoin.bboxIntersect]] rule — a pure filter, no distinct
     * pass), then the exact polygon predicate. */
+  /** Containment join: (a_id, b_id) pairs where polygon A is PROPERLY
+    * within polygon B. Candidates need A's bbox inside B's bbox (a
+    * strictly tighter prefilter than overlap); dedup emits each pair
+    * only in the cell of A's bbox min corner — A's bbox is inside B's,
+    * so both sides exploded that cell. */
+  def polygonWithinJoin(a: DataFrame, b: DataFrame,
+                        cell: Long): DataFrame = {
+    def withCells(df: DataFrame, xs: String, ys: String, p: String) =
+      df.withColumn(s"_${p}x0", array_min(col(xs)))
+        .withColumn(s"_${p}x1", array_max(col(xs)))
+        .withColumn(s"_${p}y0", array_min(col(ys)))
+        .withColumn(s"_${p}y1", array_max(col(ys)))
+        .withColumn("cx", explode(sequence(
+          cellId(col(s"_${p}x0"), cell), cellId(col(s"_${p}x1"), cell))))
+        .withColumn("cy", explode(sequence(
+          cellId(col(s"_${p}y0"), cell), cellId(col(s"_${p}y1"), cell))))
+    val ac = withCells(a, "axs", "ays", "a")
+    val bc = withCells(b, "bxs", "bys", "b")
+    ac.join(bc, Seq("cx", "cy"))
+      .filter(col("_ax0") >= col("_bx0") && col("_ax1") <= col("_bx1") &&
+        col("_ay0") >= col("_by0") && col("_ay1") <= col("_by1"))
+      .filter(col("cx") === cellId(col("_ax0"), cell) &&
+        col("cy") === cellId(col("_ay0"), cell))
+      .filter(polygonWithin(col("axs"), col("ays"),
+        col("bxs"), col("bys")))
+      .select(col("a_id"), col("b_id"))
+  }
+
   def polygonIntersectJoin(a: DataFrame, b: DataFrame,
                            cell: Long): DataFrame = {
     def withCells(df: DataFrame, xs: String, ys: String, p: String) =

@@ -82,6 +82,39 @@ object GeoOps {
           col("xs").as("axs"), col("ys").as("ays")),
         supplierPolys(s, d), cell = 64L)),
 
+    // PROPER-CONTAINMENT join (ST_Within's strict form): part rhombi
+    // strictly inside supplier rhombi — no boundary contact, so one
+    // vertex decides after the edge-disjointness test. Candidates
+    // need A's bbox INSIDE B's bbox (tighter than overlap); dedup in
+    // the cell of A's bbox min corner.
+    "q233_polygon_within" -> ((s, d) =>
+      Geometry.polygonWithinJoin(
+        partPolys(s, d).select(col("poly_id").as("a_id"),
+          col("xs").as("axs"), col("ys").as("ays")),
+        supplierPolys(s, d), cell = 64L)),
+
+    // SPATIAL PARTITIONING KEY (the lake-layout primitive for
+    // geometry): polygons keyed by the Morton z-value of their bbox
+    // center — range-partition + sort by this value and per-file
+    // min/max zone maps prune BOTH axes of a window probe
+    // (GeometrySpec clusters a TableStore by it and pins the file
+    // counts; this query pins the VALUES). The +4096 shift keeps the
+    // halved center positive, so truncating and flooring division
+    // agree cross-engine; `in_window` is the bbox test a pruned scan
+    // must still answer exactly.
+    "q232_polygon_zorder" -> ((s, d) =>
+      partPolys(s, d)
+        .withColumn("zx",
+          expr("(array_min(xs) + array_max(xs) + 4096L) div 2L"))
+        .withColumn("zy",
+          expr("(array_min(ys) + array_max(ys) + 4096L) div 2L"))
+        .select(col("poly_id"), col("zx"), col("zy"),
+          graft.functions.ZOrder2.zorder(col("zx"), col("zy"))
+            .as("zvalue"),
+          (array_min(col("xs")) <= 1200L && array_max(col("xs")) >= 800L &&
+            array_min(col("ys")) <= 900L && array_max(col("ys")) >= 500L)
+            .as("in_window"))),
+
     // EXACT polygon metrics (st_area/st_centroid's integer twins):
     // twice the shoelace area (positive — the fixtures are CCW), the
     // 6·A-scaled centroid numerators (division deferred to the
@@ -228,6 +261,54 @@ object GeoOps {
           FROM (SELECT a_id, b_id FROM ecross
                 UNION SELECT a_id, b_id FROM binA
                 UNION SELECT a_id, b_id FROM ainB) u""",
+
+    // Strict containment = bbox-contained candidates with ZERO edge
+    // contact and A's first vertex inside B — the identical formulas,
+    // anti-joined against the edge-touch set.
+    "q233_polygon_within" ->
+      s"""WITH $partVertsSql,
+          $supplierVertsSql,
+          cand AS (SELECT a.a_id, b.b_id
+                   FROM bba a JOIN bbb b
+                     ON a.ax0 >= b.bx0 AND a.ax1 <= b.bx1
+                    AND a.ay0 >= b.by0 AND a.ay1 <= b.by1),
+          ecross AS (SELECT DISTINCT c.a_id, c.b_id
+                     FROM cand c
+                       JOIN eda ea ON ea.a_id = c.a_id
+                       JOIN edb eb ON eb.b_id = c.b_id
+                     WHERE ${segIntSql("ea.x1", "ea.y1", "ea.x2", "ea.y2",
+                       "eb.x1", "eb.y1", "eb.x2", "eb.y2")}),
+          inb AS (SELECT c.a_id, c.b_id
+                  FROM cand c
+                    JOIN pa ON pa.a_id = c.a_id
+                    JOIN edb e ON e.b_id = c.b_id
+                  WHERE ${crossSql("(pa.cx + pa.ea)", "pa.cy",
+                    "e.x1", "e.y1", "e.x2", "e.y2")}
+                  GROUP BY c.a_id, c.b_id HAVING count(*) % 2 = 1)
+          SELECT CAST(i.a_id AS BIGINT) AS a_id,
+                 CAST(i.b_id AS BIGINT) AS b_id
+          FROM inb i LEFT JOIN ecross e
+            ON i.a_id = e.a_id AND i.b_id = e.b_id
+          WHERE e.a_id IS NULL""",
+
+    // Morton interleave recomputed bit-by-bit (the q86 oracle form)
+    // over the same shifted-halved bbox centers.
+    "q232_polygon_zorder" -> {
+      val terms = (0 until 16).flatMap(i => Seq(
+        s"(((zx >> $i) & 1) << ${2 * i})",
+        s"(((zy >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+      s"""WITH $partVertsSql,
+          c AS (SELECT a_id,
+                       (min(x) + max(x) + 4096) // 2 AS zx,
+                       (min(y) + max(y) + 4096) // 2 AS zy,
+                       (min(x) <= 1200 AND max(x) >= 800 AND
+                        min(y) <= 900 AND max(y) >= 500) AS in_window
+                FROM va GROUP BY a_id)
+          SELECT CAST(a_id AS BIGINT) AS poly_id,
+                 CAST(zx AS BIGINT) AS zx, CAST(zy AS BIGINT) AS zy,
+                 CAST($terms AS BIGINT) AS zvalue, in_window
+          FROM c"""
+    },
 
     // Shoelace terms and centroid numerators summed over the edge
     // relation — the identical integer formulas.

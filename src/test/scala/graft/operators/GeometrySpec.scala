@@ -188,6 +188,39 @@ class GeometrySpec extends AnyFunSuite {
       (k, Seq(cx + ea, cx, cx - ec, cx), Seq(cy, cy + eb, cy, cy - ed))
     }
 
+  test("polygon z-order layout: a window probe opens a fraction of files") {
+    // the q232 layout end-to-end: polygons stored with their bbox
+    // center, table clustered by z_order(zx, zy), per-file zone maps
+    // prune a 2-D window probe on BOTH axes — the GeoParquet-style
+    // spatial-partitioning contract, values unchanged by the layout
+    import graft.gdl.TableStore
+    val polys = (1L to 2048L).map { k =>
+      val (cx, cy) = (k * 53 % 2048, k * 71 % 2048)
+      (k, cx, cy, Seq(cx + 5 + k % 17, cx, cx - (5 + k % 11), cx),
+        Seq(cy, cy + 5 + k % 13, cy, cy - (5 + k % 19)))
+    }.toDF("poly_id", "zx", "zy", "xs", "ys")
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("geozorder").toString,
+      partitioning = Map.empty)
+    store.append("p", polys)
+    store.rewriteClustered("p",
+      graft.functions.ZOrder2.zorder(col("zx"), col("zy"), 11), nFiles = 16)
+    val window = col("zx").between(512L, 767L) && col("zy").between(512L, 767L)
+    val (kept, total) = store.zoneFileCounts("p", window)
+    assert(total >= 16, s"expected >= 16 clustered files, got $total")
+    assert(kept <= total / 2,
+      s"z-layout window probe should prune, read $kept/$total")
+    // pruning never changes values: the pruned scan feeds the exact
+    // PIP join with identical results to the unpruned relation
+    val pts = (1 to 400).map(i =>
+      (i.toLong, i * 13L % 2048L, i * 29L % 2048L)).toDF("p_id", "px", "py")
+    def pairs(rel: org.apache.spark.sql.DataFrame) =
+      Geometry.pointInPolygonJoin(pts, rel.select("poly_id", "xs", "ys"),
+        cell = 64L).as[(Long, Long)].collect().toSet
+    assert(pairs(store.scan("p", window).get) ==
+      pairs(store.read("p").get.filter(window)))
+  }
+
   test("pointInPolygonJoin equals the brute-force θ-join") {
     val polys = rhombi(60, (53, 71), 5).toDF("poly_id", "xs", "ys")
     val pts = (1 to 150).map(i =>
@@ -210,6 +243,40 @@ class GeometrySpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     val brute = a.crossJoin(b)
       .filter(Geometry.polygonsIntersect(col("axs"), col("ays"),
+        col("bxs"), col("bys")))
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    assert(got == brute && got.nonEmpty)
+  }
+
+  test("polygonWithin: strict containment semantics + join ≡ brute force") {
+    val (bx, by) = (Seq(0L, 20L, 20L, 0L), Seq(0L, 0L, 20L, 20L))
+    // strictly inside
+    assert(Seq((Seq(5L, 8L, 5L), Seq(5L, 8L, 12L), bx, by))
+      .toDF("xa", "ya", "xb", "yb")
+      .select(Geometry.polygonWithin(col("xa"), col("ya"),
+        col("xb"), col("yb"))).head().getBoolean(0))
+    // touching B's boundary from inside: NOT properly within
+    assert(!Seq((Seq(0L, 8L, 5L), Seq(5L, 8L, 12L), bx, by))
+      .toDF("xa", "ya", "xb", "yb")
+      .select(Geometry.polygonWithin(col("xa"), col("ya"),
+        col("xb"), col("yb"))).head().getBoolean(0))
+    // overlapping or outside: not within
+    assert(!Seq((Seq(15L, 25L, 15L), Seq(15L, 25L, 25L), bx, by))
+      .toDF("xa", "ya", "xb", "yb")
+      .select(Geometry.polygonWithin(col("xa"), col("ya"),
+        col("xb"), col("yb"))).head().getBoolean(0))
+    // containment the other way round: not within
+    assert(!Seq((Seq(-5L, 25L, 25L, -5L), Seq(-5L, -5L, 25L, 25L), bx, by))
+      .toDF("xa", "ya", "xb", "yb")
+      .select(Geometry.polygonWithin(col("xa"), col("ya"),
+        col("xb"), col("yb"))).head().getBoolean(0))
+    // join ≡ brute force on corpora sized so containments exist
+    val a = rhombi(80, (53, 71), 2).toDF("a_id", "axs", "ays")
+    val b = rhombi(30, (97, 41), 20).toDF("b_id", "bxs", "bys")
+    val got = Geometry.polygonWithinJoin(a, b, cell = 32L)
+      .as[(Long, Long)].collect().toSet
+    val brute = a.crossJoin(b)
+      .filter(Geometry.polygonWithin(col("axs"), col("ays"),
         col("bxs"), col("bys")))
       .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
     assert(got == brute && got.nonEmpty)
