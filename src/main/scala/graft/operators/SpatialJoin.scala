@@ -121,6 +121,34 @@ object SpatialJoin {
           lit(0L))).as("d2"))
   }
 
+  /** Exact distance-within join: every (query, point) pair with
+    * d² ≤ r² — the fixed-radius neighbor primitive (geofencing,
+    * proximity dedup). Points bucket once into r-sized cells, each
+    * query probes its 3×3 neighborhood: with cell = r, any pair
+    * within r differs by ≤ 1 cell per axis, so the probe is COMPLETE,
+    * and each pair surfaces exactly once (the point lives in one
+    * cell) — no dedup pass. Pair space is O(local density), never
+    * |P|·|Q|; the oracle verifies with the direct θ-join.
+    *
+    * @param pts (id, px, py) integer points
+    * @param qs  (query_id, qx, qy) integer query points
+    * @return (query_id, id, d2) pairs with d2 ≤ r²
+    */
+  def withinDist(pts: DataFrame, qs: DataFrame, r: Long): DataFrame = {
+    require(r >= 1L, s"radius must be >= 1, got $r")
+    val pc = pts.select(col("id"), col("px"), col("py"),
+      cellId(col("px"), r).as("cx"), cellId(col("py"), r).as("cy"))
+    val probe = qs
+      .withColumn("cx", explode(sequence(cellId(col("qx"), r) - 1L,
+        cellId(col("qx"), r) + 1L)))
+      .withColumn("cy", explode(sequence(cellId(col("qy"), r) - 1L,
+        cellId(col("qy"), r) + 1L)))
+    probe.join(pc, Seq("cx", "cy"))
+      .select(col("query_id"), col("id"),
+        d2(col("px"), col("py"), col("qx"), col("qy")).as("d2"))
+      .filter(col("d2") <= r * r)
+  }
+
   /** Exact grid-probed k-NN — the 100 TB plan. Points bucket once into
     * `cell`-sized grid cells; each query probes only its 3×3 cell
     * neighborhood (an equi-join on the cell key, candidates =

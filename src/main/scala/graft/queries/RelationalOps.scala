@@ -702,6 +702,16 @@ object RelationalOps {
           spatialPoints(s, d), spatialQueries(s, d), k = 3, cell = 50L)
         .withColumnRenamed("id", "cust_id")),
 
+    // Fixed-radius neighbor join (geofencing / proximity primitive):
+    // every (supplier query, customer point) pair within distance 30,
+    // exact integer d² — 3×3 cell probe at cell = r, complete by the
+    // triangle bound and duplicate-free because a point lives in one
+    // cell. The oracle is the direct θ-join.
+    "q235_points_within_dist" -> ((s, d) =>
+      graft.operators.SpatialJoin.withinDist(
+          spatialPoints(s, d), spatialQueries(s, d), r = 30L)
+        .withColumnRenamed("id", "cust_id")),
+
     // Keyed table reconciliation (CDC diff): full-outer join on the key
     // comparing payload columns, emitting only differing rows as
     // (key, only_left | only_right | changed) — the anti-entropy pass
@@ -1197,6 +1207,20 @@ object RelationalOps {
                 c_custkey * 29 % 1000 // 50 AS cy,
                 CAST(count(*) AS BIGINT) AS n_points
          FROM customer GROUP BY 1, 2""",
+
+    // Direct θ-join: the grid probe is execution strategy only.
+    "q235_points_within_dist" ->
+      """WITH p AS (SELECT c_custkey AS cust_id,
+                           c_custkey * 13 % 1000 AS px,
+                           c_custkey * 29 % 1000 AS py FROM customer),
+          q AS (SELECT s_suppkey AS query_id,
+                       s_suppkey * 97 % 1000 AS qx,
+                       s_suppkey * 41 % 1000 AS qy FROM supplier)
+          SELECT query_id, cust_id,
+                 CAST((px - qx) * (px - qx) + (py - qy) * (py - qy)
+                      AS BIGINT) AS d2
+          FROM p CROSS JOIN q
+          WHERE (px - qx) * (px - qx) + (py - qy) * (py - qy) <= 900""",
 
     "q107_spatial_knn" ->
       """WITH p AS (SELECT c_custkey AS cust_id,

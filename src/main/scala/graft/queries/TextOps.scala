@@ -1007,7 +1007,19 @@ object TextOps {
     // attributed to its doc — pads stay NULL-doc) after each
     // non-empty document, same 64-cell sequences and pad tail.
     "q231_token_id_tape_eos" -> ((s, d) =>
-      tokenIdTape(s, d, eosId = Some(999L)))
+      tokenIdTape(s, d, eosId = Some(999L))),
+
+    // Per-sequence DOC-SPAN records — the attention-mask sidecar a
+    // trainer loads next to the id tape: for every (sequence ×
+    // document) the [begin, end) cell span and token count. A doc's
+    // cells inside one sequence are contiguous by construction
+    // (head-to-tail tape), so min/max+1 IS the span.
+    "q234_sequence_doc_spans" -> ((s, d) =>
+      tokenIdTape(s, d).filter(col("doc_id").isNotNull)
+        .groupBy(col("source"), col("seq_idx"), col("doc_id"))
+        .agg(min(col("seq_pos")).as("span_begin"),
+          (max(col("seq_pos")) + 1L).as("span_end"),
+          count(lit(1)).as("n_tokens")))
   )
 
   /** q225/q229/q231's shared tape: the stored tokenizer's id streams
@@ -2211,6 +2223,18 @@ object TextOps {
                          CAST(999 AS BIGINT)
                   FROM ids0 GROUP BY doc_id)""")}
           SELECT * FROM body UNION ALL SELECT * FROM pads""",
+
+    // Doc spans re-derived from the same tape CTE: group the non-pad
+    // cells per (source, sequence, doc), min/max+1 span arithmetic.
+    "q234_sequence_doc_spans" ->
+      s"""WITH ${tapeCtesSql(s"ids AS ($bpeTokenIdsSql)")},
+          tape AS (SELECT * FROM body UNION ALL SELECT * FROM pads)
+          SELECT source, seq_idx, doc_id,
+                 CAST(min(seq_pos) AS BIGINT) AS span_begin,
+                 CAST(max(seq_pos) + 1 AS BIGINT) AS span_end,
+                 CAST(count(*) AS BIGINT) AS n_tokens
+          FROM tape WHERE doc_id IS NOT NULL
+          GROUP BY source, seq_idx, doc_id""",
 
     // The id-tape shard manifest recomposed from the same tape CTE:
     // counts, ranges and the commutative 48-bit-md5 content checksum

@@ -33,6 +33,36 @@ class SpatialJoinSpec extends AnyFunSuite {
       e.getCause != null && e.getCause.getMessage.contains("saturated"))
   }
 
+  test("withinDist equals the brute-force θ-join, boundary inclusive") {
+    val rnd = new Random(1411)
+    val ps = (1L to 300L).map(i =>
+      (i, rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
+    val queries = (1L to 40L).map(i =>
+      (i, rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
+    val r = 25L
+    val got = SpatialJoin.withinDist(pts(ps), qs(queries), r)
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = (for {
+      (qid, qx, qy) <- queries
+      (id, px, py) <- ps
+      d2 = (px - qx) * (px - qx) + (py - qy) * (py - qy)
+      if d2 <= r * r
+    } yield (qid, id, d2)).toSet
+    assert(got == brute && got.nonEmpty)
+    // a pair at EXACTLY r on an axis is included (closed ball) and a
+    // pair one past it is not — also pins the 3x3 probe completeness
+    // at the cell boundary
+    val exact = SpatialJoin.withinDist(
+      pts(Seq((1L, 25L, 0L), (2L, 26L, 0L))), qs(Seq((9L, 0L, 0L))), r)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(exact == Set((9L, 1L, 625L)))
+    // negative coordinates: floor cells keep the probe complete
+    val neg = SpatialJoin.withinDist(
+      pts(Seq((1L, -3L, -4L))), qs(Seq((9L, 0L, 0L))), 5L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(neg == Set((9L, 1L, 25L)))
+  }
+
   test("grid plan equals brute force on a dense random point set") {
     val rnd = new Random(7)
     val ps = (1L to 400L).map(i =>
