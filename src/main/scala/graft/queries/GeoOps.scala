@@ -115,6 +115,57 @@ object GeoOps {
             array_min(col("ys")) <= 900L && array_max(col("ys")) >= 500L)
             .as("in_window"))),
 
+    // STREAMING GEOFENCE OCCUPANCY — the geometry tier's streaming
+    // face: an event-time point stream (customer pings over two 30 s
+    // windows) joined stream-static against the supplier polygons
+    // (cells-exploded, checkpoint-materialized once), exact-ray-cast
+    // admitted, counted per (window × polygon), emitted exactly once
+    // at window close under the watermark (q203's two-sentinel
+    // append discipline). The STREAM itself is hash-pinned: the
+    // oracle recomputes occupancy from the batch relation + window
+    // arithmetic. Streaming state = one row per (window, polygon).
+    "q236_stream_geofence" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      import s.implicits._
+      val base = 1735689600L // 2025-01-01T00:00:00Z, divisible by 30
+      val pts = Tables.load(s, d, "customer").select(
+        col("c_custkey").as("p_id"),
+        (col("c_custkey") * 13L % 2000L).as("px"),
+        (col("c_custkey") * 29L % 2000L).as("py"),
+        timestamp_seconds(lit(base) + (col("c_custkey") % 20L) * 3L)
+          .as("ts"))
+      val tmp = java.nio.file.Files.createTempDirectory("q236-src").toString
+      // far-away, far-future sentinels: advance the watermark without
+      // ever surviving the geofence join
+      def sentinel(j: Int) =
+        Seq((-1L, 999999L, 999999L,
+          new java.sql.Timestamp((base + 3600 + j) * 1000L)))
+          .toDF("p_id", "px", "py", "ts")
+      pts.unionByName(sentinel(1)).write.mode("append").parquet(tmp)
+      val stream = s.readStream
+        .schema("p_id BIGINT, px BIGINT, py BIGINT, ts TIMESTAMP")
+        .parquet(tmp)
+      val polys = supplierPolys(s, d).select(col("b_id").as("poly_id"),
+        col("bxs").as("xs"), col("bys").as("ys"))
+      val qn = "q236_out_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.GeoStream.geofenceCounts(stream, "ts",
+          polys, cell = 64L, windowDur = "30 seconds",
+          watermark = "30 seconds")
+        .writeStream.outputMode("append").format("memory")
+        .queryName(qn).start()
+      try {
+        q.processAllAvailable()
+        sentinel(2).write.mode("append").parquet(tmp)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(qn).select(
+        ((unix_timestamp(col("window_start")) - base) / 30)
+          .cast("long").as("cycle"),
+        col("poly_id"), col("n_hits"))
+    }),
+
     // EXACT polygon metrics (st_area/st_centroid's integer twins):
     // twice the shoelace area (positive — the fixtures are CCW), the
     // 6·A-scaled centroid numerators (division deferred to the
@@ -290,6 +341,31 @@ object GeoOps {
           FROM inb i LEFT JOIN ecross e
             ON i.a_id = e.a_id AND i.b_id = e.b_id
           WHERE e.a_id IS NULL""",
+
+    // Occupancy recomputed from the batch relation: bbox candidates,
+    // ray-cast parity per (point, polygon), window arithmetic from
+    // the ts synthesis rule, counts per (cycle, polygon).
+    "q236_stream_geofence" ->
+      s"""WITH $supplierVertsSql,
+          pt AS (SELECT c_custkey AS p_id,
+                        c_custkey * 13 % 2000 AS px,
+                        c_custkey * 29 % 2000 AS py,
+                        (c_custkey % 20) * 3 // 30 AS cycle
+                 FROM customer),
+          cand AS (SELECT b.b_id, t.p_id, t.px, t.py, t.cycle
+                   FROM bbb b JOIN pt t
+                     ON t.px BETWEEN b.bx0 AND b.bx1
+                    AND t.py BETWEEN b.by0 AND b.by1),
+          cr AS (SELECT c.b_id, c.p_id, c.cycle
+                 FROM cand c JOIN edb e ON e.b_id = c.b_id
+                 WHERE ${crossSql("c.px", "c.py",
+                   "e.x1", "e.y1", "e.x2", "e.y2")}
+                 GROUP BY c.b_id, c.p_id, c.cycle
+                 HAVING count(*) % 2 = 1)
+          SELECT CAST(cycle AS BIGINT) AS cycle,
+                 CAST(b_id AS BIGINT) AS poly_id,
+                 CAST(count(*) AS BIGINT) AS n_hits
+          FROM cr GROUP BY cycle, b_id""",
 
     // Morton interleave recomputed bit-by-bit (the q86 oracle form)
     // over the same shifted-halved bbox centers.
