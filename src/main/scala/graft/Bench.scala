@@ -44,10 +44,26 @@ object Bench {
       "q189_sentence_dedup_incremental", "q195_span_dedup_incremental",
       "q196_cluster_canonical_stored", "q199_corpus_card_stored",
       "q220_bpe_stored_encode", "q221_langid_stored")
+    def jsonStr(s: String): String =
+      "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c    => c.toString
+      } + "\""
     val wt0 = System.nanoTime()
     storeOwners.foreach(n => SparkEntry.queries.get(n).foreach(fn =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }))
+      catch {
+        case e: Throwable =>
+          // a failed warm-up means that family's first timed cell pays
+          // training again — the exact skew this pass exists to remove —
+          // so the failure must be loud in the bench record, not silent
+          println(s"""{"metric":"stored_warmup_failed","query":"$n","error":${jsonStr(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}}""")
+      }))
     println(s"""{"metric":"stored_warmup","value":${(System.nanoTime() - wt0) / 1e9},"unit":"sec"}""")
 
     // optional focus list (args) for local profiling; repeat count via

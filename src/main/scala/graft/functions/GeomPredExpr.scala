@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -70,6 +71,10 @@ object GeomPred {
                         xsB: Array[Long], ysB: Array[Long]): Boolean = {
     val nA = xsA.length
     val nB = xsB.length
+    // Total on degenerate inputs: an empty vertex array is "no
+    // polygon" → no intersection, never an index error (one hostile
+    // row must not kill the scan — same contract as pointInPolygon).
+    if (nA == 0 || nB == 0) return false
     var i = 0
     while (i < nA) {
       val i2 = if (i == nA - 1) 0 else i + 1
@@ -86,6 +91,141 @@ object GeomPred {
       pointInPolygon(xsA(0), ysA(0), xsB, ysB)
   }
 
+  /** Even-odd ray cast over a MULTI-RING geometry: `xs`/`ys` hold all
+    * rings head-to-tail, `ringLens` the vertex count per ring (no
+    * closing repeats). Crossings sum over every ring's edges — the
+    * standard even-odd fill rule, which makes holes (any inner ring)
+    * and disjoint MultiPolygon members fall out of the same parity:
+    * a point inside outer+hole crosses both rings' boundaries an
+    * odd+odd = even total. Total on degenerate input (empty or
+    * mismatched arrays → false). */
+  def pointInRings(px: Long, py: Long, xs: Array[Long], ys: Array[Long],
+                   ringLens: Array[Long]): Boolean = {
+    var crossings = 0
+    var base = 0
+    var r = 0
+    while (r < ringLens.length) {
+      val n = ringLens(r).toInt
+      if (n < 0 || base + n > xs.length || base + n > ys.length)
+        return false
+      var i = 0
+      while (i < n) {
+        val j = base + (if (i == n - 1) 0 else i + 1)
+        val y1 = ys(base + i); val y2 = ys(j)
+        if ((y1 > py) != (y2 > py)) {
+          val x1 = xs(base + i); val x2 = xs(j)
+          val lhs = (px - x1) * (y2 - y1)
+          val rhs = (py - y1) * (x2 - x1)
+          if (if (y2 > y1) lhs < rhs else lhs > rhs) crossings += 1
+        }
+        i += 1
+      }
+      base += n
+      r += 1
+    }
+    (crossings & 1) == 1
+  }
+
+  /** Is the point within squared distance `rsq` of the REGION bounded
+    * by a multi-ring geometry (even-odd interior)? True when the point
+    * is interior, or within `r` of ANY ring edge — which also handles
+    * a point inside a hole (its distance to the region is its distance
+    * to the hole's boundary). Exact integers: the perpendicular case
+    * compares cross² ≤ rsq·len² in 128 bits (multiplyHigh), so no
+    * coordinate-magnitude cliff below the 2³¹ coord bound. */
+  def pointWithinDist(px: Long, py: Long, xs: Array[Long], ys: Array[Long],
+                      ringLens: Array[Long], rsq: Long): Boolean = {
+    if (pointInRings(px, py, xs, ys, ringLens)) return true
+    var base = 0
+    var r = 0
+    while (r < ringLens.length) {
+      val n = ringLens(r).toInt
+      if (n < 0 || base + n > xs.length || base + n > ys.length)
+        return false
+      var i = 0
+      while (i < n) {
+        val j = base + (if (i == n - 1) 0 else i + 1)
+        val x1 = xs(base + i); val y1 = ys(base + i)
+        val x2 = xs(j); val y2 = ys(j)
+        val apx = px - x1; val apy = py - y1
+        val abx = x2 - x1; val aby = y2 - y1
+        val dot = apx * abx + apy * aby
+        val len2 = abx * abx + aby * aby
+        val hit =
+          if (len2 == 0L || dot <= 0L) apx * apx + apy * apy <= rsq
+          else if (dot >= len2) {
+            val bpx = px - x2; val bpy = py - y2
+            bpx * bpx + bpy * bpy <= rsq
+          } else {
+            val cross = apx * aby - apy * abx
+            mulLeq(cross, cross, rsq, len2)
+          }
+        if (hit) return true
+        i += 1
+      }
+      base += n
+      r += 1
+    }
+    false
+  }
+
+  /** a·b ≤ c·d exactly, all operands non-negative, via 128-bit
+    * products (multiplyHigh) — no overflow, no BigInt allocation. */
+  private def mulLeq(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val ab = a * b; val abHi = Math.multiplyHigh(a, b)
+    val cd = c * d; val cdHi = Math.multiplyHigh(c, d)
+    if (abHi != cdHi) abHi < cdHi
+    else java.lang.Long.compareUnsigned(ab, cd) <= 0
+  }
+
+  /** Do two multi-ring geometries (even-odd interiors) intersect —
+    * boundary touch included? Some ring-edge pair intersects, or one
+    * region's outer reference vertex lies interior to the other (with
+    * no edge contact, each CONNECTED region sits in one face of the
+    * other's arrangement, and a hole face reports even parity — so a
+    * polygon entirely inside the other's HOLE correctly reports no
+    * intersection). Completeness requires each argument be one
+    * connected polygon-with-holes (ring 0 the outer ring); for a
+    * MultiPolygon, test each member separately — with no edge contact
+    * a DISJOINT second member could sit inside the other region
+    * unseen by ring 0's reference vertex. */
+  def ringsIntersect(xsA: Array[Long], ysA: Array[Long], lensA: Array[Long],
+                     xsB: Array[Long], ysB: Array[Long],
+                     lensB: Array[Long]): Boolean = {
+    if (xsA.isEmpty || xsB.isEmpty || lensA.isEmpty || lensB.isEmpty)
+      return false
+    if (lensA.sum > xsA.length || lensB.sum > xsB.length) return false
+    var baseA = 0
+    var ra = 0
+    while (ra < lensA.length) {
+      val nA = lensA(ra).toInt
+      var i = 0
+      while (i < nA) {
+        val i2 = baseA + (if (i == nA - 1) 0 else i + 1)
+        var baseB = 0
+        var rb = 0
+        while (rb < lensB.length) {
+          val nB = lensB(rb).toInt
+          var j = 0
+          while (j < nB) {
+            val j2 = baseB + (if (j == nB - 1) 0 else j + 1)
+            if (segmentsIntersect(xsA(baseA + i), ysA(baseA + i),
+                xsA(i2), ysA(i2), xsB(baseB + j), ysB(baseB + j),
+                xsB(j2), ysB(j2))) return true
+            j += 1
+          }
+          baseB += nB
+          rb += 1
+        }
+        i += 1
+      }
+      baseA += nA
+      ra += 1
+    }
+    pointInRings(xsB(0), ysB(0), xsA, ysA, lensA) ||
+      pointInRings(xsA(0), ysA(0), xsB, ysB, lensB)
+  }
+
   /** Is polygon A PROPERLY within polygon B — strictly inside, no
     * boundary contact? No edge pair may touch (else A reaches B's
     * boundary) and A's first vertex must be inside; with no boundary
@@ -94,6 +234,9 @@ object GeomPred {
                     xsB: Array[Long], ysB: Array[Long]): Boolean = {
     val nA = xsA.length
     val nB = xsB.length
+    // Empty vertex arrays: no polygon is within anything (and nothing
+    // is within an empty polygon) — false, not an index error.
+    if (nA == 0 || nB == 0) return false
     var i = 0
     while (i < nA) {
       val i2 = if (i == nA - 1) 0 else i + 1
@@ -139,6 +282,112 @@ case class PointInPolygonExpr(first: Expression, second: Expression,
       newFourth: Expression): Expression =
     copy(first = newFirst, second = newSecond, third = newThird,
       fourth = newFourth)
+}
+
+/** Shared shape for the n-ary ring predicates: null-intolerant
+  * boolean expressions over long/array<long> children, evaluated as
+  * one tight JVM loop ([[GeomPred]]), `CodegenFallback` like the
+  * quaternary forms. */
+abstract class RingPredExpr extends Expression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  protected def expectedTypes: Seq[DataType]
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = children.map(_.dataType).zip(expectedTypes).forall {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => true
+      case (LongType, LongType) => true
+      case _ => false
+    }
+    if (ok && children.length == expectedTypes.length)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs ${expectedTypes.mkString("(", ", ", ")")}, " +
+          s"got ${children.map(_.dataType).mkString("(", ", ", ")")}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val vals = new Array[Any](children.length)
+    var i = 0
+    while (i < children.length) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      vals(i) = v
+      i += 1
+    }
+    evalNotNull(vals)
+  }
+
+  protected def evalNotNull(vals: Array[Any]): Any
+
+  protected final def longs(v: Any): Array[Long] =
+    v.asInstanceOf[ArrayData].toLongArray()
+}
+
+/** `point_in_rings(px, py, xs, ys, ring_lens)` — even-odd multi-ring
+  * containment (holes + MultiPolygon members). */
+case class PointInRingsExpr(children: Seq[Expression])
+    extends RingPredExpr {
+
+  private val arr = ArrayType(LongType, containsNull = false)
+  protected def expectedTypes: Seq[DataType] =
+    Seq(LongType, LongType, arr, arr, arr)
+
+  protected def evalNotNull(vals: Array[Any]): Any =
+    GeomPred.pointInRings(vals(0).asInstanceOf[Long],
+      vals(1).asInstanceOf[Long], longs(vals(2)), longs(vals(3)),
+      longs(vals(4)))
+
+  override def prettyName: String = "point_in_rings"
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+/** `point_within_dist(px, py, xs, ys, ring_lens, rsq)` — point within
+  * squared distance `rsq` of the even-odd region. */
+case class PointWithinDistExpr(children: Seq[Expression])
+    extends RingPredExpr {
+
+  private val arr = ArrayType(LongType, containsNull = false)
+  protected def expectedTypes: Seq[DataType] =
+    Seq(LongType, LongType, arr, arr, arr, LongType)
+
+  protected def evalNotNull(vals: Array[Any]): Any =
+    GeomPred.pointWithinDist(vals(0).asInstanceOf[Long],
+      vals(1).asInstanceOf[Long], longs(vals(2)), longs(vals(3)),
+      longs(vals(4)), vals(5).asInstanceOf[Long])
+
+  override def prettyName: String = "point_within_dist"
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+/** `rings_intersect(xsA, ysA, lensA, xsB, ysB, lensB)` — multi-ring
+  * region intersection (see [[GeomPred.ringsIntersect]]'s
+  * connectedness contract). */
+case class RingsIntersectExpr(children: Seq[Expression])
+    extends RingPredExpr {
+
+  private val arr = ArrayType(LongType, containsNull = false)
+  protected def expectedTypes: Seq[DataType] =
+    Seq(arr, arr, arr, arr, arr, arr)
+
+  protected def evalNotNull(vals: Array[Any]): Any =
+    GeomPred.ringsIntersect(longs(vals(0)), longs(vals(1)),
+      longs(vals(2)), longs(vals(3)), longs(vals(4)), longs(vals(5)))
+
+  override def prettyName: String = "rings_intersect"
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
 }
 
 /** `polygon_within(xsA, ysA, xsB, ysB)`: A properly within B. */

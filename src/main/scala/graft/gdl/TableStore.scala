@@ -386,6 +386,34 @@ class TableStore(spark: SparkSession, root: String,
     if (gens.isEmpty) None else Some(readGenerations(gens))
   }
 
+  /** THE INTEROP CONTRACT (r14 VERDICT #8): the current snapshot as a
+    * plain list of absolute parquet file paths — exactly the files
+    * [[read]] unions, in generation order with merge tombstones
+    * excluded. Any engine that reads parquet reads a pointer-committed
+    * snapshot with no TableStore code: DuckDB runs
+    * `read_parquet([...], union_by_name=true, hive_partitioning=true)`
+    * over this list (`union_by_name` because older generations may
+    * predate a column — [[read]]'s allowMissingColumns; `hive_
+    * partitioning` because layout columns live in `col=value/` dirs).
+    *
+    * Stability: the list is immutable once returned — a concurrent
+    * writer only ever ADDS generation dirs and publishes them with a
+    * new pointer; no committed file is mutated or removed by a commit,
+    * so a reader holding this list sees the same rows for as long as
+    * [[gc]]'s grace period keeps superseded generations (forever if gc
+    * never runs). That is the same snapshot-isolation story
+    * [[readAt]] gives Spark readers, extended to foreign engines. */
+  def snapshotFileList(table: String): Option[Seq[String]] = {
+    val gens = liveGenerations(table)
+    if (gens.isEmpty) return None
+    val replaced = replacedIn(gens)
+    Some(gens.flatMap { g =>
+      val gone = replaced.getOrElse(g._3.getName, Set.empty)
+      listDataFiles(g._3).filterNot(gone).sorted
+        .map(f => new Path(g._3, f).toString)
+    })
+  }
+
   /** Time travel: the table as of generation `seq` (inclusive) — the
     * newest full generation at or before `seq` plus every later delta
     * up to it. Generations still on disk resolve exactly (a superseded

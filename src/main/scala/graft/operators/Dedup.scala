@@ -481,6 +481,21 @@ object Dedup {
       return nodes.iterator.map(n => (n, find(n))).toSeq
         .toDF("doc_id", "cluster_id")
     }
+    ccLoop(edges, labels, nNodes, maxIter)
+  }
+
+  /** The distributed label-propagation + pointer-jump loop — the
+    * 100 TB path past the driver union-find gate. Package-private so
+    * the convergence-guard spec can drive it DIRECTLY on a small
+    * path graph: below the gates [[connectedComponents]] always takes
+    * the driver path (which cannot fail to converge), so the
+    * maxIter throw contract would otherwise be untestable without a
+    * million-node fixture. `edges` must hold both orientations and be
+    * materialized (checkpointed); `labels0` the (id, label, old)
+    * identity init over its nodes; `nNodes` the node count. */
+  private[operators] def ccLoop(edges: DataFrame, labels0: DataFrame,
+                                nNodes: Long, maxIter: Int): DataFrame = {
+    var labels = labels0
     val hinted: DataFrame => DataFrame =
       if (nNodes <= broadcastNodeLimit) broadcast(_) else identity
     var converged = false

@@ -159,6 +159,38 @@ object Geometry {
       pointInPolygonHof(element_at(xsA, 1), element_at(ysA, 1), xsB, ysB)
   }
 
+  /** Even-odd multi-ring containment (geometry step 2 — holes and
+    * MultiPolygon members in one parity rule): `xs`/`ys` hold all
+    * rings head-to-tail, `ringLens` the vertex count per ring.
+    * Crossings sum over every ring — a point in a hole crosses two
+    * boundaries (even → outside), a point in either member of a
+    * disjoint MultiPolygon crosses one (odd → inside). */
+  def pointInRings(px: Column, py: Column, xs: Column, ys: Column,
+                   ringLens: Column): Column =
+    column(graft.functions.PointInRingsExpr(Seq(
+      expression(px.cast("long")), expression(py.cast("long")),
+      expression(xs), expression(ys), expression(ringLens))))
+
+  /** Point within distance √rsq of the even-odd region: interior, or
+    * within range of any ring edge (a point in a hole measures to the
+    * hole's boundary). Exact — the perpendicular case compares
+    * cross² ≤ rsq·len² in 128 bits regardless of coordinate size. */
+  def pointWithinDist(px: Column, py: Column, xs: Column, ys: Column,
+                      ringLens: Column, rsq: Long): Column =
+    column(graft.functions.PointWithinDistExpr(Seq(
+      expression(px.cast("long")), expression(py.cast("long")),
+      expression(xs), expression(ys), expression(ringLens),
+      expression(lit(rsq)))))
+
+  /** Multi-ring region intersection (boundary touch included); each
+    * side one connected polygon-with-holes — see
+    * [[graft.functions.GeomPred.ringsIntersect]]. */
+  def ringsIntersect(xsA: Column, ysA: Column, lensA: Column,
+                     xsB: Column, ysB: Column, lensB: Column): Column =
+    column(graft.functions.RingsIntersectExpr(Seq(
+      expression(xsA), expression(ysA), expression(lensA),
+      expression(xsB), expression(ysB), expression(lensB))))
+
   /** Twice the signed shoelace area of a vertex ring — exact integer
     * (st_area's exact twin: divide by 2.0 only at the presentation
     * edge). Positive for counter-clockwise rings. */
@@ -260,6 +292,62 @@ object Geometry {
       .filter(polygonWithin(col("axs"), col("ays"),
         col("bxs"), col("bys")))
       .select(col("a_id"), col("b_id"))
+  }
+
+  /** Multi-ring point-in-region join: like [[pointInPolygonJoin]] but
+    * the polygon side carries full ring structure (holes /
+    * MultiPolygon members) as (poly_id, xs, ys, ring_lens). The bbox
+    * over ALL coordinates equals the outer-ring bbox (holes are
+    * inside; members all count), so the grid shape is unchanged — a
+    * point still lands in exactly one cell, no dedup pass. */
+  def pointInRingsJoin(points: DataFrame, polys: DataFrame,
+                       cell: Long): DataFrame = {
+    val pc = polys
+      .withColumn("_x0", array_min(col("xs")))
+      .withColumn("_x1", array_max(col("xs")))
+      .withColumn("_y0", array_min(col("ys")))
+      .withColumn("_y1", array_max(col("ys")))
+      .withColumn("cx", explode(sequence(cellId(col("_x0"), cell),
+        cellId(col("_x1"), cell))))
+      .withColumn("cy", explode(sequence(cellId(col("_y0"), cell),
+        cellId(col("_y1"), cell))))
+    val tc = points.select(col("p_id"), col("px"), col("py"),
+      cellId(col("px"), cell).as("cx"), cellId(col("py"), cell).as("cy"))
+    pc.join(tc, Seq("cx", "cy"))
+      .filter(col("px").between(col("_x0"), col("_x1")) &&
+        col("py").between(col("_y0"), col("_y1")))
+      .filter(pointInRings(col("px"), col("py"), col("xs"), col("ys"),
+        col("ring_lens")))
+      .select(col("poly_id"), col("p_id"))
+  }
+
+  /** Fixed-radius point-near-region join: pairs where
+    * dist(point, region) ≤ r, region = even-odd multi-ring interior.
+    * The polygon side explodes to the cells of its bbox EXPANDED by r
+    * (the within-distance locus lives inside that expansion), points
+    * keep their single cell — so each qualifying pair meets in
+    * exactly one cell and no dedup pass is needed, the
+    * [[SpatialJoin.withinDist]] discipline applied to regions. */
+  def pointNearRingsJoin(points: DataFrame, polys: DataFrame,
+                         cell: Long, r: Long): DataFrame = {
+    require(r >= 0, s"radius must be non-negative, got $r")
+    val pc = polys
+      .withColumn("_x0", array_min(col("xs")) - r)
+      .withColumn("_x1", array_max(col("xs")) + r)
+      .withColumn("_y0", array_min(col("ys")) - r)
+      .withColumn("_y1", array_max(col("ys")) + r)
+      .withColumn("cx", explode(sequence(cellId(col("_x0"), cell),
+        cellId(col("_x1"), cell))))
+      .withColumn("cy", explode(sequence(cellId(col("_y0"), cell),
+        cellId(col("_y1"), cell))))
+    val tc = points.select(col("p_id"), col("px"), col("py"),
+      cellId(col("px"), cell).as("cx"), cellId(col("py"), cell).as("cy"))
+    pc.join(tc, Seq("cx", "cy"))
+      .filter(col("px").between(col("_x0"), col("_x1")) &&
+        col("py").between(col("_y0"), col("_y1")))
+      .filter(pointWithinDist(col("px"), col("py"), col("xs"), col("ys"),
+        col("ring_lens"), r * r))
+      .select(col("poly_id"), col("p_id"))
   }
 
   def polygonIntersectJoin(a: DataFrame, b: DataFrame,

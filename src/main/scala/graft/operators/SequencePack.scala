@@ -209,19 +209,29 @@ object SequencePack {
   /** Shard manifest over the ID TAPE itself (the [[packIdTape]]
     * output), not over token counts: per (stream, shard) the sequence
     * range, cell/pad/doc counts AND a content checksum — the sum of
-    * 48-bit md5 integers over `seq_idx|seq_pos|token_id` — so the
+    * 40-bit md5 integers over `seq_idx|seq_pos|token_id` — so the
     * manifest pins the actual ids on the tape. A re-export of a shard
     * must land byte-identical; with [[shardManifest]] a swapped pair
     * of equal-length documents would slip through a count-only
     * manifest, here it breaks the checksum. Commutative sum → exact
-    * and order-free on any engine (the q128 48-bit md5 discipline). */
+    * and order-free on any engine. 40 bits (not the q128 family's 48)
+    * because the sum must stay in a signed 64-bit on EVERY engine:
+    * Spark's non-ANSI sum wraps silently past 2^63 while DuckDB
+    * promotes to HUGEINT, so overflow would diverge the engines, and
+    * 48-bit values cap a shard at ~32k cells. 40-bit caps it at
+    * 2^23 ≈ 8.4M cells per shard (seqsPerShard·seqLen must stay
+    * under that — e.g. 8192 seqs × 1024 tokens), checked at runtime. */
   def idShardManifest(tape: DataFrame, streamCol: String,
-                      seqsPerShard: Long): DataFrame =
+                      seqsPerShard: Long): DataFrame = {
+    require(seqsPerShard > 0 && seqsPerShard <= (1L << 23),
+      s"seqsPerShard=$seqsPerShard: seqsPerShard*seqLen (cells per " +
+        "shard) must stay under 2^23 so the 40-bit checksum sum " +
+        "stays in a signed 64-bit; seqsPerShard alone already exceeds it")
     tape
       .withColumn("shard_idx", expr(s"seq_idx div ${seqsPerShard}L"))
       .withColumn("_h",
         conv(substring(md5(concat_ws("|", col("seq_idx"), col("seq_pos"),
-          col("token_id"))), 1, 12), 16, 10).cast("long"))
+          col("token_id"))), 1, 10), 16, 10).cast("long"))
       .groupBy(col(streamCol), col("shard_idx"))
       .agg(count_distinct(col("seq_idx")).as("n_seqs"),
         count(lit(1)).as("n_cells"),
@@ -230,6 +240,7 @@ object SequencePack {
         min(col("seq_idx")).as("first_seq"),
         max(col("seq_idx")).as("last_seq"),
         sum(col("_h")).as("id_checksum"))
+  }
 
   /** Shard manifest: sequences grouped into fixed-count shards per
     * stream — the export writer's unit of work and the resume/verify

@@ -49,6 +49,47 @@ object GeoOps {
   private def toDouble(a: Column): Column = transform(a, v => v.cast("double"))
   private def toLong(a: Column): Column = transform(a, v => v.cast("long"))
 
+  /** Part rhombi WITH A HOLE: the outer ring plus a smaller rhombus
+    * at the same center, hole extents 1 + k mod {4,3,2,4} — every
+    * hole extent (≤ 4) strictly under every outer extent (≥ 5), so
+    * the hole is strictly interior and the ring pair is a valid
+    * polygon-with-hole. Flattened ring form: 8 coords, ring_lens
+    * [4,4]. */
+  private def partHoledPolys(s: SparkSession, d: String): DataFrame = {
+    val k = col("p_partkey")
+    val cx = k * 53L % 2000L
+    val cy = k * 71L % 2000L
+    val (ea, eb, ec, ed) =
+      (lit(5L) + k % 17L, lit(5L) + k % 13L, lit(5L) + k % 11L,
+        lit(5L) + k % 19L)
+    val (ha, hb, hc, hd) =
+      (lit(1L) + k % 4L, lit(1L) + k % 3L, lit(1L) + k % 2L,
+        lit(1L) + k % 4L)
+    Tables.load(s, d, "part").select(k.as("poly_id"),
+      array(cx + ea, cx, cx - ec, cx,
+        cx + ha, cx, cx - hc, cx).as("xs"),
+      array(cy, cy + eb, cy, cy - ed,
+        cy, cy + hb, cy, cy - hd).as("ys"))
+  }
+
+  /** Supplier rhombi as TWO-member MultiPolygons: the q228 rhombus
+    * plus a disjoint twin shifted (+200,+200) — member extents cap at
+    * 7+36 = 43 < 100, so the members never touch. Flattened ring
+    * form: 8 coords, ring_lens [4,4], poly_lens [1,1]. */
+  private def supplierMultiPolys(s: SparkSession, d: String): DataFrame = {
+    val k = col("s_suppkey")
+    val cx = k * 97L % 2000L
+    val cy = k * 41L % 2000L
+    val (ea, eb, ec, ed) =
+      (lit(7L) + k % 29L, lit(7L) + k % 23L, lit(7L) + k % 31L,
+        lit(7L) + k % 37L)
+    Tables.load(s, d, "supplier").select(k.as("poly_id"),
+      array(cx + ea, cx, cx - ec, cx,
+        cx + 200L + ea, cx + 200L, cx + 200L - ec, cx + 200L).as("xs"),
+      array(cy, cy + eb, cy, cy - ed,
+        cy + 200L, cy + 200L + eb, cy + 200L, cy + 200L - ed).as("ys"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // POINT-IN-POLYGON grid join through a WKB ROUND-TRIP: part
     // rhombi encode to little-endian WKB Polygons (ring closed per
@@ -155,15 +196,96 @@ object GeoOps {
           watermark = "30 seconds")
         .writeStream.outputMode("append").format("memory")
         .queryName(qn).start()
-      try {
-        q.processAllAvailable()
-        sentinel(2).write.mode("append").parquet(tmp)
-        q.processAllAvailable()
-      } finally q.stop()
-      s.table(qn).select(
-        ((unix_timestamp(col("window_start")) - base) / 30)
-          .cast("long").as("cycle"),
-        col("poly_id"), col("n_hits"))
+      val out =
+        try {
+          q.processAllAvailable()
+          sentinel(2).write.mode("append").parquet(tmp)
+          q.processAllAvailable()
+          // collect before tearing down: the memory-sink table and the
+          // temp source dir must not outlive the invocation (under
+          // SPARK_GRAFT_REPEAT every run would otherwise leak a
+          // driver-memory result table and an on-disk parquet dir)
+          s.table(qn).select(
+            ((unix_timestamp(col("window_start")) - base) / 30)
+              .cast("long").as("cycle"),
+            col("poly_id"), col("n_hits")).collect()
+        } finally {
+          q.stop()
+          s.sql(s"DROP TABLE IF EXISTS $qn")
+          val dir = new java.io.File(tmp)
+          Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+          dir.delete()
+        }
+      s0.createDataFrame(java.util.Arrays.asList(out: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cycle",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("poly_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_hits",
+            org.apache.spark.sql.types.LongType))))
+    }),
+
+    // MULTI-RING point-in-polygon (geometry step 2, holes): part
+    // rhombi with a strictly-interior hole rhombus, round-tripped
+    // through ring-structured WKB (Polygon, TWO rings, closing
+    // repeats verified) — even-odd parity over all 8 edges admits
+    // points in the annulus and excludes the hole. The oracle runs
+    // the same parity over outer+hole edge rows, so a decoder that
+    // drops or mangles the hole ring moves rows.
+    "q238_point_in_holed_polygon" -> ((s, d) => {
+      val polys = partHoledPolys(s, d)
+        .select(col("poly_id"),
+          Wkb.encodeGeom(toDouble(col("xs")), toDouble(col("ys")),
+            array(lit(4L), lit(4L)), array(lit(2L))).as("wkb"))
+        .select(col("poly_id"), Wkb.decodeGeom(col("wkb")).as("g"))
+        .select(col("poly_id"), toLong(col("g.xs")).as("xs"),
+          toLong(col("g.ys")).as("ys"), col("g.ring_lens").as("ring_lens"))
+      val points = Tables.load(s, d, "customer").select(
+        col("c_custkey").as("p_id"),
+        (col("c_custkey") * 13L % 2000L).as("px"),
+        (col("c_custkey") * 29L % 2000L).as("py"))
+      Geometry.pointInRingsJoin(points, polys, cell = 32L)
+    }),
+
+    // MULTIPOLYGON point-in-region (geometry step 2, geometry-count
+    // decode): supplier rhombi as disjoint two-member MultiPolygons,
+    // round-tripped through nested WKB (each member a complete
+    // Polygon with its own byte-order byte) — the same even-odd
+    // parity admits points in either member. A decoder that loses a
+    // member or miscounts geometries moves rows.
+    "q240_point_in_multipolygon" -> ((s, d) => {
+      val polys = supplierMultiPolys(s, d)
+        .select(col("poly_id"),
+          Wkb.encodeGeom(toDouble(col("xs")), toDouble(col("ys")),
+            array(lit(4L), lit(4L)), array(lit(1L), lit(1L))).as("wkb"))
+        .select(col("poly_id"), Wkb.decodeGeom(col("wkb")).as("g"))
+        .filter(col("g.gtype") === Wkb.MultiPolygonType)
+        .select(col("poly_id"), toLong(col("g.xs")).as("xs"),
+          toLong(col("g.ys")).as("ys"), col("g.ring_lens").as("ring_lens"))
+      val points = Tables.load(s, d, "customer").select(
+        col("c_custkey").as("p_id"),
+        (col("c_custkey") * 13L % 2000L).as("px"),
+        (col("c_custkey") * 29L % 2000L).as("py"))
+      Geometry.pointInRingsJoin(points, polys, cell = 64L)
+    }),
+
+    // POINT-NEAR-POLYGON join (r14 VERDICT #4): customers within
+    // distance 12 of a supplier rhombus REGION — interior or within
+    // range of an edge, the perpendicular case compared as
+    // cross² ≤ r²·len² (128-bit products, division-free). Candidates
+    // from the bbox EXPANDED by r; a point still lives in one cell,
+    // so no dedup pass. The oracle recomputes the same three-case
+    // point-segment comparison in HUGEINT.
+    "q239_point_near_polygon" -> ((s, d) => {
+      val polys = supplierPolys(s, d).select(col("b_id").as("poly_id"),
+        col("bxs").as("xs"), col("bys").as("ys"),
+        array(lit(4L)).as("ring_lens"))
+      val points = Tables.load(s, d, "customer").select(
+        col("c_custkey").as("p_id"),
+        (col("c_custkey") * 13L % 2000L).as("px"),
+        (col("c_custkey") * 29L % 2000L).as("py"))
+      Geometry.pointNearRingsJoin(points, polys, cell = 64L, r = 12L)
     }),
 
     // EXACT polygon metrics (st_area/st_centroid's integer twins):
@@ -255,7 +377,144 @@ object GeoOps {
                       min(y) AS by0, max(y) AS by1
                FROM vb GROUP BY b_id)"""
 
+  /** Part rhombi + interior hole rhombi as per-vertex rows (vi 0–3
+    * outer, 4–7 hole), ring-aware edges, bboxes (CTE text). */
+  private val partHoledVertsSql: String =
+    """pa8 AS (SELECT p_partkey AS a_id,
+             p_partkey * 53 % 2000 AS cx, p_partkey * 71 % 2000 AS cy,
+             5 + p_partkey % 17 AS ea, 5 + p_partkey % 13 AS eb,
+             5 + p_partkey % 11 AS ec, 5 + p_partkey % 19 AS ed,
+             1 + p_partkey % 4 AS ha, 1 + p_partkey % 3 AS hb,
+             1 + p_partkey % 2 AS hc, 1 + p_partkey % 4 AS hd
+           FROM part),
+       va8 AS (SELECT a_id, 0 AS vi, cx + ea AS x, cy AS y FROM pa8
+         UNION ALL SELECT a_id, 1, cx, cy + eb FROM pa8
+         UNION ALL SELECT a_id, 2, cx - ec, cy FROM pa8
+         UNION ALL SELECT a_id, 3, cx, cy - ed FROM pa8
+         UNION ALL SELECT a_id, 4, cx + ha, cy FROM pa8
+         UNION ALL SELECT a_id, 5, cx, cy + hb FROM pa8
+         UNION ALL SELECT a_id, 6, cx - hc, cy FROM pa8
+         UNION ALL SELECT a_id, 7, cx, cy - hd FROM pa8),
+       ed8 AS (SELECT l.a_id, l.x AS x1, l.y AS y1, r.x AS x2, r.y AS y2
+               FROM va8 l JOIN va8 r ON l.a_id = r.a_id
+                 AND r.vi = CASE WHEN l.vi < 4 THEN (l.vi + 1) % 4
+                                 ELSE 4 + (l.vi - 3) % 4 END),
+       bb8 AS (SELECT a_id, min(x) AS ax0, max(x) AS ax1,
+                      min(y) AS ay0, max(y) AS ay1
+               FROM va8 GROUP BY a_id)"""
+
+  /** Supplier two-member MultiPolygon rhombi as per-vertex rows (vi
+    * 0–3 member 1, 4–7 the (+200,+200) twin), edges, bboxes. */
+  private val supplierMultiVertsSql: String =
+    """pm AS (SELECT s_suppkey AS b_id,
+             s_suppkey * 97 % 2000 AS cx, s_suppkey * 41 % 2000 AS cy,
+             7 + s_suppkey % 29 AS ea, 7 + s_suppkey % 23 AS eb,
+             7 + s_suppkey % 31 AS ec, 7 + s_suppkey % 37 AS ed
+           FROM supplier),
+       vm AS (SELECT b_id, 0 AS vi, cx + ea AS x, cy AS y FROM pm
+         UNION ALL SELECT b_id, 1, cx, cy + eb FROM pm
+         UNION ALL SELECT b_id, 2, cx - ec, cy FROM pm
+         UNION ALL SELECT b_id, 3, cx, cy - ed FROM pm
+         UNION ALL SELECT b_id, 4, cx + 200 + ea, cy + 200 FROM pm
+         UNION ALL SELECT b_id, 5, cx + 200, cy + 200 + eb FROM pm
+         UNION ALL SELECT b_id, 6, cx + 200 - ec, cy + 200 FROM pm
+         UNION ALL SELECT b_id, 7, cx + 200, cy + 200 - ed FROM pm),
+       edm AS (SELECT l.b_id, l.x AS x1, l.y AS y1, r.x AS x2, r.y AS y2
+               FROM vm l JOIN vm r ON l.b_id = r.b_id
+                 AND r.vi = CASE WHEN l.vi < 4 THEN (l.vi + 1) % 4
+                                 ELSE 4 + (l.vi - 3) % 4 END),
+       bbm AS (SELECT b_id, min(x) AS bx0, max(x) AS bx1,
+                      min(y) AS by0, max(y) AS by1
+               FROM vm GROUP BY b_id)"""
+
+  /** Three-case exact point-segment distance ≤ r: endpoint cases in
+    * BIGINT, the perpendicular case as cross² ≤ r²·len² in HUGEINT —
+    * the SQL twin of GeomPred.pointWithinDist's 128-bit compare. */
+  private def distLeSql(px: String, py: String, x1: String, y1: String,
+                        x2: String, y2: String, r2: Long): String = {
+    val dot = s"(($px - $x1) * ($x2 - $x1) + ($py - $y1) * ($y2 - $y1))"
+    val len2 = s"(($x2 - $x1) * ($x2 - $x1) + ($y2 - $y1) * ($y2 - $y1))"
+    val cross = s"(($px - $x1) * ($y2 - $y1) - ($py - $y1) * ($x2 - $x1))"
+    s"""(CASE WHEN $len2 = 0 OR $dot <= 0
+              THEN ($px - $x1) * ($px - $x1) +
+                   ($py - $y1) * ($py - $y1) <= $r2
+              WHEN $dot >= $len2
+              THEN ($px - $x2) * ($px - $x2) +
+                   ($py - $y2) * ($py - $y2) <= $r2
+              ELSE CAST($cross AS HUGEINT) * $cross
+                     <= CAST($r2 AS HUGEINT) * $len2 END)"""
+  }
+
   def oracles: Map[String, String] = Map(
+    // Even-odd parity over ALL EIGHT edges (outer + hole) of the
+    // direct θ-join — a point in the hole crosses both rings (even →
+    // excluded), exactly what the multi-ring decoder must preserve.
+    "q238_point_in_holed_polygon" ->
+      s"""WITH $partHoledVertsSql,
+          pt AS (SELECT c_custkey AS p_id,
+                        c_custkey * 13 % 2000 AS px,
+                        c_custkey * 29 % 2000 AS py FROM customer),
+          cand AS (SELECT b.a_id AS poly_id, t.p_id, t.px, t.py
+                   FROM bb8 b JOIN pt t
+                     ON t.px BETWEEN b.ax0 AND b.ax1
+                    AND t.py BETWEEN b.ay0 AND b.ay1),
+          cr AS (SELECT c.poly_id, c.p_id
+                 FROM cand c JOIN ed8 e ON e.a_id = c.poly_id
+                 WHERE ${crossSql("c.px", "c.py",
+                   "e.x1", "e.y1", "e.x2", "e.y2")}),
+          par AS (SELECT poly_id, p_id FROM cr
+                  GROUP BY poly_id, p_id HAVING count(*) % 2 = 1)
+          SELECT CAST(poly_id AS BIGINT) AS poly_id,
+                 CAST(p_id AS BIGINT) AS p_id
+          FROM par""",
+
+    // The same parity across both disjoint members' edges — inside
+    // either member ⟺ one odd ring crossing total.
+    "q240_point_in_multipolygon" ->
+      s"""WITH $supplierMultiVertsSql,
+          pt AS (SELECT c_custkey AS p_id,
+                        c_custkey * 13 % 2000 AS px,
+                        c_custkey * 29 % 2000 AS py FROM customer),
+          cand AS (SELECT b.b_id AS poly_id, t.p_id, t.px, t.py
+                   FROM bbm b JOIN pt t
+                     ON t.px BETWEEN b.bx0 AND b.bx1
+                    AND t.py BETWEEN b.by0 AND b.by1),
+          cr AS (SELECT c.poly_id, c.p_id
+                 FROM cand c JOIN edm e ON e.b_id = c.poly_id
+                 WHERE ${crossSql("c.px", "c.py",
+                   "e.x1", "e.y1", "e.x2", "e.y2")}),
+          par AS (SELECT poly_id, p_id FROM cr
+                  GROUP BY poly_id, p_id HAVING count(*) % 2 = 1)
+          SELECT CAST(poly_id AS BIGINT) AS poly_id,
+                 CAST(p_id AS BIGINT) AS p_id
+          FROM par""",
+
+    // Interior (parity) OR within-range of some edge (three-case
+    // exact point-segment distance, HUGEINT for the squared cross) —
+    // candidates from the r-expanded bbox, the grid invisible.
+    "q239_point_near_polygon" ->
+      s"""WITH $supplierVertsSql,
+          pt AS (SELECT c_custkey AS p_id,
+                        c_custkey * 13 % 2000 AS px,
+                        c_custkey * 29 % 2000 AS py FROM customer),
+          cand AS (SELECT b.b_id, t.p_id, t.px, t.py
+                   FROM bbb b JOIN pt t
+                     ON t.px BETWEEN b.bx0 - 12 AND b.bx1 + 12
+                    AND t.py BETWEEN b.by0 - 12 AND b.by1 + 12),
+          inside AS (SELECT c.b_id, c.p_id
+                     FROM cand c JOIN edb e ON e.b_id = c.b_id
+                     WHERE ${crossSql("c.px", "c.py",
+                       "e.x1", "e.y1", "e.x2", "e.y2")}
+                     GROUP BY c.b_id, c.p_id HAVING count(*) % 2 = 1),
+          near AS (SELECT DISTINCT c.b_id, c.p_id
+                   FROM cand c JOIN edb e ON e.b_id = c.b_id
+                   WHERE ${distLeSql("c.px", "c.py",
+                     "e.x1", "e.y1", "e.x2", "e.y2", 144L)})
+          SELECT CAST(b_id AS BIGINT) AS poly_id,
+                 CAST(p_id AS BIGINT) AS p_id
+          FROM (SELECT b_id, p_id FROM inside
+                UNION SELECT b_id, p_id FROM near) u""",
+
     // Direct θ-join: bbox prefilter, then the identical ray-cast
     // parity over the recomputed vertices — the WKB round-trip and
     // the grid must both be invisible.

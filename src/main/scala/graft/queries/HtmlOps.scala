@@ -509,13 +509,15 @@ object HtmlOps {
     // report rows, not folded into one `unsupported` cell. Classes by
     // doc_id arithmetic (first match wins, oracle CASE mirrors):
     // %13 CE `br` (`br_unsupported` by token), %11 CE `zstd` with a
-    // real zstd frame magic (`zstd_unsupported` by token), %7 a
-    // MISLABELED token (`x-custom`) over zstd-magic bytes
-    // (`zstd_unsupported` by sniff — the magic is the signal), %5 TE
-    // `br, chunked` (transfer-level `br_unsupported`), %3 CE
-    // `compress` (generic `unsupported`), %2 CE gzip (decodes —
-    // `clean`), else plain. Report: per (source, loss_class) doc
-    // count + exact ppm share of the source.
+    // REAL zstd frame (r14→r15: zstd now decodes via zstd-jni, so
+    // these rows price `clean` — the report shrank exactly by the
+    // declared-zstd share), %7 a MISLABELED token (`x-custom`) over
+    // zstd-magic bytes (`zstd_unsupported` by sniff — the magic is
+    // the signal but the token forbids a guess), %5 TE `br, chunked`
+    // (transfer-level `br_unsupported`), %3 CE `compress` (generic
+    // `unsupported`), %2 CE gzip (decodes — `clean`), else plain.
+    // Report: per (source, loss_class) doc count + exact ppm share
+    // of the source.
     "q226_coding_loss_report" -> ((s, d) => {
       import graft.sources.HttpEnvelope
       import s.implicits._
@@ -530,7 +532,7 @@ object HtmlOps {
           val body: (String, Array[Byte]) =
             if (id % 13 == 0) (ctH + "Content-Encoding: br\r\n", u8)
             else if (id % 11 == 0)
-              (ctH + "Content-Encoding: zstd\r\n", zs ++ u8)
+              (ctH + "Content-Encoding: zstd\r\n", zstdB(u8))
             else if (id % 7 == 0)
               (ctH + "Content-Encoding: x-custom\r\n", zs ++ u8)
             else if (id % 5 == 0)
@@ -562,6 +564,53 @@ object HtmlOps {
       cls.join(broadcast(tot), Seq("source"))
         .select(col("source"), col("loss_class"), col("n_docs"),
           expr("n_docs * 1000000L div _tot").as("share_ppm"))
+    }),
+
+    // ZSTD CODING CHAINS DECODED FOR REAL (r14 VERDICT #2): every
+    // decodable class's body is pinned by md5 against the ORIGINAL
+    // text — a decoder that "succeeds" with wrong bytes can't hide
+    // behind labels. Classes by doc_id arithmetic (first match wins,
+    // oracle CASE mirrors): %13 CE `zstd` (real frame → decodes),
+    // %11 TE `zstd, chunked` (de-chunk then zstd → `zstd+chunked`),
+    // %7 CE `zstd, gzip` (right-to-left: gzip off first, then zstd →
+    // `zstd+gzip`), %5 CE `zstd` over a TRUNCATED frame
+    // (`zstd_error`, raw kept, NULL hash), %3 CE `br` (still
+    // `br_unsupported` — no decoder), %2 CE gzip (`gzip`), else
+    // plain. Fixtures encode with the same zstd-jni lib the decoder
+    // uses; the ORACLE hashes the source text directly, so the md5
+    // column proves byte-exact decode on every green row.
+    "q237_zstd_chain" -> ((s, d) => {
+      import graft.sources.HttpEnvelope
+      import s.implicits._
+      val payloads = Tables.load(s, d, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val u8 = text.getBytes("UTF-8")
+          val ctH = "Content-Type: text/html\r\n"
+          val body: (String, Array[Byte]) =
+            if (id % 13 == 0) (ctH + "Content-Encoding: zstd\r\n", zstdB(u8))
+            else if (id % 11 == 0)
+              (ctH + "Transfer-Encoding: zstd, chunked\r\n",
+                chunkB(zstdB(u8), 64))
+            else if (id % 7 == 0)
+              (ctH + "Content-Encoding: zstd, gzip\r\n", gzB(zstdB(u8)))
+            else if (id % 5 == 0) {
+              val z = zstdB(u8)
+              (ctH + "Content-Encoding: zstd\r\n", z.take(z.length / 2))
+            } else if (id % 3 == 0) (ctH + "Content-Encoding: br\r\n", u8)
+            else if (id % 2 == 0) (ctH + "Content-Encoding: gzip\r\n", gzB(u8))
+            else (ctH, u8)
+          (id, httpB(body._1, body._2))
+        }.toDF("doc_id", "payload")
+      val envd = HttpEnvelope.extract(s, payloads, "doc_id", "payload").toDF()
+      val clean =
+        col("transfer_coding").isin("none", "zstd+chunked") &&
+          col("content_coding").isin("none", "zstd", "zstd+gzip", "gzip")
+      envd.select(col("id").cast("long").as("doc_id"),
+        col("transfer_coding"), col("content_coding"),
+        when(clean, md5(col("body"))).as("text_md5"),
+        when(clean, length(col("body")).cast("long")).as("body_len"))
     }),
 
     // The Common-Crawl-shaped chain END TO END on the real format:
@@ -640,6 +689,10 @@ object HtmlOps {
     gz.write(raw); gz.close()
     bos.toByteArray
   }
+
+  /** Deterministic zstd frame (level 3 — fixed lib, stable bytes). */
+  private def zstdB(raw: Array[Byte]): Array[Byte] =
+    com.github.luben.zstd.Zstd.compress(raw, 3)
 
   /** zlib-wrapped deflate (the RFC's Content-Encoding: deflate). */
   private def deflB(raw: Array[Byte]): Array[Byte] = {
@@ -1164,13 +1217,14 @@ object HtmlOps {
     },
 
     // Loss shares recomputed from class arithmetic alone — the engine
-    // must classify every synthesized payload (token-named br/zstd,
+    // must classify every synthesized payload (token-named br,
+    // DECODABLE real-frame zstd (r15: prices clean now),
     // magic-sniffed mislabeled zstd, TE-level br, generic compress,
     // decodable gzip) into exactly the priced class.
     "q226_coding_loss_report" ->
       s"""WITH cls AS (SELECT source,
                CASE WHEN doc_id % 13 = 0 THEN 'br'
-                    WHEN doc_id % 11 = 0 THEN 'zstd'
+                    WHEN doc_id % 11 = 0 THEN 'clean'
                     WHEN doc_id % 7 = 0 THEN 'zstd'
                     WHEN doc_id % 5 = 0 THEN 'br'
                     WHEN doc_id % 3 = 0 THEN 'other'
@@ -1184,6 +1238,38 @@ object HtmlOps {
           SELECT g.source, g.loss_class, g.n_docs,
                  CAST(g.n_docs * 1000000 // t.tot AS BIGINT) AS share_ppm
           FROM g JOIN t USING (source)""",
+
+    // zstd chains recomputed without any bytes: labels from class
+    // arithmetic (CASE order mirrors the Spark when-chain) and the
+    // md5/length of the ORIGINAL text for fully-decoded classes —
+    // so the engine's decode must return byte-exact content, not
+    // merely succeed.
+    "q237_zstd_chain" ->
+      s"""SELECT doc_id,
+            CASE WHEN doc_id % 13 = 0 THEN 'none'
+                 WHEN doc_id % 11 = 0 THEN 'zstd+chunked'
+                 ELSE 'none' END AS transfer_coding,
+            CASE WHEN doc_id % 13 = 0 THEN 'zstd'
+                 WHEN doc_id % 11 = 0 THEN 'none'
+                 WHEN doc_id % 7 = 0 THEN 'zstd+gzip'
+                 WHEN doc_id % 5 = 0 THEN 'zstd_error'
+                 WHEN doc_id % 3 = 0 THEN 'br_unsupported'
+                 WHEN doc_id % 2 = 0 THEN 'gzip'
+                 ELSE 'none' END AS content_coding,
+            CASE WHEN doc_id % 5 = 0 AND doc_id % 13 <> 0
+                      AND doc_id % 11 <> 0 AND doc_id % 7 <> 0 THEN NULL
+                 WHEN doc_id % 3 = 0 AND doc_id % 13 <> 0
+                      AND doc_id % 11 <> 0 AND doc_id % 7 <> 0
+                      AND doc_id % 5 <> 0 THEN NULL
+                 ELSE md5(coalesce(text, '')) END AS text_md5,
+            CASE WHEN doc_id % 5 = 0 AND doc_id % 13 <> 0
+                      AND doc_id % 11 <> 0 AND doc_id % 7 <> 0 THEN NULL
+                 WHEN doc_id % 3 = 0 AND doc_id % 13 <> 0
+                      AND doc_id % 11 <> 0 AND doc_id % 7 <> 0
+                      AND doc_id % 5 <> 0 THEN NULL
+                 ELSE CAST(strlen(coalesce(text, '')) AS BIGINT)
+            END AS body_len
+          FROM documents""",
 
     // End-to-end report recomposed from class arithmetic: per doc a
     // response (poisoned %7 / corrupt %13 / ok, 404 when %2) plus

@@ -2237,9 +2237,11 @@ object TextOps {
           GROUP BY source, seq_idx, doc_id""",
 
     // The id-tape shard manifest recomposed from the same tape CTE:
-    // counts, ranges and the commutative 48-bit-md5 content checksum
+    // counts, ranges and the commutative 40-bit-md5 content checksum
     // per (source, shard) — a swapped pair of equal-length docs
     // passes every count and breaks the checksum on both engines.
+    // (40 bits, not 48: the sum must fit a signed 64-bit on every
+    // engine — Spark wraps silently, DuckDB promotes to HUGEINT.)
     "q229_id_shard_manifest" ->
       s"""WITH ${tapeCtesSql(s"ids AS ($bpeTokenIdsSql)")},
           tape AS (SELECT * FROM body UNION ALL SELECT * FROM pads)
@@ -2254,7 +2256,7 @@ object TextOps {
                  CAST(sum(CAST('0x' || substr(md5(
                         CAST(seq_idx AS VARCHAR) || '|' ||
                         CAST(seq_pos AS VARCHAR) || '|' ||
-                        CAST(token_id AS VARCHAR)), 1, 12) AS BIGINT))
+                        CAST(token_id AS VARCHAR)), 1, 10) AS BIGINT))
                       AS BIGINT) AS id_checksum
           FROM tape GROUP BY source, seq_idx // 4"""
   )

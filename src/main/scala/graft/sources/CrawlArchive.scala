@@ -143,6 +143,37 @@ object CrawlArchive {
       if (over) None else Some(out.toByteArray)
     } catch { case _: java.io.IOException => None }
 
+  /** Bounded zstd inflate (RFC 8878 frames via zstd-jni): None on ANY
+    * defect — bad magic, truncated/corrupt frame, or decompressed size
+    * past `cap`. Same totality + bomb discipline as [[inflate]]; the
+    * JNI layer surfaces frame defects as IOExceptions, but a native
+    * binding gets the belt-and-braces catch-all — one hostile row must
+    * never cost the scan. */
+  private[sources] def zstdInflate(bytes: Array[Byte],
+                                   cap: Long): Option[Array[Byte]] =
+    try {
+      val in = new com.github.luben.zstd.ZstdInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        var n = in.read(buf)
+        var over = false
+        while (n >= 0 && !over) {
+          total += n
+          if (total > cap) over = true
+          else { out.write(buf, 0, n); n = in.read(buf) }
+        }
+        if (over) None else Some(out.toByteArray)
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** zstd frame magic `0xFD2FB528`, stored little-endian on the wire. */
+  private[sources] def isZstdFrame(b: Array[Byte]): Boolean =
+    b.length >= 4 && b(0) == 0x28.toByte && b(1) == 0xb5.toByte &&
+      b(2) == 0x2f.toByte && b(3) == 0xfd.toByte
+
   /** Demux an archive column into record rows (see corruption
     * contract above). Partition-wise, no shuffle; total on any input. */
   def extract(spark: SparkSession, archives: DataFrame, archiveCol: String,
@@ -206,10 +237,11 @@ object CrawlArchive {
             val url = fields.get("target-uri").orNull
             val ts = fields.get("fetch-ts").orNull
             val mime = fields.get("content-type").orNull
-            // per-record gzip member sniff: `1f 8b` opens the payload
-            // → bounded inflate; a broken member quarantines with the
-            // raw bytes KEPT, and never breaks the walk — the length
-            // prefix frames the COMPRESSED bytes
+            // per-record coding sniff: `1f 8b` (gzip) or `28 b5 2f fd`
+            // (zstd) opening the payload → bounded inflate; a broken
+            // member quarantines with the raw bytes KEPT, and never
+            // breaks the walk — the length prefix frames the
+            // COMPRESSED bytes
             val isGzip = raw.length >= 2 && raw(0) == 0x1f.toByte &&
               (raw(1) & 0xff) == 0x8b
             out += (if (isGzip) inflate(raw, MaxInflatedBytes) match {
@@ -218,7 +250,15 @@ object CrawlArchive {
                 url, ts, mime, body.length.toLong, body)
               case None => ArchiveRecord(g, idx, "corrupt_gzip",
                 url, ts, mime, len, raw)
-            } else ArchiveRecord(g, idx,
+            } else if (isZstdFrame(raw))
+              zstdInflate(raw, MaxInflatedBytes) match {
+                case Some(body) => ArchiveRecord(g, idx,
+                  if (url == null) "corrupt" else "ok",
+                  url, ts, mime, body.length.toLong, body)
+                case None => ArchiveRecord(g, idx, "corrupt_zstd",
+                  url, ts, mime, len, raw)
+              }
+            else ArchiveRecord(g, idx,
               if (url == null) "corrupt" else "ok",
               url, ts, mime, len, raw))
             off = start + len

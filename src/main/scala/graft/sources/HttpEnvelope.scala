@@ -275,8 +275,13 @@ object HttpEnvelope {
       cs.name().toLowerCase, csSource, body, text)
   }
 
-  /** Codings [[decodeChain]] can remove; anything else quarantines. */
-  private val SupportedCodings = Set("gzip", "x-gzip", "deflate")
+  /** Codings [[decodeChain]] can remove; anything else quarantines.
+    * zstd decodes for real (RFC 8878 via the zstd-jni binding, same
+    * bounded-stream discipline as gzip); `zstd_unsupported` survives
+    * only for MISLABELED tokens whose bytes sniff as a zstd frame —
+    * a declared-zstd body that fails to decode is `zstd_error`
+    * (defective frame), not a coding gap. */
+  private val SupportedCodings = Set("gzip", "x-gzip", "deflate", "zstd")
 
   /** Quarantine label for an undecodable coding list: the FIRST
     * coding that would come off (right-to-left — the last-listed one
@@ -295,18 +300,14 @@ object HttpEnvelope {
     val bad = tokens.reverse.find(t => !SupportedCodings(t)).getOrElse("")
     bad match {
       case "br" => "br_unsupported"
-      case "zstd" => "zstd_unsupported"
       case _ =>
+        // declared-zstd bodies now DECODE (never reach here); the
+        // sniff survives for mislabeled tokens over zstd-frame bytes
         if (bytes != null && tokens.nonEmpty && tokens.last == bad &&
-            isZstdFrame(bytes)) "zstd_unsupported"
+            CrawlArchive.isZstdFrame(bytes)) "zstd_unsupported"
         else "unsupported"
     }
   }
-
-  /** zstd frame magic `0xFD2FB528` stored little-endian. */
-  private def isZstdFrame(b: Array[Byte]): Boolean =
-    b.length >= 4 && b(0) == 0x28.toByte && b(1) == 0xb5.toByte &&
-      b(2) == 0x2f.toByte && b(3) == 0xfd.toByte
 
   /** `x-gzip` is gzip's deprecated alias (RFC 9110 §8.4.1.3) — one
     * label so reports never split a class on the alias. */
@@ -328,6 +329,7 @@ object HttpEnvelope {
           // widely-deployed servers that send it bare
           inflateZlib(cur, MaxBodyBytes, nowrap = false)
             .orElse(inflateZlib(cur, MaxBodyBytes, nowrap = true))
+        case "zstd" => CrawlArchive.zstdInflate(cur, MaxBodyBytes)
         case _ => None // unreachable: callers pre-filter on SupportedCodings
       }
       out match {

@@ -275,4 +275,42 @@ class TableStorePointerSpec extends AnyFunSuite {
     assert(f.exists(new Path(root, "t/_data-fresh")))
     assert(store.read("t").get.as[Int].collect().toSeq == Seq(1))
   }
+
+  test("snapshotFileList: a foreign engine's consistent snapshot read") {
+    // r14 VERDICT #8 — the interop contract: the current snapshot as a
+    // plain parquet path list any engine reads directly (DuckDB:
+    // read_parquet over the list; tools/duckdb_snapshot_read.py runs
+    // exactly that). Pinned here engine-agnostically: reading the
+    // listed files as plain parquet equals read(table), and the list
+    // captured BEFORE a writer commits still reads the OLD snapshot
+    // afterwards — commits only add files, so a foreign reader holding
+    // a list has snapshot isolation until gc.
+    val local = java.nio.file.Files.createTempDirectory("store-interop")
+      .toString
+    val store = new TableStore(spark, local, autoCompactDeltas = 1000,
+      pointerCommits = true)
+    store.append("t", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    store.merge("t", Seq((2L, "B"), (4L, "d")).toDF("k", "v"), Seq("k"))
+    val snap1 = store.snapshotFileList("t").get
+    assert(snap1.nonEmpty && snap1.forall(_.endsWith(".parquet")))
+    def plainRead(files: Seq[String]) =
+      spark.read.parquet(files: _*).as[(Long, String)].collect().toSet
+    val want1 = Set((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d"))
+    assert(plainRead(snap1) == want1)
+    assert(store.read("t").get.as[(Long, String)].collect().toSet == want1)
+    // a writer commits (append + a merge that tombstones): the held
+    // list is untouched on disk and still reads the OLD snapshot
+    store.append("t", Seq((5L, "e")).toDF("k", "v"))
+    store.merge("t", Seq((1L, "A")).toDF("k", "v"), Seq("k"))
+    val f = hadoopFs(local)
+    assert(snap1.forall(p => f.exists(new Path(p))),
+      "a commit must never delete or mutate a committed snapshot's files")
+    assert(plainRead(snap1) == want1)
+    // the NEW list sees the new snapshot; the old tombstoned file is
+    // excluded from it, not deleted
+    val snap2 = store.snapshotFileList("t").get
+    assert(plainRead(snap2) ==
+      Set((1L, "A"), (2L, "B"), (3L, "c"), (4L, "d"), (5L, "e")))
+    assert(snap2.toSet != snap1.toSet)
+  }
 }

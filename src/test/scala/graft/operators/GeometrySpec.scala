@@ -281,4 +281,173 @@ class GeometrySpec extends AnyFunSuite {
       .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
     assert(got == brute && got.nonEmpty)
   }
+
+  // ---- multi-ring tier (holes + MultiPolygon, r14 VERDICT #3/#4) ----
+
+  test("ring-aware WKB: holed polygon and MultiPolygon round-trip") {
+    val df = Seq(
+      // 10×10 square with a 2×2 hole: Polygon, 2 rings
+      (1L, Seq(0L, 10L, 10L, 0L, 4L, 6L, 6L, 4L),
+        Seq(0L, 0L, 10L, 10L, 4L, 4L, 6L, 6L), Seq(4L, 4L), Seq(2L)),
+      // two disjoint triangles: MultiPolygon, 2 members × 1 ring
+      (2L, Seq(0L, 5L, 0L, 20L, 25L, 20L),
+        Seq(0L, 0L, 5L, 20L, 20L, 25L), Seq(3L, 3L), Seq(1L, 1L)),
+      // plain triangle: Polygon, 1 ring
+      (3L, Seq(0L, 8L, 0L), Seq(0L, 0L, 8L), Seq(3L), Seq(1L))
+    ).toDF("id", "xs", "ys", "rl", "pl")
+    val got = df.select(col("id"),
+        Wkb.decodeGeom(Wkb.encodeGeom(toD(col("xs")), toD(col("ys")),
+          col("rl"), col("pl"))).as("g"))
+      .select(col("id"), col("g.gtype"),
+        transform(col("g.xs"), v => v.cast("long")).as("xs"),
+        transform(col("g.ys"), v => v.cast("long")).as("ys"),
+        col("g.ring_lens"), col("g.poly_lens"))
+      .as[(Long, Long, Seq[Long], Seq[Long], Seq[Long], Seq[Long])]
+      .collect().sortBy(_._1)
+    assert(got(0) == ((1L, 3L, Seq(0L, 10L, 10L, 0L, 4L, 6L, 6L, 4L),
+      Seq(0L, 0L, 10L, 10L, 4L, 4L, 6L, 6L), Seq(4L, 4L), Seq(2L))))
+    assert(got(1) == ((2L, 6L, Seq(0L, 5L, 0L, 20L, 25L, 20L),
+      Seq(0L, 0L, 5L, 20L, 20L, 25L), Seq(3L, 3L), Seq(1L, 1L))))
+    assert(got(2)._2 == 3L && got(2)._5 == Seq(3L))
+    // the plain decoder reads the ring-structured Polygon's OUTER ring
+    val outer = Seq((Seq(0L, 10L, 10L, 0L, 4L, 6L, 6L, 4L),
+        Seq(0L, 0L, 10L, 10L, 4L, 4L, 6L, 6L)))
+      .toDF("xs", "ys")
+      .select(Wkb.decode(Wkb.encodeGeom(toD(col("xs")), toD(col("ys")),
+        array(lit(4L), lit(4L)), array(lit(2L)))).as("g"))
+      .select(transform(col("g.xs"), v => v.cast("long")).as("xs"))
+      .as[Seq[Long]].head()
+    assert(outer == Seq(0L, 10L, 10L, 0L))
+  }
+
+  test("ring-aware WKB encode/decode reject defects as null, stay total") {
+    def enc(xs: Seq[Long], ys: Seq[Long], rl: Seq[Long], pl: Seq[Long]) =
+      Seq((xs, ys, rl, pl)).toDF("xs", "ys", "rl", "pl")
+        .select(Wkb.encodeGeom(toD(col("xs")), toD(col("ys")),
+          col("rl"), col("pl")).isNull.as("n")).head().getBoolean(0)
+    assert(enc(Seq(0L, 1L), Seq(0L, 1L), Seq(2L), Seq(1L))) // ring < 3
+    assert(enc(Seq(0L, 1L, 2L), Seq(0L, 1L, 2L), Seq(4L), Seq(1L))) // sum off
+    assert(enc(Seq(0L, 1L, 2L), Seq(0L, 1L, 2L), Seq(3L), Seq(2L))) // polys off
+    assert(enc(Seq(0L, 1L, 2L), Seq(0L, 1L), Seq(3L), Seq(1L))) // xs≠ys
+    // truncation battery: every prefix of a valid MultiPolygon decodes
+    // to null or the full value, never throws
+    val full = Wkb.encodeGeomBytes(
+      Array(0d, 5d, 0d, 20d, 25d, 20d), Array(0d, 0d, 5d, 20d, 20d, 25d),
+      Array(3L, 3L), Array(1L, 1L))
+    for (n <- 0 until full.length)
+      assert(graft.functions.Wkb.decodeGeomBytes(full.take(n)) == null,
+        s"prefix $n")
+    assert(graft.functions.Wkb.decodeGeomBytes(full) != null)
+    // an unclosed HOLE ring is a defect even when the outer ring closes
+    val holed = Wkb.encodeGeomBytes(
+      Array(0d, 10d, 10d, 0d, 4d, 6d, 6d, 4d),
+      Array(0d, 0d, 10d, 10d, 4d, 4d, 6d, 6d), Array(4L, 4L), Array(2L))
+    val broken = holed.clone()
+    broken(broken.length - 1) = (broken(broken.length - 1) ^ 0x01).toByte
+    assert(graft.functions.Wkb.decodeGeomBytes(broken) == null)
+  }
+
+  private def pipRings(px: Long, py: Long, xs: Seq[Long], ys: Seq[Long],
+                       rl: Seq[Long]): Boolean =
+    Seq((px, py, xs, ys, rl)).toDF("px", "py", "xs", "ys", "rl")
+      .select(Geometry.pointInRings(col("px"), col("py"),
+        col("xs"), col("ys"), col("rl")).as("in")).head().getBoolean(0)
+
+  test("even-odd rings: annulus in, hole out, multipolygon members") {
+    val hx = Seq(0L, 10L, 10L, 0L, 4L, 6L, 6L, 4L)
+    val hy = Seq(0L, 0L, 10L, 10L, 4L, 4L, 6L, 6L)
+    assert(pipRings(2, 2, hx, hy, Seq(4L, 4L))) // annulus
+    assert(!pipRings(5, 5, hx, hy, Seq(4L, 4L))) // in the hole
+    assert(!pipRings(15, 5, hx, hy, Seq(4L, 4L))) // outside
+    // single ring ≡ pointInPolygon semantics
+    assert(pipRings(5, 5, Seq(0L, 10L, 10L, 0L), Seq(0L, 0L, 10L, 10L),
+      Seq(4L)))
+    // two disjoint members: inside either is inside
+    val mx = Seq(0L, 5L, 0L, 20L, 25L, 20L)
+    val my = Seq(0L, 0L, 5L, 20L, 20L, 25L)
+    assert(pipRings(1, 1, mx, my, Seq(3L, 3L)))
+    assert(pipRings(21, 21, mx, my, Seq(3L, 3L)))
+    assert(!pipRings(12, 12, mx, my, Seq(3L, 3L)))
+  }
+
+  test("even-odd rings ≡ per-ring parity brute force (incl. hole points)") {
+    // reference: XOR of single-ring ray casts — even-odd composition
+    val rnd = new scala.util.Random(1515)
+    for (_ <- 1 to 200) {
+      val cx = rnd.nextInt(40).toLong; val cy = rnd.nextInt(40).toLong
+      val e = 5L + rnd.nextInt(10)
+      val h = 1L + rnd.nextInt(3)
+      val oxs = Seq(cx + e, cx, cx - e, cx); val oys = Seq(cy, cy + e, cy, cy - e)
+      val hxs = Seq(cx + h, cx, cx - h, cx); val hys = Seq(cy, cy + h, cy, cy - h)
+      val px = rnd.nextInt(60).toLong - 10; val py = rnd.nextInt(60).toLong - 10
+      val expected =
+        graft.functions.GeomPred.pointInPolygon(px, py, oxs.toArray, oys.toArray) ^
+          graft.functions.GeomPred.pointInPolygon(px, py, hxs.toArray, hys.toArray)
+      val got = graft.functions.GeomPred.pointInRings(px, py,
+        (oxs ++ hxs).toArray, (oys ++ hys).toArray, Array(4L, 4L))
+      assert(got == expected, s"($px,$py) c=($cx,$cy) e=$e h=$h")
+    }
+  }
+
+  test("pointWithinDist: interior, edge range, corner range, hole interior") {
+    val sq = (Seq(0L, 10L, 10L, 0L), Seq(0L, 0L, 10L, 10L))
+    def near(px: Long, py: Long, rsq: Long,
+             xs: Seq[Long] = sq._1, ys: Seq[Long] = sq._2,
+             rl: Seq[Long] = Seq(4L)): Boolean =
+      graft.functions.GeomPred.pointWithinDist(px, py, xs.toArray,
+        ys.toArray, rl.toArray, rsq)
+    assert(near(5, 5, 0)) // interior at any radius
+    assert(near(12, 5, 4)) // 2 from the right edge, r=2
+    assert(!near(13, 5, 4)) // 3 from the right edge, r=2
+    assert(near(11, 11, 2)) // corner diagonal √2 ≤ √2
+    assert(!near(11, 11, 1)) // corner diagonal √2 > 1
+    assert(near(0, -3, 9)) // straight below a vertex
+    // point in a HOLE measures to the hole boundary
+    val hx = Seq(0L, 20L, 20L, 0L, 8L, 12L, 12L, 8L)
+    val hy = Seq(0L, 0L, 20L, 20L, 8L, 8L, 12L, 12L)
+    assert(near(10, 10, 4, hx, hy, Seq(4L, 4L))) // 2 from hole edge
+    assert(!near(10, 10, 1, hx, hy, Seq(4L, 4L))) // 2 > 1
+  }
+
+  test("ringsIntersect: hole face excludes, overlap/touch include") {
+    val hx = Array(0L, 20L, 20L, 0L, 6L, 14L, 14L, 6L)
+    val hy = Array(0L, 0L, 20L, 20L, 6L, 6L, 14L, 14L)
+    val hl = Array(4L, 4L)
+    def sq(x0: Long, y0: Long, x1: Long, y1: Long) =
+      (Array(x0, x1, x1, x0), Array(y0, y0, y1, y1), Array(4L))
+    def ri(a: (Array[Long], Array[Long], Array[Long]),
+           bx: Array[Long], by: Array[Long], bl: Array[Long]) =
+      graft.functions.GeomPred.ringsIntersect(a._1, a._2, a._3, bx, by, bl)
+    assert(!ri(sq(8, 8, 12, 12), hx, hy, hl)) // entirely in the hole
+    assert(ri(sq(2, 2, 4, 4), hx, hy, hl)) // in the annulus
+    assert(ri(sq(5, 5, 9, 9), hx, hy, hl)) // straddles the hole edge
+    assert(ri(sq(-5, -5, 30, 30), hx, hy, hl)) // contains the whole thing
+    assert(!ri(sq(30, 30, 40, 40), hx, hy, hl)) // disjoint outside
+    assert(ri(sq(20, 0, 30, 10), hx, hy, hl)) // shared outer edge
+  }
+
+  test("pointInRingsJoin and pointNearRingsJoin equal brute force") {
+    val polys = rhombi(60, (53, 71), 5).map { case (k, xs, ys) =>
+      val h = 1L + k % 3
+      val cx = xs(1); val cy = ys(0) // rhombus center
+      (k, xs ++ Seq(cx + h, cx, cx - h, cx),
+        ys ++ Seq(cy, cy + h, cy, cy - h), Seq(4L, 4L))
+    }.toDF("poly_id", "xs", "ys", "ring_lens")
+    val pts = (1 to 150).map(i =>
+      (i.toLong, i * 13L % 200L, i * 29L % 200L)).toDF("p_id", "px", "py")
+    val gotIn = Geometry.pointInRingsJoin(pts, polys, cell = 16L)
+      .as[(Long, Long)].collect().toSet
+    val bruteIn = pts.crossJoin(polys)
+      .filter(Geometry.pointInRings(col("px"), col("py"),
+        col("xs"), col("ys"), col("ring_lens")))
+      .select(col("poly_id"), col("p_id")).as[(Long, Long)].collect().toSet
+    assert(gotIn == bruteIn && gotIn.nonEmpty)
+    val gotNear = Geometry.pointNearRingsJoin(pts, polys, cell = 16L, r = 7L)
+      .as[(Long, Long)].collect().toSet
+    val bruteNear = pts.crossJoin(polys)
+      .filter(Geometry.pointWithinDist(col("px"), col("py"),
+        col("xs"), col("ys"), col("ring_lens"), 49L))
+      .select(col("poly_id"), col("p_id")).as[(Long, Long)].collect().toSet
+    assert(gotNear == bruteNear && gotNear.nonEmpty && gotNear != gotIn)
+  }
 }

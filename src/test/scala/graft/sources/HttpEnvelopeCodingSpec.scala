@@ -35,6 +35,9 @@ class HttpEnvelopeCodingSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
+  private def zstd(raw: Array[Byte]): Array[Byte] =
+    com.github.luben.zstd.Zstd.compress(raw, 3)
+
   test("chunked framing removed; extensions and lone-LF tolerated") {
     val body = "twelve bytes of chunked payload here".getBytes("UTF-8")
     val r = HttpEnvelope.parse("a",
@@ -100,7 +103,7 @@ class HttpEnvelopeCodingSpec extends AnyFunSuite {
     // the first-to-come-off (last-listed) undecodable coding names
     // the class: br/zstd priced apart from the generic bucket
     for ((ce, lbl) <- Seq("br" -> "br_unsupported",
-        "zstd" -> "zstd_unsupported", "gzip, br" -> "br_unsupported",
+        "gzip, br" -> "br_unsupported",
         "br, gzip2" -> "unsupported", "compress" -> "unsupported")) {
       val r = HttpEnvelope.parse("a",
         env(s"Content-Encoding: $ce\r\n", bytes("opaque")))
@@ -119,6 +122,54 @@ class HttpEnvelopeCodingSpec extends AnyFunSuite {
     assert(HttpEnvelope.parse("a",
       env("Content-Encoding: x-zstd, gzip\r\n", zs)).content_coding
       == "unsupported")
+  }
+
+  test("zstd content-coding decodes for real; defective frames quarantine") {
+    val txt = "zstd round trip 世界 content body"
+    val z = zstd(txt.getBytes("UTF-8"))
+    val ok = HttpEnvelope.parse("a", env("Content-Encoding: zstd\r\n", z))
+    assert(ok.content_coding == "zstd" && ok.body_text == txt)
+    // defective frame (magic + junk): zstd_error, raw kept — a
+    // DECLARED-zstd body that fails to decode is a frame defect, not
+    // a coding gap, so it no longer prices as zstd_unsupported
+    val fake = Array(0x28, 0xb5, 0x2f, 0xfd, 0x01, 0x02).map(_.toByte)
+    val bad = HttpEnvelope.parse("a",
+      env("Content-Encoding: zstd\r\n", fake))
+    assert(bad.content_coding == "zstd_error" &&
+      bad.body.sameElements(fake) && bad.env_status == "ok")
+    // truncated real frame also quarantines with raw bytes
+    val half = z.take(z.length / 2)
+    val tr = HttpEnvelope.parse("a", env("Content-Encoding: zstd\r\n", half))
+    assert(tr.content_coding == "zstd_error" && tr.body.sameElements(half))
+    // chains: 'zstd, gzip' = zstd applied first → gzip comes off first
+    val chained = HttpEnvelope.parse("a",
+      env("Content-Encoding: zstd, gzip\r\n", gz(z)))
+    assert(chained.content_coding == "zstd+gzip" && chained.body_text == txt)
+    // TE zstd-over-chunked: de-chunk then zstd-decode, one label
+    val te = HttpEnvelope.parse("a", env(
+      "Transfer-Encoding: zstd, chunked\r\n", chunk(z, 13)))
+    assert(te.transfer_coding == "zstd+chunked" && te.body_text == txt)
+    // zip-bomb discipline: the cap applies to zstd exactly as to gzip
+    assert(CrawlArchive.zstdInflate(z, cap = 4L).isEmpty)
+  }
+
+  test("zstd inflate is total on hostile bytes") {
+    val rnd = new scala.util.Random(777)
+    for (i <- 1 to 200) {
+      val n = rnd.nextInt(96)
+      val b = Array.fill(n)(rnd.nextInt(256).toByte)
+      // with and without a real frame magic prefix: never throws
+      CrawlArchive.zstdInflate(b, 1L << 20)
+      CrawlArchive.zstdInflate(
+        Array(0x28, 0xb5, 0x2f, 0xfd).map(_.toByte) ++ b, 1L << 20)
+      // and every prefix of a valid frame decodes-or-quarantines
+      if (i <= 20) {
+        val z = zstd(("prefix " * i).getBytes("UTF-8"))
+        val r = HttpEnvelope.parse("z",
+          env("Content-Encoding: zstd\r\n", z.take(i * z.length / 20)))
+        assert(Set("zstd", "zstd_error")(r.content_coding))
+      }
+    }
   }
 
   test("chunked-over-gzip removes both layers in wire order") {
@@ -243,13 +294,13 @@ class HttpEnvelopeCodingSpec extends AnyFunSuite {
 
   test("TE lists we can't decode quarantine as unsupported, not plain") {
     val payload = bytes("opaque transfer-coded bytes")
-    // unknown coding before chunked (br/zstd named); chunked not
-    // last and no-chunked-at-all are framing violations → generic
+    // unknown coding before chunked (br named; zstd now DECODES so it
+    // left this battery); chunked not last and no-chunked-at-all are
+    // framing violations → generic
     for ((te, lbl) <- Seq("br, chunked" -> "br_unsupported",
-        "zstd, chunked" -> "zstd_unsupported",
         "compress, chunked" -> "unsupported",
         "chunked, gzip" -> "unsupported", "gzip" -> "unsupported",
-        "zstd" -> "unsupported")) {
+        "zstd" -> "unsupported")) { // zstd w/o chunked: framing violation
       val r = HttpEnvelope.parse("a",
         env(s"Transfer-Encoding: $te\r\nContent-Encoding: gzip\r\n", payload))
       assert(r.transfer_coding == lbl, te)
