@@ -169,6 +169,37 @@ object GeomPred {
     false
   }
 
+  /** Exact even-odd REGION area (doubled): |shoelace| of ring 0 minus
+    * Σ|shoelace| of every later ring — the polygon-with-holes area
+    * formula, orientation-insensitive (each ring's signed area is
+    * absolute-valued, so hole winding direction never matters).
+    * Returns Long.MinValue sentinel → caller maps to null on
+    * malformed ring structure (lens exceeding the arrays). */
+  def regionArea2(xs: Array[Long], ys: Array[Long],
+                  ringLens: Array[Long]): Long = {
+    if (ringLens.isEmpty) return Long.MinValue
+    var total = 0L
+    var base = 0
+    var r = 0
+    while (r < ringLens.length) {
+      val n = ringLens(r).toInt
+      if (n < 3 || base + n > xs.length || base + n > ys.length)
+        return Long.MinValue
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        val j = base + (if (i == n - 1) 0 else i + 1)
+        s += xs(base + i) * ys(j) - xs(j) * ys(base + i)
+        i += 1
+      }
+      val a = math.abs(s)
+      total += (if (r == 0) a else -a)
+      base += n
+      r += 1
+    }
+    total
+  }
+
   /** a·b ≤ c·d exactly, all operands non-negative, via 128-bit
     * products (multiplyHigh) — no overflow, no BigInt allocation. */
   private def mulLeq(a: Long, b: Long, c: Long, d: Long): Boolean = {
@@ -384,6 +415,29 @@ case class RingsIntersectExpr(children: Seq[Expression])
       longs(vals(2)), longs(vals(3)), longs(vals(4)), longs(vals(5)))
 
   override def prettyName: String = "rings_intersect"
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+/** `region_area2(xs, ys, ring_lens)` — doubled even-odd region area
+  * (outer minus holes), LongType, null on malformed ring structure. */
+case class RegionArea2Expr(children: Seq[Expression])
+    extends RingPredExpr {
+
+  private val arr = ArrayType(LongType, containsNull = false)
+  protected def expectedTypes: Seq[DataType] = Seq(arr, arr, arr)
+  override def dataType: DataType = LongType
+
+  protected def evalNotNull(vals: Array[Any]): Any = {
+    val v = GeomPred.regionArea2(longs(vals(0)), longs(vals(1)),
+      longs(vals(2)))
+    if (v == Long.MinValue) null else v
+  }
+
+  override def nullable: Boolean = true
+  override def prettyName: String = "region_area2"
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =

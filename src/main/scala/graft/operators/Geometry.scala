@@ -191,6 +191,13 @@ object Geometry {
       expression(xsA), expression(ysA), expression(lensA),
       expression(xsB), expression(ysB), expression(lensB))))
 
+  /** Doubled even-odd REGION area: |ring 0| − Σ|holes| — st_area's
+    * exact twin for polygons-with-holes, orientation-insensitive
+    * (each ring absolute-valued). Null on malformed ring structure. */
+  def regionArea2(xs: Column, ys: Column, ringLens: Column): Column =
+    column(graft.functions.RegionArea2Expr(Seq(
+      expression(xs), expression(ys), expression(ringLens))))
+
   /** Twice the signed shoelace area of a vertex ring — exact integer
     * (st_area's exact twin: divide by 2.0 only at the presentation
     * edge). Positive for counter-clockwise rings. */
@@ -348,6 +355,38 @@ object Geometry {
       .filter(pointWithinDist(col("px"), col("py"), col("xs"), col("ys"),
         col("ring_lens"), r * r))
       .select(col("poly_id"), col("p_id"))
+  }
+
+  /** Multi-ring region-intersects join: (a_id, b_id) pairs whose
+    * even-odd regions intersect (boundary touch included). Sides carry
+    * (…_id, …xs, …ys, …lens); each side's geometry must be ONE
+    * connected polygon-with-holes (ring 0 outer) — the
+    * [[graft.functions.GeomPred.ringsIntersect]] completeness
+    * contract. Same grid shape as [[polygonIntersectJoin]]: bbox-cell
+    * candidates, reference-point dedup in the bbox-intersection's min
+    * cell (pure filter, no distinct), then the exact predicate — a
+    * region inside the other's HOLE is rejected by ring parity. */
+  def ringsIntersectJoin(a: DataFrame, b: DataFrame,
+                         cell: Long): DataFrame = {
+    def withCells(df: DataFrame, xs: String, ys: String, p: String) =
+      df.withColumn(s"_${p}x0", array_min(col(xs)))
+        .withColumn(s"_${p}x1", array_max(col(xs)))
+        .withColumn(s"_${p}y0", array_min(col(ys)))
+        .withColumn(s"_${p}y1", array_max(col(ys)))
+        .withColumn("cx", explode(sequence(
+          cellId(col(s"_${p}x0"), cell), cellId(col(s"_${p}x1"), cell))))
+        .withColumn("cy", explode(sequence(
+          cellId(col(s"_${p}y0"), cell), cellId(col(s"_${p}y1"), cell))))
+    val ac = withCells(a, "axs", "ays", "a")
+    val bc = withCells(b, "bxs", "bys", "b")
+    ac.join(bc, Seq("cx", "cy"))
+      .filter(col("_ax0") <= col("_bx1") && col("_bx0") <= col("_ax1") &&
+        col("_ay0") <= col("_by1") && col("_by0") <= col("_ay1"))
+      .filter(col("cx") === cellId(greatest(col("_ax0"), col("_bx0")), cell) &&
+        col("cy") === cellId(greatest(col("_ay0"), col("_by0")), cell))
+      .filter(ringsIntersect(col("axs"), col("ays"), col("alens"),
+        col("bxs"), col("bys"), col("blens")))
+      .select(col("a_id"), col("b_id"))
   }
 
   def polygonIntersectJoin(a: DataFrame, b: DataFrame,

@@ -288,6 +288,60 @@ object GeoOps {
       Geometry.pointNearRingsJoin(points, polys, cell = 64L, r = 12L)
     }),
 
+    // MULTI-RING REGION-INTERSECTS join: part annuli (outer + hole)
+    // vs customer MICRO-rhombi (extents 1–2 — small enough that some
+    // land entirely inside a hole and must be REJECTED by ring
+    // parity, the even-odd face rule). Edge pairs across every ring
+    // pair, then the two reference-vertex parities; grid candidates
+    // with reference-point dedup as in q228.
+    "q241_rings_intersect" -> ((s, d) => {
+      val a = partHoledPolys(s, d).select(col("poly_id").as("a_id"),
+        col("xs").as("axs"), col("ys").as("ays"),
+        array(lit(4L), lit(4L)).as("alens"))
+      val k = col("c_custkey")
+      val ccx = k * 13L % 2000L
+      val ccy = k * 29L % 2000L
+      val (ma, mb) = (lit(1L) + k % 2L, lit(1L) + k % 3L)
+      val b = Tables.load(s, d, "customer").select(k.as("b_id"),
+        array(ccx + ma, ccx, ccx - ma, ccx).as("bxs"),
+        array(ccy, ccy + mb, ccy, ccy - mb).as("bys"),
+        array(lit(4L)).as("blens"))
+      Geometry.ringsIntersectJoin(a, b, cell = 32L)
+    }),
+
+    // EVEN-ODD REGION METRICS: the holed polygons' exact doubled
+    // areas — outer ring, hole ring, and the region (outer − hole),
+    // orientation-insensitive. A decoder or area formula that loses
+    // the hole inflates region_area2 by exactly the hole's area.
+    "q242_holed_region_metrics" -> ((s, d) =>
+      partHoledPolys(s, d).select(col("poly_id"),
+        Geometry.polygonArea2(slice(col("xs"), 1, 4),
+          slice(col("ys"), 1, 4)).as("outer_area2"),
+        Geometry.polygonArea2(slice(col("xs"), 5, 4),
+          slice(col("ys"), 5, 4)).as("hole_area2"),
+        Geometry.regionArea2(col("xs"), col("ys"),
+          array(lit(4L), lit(4L))).as("region_area2"))),
+
+    // WKT TEXT CODEC round-trip (the interchange pair's readable
+    // half): holed part polygons format to spec WKT (rings closed by
+    // the repeated first vertex) and parse back in-plan; the oracle
+    // reconstructs the EXACT text by concatenation and the region
+    // area by closed form, so both directions are hash-pinned — a
+    // formatter that drops a space or a parser that loses the hole
+    // moves a column.
+    "q243_wkt_roundtrip" -> ((s, d) => {
+      import graft.functions.WktCodec
+      val wkt = partHoledPolys(s, d).select(col("poly_id"),
+        WktCodec.format(col("xs"), col("ys"),
+          array(lit(4L), lit(4L)), array(lit(2L))).as("wkt"))
+      wkt.select(col("poly_id"), col("wkt"),
+          WktCodec.parse(col("wkt")).as("g"))
+        .select(col("poly_id"), col("wkt"), col("g.gtype").as("gtype"),
+          size(col("g.ring_lens")).cast("long").as("n_rings"),
+          Geometry.regionArea2(col("g.xs"), col("g.ys"),
+            col("g.ring_lens")).as("region_area2"))
+    }),
+
     // EXACT polygon metrics (st_area/st_centroid's integer twins):
     // twice the shoelace area (positive — the fixtures are CCW), the
     // 6·A-scaled centroid numerators (division deferred to the
@@ -488,6 +542,102 @@ object GeoOps {
           SELECT CAST(poly_id AS BIGINT) AS poly_id,
                  CAST(p_id AS BIGINT) AS p_id
           FROM par""",
+
+    // Region-intersects recomposed: edge pairs across every ring pair
+    // (outer AND hole edges), else the two reference-vertex parities —
+    // a micro-rhombus inside a hole crosses both rings (even) from
+    // its reference vertex and touches no edge, so it drops out.
+    "q241_rings_intersect" ->
+      s"""WITH $partHoledVertsSql,
+          pc AS (SELECT c_custkey AS b_id,
+                   c_custkey * 13 % 2000 AS cx, c_custkey * 29 % 2000 AS cy,
+                   1 + c_custkey % 2 AS ma, 1 + c_custkey % 3 AS mb
+                 FROM customer),
+          vc AS (SELECT b_id, 0 AS vi, cx + ma AS x, cy AS y FROM pc
+            UNION ALL SELECT b_id, 1, cx, cy + mb FROM pc
+            UNION ALL SELECT b_id, 2, cx - ma, cy FROM pc
+            UNION ALL SELECT b_id, 3, cx, cy - mb FROM pc),
+          edc AS (SELECT l.b_id, l.x AS x1, l.y AS y1, r.x AS x2, r.y AS y2
+                  FROM vc l JOIN vc r ON l.b_id = r.b_id
+                    AND r.vi = (l.vi + 1) % 4),
+          bbc AS (SELECT b_id, min(x) AS bx0, max(x) AS bx1,
+                         min(y) AS by0, max(y) AS by1
+                  FROM vc GROUP BY b_id),
+          cand AS (SELECT a.a_id, b.b_id
+                   FROM bb8 a JOIN bbc b
+                     ON a.ax0 <= b.bx1 AND b.bx0 <= a.ax1
+                    AND a.ay0 <= b.by1 AND b.by0 <= a.ay1),
+          ecross AS (SELECT DISTINCT c.a_id, c.b_id
+                     FROM cand c
+                       JOIN ed8 ea ON ea.a_id = c.a_id
+                       JOIN edc eb ON eb.b_id = c.b_id
+                     WHERE ${segIntSql("ea.x1", "ea.y1", "ea.x2", "ea.y2",
+                       "eb.x1", "eb.y1", "eb.x2", "eb.y2")}),
+          binA AS (SELECT c.a_id, c.b_id
+                   FROM cand c
+                     JOIN pc ON pc.b_id = c.b_id
+                     JOIN ed8 e ON e.a_id = c.a_id
+                   WHERE ${crossSql("(pc.cx + pc.ma)", "pc.cy",
+                     "e.x1", "e.y1", "e.x2", "e.y2")}
+                   GROUP BY c.a_id, c.b_id HAVING count(*) % 2 = 1),
+          ainB AS (SELECT c.a_id, c.b_id
+                   FROM cand c
+                     JOIN pa8 ON pa8.a_id = c.a_id
+                     JOIN edc e ON e.b_id = c.b_id
+                   WHERE ${crossSql("(pa8.cx + pa8.ea)", "pa8.cy",
+                     "e.x1", "e.y1", "e.x2", "e.y2")}
+                   GROUP BY c.a_id, c.b_id HAVING count(*) % 2 = 1)
+          SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id
+          FROM (SELECT a_id, b_id FROM ecross
+                UNION SELECT a_id, b_id FROM binA
+                UNION SELECT a_id, b_id FROM ainB) u""",
+
+    // The exact WKT text rebuilt by concatenation (every separator
+    // and the closing repeats literal), gtype/ring count from the
+    // fixture's shape, region area in closed form (a rhombus with
+    // quadrant extents e has doubled area (e1+e3)·(e2+e4)).
+    "q243_wkt_roundtrip" -> {
+      def pt(x: String, y: String) =
+        s"CAST($x AS VARCHAR) || ' ' || CAST($y AS VARCHAR)"
+      val outer = Seq(
+        pt("cx + ea", "cy"), pt("cx", "cy + eb"),
+        pt("cx - ec", "cy"), pt("cx", "cy - ed"), pt("cx + ea", "cy"))
+        .mkString(" || ', ' || ")
+      val hole = Seq(
+        pt("cx + ha", "cy"), pt("cx", "cy + hb"),
+        pt("cx - hc", "cy"), pt("cx", "cy - hd"), pt("cx + ha", "cy"))
+        .mkString(" || ', ' || ")
+      s"""WITH $partHoledVertsSql
+          SELECT CAST(a_id AS BIGINT) AS poly_id,
+                 'POLYGON ((' || $outer || '), (' || $hole || '))' AS wkt,
+                 CAST(3 AS BIGINT) AS gtype,
+                 CAST(2 AS BIGINT) AS n_rings,
+                 CAST((ea + ec) * (eb + ed) - (ha + hc) * (hb + hd)
+                      AS BIGINT) AS region_area2
+          FROM pa8"""
+    },
+
+    // Ring-tagged shoelace sums over the same vertex rows — region =
+    // |outer| − |hole| exactly.
+    "q242_holed_region_metrics" ->
+      s"""WITH $partHoledVertsSql,
+          ringsum AS (SELECT l.a_id,
+                        CASE WHEN l.vi < 4 THEN 0 ELSE 1 END AS ring,
+                        sum(l.x * r.y - r.x * l.y) AS s2
+                      FROM va8 l JOIN va8 r ON l.a_id = r.a_id
+                        AND r.vi = CASE WHEN l.vi < 4 THEN (l.vi + 1) % 4
+                                        ELSE 4 + (l.vi - 3) % 4 END
+                      GROUP BY l.a_id,
+                        CASE WHEN l.vi < 4 THEN 0 ELSE 1 END)
+          SELECT CAST(a_id AS BIGINT) AS poly_id,
+                 CAST(max(CASE WHEN ring = 0 THEN s2 END) AS BIGINT)
+                   AS outer_area2,
+                 CAST(max(CASE WHEN ring = 1 THEN s2 END) AS BIGINT)
+                   AS hole_area2,
+                 CAST(abs(max(CASE WHEN ring = 0 THEN s2 END)) -
+                      abs(max(CASE WHEN ring = 1 THEN s2 END)) AS BIGINT)
+                   AS region_area2
+          FROM ringsum GROUP BY a_id""",
 
     // Interior (parity) OR within-range of some edge (three-case
     // exact point-segment distance, HUGEINT for the squared cross) —

@@ -184,6 +184,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(ix.cartesianProducts == 0)
   }
 
+  test("q237-q240 ring geometry + zstd chains: grid equi-joins, pruned scans") {
+    // the multi-ring and distance joins must keep q227's plan shape:
+    // cell equi-join candidates, never a cartesian, fixture scans
+    // pruned to the single key column they derive from
+    for ((q, keyTbl, keyCol) <- Seq(
+        ("q238_point_in_holed_polygon", "part", "p_partkey"),
+        ("q239_point_near_polygon", "supplier", "s_suppkey"),
+        ("q240_point_in_multipolygon", "supplier", "s_suppkey"))) {
+      val r = audited(q)
+      assert(r.cartesianProducts == 0, s"$q has a cartesian")
+      assert(r.scans.filter(_.source.contains(keyTbl))
+        .forall(_.readColumns.toSet == Set(keyCol)),
+        s"$q $keyTbl scan not pruned: " +
+          s"${r.scans.map(s => s.source -> s.readColumns)}")
+    }
+    // the zstd chain is map-only over the documents fixture columns
+    val z = audited("q237_zstd_chain")
+    assert(z.cartesianProducts == 0 && z.shuffleJoins == 0,
+      s"q237 must be join-free map work: cart=${z.cartesianProducts} " +
+        s"shuffleJoins=${z.shuffleJoins}")
+  }
+
   test("q225 packed id tape: no cartesian, keeps q224's broadcasts") {
     val r = audited("q225_token_id_tape")
     assert(r.cartesianProducts == 0)

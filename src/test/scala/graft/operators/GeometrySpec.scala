@@ -426,6 +426,112 @@ class GeometrySpec extends AnyFunSuite {
     assert(ri(sq(20, 0, 30, 10), hx, hy, hl)) // shared outer edge
   }
 
+  test("WKT codec: exact text both ways, total on hostile strings") {
+    import graft.functions.WktCodec
+    // format: spec text with closed rings, nested multipolygon parens
+    assert(WktCodec.format(Array(7L), Array(-3L), Array(1L), Array(1L))
+      == "POINT (7 -3)")
+    val holed = WktCodec.format(
+      Array(0L, 10L, 10L, 0L, 4L, 6L, 6L, 4L),
+      Array(0L, 0L, 10L, 10L, 4L, 4L, 6L, 6L), Array(4L, 4L), Array(2L))
+    assert(holed == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), " +
+      "(4 4, 6 4, 6 6, 4 6, 4 4))")
+    val multi = WktCodec.format(
+      Array(0L, 5L, 0L, 20L, 25L, 20L), Array(0L, 0L, 5L, 20L, 20L, 25L),
+      Array(3L, 3L), Array(1L, 1L))
+    assert(multi == "MULTIPOLYGON (((0 0, 5 0, 0 5, 0 0)), " +
+      "((20 20, 25 20, 20 25, 20 20)))")
+    // invalid shapes format to null (the encodeGeom validity rules)
+    assert(WktCodec.format(Array(0L, 1L), Array(0L, 1L),
+      Array(2L), Array(1L)) == null)
+    // parse: round-trips, whitespace/case tolerant
+    for (w <- Seq(holed, multi, "POINT (7 -3)",
+        "  multiPolygon ( ( (0 0,5 0,0 5,0 0) ) )  ")) {
+      val p = WktCodec.parse(w)
+      assert(p != null, w)
+      val q = WktCodec.parse(WktCodec.format(p._2, p._3, p._4, p._5))
+      assert(q._1 == p._1 && q._2.sameElements(p._2) &&
+        q._3.sameElements(p._3) && q._4.sameElements(p._4) &&
+        q._5.sameElements(p._5), w)
+    }
+    // hostile strings: null, never a throw
+    for (bad <- Seq("", "POLYGON", "POLYGON (", "POLYGON (())",
+        "POLYGON ((0 0, 1 0, 0 1))",          // unclosed ring
+        "POLYGON ((0 0, 1 0, 0 1, 0 0)",      // unbalanced
+        "POLYGON ((0 0, 1 0, 0 1, 0 0)) x",   // trailing junk
+        "POLYGON ((0 0, 1 0, 0 1.5, 0 0))",   // non-integer
+        "CIRCLE (0 0, 5)", "POINT (a b)", "POINT (1 2 3)"))
+      assert(WktCodec.parse(bad) == null, bad)
+    // fuzz: random bytes and mutated valid text stay total
+    val rnd = new scala.util.Random(99)
+    for (_ <- 1 to 300) {
+      WktCodec.parse(rnd.nextString(rnd.nextInt(40)))
+      val m = holed.toCharArray
+      m(rnd.nextInt(m.length)) = (rnd.nextInt(96) + 32).toChar
+      WktCodec.parse(new String(m)) // parse-or-null, never throw
+    }
+  }
+
+  test("regionArea2: outer minus holes, orientation-insensitive, total") {
+    def ra(xs: Seq[Long], ys: Seq[Long], rl: Seq[Long]): Option[Long] = {
+      val v = graft.functions.GeomPred.regionArea2(xs.toArray, ys.toArray,
+        rl.toArray)
+      if (v == Long.MinValue) None else Some(v)
+    }
+    // 10×10 square minus 2×2 hole: 2·(100−4) = 192
+    val hx = Seq(0L, 10L, 10L, 0L, 4L, 6L, 6L, 4L)
+    val hy = Seq(0L, 0L, 10L, 10L, 4L, 4L, 6L, 6L)
+    assert(ra(hx, hy, Seq(4L, 4L)).contains(192L))
+    // hole wound the other way: same area (orientation-insensitive)
+    val hxr = Seq(0L, 10L, 10L, 0L, 4L, 6L, 6L, 4L)
+    val hyr = Seq(0L, 0L, 10L, 10L, 6L, 6L, 4L, 4L)
+    assert(ra(hxr, hyr, Seq(4L, 4L)).contains(192L))
+    // no holes ≡ |polygonArea2|
+    assert(ra(Seq(0L, 10L, 10L, 0L), Seq(0L, 0L, 10L, 10L), Seq(4L))
+      .contains(200L))
+    // malformed ring structure → null, not a throw
+    assert(ra(hx, hy, Seq(4L, 9L)).isEmpty)
+    assert(ra(hx, hy, Seq.empty).isEmpty)
+    // and the Column form agrees inside a plan
+    val got = Seq((hx, hy)).toDF("xs", "ys")
+      .select(Geometry.regionArea2(col("xs"), col("ys"),
+        array(lit(4L), lit(4L))).as("a")).head().getLong(0)
+    assert(got == 192L)
+  }
+
+  test("ringsIntersectJoin equals brute force; hole faces excluded") {
+    // holed squares vs micro-squares, some of which land in holes
+    val a = (1 to 40).map { i =>
+      val cx = i * 11L % 150; val cy = i * 17L % 150
+      (i.toLong,
+        Seq(cx, cx + 20L, cx + 20L, cx, cx + 6L, cx + 14L, cx + 14L, cx + 6L),
+        Seq(cy, cy, cy + 20L, cy + 20L, cy + 6L, cy + 6L, cy + 14L, cy + 14L),
+        Seq(4L, 4L))
+    }.toDF("a_id", "axs", "ays", "alens")
+    val b = (1 to 120).map { i =>
+      val cx = i * 7L % 170; val cy = i * 13L % 170
+      (i.toLong, Seq(cx, cx + 3L, cx + 3L, cx),
+        Seq(cy, cy, cy + 3L, cy + 3L), Seq(4L))
+    }.toDF("b_id", "bxs", "bys", "blens")
+    val got = Geometry.ringsIntersectJoin(a, b, cell = 16L)
+      .as[(Long, Long)].collect().toSet
+    val brute = a.crossJoin(b)
+      .filter(Geometry.ringsIntersect(col("axs"), col("ays"), col("alens"),
+        col("bxs"), col("bys"), col("blens")))
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    assert(got == brute && got.nonEmpty)
+    // at least one micro-square sits strictly inside some hole AND
+    // inside the outer bbox — prove the parity rejection has work to
+    // do: bbox-overlapping pairs strictly exceed intersecting pairs
+    val bboxPairs = a.crossJoin(b).filter(
+        array_min(col("axs")) <= array_max(col("bxs")) &&
+        array_min(col("bxs")) <= array_max(col("axs")) &&
+        array_min(col("ays")) <= array_max(col("bys")) &&
+        array_min(col("bys")) <= array_max(col("ays")))
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(bboxPairs) && got != bboxPairs)
+  }
+
   test("pointInRingsJoin and pointNearRingsJoin equal brute force") {
     val polys = rhombi(60, (53, 71), 5).map { case (k, xs, ys) =>
       val h = 1L + k % 3
