@@ -450,7 +450,10 @@ class GeometrySpec extends AnyFunSuite {
       val p = WktCodec.parse(w)
       assert(p != null, w)
       val q = WktCodec.parse(WktCodec.format(p._2, p._3, p._4, p._5))
-      assert(q._1 == p._1 && q._2.sameElements(p._2) &&
+      // values round-trip exactly; a ONE-member MultiPolygon
+      // normalizes to POLYGON on format (the Wkb.encodeGeom rule)
+      val wantTag = if (p._1 == 6L && p._5.length == 1) 3L else p._1
+      assert(q._1 == wantTag && q._2.sameElements(p._2) &&
         q._3.sameElements(p._3) && q._4.sameElements(p._4) &&
         q._5.sameElements(p._5), w)
     }
