@@ -55,9 +55,16 @@ object TextFunctions {
         i => substr(text, i, lit(n))))
 
   /** 16-bit token hash from the md5 hex prefix — shared by SimHash and
-    * the LSH band keys; reproducible in any engine with md5. */
-  def hash16(token: Column): Column =
-    conv(substring(md5(token), 1, 4), 16, 10).cast("long")
+    * the LSH band keys; reproducible in any engine with md5. Backed by
+    * the native [[Md5PrefixLong]] (value-identical to
+    * `conv(substring(md5(token), 1, 4), 16, 10)`, without materializing
+    * and re-parsing the 32-char hex string per token — r15, guide §1.2
+    * step 2). */
+  def hash16(token: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    GraftExpressionBridge.column(
+      Md5PrefixLong(GraftExpressionBridge.expression(token), 4))
+  }
 
   /** Per-token hash array — stage this through a select before feeding
     * [[simhash16FromHashes]] (16 bit-sums reference it; staging keeps

@@ -60,25 +60,47 @@ object Bpe {
 
   private val wWord = Window.partitionBy(col("word")).orderBy(col("pos"))
 
-  /** Merge the candidate positions `cand0` (word, pos — every position
-    * whose (sym, nxt) equals the round's pair) into `withNext`
-    * (word, wc, pos, sym, nxt): greedy leftmost non-overlapping
-    * selection, drop the swallowed right symbols, renumber. */
-  private def applySelected(withNext: DataFrame, cand0: DataFrame): DataFrame = {
-    val cand = cand0.withColumn("rn", row_number().over(wWord))
-    val sel = cand
-      .withColumn("rr", row_number().over(
-        Window.partitionBy(col("word"), col("pos") - col("rn"))
-          .orderBy(col("pos"))))
-      .filter((col("rr") - 1) % 2 === 0)
-      .select(col("word"), col("pos"))
-    val drop = sel.select(col("word"), (col("pos") + 1).as("pos"))
-    withNext
-      .join(sel.withColumn("is_sel", lit(true)), Seq("word", "pos"), "left")
-      .join(drop.withColumn("is_drop", lit(true)), Seq("word", "pos"), "left")
-      .filter(col("is_drop").isNull)
+  /** Merge every position whose (sym, nxt) equals the round's pair
+    * (`a`, `b`) into `withNext` (word, wc, pos, sym, nxt): greedy
+    * leftmost non-overlapping selection, drop the swallowed right
+    * symbols, renumber.
+    *
+    * WINDOW-ONLY rewrite of the original join-based form (guide §2.4 —
+    * remove shuffles outright): the old shape materialized the
+    * candidate rows as a separate relation and joined the selection
+    * and drop sets back on (word, pos) — two extra joins (each with
+    * its own exchange when not broadcast) per merge round. Everything
+    * here is derivable inside ONE hash-clustering by `word`:
+    *  - `_rn` = running candidate count, so `pos - _rn` is constant
+    *    exactly on a maximal run of consecutive candidates (the
+    *    original's `pos - row_number()` trick, computed in place);
+    *  - `_rr` = candidate ordinal inside its run — select the even
+    *    offsets (greedy leftmost non-overlapping, a run of k identical
+    *    symbols merges ⌊k/2⌋ times, value-identical to the join form);
+    *  - positions are contiguous 1..n inside a word, so "swallowed by
+    *    the selected candidate to my left" is just lag(_sel).
+    * The (word, _grp) window needs no exchange: hashpartitioning(word)
+    * already clusters it (partition keys ⊆ clustering keys), only an
+    * extra in-partition sort. A non-candidate row can share `_grp`
+    * with an adjacent run, but `_rr` counts candidates only and `_sel`
+    * is evaluated only on candidates, so the collision is harmless. */
+  private def applySelectedWindowed(withNext: DataFrame,
+                                    a: String, b: String): DataFrame = {
+    val cum = wWord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d1 = withNext
+      .withColumn("_c",
+        coalesce(col("sym") === lit(a) && col("nxt") === lit(b), lit(false)))
+      .withColumn("_rn", sum(when(col("_c"), 1).otherwise(0)).over(cum))
+    val wRun = Window.partitionBy(col("word"), col("_grp")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d2 = d1.withColumn("_grp", col("pos") - col("_rn"))
+      .withColumn("_rr", sum(when(col("_c"), 1).otherwise(0)).over(wRun))
+    val d3 = d2
+      .withColumn("_sel", col("_c") && (col("_rr") - 1) % 2 === 0)
+      .withColumn("_drop", coalesce(lag(col("_sel"), 1).over(wWord), lit(false)))
+    d3.filter(!col("_drop"))
       .select(col("word"), col("wc"), col("pos"),
-        when(col("is_sel"), concat(col("sym"), col("nxt")))
+        when(col("_sel"), concat(col("sym"), col("nxt")))
           .otherwise(col("sym")).as("sym"))
       .withColumn("pos", row_number().over(wWord))
   }
@@ -87,25 +109,58 @@ object Bpe {
     * `syms0` (word, wc, pos, sym). Returns (merge rows, final symbol
     * table) — the final table IS the result of applying the learned
     * merges back to the training vocabulary (replay reproduces it
-    * exactly, which the apply-path oracle exploits). */
+    * exactly, which the apply-path oracle exploits).
+    *
+    * Round machinery (r15 optimization, guide §1.2/§2.4): each round's
+    * winning pair is an argmax over the pair-count aggregate — ONE row,
+    * a model-sized driver value exactly like [[LogReg]]'s per-round
+    * gradient — so it is collect()ed and spliced back as literals
+    * instead of localCheckpoint + broadcast join (that shape cost two
+    * extra jobs and a broadcast exchange per round). The evolving
+    * symbol table is persist()ed per round rather than
+    * localCheckpoint'd: an InMemoryRelation KEEPS its child's
+    * hashpartitioning(word), so every window in every later round runs
+    * exchange-free, where the checkpointed ExistingRDD forgot the
+    * partitioning and re-shuffled each round (per-query shuffle-byte
+    * deltas in OPTIMIZATION_r15.md). */
   private def trainCore(syms0: DataFrame, nMerges: Int): (DataFrame, DataFrame) = {
-    var syms = syms0.localCheckpoint() // vocab-sized; feeds every round
-    val rounds = (1 to nMerges).map { r =>
+    val spark = syms0.sparkSession
+    import spark.implicits._
+    var syms = syms0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val caches = scala.collection.mutable.ArrayBuffer(syms)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
       val withNext = syms.withColumn("nxt", lead(col("sym"), 1).over(wWord))
       val best = withNext.filter(col("nxt").isNotNull)
         .groupBy(col("sym").as("a"), col("nxt").as("b"))
         .agg(sum(col("wc")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1)
-        .localCheckpoint(eager = true) // freeze: the loop mutates syms
-      val cand = withNext
-        .join(broadcast(best), col("sym") === col("a") && col("nxt") === col("b"))
-        .select(col("word"), col("pos"))
-      syms = applySelected(withNext, cand).localCheckpoint()
-      best.select(lit(r.toLong).as("round"), col("a").as("sym_a"),
-        col("b").as("sym_b"), col("cnt").as("pair_count"))
+        .collect()
+      if (best.isEmpty) {
+        // no adjacent pairs anywhere (e.g. all words single-symbol):
+        // the original per-round plan emitted no merge row and left the
+        // table unchanged — every later round is then also empty
+        exhausted = true
+      } else {
+        val row = best(0)
+        val (a, b, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
+        merges += ((r.toLong, a, b, cnt))
+        syms = applySelectedWindowed(withNext, a, b)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        caches += syms
+      }
+      r += 1
     }
-    (rounds.reduce(_ unionByName _), syms)
+    // materialize the end state, then release the per-round caches —
+    // without this a long-lived session keeps every round's blocks
+    val fin = syms.localCheckpoint(eager = true)
+    caches.foreach(_.unpersist(blocking = false))
+    val mergeDf = merges.toSeq.toDF("round", "sym_a", "sym_b", "pair_count")
+    (mergeDf, fin)
   }
 
   /** The learned merge table: (round 1.., sym_a, sym_b, pair_count) —
@@ -249,18 +304,37 @@ object Bpe {
 
   /** Replay `merges` in round order against `syms0`. Same positional
     * machinery as training, so applying a table to its own training
-    * corpus yields exactly the training-end state. */
+    * corpus yields exactly the training-end state.
+    *
+    * The replay needs NO per-round action (the pairs are known), so
+    * the rounds chain lazily into one plan: a single exchange clusters
+    * the vocabulary by `word` and every round after that is in-
+    * partition window work ([[applySelectedWindowed]]) — versus the
+    * old shape's per-round eager localCheckpoint (a job each) plus two
+    * joins. A localCheckpoint every `CheckpointEvery` rounds bounds
+    * plan depth for long stored merge tables without re-introducing a
+    * per-round barrier. */
+  private val CheckpointEvery = 16
   private def applyCore(syms0: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    var syms = syms0.localCheckpoint() // bound the per-round plan depth
+    var syms = syms0
+    var sinceCheckpoint = 0
     merges.foreach { case (a, b) =>
       val withNext = syms.withColumn("nxt", lead(col("sym"), 1).over(wWord))
-      val cand = withNext
-        .filter(col("sym") === lit(a) && col("nxt") === lit(b))
-        .select(col("word"), col("pos"))
-      syms = applySelected(withNext, cand).localCheckpoint()
+      syms = applySelectedWindowed(withNext, a, b)
+      sinceCheckpoint += 1
+      if (sinceCheckpoint >= CheckpointEvery) {
+        syms = syms.localCheckpoint()
+        sinceCheckpoint = 0
+      }
     }
-    syms.select(col("word"), col("wc"), col("pos").cast("long").as("pos"),
-      col("sym"))
+    val out = syms.select(col("word"), col("wc"),
+      col("pos").cast("long").as("pos"), col("sym"))
+    // materialize the END state (one job over the whole lazy chain):
+    // callers consume the replayed vocabulary more than once (packIdTape
+    // reads the id stream up to 4×), and an unmaterialized chain would
+    // re-run every round per consumer — measured +60..110% on the tape
+    // family when this was dropped in the first r15 cut
+    if (sinceCheckpoint > 0) out.localCheckpoint() else out
   }
 
   /** Tokenize words with a learned merge table: replay the merges in

@@ -139,29 +139,41 @@ object Decontaminate {
     * threshold). */
   def semanticBanded(train: DataFrame, bench: DataFrame, threshold: Double,
                      bands: Int, planesPerBand: Int, dim: Int): DataFrame = {
-    import graft.functions.VectorFunctions._
     val (t0, b0) = centered(train, bench, dim)
+    // materialization point 1 of 2, load-bearing (measured 198 s →
+    // ~2 s at sf0.1 without it): the CENTERED arrays — bandKeys is an
+    // interpreted higher-order fold that references its input once per
+    // plane, so an unmaterialized centering expression (64 arithmetic
+    // exprs over the raw floats + the broadcast mean row) would be
+    // re-derived L·k times per row inside the lambda.
+    val tCen = t0.localCheckpoint(eager = true)
+    val bCen = b0.localCheckpoint(eager = true)
+    semanticBandedOn(tCen, bCen, threshold, bands, planesPerBand, dim)
+  }
+
+  /** [[semanticBanded]] over sides that are ALREADY centered and
+    * already materialized (localCheckpoint'd) — exposed so a caller
+    * running SEVERAL band configurations over one corpus (q151's
+    * recall measurement runs two, plus the exact pass) centers once
+    * instead of once per configuration: each [[centered]] call costs a
+    * fresh train-mean aggregate per side plus two checkpoints
+    * (guide §1.2 step 1 — don't compute things twice). Values are
+    * unchanged: centering is deterministic in the train corpus. */
+  def semanticBandedOn(tCen: DataFrame, bCen: DataFrame, threshold: Double,
+                       bands: Int, planesPerBand: Int, dim: Int): DataFrame = {
+    import graft.functions.VectorFunctions._
     // band l's key = l·2^k + its k-bit sign code (plane index l·k+t →
     // bit t) — globally unique per (band, code), so one equi-join
     // covers all L tables at once; loop-shaped (bandKeys) because 64
     // inlined dot literals overflow Janino
     def keys(v: Column): Column = bandKeys(v, bands, planesPerBand, dim)
-    // TWO materialization points, both load-bearing (measured 198 s →
-    // ~2 s at sf0.1 without them):
-    //  1. the CENTERED arrays — bandKeys is an interpreted higher-order
-    //     fold that references its input once per plane, so an
-    //     unmaterialized centering expression (64 arithmetic exprs over
-    //     the raw floats + the broadcast mean row) would be re-derived
-    //     L·k times per row inside the lambda;
-    //  2. the CODED rows before the explode — Catalyst's projection
-    //     collapse would otherwise inline the key computation into the
-    //     Generate and the join-level first-band filter, re-running it
-    //     per exploded key and per candidate pair.
-    // One pass over each side; the working set is input + keys —
-    // exactly the coded table a persistent index stores; the explode
-    // then reads the stored array.
-    val tCen = t0.localCheckpoint(eager = true)
-    val bCen = b0.localCheckpoint(eager = true)
+    // materialization point 2 of 2 (same measurement): the CODED rows
+    // before the explode — Catalyst's projection collapse would
+    // otherwise inline the key computation into the Generate and the
+    // join-level first-band filter, re-running it per exploded key and
+    // per candidate pair. One pass over each side; the working set is
+    // input + keys — exactly the coded table a persistent index
+    // stores; the explode then reads the stored array.
     val tCoded = tCen.select(col("id").as("train_id"),
         col("embedding").as("train_emb"), norm(col("embedding")).as("train_nrm"),
         keys(col("embedding")).as("train_keys"))

@@ -36,6 +36,33 @@ object Dedup {
       .select(col("doc_id"),
               explode(wordShinglesFromTokens(col("_toks"), n)).as("shingle"))
 
+  /** Per-doc distinct shingle ARRAYS: (doc_id, shingles) — the un-
+    * exploded form of [[shingleRows]] (explode(shingles) reproduces it
+    * exactly). Staging the array lets signatures be computed MAP-SIDE
+    * ([[minhashSignaturesFromArrays]]) instead of explode + groupBy. */
+  def shingleArrays(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"),
+              wordShinglesFromTokens(col("_toks"), n).as("shingles"))
+
+  /** MAP-SIDE [[minhashSignatures]] over per-doc shingle arrays: hash
+    * j's min runs as array_min(transform(...)) inside the row — no
+    * explode, no groupBy, no exchange (guide §2.4: the signature
+    * aggregate was a full shuffle of the shingle relation, the largest
+    * intermediate in the LSH pipeline). Value-identical: min over the
+    * same md5 strings, and docs with NO shingles are filtered out just
+    * as the exploded groupBy never saw them. Callers must pass
+    * `shArr` through a materialization point (persist) so the shingle
+    * build isn't re-run once per hash slot. */
+  def minhashSignaturesFromArrays(shArr: DataFrame, k: Int): DataFrame = {
+    val hashes = (0 until k).map(j =>
+      array_min(transform(col("shingles"),
+        s => md5(concat(lit(s"$j|"), s)))).as(s"h$j"))
+    shArr.filter(size(col("shingles")) > 0)
+      .select(col("doc_id") +: hashes: _*)
+  }
+
   /** MinHash signature: k md5-derived min-hashes over the shingle set.
     * Hash j of a shingle is md5("<j>|<shingle>") — a string min is as
     * uniform as an integer min and reproducible in any engine. */
@@ -71,23 +98,25 @@ object Dedup {
     require(bands >= 1 && k % bands == 0,
       s"k must divide into bands (got k=$k, bands=$bands) — a remainder " +
       "would silently drop trailing signature slots from banding")
-    // shingle rows feed three consumers (signatures + both sides of the
-    // Jaccard verify) — persist so tokenize/shingle runs once, not thrice
-    val sh = shingleRows(docs, idCol, textCol, shingleN)
+    // the shingle ARRAYS feed three consumers (map-side signatures +
+    // both sides of the Jaccard verify) — persist so tokenize/shingle
+    // runs once, not thrice; the exploded row form is derived from the
+    // cache where needed (explode from cache is in-partition work)
+    val shArr = shingleArrays(docs, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // map-side signatures (no explode+groupBy exchange — guide §2.4);
     // sig feeds both band branches and both sides of the candidate
-    // self-join — without the persist it would be recomputed 4×
-    val sig = minhashSignatures(sh, k)
+    // self-join — persist so the k·|shingles| md5s run once, not 4×
+    val sig = minhashSignaturesFromArrays(shArr, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandDf = lshBands(sig, bands, k / bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize the (small) verified-pairs result, then drop the
     // pipeline caches — without this a long-lived session leaks the
-    // shingle/signature/band blocks of every near-dup call it ever ran
-    val out = minhashLshFrom(sh, bandDf, threshold).localCheckpoint(eager = true)
-    sh.unpersist(blocking = false)
+    // shingle/signature blocks of every near-dup call it ever ran
+    val out = minhashLshFromArrays(shArr, bandDf, threshold)
+      .localCheckpoint(eager = true)
+    shArr.unpersist(blocking = false)
     sig.unpersist(blocking = false)
-    bandDf.unpersist(blocking = false)
     out
   }
 
@@ -98,13 +127,34 @@ object Dedup {
     * (both are consumed more than once). */
   private[operators] def minhashLshFrom(sh: DataFrame, bandDf: DataFrame,
                                         threshold: Double): DataFrame = {
+    val cand = bandCandidates(bandDf)
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Candidate pairs from a band table: the (band, band_key) self
+    * equi-join, deduplicated. */
+  private def bandCandidates(bandDf: DataFrame): DataFrame = {
     val a = bandDf.select(col("band"), col("band_key"), col("doc_id").as("id_a"))
     val b = bandDf.select(col("band"), col("band_key"), col("doc_id").as("id_b"))
-    val cand = a.join(b, Seq("band", "band_key"))
+    a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** [[minhashLshFrom]] over per-doc shingle ARRAYS (the
+    * [[shingleArrays]] form): identical candidate join and Jaccard
+    * verify, but the per-doc shingle-set size comes from `size()` of
+    * the array — map-side — instead of a groupBy count over the
+    * exploded shingle relation (one exchange fewer; guide §2.4). */
+  private[operators] def minhashLshFromArrays(shArr: DataFrame,
+                                              bandDf: DataFrame,
+                                              threshold: Double): DataFrame = {
+    val cand = bandCandidates(bandDf)
+    val sh = shArr.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val counts = shArr.select(col("doc_id"),
+      size(col("shingles")).cast("long").as("n_sh"))
+    jaccardFrom(intersectCountsWith(cand, sh, counts), threshold)
   }
 
   /** Near-dup cluster labels with EXACT-IDENTITY COLLAPSE — the
@@ -151,19 +201,22 @@ object Dedup {
     // whole corpus and semi-joining the much larger shingle relation
     // (~one row per token) against reps just to discard every
     // non-representative's shingles (r13 ADVICE)
-    val shRep = shingleRows(
+    val shRepArr = shingleArrays(
         docs.select(col(idCol).as("doc_id"), col(textCol))
           .join(groups.select(col("rep").as("doc_id")),
             Seq("doc_id"), "left_semi"),
         "doc_id", textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandDf = lshBands(minhashSignatures(shRep, k), bands, k / bands)
+    // map-side signatures over the cached arrays (no explode+groupBy
+    // exchange); bands are a cheap projection over them
+    val bandDf = lshBands(minhashSignaturesFromArrays(shRepArr, k),
+        bands, k / bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // checkpoint BEFORE the CC loop — pointer jumping re-reads its
     // edge list every round, and an unmaterialized LSH+verify chain
     // would re-run per round (minhashLsh checkpoints its own output
     // for exactly this reason)
-    val repPairs = minhashLshFrom(shRep, bandDf, threshold)
+    val repPairs = minhashLshFromArrays(shRepArr, bandDf, threshold)
       .select(col("id_a"), col("id_b")).localCheckpoint(eager = true)
     val repCC = connectedComponents(repPairs)
       .select(col("doc_id").as("rep"), col("cluster_id"))
@@ -173,7 +226,7 @@ object Dedup {
         coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
       .localCheckpoint(eager = true)
     groups.unpersist(blocking = false)
-    shRep.unpersist(blocking = false)
+    shRepArr.unpersist(blocking = false)
     bandDf.unpersist(blocking = false)
     out
   }
@@ -184,8 +237,16 @@ object Dedup {
     * only actual intersections; joining on id alone and post-filtering
     * the shingle equality would materialize |cand| × |sh_a| × |sh_b|
     * rows. */
-  private def intersectCounts(cand: DataFrame, shingles: DataFrame): DataFrame = {
-    val counts = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+  private def intersectCounts(cand: DataFrame, shingles: DataFrame): DataFrame =
+    intersectCountsWith(cand, shingles,
+      shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")))
+
+  /** [[intersectCounts]] with the per-doc set sizes supplied by the
+    * caller — so an arrays-holding caller can derive them map-side
+    * (size of the array) instead of re-aggregating the exploded
+    * relation. `counts` must be (doc_id, n_sh) with n_sh long. */
+  private def intersectCountsWith(cand: DataFrame, shingles: DataFrame,
+                                  counts: DataFrame): DataFrame =
     cand
       .join(shingles.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
       .join(shingles.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
@@ -193,17 +254,18 @@ object Dedup {
       .agg(count(lit(1)).as("n_inter"))
       .join(counts.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
       .join(counts.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
-  }
+
+  private def jaccardFrom(ic: DataFrame, threshold: Double): DataFrame =
+    ic.select(col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") /
+         (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
 
   /** Exact Jaccard for candidate pairs from shingle rows (shuffle joins
     * keyed on shingle set membership — no cross product). */
   def verifyJaccard(cand: DataFrame, shingles: DataFrame,
                     threshold: Double): DataFrame =
-    intersectCounts(cand, shingles)
-      .select(col("id_a"), col("id_b"),
-        (col("n_inter").cast("double") /
-         (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    jaccardFrom(intersectCounts(cand, shingles), threshold)
 
   /** CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) ≥ threshold.
     * Catches the asymmetric duplicates symmetric Jaccard misses — a

@@ -45,24 +45,34 @@ object LangId {
 
   /** Per-doc hashed-trigram feature rows:
     * (doc_id, actual_lang, x0 = 1.0, x1..x{buckets} = bucket ratios).
-    * The hashed-gram array is staged through its own projection so the
-    * buckets+1 consumers of `_hs` read one materialized array (the
-    * NOTES.md O(n²) re-evaluation trap). */
+    *
+    * r15 optimization (guide §1.2 step 2, the q228 HOF→native lesson):
+    * the bucket counts come from ONE compiled pass
+    * ([[graft.functions.TrigramBucketCounts]] — md5 per gram into a
+    * histogram) instead of a per-gram string array plus `buckets` ×
+    * `size(filter(...))` interpreted scans; the gram total is the
+    * histogram's sum, so the old size() pass disappears too. The
+    * histogram is staged through its own projection so the buckets+1
+    * ratio consumers read one materialized array (the NOTES.md O(n²)
+    * re-evaluation trap). Values are bit-identical: exact long counts,
+    * same md5-prefix hash, ONE double division per feature. */
   def featurize(docs: DataFrame, idCol: String, textCol: String,
                 langCol: String, buckets: Int): DataFrame = {
-    val hs = transform(TextFunctions.charNgrams(col(textCol), 3),
-      g => pmod(TextFunctions.hash16(g), lit(buckets.toLong)))
+    import org.apache.spark.sql.GraftExpressionBridge
+    val cnts = GraftExpressionBridge.column(
+      graft.functions.TrigramBucketCounts(
+        GraftExpressionBridge.expression(col(textCol)), 3, buckets))
     val staged = docs.select(col(idCol).as("doc_id"),
-      col(langCol).as("actual_lang"), hs.as("_hs"))
-    val n = size(col("_hs")).cast("double")
+      col(langCol).as("actual_lang"), cnts.as("_cnt"))
+      .withColumn("_n",
+        aggregate(col("_cnt"), lit(0L), (a, x) => a + x).cast("double"))
     staged.select(
       Seq(col("doc_id"), col("actual_lang"), lit(1.0).as("x0")) ++
         (1 to buckets).map(b =>
           // short docs (zero trigrams) get all-zero features; the
           // unguarded 0/0 raises DIVIDE_BY_ZERO under ANSI mode
-          when(n === 0.0, lit(0.0))
-            .otherwise(size(filter(col("_hs"),
-              h => h === lit((b - 1).toLong))).cast("double") / n)
+          when(col("_n") === 0.0, lit(0.0))
+            .otherwise(element_at(col("_cnt"), b).cast("double") / col("_n"))
             .as(s"x$b")): _*)
   }
 

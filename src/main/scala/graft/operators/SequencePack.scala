@@ -229,9 +229,16 @@ object SequencePack {
         "stays in a signed 64-bit; seqsPerShard alone already exceeds it")
     tape
       .withColumn("shard_idx", expr(s"seq_idx div ${seqsPerShard}L"))
-      .withColumn("_h",
-        conv(substring(md5(concat_ws("|", col("seq_idx"), col("seq_pos"),
-          col("token_id"))), 1, 10), 16, 10).cast("long"))
+      // native md5-prefix (value-identical to
+      // conv(substring(md5(..), 1, 10), 16, 10) — no 32-char hex
+      // string + decimal re-parse per tape cell; r15, guide §1.2)
+      .withColumn("_h", {
+        import org.apache.spark.sql.GraftExpressionBridge
+        GraftExpressionBridge.column(graft.functions.Md5PrefixLong(
+          GraftExpressionBridge.expression(
+            concat_ws("|", col("seq_idx"), col("seq_pos"),
+              col("token_id"))), 10))
+      })
       .groupBy(col(streamCol), col("shard_idx"))
       .agg(count_distinct(col("seq_idx")).as("n_seqs"),
         count(lit(1)).as("n_cells"),

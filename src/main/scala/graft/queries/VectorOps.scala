@@ -483,10 +483,14 @@ object VectorOps {
         .filter(dot(col("t_emb"), col("b_emb"))
           / (col("t_nrm") * col("b_nrm")) >= 0.8)
         .agg(count(lit(1)).as("n_exact"))
-      val caught = D.semanticBanded(train, bench, 0.8,
+      // both band configurations run over the ALREADY-centered sides
+      // (semanticBandedOn): centering once instead of three times —
+      // each semanticBanded call re-ran the train-mean aggregate and
+      // re-checkpointed both sides (r15, guide §1.2 step 1)
+      val caught = D.semanticBandedOn(tc, bc, 0.8,
           bands = 12, planesPerBand = 5, dim = 64)
         .agg(count(lit(1)).as("n_caught"))
-      val caught16 = D.semanticBanded(train, bench, 0.8,
+      val caught16 = D.semanticBandedOn(tc, bc, 0.8,
           bands = 16, planesPerBand = 4, dim = 64)
         .agg(count(lit(1)).as("n_caught_16x4"))
       exact.crossJoin(caught).crossJoin(caught16)
@@ -526,8 +530,10 @@ object VectorOps {
         .groupBy(col("bench_id")).agg(count(lit(1)).as("n_exact"))
       def counted(df: org.apache.spark.sql.DataFrame, as: String) =
         df.groupBy(col("bench_id")).agg(count(lit(1)).as(as))
-      val banded = counted(D.semanticBanded(
-        train, bench, 0.3, bands = 16, planesPerBand = 4, dim = 64), "n_banded")
+      // reuse the already-centered/materialized sides instead of a
+      // second centering pass inside semanticBanded (r15, §1.2 step 1)
+      val banded = counted(D.semanticBandedOn(
+        tc, bc, 0.3, bands = 16, planesPerBand = 4, dim = 64), "n_banded")
       val probed = counted(D.semanticProbed(tc, bc, 0.3, 8, 64), "n_probed")
       exact.join(banded, Seq("bench_id"), "left")
         .join(probed, Seq("bench_id"), "left")
