@@ -55,12 +55,19 @@ object Dedup {
     * as the exploded groupBy never saw them. Callers must pass
     * `shArr` through a materialization point (persist) so the shingle
     * build isn't re-run once per hash slot. */
-  def minhashSignaturesFromArrays(shArr: DataFrame, k: Int): DataFrame = {
+  def minhashSignaturesFromArrays(shArr: DataFrame, k: Int): DataFrame =
+    minhashSignaturesFromArrays(shArr, k, Nil)
+
+  /** [[minhashSignaturesFromArrays]] carrying extra columns through —
+    * an incremental caller keeps its batch tag on the signature row
+    * directly instead of re-joining a doc-sized tag relation. */
+  def minhashSignaturesFromArrays(shArr: DataFrame, k: Int,
+                                  carry: Seq[String]): DataFrame = {
     val hashes = (0 until k).map(j =>
       array_min(transform(col("shingles"),
         s => md5(concat(lit(s"$j|"), s)))).as(s"h$j"))
     shArr.filter(size(col("shingles")) > 0)
-      .select(col("doc_id") +: hashes: _*)
+      .select((col("doc_id") +: carry.map(col)) ++ hashes: _*)
   }
 
   /** MinHash signature: k md5-derived min-hashes over the shingle set.
@@ -335,10 +342,14 @@ object Dedup {
     require(bands >= 1 && k % bands == 0,
       s"k must divide into bands (got k=$k, bands=$bands)")
     // each side's signatures feed its band derivation AND the estimate
-    // join: materialize once per side
-    val bs = minhashSignatures(shingleRows(batch, idCol, textCol, shingleN), k)
+    // join: materialize once per side. Map-side signing over per-doc
+    // shingle arrays (r15, guide §2.4) — no explode+groupBy exchange;
+    // the checkpoint keeps the k·|shingles| md5 pass at once per side.
+    val bs = minhashSignaturesFromArrays(
+        shingleArrays(batch, idCol, textCol, shingleN), k)
       .localCheckpoint(eager = true)
-    val cs = minhashSignatures(shingleRows(corpus, idCol, textCol, shingleN), k)
+    val cs = minhashSignaturesFromArrays(
+        shingleArrays(corpus, idCol, textCol, shingleN), k)
       .localCheckpoint(eager = true)
     sigEstimatePairs(bs, lshBands(bs, bands, k / bands),
                      cs, lshBands(cs, bands, k / bands), k, minEst)
@@ -365,24 +376,31 @@ object Dedup {
     require(bands >= 1 && k % bands == 0,
       s"k must divide into bands (got k=$k, bands=$bands)")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val tags = docs.select(col(idCol).as("doc_id"),
-      coalesce(isBatch, lit(false)).as("_b"))
-    val sh = shingleRows(docs, idCol, textCol, shingleN).persist(lvl)
-    // the tag join is doc-count-sized and shuffle-aligned with the
-    // signature aggregation's own grouping key
-    val sig = minhashSignatures(sh, k).join(tags, Seq("doc_id")).persist(lvl)
+    // ONE tokenize/shingle pass into per-doc arrays with the batch tag
+    // riding along — map-side signing (r15, guide §2.4): the old shape
+    // paid the explode+groupBy signature exchange plus a doc-sized tag
+    // join; here both disappear and only candidate/verify joins shuffle
+    val shArr = docs.select(col(idCol).as("doc_id"),
+        coalesce(isBatch, lit(false)).as("_b"),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), col("_b"),
+        graft.functions.TextFunctions
+          .wordShinglesFromTokens(col("_toks"), shingleN).as("shingles"))
+      .persist(lvl)
+    val sig = minhashSignaturesFromArrays(shArr, k, carry = Seq("_b"))
+      .persist(lvl)
     val sigB = sig.filter(col("_b")).drop("_b")
     val sigC = sig.filter(!col("_b")).drop("_b")
     val bandB = lshBands(sigB, bands, k / bands).persist(lvl)
     val bandC = lshBands(sigC, bands, k / bands).persist(lvl)
-    val corpusPairs = minhashLshFrom(sh, bandC, threshold)
+    val corpusPairs = minhashLshFromArrays(shArr, bandC, threshold)
       .localCheckpoint(eager = true)
     val crossPairs = sigEstimatePairs(sigB, bandB, sigC, bandC, k, threshold)
       .select(col("new_id"), col("corpus_id"))
       .localCheckpoint(eager = true)
-    val batchPairs = minhashLshFrom(sh, bandB, threshold)
+    val batchPairs = minhashLshFromArrays(shArr, bandB, threshold)
       .localCheckpoint(eager = true)
-    sh.unpersist(blocking = false)
+    shArr.unpersist(blocking = false)
     sig.unpersist(blocking = false)
     bandB.unpersist(blocking = false)
     bandC.unpersist(blocking = false)
@@ -405,10 +423,17 @@ object Dedup {
     require(bands >= 1 && k % bands == 0,
       s"k must divide into bands (got k=$k, bands=$bands)")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val tags = docs.select(col(idCol).as("doc_id"),
-      coalesce(isBatch, lit(false)).as("_b"))
-    val sh = shingleRows(docs, idCol, textCol, shingleN).persist(lvl)
-    val sig = minhashSignatures(sh, k).join(tags, Seq("doc_id")).persist(lvl)
+    // map-side signing over tagged per-doc arrays — see
+    // [[incrementalPairSets]] (r15, guide §2.4)
+    val shArr = docs.select(col(idCol).as("doc_id"),
+        coalesce(isBatch, lit(false)).as("_b"),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), col("_b"),
+        graft.functions.TextFunctions
+          .wordShinglesFromTokens(col("_toks"), shingleN).as("shingles"))
+      .persist(lvl)
+    val sig = minhashSignaturesFromArrays(shArr, k, carry = Seq("_b"))
+      .persist(lvl)
     val sigB = sig.filter(col("_b")).drop("_b")
     val sigC = sig.filter(!col("_b")).drop("_b")
     val bandB = lshBands(sigB, bands, k / bands).persist(lvl)
@@ -416,9 +441,9 @@ object Dedup {
     val crossPairs = sigEstimatePairs(sigB, bandB, sigC, bandC, k, threshold)
       .select(col("new_id"), col("corpus_id"))
       .localCheckpoint(eager = true)
-    val batchPairs = minhashLshFrom(sh, bandB, threshold)
+    val batchPairs = minhashLshFromArrays(shArr, bandB, threshold)
       .localCheckpoint(eager = true)
-    sh.unpersist(blocking = false)
+    shArr.unpersist(blocking = false)
     sig.unpersist(blocking = false)
     bandB.unpersist(blocking = false)
     (crossPairs, batchPairs)

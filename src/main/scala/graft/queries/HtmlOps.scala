@@ -158,6 +158,7 @@ object HtmlOps {
             .as("rid"),
           col("archive"), col("status"),
           decode(col("body"), "UTF-8").as("text"))
+        .localCheckpoint(true) // r15: fans out to extraction + final join
       val toks = HtmlExtract.extractMain(
           HtmlExtract.syntheticHtml(recs, "rid", "text"), "doc_id", "html")
         .select(col("doc_id").as("rid"),
@@ -229,9 +230,11 @@ object HtmlOps {
           concat(col("archive"), lit("#"), col("rec_idx").cast("string"))
             .as("rid"),
           col("archive"), col("rec_idx"), col("body"))
+        .localCheckpoint(true) // r15: fans out to envelope + final join
       val envd = HttpEnvelope.extract(s, recs, "rid", "body").toDF()
         .select(col("id").as("rid"), col("env_status"), col("http_status"),
           col("content_type"), col("charset"), col("body_text"))
+        .localCheckpoint(true) // r15: fans out to extraction + final join
       val toks = HtmlExtract.extractMain(
           HtmlExtract.syntheticHtml(envd, "rid", "body_text"),
           "doc_id", "html")
@@ -298,6 +301,7 @@ object HtmlOps {
           (id, httpB(body._1, body._2))
         }.toDF("doc_id", "payload")
       val envd = HttpEnvelope.extract(s, payloads, "doc_id", "payload").toDF()
+        .localCheckpoint(true) // r15: fans out to extraction + final join
       val clean = col("transfer_coding").isin("none", "chunked") &&
         col("content_coding").isin("none", "gzip", "deflate")
       val toks = HtmlExtract.extractMain(
@@ -358,6 +362,7 @@ object HtmlOps {
           (id, p)
         }.toDF("doc_id", "payload")
       val envd = HttpEnvelope.extract(s, payloads, "doc_id", "payload").toDF()
+        .localCheckpoint(true) // r15: fans out to extraction + final join
       val toks = HtmlExtract.extractMain(
           HtmlExtract.syntheticHtml(envd, "id", "body_text"), "doc_id", "html")
         .select(col("doc_id").as("id"),
@@ -415,6 +420,7 @@ object HtmlOps {
       val recs = Tables.load(s, d, "documents")
         .select(col("doc_id"), payload.as("payload"))
       val envd = HttpEnvelope.extract(s, recs, "doc_id", "payload").toDF()
+        .localCheckpoint(true) // r15: fans out to extraction + final join
       val toks = HtmlExtract.extractMain(
           HtmlExtract.syntheticHtml(envd, "id", "body_text"), "doc_id", "html")
         .select(col("doc_id").as("id"),
@@ -483,6 +489,7 @@ object HtmlOps {
           (id, httpB(body._1, body._2))
         }.toDF("doc_id", "payload")
       val envd = HttpEnvelope.extract(s, payloads, "doc_id", "payload").toDF()
+        .localCheckpoint(true) // r15: fans out to extraction + final join
       val clean =
         col("transfer_coding").isin("none", "chunked", "gzip+chunked") &&
           col("content_coding")
@@ -559,6 +566,7 @@ object HtmlOps {
         .otherwise("clean")
       val cls = envd.groupBy(col("source"), lossClass.as("loss_class"))
         .agg(count(lit(1)).as("n_docs"))
+        .localCheckpoint(true) // r15: fans out to totals + final join
       val tot = cls.groupBy(col("source"))
         .agg(sum(col("n_docs")).as("_tot"))
       cls.join(broadcast(tot), Seq("source"))
@@ -629,9 +637,11 @@ object HtmlOps {
           "archive", "bytes").toDF()
         .withColumn("eid",
           concat(col("archive"), lit("#"), col("rec_idx").cast("string")))
+        .localCheckpoint(true) // r15: fans out to envelope + final join
       val env = HttpEnvelope.extract(s,
           w.filter(col("status") === "ok" && col("rec_type") === "response")
             .select(col("eid"), col("body")), "eid", "body").toDF()
+        .localCheckpoint(true) // r15: fans out to extraction + scored
       val toks = HtmlExtract.extractMain(
           HtmlExtract.syntheticHtml(env, "id", "body_text"),
           "doc_id", "html")

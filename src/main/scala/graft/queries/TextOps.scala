@@ -180,10 +180,19 @@ object TextOps {
     // LSH parameter choice should be accountable to.
     "q139_lsh_recall" -> ((s, d) => {
       val docs = Tables.documentsWithEdges(s, d)
-      val sh = graft.operators.Dedup
-        .shingleRows(docs, "doc_id", "text", 3).distinct()
+      // r15 (guide §2.4): per-doc shingle ARRAYS as the staged form —
+      // the old exploded-rows staging paid a redundant corpus-wide
+      // distinct() (shingleRows is already per-doc distinct), a
+      // groupBy count for set sizes, and an explode+groupBy signature
+      // aggregate; here sizes and signatures are map-side over the
+      // checkpointed arrays and only the ground-truth self-join
+      // shuffles. Values identical throughout.
+      val shArr = graft.operators.Dedup
+        .shingleArrays(docs, "doc_id", "text", 3)
         .localCheckpoint(true) // feeds counts, both join sides, and sigs
-      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val sh = shArr.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      val cnt = shArr.select(col("doc_id"),
+        size(col("shingles")).cast("long").as("n_sh"))
       val inter = sh.select(col("doc_id").as("id_a"), col("shingle"))
         .join(sh.select(col("doc_id").as("id_b"), col("shingle")),
           Seq("shingle"))
@@ -198,7 +207,12 @@ object TextOps {
           / (col("na") + col("nb") - col("n_inter")).cast("double") >= 0.5)
         .select(col("id_a"), col("id_b"))
       val bands = graft.operators.Dedup.lshBands(
-        graft.operators.Dedup.minhashSignatures(sh, 8), 2, 4)
+        graft.operators.Dedup.minhashSignaturesFromArrays(shArr, 8), 2, 4)
+        // materialized: both sides of the candidate self-join read the
+        // doc-sized band rows — map-side signatures have no exchange
+        // for ReuseExchange to dedup, so an unmaterialized form would
+        // pay the k·|shingles| md5 pass twice
+        .localCheckpoint(true)
       val cand = bands.select(col("band"), col("band_key"),
           col("doc_id").as("id_a"))
         .join(bands.select(col("band"), col("band_key"),
