@@ -60,14 +60,23 @@ object Dedup {
 
   /** [[minhashSignaturesFromArrays]] carrying extra columns through —
     * an incremental caller keeps its batch tag on the signature row
-    * directly instead of re-joining a doc-sized tag relation. */
+    * directly instead of re-joining a doc-sized tag relation.
+    *
+    * All k slots come from ONE compiled pass
+    * ([[graft.functions.MinHashHex]]); the k × array_min(transform(…))
+    * higher-order form this replaced is interpreted per element and
+    * measured ~5× slower on the signing-dominated q116. The `_sigs`
+    * array is staged through its own projection so the k extractors
+    * read one materialized value. */
   def minhashSignaturesFromArrays(shArr: DataFrame, k: Int,
                                   carry: Seq[String]): DataFrame = {
-    val hashes = (0 until k).map(j =>
-      array_min(transform(col("shingles"),
-        s => md5(concat(lit(s"$j|"), s)))).as(s"h$j"))
+    import org.apache.spark.sql.GraftExpressionBridge
+    val sigs = GraftExpressionBridge.column(graft.functions.MinHashHex(
+      GraftExpressionBridge.expression(col("shingles")), k))
     shArr.filter(size(col("shingles")) > 0)
-      .select((col("doc_id") +: carry.map(col)) ++ hashes: _*)
+      .select((col("doc_id") +: carry.map(col)) :+ sigs.as("_sigs"): _*)
+      .select((col("doc_id") +: carry.map(col)) ++
+        (0 until k).map(j => element_at(col("_sigs"), j + 1).as(s"h$j")): _*)
   }
 
   /** MinHash signature: k md5-derived min-hashes over the shingle set.
@@ -345,12 +354,21 @@ object Dedup {
     // join: materialize once per side. Map-side signing over per-doc
     // shingle arrays (r15, guide §2.4) — no explode+groupBy exchange;
     // the checkpoint keeps the k·|shingles| md5 pass at once per side.
-    val bs = minhashSignaturesFromArrays(
-        shingleArrays(batch, idCol, textCol, shingleN), k)
-      .localCheckpoint(eager = true)
-    val cs = minhashSignaturesFromArrays(
-        shingleArrays(corpus, idCol, textCol, shingleN), k)
-      .localCheckpoint(eager = true)
+    // The persist() on the ARRAYS is an optimizer boundary, not a
+    // reuse cache: without it, the empty-array filter inside
+    // minhashSignaturesFromArrays pushes through the _toks staging
+    // projection, substituting tokens(text) into every element_at
+    // lambda — the NOTES.md O(tokens²) re-evaluation trap (measured
+    // 6.9 s of q116's 9.8 s before this boundary). The cache
+    // materializes inside the signature checkpoint's one pass and is
+    // dropped right after.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bArr = shingleArrays(batch, idCol, textCol, shingleN).persist(lvl)
+    val cArr = shingleArrays(corpus, idCol, textCol, shingleN).persist(lvl)
+    val bs = minhashSignaturesFromArrays(bArr, k).localCheckpoint(eager = true)
+    val cs = minhashSignaturesFromArrays(cArr, k).localCheckpoint(eager = true)
+    bArr.unpersist(blocking = false)
+    cArr.unpersist(blocking = false)
     sigEstimatePairs(bs, lshBands(bs, bands, k / bands),
                      cs, lshBands(cs, bands, k / bands), k, minEst)
   }
