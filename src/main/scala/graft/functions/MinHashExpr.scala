@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -30,7 +30,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * out first — the exploded groupBy form never emitted those docs).
   */
 case class MinHashHex(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(k >= 1 && k <= 64, s"k must be in 1..64, got $k")
 
@@ -46,8 +46,15 @@ case class MinHashHex(child: Expression, k: Int)
   private val prefixes: Array[Array[Byte]] =
     Array.tabulate(k)(j => s"$j|".getBytes("UTF-8"))
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    evalShingles(input.asInstanceOf[ArrayData])
+
+  /** Shared interpreted/codegen kernel (r16: the CodegenFallback this
+    * replaced broke the WholeStageCodegen span of every signing stage
+    * and paid per-row boxing at the fallback boundary — guide §1.2
+    * step 2, the Md5PrefixExpr pattern). Returns null on an empty (or
+    * all-null) shingle array — callers filter those rows first. */
+  def evalShingles(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return null
     val md = MinHashHex.digest.get()
@@ -79,6 +86,16 @@ case class MinHashHex(child: Expression, k: Int)
       j += 1
     }
     new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // instance state (the k slot prefixes) rides in as a reference
+    // object; the generated call stays one virtual dispatch per row
+    val ref = ctx.addReferenceObj("minHashHex", this, classOf[MinHashHex].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.evalShingles($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
   }
 
   override def prettyName: String = "minhash_hex"

@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -36,7 +36,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * the composed form (null text nulls every feature).
   */
 case class TrigramBucketCounts(child: Expression, n: Int, buckets: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, s"n must be >= 1, got $n")
   require(buckets >= 1, s"buckets must be >= 1, got $buckets")
@@ -49,8 +49,15 @@ case class TrigramBucketCounts(child: Expression, n: Int, buckets: Int)
       s"trigram_bucket_counts needs a string input — got $other")
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
+  override protected def nullSafeEval(input: Any): Any =
+    evalText(input.asInstanceOf[UTF8String])
+
+  /** Shared interpreted/codegen kernel (r16: the CodegenFallback this
+    * replaced broke the WholeStageCodegen span of every featurize
+    * stage and paid per-row boxing at the fallback boundary — guide
+    * §1.2 step 2, the Md5PrefixExpr pattern). Never null for non-null
+    * input: a short text yields the all-zero histogram. */
+  def evalText(s: UTF8String): ArrayData = {
     val bytes = s.getBytes
     val counts = new Array[Long](buckets)
     // code-point boundaries: offs(c) = byte offset of char c; the
@@ -81,6 +88,14 @@ case class TrigramBucketCounts(child: Expression, n: Int, buckets: Int)
       }
     }
     new GenericArrayData(counts)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // instance state (n, buckets) rides in as a reference object; the
+    // generated call stays one virtual dispatch per row
+    val ref = ctx.addReferenceObj("trigramBucketCounts", this,
+      classOf[TrigramBucketCounts].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalText($c);")
   }
 
   override def prettyName: String = "trigram_bucket_counts"

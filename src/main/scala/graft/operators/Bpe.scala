@@ -184,15 +184,34 @@ object Bpe {
     * pairs, so every symbol remains a decodable byte string and the
     * construction is exact for any input (non-ASCII included). */
   private def byteSyms0(docs: DataFrame, textCol: String): DataFrame =
-    docs
+    byteSymsFromVocab(docs
       .select(explode(pretokens(col(textCol))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc")))
+
+  /** [[byteSyms0]]'s byte-splitting tail over an already-aggregated
+    * (word, wc) vocabulary — split out (r16) so callers that stage the
+    * corpus's pretoken occurrences once can derive the vocabulary from
+    * the staged rows instead of re-running the pretokenizer regex. */
+  private def byteSymsFromVocab(vocab: DataFrame): DataFrame =
+    vocab
       .select(col("word"), col("wc"), hex(encode(col("word"), "UTF-8")).as("hx"))
       .select(col("word"), col("wc"),
         posexplode(transform(
           sequence(lit(1), (length(col("hx")) / lit(2)).cast("int")),
           i => col("hx").substr(i * 2 - 1, lit(2)))).as(Seq("p0", "sym")))
       .select(col("word"), col("wc"), (col("p0") + 1).as("pos"), col("sym"))
+
+  // r16 measured-and-REVERTED (kept as a negative result, the r15
+  // discipline): staging the corpus's exploded pretoken occurrences
+  // behind a materialization so the vocabulary aggregation and the
+  // per-doc counting scan share ONE pretokenizer regex pass. Both
+  // variants regressed at sf0.1 against in-window controls — eager
+  // localCheckpoint +11–14% (q171/q224, the extra materialization
+  // job), lazy persist +10–14% (q171/q217, cache fill+read of the
+  // exploded corpus costs more than the regex map pass it saves).
+  // The duplicate work here is a MAP pass, not a shuffle — guide
+  // §1.2's order says that trade only pays when the recompute is
+  // expensive relative to I/O, which at this text size it is not.
 
   /** Byte-level merge table over the GPT-2 pre-tokenized corpus:
     * (round, sym_a, sym_b, pair_count) with symbols as hex byte
@@ -277,7 +296,19 @@ object Bpe {
                 merges: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val fin = applyCore(byteSyms0(docs, textCol), merges)
+    // r16 measured-and-kept-as-was: staging the posexploded pretoken
+    // rows behind a materialization (so the vocabulary aggregation and
+    // the assembly join share ONE regex pass) read +11–25% on q224 at
+    // sf0.1 in both eager-checkpoint cuts — the materialization job
+    // costs more than the saved regex pass here, and the tape
+    // consumers' prefix is already deduplicated through the id-stream
+    // window's exchange (the r15 packIdTape lesson). Two lazy regex
+    // passes stay.
+    val pre = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(pretokens(col(textCol))).as(Seq("w_idx", "word")))
+    val fin = applyCore(byteSymsFromVocab(
+      pre.groupBy(col("word")).agg(count(lit(1)).as("wc"))), merges)
     val pieceArr = fin.groupBy(col("word"))
       .agg(array_sort(collect_list(struct(col("pos"), col("sym"))))
         .as("ps"))
@@ -287,9 +318,7 @@ object Bpe {
     val vocab = vocabIds(merges).toDF("sym", "vid")
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("w_idx"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs
-      .select(col(idCol).as("doc_id"),
-        posexplode(pretokens(col(textCol))).as(Seq("w_idx", "word")))
+    pre
       .join(broadcast(pieceArr), Seq("word"))
       .withColumn("base", coalesce(sum(col("np")).over(wDoc), lit(0L)))
       .select(col("doc_id"), col("base"),
