@@ -193,8 +193,20 @@ object TextOps {
       val sh = shArr.select(col("doc_id"), explode(col("shingles")).as("shingle"))
       val cnt = shArr.select(col("doc_id"),
         size(col("shingles")).cast("long").as("n_sh"))
-      val inter = sh.select(col("doc_id").as("id_a"), col("shingle"))
-        .join(sh.select(col("doc_id").as("id_b"), col("shingle")),
+      // r16: prune df=1 shingles BEFORE the ground-truth self-join —
+      // a join row (s, id_a≠id_b) needs s in two docs, so any shingle
+      // with document frequency 1 contributes nothing and on a mostly-
+      // unique corpus that is most of the join input. The df count is
+      // a window over partitionBy(shingle): it establishes the same
+      // hashpartitioning(shingle) the self-join needs, so both join
+      // sides reuse ONE exchange (and the window's sort satisfies the
+      // merge join's ordering) instead of shuffling the full shingle
+      // relation twice. Values identical by the df≥2 argument.
+      val shf = sh.withColumn("_df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+        .filter(col("_df") >= 2L)
+      val inter = shf.select(col("doc_id").as("id_a"), col("shingle"))
+        .join(shf.select(col("doc_id").as("id_b"), col("shingle")),
           Seq("shingle"))
         .filter(col("id_a") < col("id_b"))
         .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
